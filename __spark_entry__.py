@@ -1,10 +1,11 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes one entry per implemented operator from SURVEY.md §2
+(plus the training-data-pipeline extensions); ``oracle_sql()`` gives the
+DuckDB-equivalent SQL. Column names and value determinism are contract:
+floating aggregates use the deterministic fixed-point builders in
+``parallel_pandas_spark.det`` on BOTH sides, so value hashes match exactly
+across engines and cluster layouts.
 """
 
 from __future__ import annotations
@@ -12,27 +13,548 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+from parallel_pandas_spark import det
+from parallel_pandas_spark.functions import datetimes as dtf
+from parallel_pandas_spark.functions import strings as sf
+from parallel_pandas_spark.operators import (
+    dedup,
+    grouped,
+    joins,
+    multimodal,
+    ordered,
+    reductions,
+    similarity,
+    text,
+    windows,
+)
+from parallel_pandas_spark.sources import load_table
+from parallel_pandas_spark.streaming import events as streaming_events
+
+SF0001 = "/root/testdata/sf0.001"
+
+_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+_ORACLES: dict[str, str] = {}
+
+
+def _q(name: str, oracle: str | None = None):
+    def deco(fn):
+        _QUERIES[name] = fn
+        if oracle is not None:
+            _ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _utc(spark: SparkSession) -> None:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+# =========================================================================
+# §2.5/§2.3 flagship — TPC-H-Q1-shaped grouped aggregation
+# =========================================================================
+
+_Q1_ORACLE = """
+SELECT
+  l_returnflag, l_linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_base_price,
+  CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS sum_disc_price,
+  CAST(SUM(CAST(l_extendedprice*(1-l_discount)*(1+l_tax) AS DECIMAL(38,6))) AS DOUBLE) AS sum_charge,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) / COUNT(l_extendedprice) AS avg_price,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@_q("q1_pricing_summary", _Q1_ORACLE)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return grouped.groupby_agg(
+        li.where(F.col("l_shipdate") <= "1998-09-02"),
+        ["l_returnflag", "l_linestatus"],
+        [
+            det.dsum("l_quantity").alias("sum_qty"),
+            det.dsum("l_extendedprice").alias("sum_base_price"),
+            F.sum(disc_price.cast("decimal(38,6)")).cast("double").alias("sum_disc_price"),
+            F.sum(charge.cast("decimal(38,6)")).cast("double").alias("sum_charge"),
+            det.dmean("l_quantity").alias("avg_qty"),
+            det.dmean("l_extendedprice").alias("avg_price"),
+            F.count("*").alias("count_order"),
+        ],
+        sort=False,
+    )
+
+
+# =========================================================================
+# §2.3 full-frame reductions
+# =========================================================================
+
+_NUM_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+@_q(
+    "stats_central",
+    """
+SELECT
+  MIN(l_quantity) AS l_quantity_min, MAX(l_quantity) AS l_quantity_max,
+  {m_qty} AS l_quantity_mean, COUNT(l_quantity) AS l_quantity_count,
+  MIN(l_extendedprice) AS l_extendedprice_min, MAX(l_extendedprice) AS l_extendedprice_max,
+  {m_px} AS l_extendedprice_mean,
+  MIN(l_discount) AS l_discount_min, MAX(l_discount) AS l_discount_max,
+  {m_disc} AS l_discount_mean
+FROM lineitem
+""".format(
+        m_qty=det.dmean_sql("l_quantity"),
+        m_px=det.dmean_sql("l_extendedprice"),
+        m_disc=det.dmean_sql("l_discount", scale=9),
+    ),
+)
+def stats_central(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.min("l_quantity").alias("l_quantity_min"),
+        F.max("l_quantity").alias("l_quantity_max"),
+        det.dmean("l_quantity").alias("l_quantity_mean"),
+        F.count("l_quantity").alias("l_quantity_count"),
+        F.min("l_extendedprice").alias("l_extendedprice_min"),
+        F.max("l_extendedprice").alias("l_extendedprice_max"),
+        det.dmean("l_extendedprice").alias("l_extendedprice_mean"),
+        F.min("l_discount").alias("l_discount_min"),
+        F.max("l_discount").alias("l_discount_max"),
+        det.dmean("l_discount", scale=9).alias("l_discount_mean"),
+    )
+
+
+@_q(
+    "stats_dispersion",
+    """
+SELECT
+  {v_qty} AS l_quantity_var, {s_qty} AS l_quantity_std, {e_qty} AS l_quantity_sem,
+  {v_px} AS l_extendedprice_var, {s_px} AS l_extendedprice_std,
+  {v_d} AS l_discount_var, {s_d} AS l_discount_std
+FROM lineitem
+""".format(
+        v_qty=det.dvar_sql("l_quantity", 6, 6),
+        s_qty=det.dstd_sql("l_quantity", 6, 6),
+        e_qty=det.dsem_sql("l_quantity", 6, 6),
+        v_px=det.dvar_sql("l_extendedprice", 6, 4),
+        s_px=det.dstd_sql("l_extendedprice", 6, 4),
+        v_d=det.dvar_sql("l_discount", 9, 9),
+        s_d=det.dstd_sql("l_discount", 9, 9),
+    ),
+)
+def stats_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        det.dvar("l_quantity", 6, 6).alias("l_quantity_var"),
+        det.dstd("l_quantity", 6, 6).alias("l_quantity_std"),
+        det.dsem("l_quantity", 6, 6).alias("l_quantity_sem"),
+        det.dvar("l_extendedprice", 6, 4).alias("l_extendedprice_var"),
+        det.dstd("l_extendedprice", 6, 4).alias("l_extendedprice_std"),
+        det.dvar("l_discount", 9, 9).alias("l_discount_var"),
+        det.dstd("l_discount", 9, 9).alias("l_discount_std"),
+    )
+
+
+@_q(
+    "stats_skew_kurt",
+    """
+SELECT
+  {sk_q} AS l_quantity_skew, {ku_q} AS l_quantity_kurt,
+  {sk_d} AS l_discount_skew, {ku_d} AS l_discount_kurt,
+  {sk_t} AS l_tax_skew, {ku_t} AS l_tax_kurt
+FROM lineitem
+""".format(
+        sk_q=det.dskew_sql("l_quantity", 6),
+        ku_q=det.dkurt_sql("l_quantity", 6),
+        sk_d=det.dskew_sql("l_discount", 12),
+        ku_d=det.dkurt_sql("l_discount", 12),
+        sk_t=det.dskew_sql("l_tax", 12),
+        ku_t=det.dkurt_sql("l_tax", 12),
+    ),
+)
+def stats_skew_kurt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        det.dskew("l_quantity", 6).alias("l_quantity_skew"),
+        det.dkurt("l_quantity", 6).alias("l_quantity_kurt"),
+        det.dskew("l_discount", 12).alias("l_discount_skew"),
+        det.dkurt("l_discount", 12).alias("l_discount_kurt"),
+        det.dskew("l_tax", 12).alias("l_tax_skew"),
+        det.dkurt("l_tax", 12).alias("l_tax_kurt"),
+    )
+
+
+@_q(
+    "stats_quantile",
+    "\nUNION ALL\n".join(
+        f"SELECT CAST({q} AS DOUBLE) AS q,"
+        f" quantile_cont(l_quantity, {q}) AS l_quantity,"
+        f" quantile_cont(l_extendedprice, {q}) AS l_extendedprice FROM lineitem"
+        for q in (0.25, 0.5, 0.75)
+    ),
+)
+def stats_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return reductions.quantile(li, ["l_quantity", "l_extendedprice"], [0.25, 0.5, 0.75])
+
+
+@_q(
+    "stats_nunique",
+    """
+SELECT COUNT(DISTINCT l_partkey) AS l_partkey_nunique,
+       COUNT(DISTINCT l_suppkey) AS l_suppkey_nunique,
+       COUNT(DISTINCT l_returnflag) AS l_returnflag_nunique,
+       COUNT(DISTINCT l_quantity) AS l_quantity_nunique
+FROM lineitem
+""",
+)
+def stats_nunique(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return reductions.nunique(li, ["l_partkey", "l_suppkey", "l_returnflag", "l_quantity"])
+
+
+@_q(
+    "stats_mode",
+    """
+WITH cq AS (SELECT l_quantity AS v, COUNT(*) AS n FROM lineitem GROUP BY 1),
+     cl AS (SELECT l_linenumber AS v, COUNT(*) AS n FROM lineitem GROUP BY 1)
+SELECT
+  (SELECT MIN(v) FROM cq WHERE n = (SELECT MAX(n) FROM cq)) AS l_quantity_mode,
+  (SELECT MAX(n) FROM cq) AS l_quantity_mode_count,
+  (SELECT MIN(v) FROM cl WHERE n = (SELECT MAX(n) FROM cl)) AS l_linenumber_mode,
+  (SELECT MAX(n) FROM cl) AS l_linenumber_mode_count
+""",
+)
+def stats_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    mq = reductions.mode(li, "l_quantity").withColumnRenamed("mode_count", "l_quantity_mode_count")
+    ml = reductions.mode(li, "l_linenumber").withColumnRenamed(
+        "mode_count", "l_linenumber_mode_count"
+    )
+    return mq.crossJoin(ml).select(
+        "l_quantity_mode", "l_quantity_mode_count", "l_linenumber_mode", "l_linenumber_mode_count"
+    )
+
+
+@_q(
+    "stats_idx_extremes",
+    """
+SELECT
+  (SELECT MIN(o_orderkey) FROM orders
+    WHERE o_totalprice = (SELECT MAX(o_totalprice) FROM orders)) AS o_totalprice_idxmax,
+  (SELECT MIN(o_orderkey) FROM orders
+    WHERE o_totalprice = (SELECT MIN(o_totalprice) FROM orders)) AS o_totalprice_idxmin
+""",
+)
+def stats_idx_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    mx = reductions.idxmax(o, ["o_totalprice"], "o_orderkey")
+    mn = reductions.idxmin(o, ["o_totalprice"], "o_orderkey")
+    return mx.crossJoin(mn)
+
+
+@_q(
+    "stats_mad",
+    """
+WITH m AS (SELECT {mq} AS mq, {md} AS md FROM lineitem)
+SELECT
+  CAST(SUM(CAST(ABS(l_quantity - mq) AS DECIMAL(38,6))) AS DOUBLE)/COUNT(l_quantity) AS l_quantity_mad,
+  CAST(SUM(CAST(ABS(l_discount - md) AS DECIMAL(38,9))) AS DOUBLE)/COUNT(l_discount) AS l_discount_mad
+FROM lineitem, m
+""".format(mq=det.dmean_sql("l_quantity"), md=det.dmean_sql("l_discount", scale=9)),
+)
+def stats_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    means = li.agg(
+        det.dmean("l_quantity").alias("mq"), det.dmean("l_discount", scale=9).alias("md")
+    )
+    j = li.crossJoin(F.broadcast(means))
+    return j.agg(
+        (
+            F.sum(F.abs(F.col("l_quantity") - F.col("mq")).cast("decimal(38,6)")).cast("double")
+            / F.count("l_quantity")
+        ).alias("l_quantity_mad"),
+        (
+            F.sum(F.abs(F.col("l_discount") - F.col("md")).cast("decimal(38,9)")).cast("double")
+            / F.count("l_discount")
+        ).alias("l_discount_mad"),
+    )
+
+
+_CORR_SCALES = {
+    "l_quantity": 6,
+    "l_extendedprice": 4,
+    "l_discount": 9,
+    "l_tax": 9,
+}
+_CORR_PAIRS = [
+    ("l_quantity", "l_extendedprice", 4),
+    ("l_quantity", "l_discount", 8),
+    ("l_quantity", "l_tax", 8),
+    ("l_extendedprice", "l_discount", 6),
+    ("l_extendedprice", "l_tax", 6),
+    ("l_discount", "l_tax", 10),
+]
+
+
+@_q(
+    "corr_pearson",
+    "SELECT * FROM (\n"
+    + "\nUNION ALL\n".join(
+        f"SELECT '{a}' AS col_x, '{b}' AS col_y, ROUND({det.dcorr_sql(a, b, _CORR_SCALES[a], _CORR_SCALES[b], s)}, 8) AS corr FROM lineitem"
+        for a, b, s in _CORR_PAIRS
+    )
+    + "\n)",
+)
+def corr_pearson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    wide = li.agg(
+        *[
+            F.round(det.dcorr(a, b, _CORR_SCALES[a], _CORR_SCALES[b], s), 8).alias(f"{a}__{b}")
+            for a, b, s in _CORR_PAIRS
+        ]
+    )
+    stack_args = ", ".join(f"'{a}', '{b}', `{a}__{b}`" for a, b, _ in _CORR_PAIRS)
+    return wide.selectExpr(f"stack({len(_CORR_PAIRS)}, {stack_args}) as (col_x, col_y, corr)")
+
+
+_SPEAR_COLS = ["l_quantity", "l_extendedprice", "l_discount"]
+
+
+@_q(
+    "corr_spearman",
+    """
+WITH r AS (
+  SELECT
+    RANK() OVER (ORDER BY l_quantity) + (COUNT(*) OVER (PARTITION BY l_quantity)-1)/2.0 AS r_q,
+    RANK() OVER (ORDER BY l_extendedprice) + (COUNT(*) OVER (PARTITION BY l_extendedprice)-1)/2.0 AS r_p,
+    RANK() OVER (ORDER BY l_discount) + (COUNT(*) OVER (PARTITION BY l_discount)-1)/2.0 AS r_d
+  FROM lineitem
+)
+SELECT * FROM (
+  SELECT 'l_quantity' AS col_x, 'l_extendedprice' AS col_y, ROUND({c1}, 8) AS corr FROM r
+  UNION ALL
+  SELECT 'l_quantity', 'l_discount', ROUND({c2}, 8) FROM r
+  UNION ALL
+  SELECT 'l_extendedprice', 'l_discount', ROUND({c3}, 8) FROM r
+)
+""".format(
+        c1=det.dcorr_sql("r_q", "r_p", 1, 1, 1),
+        c2=det.dcorr_sql("r_q", "r_d", 1, 1, 1),
+        c3=det.dcorr_sql("r_p", "r_d", 1, 1, 1),
+    ),
+)
+def corr_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    r = li
+    for c, alias in zip(_SPEAR_COLS, ["r_q", "r_p", "r_d"]):
+        wr = Window.orderBy(F.col(c))
+        wp = Window.partitionBy(F.col(c))
+        r = r.withColumn(alias, F.rank().over(wr) + (F.count("*").over(wp) - 1) / 2.0)
+    r = r.select("r_q", "r_p", "r_d")
+    pairs = [("l_quantity", "l_extendedprice", "r_q", "r_p"),
+             ("l_quantity", "l_discount", "r_q", "r_d"),
+             ("l_extendedprice", "l_discount", "r_p", "r_d")]
+    wide = r.agg(
+        *[F.round(det.dcorr(x, y, 1, 1, 1), 8).alias(f"{x}__{y}") for _, _, x, y in pairs]
+    )
+    stack_args = ", ".join(f"'{a}', '{b}', `{x}__{y}`" for a, b, x, y in pairs)
+    return wide.selectExpr(f"stack(3, {stack_args}) as (col_x, col_y, corr)")
+
+
+@_q(
+    "zscore_normalize",
+    """
+WITH m AS (SELECT {mean} AS m, {std} AS s FROM lineitem)
+SELECT l_orderkey, l_linenumber,
+       ROUND((l_extendedprice - m) / s, 6) AS z_extendedprice
+FROM lineitem, m
+""".format(
+        mean=det.dmean_sql("l_extendedprice"), std=det.dstd_sql("l_extendedprice", 6, 4)
+    ),
+)
+def zscore_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    m = li.agg(
+        det.dmean("l_extendedprice").alias("m"), det.dstd("l_extendedprice", 6, 4).alias("s")
+    )
+    return (
+        li.crossJoin(F.broadcast(m))
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.round((F.col("l_extendedprice") - F.col("m")) / F.col("s"), 6).alias(
+                "z_extendedprice"
+            ),
+        )
+    )
+
+
+# =========================================================================
+# §2.5 grouped operators
+# =========================================================================
+
+
+@_q(
+    "groupby_agg_spec",
+    """
+SELECT o_orderpriority,
+  COUNT(*) AS n_orders,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total_sum,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)/COUNT(o_totalprice) AS total_mean,
+  MIN(o_totalprice) AS total_min, MAX(o_totalprice) AS total_max,
+  COUNT(DISTINCT o_custkey) AS n_customers,
+  strftime(MIN(o_orderdate), '%Y-%m-%d') AS first_order,
+  strftime(MAX(o_orderdate), '%Y-%m-%d') AS last_order
+FROM orders GROUP BY o_orderpriority
+""",
+)
+def groupby_agg_spec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)
+    o = load_table(spark, sf_dir, "orders")
+    return grouped.groupby_agg(
+        o,
+        ["o_orderpriority"],
+        [
+            F.count("*").alias("n_orders"),
+            det.dsum("o_totalprice").alias("total_sum"),
+            det.dmean("o_totalprice").alias("total_mean"),
+            F.min("o_totalprice").alias("total_min"),
+            F.max("o_totalprice").alias("total_max"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.date_format(F.min("o_orderdate"), "yyyy-MM-dd").alias("first_order"),
+            F.date_format(F.max("o_orderdate"), "yyyy-MM-dd").alias("last_order"),
+        ],
+        sort=False,
+    )
+
+
+@_q(
+    "groupby_transform_zscore",
+    """
+SELECT o_orderkey,
+  ROUND((o_totalprice - CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) OVER w AS DOUBLE)/COUNT(o_totalprice) OVER w)
+    / SQRT((CAST(SUM(CAST(o_totalprice*o_totalprice AS DECIMAL(38,4))) OVER w AS DOUBLE)
+            - POW(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) OVER w AS DOUBLE),2)/COUNT(o_totalprice) OVER w)
+           /(COUNT(o_totalprice) OVER w - 1)), 6) AS z
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority)
+""",
+)
+def groupby_transform_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority")
+    z = (F.col("o_totalprice") - det.wmean("o_totalprice", w)) / det.wstd("o_totalprice", w)
+    return o.select("o_orderkey", F.round(z, 6).alias("z"))
+
+
+@_q(
+    "groupby_apply_demean",
+    """
+SELECT o_orderkey,
+       o_totalprice - FLOOR(AVG(o_totalprice) OVER (PARTITION BY o_custkey)) AS demeaned
+FROM orders
+""",
+)
+def groupby_apply_demean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Callable per-group transform via applyInPandas (reference
+    GroupBy.p_apply). The group mean is floored so the per-row result is
+    exact in floating point — the oracle applies the same quantization."""
+    import numpy as np
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+
+    def demean(pdf):
+        m = np.floor(pdf["o_totalprice"].mean())
+        out = pdf[["o_orderkey"]].copy()
+        out["demeaned"] = pdf["o_totalprice"] - m
+        return out
+
+    return grouped.groupby_apply(
+        o, ["o_custkey"], demean, schema="o_orderkey long, demeaned double"
+    )
+
+
+@_q(
+    "pivot_table_mean",
+    """
+SELECT l_returnflag,
+  CAST(SUM(CASE WHEN l_linestatus='F' THEN CAST(l_extendedprice AS DECIMAL(38,6)) END) AS DOUBLE)
+    / COUNT(CASE WHEN l_linestatus='F' THEN l_extendedprice END) AS F,
+  CAST(SUM(CASE WHEN l_linestatus='O' THEN CAST(l_extendedprice AS DECIMAL(38,6)) END) AS DOUBLE)
+    / COUNT(CASE WHEN l_linestatus='O' THEN l_extendedprice END) AS O
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+def pivot_table_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(det.dmean("l_extendedprice"))
+    )
+
+
+@_q(
+    "rollup_agg",
+    """
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+)
+def rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return grouped.rollup_agg(
+        li,
+        ["l_returnflag", "l_linestatus"],
+        [F.count("*").alias("n"), det.dsum("l_quantity").alias("sum_qty")],
+    )
+
+
+@_q(
+    "groupby_dropna_keys",
+    """
+SELECT lang, COUNT(*) AS n, CAST(SUM(CAST(n_chars AS DECIMAL(38,0))) AS DOUBLE) AS chars
+FROM (SELECT NULLIF(lang, 'en') AS lang, n_chars FROM documents)
+WHERE lang IS NOT NULL
+GROUP BY lang
+""",
+)
+def groupby_dropna_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pandas groupby(dropna=True): NULL keys excluded. NULLs are
+    synthesized via NULLIF since the testdata has none."""
+    d = load_table(spark, sf_dir, "documents").withColumn(
+        "lang", F.nullif(F.col("lang"), F.lit("en"))
+    )
+    return grouped.groupby_agg(
+        d,
+        ["lang"],
+        [F.count("*").alias("n"), det.dsum("n_chars", 0).alias("chars")],
+        dropna=True,
+        sort=False,
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return q1_pricing_summary(spark, SF0001)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(_QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(_ORACLES)

@@ -1,0 +1,75 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Headline set mirrors the reference's published benchmarks (BASELINE.md):
+grouped aggregation, z-score normalize, nunique, rolling mean, regex
+extract, grouped UDF transform — plus the engine's scale extensions
+(dedup, similarity) so regressions there are visible per round.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# headline queries: name -> queries() key
+HEADLINE = [
+    "q1_pricing_summary",
+    "stats_central",
+    "stats_dispersion",
+    "stats_nunique",
+    "zscore_normalize",
+    "corr_pearson",
+    "groupby_agg_spec",
+    "groupby_transform_zscore",
+    "groupby_apply_demean",
+    "pivot_table_mean",
+]
+
+
+def main() -> None:
+    import __spark_entry__ as entrymod
+    from parallel_pandas_spark.session import get_spark
+
+    spark = get_spark(app_name="pps-bench")
+    qs = entrymod.queries()
+    names = [n for n in HEADLINE if n in qs]
+    # warm up the JVM/readers on the smallest SF so first-query JIT noise
+    # doesn't land on a measured query
+    qs[names[0]](spark, "/root/testdata/sf0.001").count()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        df = qs[name](spark, SF_DIR)
+        n = df.count()  # force full execution
+        timings[name] = round(time.perf_counter() - t0, 4)
+        assert n >= 0
+    total = round(sum(timings.values()), 4)
+    try:
+        sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1])
+    except ValueError:
+        sf = None
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,208 @@
+"""Deterministic aggregates: bit-identical across cluster topologies AND
+across engines.
+
+Problem: ``SUM(double)`` depends on partial-aggregate merge order, which
+changes with partitioning — a 100 TB job re-run on a different executor
+count produces last-ulp-different sums, and a reference engine (the DuckDB
+correctness oracle) differs too. Solution: aggregate in fixed-point —
+``SUM(CAST(x AS DECIMAL(38,s)))`` is exact and order-independent, and the
+per-row double→decimal rounding is reproducible in any engine (verified
+Spark↔DuckDB on the test data). Higher statistics (var/std/sem/skew/kurt/
+corr) are then *closed-form scalar functions of exact power sums*, so they
+are deterministic end to end.
+
+Scale selection: the per-row cast is faithful while |x|·10^s < 2^53; pick
+``s`` so the largest power of the column still fits (e.g. s=6 for
+quantities ≤ 50, s=4 for prices ≤ 1e5 squared). Each builder takes the
+scale explicitly.
+
+Every builder has a twin ``*_sql`` emitting the equivalent ANSI SQL, used
+to generate the DuckDB oracle from the same spec — the expressions cannot
+drift apart.
+
+Reference parity: these implement the same statistics as the reference's
+ParallelizeStatFunc family (/root/reference/parallel_pandas/
+parallel_dataframe.py:714-861) with pandas sample-estimator semantics
+(ddof=1, adjusted G1/G2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+# --- power sums ------------------------------------------------------------
+
+
+def psum(col, power: int = 1, scale: int = 6) -> Column:
+    """Exact decimal sum of x^power, returned as DOUBLE."""
+    c = _c(col).cast("double")
+    x = c
+    for _ in range(power - 1):
+        x = x * c
+    return F.sum(x.cast(f"decimal(38,{scale})")).cast("double")
+
+
+def psum_sql(col: str, power: int = 1, scale: int = 6) -> str:
+    c = f"CAST({col} AS DOUBLE)"
+    x = c if power == 1 else "(" + "*".join([c] * power) + ")"
+    return f"CAST(SUM(CAST({x} AS DECIMAL(38,{scale}))) AS DOUBLE)"
+
+
+def cross_sum(a, b, scale: int = 6) -> Column:
+    """Exact decimal sum of a*b (for covariances/correlations)."""
+    return F.sum((_c(a).cast("double") * _c(b).cast("double")).cast(f"decimal(38,{scale})")).cast(
+        "double"
+    )
+
+
+def cross_sum_sql(a: str, b: str, scale: int = 6) -> str:
+    return (
+        f"CAST(SUM(CAST(CAST({a} AS DOUBLE)*CAST({b} AS DOUBLE)"
+        f" AS DECIMAL(38,{scale}))) AS DOUBLE)"
+    )
+
+
+# --- first/second moments --------------------------------------------------
+
+
+def dsum(col, scale: int = 6) -> Column:
+    return psum(col, 1, scale)
+
+
+def dsum_sql(col: str, scale: int = 6) -> str:
+    return psum_sql(col, 1, scale)
+
+
+def dmean(col, scale: int = 6) -> Column:
+    return psum(col, 1, scale) / F.count(_c(col))
+
+
+def dmean_sql(col: str, scale: int = 6) -> str:
+    return f"{psum_sql(col, 1, scale)} / COUNT({col})"
+
+
+def dvar(col, scale: int = 6, sq_scale: int = 4, ddof: int = 1) -> Column:
+    """Sample variance from exact power sums: (S2 - S1^2/n) / (n - ddof)."""
+    n = F.count(_c(col)).cast("double")
+    s1 = psum(col, 1, scale)
+    s2 = psum(col, 2, sq_scale)
+    return (s2 - s1 * s1 / n) / (n - ddof)
+
+
+def dvar_sql(col: str, scale: int = 6, sq_scale: int = 4, ddof: int = 1) -> str:
+    s1 = psum_sql(col, 1, scale)
+    s2 = psum_sql(col, 2, sq_scale)
+    n = f"CAST(COUNT({col}) AS DOUBLE)"
+    return f"(({s2}) - ({s1})*({s1})/({n})) / (({n}) - {ddof})"
+
+
+def dstd(col, scale: int = 6, sq_scale: int = 4, ddof: int = 1) -> Column:
+    return F.sqrt(dvar(col, scale, sq_scale, ddof))
+
+
+def dstd_sql(col: str, scale: int = 6, sq_scale: int = 4, ddof: int = 1) -> str:
+    return f"SQRT({dvar_sql(col, scale, sq_scale, ddof)})"
+
+
+def dsem(col, scale: int = 6, sq_scale: int = 4) -> Column:
+    """Standard error of the mean, ddof=1 (pandas default)."""
+    return F.sqrt(dvar(col, scale, sq_scale, 1) / F.count(_c(col)))
+
+
+def dsem_sql(col: str, scale: int = 6, sq_scale: int = 4) -> str:
+    return f"SQRT(({dvar_sql(col, scale, sq_scale, 1)}) / COUNT({col}))"
+
+
+# --- skew / kurt (pandas G1/G2 sample estimators) ---------------------------
+
+
+def dskew(col, scale: int = 6) -> Column:
+    n = F.count(_c(col)).cast("double")
+    s1, s2, s3 = (psum(col, p, scale) for p in (1, 2, 3))
+    m = s1 / n
+    m2 = s2 / n - m * m
+    m3 = s3 / n - 3 * m * s2 / n + 2 * m * m * m
+    g1 = m3 / F.pow(m2, 1.5)
+    return g1 * F.sqrt(n * (n - 1)) / (n - 2)
+
+
+def dskew_sql(col: str, scale: int = 6) -> str:
+    s1, s2, s3 = (psum_sql(col, p, scale) for p in (1, 2, 3))
+    n = f"CAST(COUNT({col}) AS DOUBLE)"
+    m = f"(({s1})/({n}))"
+    m2 = f"(({s2})/({n}) - {m}*{m})"
+    m3 = f"(({s3})/({n}) - 3*{m}*({s2})/({n}) + 2*{m}*{m}*{m})"
+    g1 = f"({m3} / POW({m2}, 1.5))"
+    return f"{g1} * SQRT(({n})*(({n})-1)) / (({n})-2)"
+
+
+def dkurt(col, scale: int = 6) -> Column:
+    n = F.count(_c(col)).cast("double")
+    s1, s2, s3, s4 = (psum(col, p, scale) for p in (1, 2, 3, 4))
+    m = s1 / n
+    m2 = s2 / n - m * m
+    m4 = s4 / n - 4 * m * s3 / n + 6 * m * m * s2 / n - 3 * F.pow(m, F.lit(4.0))
+    g2 = m4 / (m2 * m2) - 3
+    return ((n + 1) * g2 + 6) * (n - 1) / ((n - 2) * (n - 3))
+
+
+def dkurt_sql(col: str, scale: int = 6) -> str:
+    s1, s2, s3, s4 = (psum_sql(col, p, scale) for p in (1, 2, 3, 4))
+    n = f"CAST(COUNT({col}) AS DOUBLE)"
+    m = f"(({s1})/({n}))"
+    m2 = f"(({s2})/({n}) - {m}*{m})"
+    m4 = f"(({s4})/({n}) - 4*{m}*({s3})/({n}) + 6*{m}*{m}*({s2})/({n}) - 3*POW({m},4))"
+    g2 = f"({m4} / ({m2}*{m2}) - 3)"
+    return f"(({n})+1)*{g2}*(({n})-1)/((({n})-2)*(({n})-3)) + 6*(({n})-1)/((({n})-2)*(({n})-3))"
+
+
+def dcorr(a, b, scale_a: int = 6, scale_b: int = 6, scale_ab: int = 6) -> Column:
+    """Pearson correlation from exact sums:
+    (n·Sab − Sa·Sb) / sqrt((n·Saa − Sa²)(n·Sbb − Sb²))."""
+    n = F.count(_c(a)).cast("double")
+    sa = psum(a, 1, scale_a)
+    sb = psum(b, 1, scale_b)
+    saa = psum(a, 2, max(scale_a - 2, 0))
+    sbb = psum(b, 2, max(scale_b - 2, 0))
+    sab = cross_sum(a, b, scale_ab)
+    num = n * sab - sa * sb
+    den = F.sqrt((n * saa - sa * sa) * (n * sbb - sb * sb))
+    return num / den
+
+
+def dcorr_sql(a: str, b: str, scale_a: int = 6, scale_b: int = 6, scale_ab: int = 6) -> str:
+    n = f"CAST(COUNT({a}) AS DOUBLE)"
+    sa = psum_sql(a, 1, scale_a)
+    sb = psum_sql(b, 1, scale_b)
+    saa = psum_sql(a, 2, max(scale_a - 2, 0))
+    sbb = psum_sql(b, 2, max(scale_b - 2, 0))
+    sab = cross_sum_sql(a, b, scale_ab)
+    num = f"(({n})*({sab}) - ({sa})*({sb}))"
+    den = f"SQRT((({n})*({saa}) - ({sa})*({sa})) * (({n})*({sbb}) - ({sb})*({sb})))"
+    return f"{num} / {den}"
+
+
+# --- windowed (per-group) deterministic expressions -------------------------
+
+
+def wsum(col, window, scale: int = 6) -> Column:
+    """Deterministic windowed sum: decimal aggregation over the frame."""
+    return F.sum(_c(col).cast(f"decimal(38,{scale})")).over(window).cast("double")
+
+
+def wmean(col, window, scale: int = 6) -> Column:
+    return wsum(col, window, scale) / F.count(_c(col)).over(window)
+
+
+def wstd(col, window, scale: int = 6, sq_scale: int = 4, ddof: int = 1) -> Column:
+    c = _c(col).cast("double")
+    n = F.count(_c(col)).over(window).cast("double")
+    s1 = wsum(col, window, scale)
+    s2 = F.sum((c * c).cast(f"decimal(38,{sq_scale})")).over(window).cast("double")
+    return F.sqrt((s2 - s1 * s1 / n) / (n - ddof))

@@ -1,0 +1,117 @@
+"""pandas ``.str`` accessor surface → Spark expressions (SURVEY.md §2.7).
+
+The reference exposes the whole accessor generically via introspection
+(/root/reference/parallel_pandas/parallel_str_dt.py:69-131); here each op
+is an explicit JVM-side expression (regexp ops compile to codegen'd Java
+regex — the only ops where the reference's parallelism ever paid off,
+README.md:77-84, are precisely these regex ops, which Spark runs
+vectorized on every core for free).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def lower(col):  # str.lower
+    return F.lower(_c(col))
+
+
+def upper(col):  # str.upper
+    return F.upper(_c(col))
+
+
+def strip(col):  # str.strip
+    return F.trim(_c(col))
+
+
+def lstrip(col):
+    return F.ltrim(_c(col))
+
+
+def rstrip(col):
+    return F.rtrim(_c(col))
+
+
+def length(col):  # str.len
+    return F.length(_c(col))
+
+
+def contains(col, pat: str, regex: bool = True):  # str.contains
+    return _c(col).rlike(pat) if regex else _c(col).contains(pat)
+
+
+def startswith(col, prefix: str):
+    return _c(col).startswith(prefix)
+
+
+def endswith(col, suffix: str):
+    return _c(col).endswith(suffix)
+
+
+def count(col, pat: str):  # str.count (regex occurrences)
+    return F.regexp_count(_c(col), F.lit(pat))
+
+
+def replace(col, pat: str, repl: str, regex: bool = True):  # str.replace
+    if regex:
+        return F.regexp_replace(_c(col), pat, repl)
+    return F.replace(_c(col), F.lit(pat), F.lit(repl))
+
+
+def slice_(col, start: int = 0, stop: int | None = None):  # str.slice
+    # pandas slice is 0-based [start, stop); substring is 1-based length-d
+    if stop is None:
+        return F.substring(_c(col), start + 1, 2_000_000_000)
+    return F.substring(_c(col), start + 1, stop - start)
+
+
+def zfill(col, width: int):  # str.zfill
+    return F.lpad(_c(col), width, "0")
+
+
+def pad(col, width: int, side: str = "left", fillchar: str = " "):
+    return (F.lpad if side == "left" else F.rpad)(_c(col), width, fillchar)
+
+
+def extract(col, pattern: str, groups: int) -> list[Column]:
+    """str.extract → one column per regex group (frame output in pandas,
+    test_str_dt.py:56-60). Non-matching rows yield NULL (Spark returns ''
+    for no-match, so wrap)."""
+    c = _c(col)
+    out = []
+    for g in range(1, groups + 1):
+        e = F.regexp_extract(c, pattern, g)
+        out.append(F.when(c.rlike(pattern), e).alias(f"group_{g - 1}"))
+    return out
+
+
+def split_expand(col, pat: str, n_cols: int, regex: bool = True) -> list[Column]:
+    """str.split(expand=True) → fixed number of columns; missing parts NULL."""
+    parts = F.split(_c(col), pat if regex else F.lit(pat))
+    return [
+        F.when(F.size(parts) > i, parts.getItem(i)).alias(f"part_{i}")
+        for i in range(n_cols)
+    ]
+
+
+def cat(cols, sep: str = ""):  # str.cat
+    return F.concat_ws(sep, *[_c(c) for c in cols])
+
+
+def title(col):
+    return F.initcap(_c(col))
+
+
+def repeat(col, n: int):
+    return F.repeat(_c(col), n)
+
+
+def find(col, sub: str):
+    """str.find: 0-based index or -1."""
+    return F.instr(_c(col), sub) - 1

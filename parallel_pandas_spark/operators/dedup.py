@@ -1,0 +1,329 @@
+"""Deduplication for training-data pipelines: exact, n-gram Jaccard,
+MinHash+LSH, SimHash, embedding-cosine near-dup.
+
+Scale architecture (the part that matters at 100 TB):
+- exact: hash-groupBy on a fingerprint — one shuffle, keys are 16-byte
+  digests, skew-free.
+- MinHash+LSH: shingles → k minhashes → band buckets → candidate pairs
+  only *within* buckets → exact Jaccard verification on candidates. The
+  candidate join is on band-hash (uniform), never on raw shingles, so the
+  explosion of "every doc containing 'the'" never happens.
+- SimHash: 64-bit signature; near-dup = small Hamming distance; banding on
+  signature chunks bounds the pair search the same way.
+
+Hash determinism: minhash/simhash use md5-derived 64-bit integers rather
+than ``xxhash64`` so the exact same signatures are computable by any other
+engine (the DuckDB oracle included).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import char_ngrams, fingerprint_md5, normalize_text, tokens, word_ngrams
+
+
+def md5_long(col: Column, seed: int = 0) -> Column:
+    """Deterministic 63-bit positive hash from md5 (first 15 hex chars).
+    Seeded by prefixing the input — reproducible in any engine with md5."""
+    seeded = F.concat(F.lit(f"s{seed}:"), col)
+    return F.conv(F.substring(F.md5(seeded), 1, 15), 16, 10).cast("long")
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str, keep: str = "min") -> DataFrame:
+    """Exact dedup on normalized-text fingerprint: keep one id per content
+    hash. One shuffle on the digest."""
+    keep_fn = F.min if keep == "min" else F.max
+    return (
+        df.select(F.col(id_col), fingerprint_md5(text_col).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(keep_fn(id_col).alias(id_col), F.count("*").alias("n_copies"))
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    use_chars: bool = False,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for all pairs sharing >=1 shingle.
+
+    explode(distinct shingles) → self-join on shingle → |A∩B| per pair →
+    |A∪B| = |A|+|B|-|A∩B|. Output: (id_a, id_b, jaccard) with id_a < id_b,
+    jaccard >= threshold.
+
+    This is the *verification* primitive; at 100 TB you never run it on all
+    pairs — run :func:`minhash_lsh_candidates` first and verify only
+    candidates. On its own it is safe when shingles are selective (word
+    n-grams, n>=3).
+    """
+    grams = (char_ngrams if use_chars else word_ngrams)(text_col, n)
+    sh = df.select(
+        F.col(id_col).alias("id"), F.explode(F.array_distinct(grams)).alias("shingle")
+    )
+    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    out = (
+        inter.join(sizes.withColumnsRenamed({"id": "id_a", "sz": "sz_a"}), "id_a")
+        .join(sizes.withColumnsRenamed({"id": "id_b", "sz": "sz_b"}), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+    return out
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, num_hashes: int = 32, n: int = 3
+) -> DataFrame:
+    """k-permutation MinHash signature per document, all JVM-side:
+    signature[i] = min over shingles of md5_long(shingle, seed=i).
+    One scan, no shuffle; the signature column is an array<long> of width k.
+    """
+    grams = F.array_distinct(word_ngrams(text_col, n))
+    sig = F.array(
+        *[
+            F.array_min(F.transform(grams, lambda g, i=i: md5_long(g, seed=i)))
+            for i in range(num_hashes)
+        ]
+    )
+    return df.select(F.col(id_col).alias("id"), sig.alias("signature"))
+
+
+def minhash_lsh_candidates(
+    sigs: DataFrame, bands: int = 8, rows_per_band: int = 4
+) -> DataFrame:
+    """LSH banding: split the signature into ``bands`` chunks of
+    ``rows_per_band`` hashes; docs agreeing on any whole band become a
+    candidate pair. Join key is (band_index, band_hash) — uniformly
+    distributed, so the self-join is skew-free by construction."""
+    width = bands * rows_per_band
+    banded = sigs.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.col("signature")[b * rows_per_band + r].cast("string")
+                                    for r in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bucket")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Full MinHash+LSH near-dup pipeline: signatures → band candidates →
+    exact-Jaccard verification of candidates only. Output matches
+    :func:`ngram_jaccard_pairs` (id_a, id_b, jaccard) for pairs above
+    threshold — i.e. LSH prunes, exact verification decides, so the result
+    is *exact* given the candidates (recall bounded by the LSH S-curve)."""
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, n)
+    cands = minhash_lsh_candidates(sigs, bands, rows_per_band)
+
+    grams = df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(word_ngrams(text_col, n)).alias("grams"),
+    )
+    ga = grams.withColumnsRenamed({"id": "id_a", "grams": "grams_a"})
+    gb = grams.withColumnsRenamed({"id": "id_b", "grams": "grams_b"})
+    verified = (
+        cands.join(ga, "id_a")
+        .join(gb, "id_b")
+        .withColumn("inter", F.size(F.array_intersect("grams_a", "grams_b")))
+        .withColumn(
+            "jaccard",
+            F.col("inter")
+            / (F.size("grams_a") + F.size("grams_b") - F.col("inter")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+    return verified
+
+
+def simhash(col: Column, bits: int = 64) -> Column:
+    """SimHash signature of the token multiset: per-token md5-derived hash;
+    each bit position votes +1/-1; sign of the tally sets the bit.
+    Pure expressions: tokens → hashes → fold bit tallies → assemble bits."""
+    toks = tokens(normalize_text(col))
+    hashes = F.transform(toks, lambda t: md5_long(t, seed=1))
+    bit_exprs = []
+    for i in range(bits):
+        vote = F.aggregate(
+            hashes,
+            F.lit(0).cast("long"),
+            lambda acc, h, i=i: acc
+            + F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
+        bit_exprs.append(
+            F.when(vote > 0, F.lit(1).cast("long") * F.lit(2**i).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    out = bit_exprs[0]
+    for e in bit_exprs[1:]:
+        out = out + e
+    return out
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    bits: int = 60,
+    bands: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance <= max_hamming.
+
+    Pigeonhole banding: if two signatures differ in <= max_hamming bits and
+    we split into ``bands`` > max_hamming chunks, they agree exactly on at
+    least one chunk — join on (chunk_idx, chunk_value), verify Hamming on
+    candidates with bit_count(xor). No full cross join at any scale."""
+    assert bands > max_hamming, "need bands > max_hamming for exact recall"
+    chunk = bits // bands
+    sigs = df.select(F.col(id_col).alias("id"), simhash(F.col(text_col), bits).alias("sig"))
+    banded = sigs.select(
+        "id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("sig"), b * chunk)
+                        .bitwiseAND(F.lit((1 << chunk) - 1))
+                        .alias("chunkval"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "sig", "bb.band", "bb.chunkval")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.chunkval") == F.col("b.chunkval"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig"))).alias("hamming"),
+        )
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    num_planes: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding near-duplicates: cosine >= threshold, candidates bucketed
+    by random-hyperplane LSH (sign bits of ``num_planes`` projections) so
+    the self-join is per-bucket, not all-pairs. Exact cosine verification
+    on candidates."""
+    import numpy as np
+
+    first = df.select(F.size(vec_col).alias("d")).first()
+    dim = first["d"]
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((num_planes, dim))
+
+    def bucket_expr(vc):
+        bits = []
+        for p in range(num_planes):
+            arr = F.array(*[F.lit(float(x)) for x in planes[p]])
+            dot = F.aggregate(
+                F.zip_with(vc, arr, lambda a, b: a * b),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            bits.append(F.when(dot >= 0, F.lit(1 << p)).otherwise(F.lit(0)))
+        out = bits[0]
+        for e in bits[1:]:
+            out = out + e
+        return out
+
+    vecs = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        bucket_expr(F.col(vec_col)).alias("bucket"),
+        F.sqrt(
+            F.aggregate(
+                F.transform(F.col(vec_col), lambda x: x * x),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        ).alias("norm"),
+    )
+    a = vecs.alias("a")
+    b = vecs.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")))
+        .withColumn("cosine", dot / (F.col("a.norm") * F.col("b.norm")))
+        .where(F.col("cosine") >= threshold)
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round("cosine", 6).alias("cosine"),
+        )
+    )

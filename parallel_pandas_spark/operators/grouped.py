@@ -1,0 +1,171 @@
+"""Grouped operators (SURVEY.md §2.5, reference ops #21-#25).
+
+The reference's grouped path is: compute integer group codes, route each
+group wholly into one chunk, run real pandas groupby per chunk
+(/root/reference/parallel_pandas/parallel_groupby.py:96-257). That chunk
+routing *is* a hash partition by key — Spark's shuffle — and the per-chunk
+"final" aggregation is strictly weaker than Spark's partial+final
+HashAggregate (map-side combine before the exchange), which is what
+survives skew and 100 TB inputs.
+
+NaN-key policy: pandas ``dropna=True`` (default) excludes NULL-key rows
+(parallel_groupby.py:117-124 routes them to chunk -1); Spark groups NULLs,
+so ``dropna=True`` adds an explicit NOT NULL filter.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .reductions import STAT_EXPRS, stat_expr
+
+
+def _dropna_keys(df: DataFrame, keys: Sequence[str], dropna: bool) -> DataFrame:
+    if not dropna:
+        return df
+    cond = None
+    for k in keys:
+        c = F.col(k).isNotNull()
+        cond = c if cond is None else (cond & c)
+    return df.where(cond)
+
+
+def groupby_agg(
+    df: DataFrame,
+    keys: Sequence[str],
+    spec: dict[str, Sequence[str] | str] | Sequence[Column],
+    dropna: bool = True,
+    sort: bool = True,
+) -> DataFrame:
+    """pandas ``groupby().agg(spec)`` for string/list/dict specs
+    (reference p_agg, parallel_groupby.py:187-257).
+
+    ``spec`` is either {col: stat | [stats]} (pandas dict spec) or a list of
+    ready Column expressions (named-agg form). Output columns are
+    ``<col>_<stat>``. ``sort=True`` orders by keys (pandas default);
+    note Spark results are unordered multisets, the sort adds a final
+    ordering stage only — skip it in pipelines.
+    """
+    df = _dropna_keys(df, keys, dropna)
+    if isinstance(spec, dict):
+        exprs = []
+        for c, stats in spec.items():
+            if isinstance(stats, str):
+                stats = [stats]
+            exprs.extend(stat_expr(s, c).alias(f"{c}_{s}") for s in stats)
+    else:
+        exprs = list(spec)
+    out = df.groupBy(*keys).agg(*exprs)
+    if sort:
+        out = out.orderBy(*keys)
+    return out
+
+
+def groupby_apply(
+    df: DataFrame,
+    keys: Sequence[str],
+    func: Callable,
+    schema,
+    dropna: bool = True,
+) -> DataFrame:
+    """Arbitrary per-group pandas UDF — reference GroupBy.p_apply
+    (parallel_groupby.py:28-93). Direct conceptual match:
+    one task per group ↔ one chunk per group; Arrow batches replace dill
+    pipes. ``func: pd.DataFrame -> pd.DataFrame``; ``schema`` is the output
+    schema (explicit, since pandas output shape is arbitrary)."""
+    df = _dropna_keys(df, keys, dropna)
+    return df.groupBy(*keys).applyInPandas(func, schema=schema)
+
+
+#: builtin transform names -> window aggregate (broadcast back to rows)
+_TRANSFORM_FNS = {k: v for k, v in STAT_EXPRS.items()}
+
+
+def groupby_transform(
+    df: DataFrame,
+    keys: Sequence[str],
+    cols: Sequence[str],
+    func: str | Callable,
+    dropna: bool = True,
+    schema=None,
+    suffix: str | None = None,
+) -> DataFrame:
+    """Same-shape per-group transform — reference GroupBy.p_transform
+    (parallel_groupby.py:96-184).
+
+    Builtin string funcs ('mean','sum','max',...) become window aggregates
+    over ``partitionBy(keys)`` — no applyInPandas, no shuffle beyond the one
+    hash exchange, whole-stage codegen. NULL-key rows keep their row but get
+    NULL output (pandas dropna=True semantics,
+    test_groupby_transform.py:67-75). Callables drop to applyInPandas and
+    must return input rows + transformed columns (requires ``schema``).
+    """
+    suffix = suffix if suffix is not None else (func if isinstance(func, str) else "t")
+    if isinstance(func, str):
+        w = Window.partitionBy(*[F.col(k) for k in keys])
+        out = df
+        keys_ok = None
+        for k in keys:
+            c = F.col(k).isNotNull()
+            keys_ok = c if keys_ok is None else (keys_ok & c)
+        for c in cols:
+            expr = _TRANSFORM_FNS[func](c).over(w)
+            if dropna:
+                expr = F.when(keys_ok, expr)
+            out = out.withColumn(f"{c}_{suffix}", expr)
+        return out
+    if schema is None:
+        raise ValueError("callable transform requires explicit output schema")
+    df2 = _dropna_keys(df, keys, dropna)
+    return df2.groupBy(*keys).applyInPandas(func, schema=schema)
+
+
+def pivot_table(
+    df: DataFrame,
+    index: Sequence[str],
+    columns: str,
+    values: str,
+    aggfunc: str = "mean",
+    fill_value=None,
+    margins: bool = False,
+    pivot_values: Sequence | None = None,
+) -> DataFrame:
+    """pandas ``pivot_table`` — reference p_pivot_table
+    (parallel_dataframe.py:100-183).
+
+    Maps to ``groupBy(index).pivot(columns).agg(...)``. At scale, pass
+    ``pivot_values`` explicitly: otherwise Spark runs an extra distinct-scan
+    to discover the pivot domain. ``margins=True`` unions a grand-total row
+    (the reference falls back to serial pandas for margins,
+    parallel_dataframe.py:148-154 — here it's just one more tiny query).
+    """
+    agg = stat_expr(aggfunc, values).alias("v")
+    piv = df.groupBy(*index).pivot(columns, list(pivot_values) if pivot_values else None)
+    out = piv.agg(agg)
+    if margins:
+        total = df.groupBy(*index).agg(stat_expr(aggfunc, values).alias("All"))
+        out = out.join(total, list(index), "left")
+        # grand-total row: margins across all index values
+        pivot_cols = [c for c in out.columns if c not in index]
+        grand = df.groupBy().pivot(columns, list(pivot_values) if pivot_values else None).agg(agg)
+        grand_total = df.agg(stat_expr(aggfunc, values).alias("All"))
+        grand = grand.crossJoin(grand_total)
+        for i, k in enumerate(index):
+            grand = grand.withColumn(k, F.lit("All" if i == 0 else None))
+        out = out.unionByName(grand.select(*index, *pivot_cols))
+    if fill_value is not None:
+        val_cols = [c for c in out.columns if c not in index]
+        out = out.fillna(fill_value, subset=val_cols)
+    return out
+
+
+def cube_agg(df: DataFrame, keys: Sequence[str], exprs: Sequence[Column]) -> DataFrame:
+    """Grouping-sets capability the reference lacks (SURVEY.md §2.8)."""
+    return df.cube(*keys).agg(*exprs)
+
+
+def rollup_agg(df: DataFrame, keys: Sequence[str], exprs: Sequence[Column]) -> DataFrame:
+    return df.rollup(*keys).agg(*exprs)

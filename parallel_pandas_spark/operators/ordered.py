@@ -1,0 +1,153 @@
+"""Ordered scans: cumulatives, rank, pct_change (SURVEY.md §2.4, ops #18-#20).
+
+Every operator here takes explicit ordering column(s) — the engine's
+replacement for the pandas implicit row index (SURVEY.md §1.4). The
+reference parallelizes axis=0 scans *across columns* so each chunk needs no
+carry (/root/reference/parallel_pandas/parallel_dataframe.py:864-916);
+Spark's ``WindowExec`` computes all columns in one ordered pass instead and
+handles partition-boundary frames itself.
+
+Scale note: an un-partitioned ordered scan is a single-task sort — always
+prefer ``partition_by`` (per-group scans parallelize perfectly). Global
+scans are supported for parity but documented as the driver-bottleneck
+shape, exactly like a global ``pandas.cumsum`` is single-core.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window, WindowSpec
+from pyspark.sql import functions as F
+
+
+def _window(order_by: Sequence[str], partition_by: Sequence[str] | None) -> WindowSpec:
+    w = Window.partitionBy(*partition_by) if partition_by else Window.partitionBy()
+    return w.orderBy(*[F.col(c) for c in order_by])
+
+
+def _cum_spec(order_by, partition_by):
+    return _window(order_by, partition_by).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+
+def cumsum(df, cols, order_by, partition_by=None, suffix="_cumsum"):
+    w = _cum_spec(order_by, partition_by)
+    out = df
+    for c in cols:
+        out = out.withColumn(f"{c}{suffix}", F.sum(c).over(w))
+    return out
+
+
+def cummax(df, cols, order_by, partition_by=None, suffix="_cummax"):
+    w = _cum_spec(order_by, partition_by)
+    out = df
+    for c in cols:
+        out = out.withColumn(f"{c}{suffix}", F.max(c).over(w))
+    return out
+
+
+def cummin(df, cols, order_by, partition_by=None, suffix="_cummin"):
+    w = _cum_spec(order_by, partition_by)
+    out = df
+    for c in cols:
+        out = out.withColumn(f"{c}{suffix}", F.min(c).over(w))
+    return out
+
+
+def cumprod(df, cols, order_by, partition_by=None, suffix="_cumprod"):
+    """Running product — no PRODUCT window primitive is needed:
+    ``product`` is an aggregate in Spark >= 3.2 and aggregates compose with
+    window frames, staying JVM-side (reference dispatches numpy ufuncs,
+    parallel_dataframe.py:871-880)."""
+    w = _cum_spec(order_by, partition_by)
+    out = df
+    for c in cols:
+        out = out.withColumn(f"{c}{suffix}", F.product(c).over(w))
+    return out
+
+
+def rank(
+    df: DataFrame,
+    col: str,
+    method: str = "average",
+    ascending: bool = True,
+    pct: bool = False,
+    partition_by: Sequence[str] | None = None,
+    out_col: str | None = None,
+) -> DataFrame:
+    """pandas ``rank`` with all five methods (reference p_rank,
+    parallel_dataframe.py:571-595).
+
+    average -> avg(row_number) over equal values; min -> rank;
+    max -> rank + count(equal) - 1; first -> row_number; dense -> dense_rank.
+    NULLs get NULL rank (pandas na_option='keep'). ``pct`` divides by the
+    non-null count in the partition.
+    """
+    out_col = out_col or f"{col}_rank"
+    order = F.col(col).asc_nulls_last() if ascending else F.col(col).desc_nulls_last()
+    base = Window.partitionBy(*(partition_by or [])).orderBy(order)
+    value_part = Window.partitionBy(*(partition_by or []), F.col(col))
+    whole = Window.partitionBy(*(partition_by or []))
+
+    rn = F.row_number().over(base)
+    if method == "average":
+        expr = F.avg(rn).over(value_part)
+    elif method == "min":
+        expr = F.rank().over(base).cast("double")
+    elif method == "max":
+        expr = (F.rank().over(base) + F.count("*").over(value_part) - 1).cast("double")
+    elif method == "first":
+        expr = rn.cast("double")
+    elif method == "dense":
+        expr = F.dense_rank().over(base).cast("double")
+    else:
+        raise ValueError(f"unknown rank method {method!r}")
+    expr = F.when(F.col(col).isNotNull(), expr)
+    if pct:
+        expr = expr / F.count(col).over(whole)
+    return df.withColumn(out_col, expr)
+
+
+def pct_change(
+    df: DataFrame,
+    cols: Sequence[str],
+    order_by: Sequence[str],
+    periods: int = 1,
+    partition_by: Sequence[str] | None = None,
+    suffix: str = "_pct_change",
+) -> DataFrame:
+    """Fractional change vs the row ``periods`` before (reference
+    p_pct_change, parallel_dataframe.py:465-489 — defined but unregistered
+    there; first-class here)."""
+    w = _window(order_by, partition_by)
+    out = df
+    for c in cols:
+        out = out.withColumn(f"{c}{suffix}", F.col(c) / F.lag(c, periods).over(w) - 1)
+    return out
+
+
+def shift(df, cols, order_by, periods=1, partition_by=None, suffix="_shift"):
+    w = _window(order_by, partition_by)
+    out = df
+    for c in cols:
+        out = out.withColumn(f"{c}{suffix}", F.lag(c, periods).over(w))
+    return out
+
+
+def top_k_per_group(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_col: str,
+    k: int,
+    descending: bool = True,
+    tie_breaker: str | None = None,
+) -> DataFrame:
+    """Top-k rows per group — limit/top-k capability the reference lacks
+    (SURVEY.md §2.8). row_number + filter: Spark pushes the rank filter into
+    the window sort (WindowGroupLimit in the physical plan), so each group
+    keeps only k rows during the sort — no full materialization."""
+    order = [F.col(order_col).desc() if descending else F.col(order_col).asc()]
+    if tie_breaker:
+        order.append(F.col(tie_breaker).asc())
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return df.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") <= k).drop("__rn")

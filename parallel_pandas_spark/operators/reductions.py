@@ -1,0 +1,342 @@
+"""Full-frame reductions & statistics (SURVEY.md §2.3, reference ops #7-#17).
+
+The reference splits the frame *across columns* and runs each pandas
+reduction per chunk (/root/reference/parallel_pandas/parallel_dataframe.py:714-916).
+Here every per-column reduction becomes one expression inside a single
+``df.agg(...)`` — one scan, map-side partial aggregation, whole-stage
+codegen — which is the strictly-better distributed shape: at 100 TB one
+pass over the parquet produces all requested statistics, no per-column
+re-scan, no Python in the hot path.
+
+pandas-semantics shims implemented as expressions:
+- ``skew``/``kurt``: pandas returns bias-corrected sample estimators G1/G2;
+  Spark's ``skewness``/``kurtosis`` are population g1/g2. We apply the exact
+  algebraic corrections (parallel_dataframe.py:722-734 delegates to pandas
+  nanops which uses the adjusted estimators).
+- ``sem`` = stddev_samp / sqrt(count)  (parallel_dataframe.py:765-811).
+- ``sum``/``prod`` honor ``min_count`` (parallel_dataframe.py:814-861).
+- ``mad`` = mean(|x - mean|) — removed in pandas 2.0 but kept by the
+  reference for capability parity (parallel_dataframe.py:502-522).
+- deterministic-at-scale sums: floating-point ``SUM`` depends on partition
+  merge order; ``decimal_sum``/``decimal_mean`` aggregate in DECIMAL(28,6)
+  (exact, order-independent) then cast back to DOUBLE, so results are
+  bit-identical across cluster layouts.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# expression builders
+# ---------------------------------------------------------------------------
+
+
+def decimal_sum(col: str | Column, scale: int = 6) -> Column:
+    """Order-independent exact sum of a double column, returned as DOUBLE."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(f"decimal(28,{scale})")).cast("double")
+
+
+def decimal_mean(col: str | Column, scale: int = 6) -> Column:
+    """Deterministic mean: exact decimal sum / count, evaluated in DOUBLE."""
+    c = F.col(col) if isinstance(col, str) else col
+    return decimal_sum(c, scale) / F.count(c)
+
+
+def sem(col: str | Column, ddof: int = 1) -> Column:
+    """Standard error of the mean (pandas p_sem, ddof=1 default)."""
+    c = F.col(col) if isinstance(col, str) else col
+    std = F.stddev_samp(c) if ddof == 1 else F.stddev_pop(c)
+    return std / F.sqrt(F.count(c))
+
+
+def skew_sample(col: str | Column) -> Column:
+    """pandas-style adjusted Fisher-Pearson skewness G1.
+
+    G1 = g1 * sqrt(n*(n-1)) / (n-2), where g1 is the population skewness
+    Spark computes.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    n = F.count(c).cast("double")
+    return F.skewness(c) * F.sqrt(n * (n - 1)) / (n - 2)
+
+
+def kurt_sample(col: str | Column) -> Column:
+    """pandas-style adjusted excess kurtosis G2.
+
+    G2 = ((n+1)*g2 + 6) * (n-1) / ((n-2)*(n-3)), where g2 is the population
+    excess kurtosis Spark computes.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    n = F.count(c).cast("double")
+    g2 = F.kurtosis(c)
+    return ((n + 1) * g2 + 6) * (n - 1) / ((n - 2) * (n - 3))
+
+
+def sum_min_count(col: str | Column, min_count: int = 0) -> Column:
+    """pandas p_sum(min_count=): NULL unless >= min_count non-null values."""
+    c = F.col(col) if isinstance(col, str) else col
+    total = F.sum(c)
+    if min_count <= 0:
+        return F.coalesce(total, F.lit(0.0))
+    return F.when(F.count(c) >= min_count, total)
+
+
+def prod_min_count(col: str | Column, min_count: int = 0) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    p = F.product(c)
+    if min_count <= 0:
+        return F.coalesce(p, F.lit(1.0))
+    return F.when(F.count(c) >= min_count, p)
+
+
+#: stat name -> Column builder; mirrors the reference's patched p_* set.
+STAT_EXPRS = {
+    "min": F.min,
+    "max": F.max,
+    "mean": F.avg,
+    "median": F.median,
+    "sum": F.sum,
+    "prod": F.product,
+    "count": F.count,
+    "std": F.stddev_samp,
+    "var": F.var_samp,
+    "std_pop": F.stddev_pop,
+    "var_pop": F.var_pop,
+    "sem": sem,
+    "skew": skew_sample,
+    "kurt": kurt_sample,
+    "nunique": F.countDistinct,
+    "approx_nunique": F.approx_count_distinct,
+    "first": F.first,
+    "last": F.last,
+}
+
+
+def stat_expr(stat: str, col: str) -> Column:
+    try:
+        return STAT_EXPRS[stat](col)
+    except KeyError:
+        raise ValueError(f"unknown stat {stat!r}; known: {sorted(STAT_EXPRS)}") from None
+
+
+def agg_stats(df: DataFrame, cols: Sequence[str], stats: Sequence[str]) -> DataFrame:
+    """One-row frame of ``<col>_<stat>`` for every (col, stat) pair.
+
+    Reference: ParallelizeStatFunc / ParallelizeStatFuncDdof /
+    ParallelizeMinCountStatFunc (parallel_dataframe.py:714-861) — each op
+    there is a separate pool dispatch; here all pairs share one scan.
+    """
+    exprs = [stat_expr(s, c).alias(f"{c}_{s}") for c in cols for s in stats]
+    return df.agg(*exprs)
+
+
+def quantile(
+    df: DataFrame, cols: Sequence[str], qs: Sequence[float], exact: bool = True
+) -> DataFrame:
+    """Exact (linear-interpolation, pandas-default) or approximate quantiles.
+
+    Reference p_quantile (parallel_dataframe.py:598-622). One output row per
+    q, one column per input column — mirrors pandas' list-q frame shape.
+    ``exact=False`` switches to ``approx_percentile`` (the 100 TB path:
+    single-pass sketch, no global sort).
+    """
+    fn = "percentile" if exact else "approx_percentile"
+    rows = [
+        df.agg(
+            F.lit(float(q)).alias("q"),
+            *[F.expr(f"{fn}({c}, {float(q)})").alias(c) for c in cols],
+        )
+        for q in qs
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+def describe_exact(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """pandas-style describe with *exact* percentiles.
+
+    ``df.summary()`` uses approximate percentiles; the reference's
+    p_describe (parallel_dataframe.py:432-462) is exact, so we build exact
+    expressions. Long format: one row per statistic.
+    """
+    stat_rows = [
+        ("count", lambda c: F.count(c).cast("double")),
+        ("mean", lambda c: F.avg(c)),
+        ("std", lambda c: F.stddev_samp(c)),
+        ("min", lambda c: F.min(c)),
+        ("25%", lambda c: F.expr(f"percentile({c}, 0.25)")),
+        ("50%", lambda c: F.expr(f"percentile({c}, 0.5)")),
+        ("75%", lambda c: F.expr(f"percentile({c}, 0.75)")),
+        ("max", lambda c: F.max(c)),
+    ]
+    rows = [
+        df.agg(F.lit(name).alias("summary"), *[fn(c).alias(c) for c in cols])
+        for name, fn in stat_rows
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+def mad(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """Mean absolute deviation per column (reference p_mad,
+    parallel_dataframe.py:502-522). Two aggregation passes — means first,
+    then mean(|x - mean|) — composed via a broadcast cross join, so the
+    second pass is still a single scan with map-side partials."""
+    means = df.agg(*[F.avg(c).alias(f"__mean_{c}") for c in cols])
+    joined = df.crossJoin(F.broadcast(means))
+    return joined.agg(
+        *[F.avg(F.abs(F.col(c) - F.col(f"__mean_{c}"))).alias(f"{c}_mad") for c in cols]
+    )
+
+
+def mode(df: DataFrame, col: str, tie: str = "min") -> DataFrame:
+    """Most frequent value; ties broken deterministically (lowest value by
+    default — pandas returns *all* tied modes sorted, so 'min' equals
+    pandas' first mode). Reference p_mode: parallel_dataframe.py:625-647.
+    """
+    counts = df.where(F.col(col).isNotNull()).groupBy(col).agg(F.count("*").alias("cnt"))
+    pick = F.min(col) if tie == "min" else F.max(col)
+    best = counts.agg(F.max("cnt").alias("cnt"))
+    return (
+        counts.join(F.broadcast(best), "cnt")
+        .agg(pick.alias(f"{col}_mode"), F.first("cnt").alias("mode_count"))
+    )
+
+
+def idx_extreme(
+    df: DataFrame, value_col: str, id_col: str, largest: bool = True
+) -> Column:
+    """Aggregate expression: id of the max/min value, ties -> smallest id.
+
+    pandas p_idxmax/p_idxmin return the *index label* of the extreme
+    (parallel_dataframe.py:525-568); the explicit id column replaces the
+    index (SURVEY.md §1.4). Implemented as a single-pass ``max(struct)`` —
+    struct comparison orders by value first, then by negated id, so the
+    smallest id among ties wins, deterministically, with no second scan.
+    """
+    v = F.col(value_col)
+    i = F.col(id_col).cast("long")
+    if largest:
+        pair = F.when(v.isNotNull(), F.struct(v.alias("v"), (-i).alias("ni")))
+        return F.max(pair).getField("ni").cast("long") * -1
+    pair = F.when(v.isNotNull(), F.struct(v.alias("v"), i.alias("i")))
+    return F.min(pair).getField("i")
+
+
+def idxmax(df: DataFrame, value_cols: Sequence[str], id_col: str) -> DataFrame:
+    return df.agg(
+        *[idx_extreme(df, c, id_col, largest=True).alias(f"{c}_idxmax") for c in value_cols]
+    )
+
+
+def idxmin(df: DataFrame, value_cols: Sequence[str], id_col: str) -> DataFrame:
+    return df.agg(
+        *[idx_extreme(df, c, id_col, largest=False).alias(f"{c}_idxmin") for c in value_cols]
+    )
+
+
+def nunique(df: DataFrame, cols: Sequence[str], approx: bool = False) -> DataFrame:
+    """Distinct count per column (reference p_nunique,
+    parallel_dataframe.py:492-499). ``approx=True`` uses HyperLogLog++
+    (single-pass, mergeable sketch) — the right call at 100 TB where exact
+    per-column distinct forces a shuffle per column."""
+    fn = F.approx_count_distinct if approx else F.countDistinct
+    return df.agg(*[fn(c).alias(f"{c}_nunique") for c in cols])
+
+
+def corr_matrix(
+    df: DataFrame, cols: Sequence[str], method: str = "pearson", round_to: int | None = None
+) -> DataFrame:
+    """Long-format pairwise correlation (col_x, col_y, corr).
+
+    Reference p_corr (parallel_dataframe.py:186-325) precomputes sufficient
+    statistics and fans the C(k,2) pairs across the pool; Spark's ``corr``
+    aggregate does the same one-pass moment computation per pair inside a
+    single ``agg`` — one scan for the whole matrix.
+
+    pearson: native ``corr``. spearman: columns are rank-transformed
+    (average ranks, matching ``pandas.rank(method='average')``) with window
+    expressions, then pearson on the ranks. kendall is O(n^2)/pair — use
+    :func:`kendall_tau` (pandas-UDF path) on sampled data at scale.
+    """
+    if method == "spearman":
+        from pyspark.sql import Window
+
+        ranked = df
+        for c in cols:
+            w = Window.partitionBy(F.lit(1)).orderBy(F.col(c).asc_nulls_last())
+            # average rank over value ties == avg(row_number) per value
+            rn = F.row_number().over(w)
+            ranked = ranked.withColumn(f"__rn_{c}", rn)
+            wv = Window.partitionBy(F.col(c))
+            ranked = ranked.withColumn(
+                f"__rank_{c}",
+                F.when(F.col(c).isNotNull(), F.avg(F.col(f"__rn_{c}")).over(wv)),
+            )
+        df = ranked
+        colmap = {c: f"__rank_{c}" for c in cols}
+    elif method == "pearson":
+        colmap = {c: c for c in cols}
+    else:
+        raise ValueError(f"method {method!r} not supported here; use kendall_tau()")
+
+    exprs = []
+    names = []
+    for i, a in enumerate(cols):
+        for b in cols[i + 1 :]:
+            e = F.corr(colmap[a], colmap[b])
+            if round_to is not None:
+                e = F.round(e, round_to)
+            exprs.append(e.alias(f"{a}__{b}"))
+            names.append((a, b))
+    wide = df.agg(*exprs)
+    # unpivot to long form
+    stack_args = ", ".join(f"'{a}', '{b}', `{a}__{b}`" for a, b in names)
+    return wide.selectExpr(
+        f"stack({len(names)}, {stack_args}) as (col_x, col_y, corr)"
+    )
+
+
+def kendall_tau(df: DataFrame, col_a: str, col_b: str, max_rows: int = 100_000) -> float:
+    """Kendall's tau-b for one pair via Arrow-batched pandas on a capped
+    sample (reference: exact O(n^2) numba kernel, _numba.py:7-158). At
+    scale, exact kendall is quadratic — sample + compute driver-side."""
+    pdf = df.select(col_a, col_b).limit(max_rows).toPandas()
+    return float(pdf[col_a].corr(pdf[col_b], method="kendall"))
+
+
+def zscore_normalize(df: DataFrame, cols: Sequence[str], ddof: int = 1) -> DataFrame:
+    """(x - mean)/std per column — the reference README's headline benchmark
+    (README.md:137-169). One aggregation pass for the moments, broadcast
+    back, one projection pass: two scans total, no shuffle of the data
+    itself, scales linearly."""
+    stdfn = F.stddev_samp if ddof == 1 else F.stddev_pop
+    moments = df.agg(
+        *[F.avg(c).alias(f"__mean_{c}") for c in cols],
+        *[stdfn(c).alias(f"__std_{c}") for c in cols],
+    )
+    out = df.crossJoin(F.broadcast(moments))
+    for c in cols:
+        out = out.withColumn(c, (F.col(c) - F.col(f"__mean_{c}")) / F.col(f"__std_{c}"))
+    return out.drop(*[f"__mean_{c}" for c in cols], *[f"__std_{c}" for c in cols])
+
+
+def replace_values(df: DataFrame, mapping: dict, subset: Sequence[str] | None = None) -> DataFrame:
+    """Value replacement (reference p_replace, parallel_dataframe.py:364-385)
+    — native ``DataFrame.replace`` (JVM-side chained CASE WHEN)."""
+    return df.replace(mapping, subset=list(subset) if subset else None)
+
+
+def isin_filter(df: DataFrame, col: str, values: Sequence) -> DataFrame:
+    """Membership predicate (reference p_isin, parallel_dataframe.py:690-711).
+    Catalyst compiles small lists to IN / InSet and pushes them to the scan."""
+    return df.where(F.col(col).isin(list(values)))

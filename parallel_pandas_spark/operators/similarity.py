@@ -1,0 +1,153 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two tiers:
+- ``cosine_topk``: brute-force exact top-k — the correctness baseline. The
+  query side is broadcast (queries are small); the corpus is scanned once;
+  per-group top-k uses a rank-pushdown window (WindowGroupLimit), so
+  nothing bigger than k rows per query survives the shuffle.
+- ``lsh_topk``: random-hyperplane LSH bucketing (multi-probe by Hamming
+  radius on the bucket code) — the 100 TB path: each query probes a few
+  buckets instead of the full corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """JVM-side dot product of two array columns (no UDF): zip_with +
+    aggregate fold in double precision."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    include_self: bool = False,
+) -> DataFrame:
+    """Exact brute-force cosine top-k: for every query vector, the k most
+    similar corpus vectors. Output: (query_id, neighbor_id, cosine, rank).
+
+    Plan shape: broadcast(queries) × corpus scan → cosine expression →
+    row_number over (query) — one pass over the corpus regardless of the
+    number of queries; ties broken by neighbor id for determinism."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    joined = c.crossJoin(F.broadcast(q))
+    if not include_self:
+        joined = joined.where(F.col("query_id") != F.col("neighbor_id"))
+    scored = joined.select(
+        "query_id",
+        "neighbor_id",
+        cosine(F.col("qv"), F.col("cv")).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank")
+    )
+
+
+def _bucket_expr(vec: Column, planes) -> Column:
+    bits = []
+    for p, plane in enumerate(planes):
+        arr = F.array(*[F.lit(float(x)) for x in plane])
+        d = dot(vec, arr)
+        bits.append(F.when(d >= 0, F.lit(1 << p)).otherwise(F.lit(0)))
+    out = bits[0]
+    for e in bits[1:]:
+        out = out + e
+    return out
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    num_planes: int = 6,
+    probe_hamming: int = 1,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: random-hyperplane buckets + multi-probe.
+
+    Corpus rows land in one bucket each; each query probes its own bucket
+    plus all buckets within Hamming distance ``probe_hamming`` of its code
+    (multi-probe LSH), then exact cosine ranks the candidates. Recall is
+    tunable via num_planes/probe_hamming; cost per query is
+    |corpus| / 2^num_planes × probes instead of |corpus|."""
+    import numpy as np
+
+    dim = corpus.select(F.size(vec_col).alias("d")).first()["d"]
+    planes = np.random.default_rng(seed).standard_normal((num_planes, dim))
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        _bucket_expr(F.col(vec_col), planes).alias("bucket"),
+    )
+    # query probes: own bucket + neighbors within hamming radius
+    probes = [0]
+    if probe_hamming >= 1:
+        probes += [1 << i for i in range(num_planes)]
+    if probe_hamming >= 2:
+        probes += [
+            (1 << i) | (1 << j)
+            for i in range(num_planes)
+            for j in range(i + 1, num_planes)
+        ]
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        F.explode(
+            F.array(
+                *[
+                    _bucket_expr(F.col(vec_col), planes).bitwiseXOR(F.lit(m))
+                    for m in probes
+                ]
+            )
+        ).alias("bucket"),
+    )
+    joined = c.join(F.broadcast(q), "bucket").where(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    scored = joined.select(
+        "query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("cosine")
+    ).dropDuplicates(["query_id", "neighbor_id"])
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank")
+    )

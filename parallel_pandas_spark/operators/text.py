@@ -1,0 +1,191 @@
+"""Text analysis for training-data pipelines over the ``documents`` table:
+language-ID, quality scoring, token counting, fingerprinting.
+
+All hot-path logic is JVM-side expressions (split/regexp/aggregate) — no
+Python per row — so each operator is a single scan that scales linearly to
+100 TB of documents.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+WS = r"\s+"
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokenization of trimmed text."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.trim(c), WS)
+
+
+def token_count(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.when(F.length(F.trim(c)) == 0, F.lit(0)).otherwise(F.size(tokens(c)))
+
+
+def bpe_ish_token_count(col: Column | str) -> Column:
+    """BPE-flavored token estimate: word pieces + digits + punctuation
+    counted separately (a cheap deterministic proxy for a real tokenizer —
+    words longer than 4 chars count one extra piece per 4 chars)."""
+    c = F.col(col) if isinstance(col, str) else col
+    words = token_count(c)
+    # extra pieces for long words: total alnum chars / 4 beyond first piece
+    alnum_chars = F.length(F.regexp_replace(c, r"[^\p{L}\p{N}]", ""))
+    punct = F.length(F.regexp_replace(c, r"[\p{L}\p{N}\s]", ""))
+    return (words + (alnum_chars / F.lit(4)).cast("long") + punct).cast("long")
+
+
+def char_count(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.length(c)
+
+
+#: tiny per-language stopword lists for the n-gram/stopword language-ID
+#: heuristic. Deterministic and dependency-free; a real pipeline swaps in
+#: fastText — the *plumbing* (scored argmax over expression columns) stays.
+LANG_STOPWORDS = {
+    "en": ["the", "and", "of", "to", "is", "in", "that", "it"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "ein", "zu"],
+    "fr": ["le", "la", "et", "les", "des", "est", "un", "une"],
+    "es": ["el", "la", "de", "que", "y", "los", "es", "una"],
+    "zh": ["的", "是", "了", "在", "我", "有", "和", "不"],
+}
+
+
+def _stopword_hits(col: Column, words: list[str]) -> Column:
+    toks = tokens(F.lower(col))
+    arr = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+
+
+def lang_scores(col: Column | str) -> dict[str, Column]:
+    c = F.col(col) if isinstance(col, str) else col
+    return {lang: _stopword_hits(c, words) for lang, words in LANG_STOPWORDS.items()}
+
+
+def lang_id(col: Column | str, default: str = "unknown") -> Column:
+    """argmax over language scores via greatest-of-structs — ties broken by
+    language name (ascending) deterministically; all-zero scores →
+    ``default``."""
+    scores = lang_scores(col)
+    # struct(score, reverse-alphabetical tiebreak string) — greatest picks
+    # max score, then max of the reversed name = min alphabetical name.
+    structs = [
+        F.struct(
+            s.alias("score"),
+            F.lit("".join(chr(255 - ord(ch)) for ch in lang)).alias("revname"),
+            F.lit(lang).alias("lang"),
+        )
+        for lang, s in scores.items()
+    ]
+    best = F.greatest(*structs)
+    return F.when(best.getField("score") > 0, best.getField("lang")).otherwise(
+        F.lit(default)
+    )
+
+
+def quality_features(col: Column | str) -> dict[str, Column]:
+    """Deterministic quality-signal features: length, mean word length,
+    punctuation ratio, stopword ratio, uppercase ratio, digit ratio."""
+    c = F.col(col) if isinstance(col, str) else col
+    n_chars = F.length(c).cast("double")
+    n_tokens = token_count(c).cast("double")
+    punct = F.length(F.regexp_replace(c, r"[^.,;:!?'\"()\-]", "")).cast("double")
+    digits = F.length(F.regexp_replace(c, r"[^0-9]", "")).cast("double")
+    uppers = F.length(F.regexp_replace(c, r"[^A-Z]", "")).cast("double")
+    en_stop = _stopword_hits(c, LANG_STOPWORDS["en"]).cast("double")
+    safe = F.when(n_chars > 0, n_chars).otherwise(F.lit(1.0))
+    safe_t = F.when(n_tokens > 0, n_tokens).otherwise(F.lit(1.0))
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tokens,
+        "mean_word_len": n_chars / safe_t,
+        "punct_ratio": punct / safe,
+        "digit_ratio": digits / safe,
+        "upper_ratio": uppers / safe,
+        "stopword_ratio": en_stop / safe_t,
+    }
+
+
+def quality_score(col: Column | str) -> Column:
+    """Composite [0,1] quality score from the features — monotone in
+    token count (saturating), penalized by punct/digit excess. The exact
+    weights are a policy, not a truth; the shape (bounded, deterministic,
+    single-pass expressions) is the engine contract."""
+    f = quality_features(col)
+    len_term = F.least(f["n_tokens"] / F.lit(64.0), F.lit(1.0))
+    punct_pen = F.greatest(F.lit(0.0), F.lit(1.0) - f["punct_ratio"] * 4)
+    digit_pen = F.greatest(F.lit(0.0), F.lit(1.0) - f["digit_ratio"] * 4)
+    stop_term = F.least(f["stopword_ratio"] * 4, F.lit(1.0))
+    return (
+        len_term * F.lit(0.4)
+        + punct_pen * F.lit(0.2)
+        + digit_pen * F.lit(0.2)
+        + stop_term * F.lit(0.2)
+    )
+
+
+def normalize_text(col: Column | str) -> Column:
+    """Canonical form for dedup: lowercase, collapse whitespace, strip."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(F.regexp_replace(F.lower(c), WS, " "))
+
+
+def fingerprint_md5(col: Column | str) -> Column:
+    """Content fingerprint = md5 of normalized text (cross-engine
+    reproducible)."""
+    return F.md5(normalize_text(col))
+
+
+def rolling_hash_fingerprint(col: Column | str, base: int = 257, mod: int = 1_000_000_007) -> Column:
+    """Polynomial rolling hash of the normalized text, computed JVM-side by
+    folding over the character array — a document fingerprint that is cheap,
+    order-sensitive, and identical on any engine that implements the same
+    fold."""
+    c = normalize_text(col)
+    chars = F.split(c, "")
+    return F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, ch: (acc * base + F.ascii(ch)) % mod,
+    )
+
+
+def word_ngrams(col: Column | str, n: int = 3) -> Column:
+    """Array of word n-grams (shingles) — building block for Jaccard/MinHash
+    dedup. JVM-side transform over the token array; no UDF."""
+    toks = tokens(col)
+    cnt = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(cnt - n, F.lit(0)))
+    return F.when(
+        cnt >= n,
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))),
+    ).otherwise(F.array(F.concat_ws(" ", toks)))
+
+
+def char_ngrams(col: Column | str, n: int = 5) -> Column:
+    c = normalize_text(col)
+    ln = F.length(c)
+    idx = F.sequence(F.lit(1), F.greatest(ln - n + 1, F.lit(1)))
+    return F.when(ln >= n, F.transform(idx, lambda i: F.substring(c, i, n))).otherwise(
+        F.array(c)
+    )
+
+
+def text_profile(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """One row per document: token stats + quality + language guess +
+    fingerprint. Single scan."""
+    feats = quality_features(text_col)
+    return df.select(
+        F.col(id_col),
+        feats["n_chars"].cast("long").alias("n_chars"),
+        feats["n_tokens"].cast("long").alias("n_tokens"),
+        F.round(feats["mean_word_len"], 6).alias("mean_word_len"),
+        F.round(feats["punct_ratio"], 6).alias("punct_ratio"),
+        F.round(feats["stopword_ratio"], 6).alias("stopword_ratio"),
+        F.round(quality_score(text_col), 6).alias("quality_score"),
+        lang_id(text_col).alias("lang_guess"),
+        fingerprint_md5(text_col).alias("fingerprint"),
+    )

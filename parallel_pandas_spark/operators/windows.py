@@ -1,0 +1,255 @@
+"""Rolling / expanding / EWM windows (SURVEY.md §2.6, ops #26-#30).
+
+The reference chunks with overlap = window-1 rows (or a timedelta) and runs
+real pandas rolling per chunk
+(/root/reference/parallel_pandas/parallel_window.py:30-203, tools.py:8-36).
+Spark's ``WindowExec`` subsumes the overlap bookkeeping entirely:
+``rowsBetween`` for count windows, ``rangeBetween`` over epoch seconds for
+time windows. Grouped variants prepend ``partitionBy`` — each group is an
+independent, perfectly-parallel ordered scan (the scalable shape; global
+windows serialize into one task and are kept only for pandas parity).
+
+EWM and weighted windows are recursive / non-frame-expressible — those take
+the Arrow ``applyInPandas`` path per group, which is also how the grouped
+reference variants behave (one chunk per group, parallel_window.py:216-255).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window, WindowSpec
+from pyspark.sql import functions as F
+
+from .reductions import kurt_sample, sem, skew_sample
+
+_ROLL_FNS = {
+    "mean": F.avg,
+    "sum": F.sum,
+    "min": F.min,
+    "max": F.max,
+    "std": F.stddev_samp,
+    "var": F.var_samp,
+    "median": F.median,
+    "count": F.count,
+    "skew": skew_sample,
+    "kurt": kurt_sample,
+    "sem": sem,
+}
+
+
+def _ordered_window(order_by, partition_by) -> WindowSpec:
+    w = Window.partitionBy(*(partition_by or []))
+    return w.orderBy(*[F.col(c) for c in order_by])
+
+
+def rolling(
+    df: DataFrame,
+    cols: Sequence[str],
+    window: int,
+    order_by: Sequence[str],
+    funcs: Sequence[str] = ("mean",),
+    partition_by: Sequence[str] | None = None,
+    min_periods: int | None = None,
+) -> DataFrame:
+    """Count-based rolling window (reference ParallelRolling,
+    parallel_window.py:30-203). pandas default ``min_periods=window`` →
+    rows with fewer observations yield NULL (test_window.py:9-13)."""
+    mp = window if min_periods is None else min_periods
+    w = _ordered_window(order_by, partition_by).rowsBetween(-(window - 1), 0)
+    out = df
+    for c in cols:
+        guard = F.count(c).over(w) >= mp
+        for fn in funcs:
+            out = out.withColumn(
+                f"{c}_roll_{fn}", F.when(guard, _ROLL_FNS[fn](c).over(w))
+            )
+    return out
+
+
+def rolling_time(
+    df: DataFrame,
+    cols: Sequence[str],
+    window_seconds: int,
+    ts_col: str,
+    funcs: Sequence[str] = ("mean",),
+    partition_by: Sequence[str] | None = None,
+    min_periods: int = 1,
+) -> DataFrame:
+    """Time-based rolling window ('3D'-style freq strings in the reference,
+    tools.py:8-36). ``rangeBetween`` over epoch seconds: frame is
+    [t - window, t] inclusive, pandas closed='right' default.
+    pandas time-rolling default min_periods=1."""
+    epoch = F.unix_timestamp(F.col(ts_col)).cast("long")
+    w = (
+        Window.partitionBy(*(partition_by or []))
+        .orderBy(epoch)
+        .rangeBetween(-int(window_seconds), 0)
+    )
+    out = df
+    for c in cols:
+        guard = F.count(c).over(w) >= min_periods
+        for fn in funcs:
+            out = out.withColumn(
+                f"{c}_roll_{fn}", F.when(guard, _ROLL_FNS[fn](c).over(w))
+            )
+    return out
+
+
+def rolling_quantile(
+    df: DataFrame,
+    col: str,
+    window: int,
+    q: float,
+    order_by: Sequence[str],
+    partition_by: Sequence[str] | None = None,
+    min_periods: int | None = None,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Exact linear-interpolation quantile over a moving frame —
+    ``percentile`` is an aggregate, so it composes with window frames
+    JVM-side (no pandas fallback needed, unlike the reference's per-chunk
+    pandas call)."""
+    mp = window if min_periods is None else min_periods
+    w = _ordered_window(order_by, partition_by).rowsBetween(-(window - 1), 0)
+    expr = F.when(
+        F.count(col).over(w) >= mp, F.percentile(F.col(col), F.lit(q)).over(w)
+    )
+    return df.withColumn(out_col or f"{col}_roll_q{q}", expr)
+
+
+def expanding(
+    df: DataFrame,
+    cols: Sequence[str],
+    order_by: Sequence[str],
+    funcs: Sequence[str] = ("sum",),
+    partition_by: Sequence[str] | None = None,
+    min_periods: int = 1,
+) -> DataFrame:
+    """Expanding window (reference ParallelExpanding,
+    parallel_window.py:262-275): frame = start..current row."""
+    w = _ordered_window(order_by, partition_by).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    out = df
+    for c in cols:
+        guard = F.count(c).over(w) >= min_periods
+        for fn in funcs:
+            out = out.withColumn(
+                f"{c}_exp_{fn}", F.when(guard, _ROLL_FNS[fn](c).over(w))
+            )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# EWM — recursive, not frame-expressible: Arrow applyInPandas per group
+# (reference ParallelEWM parallel_window.py:282-305; grouped variant
+# parallel_window.py:216-255 runs one chunk per group — same shape here).
+# ---------------------------------------------------------------------------
+
+
+def ewm(
+    df: DataFrame,
+    cols: Sequence[str],
+    order_by: Sequence[str],
+    partition_by: Sequence[str],
+    funcs: Sequence[str] = ("mean",),
+    span: float | None = None,
+    alpha: float | None = None,
+    adjust: bool = True,
+) -> DataFrame:
+    """Exponentially-weighted mean/sum/std/var per group.
+
+    Requires ``partition_by``: EWM is inherently sequential within a series,
+    so the scalable unit is the group (each group fits one Arrow batch
+    stream; groups run in parallel). A global EWM on 100 TB is a sequential
+    scan no engine parallelizes — reject it rather than pretend.
+    """
+    if not partition_by:
+        raise ValueError("ewm requires partition_by: per-group EWM is the scalable unit")
+    if span is None and alpha is None:
+        raise ValueError("pass span= or alpha=")
+    import pandas as pd  # noqa: F401
+
+    kw = {"span": span} if span is not None else {"alpha": alpha}
+    order_cols = list(order_by)
+    value_cols = list(cols)
+    fn_list = list(funcs)
+
+    out_fields = ", ".join(
+        f"{c}_ewm_{fn} double" for c in value_cols for fn in fn_list
+    )
+    schema = f"{', '.join(f'{f.name} {f.dataType.simpleString()}' for f in df.schema.fields)}, {out_fields}"
+
+    def _ewm_group(pdf):
+        pdf = pdf.sort_values(order_cols)
+        for c in value_cols:
+            e = pdf[c].ewm(adjust=adjust, **kw)
+            for fn in fn_list:
+                pdf[f"{c}_ewm_{fn}"] = getattr(e, fn)()
+        return pdf
+
+    return df.groupBy(*partition_by).applyInPandas(_ewm_group, schema=schema)
+
+
+def weighted_window(
+    df: DataFrame,
+    col: str,
+    window: int,
+    weights: Sequence[float],
+    order_by: Sequence[str],
+    partition_by: Sequence[str],
+    func: str = "mean",
+    out_col: str | None = None,
+) -> DataFrame:
+    """Weighted moving aggregate (reference ParallelWindow with
+    ``win_type=`` scipy shapes, parallel_window.py:206-213). Implemented as
+    an explicit dot product over a ``collect_list`` slice — stays JVM-side;
+    the scipy window shape is materialized to literal weights by the caller.
+    """
+    if len(weights) != window:
+        raise ValueError("len(weights) must equal window")
+    out_col = out_col or f"{col}_w{func}"
+    w = _ordered_window(order_by, partition_by).rowsBetween(-(window - 1), 0)
+    vals = F.collect_list(F.col(col)).over(w)  # frame-ordered values
+    warr = F.array(*[F.lit(float(x)) for x in weights])
+    dot = F.aggregate(
+        F.zip_with(vals, warr, lambda v, wt: v * wt),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    wsum = F.lit(float(sum(weights)))
+    expr = dot / wsum if func == "mean" else dot
+    expr = F.when(F.size(vals) >= window, expr)
+    return df.withColumn(out_col, expr)
+
+
+def rolling_apply(
+    df: DataFrame,
+    col: str,
+    window: int,
+    func,
+    order_by: Sequence[str],
+    partition_by: Sequence[str],
+    min_periods: int | None = None,
+    out_col: str | None = None,
+    out_type: str = "double",
+) -> DataFrame:
+    """Arbitrary UDF over each rolling frame — reference
+    ``rolling.p_apply(raw=)`` (parallel_window.py:140-203). Arrow
+    applyInPandas per group; the UDF sees a numpy array per frame, exactly
+    pandas ``rolling.apply(raw=True)`` semantics."""
+    out_col = out_col or f"{col}_roll_apply"
+    order_cols = list(order_by)
+    mp = window if min_periods is None else min_periods
+    schema = (
+        f"{', '.join(f'{f.name} {f.dataType.simpleString()}' for f in df.schema.fields)},"
+        f" {out_col} {out_type}"
+    )
+
+    def _apply_group(pdf):
+        pdf = pdf.sort_values(order_cols)
+        pdf[out_col] = pdf[col].rolling(window, min_periods=mp).apply(func, raw=True)
+        return pdf
+
+    return df.groupBy(*partition_by).applyInPandas(_apply_group, schema=schema)

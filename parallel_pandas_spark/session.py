@@ -1,0 +1,56 @@
+"""SparkSession factory tuned for the target execution profile.
+
+Local testing runs ``local[$SPARK_GRAFT_CPUS]`` (single JVM); production
+target is a multi-executor cluster reading ~100 TB, so everything that
+matters at scale — AQE, adaptive skew joins, partition coalescing, Arrow
+transport for the pandas-UDF slow path — is on by default. This replaces
+the reference's warm process pools and auto chunk sizing
+(/root/reference/parallel_pandas/progress_imap.py:16-125, tools.py:68-110):
+Spark's resident executors + ``spark.sql.files.maxPartitionBytes`` + AQE
+coalescing are the built-in equivalents.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = 32
+
+
+def get_spark(
+    app_name: str = "parallel_pandas_spark",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with scale-aware defaults."""
+    cpus = cpus or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    shuffle_partitions = shuffle_partitions or int(
+        os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", str(DEFAULT_SHUFFLE_PARTITIONS))
+    )
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.python.worker.reuse", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def ensure_utc(spark: SparkSession) -> SparkSession:
+    """Pin the session timezone to UTC (datetime semantics contract)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return spark

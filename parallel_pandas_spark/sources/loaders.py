@@ -1,0 +1,61 @@
+"""Table sources.
+
+The reference has no I/O layer (callers hand it in-memory pandas frames —
+SURVEY.md §2.1); a distributed engine needs real sources. Parquet is the
+primary format (columnar, predicate/column pushdown reaches the scan);
+CSV/JSON readers are provided for parity with ``pd.read_csv/read_json``
+call sites. At 100 TB the parquet reader's row-group pruning plus
+Catalyst's `PushedFilters`/`ReadSchema` are what make scans cheap — never
+materialize to pandas to load data.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES
+) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in names}
+
+
+def register_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> None:
+    """Register each table as a temp view so operators can use SQL too."""
+    for name in names:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def read_csv(spark: SparkSession, path: str, schema=None, **options) -> DataFrame:
+    reader = spark.read.options(header="true", **{k: str(v) for k, v in options.items()})
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", "true")
+    return reader.csv(path)
+
+
+def read_json(spark: SparkSession, path: str, schema=None, **options) -> DataFrame:
+    reader = spark.read.options(**{k: str(v) for k, v in options.items()})
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
