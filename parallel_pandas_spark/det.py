@@ -123,12 +123,16 @@ def dsem_sql(col: str, scale: int = 6, sq_scale: int = 4) -> str:
 
 
 def dskew(col, scale: int = 6) -> Column:
+    # NOTE: no POW anywhere — pow(x, 1.5) is not correctly-rounded and
+    # JVM Math.pow vs DuckDB libm drift by an ulp value-dependently.
+    # x^1.5 = x*sqrt(x): multiply and sqrt ARE exactly rounded (IEEE754),
+    # so the twins are bit-identical across engines.
     n = F.count(_c(col)).cast("double")
     s1, s2, s3 = (psum(col, p, scale) for p in (1, 2, 3))
     m = s1 / n
     m2 = s2 / n - m * m
     m3 = s3 / n - 3 * m * s2 / n + 2 * m * m * m
-    g1 = m3 / F.pow(m2, 1.5)
+    g1 = m3 / (m2 * F.sqrt(m2))
     return g1 * F.sqrt(n * (n - 1)) / (n - 2)
 
 
@@ -138,7 +142,7 @@ def dskew_sql(col: str, scale: int = 6) -> str:
     m = f"(({s1})/({n}))"
     m2 = f"(({s2})/({n}) - {m}*{m})"
     m3 = f"(({s3})/({n}) - 3*{m}*({s2})/({n}) + 2*{m}*{m}*{m})"
-    g1 = f"({m3} / POW({m2}, 1.5))"
+    g1 = f"({m3} / ({m2} * SQRT({m2})))"
     return f"{g1} * SQRT(({n})*(({n})-1)) / (({n})-2)"
 
 
@@ -147,7 +151,8 @@ def dkurt(col, scale: int = 6) -> Column:
     s1, s2, s3, s4 = (psum(col, p, scale) for p in (1, 2, 3, 4))
     m = s1 / n
     m2 = s2 / n - m * m
-    m4 = s4 / n - 4 * m * s3 / n + 6 * m * m * s2 / n - 3 * F.pow(m, F.lit(4.0))
+    # m^4 via explicit left-assoc multiplication (exactly rounded; POW is not)
+    m4 = s4 / n - 4 * m * s3 / n + 6 * m * m * s2 / n - 3 * (m * m * m * m)
     g2 = m4 / (m2 * m2) - 3
     return ((n + 1) * g2 + 6) * (n - 1) / ((n - 2) * (n - 3))
 
@@ -157,9 +162,13 @@ def dkurt_sql(col: str, scale: int = 6) -> str:
     n = f"CAST(COUNT({col}) AS DOUBLE)"
     m = f"(({s1})/({n}))"
     m2 = f"(({s2})/({n}) - {m}*{m})"
-    m4 = f"(({s4})/({n}) - 4*{m}*({s3})/({n}) + 6*{m}*{m}*({s2})/({n}) - 3*POW({m},4))"
+    m4 = f"(({s4})/({n}) - 4*{m}*({s3})/({n}) + 6*{m}*{m}*({s2})/({n}) - 3*({m}*{m}*{m}*{m}))"
     g2 = f"({m4} / ({m2}*{m2}) - 3)"
-    return f"(({n})+1)*{g2}*(({n})-1)/((({n})-2)*(({n})-3)) + 6*(({n})-1)/((({n})-2)*(({n})-3))"
+    # IMPORTANT: mirror dkurt's exact association order —
+    # ((n+1)*g2 + 6) * (n-1) / ((n-2)*(n-3)) — a distributed form like
+    # (n+1)*g2*(n-1)/D + 6*(n-1)/D is algebraically equal but last-ulp
+    # different in IEEE754, which breaks the bit-identical contract.
+    return f"(((({n})+1)*{g2} + 6) * (({n})-1)) / (((({n})-2))*((({n})-3)))"
 
 
 def dcorr(a, b, scale_a: int = 6, scale_b: int = 6, scale_ab: int = 6) -> Column:

@@ -208,7 +208,7 @@ def mode(df: DataFrame, col: str, tie: str = "min") -> DataFrame:
     best = counts.agg(F.max("cnt").alias("cnt"))
     return (
         counts.join(F.broadcast(best), "cnt")
-        .agg(pick.alias(f"{col}_mode"), F.first("cnt").alias("mode_count"))
+        .agg(pick.alias(f"{col}_mode"), F.max("cnt").alias("mode_count"))
     )
 
 
