@@ -210,6 +210,78 @@ def stats_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "stats_describe",
+    """
+WITH w AS (
+  SELECT
+    CAST(COUNT(l_quantity) AS DOUBLE) AS c_q, CAST(COUNT(l_extendedprice) AS DOUBLE) AS c_p,
+    AVG(l_quantity) AS m_q, AVG(l_extendedprice) AS m_p,
+    STDDEV_SAMP(l_quantity) AS s_q, STDDEV_SAMP(l_extendedprice) AS s_p,
+    CAST(MIN(l_quantity) AS DOUBLE) AS mn_q, CAST(MIN(l_extendedprice) AS DOUBLE) AS mn_p,
+    quantile_cont(l_quantity, 0.25) AS q1_q, quantile_cont(l_extendedprice, 0.25) AS q1_p,
+    quantile_cont(l_quantity, 0.5) AS q2_q, quantile_cont(l_extendedprice, 0.5) AS q2_p,
+    quantile_cont(l_quantity, 0.75) AS q3_q, quantile_cont(l_extendedprice, 0.75) AS q3_p,
+    CAST(MAX(l_quantity) AS DOUBLE) AS mx_q, CAST(MAX(l_extendedprice) AS DOUBLE) AS mx_p
+  FROM lineitem
+)
+SELECT 'count' AS summary, ROUND(c_q,6) AS l_quantity, ROUND(c_p,6) AS l_extendedprice FROM w
+UNION ALL SELECT 'mean', ROUND(m_q,6), ROUND(m_p,6) FROM w
+UNION ALL SELECT 'std', ROUND(s_q,6), ROUND(s_p,6) FROM w
+UNION ALL SELECT 'min', ROUND(mn_q,6), ROUND(mn_p,6) FROM w
+UNION ALL SELECT '25%', ROUND(q1_q,6), ROUND(q1_p,6) FROM w
+UNION ALL SELECT '50%', ROUND(q2_q,6), ROUND(q2_p,6) FROM w
+UNION ALL SELECT '75%', ROUND(q3_q,6), ROUND(q3_p,6) FROM w
+UNION ALL SELECT 'max', ROUND(mx_q,6), ROUND(mx_p,6) FROM w
+""",
+)
+def stats_describe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pandas-style describe — exact percentiles, ONE scan (reference
+    p_describe, parallel_dataframe.py:432-462). mean/std are rounded to 6
+    because generic avg/stddev accumulate in partition order (the det.*
+    builders exist for bit-exact paths; describe is the generic surface)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    d = reductions.describe_exact(li, ["l_quantity", "l_extendedprice"])
+    return d.select(
+        "summary",
+        F.round("l_quantity", 6).alias("l_quantity"),
+        F.round("l_extendedprice", 6).alias("l_extendedprice"),
+    )
+
+
+@_q(
+    "stats_sum_prod_min_count",
+    """
+SELECT
+  CASE WHEN COUNT(l_quantity) >= 100000 THEN SUM(l_quantity) END AS qty_sum_mc_high,
+  CASE WHEN COUNT(l_quantity) >= 3 THEN SUM(l_quantity) END AS qty_sum_mc_low,
+  (SELECT CAST(SUM(p) AS DOUBLE) FROM (
+     SELECT l_orderkey, PRODUCT(l_linenumber) AS p FROM lineitem GROUP BY l_orderkey
+  )) AS sum_of_order_lineprods
+FROM lineitem
+WHERE l_quantity <= 10
+""",
+)
+def stats_sum_prod_min_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sum/prod with pandas ``min_count`` (reference
+    ParallelizeMinCountStatFunc, parallel_dataframe.py:814-861).
+    l_quantity is integer-valued, so sums/products are exact in doubles and
+    order-independent; the per-order product of line numbers keeps the
+    product small enough to stay exact."""
+    li = load_table(spark, sf_dir, "lineitem")
+    small = li.where(F.col("l_quantity") <= 10)
+    mc = small.agg(
+        reductions.sum_min_count("l_quantity", 100_000).alias("qty_sum_mc_high"),
+        reductions.sum_min_count("l_quantity", 3).alias("qty_sum_mc_low"),
+    )
+    prods = (
+        li.groupBy("l_orderkey")
+        .agg(reductions.prod_min_count("l_linenumber").alias("p"))
+        .agg(F.sum("p").cast("double").alias("sum_of_order_lineprods"))
+    )
+    return mc.crossJoin(prods)
+
+
+@_q(
     "stats_nunique",
     """
 SELECT COUNT(DISTINCT l_partkey) AS l_partkey_nunique,

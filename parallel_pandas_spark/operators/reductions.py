@@ -146,17 +146,21 @@ def quantile(
     single-pass sketch, no global sort).
     """
     fn = "percentile" if exact else "approx_percentile"
-    rows = [
-        df.agg(
-            F.lit(float(q)).alias("q"),
-            *[F.expr(f"{fn}({c}, {float(q)})").alias(c) for c in cols],
-        )
-        for q in qs
-    ]
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.unionByName(r)
-    return out
+    qlist = ", ".join(str(float(q)) for q in qs)
+    # ONE scan: percentile(col, array(qs)) computes every quantile of every
+    # column in a single aggregation (the sort/sketch per column is shared
+    # across qs) — the previous per-q agg+union re-scanned the input once
+    # per output row, an 8x IO bug at the 100 TB target.
+    wide = df.agg(
+        *[F.expr(f"{fn}({c}, array({qlist}))").alias(c) for c in cols]
+    )
+    zipped = F.arrays_zip(
+        F.array(*[F.lit(float(q)) for q in qs]).alias("q"),
+        *[F.col(c) for c in cols],
+    )
+    return wide.select(F.explode(zipped).alias("z")).select(
+        F.col("z.q").alias("q"), *[F.col(f"z.{c}").alias(c) for c in cols]
+    )
 
 
 def describe_exact(df: DataFrame, cols: Sequence[str]) -> DataFrame:
@@ -170,20 +174,25 @@ def describe_exact(df: DataFrame, cols: Sequence[str]) -> DataFrame:
         ("count", lambda c: F.count(c).cast("double")),
         ("mean", lambda c: F.avg(c)),
         ("std", lambda c: F.stddev_samp(c)),
-        ("min", lambda c: F.min(c)),
+        ("min", lambda c: F.min(c).cast("double")),
         ("25%", lambda c: F.expr(f"percentile({c}, 0.25)")),
         ("50%", lambda c: F.expr(f"percentile({c}, 0.5)")),
         ("75%", lambda c: F.expr(f"percentile({c}, 0.75)")),
-        ("max", lambda c: F.max(c)),
+        ("max", lambda c: F.max(c).cast("double")),
     ]
-    rows = [
-        df.agg(F.lit(name).alias("summary"), *[fn(c).alias(c) for c in cols])
-        for name, fn in stat_rows
-    ]
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.unionByName(r)
-    return out
+    # ONE aggregation computes every (stat, col) cell; the long format is a
+    # zero-cost unpivot (stack) of the single wide row — previously this was
+    # 8 full scans unioned, one per stat row.
+    wide = df.agg(
+        *[fn(c).alias(f"__{i}_{c}") for i, (_, fn) in enumerate(stat_rows) for c in cols]
+    )
+    stack_rows = ", ".join(
+        f"'{name}', " + ", ".join(f"`__{i}_{c}`" for c in cols)
+        for i, (name, _) in enumerate(stat_rows)
+    )
+    return wide.selectExpr(
+        f"stack({len(stat_rows)}, {stack_rows}) as (summary, {', '.join(cols)})"
+    )
 
 
 def mad(df: DataFrame, cols: Sequence[str]) -> DataFrame:
