@@ -380,23 +380,61 @@ _CORR_PAIRS = [
 ]
 
 
-@_q(
-    "corr_pearson",
-    "SELECT * FROM (\n"
-    + "\nUNION ALL\n".join(
-        f"SELECT '{a}' AS col_x, '{b}' AS col_y, ROUND({det.dcorr_sql(a, b, _CORR_SCALES[a], _CORR_SCALES[b], s)}, 8) AS corr FROM lineitem"
-        for a, b, s in _CORR_PAIRS
-    )
-    + "\n)",
-)
+def _corr_pearson_oracle() -> str:
+    """DuckDB twin of corr_pearson: the same shared scaled-long sums in a
+    CTE, the same association order in the scalar formulas."""
+    sel = ["CAST(COUNT(l_quantity) AS DOUBLE) AS n"]
+    for c, s in _CORR_SCALES.items():
+        sq = max(s - 2, 0)
+        sel.append(f"{det.fsum_sql(c, s)} AS s1_{c}")
+        sel.append(f"{det.fsum_sql(f'CAST({c} AS DOUBLE)*CAST({c} AS DOUBLE)', sq)} AS s2_{c}")
+    for a, b, s in _CORR_PAIRS:
+        sel.append(
+            f"{det.fsum_sql(f'CAST({a} AS DOUBLE)*CAST({b} AS DOUBLE)', s)} AS sab_{a}__{b}"
+        )
+    rows = []
+    for a, b, _ in _CORR_PAIRS:
+        num = f"((n)*(sab_{a}__{b}) - (s1_{a})*(s1_{b}))"
+        den = f"SQRT(((n)*(s2_{a}) - (s1_{a})*(s1_{a})) * ((n)*(s2_{b}) - (s1_{b})*(s1_{b})))"
+        rows.append(
+            f"SELECT '{a}' AS col_x, '{b}' AS col_y, ROUND({num}/{den}, 8) AS corr FROM w"
+        )
+    return "WITH w AS (SELECT " + ", ".join(sel) + " FROM lineitem)\n" + "\nUNION ALL\n".join(rows)
+
+
+@_q("corr_pearson", _corr_pearson_oracle())
 def corr_pearson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared-sufficient-statistics pearson matrix (the reference's own
+    trick, parallel_dataframe.py:205-231): ONE aggregation computes each
+    column's decimal power sums once plus one cross-sum per pair (15
+    aggregate buffers for 4 cols / 6 pairs), then the correlations are a
+    scalar projection of the single-row result — vs. recomputing 4 sums
+    per pair (~36 buffers) when each pair builds its own dcorr."""
     li = load_table(spark, sf_dir, "lineitem")
-    wide = li.agg(
-        *[
-            F.round(det.dcorr(a, b, _CORR_SCALES[a], _CORR_SCALES[b], s), 8).alias(f"{a}__{b}")
-            for a, b, s in _CORR_PAIRS
-        ]
-    )
+    aggs = [F.count(F.col(next(iter(_CORR_SCALES)))).cast("double").alias("n")]
+    for c, s in _CORR_SCALES.items():
+        x = F.col(c).cast("double")
+        aggs.append(det.fsum(x, s).alias(f"s1_{c}"))
+        aggs.append(det.fsum(x * x, max(s - 2, 0)).alias(f"s2_{c}"))
+    for a, b, s in _CORR_PAIRS:
+        aggs.append(
+            det.fsum(F.col(a).cast("double") * F.col(b).cast("double"), s).alias(
+                f"sab_{a}__{b}"
+            )
+        )
+    sums = li.agg(*aggs)
+
+    exprs = []
+    for a, b, _ in _CORR_PAIRS:
+        n = F.col("n")
+        sa, sb = F.col(f"s1_{a}"), F.col(f"s1_{b}")
+        saa, sbb = F.col(f"s2_{a}"), F.col(f"s2_{b}")
+        sab = F.col(f"sab_{a}__{b}")
+        # identical association order to det.dcorr / det.dcorr_sql
+        num = n * sab - sa * sb
+        den = F.sqrt((n * saa - sa * sa) * (n * sbb - sb * sb))
+        exprs.append(F.round(num / den, 8).alias(f"{a}__{b}"))
+    wide = sums.select(*exprs)
     stack_args = ", ".join(f"'{a}', '{b}', `{a}__{b}`" for a, b, _ in _CORR_PAIRS)
     return wide.selectExpr(f"stack({len(_CORR_PAIRS)}, {stack_args}) as (col_x, col_y, corr)")
 
@@ -535,17 +573,27 @@ def groupby_transform_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     "groupby_apply_demean",
     """
 SELECT o_orderkey,
-       o_totalprice - FLOOR(AVG(o_totalprice) OVER (PARTITION BY o_custkey)) AS demeaned
+       o_totalprice - FLOOR(AVG(o_totalprice)
+         OVER (PARTITION BY o_orderpriority, EXTRACT(year FROM o_orderdate))) AS demeaned
 FROM orders
 """,
 )
 def groupby_apply_demean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Callable per-group transform via applyInPandas (reference
-    GroupBy.p_apply). The group mean is floored so the per-row result is
-    exact in floating point — the oracle applies the same quantization."""
+    GroupBy.p_apply). Keyed on (priority, order-year) — ~35 groups of
+    thousands of rows, the shape applyInPandas is built for. (Keying on a
+    ~unique column like o_custkey makes per-group Arrow/pandas overhead
+    dominate: 100k groups of 1.5 rows ran 25 s at sf0.1 vs <2 s here —
+    for near-unique keys use the window-expression transform instead.)
+    The group mean is floored so the per-row result is exact in floating
+    point — the oracle applies the same quantization."""
     import numpy as np
 
-    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .withColumn("o_orderyear", F.year("o_orderdate"))
+        .select("o_orderkey", "o_orderpriority", "o_orderyear", "o_totalprice")
+    )
 
     def demean(pdf):
         m = np.floor(pdf["o_totalprice"].mean())
@@ -554,7 +602,10 @@ def groupby_apply_demean(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out
 
     return grouped.groupby_apply(
-        o, ["o_custkey"], demean, schema="o_orderkey long, demeaned double"
+        o,
+        ["o_orderpriority", "o_orderyear"],
+        demean,
+        schema="o_orderkey long, demeaned double",
     )
 
 

@@ -42,9 +42,13 @@ def main() -> None:
     spark = get_spark(app_name="pps-bench")
     qs = entrymod.queries()
     names = [n for n in HEADLINE if n in qs]
-    # warm up the JVM/readers on the smallest SF so first-query JIT noise
-    # doesn't land on a measured query
+    # warm up the JVM/readers and the Python-UDF worker pool on the smallest
+    # SF so first-query JIT / worker-fork noise doesn't land on a measured
+    # query (resident executors + reused python workers are the production
+    # steady state being measured)
     qs[names[0]](spark, "/root/testdata/sf0.001").count()
+    if "groupby_apply_demean" in qs:
+        qs["groupby_apply_demean"](spark, "/root/testdata/sf0.001").count()
 
     timings: dict[str, float] = {}
     for name in names:

@@ -68,6 +68,40 @@ def cross_sum_sql(a: str, b: str, scale: int = 6) -> str:
     )
 
 
+# --- scaled-long fast path --------------------------------------------------
+# The decimal(38) builders above pay a per-row BigDecimal construction
+# (~10x a double agg). When |expr|·10^scale·rows < 2^63 the same exactness
+# comes from pure long arithmetic, inside whole-stage codegen:
+# floor(x·10^s + 0.5) is one IEEE multiply + floor (identical in any
+# engine; ties at exact .5 cannot occur when x is within <0.5 ulp-scaled
+# of a decimal grid point, which quantized source data guarantees), and
+# SUM(long) is exact and order-independent. Callers must check the bound:
+# e.g. price² ≈ 1.9e9 at scale 2 → 1.9e11/row → ~4.8e7 rows of headroom
+# per 10^? ... concretely 2^63/1.9e11 ≈ 4.8e7 rows; beyond that, drop the
+# scale or fall back to psum (decimal) — the unbounded path.
+
+
+def lsum(col, scale: int = 6) -> Column:
+    """Exact scaled-long sum of an expression; returns the raw LONG sum."""
+    c = _c(col).cast("double")
+    return F.sum(F.floor(c * F.lit(float(10**scale)) + F.lit(0.5)).cast("long"))
+
+
+def lsum_sql(expr: str, scale: int = 6) -> str:
+    return (
+        f"SUM(CAST(FLOOR(CAST({expr} AS DOUBLE)*{float(10**scale)!r} + 0.5) AS BIGINT))"
+    )
+
+
+def fsum(col, scale: int = 6) -> Column:
+    """Exact order-independent sum via scaled longs, descaled to DOUBLE."""
+    return lsum(col, scale).cast("double") / F.lit(float(10**scale))
+
+
+def fsum_sql(expr: str, scale: int = 6) -> str:
+    return f"CAST({lsum_sql(expr, scale)} AS DOUBLE)/{float(10**scale)!r}"
+
+
 # --- first/second moments --------------------------------------------------
 
 
