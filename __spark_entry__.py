@@ -670,6 +670,317 @@ def groupby_dropna_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# =========================================================================
+# §2.6 window operators (reference parallel_window.py; tests test_window.py)
+# =========================================================================
+
+# NOTE the synthetic lineitem has duplicate (l_orderkey, l_linenumber)
+# pairs, so the sort key must include every column the window reads —
+# then rows tied on the full key are interchangeable and the window
+# output multiset is deterministic in any engine.
+_LI_ORD = ["l_orderkey", "l_linenumber", "l_quantity"]
+_LI_WIN_SQL = (
+    "PARTITION BY l_suppkey ORDER BY l_orderkey, l_linenumber, l_quantity "
+    "ROWS BETWEEN 6 PRECEDING AND CURRENT ROW"
+)
+
+
+@_q(
+    "rolling_mean_sum",
+    f"""
+WITH s AS (
+  SELECT l_orderkey, l_linenumber, l_suppkey, l_quantity,
+         CAST(FLOOR(CAST(l_quantity AS DOUBLE)*1000000.0 + 0.5) AS BIGINT) AS q6
+  FROM lineitem
+)
+SELECT l_orderkey, l_linenumber,
+  CASE WHEN COUNT(q6) OVER w >= 7
+       THEN CAST(SUM(q6) OVER w AS DOUBLE)/1000000.0 END AS roll_sum,
+  CASE WHEN COUNT(q6) OVER w >= 7
+       THEN CAST(SUM(q6) OVER w AS DOUBLE)/1000000.0/(COUNT(q6) OVER w) END AS roll_mean,
+  CASE WHEN COUNT(l_quantity) OVER w >= 7 THEN MIN(l_quantity) OVER w END AS roll_min,
+  CASE WHEN COUNT(l_quantity) OVER w >= 7 THEN MAX(l_quantity) OVER w END AS roll_max
+FROM s
+WINDOW w AS ({_LI_WIN_SQL})
+""",
+)
+def rolling_mean_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-window rolling sum/mean/min/max, pandas min_periods=window
+    NULL semantics (reference ParallelRolling, parallel_window.py:30-203;
+    test_window.py:9-13). Partitioned by l_suppkey — each group is an
+    independent parallel ordered scan (the scale-safe shape). The summed
+    column is pre-scaled to exact longs so the windowed sum is
+    order-independent and cross-engine exact."""
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "q6", F.floor(F.col("l_quantity") * F.lit(1e6) + F.lit(0.5)).cast("long")
+    )
+    r = windows.rolling(
+        li, ["q6"], 7, _LI_ORD, funcs=("sum", "count"), partition_by=["l_suppkey"]
+    )
+    r = windows.rolling(
+        r, ["l_quantity"], 7, _LI_ORD, funcs=("min", "max"), partition_by=["l_suppkey"]
+    )
+    return r.select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("q6_roll_sum").cast("double") / F.lit(1e6)).alias("roll_sum"),
+        (F.col("q6_roll_sum").cast("double") / F.lit(1e6) / F.col("q6_roll_count")).alias(
+            "roll_mean"
+        ),
+        F.col("l_quantity_roll_min").alias("roll_min"),
+        F.col("l_quantity_roll_max").alias("roll_max"),
+    )
+
+
+@_q(
+    "rolling_std_var",
+    f"""
+WITH s AS (
+  SELECT l_orderkey, l_linenumber, l_suppkey, l_quantity,
+         CAST(FLOOR(CAST(l_quantity AS DOUBLE)*1000000.0 + 0.5) AS BIGINT) AS q6,
+         CAST(FLOOR(CAST(l_quantity AS DOUBLE)*CAST(l_quantity AS DOUBLE)*10000.0 + 0.5) AS BIGINT) AS qq4
+  FROM lineitem
+),
+t AS (
+  SELECT l_orderkey, l_linenumber,
+    CAST(COUNT(q6) OVER w AS DOUBLE) AS n,
+    CAST(SUM(q6) OVER w AS DOUBLE)/1000000.0 AS s1,
+    CAST(SUM(qq4) OVER w AS DOUBLE)/10000.0 AS s2
+  FROM s WINDOW w AS ({_LI_WIN_SQL})
+)
+SELECT l_orderkey, l_linenumber,
+  CASE WHEN n >= 7 THEN (s2 - s1*s1/n) / (n - 1) END AS roll_var,
+  CASE WHEN n >= 7 THEN SQRT((s2 - s1*s1/n) / (n - 1)) END AS roll_std
+FROM t
+""",
+)
+def rolling_std_var(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling sample variance/std (ddof=1, pandas default) from exact
+    windowed power sums — deterministic at any partitioning, unlike a
+    windowed stddev_samp whose merge order is engine-internal."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("double")
+    li = li.withColumn("q6", F.floor(q * F.lit(1e6) + F.lit(0.5)).cast("long")).withColumn(
+        "qq4", F.floor(q * q * F.lit(1e4) + F.lit(0.5)).cast("long")
+    )
+    w = (
+        Window.partitionBy("l_suppkey")
+        .orderBy(*[F.col(c) for c in _LI_ORD])
+        .rowsBetween(-6, 0)
+    )
+    n = F.count("q6").over(w).cast("double")
+    s1 = F.sum("q6").over(w).cast("double") / F.lit(1e6)
+    s2 = F.sum("qq4").over(w).cast("double") / F.lit(1e4)
+    var = (s2 - s1 * s1 / n) / (n - 1)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.when(n >= 7, var).alias("roll_var"),
+        F.when(n >= 7, F.sqrt(var)).alias("roll_std"),
+    )
+
+
+@_q(
+    "rolling_time_events",
+    """
+WITH s AS (
+  SELECT event_id, user_id, value,
+         CAST(FLOOR(epoch(ts)) AS BIGINT) AS ep,
+         CAST(FLOOR(CAST(value AS DOUBLE)*1000000.0 + 0.5) AS BIGINT) AS v6
+  FROM events
+)
+SELECT event_id,
+  COUNT(v6) OVER w AS n_1h,
+  CAST(SUM(v6) OVER w AS DOUBLE)/1000000.0 AS sum_1h
+FROM s
+WINDOW w AS (PARTITION BY user_id ORDER BY ep RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+""",
+)
+def rolling_time_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based rolling window ('1h' freq-string in the reference,
+    tools.py:8-36): rangeBetween over epoch seconds, per-user partitions.
+    The frame is value-defined, so equal timestamps are handled
+    identically in any engine."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "v6", F.floor(F.col("value").cast("double") * F.lit(1e6) + F.lit(0.5)).cast("long")
+    )
+    ep = F.unix_timestamp(F.col("ts")).cast("long")
+    w = Window.partitionBy("user_id").orderBy(ep).rangeBetween(-3600, 0)
+    return ev.select(
+        "event_id",
+        F.count("v6").over(w).alias("n_1h"),
+        (F.sum("v6").over(w).cast("double") / F.lit(1e6)).alias("sum_1h"),
+    )
+
+
+@_q(
+    "rolling_median_quantile",
+    f"""
+SELECT l_orderkey, l_linenumber,
+  CASE WHEN COUNT(l_quantity) OVER w >= 7
+       THEN ROUND(quantile_cont(l_quantity, 0.5) OVER w, 6) END AS roll_median,
+  CASE WHEN COUNT(l_quantity) OVER w >= 7
+       THEN ROUND(quantile_cont(l_quantity, 0.25) OVER w, 6) END AS roll_q25
+FROM lineitem
+WINDOW w AS ({_LI_WIN_SQL})
+""",
+)
+def rolling_median_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolation quantile over a moving frame —
+    ``percentile`` composes with window frames JVM-side (the reference
+    falls back to per-chunk pandas, parallel_window.py:140-203)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    r = windows.rolling_quantile(
+        li, "l_quantity", 7, 0.5, _LI_ORD, partition_by=["l_suppkey"], out_col="m"
+    )
+    r = windows.rolling_quantile(
+        r, "l_quantity", 7, 0.25, _LI_ORD, partition_by=["l_suppkey"], out_col="q25"
+    )
+    return r.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round("m", 6).alias("roll_median"),
+        F.round("q25", 6).alias("roll_q25"),
+    )
+
+
+@_q(
+    "expanding_sum_max",
+    """
+WITH s AS (
+  SELECT l_orderkey, l_linenumber, l_suppkey, l_quantity,
+         CAST(FLOOR(CAST(l_quantity AS DOUBLE)*1000000.0 + 0.5) AS BIGINT) AS q6
+  FROM lineitem
+)
+SELECT l_orderkey, l_linenumber,
+  CAST(SUM(q6) OVER w AS DOUBLE)/1000000.0 AS exp_sum,
+  MAX(l_quantity) OVER w AS exp_max,
+  COUNT(q6) OVER w AS exp_count
+FROM s
+WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_orderkey, l_linenumber, l_quantity
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+""",
+)
+def expanding_sum_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expanding window (reference ParallelExpanding,
+    parallel_window.py:262-275), per-group — running sum/max/count."""
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "q6", F.floor(F.col("l_quantity") * F.lit(1e6) + F.lit(0.5)).cast("long")
+    )
+    r = windows.expanding(
+        li, ["q6"], _LI_ORD, funcs=("sum", "count"), partition_by=["l_suppkey"]
+    )
+    r = windows.expanding(r, ["l_quantity"], _LI_ORD, funcs=("max",), partition_by=["l_suppkey"])
+    return r.select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("q6_exp_sum").cast("double") / F.lit(1e6)).alias("exp_sum"),
+        F.col("l_quantity_exp_max").alias("exp_max"),
+        F.col("q6_exp_count").alias("exp_count"),
+    )
+
+
+@_q(
+    "ewm_mean_last",
+    """
+WITH r AS (
+  SELECT event_id, user_id, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+),
+mx AS (SELECT user_id, MAX(rn) AS last_rn FROM r GROUP BY user_id),
+p AS (
+  SELECT a.user_id,
+         SUM(b.value * POWER(2.0/3.0, a.rn - b.rn)) / SUM(POWER(2.0/3.0, a.rn - b.rn)) AS m
+  FROM r a JOIN mx ON a.user_id = mx.user_id AND a.rn = mx.last_rn
+  JOIN r b ON b.user_id = a.user_id AND b.rn <= a.rn
+  GROUP BY a.user_id
+)
+SELECT user_id, ROUND(m, 6) AS ewm_mean_last FROM p
+""",
+)
+def ewm_mean_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWM mean (span=5, adjust=True — pandas defaults, reference
+    ParallelEWM parallel_window.py:282-305) per user; the LAST value per
+    user is the registered check — it depends on the user's entire ordered
+    series, so it validates the whole recursion while keeping the rounded
+    comparison surface small (the oracle's closed power-sum form and
+    pandas' recursive form agree to ~1e-12)."""
+    ev = load_table(spark, sf_dir, "events")
+    e = windows.ewm(
+        ev.select("event_id", "user_id", "ts", "value"),
+        ["value"],
+        order_by=["ts", "event_id"],
+        partition_by=["user_id"],
+        funcs=("mean",),
+        span=5.0,
+    )
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        e.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select("user_id", F.round("value_ewm_mean", 6).alias("ewm_mean_last"))
+    )
+
+
+@_q(
+    "weighted_rolling_mean",
+    """
+WITH r AS (
+  SELECT l_orderkey, l_linenumber, l_suppkey, l_quantity,
+         ROW_NUMBER() OVER (PARTITION BY l_suppkey
+                            ORDER BY l_orderkey, l_linenumber, l_quantity) AS rn
+  FROM lineitem
+)
+SELECT a.l_orderkey, a.l_linenumber,
+  CASE WHEN a.rn >= 3 THEN ROUND(SUM(b.l_quantity *
+    CASE a.rn - b.rn WHEN 2 THEN 0.2 WHEN 1 THEN 0.3 WHEN 0 THEN 0.5 END) / 1.0, 6) END AS wmean
+FROM r a JOIN r b
+  ON b.l_suppkey = a.l_suppkey AND b.rn BETWEEN a.rn - 2 AND a.rn
+GROUP BY a.l_suppkey, a.l_orderkey, a.l_linenumber, a.rn
+""",
+)
+def weighted_rolling_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted moving mean (reference ParallelWindow win_type=...,
+    parallel_window.py:206-213) — explicit dot product over the frame,
+    JVM-side; weights here are a literal [0.2, 0.3, 0.5] (a scipy window
+    shape would be materialized the same way)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    r = windows.weighted_window(
+        li,
+        "l_quantity",
+        3,
+        [0.2, 0.3, 0.5],
+        _LI_ORD,
+        ["l_suppkey"],
+        func="mean",
+        out_col="wmean_raw",
+    )
+    return r.select(
+        "l_orderkey", "l_linenumber", F.round("wmean_raw", 6).alias("wmean")
+    )
+
+
+@_q("rolling_apply_udf")  # rows-only: arbitrary Python callable per frame
+def rolling_apply_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rolling.apply(raw=True) with an arbitrary UDF (reference
+    parallel_window.py:140-203) — Arrow applyInPandas per group; rows-only
+    check (the callable is not SQL-expressible in general)."""
+    import numpy as np
+
+    li = load_table(spark, sf_dir, "lineitem")
+    r = windows.rolling_apply(
+        li.select("l_orderkey", "l_linenumber", "l_suppkey", "l_quantity"),
+        "l_quantity",
+        5,
+        lambda a: float(np.max(a) - np.min(a)),
+        _LI_ORD,
+        ["l_suppkey"],
+        out_col="roll_range",
+    )
+    return r.select("l_orderkey", "l_linenumber", F.round("roll_range", 6).alias("roll_range"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, SF0001)

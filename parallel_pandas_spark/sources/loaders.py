@@ -30,7 +30,23 @@ TABLES = (
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    """Read one testdata table. The ``events`` table is written with
+    parquet TIMESTAMP(NANOS), which Spark rejects by default — read it as
+    long nanos (legacy conf, set at runtime so it works under any caller's
+    session) and truncate to microsecond timestamps, exactly how DuckDB's
+    µs TIMESTAMP reads the same file."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    try:
+        df = spark.read.parquet(path)
+    except Exception:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+    ts_type = dict(df.dtypes).get("ts")
+    if ts_type == "bigint":
+        from pyspark.sql import functions as F
+
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return df
 
 
 def load_tables(
