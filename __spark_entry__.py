@@ -671,6 +671,138 @@ def groupby_dropna_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =========================================================================
+# §2.4 ordered scans (reference ops #18-#20; parallel_dataframe.py:864-916,
+# 571-595, 465-489; tests test_dataframe_stats.py:24-38)
+# =========================================================================
+
+
+@_q(
+    "cumulative_scan",
+    """
+WITH s AS (
+  SELECT l_orderkey, l_linenumber, l_suppkey, l_quantity,
+         CAST(FLOOR(CAST(l_quantity AS DOUBLE)*1000000.0 + 0.5) AS BIGINT) AS q6
+  FROM lineitem
+)
+SELECT l_orderkey, l_linenumber,
+  CAST(SUM(q6) OVER w AS DOUBLE)/1000000.0 AS qty_cumsum,
+  MAX(l_quantity) OVER w AS qty_cummax,
+  MIN(l_quantity) OVER w AS qty_cummin,
+  LAG(l_quantity, 1) OVER wo AS qty_shift,
+  l_quantity / LAG(l_quantity, 1) OVER wo - 1 AS qty_pct_change
+FROM s
+WINDOW
+  w AS (PARTITION BY l_suppkey ORDER BY l_orderkey, l_linenumber, l_quantity
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+  wo AS (PARTITION BY l_suppkey ORDER BY l_orderkey, l_linenumber, l_quantity)
+""",
+)
+def cumulative_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cumsum/cummax/cummin + shift + pct_change in one ordered pass per
+    group (reference ParallelizeAccumFunc parallel_dataframe.py:864-916,
+    p_pct_change 465-489). One window spec, all scans share the sort."""
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "q6", F.floor(F.col("l_quantity") * F.lit(1e6) + F.lit(0.5)).cast("long")
+    )
+    r = ordered.cumsum(li, ["q6"], _LI_ORD, partition_by=["l_suppkey"])
+    r = ordered.cummax(r, ["l_quantity"], _LI_ORD, partition_by=["l_suppkey"])
+    r = ordered.cummin(r, ["l_quantity"], _LI_ORD, partition_by=["l_suppkey"])
+    r = ordered.shift(r, ["l_quantity"], _LI_ORD, partition_by=["l_suppkey"])
+    r = ordered.pct_change(r, ["l_quantity"], _LI_ORD, partition_by=["l_suppkey"])
+    return r.select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("q6_cumsum").cast("double") / F.lit(1e6)).alias("qty_cumsum"),
+        F.col("l_quantity_cummax").alias("qty_cummax"),
+        F.col("l_quantity_cummin").alias("qty_cummin"),
+        F.col("l_quantity_shift").alias("qty_shift"),
+        F.col("l_quantity_pct_change").alias("qty_pct_change"),
+    )
+
+
+@_q(
+    "rank_methods",
+    """
+WITH r AS (
+  SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity,
+         ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                            ORDER BY l_quantity, l_orderkey, l_linenumber) AS rn,
+         RANK() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS rk,
+         DENSE_RANK() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS dr,
+         COUNT(*) OVER (PARTITION BY l_returnflag, l_quantity) AS eq,
+         COUNT(l_quantity) OVER (PARTITION BY l_returnflag) AS n
+  FROM lineitem
+)
+SELECT l_orderkey, l_linenumber,
+  CAST(AVG(rn) OVER (PARTITION BY l_returnflag, l_quantity) AS DOUBLE) AS rank_avg,
+  CAST(rk AS DOUBLE) AS rank_min,
+  CAST(rk + eq - 1 AS DOUBLE) AS rank_max,
+  CAST(rn AS DOUBLE) AS rank_first,
+  CAST(dr AS DOUBLE) AS rank_dense,
+  CAST(AVG(rn) OVER (PARTITION BY l_returnflag, l_quantity) AS DOUBLE) / n AS rank_pct
+FROM r
+""",
+)
+def rank_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pandas rank, all five methods + pct, per group (reference p_rank,
+    parallel_dataframe.py:571-595). 'first' uses the explicit
+    (l_orderkey, l_linenumber) appearance key."""
+    li = load_table(spark, sf_dir, "lineitem")
+    r = li
+    for method in ("average", "min", "max", "first", "dense"):
+        r = ordered.rank(
+            r,
+            "l_quantity",
+            method=method,
+            partition_by=["l_returnflag"],
+            out_col=f"rank_{method[:5] if method != 'average' else 'avg'}",
+            tie_break=["l_orderkey", "l_linenumber"],
+        )
+    r = ordered.rank(
+        r, "l_quantity", method="average", pct=True,
+        partition_by=["l_returnflag"], out_col="rank_pct",
+    )
+    return r.select(
+        "l_orderkey",
+        "l_linenumber",
+        "rank_avg",
+        F.col("rank_min").alias("rank_min"),
+        F.col("rank_max").alias("rank_max"),
+        F.col("rank_first").alias("rank_first"),
+        F.col("rank_dense").alias("rank_dense"),
+        "rank_pct",
+    )
+
+
+@_q(
+    "top3_orders_per_priority",
+    """
+SELECT o_orderpriority, o_orderkey, o_totalprice
+FROM (
+  SELECT o_orderpriority, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+  FROM orders
+)
+WHERE rn <= 3
+""",
+)
+def top3_orders_per_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group — rank-pushdown window (WindowGroupLimit keeps only
+    k rows per group through the sort; capability the reference lacks,
+    SURVEY.md §2.8)."""
+    o = load_table(spark, sf_dir, "orders")
+    return ordered.top_k_per_group(
+        o.select("o_orderpriority", "o_orderkey", "o_totalprice"),
+        ["o_orderpriority"],
+        "o_totalprice",
+        3,
+        descending=True,
+        tie_breaker="o_orderkey",
+    )
+
+
+# =========================================================================
 # §2.6 window operators (reference parallel_window.py; tests test_window.py)
 # =========================================================================
 

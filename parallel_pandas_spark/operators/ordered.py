@@ -74,6 +74,7 @@ def rank(
     pct: bool = False,
     partition_by: Sequence[str] | None = None,
     out_col: str | None = None,
+    tie_break: Sequence[str] | None = None,
 ) -> DataFrame:
     """pandas ``rank`` with all five methods (reference p_rank,
     parallel_dataframe.py:571-595).
@@ -82,14 +83,25 @@ def rank(
     max -> rank + count(equal) - 1; first -> row_number; dense -> dense_rank.
     NULLs get NULL rank (pandas na_option='keep'). ``pct`` divides by the
     non-null count in the partition.
+
+    ``tie_break``: extra ordering columns resolving equal values for
+    ``method='first'`` — pandas uses appearance order, which an unordered
+    engine replaces with an explicit key (SURVEY.md §1.4); without it,
+    'first' ranks of tied values are nondeterministic.
     """
     out_col = out_col or f"{col}_rank"
-    order = F.col(col).asc_nulls_last() if ascending else F.col(col).desc_nulls_last()
-    base = Window.partitionBy(*(partition_by or [])).orderBy(order)
+    vorder = F.col(col).asc_nulls_last() if ascending else F.col(col).desc_nulls_last()
+    # rank/dense_rank MUST order by value alone (ties share a rank); only
+    # the row_number paths ('first', and the rn feeding 'average') take the
+    # appearance tiebreak.
+    base = Window.partitionBy(*(partition_by or [])).orderBy(vorder)
+    first_w = Window.partitionBy(*(partition_by or [])).orderBy(
+        vorder, *[F.col(t) for t in (tie_break or [])]
+    )
     value_part = Window.partitionBy(*(partition_by or []), F.col(col))
     whole = Window.partitionBy(*(partition_by or []))
 
-    rn = F.row_number().over(base)
+    rn = F.row_number().over(first_w)
     if method == "average":
         expr = F.avg(rn).over(value_part)
     elif method == "min":
