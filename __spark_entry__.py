@@ -671,6 +671,174 @@ def groupby_dropna_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =========================================================================
+# §2.5 #25 / §2.8 joins & set ops (reference p_merge,
+# parallel_dataframe.py:650-687 — defined but unregistered there)
+# =========================================================================
+
+
+@_q(
+    "merge_inner",
+    """
+SELECT o_orderkey, o_custkey, o_totalprice, c_name, c_mktsegment
+FROM orders JOIN customer ON o_custkey = c_custkey
+""",
+)
+def merge_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pandas merge(how='inner', left_on/right_on) → broadcast-hash join
+    (the reference's chunk-left/full-right scheme IS a broadcast join)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    m = joins.merge(
+        o,
+        c,
+        how="inner",
+        left_on=["o_custkey"],
+        right_on=["c_custkey"],
+        broadcast_right=True,
+    )
+    return m.select("o_orderkey", "o_custkey", "o_totalprice", "c_name", "c_mktsegment")
+
+
+@_q(
+    "merge_outer_suffix_indicator",
+    """
+WITH l AS (SELECT o_custkey AS custkey, o_totalprice AS amount
+           FROM orders WHERE o_custkey >= 100),
+     r AS (SELECT c_custkey AS custkey, c_acctbal AS amount
+           FROM customer WHERE c_custkey < 200)
+SELECT COALESCE(l.custkey, r.custkey) AS custkey,
+       l.amount AS amount_x, r.amount AS amount_y,
+       CASE WHEN l.custkey IS NOT NULL AND r.custkey IS NOT NULL THEN 'both'
+            WHEN l.custkey IS NOT NULL THEN 'left_only'
+            ELSE 'right_only' END AS _merge
+FROM l FULL OUTER JOIN r ON l.custkey = r.custkey
+""",
+)
+def merge_outer_suffix_indicator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pandas merge(how='outer', suffixes=('_x','_y'), indicator=True):
+    overlapping non-key columns get suffixes; _merge labels provenance.
+    The two 100/200 filters guarantee all three _merge classes appear."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    left = o.where(F.col("o_custkey") >= 100).select(
+        F.col("o_custkey").alias("custkey"), F.col("o_totalprice").alias("amount")
+    )
+    right = c.where(F.col("c_custkey") < 200).select(
+        F.col("c_custkey").alias("custkey"), F.col("c_acctbal").alias("amount")
+    )
+    return joins.merge(left, right, how="outer", on=["custkey"], indicator=True)
+
+
+@_q(
+    "semi_anti_customers",
+    """
+SELECT c_custkey, 'has_big' AS side FROM customer
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_totalprice > 350000)
+UNION ALL
+SELECT c_custkey, 'no_big' AS side FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 350000)
+""",
+)
+def semi_anti_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """left-semi / left-anti joins (EXISTS / NOT EXISTS; SURVEY.md §2.8).
+    The right side is reduced to distinct keys, so Spark broadcasts it."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    big = o.where(F.col("o_totalprice") > 350000).select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    s = joins.semi_join(c, big, ["c_custkey"]).select(
+        "c_custkey", F.lit("has_big").alias("side")
+    )
+    a = joins.anti_join(c, big, ["c_custkey"]).select(
+        "c_custkey", F.lit("no_big").alias("side")
+    )
+    return s.unionByName(a)
+
+
+@_q(
+    "asof_join_events",
+    """
+WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+     r AS (SELECT user_id, ts, MAX(value) AS view_before
+           FROM events WHERE event_type = 'view' GROUP BY user_id, ts),
+     rf AS (SELECT user_id, ts, MAX(value) AS view_after
+            FROM events WHERE event_type = 'view' GROUP BY user_id, ts),
+     b AS (
+       SELECT l.event_id, l.user_id, l.ts, r.view_before
+       FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+     )
+SELECT b.event_id, b.user_id, b.view_before, rf.view_after
+FROM b ASOF LEFT JOIN rf ON b.user_id = rf.user_id AND b.ts <= rf.ts
+""",
+)
+def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join, backward AND forward (pandas merge_asof; no Spark
+    primitive — union-tag-carry implementation, one shuffle + one ordered
+    scan per direction, joins.py:101-166). For every click: the value of
+    the user's latest view at-or-before, and earliest view at-or-after.
+    Right side pre-deduped per (user, ts) so tie picks are deterministic."""
+    ev = load_table(spark, sf_dir, "events")
+    left = ev.where(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    right = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("view_before"))
+    )
+    b = joins.asof_join(
+        left,
+        right,
+        ts_left="ts",
+        ts_right="ts",
+        by_left=["user_id"],
+        by_right=["user_id"],
+        right_cols=["view_before"],
+        direction="backward",
+    )
+    right_f = right.withColumnRenamed("view_before", "view_after")
+    f = joins.asof_join(
+        b,
+        right_f,
+        ts_left="ts",
+        ts_right="ts",
+        by_left=["user_id"],
+        by_right=["user_id"],
+        right_cols=["view_after"],
+        direction="forward",
+    )
+    return f.select("event_id", "user_id", "view_before", "view_after")
+
+
+@_q(
+    "set_ops_quantity_buckets",
+    """
+WITH a AS (SELECT DISTINCT l_returnflag AS flag, CAST(FLOOR(l_quantity) AS BIGINT) % 10 AS bucket
+           FROM lineitem WHERE l_discount > 0.05),
+     b AS (SELECT DISTINCT l_returnflag AS flag, CAST(FLOOR(l_quantity) AS BIGINT) % 10 AS bucket
+           FROM lineitem WHERE l_tax > 0.05)
+SELECT flag, bucket, 'inter' AS op FROM (SELECT * FROM a INTERSECT SELECT * FROM b)
+UNION ALL
+SELECT flag, bucket, 'exc' AS op FROM (SELECT * FROM a EXCEPT SELECT * FROM b)
+""",
+)
+def set_ops_quantity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """intersect / except set operations (SURVEY.md §2.8)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    bucket = (F.floor("l_quantity").cast("long") % 10).alias("bucket")
+    a = li.where(F.col("l_discount") > 0.05).select(
+        F.col("l_returnflag").alias("flag"), bucket
+    ).distinct()
+    b = li.where(F.col("l_tax") > 0.05).select(
+        F.col("l_returnflag").alias("flag"), bucket
+    ).distinct()
+    inter = a.intersect(b).withColumn("op", F.lit("inter"))
+    exc = a.exceptAll(b).withColumn("op", F.lit("exc"))
+    return inter.unionByName(exc)
+
+
+# =========================================================================
 # §2.4 ordered scans (reference ops #18-#20; parallel_dataframe.py:864-916,
 # 571-595, 465-489; tests test_dataframe_stats.py:24-38)
 # =========================================================================
