@@ -21,6 +21,7 @@ from parallel_pandas_spark.functions import datetimes as dtf
 from parallel_pandas_spark.functions import strings as sf
 from parallel_pandas_spark.operators import (
     dedup,
+    elementwise,
     grouped,
     joins,
     multimodal,
@@ -667,6 +668,153 @@ def groupby_dropna_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         [F.count("*").alias("n"), det.dsum("n_chars", 0).alias("chars")],
         dropna=True,
         sort=False,
+    )
+
+
+# =========================================================================
+# §2.2 elementwise / per-row / per-chunk UDF family (reference ops #1-#5,
+# parallel_dataframe.py:40-97, 388-429; parallel_series.py:22-68)
+# =========================================================================
+
+
+@_q(
+    "apply_rows_charge",
+    """
+SELECT l_orderkey, l_linenumber,
+  ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax), 6) AS charge
+FROM lineitem
+""",
+)
+def apply_rows_charge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataFrame.p_apply(axis=1) with an arbitrary per-row callable —
+    row-at-a-time Python, the reference's flagship op. The arithmetic is
+    IEEE-identical to the SQL twin, proving the Arrow round-trip is
+    value-exact."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice", "l_discount", "l_tax"
+    )
+
+    def charge(row):
+        return row["l_extendedprice"] * (1 - row["l_discount"]) * (1 + row["l_tax"])
+
+    r = elementwise.apply_rows(
+        li, charge, "charge", "double",
+        cols=["l_extendedprice", "l_discount", "l_tax"],
+    )
+    return r.select("l_orderkey", "l_linenumber", F.round("charge", 6).alias("charge"))
+
+
+@_q(
+    "map_elements_and_dict",
+    """
+SELECT o_orderkey,
+  SQRT(o_totalprice) AS price_sqrt,
+  CASE o_orderpriority WHEN '1-URGENT' THEN 'hot'
+                       WHEN '2-HIGH' THEN 'hot'
+                       WHEN '5-LOW' THEN 'cold' END AS prio_class
+FROM orders
+""",
+)
+def map_elements_and_dict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Series.p_apply(callable) via scalar pandas_udf (math.sqrt is
+    exactly rounded → bit-equal to SQL SQRT), and Series.p_map(dict) via a
+    literal JVM MAP — unmapped keys ('3-MEDIUM', '4-NOT SPECIFIED') yield
+    NULL exactly as pandas yields NaN."""
+    import math
+
+    o = load_table(spark, sf_dir, "orders")
+    r = elementwise.map_elements(o, "o_totalprice", math.sqrt, "price_sqrt", "double")
+    r = elementwise.map_dict(
+        r,
+        "o_orderpriority",
+        {"1-URGENT": "hot", "2-HIGH": "hot", "5-LOW": "cold"},
+        out_col="prio_class",
+    )
+    return r.select("o_orderkey", "price_sqrt", "prio_class")
+
+
+@_q(
+    "map_batches_doc_stats",
+    """
+SELECT doc_id,
+  LENGTH(text) AS text_len,
+  CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+       ELSE len(regexp_split_to_array(TRIM(text), '\\s+')) END AS n_tokens,
+  LENGTH(REPLACE(LOWER(text), 'data', '')) AS len_wo_data
+FROM documents
+""",
+)
+def map_batches_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-chunk UDF (reference chunk_apply) — mapInPandas over Arrow
+    batches computing pandas string stats per chunk."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def stats(pdf):
+        import pandas as pd
+
+        return pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "text_len": pdf["text"].str.len(),
+                "n_tokens": pdf["text"].str.split().str.len(),
+                "len_wo_data": pdf["text"].str.lower().str.replace("data", "").str.len(),
+            }
+        )
+
+    return elementwise.map_batches(
+        d, stats, "doc_id long, text_len long, n_tokens long, len_wo_data long"
+    )
+
+
+@_q(
+    "apply_columns_range",
+    """
+SELECT 'l_quantity' AS column, MAX(l_quantity) - MIN(l_quantity) AS value FROM lineitem
+UNION ALL
+SELECT 'l_extendedprice', MAX(l_extendedprice) - MIN(l_extendedprice) FROM lineitem
+UNION ALL
+SELECT 'l_discount', MAX(l_discount) - MIN(l_discount) FROM lineitem
+""",
+)
+def apply_columns_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p_apply(axis=0): an arbitrary whole-column callable per column —
+    unpivot + one applyInPandas group per column (the distributed analog
+    of the reference's column-chunk parallelism, tools.py:119-120)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return elementwise.apply_columns(
+        li,
+        ["l_quantity", "l_extendedprice", "l_discount"],
+        lambda s: float(s.max() - s.min()),
+    )
+
+
+@_q(
+    "applymap_signed_log",
+    """
+SELECT l_orderkey, l_linenumber,
+  ROUND(LN(1 + l_quantity), 6) AS l_quantity,
+  ROUND(LN(1 + l_extendedprice), 6) AS l_extendedprice
+FROM lineitem
+""",
+)
+def applymap_signed_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p_applymap: one elementwise callable over every cell of the
+    selected columns (reference parallel_dataframe.py:388-429).
+    math.log1p and SQL LN(1+x) agree to the ulp for these magnitudes after
+    rounding."""
+    import math
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
+    )
+    r = elementwise.applymap(
+        li, lambda v: math.log(1 + v), ["l_quantity", "l_extendedprice"]
+    )
+    return r.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round("l_quantity", 6).alias("l_quantity"),
+        F.round("l_extendedprice", 6).alias("l_extendedprice"),
     )
 
 

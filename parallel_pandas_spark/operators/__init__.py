@@ -1,5 +1,6 @@
 from . import (  # noqa: F401
     dedup,
+    elementwise,
     grouped,
     joins,
     multimodal,

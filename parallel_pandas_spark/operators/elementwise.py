@@ -1,0 +1,156 @@
+"""Elementwise / per-row / per-chunk UDF surface (SURVEY.md §2.2, reference
+ops #1-#5 — the most-used operators in the reference).
+
+Reference mechanics: dill-ship the callable, run real pandas per chunk
+(/root/reference/parallel_pandas/parallel_dataframe.py:40-97, 388-429;
+parallel_series.py:22-68). Spark replaces the pool with Arrow-batched
+Python workers; the per-row/per-cell semantics are preserved exactly, and
+each wrapper documents its cost tier:
+
+- ``map_batches``  — iterator ``mapInPandas``; the generic whole-chunk UDF
+  (reference ``chunk_apply``). Constant memory, the FAST python path.
+- ``apply_rows``   — pandas ``df.apply(func, axis=1)`` per batch
+  (reference ``p_apply(axis=1)``). Row-at-a-time Python: the SLOW path,
+  kept for API parity; prefer expressions or ``map_batches``.
+- ``apply_columns``— ``p_apply(axis=0)``: the reference parallelizes
+  *across columns* (each chunk holds whole columns); here each column
+  becomes one ``applyInPandas`` group via an unpivot, so arbitrary
+  whole-column callables still run distributed, one task per column.
+- ``map_elements`` — ``Series.p_apply``/``p_map`` with a callable: scalar
+  Arrow ``pandas_udf`` wrapping ``Series.map(func, na_action)``.
+- ``map_dict``     — ``Series.p_map`` with a dict: a literal ``MAP``
+  lookup, pure JVM (missing keys → NULL, as pandas yields NaN).
+- ``applymap``     — elementwise over every cell (reference p_applymap):
+  one vectorized UDF applied per column.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Sequence
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def map_batches(df: DataFrame, func: Callable, schema) -> DataFrame:
+    """Whole-chunk UDF (reference ``chunk_apply``,
+    parallel_dataframe.py:66-97): ``func: pd.DataFrame -> pd.DataFrame``
+    applied to each Arrow batch, iterator form so a batch never needs to
+    be held twice in memory."""
+
+    def it_func(batches):
+        for pdf in batches:
+            yield func(pdf)
+
+    return df.mapInPandas(it_func, schema=schema)
+
+
+def apply_rows(
+    df: DataFrame,
+    func: Callable,
+    out_col: str,
+    out_type: str = "double",
+    cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Per-row UDF — reference ``DataFrame.p_apply(func, axis=1)``
+    (parallel_dataframe.py:40-63). ``func`` receives each row as a pandas
+    Series. Row-at-a-time Python: ~100x slower than expressions; exists
+    for parity with arbitrary row callables."""
+    use_cols = list(cols) if cols else df.columns
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    ) + f", {out_col} {out_type}"
+
+    def batch(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.copy()
+        pdf[out_col] = pdf[use_cols].apply(func, axis=1)
+        return pdf
+
+    return map_batches(df, batch, schema)
+
+
+def apply_columns(
+    df: DataFrame,
+    cols: Sequence[str],
+    func: Callable,
+    out_type: str = "double",
+) -> DataFrame:
+    """Whole-column UDF — reference ``p_apply(axis=0)`` where each pool
+    chunk holds complete columns (tools.py:119-120). Unpivot to
+    (column, value) rows, one ``applyInPandas`` group per column: the
+    callable sees the full column as a Series, columns run in parallel.
+    Output: one row per column — (column, value)."""
+    n = len(cols)
+    stack_args = ", ".join(f"'{c}', CAST(`{c}` AS DOUBLE)" for c in cols)
+    long = df.selectExpr(f"stack({n}, {stack_args}) as (column, value)")
+
+    def per_col(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"column": [pdf["column"].iloc[0]], "value": [func(pdf["value"])]}
+        )
+
+    return long.groupBy("column").applyInPandas(
+        per_col, schema=f"column string, value {out_type}"
+    )
+
+
+def map_elements(
+    df: DataFrame,
+    col: str,
+    func: Callable,
+    out_col: str,
+    out_type: str = "double",
+    na_action: str | None = None,
+) -> DataFrame:
+    """Scalar callable over one column — reference ``Series.p_apply`` /
+    ``p_map(callable)`` (parallel_series.py:22-68). Arrow-vectorized
+    transport, per-element Python call, pandas na_action semantics."""
+    spark_type = T._parse_datatype_string(out_type)
+
+    @F.pandas_udf(spark_type)
+    def udf(s: pd.Series) -> pd.Series:
+        return s.map(func, na_action=na_action)
+
+    return df.withColumn(out_col, udf(F.col(col)))
+
+
+def map_dict(
+    df: DataFrame,
+    col: str,
+    mapping: dict,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Dict lookup — reference ``Series.p_map(dict)``: a literal MAP
+    expression, fully JVM-side (no Python). Missing keys → NULL, matching
+    pandas' NaN for unmapped values."""
+    items: list[Column] = []
+    for k, v in mapping.items():
+        items.append(F.lit(k))
+        items.append(F.lit(v))
+    m = F.create_map(*items)
+    return df.withColumn(out_col or f"{col}_mapped", m[F.col(col)])
+
+
+def applymap(
+    df: DataFrame,
+    func: Callable,
+    cols: Sequence[str],
+    out_type: str = "double",
+    na_action: str | None = "ignore",
+) -> DataFrame:
+    """Elementwise UDF over every cell of the selected columns — reference
+    ``p_applymap``/``p_map`` (parallel_dataframe.py:388-429). One
+    vectorized pandas_udf instance reused across columns."""
+    spark_type = T._parse_datatype_string(out_type)
+
+    @F.pandas_udf(spark_type)
+    def udf(s: pd.Series) -> pd.Series:
+        return s.map(func, na_action=na_action)
+
+    out = df
+    for c in cols:
+        out = out.withColumn(c, udf(F.col(c)))
+    return out
