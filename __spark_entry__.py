@@ -443,45 +443,88 @@ def corr_pearson(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SPEAR_COLS = ["l_quantity", "l_extendedprice", "l_discount"]
 
 
-@_q(
-    "corr_spearman",
-    """
-WITH r AS (
-  SELECT
-    RANK() OVER (ORDER BY l_quantity) + (COUNT(*) OVER (PARTITION BY l_quantity)-1)/2.0 AS r_q,
-    RANK() OVER (ORDER BY l_extendedprice) + (COUNT(*) OVER (PARTITION BY l_extendedprice)-1)/2.0 AS r_p,
-    RANK() OVER (ORDER BY l_discount) + (COUNT(*) OVER (PARTITION BY l_discount)-1)/2.0 AS r_d
-  FROM lineitem
-)
-SELECT * FROM (
-  SELECT 'l_quantity' AS col_x, 'l_extendedprice' AS col_y, ROUND({c1}, 8) AS corr FROM r
-  UNION ALL
-  SELECT 'l_quantity', 'l_discount', ROUND({c2}, 8) FROM r
-  UNION ALL
-  SELECT 'l_extendedprice', 'l_discount', ROUND({c3}, 8) FROM r
-)
-""".format(
-        c1=det.dcorr_sql("r_q", "r_p", 1, 1, 1),
-        c2=det.dcorr_sql("r_q", "r_d", 1, 1, 1),
-        c3=det.dcorr_sql("r_p", "r_d", 1, 1, 1),
-    ),
-)
+_SPEAR_PAIRS = [
+    ("l_quantity", "l_extendedprice", "r_q", "r_p"),
+    ("l_quantity", "l_discount", "r_q", "r_d"),
+    ("l_extendedprice", "l_discount", "r_p", "r_d"),
+]
+
+
+def _spearman_oracle() -> str:
+    """Doubled average ranks (2·rank + ties−1 — always integers) feed
+    exact scaled-long sums; corr is scale-invariant, so corr(2r) ≡ corr(r)
+    and every intermediate is bit-reproducible."""
+    ranks = ", ".join(
+        f"2*RANK() OVER (ORDER BY {c}) + (COUNT(*) OVER (PARTITION BY {c}) - 1) AS {a}"
+        for c, a in zip(_SPEAR_COLS, ["r_q", "r_p", "r_d"])
+    )
+    sums = ["CAST(COUNT(r_q) AS DOUBLE) AS n"]
+    for a in ["r_q", "r_p", "r_d"]:
+        sums.append(f"{det.fsum_sql(a, 0)} AS s1_{a}")
+        sums.append(f"{det.fsum_sql(f'CAST({a} AS DOUBLE)*CAST({a} AS DOUBLE)', 0)} AS s2_{a}")
+    for _, _, x, y in _SPEAR_PAIRS:
+        sums.append(
+            f"{det.fsum_sql(f'CAST({x} AS DOUBLE)*CAST({y} AS DOUBLE)', 0)} AS sab_{x}_{y}"
+        )
+    rows = []
+    for a, b, x, y in _SPEAR_PAIRS:
+        num = f"((n)*(sab_{x}_{y}) - (s1_{x})*(s1_{y}))"
+        den = f"SQRT(((n)*(s2_{x}) - (s1_{x})*(s1_{x})) * ((n)*(s2_{y}) - (s1_{y})*(s1_{y})))"
+        rows.append(
+            f"SELECT '{a}' AS col_x, '{b}' AS col_y, ROUND({num}/{den}, 8) AS corr FROM w"
+        )
+    return (
+        f"WITH r AS (SELECT {ranks} FROM lineitem),\n"
+        f"w AS (SELECT {', '.join(sums)} FROM r)\n" + "\nUNION ALL\n".join(rows)
+    )
+
+
+@_q("corr_spearman", _spearman_oracle())
 def corr_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
+    """Spearman via range-partitioned global average ranks
+    (ordered.global_avg_rank) — the previous form used
+    ``Window.orderBy(col)`` with no partition, which funnels every row
+    through ONE task (the canonical 100×-scale killer); now every stage
+    distributes. Ranks are doubled to integers so the shared power sums
+    use the exact scaled-long fast path."""
+    li = load_table(spark, sf_dir, "lineitem").select(*_SPEAR_COLS)
     r = li
     for c, alias in zip(_SPEAR_COLS, ["r_q", "r_p", "r_d"]):
-        wr = Window.orderBy(F.col(c))
-        wp = Window.partitionBy(F.col(c))
-        r = r.withColumn(alias, F.rank().over(wr) + (F.count("*").over(wp) - 1) / 2.0)
-    r = r.select("r_q", "r_p", "r_d")
-    pairs = [("l_quantity", "l_extendedprice", "r_q", "r_p"),
-             ("l_quantity", "l_discount", "r_q", "r_d"),
-             ("l_extendedprice", "l_discount", "r_p", "r_d")]
-    wide = r.agg(
-        *[F.round(det.dcorr(x, y, 1, 1, 1), 8).alias(f"{x}__{y}") for _, _, x, y in pairs]
+        r = ordered.global_avg_rank(r, c, out_col=alias)
+    r = r.select(*[(F.col(a) * 2).alias(a) for a in ["r_q", "r_p", "r_d"]])
+
+    aggs = [F.count("r_q").cast("double").alias("n")]
+    for a in ["r_q", "r_p", "r_d"]:
+        x = F.col(a)
+        aggs.append(det.fsum(x, 0).alias(f"s1_{a}"))
+        aggs.append(det.fsum(x * x, 0).alias(f"s2_{a}"))
+    for _, _, x, y in _SPEAR_PAIRS:
+        aggs.append(det.fsum(F.col(x) * F.col(y), 0).alias(f"sab_{x}_{y}"))
+    sums = r.agg(*aggs)
+
+    exprs = []
+    for a, b, x, y in _SPEAR_PAIRS:
+        n = F.col("n")
+        sa, sb = F.col(f"s1_{x}"), F.col(f"s1_{y}")
+        saa, sbb = F.col(f"s2_{x}"), F.col(f"s2_{y}")
+        sab = F.col(f"sab_{x}_{y}")
+        num = n * sab - sa * sb
+        den = F.sqrt((n * saa - sa * sa) * (n * sbb - sb * sb))
+        exprs.append(F.round(num / den, 8).alias(f"{x}__{y}"))
+    wide = sums.select(*exprs)
+    stack_args = ", ".join(
+        f"'{a}', '{b}', `{x}__{y}`" for a, b, x, y in _SPEAR_PAIRS
     )
-    stack_args = ", ".join(f"'{a}', '{b}', `{x}__{y}`" for a, b, x, y in pairs)
     return wide.selectExpr(f"stack(3, {stack_args}) as (col_x, col_y, corr)")
+
+
+@_q("kendall_tau_sample")  # rows-only: no closed SQL form (O(n²) pair statistic)
+def kendall_tau_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall τ-b on a deterministic hash sample, computed executor-side
+    (reductions.kendall_tau; reference _numba.py:7-158). Rows-only: DuckDB
+    has no kendall aggregate and the statistic has no SQL closed form."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return reductions.kendall_tau(li, "l_quantity", "l_discount", sample_mod=4)
 
 
 @_q(
@@ -668,6 +711,404 @@ def groupby_dropna_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         [F.count("*").alias("n"), det.dsum("n_chars", 0).alias("chars")],
         dropna=True,
         sort=False,
+    )
+
+
+# =========================================================================
+# §2.9 streaming (net-new vs the reference; streaming/events.py).
+# Batch-equivalent forms are oracle-checked; the true readStream form is
+# registered rows-only (it drives the same plan through a memory sink).
+# =========================================================================
+
+
+@_q(
+    "tumbling_window_agg",
+    """
+SELECT strftime(time_bucket(INTERVAL '1 day', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1, 2
+""",
+)
+def tumbling_window_agg_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling event-time windows (streaming/events.py:32-46); epoch-
+    aligned day buckets match DuckDB time_bucket's midnight boundaries."""
+    _utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    return streaming_events.tumbling_window_agg(ev, "1 day")
+
+
+@_q(
+    "sliding_window_counts",
+    """
+WITH w AS (
+  SELECT time_bucket(INTERVAL '12 hours', ts) - o.off * INTERVAL '12 hours' AS ws, ts
+  FROM events, (SELECT unnest(range(0, 2)) AS off) o
+)
+SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+       strftime(ws + INTERVAL '1 day', '%Y-%m-%d %H:%M:%S') AS window_end,
+       COUNT(*) AS n_events
+FROM w GROUP BY ws
+""",
+)
+def sliding_window_counts_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows, duration 1 day / slide 12 h — every event lands in
+    exactly two windows (streaming/events.py:49-61)."""
+    _utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    return streaming_events.sliding_window_counts(ev, "1 day", "12 hours")
+
+
+@_q(
+    "session_window_agg",
+    """
+WITH o AS (SELECT user_id, ts,
+             LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+           FROM events),
+fl AS (SELECT user_id, ts,
+         CASE WHEN prev IS NULL OR ts - prev >= INTERVAL '30 minutes' THEN 1 ELSE 0 END AS newf
+       FROM o),
+g AS (SELECT user_id, ts,
+        SUM(newf) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) AS sid
+      FROM fl)
+SELECT user_id,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       COUNT(*) AS n_events
+FROM g GROUP BY user_id, sid
+""",
+)
+def session_window_agg_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows, 30-min inactivity gap, per user
+    (streaming/events.py:64-74). The oracle is the classic
+    gaps-and-islands form; Spark merges an event into a session iff
+    ts − last < gap (end-exclusive), hence `>=` starts a new session."""
+    _utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    return streaming_events.session_window_agg(ev, "30 minutes")
+
+
+@_q("stream_tumbling_live")  # rows-only: true streaming execution path
+def stream_tumbling_live_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE Structured Streaming run of the tumbling aggregation: file
+    source → watermark → windowed agg → memory sink, availableNow trigger
+    (streaming/events.py:80-99). Rows-only by contract; equality with the
+    batch form is asserted in tests/test_streaming.py."""
+    _utc(spark)
+    stream = streaming_events.stream_events(spark, f"{sf_dir}/events.parquet")
+    agg = streaming_events.stream_tumbling_counts(stream, "1 day", "2 days")
+    out = streaming_events.run_stream_to_memory(
+        spark, agg, table="stream_tumbling_live", mode="complete"
+    )
+    return out.select(
+        F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type",
+        "n_events",
+    )
+
+
+# =========================================================================
+# LLM-data-pipeline operators: dedup / similarity / text analysis
+# (north-star extensions; operators/dedup.py, similarity.py, text.py)
+# =========================================================================
+
+_NORM_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+
+def _hexfold_sql(hexcol: str) -> str:
+    """First 15 hex chars of an md5 column → BIGINT (twin of
+    dedup.md5_long's conv(substring(md5, 1, 15), 16, 10))."""
+    return " + ".join(
+        f"(STRPOS('0123456789abcdef', SUBSTR({hexcol},{i + 1},1))-1)*{16 ** (14 - i)}"
+        for i in range(15)
+    )
+
+
+_GRAMS3_SQL = """
+SELECT doc_id, list_distinct(CASE WHEN len(t) >= 3
+    THEN list_transform(range(1, len(t)-1), j -> array_to_string(t[j:j+2], ' '))
+    ELSE [array_to_string(t, ' ')] END) AS grams
+FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents)
+"""
+
+
+@_q(
+    "exact_dedup",
+    f"""
+SELECT md5({_NORM_SQL}) AS fingerprint,
+       MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+FROM documents GROUP BY 1
+""",
+)
+def exact_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: one shuffle on a 16-byte content digest
+    (dedup.py:34-42) — the 100 TB shape is unchanged."""
+    d = load_table(spark, sf_dir, "documents")
+    return dedup.exact_dedup(d, "doc_id", "text")
+
+
+def _minhash_oracle(num_hashes: int = 8, bands: int = 4, threshold: float = 0.3) -> str:
+    rows = num_hashes // bands
+    md5s = ", ".join(f"md5('s{i}:' || gram) AS h{i}" for i in range(num_hashes))
+    folds = ", ".join(f"{_hexfold_sql(f'h{i}')} AS v{i}" for i in range(num_hashes))
+    mins = ", ".join(f"MIN(v{i}) AS s{i}" for i in range(num_hashes))
+    band_rows = "\nUNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, md5("
+        + " || ',' || ".join(
+            f"CAST(s{b * rows + r} AS VARCHAR)" for r in range(rows)
+        )
+        + ") AS bucket FROM s"
+        for b in range(bands)
+    )
+    return f"""
+WITH g AS ({_GRAMS3_SQL}),
+e AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+h AS (SELECT doc_id, {md5s} FROM e),
+v AS (SELECT doc_id, {folds} FROM h),
+s AS (SELECT doc_id, {mins} FROM v GROUP BY doc_id),
+bb AS ({band_rows}),
+cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM bb a JOIN bb b
+           ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+ver AS (SELECT id_a, id_b,
+          len(list_intersect(ga.grams, gb.grams)) AS inter,
+          len(ga.grams) AS la, len(gb.grams) AS lb
+        FROM cand JOIN g ga ON ga.doc_id = id_a JOIN g gb ON gb.doc_id = id_b)
+SELECT id_a, id_b, ROUND(inter / (la + lb - inter), 6) AS jaccard
+FROM ver WHERE inter / (la + lb - inter) >= {threshold}
+"""
+
+
+@_q("minhash_dedup_pairs", _minhash_oracle())
+def minhash_dedup_pairs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures → LSH banding → exact-Jaccard verification
+    (dedup.py:89-186). md5-derived hashes exist precisely so the oracle
+    can replay every signature, band bucket, and candidate pair in SQL."""
+    d = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_dedup_pairs(
+        d, "doc_id", "text", n=3, num_hashes=8, bands=4, threshold=0.3
+    )
+
+
+@_q(
+    "ngram_jaccard_pairs",
+    f"""
+WITH g AS ({_GRAMS3_SQL}),
+e AS (SELECT doc_id AS id, unnest(grams) AS shingle FROM g),
+sz AS (SELECT id, COUNT(*) AS sz FROM e GROUP BY id),
+i AS (SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS inter
+      FROM e a JOIN e b ON a.shingle = b.shingle AND a.id < b.id
+      GROUP BY 1, 2)
+SELECT id_a, id_b, ROUND(inter / (sa.sz + sb.sz - inter), 6) AS jaccard
+FROM i JOIN sz sa ON sa.id = i.id_a JOIN sz sb ON sb.id = i.id_b
+WHERE inter / (sa.sz + sb.sz - inter) >= 0.1
+""",
+)
+def ngram_jaccard_pairs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard for pairs sharing >=1 shingle
+    (dedup.py:45-86) — the verification primitive behind MinHash."""
+    d = load_table(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.1)
+
+
+def _simhash_oracle(bits: int = 60, max_hamming: int = 3) -> str:
+    vote = (
+        "list_sum(list_transform(hs, h -> CASE WHEN (h >> {i}) & 1 = 1 "
+        "THEN 1 ELSE -1 END))"
+    )
+    sig_terms = " + ".join(
+        f"(CASE WHEN {vote.format(i=i)} > 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(bits)
+    )
+    return f"""
+WITH t AS (SELECT doc_id,
+             list_transform(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                            tok -> md5('s1:' || tok)) AS hx
+           FROM documents),
+hh AS (SELECT doc_id, list_transform(hx, h -> {_hexfold_sql('h')}) AS hs FROM t),
+s AS (SELECT doc_id, CAST({sig_terms} AS BIGINT) AS sig FROM hh)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       bit_count(xor(a.sig, b.sig)) AS hamming
+FROM s a JOIN s b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sig, b.sig)) <= {max_hamming}
+"""
+
+
+@_q("simhash_pairs", _simhash_oracle())
+def simhash_pairs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs, Hamming <= 3 (dedup.py:189-264). Spark uses
+    pigeonhole banding (no cross join); the oracle MAY cross-join at
+    sf0.01 because banding with bands > max_hamming is recall-lossless —
+    the two computations provably produce the same pair set."""
+    d = load_table(spark, sf_dir, "documents")
+    return dedup.simhash_pairs(d, "doc_id", "text", max_hamming=3, bits=60, bands=4)
+
+
+_DOT_SQL = (
+    "list_sum(list_transform(range(1, {d}+1), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+)
+
+
+@_q(
+    "cosine_topk",
+    f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+s AS (SELECT query_id, neighbor_id,
+        ROUND({_DOT_SQL.format(d=64, a="qv", b="cv")}
+          / (SQRT({_DOT_SQL.format(d=64, a="qv", b="qv")})
+             * SQRT({_DOT_SQL.format(d=64, a="cv", b="cv")})), 6) AS cosine
+      FROM c, q WHERE query_id <> neighbor_id),
+r AS (SELECT query_id, neighbor_id, cosine,
+        ROW_NUMBER() OVER (PARTITION BY query_id
+                           ORDER BY cosine DESC, neighbor_id ASC) AS rank
+      FROM s)
+SELECT query_id, neighbor_id, cosine, rank FROM r WHERE rank <= 5
+""",
+)
+def cosine_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact cosine top-k (similarity.py:43-86): broadcast the
+    query side, scan the corpus once, WindowGroupLimit keeps k rows per
+    query through the shuffle."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    return similarity.cosine_topk(emb, queries, "vec_id", "embedding", k=5)
+
+
+def _neardup_oracle(num_planes: int = 4, threshold: float = 0.35, dim: int = 64) -> str:
+    import numpy as np
+
+    planes = np.random.default_rng(42).standard_normal((num_planes, dim))
+    bucket_terms = []
+    for p in range(num_planes):
+        arr = "[" + ", ".join(repr(float(x)) for x in planes[p]) + "]"
+        dot = f"list_sum(list_transform(range(1, {dim}+1), i -> CAST(v[i] AS DOUBLE) * ({arr})[i]))"
+        bucket_terms.append(f"(CASE WHEN {dot} >= 0 THEN {1 << p} ELSE 0 END)")
+    bucket = " + ".join(bucket_terms)
+    pair_dot = _DOT_SQL.format(d=dim, a="a.v", b="b.v")
+    norm = f"SQRT(list_sum(list_transform(range(1, {dim}+1), i -> CAST(v[i] AS DOUBLE) * CAST(v[i] AS DOUBLE))))"
+    return f"""
+WITH vv AS (SELECT vec_id AS id, embedding AS v, {bucket} AS bucket, {norm} AS norm
+            FROM embeddings)
+SELECT a.id AS id_a, b.id AS id_b,
+       ROUND({pair_dot} / (a.norm * b.norm), 6) AS cosine
+FROM vv a JOIN vv b ON a.bucket = b.bucket AND a.id < b.id
+WHERE {pair_dot} / (a.norm * b.norm) >= {threshold}
+"""
+
+
+@_q("embedding_neardup_pairs", _neardup_oracle())
+def embedding_neardup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup via random-hyperplane LSH buckets + exact cosine
+    verification (dedup.py:267-344). The seeded plane literals are
+    embedded in the oracle, so bucket assignment replays exactly."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return dedup.embedding_neardup_pairs(
+        emb, "vec_id", "embedding", threshold=0.35, num_planes=4, dim=64
+    )
+
+
+@_q("lsh_topk")  # rows-only: approximation path; exactness covered by cosine_topk
+def lsh_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH approximate top-k (similarity.py:91-169) — the
+    100 TB path where each query probes a few buckets instead of the
+    corpus. Rows-only: the result is approximate by design; the exact
+    baseline cosine_topk has the value oracle."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    return similarity.lsh_topk(
+        emb, queries, "vec_id", "embedding", k=5, num_planes=6, probe_hamming=1, dim=64
+    )
+
+
+_STOP_SQL = {
+    "de": "['der','die','und','das','ist','nicht','ein','zu']",
+    "en": "['the','and','of','to','is','in','that','it']",
+    "es": "['el','la','de','que','y','los','es','una']",
+    "fr": "['le','la','et','les','des','est','un','une']",
+    "zh": "['的','是','了','在','我','有','和','不']",
+}
+_LANG_IDX = {"de": 0, "en": 1, "es": 2, "fr": 3, "zh": 4}  # alphabetical
+
+
+def _text_profile_oracle() -> str:
+    stop_counts = ", ".join(
+        f"CAST(len(list_filter(regexp_split_to_array(TRIM(LOWER(text)), '\\s+'), "
+        f"t -> list_contains({lst}, t))) AS BIGINT) AS sc_{lang}"
+        for lang, lst in _STOP_SQL.items()
+    )
+    enc = "GREATEST(" + ", ".join(
+        f"sc_{lang}*5 + {4 - idx}" for lang, idx in _LANG_IDX.items()
+    ) + ")"
+    decode = (
+        "CASE (4 - (enc % 5)) WHEN 0 THEN 'de' WHEN 1 THEN 'en' WHEN 2 THEN 'es' "
+        "WHEN 3 THEN 'fr' ELSE 'zh' END"
+    )
+    return f"""
+WITH f AS (
+  SELECT doc_id, text,
+    CAST(LENGTH(text) AS DOUBLE) AS n_chars,
+    CAST(CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+         ELSE len(regexp_split_to_array(TRIM(text), '\\s+')) END AS DOUBLE) AS n_tokens,
+    CAST(LENGTH(regexp_replace(text, '[^.,;:!?''"()\\-]', '', 'g')) AS DOUBLE) AS punct,
+    CAST(LENGTH(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) AS digits,
+    {stop_counts}
+  FROM documents
+),
+g AS (
+  SELECT *, CASE WHEN n_chars > 0 THEN n_chars ELSE 1.0 END AS safe_c,
+         CASE WHEN n_tokens > 0 THEN n_tokens ELSE 1.0 END AS safe_t,
+         {enc} AS enc
+  FROM f
+)
+SELECT doc_id,
+  CAST(n_chars AS BIGINT) AS n_chars,
+  CAST(n_tokens AS BIGINT) AS n_tokens,
+  ROUND(n_chars / safe_t, 6) AS mean_word_len,
+  ROUND(punct / safe_c, 6) AS punct_ratio,
+  ROUND(CAST(sc_en AS DOUBLE) / safe_t, 6) AS stopword_ratio,
+  ROUND(LEAST(n_tokens/64.0, 1.0) * 0.4
+        + GREATEST(0.0, 1.0 - punct/safe_c*4) * 0.2
+        + GREATEST(0.0, 1.0 - digits/safe_c*4) * 0.2
+        + LEAST(CAST(sc_en AS DOUBLE)/safe_t*4, 1.0) * 0.2, 6) AS quality_score,
+  CASE WHEN enc < 5 THEN 'unknown' ELSE {decode} END AS lang_guess,
+  md5({_NORM_SQL}) AS fingerprint
+FROM g
+"""
+
+
+@_q("text_profile", _text_profile_oracle())
+def text_profile_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-scan text profile (text.py:177-191): token/char counts,
+    quality features + composite score, stopword language-ID with
+    deterministic alphabetical tiebreak, md5 fingerprint. The oracle
+    replays the argmax via integer encoding (score*5 + rank)."""
+    d = load_table(spark, sf_dir, "documents")
+    return text.text_profile(d, "doc_id", "text")
+
+
+@_q(
+    "doc_fingerprints",
+    f"""
+SELECT doc_id,
+  md5({_NORM_SQL}) AS fp_md5,
+  list_reduce(
+    list_prepend(CAST(0 AS BIGINT),
+      list_transform(string_split({_NORM_SQL}, ''), ch -> CAST(ascii(ch) AS BIGINT))),
+    (a, b) -> (a * 257 + b) % 1000000007) AS fp_rolling
+FROM documents
+""",
+)
+def doc_fingerprints_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprints: md5 of normalized text + polynomial rolling
+    hash folded JVM-side (text.py:136-153) — both engine-replayable."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        text.fingerprint_md5("text").alias("fp_md5"),
+        text.rolling_hash_fingerprint("text").alias("fp_rolling"),
     )
 
 

@@ -186,20 +186,31 @@ def minhash_dedup_pairs(
     return verified
 
 
-def simhash(col: Column, bits: int = 64) -> Column:
+def simhash(col: Column, bits: int = 60) -> Column:
     """SimHash signature of the token multiset: per-token md5-derived hash;
     each bit position votes +1/-1; sign of the tally sets the bit.
-    Pure expressions: tokens → hashes → fold bit tallies → assemble bits."""
+    Pure expressions: tokens → hashes → fold bit tallies → assemble bits.
+
+    ``bits`` ≤ 63: bit 63 would need 2^63, exceeding signed LongType
+    (and md5_long only yields 60 deterministic bits anyway)."""
+    assert 1 <= bits <= 63, "simhash bits must be <= 63 (signed long range)"
     toks = tokens(normalize_text(col))
     hashes = F.transform(toks, lambda t: md5_long(t, seed=1))
-    bit_exprs = []
-    for i in range(bits):
-        vote = F.aggregate(
+
+    def _vote(i: int) -> Column:
+        # bind i via closure — the merge lambda must take EXACTLY two
+        # parameters (a default-arg third parameter breaks pyspark's
+        # lambda-arity inspection)
+        return F.aggregate(
             hashes,
             F.lit(0).cast("long"),
-            lambda acc, h, i=i: acc
+            lambda acc, h: acc
             + F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
         )
+
+    bit_exprs = []
+    for i in range(bits):
+        vote = _vote(i)
         bit_exprs.append(
             F.when(vote > 0, F.lit(1).cast("long") * F.lit(2**i).cast("long")).otherwise(
                 F.lit(0).cast("long")
@@ -271,15 +282,26 @@ def embedding_neardup_pairs(
     threshold: float = 0.95,
     num_planes: int = 8,
     seed: int = 42,
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding near-duplicates: cosine >= threshold, candidates bucketed
     by random-hyperplane LSH (sign bits of ``num_planes`` projections) so
     the self-join is per-bucket, not all-pairs. Exact cosine verification
-    on candidates."""
+    on candidates. All products computed in double (a float32*float32
+    product would round twice and diverge from any double-side replay).
+
+    Pass ``dim`` explicitly when known — inferring it costs an extra job
+    and an empty corpus would otherwise raise instead of returning empty.
+    """
     import numpy as np
 
-    first = df.select(F.size(vec_col).alias("d")).first()
-    dim = first["d"]
+    if dim is None:
+        first = df.select(F.size(vec_col).alias("d")).first()
+        if first is None:
+            return df.sparkSession.createDataFrame(
+                [], "id_a long, id_b long, cosine double"
+            )
+        dim = first["d"]
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((num_planes, dim))
 
@@ -288,7 +310,7 @@ def embedding_neardup_pairs(
         for p in range(num_planes):
             arr = F.array(*[F.lit(float(x)) for x in planes[p]])
             dot = F.aggregate(
-                F.zip_with(vc, arr, lambda a, b: a * b),
+                F.zip_with(vc, arr, lambda a, b: a.cast("double") * b),
                 F.lit(0.0),
                 lambda acc, x: acc + x,
             )
@@ -304,7 +326,7 @@ def embedding_neardup_pairs(
         bucket_expr(F.col(vec_col)).alias("bucket"),
         F.sqrt(
             F.aggregate(
-                F.transform(F.col(vec_col), lambda x: x * x),
+                F.transform(F.col(vec_col), lambda x: x.cast("double") * x.cast("double")),
                 F.lit(0.0),
                 lambda acc, x: acc + x,
             )
@@ -313,7 +335,9 @@ def embedding_neardup_pairs(
     a = vecs.alias("a")
     b = vecs.alias("b")
     dot = F.aggregate(
-        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
+        F.zip_with(
+            F.col("a.v"), F.col("b.v"), lambda x, y: x.cast("double") * y.cast("double")
+        ),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )

@@ -120,6 +120,67 @@ def rank(
     return df.withColumn(out_col, expr)
 
 
+def global_avg_rank(
+    df: DataFrame,
+    col: str,
+    out_col: str | None = None,
+    ascending: bool = True,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """GLOBAL pandas rank(method='average') without a single-task sort —
+    the scale-safe replacement for ``Window.orderBy(col)`` with no
+    partition (the canonical 100×-scale killer: every row funnels through
+    one task).
+
+    Mechanics: value-range buckets from an approxQuantile sketch (bucket
+    assignment is a pure function of the value, so equal values share a
+    bucket and every re-evaluation agrees), per-bucket parallel sort for
+    local row numbers, per-bucket counts rolled into cumulative offsets
+    (≤ num_partitions rows — trivial), broadcast back; global rank =
+    offset + local rank. Average-of-ties is a window over the value — a
+    hash exchange, fully parallel. Every stage distributes; nothing sorts
+    globally.
+
+    Result is independent of bucket boundaries (offsets + contiguous
+    local ranks yield the same integers under any value split), so it is
+    deterministic on any cluster layout.
+    """
+    out_col = out_col or f"{col}_rank"
+    p = num_partitions or int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    # Bucket boundaries from an approx-quantile sketch (one extra action),
+    # then bucket = a PURE FUNCTION of the value. This matters: the plan
+    # below evaluates the bucketed frame twice (rank branch + offsets
+    # branch), and repartitionByRange's sampled boundaries are not
+    # guaranteed identical across evaluations — a value-deterministic
+    # bucket function is, on any cluster layout.
+    probs = [i / p for i in range(1, p)]
+    bounds = sorted(set(df.stat.approxQuantile(col, probs, 0.001)))
+    if not ascending:
+        bounds = bounds[::-1]
+
+    c = F.col(col)
+    bucket = F.lit(0)
+    for b in bounds:
+        bucket = bucket + (c > F.lit(b) if ascending else c < F.lit(b)).cast("int")
+    dfb = df.withColumn("__b", F.when(c.isNotNull(), bucket))
+
+    order = c.asc_nulls_last() if ascending else c.desc_nulls_last()
+    wloc = Window.partitionBy("__b").orderBy(order)
+    dfb = dfb.withColumn("__lrn", F.row_number().over(wloc))
+
+    counts = dfb.where(c.isNotNull()).groupBy("__b").agg(F.count("*").alias("__cnt"))
+    # cumulative offsets over at most `p` bucket rows — trivially small
+    woff = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "__b", F.coalesce(F.sum("__cnt").over(woff), F.lit(0)).alias("__off")
+    )
+    dfb = dfb.join(F.broadcast(offsets), "__b", "left")
+    grn = (F.col("__off") + F.col("__lrn")).cast("double")
+    wval = Window.partitionBy(c)
+    out = dfb.withColumn(out_col, F.when(c.isNotNull(), F.avg(grn).over(wval)))
+    return out.drop("__b", "__lrn", "__off")
+
+
 def pct_change(
     df: DataFrame,
     cols: Sequence[str],

@@ -278,20 +278,13 @@ def corr_matrix(
     :func:`kendall_tau` (pandas-UDF path) on sampled data at scale.
     """
     if method == "spearman":
-        from pyspark.sql import Window
+        from .ordered import global_avg_rank
 
-        ranked = df
+        # range-partitioned global average rank — every stage parallel;
+        # the old Window.orderBy(col)-without-partition form serialized
+        # the whole input through ONE task per column
         for c in cols:
-            w = Window.partitionBy(F.lit(1)).orderBy(F.col(c).asc_nulls_last())
-            # average rank over value ties == avg(row_number) per value
-            rn = F.row_number().over(w)
-            ranked = ranked.withColumn(f"__rn_{c}", rn)
-            wv = Window.partitionBy(F.col(c))
-            ranked = ranked.withColumn(
-                f"__rank_{c}",
-                F.when(F.col(c).isNotNull(), F.avg(F.col(f"__rn_{c}")).over(wv)),
-            )
-        df = ranked
+            df = global_avg_rank(df, c, out_col=f"__rank_{c}")
         colmap = {c: f"__rank_{c}" for c in cols}
     elif method == "pearson":
         colmap = {c: c for c in cols}
@@ -315,12 +308,59 @@ def corr_matrix(
     )
 
 
-def kendall_tau(df: DataFrame, col_a: str, col_b: str, max_rows: int = 100_000) -> float:
-    """Kendall's tau-b for one pair via Arrow-batched pandas on a capped
-    sample (reference: exact O(n^2) numba kernel, _numba.py:7-158). At
-    scale, exact kendall is quadratic — sample + compute driver-side."""
-    pdf = df.select(col_a, col_b).limit(max_rows).toPandas()
-    return float(pdf[col_a].corr(pdf[col_b], method="kendall"))
+def kendall_tau(
+    df: DataFrame, col_a: str, col_b: str, sample_mod: int = 1, max_rows: int = 20_000
+) -> DataFrame:
+    """Kendall's τ-b for one pair (reference: exact O(n²) numba kernel,
+    _numba.py:7-158). Exact kendall is quadratic, so at scale it runs on a
+    DETERMINISTIC hash sample (``pmod(xxhash64(a,b), sample_mod) == 0`` —
+    reproducible on any cluster layout, unlike an unordered ``limit``),
+    computed EXECUTOR-side in one grouped Arrow batch, never collected to
+    the driver. Returns a 1-row DataFrame (tau double).
+    """
+    import numpy as np
+    import pandas as pd
+
+    d = df.select(col_a, col_b).dropna()
+    if sample_mod > 1:
+        d = d.where(
+            F.pmod(F.xxhash64(F.col(col_a), F.col(col_b)), F.lit(sample_mod)) == 0
+        )
+
+    def _tau(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) > max_rows:  # hard memory bound for the O(n²) kernel
+            pdf = pdf.iloc[:: (len(pdf) // max_rows) + 1]
+        x = pdf[col_a].to_numpy(dtype=np.float64)
+        y = pdf[col_b].to_numpy(dtype=np.float64)
+        n = len(x)
+        if n < 2:
+            return pd.DataFrame({"tau": [float("nan")]})
+        conc = disc = 0
+        block = 2048  # B×n int8 workspaces (~40 MB at n=20k), not n×n
+        for s0 in range(0, n, block):
+            xb = x[s0 : s0 + block]
+            yb = y[s0 : s0 + block]
+            sx = np.sign(xb[:, None] - x[None, :]).astype(np.int8)
+            sy = np.sign(yb[:, None] - y[None, :]).astype(np.int8)
+            s = sx * sy
+            upper = np.arange(n)[None, :] > np.arange(s0, s0 + len(xb))[:, None]
+            conc += int(((s > 0) & upper).sum())
+            disc += int(((s < 0) & upper).sum())
+        n0 = n * (n - 1) // 2
+        _, cx = np.unique(x, return_counts=True)
+        _, cy = np.unique(y, return_counts=True)
+        n1 = int((cx * (cx - 1) // 2).sum())
+        n2 = int((cy * (cy - 1) // 2).sum())
+        denom = np.sqrt(float(n0 - n1) * float(n0 - n2))
+        tau = (conc - disc) / denom if denom > 0 else float("nan")
+        return pd.DataFrame({"tau": [tau]})
+
+    return (
+        d.withColumn("__g", F.lit(1))
+        .groupBy("__g")
+        .applyInPandas(_tau, "tau double")
+        .select("tau")
+    )
 
 
 def zscore_normalize(df: DataFrame, cols: Sequence[str], ddof: int = 1) -> DataFrame:

@@ -47,13 +47,17 @@ def cosine_topk(
     vec_col: str = "embedding",
     k: int = 5,
     include_self: bool = False,
+    round_to: int = 6,
 ) -> DataFrame:
     """Exact brute-force cosine top-k: for every query vector, the k most
     similar corpus vectors. Output: (query_id, neighbor_id, cosine, rank).
 
     Plan shape: broadcast(queries) × corpus scan → cosine expression →
     row_number over (query) — one pass over the corpus regardless of the
-    number of queries; ties broken by neighbor id for determinism."""
+    number of queries. Ranking uses the ROUNDED cosine with neighbor-id
+    tiebreak: last-ulp cosine differences (engine-dependent fold order)
+    must not flip ranks, or the top-k set itself becomes engine-dependent.
+    """
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
     )
@@ -64,7 +68,7 @@ def cosine_topk(
     scored = joined.select(
         "query_id",
         "neighbor_id",
-        cosine(F.col("qv"), F.col("cv")).alias("cosine"),
+        F.round(cosine(F.col("qv"), F.col("cv")), round_to).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
@@ -72,7 +76,7 @@ def cosine_topk(
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank")
+        .select("query_id", "neighbor_id", "cosine", "rank")
     )
 
 
@@ -97,6 +101,7 @@ def lsh_topk(
     num_planes: int = 6,
     probe_hamming: int = 1,
     seed: int = 42,
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: random-hyperplane buckets + multi-probe.
 
@@ -104,10 +109,19 @@ def lsh_topk(
     plus all buckets within Hamming distance ``probe_hamming`` of its code
     (multi-probe LSH), then exact cosine ranks the candidates. Recall is
     tunable via num_planes/probe_hamming; cost per query is
-    |corpus| / 2^num_planes × probes instead of |corpus|."""
+    |corpus| / 2^num_planes × probes instead of |corpus|.
+
+    Pass ``dim`` when known (inferring costs an eager job; an empty corpus
+    returns an empty result instead of raising)."""
     import numpy as np
 
-    dim = corpus.select(F.size(vec_col).alias("d")).first()["d"]
+    if dim is None:
+        first = corpus.select(F.size(vec_col).alias("d")).first()
+        if first is None:
+            return corpus.sparkSession.createDataFrame(
+                [], "query_id long, neighbor_id long, cosine double, rank int"
+            )
+        dim = first["d"]
     planes = np.random.default_rng(seed).standard_normal((num_planes, dim))
 
     c = corpus.select(

@@ -14,10 +14,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-EVENTS_SCHEMA = T.StructType(
+#: on-disk schema — the testdata parquet stores ts as TIMESTAMP(NANOS),
+#: which Spark only reads as long nanos (legacy conf); stream_events
+#: converts to microsecond timestamps after the scan.
+EVENTS_RAW_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.TimestampType()),
+        T.StructField("ts", T.LongType()),
         T.StructField("user_id", T.LongType()),
         T.StructField("event_type", T.StringType()),
         T.StructField("value", T.DoubleType()),
@@ -78,12 +81,22 @@ def session_window_agg(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
 
 
 def stream_events(spark: SparkSession, path_dir: str, max_files: int = 1) -> DataFrame:
-    """File-source stream over a directory of events parquet."""
-    return (
-        spark.readStream.schema(EVENTS_SCHEMA)
+    """File-source stream over events parquet (file, glob, or directory).
+    Reads nanosecond timestamps as long and truncates to microseconds —
+    identical values to the batch loader."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if path_dir.endswith(".parquet"):
+        # Spark's file stream source needs a directory or a glob — turn a
+        # literal file path into the narrowest glob matching it
+        path_dir = path_dir[: path_dir.rfind("/")] + "/" + "[e]" + path_dir[
+            path_dir.rfind("/") + 2 :
+        ]
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
         .option("maxFilesPerTrigger", max_files)
         .parquet(path_dir)
     )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
 
 
 def stream_tumbling_counts(
@@ -134,16 +147,46 @@ def user_running_totals_stateful(stream: DataFrame):
 
 
 def run_stream_to_memory(
-    spark: SparkSession, stream_df: DataFrame, table: str, mode: str = "update"
+    spark: SparkSession,
+    stream_df: DataFrame,
+    table: str,
+    mode: str = "update",
+    idle_polls: int = 8,
+    poll_secs: float = 0.5,
+    timeout_secs: float = 180.0,
 ):
-    """Drive a streaming query to a memory sink until all available data is
-    processed (test/debug harness; production writes to a real sink)."""
+    """Drive a streaming query to a memory sink until the finite source is
+    drained, then stop (test/debug harness; production writes a real sink).
+
+    Quiescence is detected by POLLING lastProgress, not by
+    ``processAllAvailable``/``availableNow`` + ``awaitTermination``: for
+    ``applyInPandasWithState`` queries both of those block indefinitely
+    (pending state timers keep the query alive, and processAllAvailable's
+    no-new-data latch never fires for the stateful commit path observed on
+    this Spark build)."""
+    import time
+
     q = (
         stream_df.writeStream.format("memory")
         .queryName(table)
         .outputMode(mode)
-        .trigger(availableNow=True)
+        .trigger(processingTime="1 second")
         .start()
     )
+    deadline = time.time() + timeout_secs
+    last, stable = None, 0
+    while q.isActive and time.time() < deadline:
+        p = q.lastProgress
+        if p is not None:
+            if p["batchId"] > 0 and p["numInputRows"] == 0:
+                break  # an empty batch ran — the finite source is drained
+            key = (p["batchId"], p["numInputRows"])
+            stable = stable + 1 if key == last else 0
+            last = key
+            if stable >= idle_polls:
+                break
+        time.sleep(poll_secs)
+    if q.isActive:
+        q.stop()
     q.awaitTermination()
     return spark.table(table)

@@ -1,0 +1,63 @@
+"""True Structured Streaming behaviors that the batch oracle can't cover:
+stream/batch equivalence of the windowed agg, and the custom stateful
+operator (applyInPandasWithState)."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from parallel_pandas_spark.sources import load_table  # noqa: E402
+from parallel_pandas_spark.streaming import events as se  # noqa: E402
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_stream_batch_equivalence(spark):
+    """The streaming tumbling agg over a finite file source (availableNow)
+    must equal the batch form on the same data."""
+    stream = se.stream_events(spark, f"{SF}/events.parquet")
+    agg = se.stream_tumbling_counts(stream, "1 day", "2 days")
+    live = se.run_stream_to_memory(spark, agg, "t_stream_eq", mode="complete")
+    live_rows = {
+        (r["window"]["start"], r["event_type"]): (r["n_events"], round(r["sum_value"], 6))
+        for r in live.collect()
+    }
+
+    ev = load_table(spark, SF, "events")
+    batch = (
+        ev.groupBy(F.window("ts", "1 day").alias("window"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("sum_value"))
+    )
+    batch_rows = {
+        (r["window"]["start"], r["event_type"]): (r["n_events"], round(r["sum_value"], 6))
+        for r in batch.collect()
+    }
+    assert live_rows == batch_rows
+    assert len(live_rows) > 0
+
+
+def test_stateful_running_totals(spark):
+    """applyInPandasWithState per-user running totals: totals over the
+    full (finite) stream must match a plain groupBy."""
+    stream = se.stream_events(spark, f"{SF}/events.parquet")
+    out = se.user_running_totals_stateful(stream)
+    live = se.run_stream_to_memory(spark, out, "t_stateful", mode="update")
+    # update mode may emit several rows per user (one per batch); the last
+    # one carries the final running total — with one input file there is
+    # exactly one batch, so rows are final.
+    got = {r["user_id"]: (r["n_events"], round(r["total_value"], 6)) for r in live.collect()}
+
+    ev = load_table(spark, SF, "events")
+    want = {
+        r["user_id"]: (r["n"], round(r["t"], 6))
+        for r in ev.groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum(F.coalesce("value", F.lit(0.0))).alias("t"))
+        .collect()
+    }
+    assert got == want
+    assert len(got) > 0
