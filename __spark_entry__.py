@@ -850,8 +850,9 @@ def exact_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _minhash_oracle(num_hashes: int = 8, bands: int = 4, threshold: float = 0.3) -> str:
     rows = num_hashes // bands
-    md5s = ", ".join(f"md5('s{i}:' || gram) AS h{i}" for i in range(num_hashes))
-    folds = ", ".join(f"{_hexfold_sql(f'h{i}')} AS v{i}" for i in range(num_hashes))
+    ca, cb = dedup.minhash_coeffs(num_hashes)
+    p = dedup._MERSENNE31
+    perms = ", ".join(f"({ca[i]} * base + {cb[i]}) % {p} AS v{i}" for i in range(num_hashes))
     mins = ", ".join(f"MIN(v{i}) AS s{i}" for i in range(num_hashes))
     band_rows = "\nUNION ALL ".join(
         f"SELECT doc_id, {b} AS band, md5("
@@ -864,8 +865,9 @@ def _minhash_oracle(num_hashes: int = 8, bands: int = 4, threshold: float = 0.3)
     return f"""
 WITH g AS ({_GRAMS3_SQL}),
 e AS (SELECT doc_id, unnest(grams) AS gram FROM g),
-h AS (SELECT doc_id, {md5s} FROM e),
-v AS (SELECT doc_id, {folds} FROM h),
+h AS (SELECT doc_id, md5('s0:' || gram) AS h0 FROM e),
+vb AS (SELECT doc_id, ({_hexfold_sql('h0')}) % {p} AS base FROM h),
+v AS (SELECT doc_id, {perms} FROM vb),
 s AS (SELECT doc_id, {mins} FROM v GROUP BY doc_id),
 bb AS ({band_rows}),
 cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
@@ -1110,6 +1112,76 @@ def doc_fingerprints_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         text.fingerprint_md5("text").alias("fp_md5"),
         text.rolling_hash_fingerprint("text").alias("fp_rolling"),
     )
+
+
+# =========================================================================
+# Multimodal columns (north-star extension; operators/multimodal.py —
+# binary payloads + typed metadata; decode is a deterministic fake, so the
+# whole mapInPandas pipeline is value-oracle-checkable)
+# =========================================================================
+
+
+def _decode_quarter_sql(i: int) -> str:
+    off = f"(({i}*n)//4)"
+    ln = f"((({i + 1})*n)//4 - ({i}*n)//4)"
+    ssum = (
+        f"COALESCE(list_sum(list_transform(string_split(SUBSTR(text, {off}+1, {ln}), ''),"
+        f" c -> ascii(c))), 0)"
+    )
+    return f"CAST({ssum} AS DOUBLE) / GREATEST({ln}, 1)"
+
+
+@_q(
+    "multimodal_decode",
+    f"""
+WITH b AS (SELECT doc_id, text, LENGTH(text) AS n FROM documents)
+SELECT doc_id, CAST(n AS BIGINT) AS n_bytes,
+  CASE WHEN n = 0 THEN 'empty'
+       ELSE (['png','jpeg','webp','gif'])[ascii(SUBSTR(text,1,1)) % 4 + 1] END AS format,
+  CAST(64 + (n % 512) AS INT) AS width,
+  CAST(64 + ((n*7) % 512) AS INT) AS height,
+  {_decode_quarter_sql(0)} AS f0, {_decode_quarter_sql(1)} AS f1,
+  {_decode_quarter_sql(2)} AS f2, {_decode_quarter_sql(3)} AS f3
+FROM b
+""",
+)
+def multimodal_decode_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque binary → typed metadata + feature vector via iterator
+    mapInPandas (multimodal.py:61-78). The deterministic fake decoder's
+    byte arithmetic is replayed in SQL, so the Arrow binary round-trip is
+    value-checked end to end (payloads here are utf-8 text bytes; the
+    feature array is flattened to scalar columns for the hash compare)."""
+    d = load_table(spark, sf_dir, "documents")
+    blobs = multimodal.text_as_blob(d, "doc_id", "text")
+    m = multimodal.decode_images(blobs, "doc_id", "blob")
+    return m.select(
+        "doc_id",
+        "n_bytes",
+        "format",
+        "width",
+        "height",
+        *[F.col("feature")[i].alias(f"f{i}") for i in range(4)],
+    )
+
+
+@_q(
+    "video_frame_sample",
+    """
+WITH b AS (SELECT doc_id, text, LENGTH(text) AS n FROM documents),
+idx AS (SELECT doc_id, text, n, unnest(range(0, CAST(CEIL(GREATEST(n,1)/256.0) AS BIGINT))) AS f
+        FROM b)
+SELECT doc_id, CAST(f AS INT) AS frame_idx,
+  CAST(COALESCE(list_sum(list_transform(string_split(SUBSTR(text, f*256 + 1, 256), ''),
+                                        c -> ascii(c))), 0) AS BIGINT) AS frame_digest
+FROM idx
+""",
+)
+def video_frame_sample_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling shape: one row in → many rows out per payload window
+    (multimodal.py:98-122), 256-byte 'frames' with digest checksums."""
+    d = load_table(spark, sf_dir, "documents")
+    blobs = multimodal.text_as_blob(d, "doc_id", "text")
+    return multimodal.sample_video_frames(blobs, "doc_id", "blob", every_n_bytes=256)
 
 
 # =========================================================================

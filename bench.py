@@ -20,7 +20,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-# headline queries: name -> queries() key
+# headline queries: name -> queries() key. One representative per operator
+# family so per-round regressions anywhere are visible.
 HEADLINE = [
     "q1_pricing_summary",
     "stats_central",
@@ -32,6 +33,14 @@ HEADLINE = [
     "groupby_transform_zscore",
     "groupby_apply_demean",
     "pivot_table_mean",
+    "rolling_mean_sum",
+    "cumulative_scan",
+    "merge_inner",
+    "str_ops_battery",
+    "minhash_dedup_pairs",
+    "cosine_topk",
+    "text_profile",
+    "tumbling_window_agg",
 ]
 
 
@@ -42,13 +51,13 @@ def main() -> None:
     spark = get_spark(app_name="pps-bench")
     qs = entrymod.queries()
     names = [n for n in HEADLINE if n in qs]
-    # warm up the JVM/readers and the Python-UDF worker pool on the smallest
-    # SF so first-query JIT / worker-fork noise doesn't land on a measured
-    # query (resident executors + reused python workers are the production
-    # steady state being measured)
-    qs[names[0]](spark, "/root/testdata/sf0.001").count()
-    if "groupby_apply_demean" in qs:
-        qs["groupby_apply_demean"](spark, "/root/testdata/sf0.001").count()
+    # warm up EVERY headline query once at the smallest SF: excludes
+    # one-time Janino codegen / catalyst analysis / python-worker forks
+    # from the measurement, so timings reflect the steady state a resident
+    # cluster actually runs at (the reference's baseline numbers are
+    # steady-state loops too)
+    for name in names:
+        qs[name](spark, "/root/testdata/sf0.001").count()
 
     timings: dict[str, float] = {}
     for name in names:

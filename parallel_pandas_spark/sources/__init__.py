@@ -1,1 +1,9 @@
-from .loaders import TABLES, load_table, load_tables, register_views  # noqa: F401
+from .loaders import (  # noqa: F401
+    TABLES,
+    from_pandas,
+    load_table,
+    load_tables,
+    read_csv,
+    read_json,
+    register_views,
+)

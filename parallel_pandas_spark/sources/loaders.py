@@ -61,6 +61,13 @@ def register_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TA
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
 
 
+def from_pandas(spark: SparkSession, pdf, schema=None) -> DataFrame:
+    """In-memory table (SURVEY.md §2.1: every reference test builds frames
+    from numpy — ``createDataFrame`` over the Arrow path is the Spark
+    equivalent)."""
+    return spark.createDataFrame(pdf, schema=schema)
+
+
 def read_csv(spark: SparkSession, path: str, schema=None, **options) -> DataFrame:
     reader = spark.read.options(header="true", **{k: str(v) for k, v in options.items()})
     if schema is not None:

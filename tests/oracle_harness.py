@@ -38,6 +38,13 @@ def _canon_cell(v):
         return v
     if isinstance(v, (list, tuple)):
         return tuple(_canon_cell(x) for x in v)
+    tn = type(v).__module__
+    if tn == "numpy":  # duckdb returns list columns as numpy arrays/scalars
+        import numpy as np
+
+        if isinstance(v, np.ndarray):
+            return tuple(_canon_cell(x) for x in v.tolist())
+        return _canon_cell(v.item())
     return v
 
 
