@@ -691,6 +691,166 @@ def rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "pivot_margins_fill",
+    """
+SELECT l_returnflag,
+  COALESCE(SUM(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 0) AS F,
+  COALESCE(SUM(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 0) AS O,
+  SUM(l_quantity) AS "All"
+FROM lineitem GROUP BY l_returnflag
+UNION ALL
+SELECT 'All',
+  COALESCE(SUM(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 0),
+  COALESCE(SUM(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 0),
+  SUM(l_quantity)
+FROM lineitem
+""",
+)
+def pivot_margins_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pivot_table with margins=True + fill_value (reference
+    parallel_dataframe.py:100-183; margins forces a serial fallback there —
+    here it is one extra tiny aggregation unioned on). l_quantity is
+    integer-valued so the double sums are exact and order-free."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return grouped.pivot_table(
+        li,
+        index=["l_returnflag"],
+        columns="l_linestatus",
+        values="l_quantity",
+        aggfunc="sum",
+        fill_value=0,
+        margins=True,
+        pivot_values=["F", "O"],
+    )
+
+
+@_q(
+    "cube_agg_counts",
+    """
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n, SUM(l_quantity) AS sum_qty
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+""",
+)
+def cube_agg_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets (SURVEY.md §2.8 — capability the reference
+    lacks)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return grouped.cube_agg(
+        li,
+        ["l_returnflag", "l_linestatus"],
+        [F.count("*").alias("n"), F.sum("l_quantity").alias("sum_qty")],
+    )
+
+
+@_q(
+    "replace_isin",
+    """
+SELECT CASE l_returnflag WHEN 'A' THEN 'AX' WHEN 'N' THEN 'NX' ELSE l_returnflag END AS flag,
+       COUNT(*) AS n
+FROM lineitem
+WHERE l_linenumber IN (1, 2, 3)
+GROUP BY 1
+""",
+)
+def replace_isin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p_replace (native DataFrame.replace → chained CASE WHEN) and p_isin
+    (IN/InSet predicate pushed to the scan) — reference
+    parallel_dataframe.py:364-385, 690-711."""
+    li = load_table(spark, sf_dir, "lineitem")
+    r = reductions.replace_values(li, {"A": "AX", "N": "NX"}, subset=["l_returnflag"])
+    r = reductions.isin_filter(r, "l_linenumber", [1, 2, 3])
+    return r.groupBy(F.col("l_returnflag").alias("flag")).agg(F.count("*").alias("n"))
+
+
+@_q(
+    "agg_stats_battery",
+    """
+SELECT
+  MIN(l_quantity) AS l_quantity_min, MAX(l_quantity) AS l_quantity_max,
+  CAST(COUNT(l_quantity) AS BIGINT) AS l_quantity_count,
+  COUNT(DISTINCT l_quantity) AS l_quantity_nunique,
+  ROUND(STDDEV_SAMP(l_quantity)/SQRT(COUNT(l_quantity)), 6) AS l_quantity_sem,
+  ROUND(SKEWNESS(l_quantity), 6) AS l_quantity_skew,
+  ROUND(KURTOSIS(l_quantity), 6) AS l_quantity_kurt,
+  MIN(l_discount) AS l_discount_min, MAX(l_discount) AS l_discount_max,
+  CAST(COUNT(l_discount) AS BIGINT) AS l_discount_count,
+  COUNT(DISTINCT l_discount) AS l_discount_nunique,
+  ROUND(STDDEV_SAMP(l_discount)/SQRT(COUNT(l_discount)), 6) AS l_discount_sem,
+  ROUND(SKEWNESS(l_discount), 6) AS l_discount_skew,
+  ROUND(KURTOSIS(l_discount), 6) AS l_discount_kurt
+FROM lineitem
+""",
+)
+def agg_stats_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The generic agg_stats spec surface (reference string-spec p_agg,
+    ParallelizeStatFunc family): every (col, stat) pair in ONE scan,
+    including the pandas-semantics shims (sem, sample skew G1, sample
+    excess kurtosis G2 — DuckDB's SKEWNESS/KURTOSIS use the same sample
+    estimators). Float stats rounded to 6 (generic double aggregation)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    out = reductions.agg_stats(
+        li,
+        ["l_quantity", "l_discount"],
+        ["min", "max", "count", "nunique", "sem", "skew", "kurt"],
+    )
+    ro = [
+        F.round(c, 6).alias(c) if c.endswith(("sem", "skew", "kurt")) else F.col(c)
+        for c in out.columns
+    ]
+    return out.select(*ro)
+
+
+@_q(
+    "corr_matrix_native",
+    """
+WITH w AS (SELECT ROUND(corr(l_quantity, l_extendedprice), 6) AS a,
+                  ROUND(corr(l_quantity, l_discount), 6) AS b,
+                  ROUND(corr(l_extendedprice, l_discount), 6) AS c
+           FROM lineitem)
+SELECT 'l_quantity' AS col_x, 'l_extendedprice' AS col_y, a AS corr FROM w
+UNION ALL SELECT 'l_quantity', 'l_discount', b FROM w
+UNION ALL SELECT 'l_extendedprice', 'l_discount', c FROM w
+""",
+)
+def corr_matrix_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The generic corr_matrix operator (native corr aggregate, one scan
+    for all pairs — reference p_corr's shared-sufficient-statistics trick
+    is what Spark's corr does internally). Rounded to 6: engine-internal
+    moment-merge order differs at the last ulp."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return reductions.corr_matrix(
+        li, ["l_quantity", "l_extendedprice", "l_discount"], method="pearson", round_to=6
+    )
+
+
+@_q("ewm_std_var_last")  # rows-only: pandas-recursion semantics, no SQL form
+def ewm_std_var_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWM std/var (span=5, adjust=True, bias=False pandas defaults) per
+    user, last value per user — covers the remaining EWM op set
+    (reference ParallelEWM mean/sum/std/var)."""
+    ev = load_table(spark, sf_dir, "events")
+    e = windows.ewm(
+        ev.select("event_id", "user_id", "ts", "value"),
+        ["value"],
+        order_by=["ts", "event_id"],
+        partition_by=["user_id"],
+        funcs=("std", "var", "sum"),
+        span=5.0,
+    )
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        e.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select(
+            "user_id",
+            F.round("value_ewm_std", 6).alias("ewm_std"),
+            F.round("value_ewm_var", 6).alias("ewm_var"),
+            F.round("value_ewm_sum", 6).alias("ewm_sum"),
+        )
+    )
+
+
+@_q(
     "groupby_dropna_keys",
     """
 SELECT lang, COUNT(*) AS n, CAST(SUM(CAST(n_chars AS DECIMAL(38,0))) AS DOUBLE) AS chars
