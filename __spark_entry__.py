@@ -851,6 +851,34 @@ def ewm_std_var_last(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "salted_groupby_agg",
+    """
+SELECT l_returnflag,
+  SUM(l_quantity) AS l_quantity_sum,
+  CAST(COUNT(l_quantity) AS BIGINT) AS l_quantity_count,
+  MIN(l_quantity) AS l_quantity_min,
+  MAX(l_quantity) AS l_quantity_max,
+  SUM(l_quantity) / COUNT(l_quantity) AS l_quantity_mean
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+def salted_groupby_agg_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-stage salted aggregation (grouped.salted_groupby_agg):
+    l_returnflag has only 3 values, so a plain groupBy funnels ~200k rows
+    per reducer at sf0.1 — salting spreads each group over 16 reducers
+    first. Results provably equal the unsalted plan (decomposable stats on
+    integer-valued quantities: exact in any order)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return grouped.salted_groupby_agg(
+        li,
+        ["l_returnflag"],
+        {"l_quantity": ["sum", "count", "min", "max"]},
+        salt_buckets=16,
+        mean_cols=["l_quantity"],
+    )
+
+
+@_q(
     "groupby_dropna_keys",
     """
 SELECT lang, COUNT(*) AS n, CAST(SUM(CAST(n_chars AS DECIMAL(38,0))) AS DOUBLE) AS chars
@@ -1169,6 +1197,62 @@ def embedding_neardup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return dedup.embedding_neardup_pairs(
         emb, "vec_id", "embedding", threshold=0.35, num_planes=4, dim=64
+    )
+
+
+def _ivf_oracle(num_centroids: int = 16, nprobe: int = 4, k: int = 5, dim: int = 64) -> str:
+    dot_ec = _DOT_SQL.format(d=dim, a="e.embedding", b="c.cvec")
+    dot_qc = _DOT_SQL.format(d=dim, a="q.qv", b="c.cvec")
+    return f"""
+WITH cents AS (
+  SELECT vec_id AS cid, embedding AS cvec,
+         {_DOT_SQL.format(d=dim, a="embedding", b="embedding")} AS cc
+  FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT {num_centroids}
+),
+cell AS (
+  SELECT vec_id AS neighbor_id, embedding AS cv, cid AS cell FROM (
+    SELECT e.vec_id, e.embedding, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY -2.0 * ({dot_ec}) + c.cc, c.cid) AS rn
+    FROM embeddings e CROSS JOIN cents c
+  ) WHERE rn = 1
+),
+qp AS (
+  SELECT query_id, qv, cid AS cell FROM (
+    SELECT q.vec_id AS query_id, q.embedding AS qv, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                              ORDER BY -2.0 * ({dot_qc}) + c.cc, c.cid) AS rn
+    FROM (SELECT vec_id, embedding, embedding AS qv FROM embeddings WHERE vec_id < 10) q
+         CROSS JOIN cents c
+  ) WHERE rn <= {nprobe}
+),
+s AS (
+  SELECT qp.query_id, cell.neighbor_id,
+         ROUND({_DOT_SQL.format(d=dim, a="qp.qv", b="cell.cv")}
+           / (SQRT({_DOT_SQL.format(d=dim, a="qp.qv", b="qp.qv")})
+              * SQRT({_DOT_SQL.format(d=dim, a="cell.cv", b="cell.cv")})), 6) AS cosine
+  FROM cell JOIN qp ON cell.cell = qp.cell
+  WHERE qp.query_id <> cell.neighbor_id
+),
+r AS (SELECT query_id, neighbor_id, cosine,
+        ROW_NUMBER() OVER (PARTITION BY query_id
+                           ORDER BY cosine DESC, neighbor_id ASC) AS rank
+      FROM s)
+SELECT query_id, neighbor_id, cosine, rank FROM r WHERE rank <= {k}
+"""
+
+
+@_q("ivf_topk", _ivf_oracle())
+def ivf_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat ANN (similarity.ivf_topk): deterministic sampled coarse
+    quantizer, per-cell inverted lists, nprobe probing, exact cosine
+    re-rank of candidates only — the inverted-file scale path beside the
+    LSH one. Fully value-oracled: the oracle re-derives the same centroids
+    (smallest md5(id)), assignments, probes, and ranks in SQL."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    return similarity.ivf_topk(
+        emb, queries, "vec_id", "embedding", k=5, num_centroids=16, nprobe=4
     )
 
 

@@ -162,6 +162,68 @@ def pivot_table(
     return out
 
 
+#: (partial builder, final builder) per supported stat for the salted
+#: two-stage plan. partial runs on (keys, salt); final re-aggregates the
+#: partials on keys alone.
+_SALTED_STATS = {
+    "sum": (lambda c: F.sum(c), lambda p: F.sum(p)),
+    "count": (lambda c: F.count(c), lambda p: F.sum(p)),
+    "min": (lambda c: F.min(c), lambda p: F.min(p)),
+    "max": (lambda c: F.max(c), lambda p: F.max(p)),
+}
+
+
+def salted_groupby_agg(
+    df: DataFrame,
+    keys: Sequence[str],
+    spec: dict[str, Sequence[str] | str],
+    salt_buckets: int = 16,
+    dropna: bool = True,
+    mean_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Skew-safe grouped aggregation: two-stage salted shuffle.
+
+    A hot key (one group holding a large fraction of all rows) funnels its
+    entire group through one reducer in a plain ``groupBy`` — the salted
+    form first aggregates on ``(keys, salt)`` where salt spreads each
+    group over ``salt_buckets`` reducers, then re-aggregates the (tiny)
+    partials on the true keys. Decomposable stats only (sum/count/min/max;
+    mean via sum+count — pass ``mean_cols``). AQE's skew handling covers
+    JOIN skew; aggregation skew still needs explicit salting.
+
+    The salt is ``pmod(hash of a uniform row expression, buckets)`` —
+    deterministic per row, so results are identical to the unsalted plan.
+    """
+    df = _dropna_keys(df, keys, dropna)
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(salt_buckets))
+    df = df.withColumn("__salt", salt)
+
+    partials, finals = [], []
+    for c, stats in spec.items():
+        if isinstance(stats, str):
+            stats = [stats]
+        for s in stats:
+            if s not in _SALTED_STATS:
+                raise ValueError(
+                    f"stat {s!r} is not decomposable for salting; "
+                    f"supported: {sorted(_SALTED_STATS)} (+ mean via mean_cols)"
+                )
+            p_fn, f_fn = _SALTED_STATS[s]
+            partials.append(p_fn(c).alias(f"__p_{c}_{s}"))
+            finals.append(f_fn(F.col(f"__p_{c}_{s}")).alias(f"{c}_{s}"))
+    for c in mean_cols:
+        partials.append(F.sum(c).alias(f"__p_{c}_msum"))
+        partials.append(F.count(c).alias(f"__p_{c}_mcnt"))
+        finals.append(
+            (F.sum(F.col(f"__p_{c}_msum")) / F.sum(F.col(f"__p_{c}_mcnt"))).alias(
+                f"{c}_mean"
+            )
+        )
+
+    stage1 = df.groupBy(*keys, "__salt").agg(*partials)
+    return stage1.groupBy(*keys).agg(*finals)
+
+
 def cube_agg(df: DataFrame, keys: Sequence[str], exprs: Sequence[Column]) -> DataFrame:
     """Grouping-sets capability the reference lacks (SURVEY.md §2.8)."""
     return df.cube(*keys).agg(*exprs)

@@ -92,6 +92,101 @@ def _bucket_expr(vec: Column, planes) -> Column:
     return out
 
 
+def ivf_centroids(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_centroids: int = 16,
+) -> list[tuple[int, list[float]]]:
+    """Deterministic IVF coarse quantizer: the ``num_centroids`` corpus
+    vectors with smallest md5(id) — a seeded pseudo-random sample any
+    engine can reproduce. (A trained k-means quantizer slots in here
+    unchanged; the index structure below is what matters.)"""
+    rows = (
+        corpus.select(id_col, vec_col)
+        .orderBy(F.md5(F.col(id_col).cast("string")))
+        .limit(num_centroids)
+        .collect()
+    )
+    return [(int(r[id_col]), [float(x) for x in r[vec_col]]) for r in rows]
+
+
+def _cent_dist(vec: Column, cvec: list[float]) -> Column:
+    """Rank-equivalent L2 distance to a literal centroid:
+    −2·v·c + ‖c‖² (the ‖v‖² term is constant per row and drops out)."""
+    arr = F.array(*[F.lit(float(x)) for x in cvec])
+    cc = float(sum(x * x for x in cvec))
+    return F.lit(-2.0) * dot(vec, arr) + F.lit(cc)
+
+
+def ivf_assign(vec: Column, cents: list[tuple[int, list[float]]]) -> Column:
+    """Nearest-centroid id (argmin via least-of-structs; ties → lowest
+    centroid id, deterministically)."""
+    structs = [
+        F.struct(_cent_dist(vec, cvec).alias("d"), F.lit(cid).alias("cid"))
+        for cid, cvec in cents
+    ]
+    return F.least(*structs).getField("cid")
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    num_centroids: int = 16,
+    nprobe: int = 4,
+    round_to: int = 6,
+) -> DataFrame:
+    """IVF-flat approximate top-k — the inverted-file scale path: corpus
+    vectors are bucketed into ``num_centroids`` cells by nearest centroid;
+    each query probes its ``nprobe`` nearest cells and exact cosine
+    re-ranks only those candidates — cost per query ≈
+    |corpus|·nprobe/num_centroids instead of |corpus|.
+
+    One cell column per corpus row (16 literal dot products, JVM-side),
+    probe cells per query via sorted centroid distances, candidate join on
+    the cell id (uniform-ish, broadcastable query side)."""
+    cents = ivf_centroids(corpus, id_col, vec_col, num_centroids)
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        ivf_assign(F.col(vec_col), cents).alias("cell"),
+    )
+    probe_structs = F.array(
+        *[
+            F.struct(_cent_dist(F.col(vec_col), cvec).alias("d"), F.lit(cid).alias("cid"))
+            for cid, cvec in cents
+        ]
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        F.explode(
+            F.slice(F.array_sort(probe_structs), 1, nprobe)
+        ).alias("p"),
+    ).select("query_id", "qv", F.col("p.cid").alias("cell"))
+
+    joined = c.join(F.broadcast(q), "cell").where(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    scored = joined.select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("qv"), F.col("cv")), round_to).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
