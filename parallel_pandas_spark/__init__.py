@@ -20,6 +20,7 @@ Design decisions (SURVEY.md §1.4):
   to Arrow-batched ``applyInPandas`` / ``mapInPandas``.
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
+from .api import ParallelFrame  # noqa: F401
 from .session import get_spark  # noqa: F401

@@ -1,0 +1,298 @@
+"""User-facing API parity layer: the reference's ``p_*`` method surface
+over a Spark DataFrame.
+
+The reference monkey-patches ``p_mean``/``p_apply``/… onto pandas classes
+at ``ParallelPandas.initialize()`` (/root/reference/parallel_pandas/
+main.py:58-267) and adds a ``.parallel`` accessor. Spark DataFrames are
+immutable and shouldn't be patched; the equivalent ergonomic is a thin
+wrapper: ``pdf = ParallelFrame(df)`` then ``pdf.p_mean()``,
+``pdf.p_quantile([.25, .5])``, ``pdf.groupby("k").p_agg(...)``,
+``pdf.rolling(7, order_by=[...]).p_mean()`` — each call delegates to the
+operator modules and returns plain DataFrames (or a new wrapper), so
+users keep full Spark interop.
+
+Semantics notes mirrored from the reference:
+- reductions skip NULLs (pandas skipna=True ↔ Spark null-ignoring aggs)
+- ddof=1 defaults for std/var/sem
+- ordered/window ops take explicit ``order_by`` — the engine's
+  replacement for the implicit pandas row index (SURVEY.md §1.4)
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .operators import elementwise, grouped, joins, ordered, reductions, windows
+
+
+class ParallelFrame:
+    """Wrapper exposing the reference's p_* surface over a DataFrame."""
+
+    def __init__(self, df: DataFrame):
+        self.df = df
+
+    # -- §2.3 full-frame reductions (reference ops #7-#17) ----------------
+    def _stats(self, cols: Sequence[str] | None, stat: str) -> DataFrame:
+        cols = list(cols) if cols else self._numeric_cols()
+        return reductions.agg_stats(self.df, cols, [stat])
+
+    def _numeric_cols(self) -> list[str]:
+        num = {"int", "bigint", "float", "double", "smallint", "tinyint"}
+        return [c for c, t in self.df.dtypes if t in num]
+
+    def p_min(self, cols=None):
+        return self._stats(cols, "min")
+
+    def p_max(self, cols=None):
+        return self._stats(cols, "max")
+
+    def p_mean(self, cols=None):
+        return self._stats(cols, "mean")
+
+    def p_median(self, cols=None):
+        return self._stats(cols, "median")
+
+    def p_sum(self, cols=None, min_count: int = 0):
+        cols = list(cols) if cols else self._numeric_cols()
+        return self.df.agg(
+            *[reductions.sum_min_count(c, min_count).alias(f"{c}_sum") for c in cols]
+        )
+
+    def p_prod(self, cols=None, min_count: int = 0):
+        cols = list(cols) if cols else self._numeric_cols()
+        return self.df.agg(
+            *[reductions.prod_min_count(c, min_count).alias(f"{c}_prod") for c in cols]
+        )
+
+    def p_std(self, cols=None, ddof: int = 1):
+        stat = "std" if ddof == 1 else "std_pop"
+        return self._stats(cols, stat)
+
+    def p_var(self, cols=None, ddof: int = 1):
+        return self._stats(cols, "var" if ddof == 1 else "var_pop")
+
+    def p_sem(self, cols=None):
+        return self._stats(cols, "sem")
+
+    def p_skew(self, cols=None):
+        return self._stats(cols, "skew")
+
+    def p_kurt(self, cols=None):
+        return self._stats(cols, "kurt")
+
+    def p_mad(self, cols=None):
+        return reductions.mad(self.df, list(cols) if cols else self._numeric_cols())
+
+    def p_nunique(self, cols=None, approx: bool = False):
+        return reductions.nunique(
+            self.df, list(cols) if cols else self.df.columns, approx=approx
+        )
+
+    def p_describe(self, cols=None):
+        return reductions.describe_exact(
+            self.df, list(cols) if cols else self._numeric_cols()
+        )
+
+    def p_quantile(self, q=0.5, cols=None, exact: bool = True):
+        qs = [q] if isinstance(q, (int, float)) else list(q)
+        return reductions.quantile(
+            self.df, list(cols) if cols else self._numeric_cols(), qs, exact=exact
+        )
+
+    def p_mode(self, col: str):
+        return reductions.mode(self.df, col)
+
+    def p_idxmax(self, value_cols: Sequence[str], id_col: str):
+        return reductions.idxmax(self.df, value_cols, id_col)
+
+    def p_idxmin(self, value_cols: Sequence[str], id_col: str):
+        return reductions.idxmin(self.df, value_cols, id_col)
+
+    def p_corr(self, cols=None, method: str = "pearson", round_to: int | None = None):
+        return reductions.corr_matrix(
+            self.df, list(cols) if cols else self._numeric_cols(), method, round_to
+        )
+
+    def p_agg(self, spec: dict):
+        exprs = []
+        for c, stats in spec.items():
+            for s in [stats] if isinstance(stats, str) else stats:
+                exprs.append(reductions.stat_expr(s, c).alias(f"{c}_{s}"))
+        return self.df.agg(*exprs)
+
+    # -- §2.2 elementwise / UDF surface (reference ops #1-#5) -------------
+    def p_apply(self, func: Callable, axis: int = 1, **kw):
+        if axis == 1:
+            return elementwise.apply_rows(self.df, func, **kw)
+        return elementwise.apply_columns(self.df, self._numeric_cols(), func)
+
+    def p_applymap(self, func: Callable, cols=None, **kw):
+        return elementwise.applymap(
+            self.df, func, list(cols) if cols else self._numeric_cols(), **kw
+        )
+
+    def p_map(self, col: str, arg, **kw):
+        if isinstance(arg, dict):
+            return elementwise.map_dict(self.df, col, arg, **kw)
+        return elementwise.map_elements(self.df, col, arg, out_col=f"{col}_mapped", **kw)
+
+    def chunk_apply(self, func: Callable, schema):
+        return elementwise.map_batches(self.df, func, schema)
+
+    def p_replace(self, mapping: dict, subset=None):
+        return ParallelFrame(reductions.replace_values(self.df, mapping, subset))
+
+    def p_isin(self, col: str, values) -> "ParallelFrame":
+        return ParallelFrame(reductions.isin_filter(self.df, col, values))
+
+    # -- §2.5 grouped / §2.4 ordered / merges ------------------------------
+    def groupby(self, *keys: str) -> "ParallelGroupBy":
+        return ParallelGroupBy(self.df, list(keys))
+
+    def p_pivot_table(self, **kw):
+        return grouped.pivot_table(self.df, **kw)
+
+    def p_merge(self, right, **kw):
+        rdf = right.df if isinstance(right, ParallelFrame) else right
+        return ParallelFrame(joins.merge(self.df, rdf, **kw))
+
+    def p_rank(self, col: str, **kw):
+        return ordered.rank(self.df, col, **kw)
+
+    def p_cumsum(self, cols, order_by, **kw):
+        return ordered.cumsum(self.df, cols, order_by, **kw)
+
+    def p_cummax(self, cols, order_by, **kw):
+        return ordered.cummax(self.df, cols, order_by, **kw)
+
+    def p_cummin(self, cols, order_by, **kw):
+        return ordered.cummin(self.df, cols, order_by, **kw)
+
+    def p_pct_change(self, cols, order_by, **kw):
+        return ordered.pct_change(self.df, cols, order_by, **kw)
+
+    def p_shift(self, cols, order_by, **kw):
+        return ordered.shift(self.df, cols, order_by, **kw)
+
+    # -- §2.6 windows ------------------------------------------------------
+    def rolling(self, window, order_by, partition_by=None) -> "ParallelRolling":
+        return ParallelRolling(self.df, window, order_by, partition_by)
+
+    def expanding(self, order_by, partition_by=None) -> "ParallelExpanding":
+        return ParallelExpanding(self.df, order_by, partition_by)
+
+    def ewm(self, order_by, partition_by, span=None, alpha=None) -> "ParallelEWM":
+        return ParallelEWM(self.df, order_by, partition_by, span, alpha)
+
+
+class ParallelGroupBy:
+    """reference GroupBy.p_agg / p_apply / p_transform."""
+
+    def __init__(self, df: DataFrame, keys: list[str]):
+        self.df, self.keys = df, keys
+
+    def p_agg(self, spec, dropna: bool = True, sort: bool = True) -> DataFrame:
+        return grouped.groupby_agg(self.df, self.keys, spec, dropna=dropna, sort=sort)
+
+    def p_apply(self, func: Callable, schema, dropna: bool = True) -> DataFrame:
+        return grouped.groupby_apply(self.df, self.keys, func, schema, dropna=dropna)
+
+    def p_transform(self, cols, func, **kw) -> DataFrame:
+        return grouped.groupby_transform(self.df, self.keys, cols, func, **kw)
+
+
+class ParallelRolling:
+    """reference Rolling.p_* family."""
+
+    def __init__(self, df, window, order_by, partition_by):
+        self.df, self.window = df, window
+        self.order_by, self.partition_by = order_by, partition_by
+
+    def _agg(self, cols, funcs, min_periods=None):
+        return windows.rolling(
+            self.df, cols, self.window, self.order_by, funcs,
+            self.partition_by, min_periods,
+        )
+
+    def p_mean(self, cols, **kw):
+        return self._agg(cols, ("mean",), **kw)
+
+    def p_sum(self, cols, **kw):
+        return self._agg(cols, ("sum",), **kw)
+
+    def p_min(self, cols, **kw):
+        return self._agg(cols, ("min",), **kw)
+
+    def p_max(self, cols, **kw):
+        return self._agg(cols, ("max",), **kw)
+
+    def p_std(self, cols, **kw):
+        return self._agg(cols, ("std",), **kw)
+
+    def p_var(self, cols, **kw):
+        return self._agg(cols, ("var",), **kw)
+
+    def p_median(self, cols, **kw):
+        return self._agg(cols, ("median",), **kw)
+
+    def p_quantile(self, col, q, **kw):
+        return windows.rolling_quantile(
+            self.df, col, self.window, q, self.order_by, self.partition_by, **kw
+        )
+
+    def p_apply(self, col, func, **kw):
+        if not self.partition_by:
+            raise ValueError("rolling.p_apply requires partition_by (per-group Arrow)")
+        return windows.rolling_apply(
+            self.df, col, self.window, func, self.order_by, self.partition_by, **kw
+        )
+
+
+class ParallelExpanding:
+    def __init__(self, df, order_by, partition_by):
+        self.df, self.order_by, self.partition_by = df, order_by, partition_by
+
+    def _agg(self, cols, funcs, min_periods=1):
+        return windows.expanding(
+            self.df, cols, self.order_by, funcs, self.partition_by, min_periods
+        )
+
+    def p_sum(self, cols, **kw):
+        return self._agg(cols, ("sum",), **kw)
+
+    def p_mean(self, cols, **kw):
+        return self._agg(cols, ("mean",), **kw)
+
+    def p_min(self, cols, **kw):
+        return self._agg(cols, ("min",), **kw)
+
+    def p_max(self, cols, **kw):
+        return self._agg(cols, ("max",), **kw)
+
+
+class ParallelEWM:
+    def __init__(self, df, order_by, partition_by, span, alpha):
+        self.df = df
+        self.order_by, self.partition_by = order_by, partition_by
+        self.span, self.alpha = span, alpha
+
+    def _agg(self, cols, funcs):
+        return windows.ewm(
+            self.df, cols, self.order_by, self.partition_by, funcs,
+            span=self.span, alpha=self.alpha,
+        )
+
+    def p_mean(self, cols):
+        return self._agg(cols, ("mean",))
+
+    def p_std(self, cols):
+        return self._agg(cols, ("std",))
+
+    def p_var(self, cols):
+        return self._agg(cols, ("var",))
+
+    def p_sum(self, cols):
+        return self._agg(cols, ("sum",))
