@@ -1595,7 +1595,11 @@ SELECT p_partkey,
   regexp_replace(p_name, '[aeiou]+', '_', 'g') AS s_replaced,
   SUBSTR(p_name, 3, 3) AS s_slice,
   LPAD(CAST(p_size AS VARCHAR), 5, '0') AS s_zfill,
-  STRPOS(p_name, 'er') - 1 AS s_find
+  STRPOS(p_name, 'er') - 1 AS s_find,
+  ends_with(p_name, 'y') AS s_endswith,
+  repeat(p_brand, 2) AS s_repeat,
+  RPAD(p_brand, 12, '.') AS s_pad,
+  concat_ws('|', p_brand, p_type) AS s_cat
 FROM part
 """,
 )
@@ -1619,6 +1623,10 @@ def str_ops_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         sf.slice_(name, 2, 5).alias("s_slice"),
         sf.zfill(F.col("p_size").cast("string"), 5).alias("s_zfill"),
         sf.find(name, "er").alias("s_find"),
+        sf.endswith(name, "y").alias("s_endswith"),
+        sf.repeat(F.col("p_brand"), 2).alias("s_repeat"),
+        sf.pad(F.col("p_brand"), 12, side="right", fillchar=".").alias("s_pad"),
+        sf.cat([F.col("p_brand"), F.col("p_type")], sep="|").alias("s_cat"),
     )
 
 
