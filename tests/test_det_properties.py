@@ -1,0 +1,75 @@
+"""Property-based twin checks (hypothesis): for arbitrary data, the det
+builders and their SQL twins must agree bit-for-bit between Spark and
+DuckDB — not just on the shipped testdata."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+import pandas as pd
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from parallel_pandas_spark import det  # noqa: E402
+from parallel_pandas_spark.sources import from_pandas  # noqa: E402
+
+# values on a 2-decimal grid up to ~1e5, like prices/quantities — the
+# regime the scale bounds are documented for
+_vals = st.lists(
+    st.integers(min_value=-9_999_999, max_value=9_999_999).map(lambda v: v / 100.0),
+    min_size=2,
+    max_size=200,
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(_vals)
+def test_fsum_dvar_twins_bit_exact(spark, xs):
+    pdf = pd.DataFrame({"x": xs})
+    sdf = from_pandas(spark, pdf)
+    got = sdf.agg(
+        det.fsum("x", 2).alias("fs"),
+        det.dsum("x", 2).alias("ds"),
+        det.dvar("x", 2, 0).alias("dv"),
+    ).collect()[0]
+
+    con = duckdb.connect()
+    con.register("t", pdf)
+    want = con.execute(
+        f"SELECT {det.fsum_sql('x', 2)} AS fs, {det.dsum_sql('x', 2)} AS ds, "
+        f"{det.dvar_sql('x', 2, 0)} AS dv FROM t"
+    ).fetchone()
+    con.close()
+
+    assert got["fs"] == want[0]
+    assert got["ds"] == want[1]
+    assert got["dv"] == want[2] or (
+        got["dv"] != got["dv"] and want[2] != want[2]  # both NaN (var of consts=0 ok)
+    )
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(_vals)
+def test_skew_twin_bit_exact(spark, xs):
+    pdf = pd.DataFrame({"x": xs})
+    if pdf["x"].nunique() < 3:
+        return  # skew undefined / zero variance
+    sdf = from_pandas(spark, pdf)
+    got = sdf.agg(det.dskew("x", 2).alias("sk")).collect()[0]["sk"]
+    con = duckdb.connect()
+    con.register("t", pdf)
+    want = con.execute(f"SELECT {det.dskew_sql('x', 2)} AS sk FROM t").fetchone()[0]
+    con.close()
+    assert got == want or (got != got and want != want)
