@@ -2208,6 +2208,63 @@ def rolling_median_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "rolling_rank_skew",
+    f"""
+WITH r AS (
+  SELECT l_orderkey, l_linenumber, l_suppkey, l_quantity,
+         ROW_NUMBER() OVER (PARTITION BY l_suppkey
+                            ORDER BY l_orderkey, l_linenumber, l_quantity) AS rn
+  FROM lineitem
+),
+rk AS (
+  SELECT a.l_suppkey, a.rn, a.l_orderkey, a.l_linenumber,
+    COUNT(*) AS n_frame,
+    CAST(COUNT(*) FILTER (b.l_quantity < a.l_quantity) AS DOUBLE)
+      + (CAST(COUNT(*) FILTER (b.l_quantity = a.l_quantity) AS DOUBLE) + 1.0)/2.0 AS rrank
+  FROM r a JOIN r b ON b.l_suppkey = a.l_suppkey AND b.rn BETWEEN a.rn - 6 AND a.rn
+  GROUP BY a.l_suppkey, a.rn, a.l_orderkey, a.l_linenumber
+),
+sk AS (
+  SELECT l_orderkey, l_linenumber,
+    CASE WHEN COUNT(l_quantity) OVER w >= 7
+         THEN ROUND(SKEWNESS(l_quantity) OVER w, 6) END AS roll_skew,
+    CASE WHEN COUNT(l_quantity) OVER w >= 7
+         THEN ROUND(STDDEV_SAMP(l_quantity) OVER w
+                    / SQRT(COUNT(l_quantity) OVER w), 6) END AS roll_sem,
+    ROW_NUMBER() OVER (PARTITION BY l_suppkey
+                       ORDER BY l_orderkey, l_linenumber, l_quantity) AS rn,
+    l_suppkey
+  FROM lineitem WINDOW w AS ({_LI_WIN_SQL})
+)
+SELECT rk.l_orderkey, rk.l_linenumber,
+       CASE WHEN rk.n_frame >= 7 THEN rk.rrank END AS roll_rank,
+       sk.roll_skew, sk.roll_sem
+FROM rk JOIN sk ON sk.l_suppkey = rk.l_suppkey AND sk.rn = rk.rn
+""",
+)
+def rolling_rank_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rolling.rank() (current value's average rank within the frame — no
+    window primitive exists, implemented via collect_list + array filters)
+    plus rolling skew (sample G1) and sem, completing the reference
+    Rolling op set (parallel_window.py main.py:44-46). skew/sem rounded 6
+    (double window aggregation)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    r = windows.rolling_rank(
+        li, "l_quantity", 7, _LI_ORD, partition_by=["l_suppkey"], out_col="roll_rank"
+    )
+    r = windows.rolling(
+        r, ["l_quantity"], 7, _LI_ORD, funcs=("skew", "sem"), partition_by=["l_suppkey"]
+    )
+    return r.select(
+        "l_orderkey",
+        "l_linenumber",
+        "roll_rank",
+        F.round("l_quantity_roll_skew", 6).alias("roll_skew"),
+        F.round("l_quantity_roll_sem", 6).alias("roll_sem"),
+    )
+
+
+@_q(
     "expanding_sum_max",
     """
 WITH s AS (

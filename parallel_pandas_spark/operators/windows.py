@@ -21,20 +21,37 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, Window, WindowSpec
 from pyspark.sql import functions as F
 
-from .reductions import kurt_sample, sem, skew_sample
+def _w_skew(c, w):
+    # sample G1 from windowed population skewness — the compound must apply
+    # .over() to EACH aggregate; .over() on the compound itself is invalid
+    n = F.count(c).over(w).cast("double")
+    return F.skewness(c).over(w) * F.sqrt(n * (n - 1)) / (n - 2)
 
+
+def _w_kurt(c, w):
+    n = F.count(c).over(w).cast("double")
+    g2 = F.kurtosis(c).over(w)
+    return ((n + 1) * g2 + 6) * (n - 1) / ((n - 2) * (n - 3))
+
+
+def _w_sem(c, w):
+    return F.stddev_samp(c).over(w) / F.sqrt(F.count(c).over(w))
+
+
+#: stat -> (col, windowspec) -> windowed Column. Simple aggregates apply
+#: .over directly; skew/kurt/sem are compounds of several windowed aggs.
 _ROLL_FNS = {
-    "mean": F.avg,
-    "sum": F.sum,
-    "min": F.min,
-    "max": F.max,
-    "std": F.stddev_samp,
-    "var": F.var_samp,
-    "median": F.median,
-    "count": F.count,
-    "skew": skew_sample,
-    "kurt": kurt_sample,
-    "sem": sem,
+    "mean": lambda c, w: F.avg(c).over(w),
+    "sum": lambda c, w: F.sum(c).over(w),
+    "min": lambda c, w: F.min(c).over(w),
+    "max": lambda c, w: F.max(c).over(w),
+    "std": lambda c, w: F.stddev_samp(c).over(w),
+    "var": lambda c, w: F.var_samp(c).over(w),
+    "median": lambda c, w: F.median(c).over(w),
+    "count": lambda c, w: F.count(c).over(w),
+    "skew": _w_skew,
+    "kurt": _w_kurt,
+    "sem": _w_sem,
 }
 
 
@@ -62,7 +79,7 @@ def rolling(
         guard = F.count(c).over(w) >= mp
         for fn in funcs:
             out = out.withColumn(
-                f"{c}_roll_{fn}", F.when(guard, _ROLL_FNS[fn](c).over(w))
+                f"{c}_roll_{fn}", F.when(guard, _ROLL_FNS[fn](c, w))
             )
     return out
 
@@ -91,7 +108,7 @@ def rolling_time(
         guard = F.count(c).over(w) >= min_periods
         for fn in funcs:
             out = out.withColumn(
-                f"{c}_roll_{fn}", F.when(guard, _ROLL_FNS[fn](c).over(w))
+                f"{c}_roll_{fn}", F.when(guard, _ROLL_FNS[fn](c, w))
             )
     return out
 
@@ -118,6 +135,33 @@ def rolling_quantile(
     return df.withColumn(out_col or f"{col}_roll_q{q}", expr)
 
 
+def rolling_rank(
+    df: DataFrame,
+    col: str,
+    window: int,
+    order_by: Sequence[str],
+    partition_by: Sequence[str] | None = None,
+    min_periods: int | None = None,
+    out_col: str | None = None,
+) -> DataFrame:
+    """pandas ``rolling.rank()`` (method='average', pct=False): the rank
+    of the CURRENT value among the frame's values. No window primitive
+    compares frame rows to the current row, so the frame is materialized
+    with ``collect_list`` (O(window) per row — fine for small windows; use
+    rolling_apply for large ones) and the average rank is
+    count_less + (count_equal + 1)/2 via array filters — all JVM-side."""
+    mp = window if min_periods is None else min_periods
+    out_col = out_col or f"{col}_roll_rank"
+    w = _ordered_window(order_by, partition_by).rowsBetween(-(window - 1), 0)
+    vals = F.collect_list(F.col(col)).over(w)  # frame-ordered; last = current
+    cur = F.element_at(vals, -1)
+    less = F.size(F.filter(vals, lambda v: v < cur))
+    eq = F.size(F.filter(vals, lambda v: v == cur))
+    rank = less.cast("double") + (eq.cast("double") + 1.0) / 2.0
+    guard = F.count(col).over(w) >= mp
+    return df.withColumn(out_col, F.when(guard & F.col(col).isNotNull(), rank))
+
+
 def expanding(
     df: DataFrame,
     cols: Sequence[str],
@@ -136,7 +180,7 @@ def expanding(
         guard = F.count(c).over(w) >= min_periods
         for fn in funcs:
             out = out.withColumn(
-                f"{c}_exp_{fn}", F.when(guard, _ROLL_FNS[fn](c).over(w))
+                f"{c}_exp_{fn}", F.when(guard, _ROLL_FNS[fn](c, w))
             )
     return out
 
