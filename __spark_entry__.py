@@ -58,13 +58,13 @@ def _utc(spark: SparkSession) -> None:
 # §2.5/§2.3 flagship — TPC-H-Q1-shaped grouped aggregation
 # =========================================================================
 
-_Q1_ORACLE = """
+_Q1_ORACLE = f"""
 SELECT
   l_returnflag, l_linestatus,
   CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
   CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_base_price,
-  CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS sum_disc_price,
-  CAST(SUM(CAST(l_extendedprice*(1-l_discount)*(1+l_tax) AS DECIMAL(38,6))) AS DOUBLE) AS sum_charge,
+  {det.qsum_sql('(l_extendedprice*(1-l_discount))', 6)} AS sum_disc_price,
+  {det.qsum_sql('(l_extendedprice*(1-l_discount)*(1+l_tax))', 6)} AS sum_charge,
   CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
   CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) / COUNT(l_extendedprice) AS avg_price,
   COUNT(*) AS count_order
@@ -86,8 +86,8 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         [
             det.dsum("l_quantity").alias("sum_qty"),
             det.dsum("l_extendedprice").alias("sum_base_price"),
-            F.sum(disc_price.cast("decimal(38,6)")).cast("double").alias("sum_disc_price"),
-            F.sum(charge.cast("decimal(38,6)")).cast("double").alias("sum_charge"),
+            det.qsum(disc_price, 6).alias("sum_disc_price"),
+            det.qsum(charge, 6).alias("sum_charge"),
             det.dmean("l_quantity").alias("avg_qty"),
             det.dmean("l_extendedprice").alias("avg_price"),
             F.count("*").alias("count_order"),
@@ -342,10 +342,15 @@ def stats_idx_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 WITH m AS (SELECT {mq} AS mq, {md} AS md FROM lineitem)
 SELECT
-  CAST(SUM(CAST(ABS(l_quantity - mq) AS DECIMAL(38,6))) AS DOUBLE)/COUNT(l_quantity) AS l_quantity_mad,
-  CAST(SUM(CAST(ABS(l_discount - md) AS DECIMAL(38,9))) AS DOUBLE)/COUNT(l_discount) AS l_discount_mad
+  {sq}/COUNT(l_quantity) AS l_quantity_mad,
+  {sd}/COUNT(l_discount) AS l_discount_mad
 FROM lineitem, m
-""".format(mq=det.dmean_sql("l_quantity"), md=det.dmean_sql("l_discount", scale=9)),
+""".format(
+        mq=det.dmean_sql("l_quantity"),
+        md=det.dmean_sql("l_discount", scale=9),
+        sq=det.qsum_sql("ABS(l_quantity - mq)", 6),
+        sd=det.qsum_sql("ABS(l_discount - md)", 9),
+    ),
 )
 def stats_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
@@ -355,12 +360,10 @@ def stats_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = li.crossJoin(F.broadcast(means))
     return j.agg(
         (
-            F.sum(F.abs(F.col("l_quantity") - F.col("mq")).cast("decimal(38,6)")).cast("double")
-            / F.count("l_quantity")
+            det.qsum(F.abs(F.col("l_quantity") - F.col("mq")), 6) / F.count("l_quantity")
         ).alias("l_quantity_mad"),
         (
-            F.sum(F.abs(F.col("l_discount") - F.col("md")).cast("decimal(38,9)")).cast("double")
-            / F.count("l_discount")
+            det.qsum(F.abs(F.col("l_discount") - F.col("md")), 9) / F.count("l_discount")
         ).alias("l_discount_mad"),
     )
 
@@ -598,13 +601,15 @@ def groupby_agg_spec(spark: SparkSession, sf_dir: str) -> DataFrame:
     "groupby_transform_zscore",
     """
 SELECT o_orderkey,
-  ROUND((o_totalprice - CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) OVER w AS DOUBLE)/COUNT(o_totalprice) OVER w)
-    / SQRT((CAST(SUM(CAST(o_totalprice*o_totalprice AS DECIMAL(38,4))) OVER w AS DOUBLE)
-            - POW(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) OVER w AS DOUBLE),2)/COUNT(o_totalprice) OVER w)
-           /(COUNT(o_totalprice) OVER w - 1)), 6) AS z
+  ROUND((o_totalprice - {s1}/COUNT(o_totalprice) OVER w)
+    / SQRT(({s2} - {s1}*{s1}/CAST(COUNT(o_totalprice) OVER w AS DOUBLE))
+           /(CAST(COUNT(o_totalprice) OVER w AS DOUBLE) - 1)), 6) AS z
 FROM orders
 WINDOW w AS (PARTITION BY o_orderpriority)
-""",
+""".format(
+        s1=det.wqsum_sql("o_totalprice", "OVER w", 6),
+        s2=det.wqsum_sql("(o_totalprice*o_totalprice)", "OVER w", 4),
+    ),
 )
 def groupby_transform_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")

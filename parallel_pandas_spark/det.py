@@ -5,11 +5,12 @@ Problem: ``SUM(double)`` depends on partial-aggregate merge order, which
 changes with partitioning — a 100 TB job re-run on a different executor
 count produces last-ulp-different sums, and a reference engine (the DuckDB
 correctness oracle) differs too. Solution: aggregate in fixed-point —
-``SUM(CAST(x AS DECIMAL(38,s)))`` is exact and order-independent, and the
-per-row double→decimal rounding is reproducible in any engine (verified
-Spark↔DuckDB on the test data). Higher statistics (var/std/sem/skew/kurt/
-corr) are then *closed-form scalar functions of exact power sums*, so they
-are deterministic end to end.
+quantize each row with pure IEEE-754 double ops (bit-identical in every
+engine; see the power-sums section for why ``CAST(x AS DECIMAL)`` is NOT
+engine-portable for computed values), split into hi/lo 32-bit words, and
+accumulate the words as exact integer sums, which are order-independent.
+Higher statistics (var/std/sem/skew/kurt/corr) are then *closed-form scalar
+functions of exact power sums*, so they are deterministic end to end.
 
 Scale selection: the per-row cast is faithful while |x|·10^s < 2^53; pick
 ``s`` so the largest power of the column still fits (e.g. s=6 for
@@ -37,35 +38,97 @@ def _c(col: Column | str) -> Column:
 
 
 # --- power sums ------------------------------------------------------------
+# Per-row quantization must NOT go through CAST(double AS DECIMAL): Spark
+# rounds the double's shortest decimal representation (BigDecimal.valueOf)
+# while DuckDB rounds differently — for *computed* values (x², x³, a*b) the
+# two can land on adjacent grid points (e.g. 26168.39³ → …59 vs …60 at
+# scale 2). Instead quantize with pure IEEE-754 double ops, which every
+# engine executes bit-identically:
+#
+#     v  = x_pow·10^s + 0.5                (mul+add, identical everywhere)
+#     q  = v - (v % 1.0)                   (trunc; fmod is IEEE-exact)
+#     hi = trunc(q / 2^32); lo = q - hi·2^32   (both exact: /2^32 is a
+#                                           power-of-two scale; the final
+#                                           subtraction's exact result is a
+#                                           representable integer < 2^32)
+#
+# hi and lo are integer-valued doubles (|hi| < 2^63 for |q| < 2^95, |lo| <
+# 2^32), cast exactly to BIGINT, and accumulated as DECIMAL(38,0) /
+# HUGEINT — exact, order-independent sums. The final combine is again pure
+# double arithmetic on correctly-rounded int→double casts. Quantization is
+# *faithful* (≤0.5·10^-s error) while |x^p|·10^s < 2^53; beyond that it
+# degrades gracefully but stays engine-identical up to |x^p|·10^s < 2^90.
+
+
+_W = 4294967296.0  # 2^32
+
+
+def _trunc_d(v: Column) -> Column:
+    """Exact truncation of a double at any magnitude (fmod is IEEE-exact)."""
+    return v - (v % F.lit(1.0))
+
+
+def _qsplit(x: Column, scale: int) -> tuple[Column, Column]:
+    """Per-row engine-exact quantize of x·10^s into (hi, lo) long words."""
+    v = x * F.lit(float(10**scale)) + F.lit(0.5)
+    q = _trunc_d(v)
+    h = _trunc_d(q / F.lit(_W))
+    lo = q - h * F.lit(_W)
+    return h.cast("long"), lo.cast("long")
+
+
+def _qsplit_sql(x: str, scale: int) -> tuple[str, str]:
+    ten = repr(float(10**scale))
+    v = f"(CAST({x} AS DOUBLE)*{ten} + 0.5)"
+    q = f"({v} - ({v} % 1.0))"
+    h = f"(({q}/{_W!r}) - (({q}/{_W!r}) % 1.0))"
+    lo = f"({q} - {h}*{_W!r})"
+    return f"CAST({h} AS BIGINT)", f"CAST({lo} AS BIGINT)"
+
+
+def qsum(x: Column, scale: int) -> Column:
+    """Engine-exact sum of round(x·10^s)/10^s over rows, as DOUBLE.
+
+    Use for any *computed* expression (products, differences, powers) —
+    unlike ``SUM(CAST(expr AS DECIMAL))`` the result is bit-identical
+    across Spark/DuckDB and across partitionings.
+    """
+    hi, lo = _qsplit(x, scale)
+    shi = F.sum(hi.cast("decimal(38,0)")).cast("double")
+    slo = F.sum(lo.cast("decimal(38,0)")).cast("double")
+    return (shi * F.lit(_W) + slo) / F.lit(float(10**scale))
+
+
+def qsum_sql(x: str, scale: int) -> str:
+    ten = repr(float(10**scale))
+    hi, lo = _qsplit_sql(x, scale)
+    shi = f"CAST(SUM({hi}) AS DOUBLE)"
+    slo = f"CAST(SUM({lo}) AS DOUBLE)"
+    return f"(({shi}*{_W!r} + {slo}) / {ten})"
 
 
 def psum(col, power: int = 1, scale: int = 6) -> Column:
-    """Exact decimal sum of x^power, returned as DOUBLE."""
+    """Exact order-independent sum of x^power, returned as DOUBLE."""
     c = _c(col).cast("double")
     x = c
     for _ in range(power - 1):
         x = x * c
-    return F.sum(x.cast(f"decimal(38,{scale})")).cast("double")
+    return qsum(x, scale)
 
 
 def psum_sql(col: str, power: int = 1, scale: int = 6) -> str:
     c = f"CAST({col} AS DOUBLE)"
     x = c if power == 1 else "(" + "*".join([c] * power) + ")"
-    return f"CAST(SUM(CAST({x} AS DECIMAL(38,{scale}))) AS DOUBLE)"
+    return qsum_sql(x, scale)
 
 
 def cross_sum(a, b, scale: int = 6) -> Column:
-    """Exact decimal sum of a*b (for covariances/correlations)."""
-    return F.sum((_c(a).cast("double") * _c(b).cast("double")).cast(f"decimal(38,{scale})")).cast(
-        "double"
-    )
+    """Exact order-independent sum of a*b (for covariances/correlations)."""
+    return qsum(_c(a).cast("double") * _c(b).cast("double"), scale)
 
 
 def cross_sum_sql(a: str, b: str, scale: int = 6) -> str:
-    return (
-        f"CAST(SUM(CAST(CAST({a} AS DOUBLE)*CAST({b} AS DOUBLE)"
-        f" AS DECIMAL(38,{scale}))) AS DOUBLE)"
-    )
+    return qsum_sql(f"(CAST({a} AS DOUBLE)*CAST({b} AS DOUBLE))", scale)
 
 
 # --- scaled-long fast path --------------------------------------------------
@@ -234,9 +297,26 @@ def dcorr_sql(a: str, b: str, scale_a: int = 6, scale_b: int = 6, scale_ab: int 
 # --- windowed (per-group) deterministic expressions -------------------------
 
 
+def wqsum(x: Column, window, scale: int = 6) -> Column:
+    """Engine-exact windowed sum of round(x·10^s)/10^s (hi/lo split)."""
+    hi, lo = _qsplit(x, scale)
+    shi = F.sum(hi.cast("decimal(38,0)")).over(window).cast("double")
+    slo = F.sum(lo.cast("decimal(38,0)")).over(window).cast("double")
+    return (shi * F.lit(_W) + slo) / F.lit(float(10**scale))
+
+
+def wqsum_sql(x: str, over: str, scale: int = 6) -> str:
+    """SQL twin of :func:`wqsum`; ``over`` is e.g. ``"OVER w"``."""
+    ten = repr(float(10**scale))
+    hi, lo = _qsplit_sql(x, scale)
+    shi = f"CAST(SUM({hi}) {over} AS DOUBLE)"
+    slo = f"CAST(SUM({lo}) {over} AS DOUBLE)"
+    return f"(({shi}*{_W!r} + {slo}) / {ten})"
+
+
 def wsum(col, window, scale: int = 6) -> Column:
-    """Deterministic windowed sum: decimal aggregation over the frame."""
-    return F.sum(_c(col).cast(f"decimal(38,{scale})")).over(window).cast("double")
+    """Deterministic windowed sum (engine-exact hi/lo quantized)."""
+    return wqsum(_c(col).cast("double"), window, scale)
 
 
 def wmean(col, window, scale: int = 6) -> Column:
@@ -247,5 +327,5 @@ def wstd(col, window, scale: int = 6, sq_scale: int = 4, ddof: int = 1) -> Colum
     c = _c(col).cast("double")
     n = F.count(_c(col)).over(window).cast("double")
     s1 = wsum(col, window, scale)
-    s2 = F.sum((c * c).cast(f"decimal(38,{sq_scale})")).over(window).cast("double")
+    s2 = wqsum(c * c, window, sq_scale)
     return F.sqrt((s2 - s1 * s1 / n) / (n - ddof))

@@ -62,6 +62,35 @@ def test_fsum_dvar_twins_bit_exact(spark, xs):
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(_vals)
+def test_kurt_cross_twins_bit_exact(spark, xs):
+    """x⁴·10² reaches ~1e22 ≫ 2^53 — exercises the hi/lo split path where
+    the old CAST(…AS DECIMAL) scheme drifted between engines."""
+    pdf = pd.DataFrame({"x": xs, "y": list(reversed(xs))})
+    if pdf["x"].nunique() < 4:
+        return
+    sdf = from_pandas(spark, pdf)
+    got = sdf.agg(
+        det.dkurt("x", 2).alias("ku"),
+        det.cross_sum("x", "y", 2).alias("xy"),
+        det.dcorr("x", "y", 2, 2, 2).alias("r"),
+    ).collect()[0]
+    con = duckdb.connect()
+    con.register("t", pdf)
+    want = con.execute(
+        f"SELECT {det.dkurt_sql('x', 2)} AS ku, {det.cross_sum_sql('x', 'y', 2)} AS xy, "
+        f"{det.dcorr_sql('x', 'y', 2, 2, 2)} AS r FROM t"
+    ).fetchone()
+    con.close()
+    for g, w in zip(got, want):
+        assert g == w or (g != g and w != w)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(_vals)
 def test_skew_twin_bit_exact(spark, xs):
     pdf = pd.DataFrame({"x": xs})
     if pdf["x"].nunique() < 3:
