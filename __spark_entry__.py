@@ -24,6 +24,7 @@ from parallel_pandas_spark.operators import (
     elementwise,
     grouped,
     joins,
+    kendall,
     multimodal,
     ordered,
     reductions,
@@ -528,6 +529,50 @@ def kendall_tau_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     has no kendall aggregate and the statistic has no SQL closed form."""
     li = load_table(spark, sf_dir, "lineitem")
     return reductions.kendall_tau(li, "l_quantity", "l_discount", sample_mod=4)
+
+
+# DuckDB has no kendall aggregate, but τ-b IS oracle-checkable on a subset
+# small enough for the O(n²) pair join — the distributed algorithm's exact
+# integer counts (n, discordant pairs d) and the closed-form tau must
+# hash-match the quadratic reference bit-for-bit.
+_KENDALL_EXACT_ORACLE = """
+WITH t AS (
+  SELECT CAST(o_totalprice AS DOUBLE) AS x,
+         CAST(EXTRACT(year FROM o_orderdate) AS DOUBLE) AS y
+  FROM orders WHERE o_orderpriority = '1-URGENT'
+),
+pairs AS (
+  SELECT SUM(CASE WHEN (a.x<b.x AND a.y<b.y) OR (a.x>b.x AND a.y>b.y) THEN 1 ELSE 0 END) AS conc2,
+         SUM(CASE WHEN (a.x<b.x AND a.y>b.y) OR (a.x>b.x AND a.y<b.y) THEN 1 ELSE 0 END) AS disc2
+  FROM t a, t b
+),
+nn AS (SELECT COUNT(*) AS n FROM t),
+tx AS (SELECT COALESCE(SUM(c*(c-1)),0)//2 AS n1 FROM (SELECT COUNT(*) AS c FROM t GROUP BY x)),
+ty AS (SELECT COALESCE(SUM(c*(c-1)),0)//2 AS n2 FROM (SELECT COUNT(*) AS c FROM t GROUP BY y))
+SELECT nn.n AS n,
+       CAST(disc2//2 AS BIGINT) AS d,
+       CAST((conc2 - disc2)//2 AS DOUBLE)
+         / SQRT(CAST(nn.n*(nn.n-1)//2 - tx.n1 AS DOUBLE)
+                * CAST(nn.n*(nn.n-1)//2 - ty.n2 AS DOUBLE)) AS tau
+FROM pairs, nn, tx, ty
+"""
+
+
+@_q("kendall_tau_exact", _KENDALL_EXACT_ORACLE)
+def kendall_tau_exact_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distributed Kendall τ-b (operators/kendall.py): tie counts from
+    one groupBy pass; discordant pairs = strict y-inversions of the
+    (x,y)-sorted sequence, decomposed into per-partition merge-counts,
+    a P×B histogram-grid window pass, and per-bucket weighted multiset
+    counts — no O(n²) anywhere, no driver collect. The reference computes
+    the same statistic with a single-machine numba kernel
+    (/root/reference/parallel_pandas/_numba.py:7-158)."""
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderpriority") == "1-URGENT")
+    d = o.select(
+        F.col("o_totalprice").cast("double").alias("x"),
+        F.year("o_orderdate").cast("double").alias("y"),
+    )
+    return kendall.kendall_tau_exact(d, "x", "y", num_buckets=64)
 
 
 @_q(

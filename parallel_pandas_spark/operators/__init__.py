@@ -3,6 +3,7 @@ from . import (  # noqa: F401
     elementwise,
     grouped,
     joins,
+    kendall,
     multimodal,
     ordered,
     reductions,
