@@ -2431,11 +2431,23 @@ def weighted_rolling_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_q("rolling_apply_udf")  # rows-only: arbitrary Python callable per frame
+@_q(
+    "rolling_apply_udf",
+    """
+SELECT l_orderkey, l_linenumber,
+  ROUND(CASE WHEN COUNT(l_quantity) OVER w >= 5
+        THEN MAX(l_quantity) OVER w - MIN(l_quantity) OVER w END, 6) AS roll_range
+FROM lineitem
+WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_orderkey, l_linenumber, l_quantity
+             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+""",
+)
 def rolling_apply_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """rolling.apply(raw=True) with an arbitrary UDF (reference
-    parallel_window.py:140-203) — Arrow applyInPandas per group; rows-only
-    check (the callable is not SQL-expressible in general)."""
+    parallel_window.py:140-203) — Arrow applyInPandas per group. The demo
+    callable (range = max-min) is deliberately SQL-expressible so the
+    Python-UDF plumbing gets a full value-checked oracle row; arbitrary
+    callables take the same code path."""
     import numpy as np
 
     li = load_table(spark, sf_dir, "lineitem")
