@@ -1,0 +1,81 @@
+"""Physical-plan shape assertions for the registered headline queries.
+
+Correctness rows prove the VALUES; these prove the PLAN is the one that
+survives a 100x scale-up: filters pushed to the parquet scan, scans pruned
+to the projected columns, small sides broadcast (never sort-merge), window
+queries partitioned (never `Exchange SinglePartition`, the single-task-sort
+scale killer), and no more shuffles than the operator inherently needs.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as em
+from parallel_pandas_spark.plans import explain
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def qs():
+    return em.queries()
+
+
+def _txt(df):
+    return explain.explain_str(df)
+
+
+def test_q1_pushdown_pruning_single_shuffle(spark, qs):
+    df = qs["q1_pricing_summary"](spark, SF)
+    pushed = explain.pushed_filters(df)
+    assert any("l_shipdate" in p for p in pushed), pushed
+    # 7 of lineitem's 16 columns: quantity/extendedprice/discount/tax/
+    # returnflag/linestatus/shipdate
+    assert len(explain.read_schema_columns(df)) <= 7
+    txt = _txt(df)
+    assert txt.count("Exchange (") == 1, txt  # partial+final agg, one shuffle
+
+
+def test_merge_broadcasts_small_side(spark, qs):
+    df = qs["merge_inner"](spark, SF)
+    assert explain.has_broadcast_join(df)
+    assert not explain.has_sort_merge_join(df)
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "rolling_mean_sum",
+        "cumulative_scan",
+        "rank_methods",
+        "top3_orders_per_priority",
+        "groupby_transform_zscore",
+    ],
+)
+def test_window_queries_are_partitioned_single_shuffle(spark, qs, name):
+    df = qs[name](spark, SF)
+    txt = _txt(df)
+    assert "Exchange SinglePartition" not in txt, f"{name} funnels all rows through one task"
+    assert txt.count("Exchange (") == 1, f"{name} shuffles more than once:\n{txt}"
+
+
+@pytest.mark.parametrize(
+    "name,max_exchanges",
+    [
+        ("zscore_normalize", 2),  # moments agg + broadcast-back
+        ("stats_mad", 3),  # means agg + broadcast + final agg
+        ("cosine_topk", 2),  # broadcast queries + per-id top-k
+    ],
+)
+def test_shuffle_budget(spark, qs, name, max_exchanges):
+    df = qs[name](spark, SF)
+    txt = _txt(df)
+    assert txt.count("Exchange (") <= max_exchanges, txt
+
+
+def test_projection_prunes_scan(spark, qs):
+    # rank_methods projects 3 working columns + order key; the parquet scan
+    # must not read all 16 lineitem columns
+    df = qs["rank_methods"](spark, SF)
+    assert len(explain.read_schema_columns(df)) <= 5
