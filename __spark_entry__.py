@@ -32,7 +32,7 @@ from parallel_pandas_spark.operators import (
     text,
     windows,
 )
-from parallel_pandas_spark.sources import load_table
+from parallel_pandas_spark.sources import load_table, read_csv, read_json
 from parallel_pandas_spark.streaming import events as streaming_events
 
 SF0001 = "/root/testdata/sf0.001"
@@ -2461,6 +2461,38 @@ def rolling_apply_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         out_col="roll_range",
     )
     return r.select("l_orderkey", "l_linenumber", F.round("roll_range", 6).alias("roll_range"))
+
+
+@_q(
+    "csv_json_roundtrip",
+    """
+SELECT n_regionkey,
+  COUNT(*) AS n,
+  CAST(SUM(n_nationkey) AS BIGINT) AS key_sum,
+  MIN(n_name) AS first_name, MAX(n_name) AS last_name
+FROM (SELECT * FROM nation UNION ALL SELECT * FROM nation)
+GROUP BY n_regionkey
+""",
+)
+def csv_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.1 non-parquet sources/sinks: write ``nation`` out as CSV and as
+    JSON (sources/loaders.py:71-90), read both back with the explicit
+    schema, union, aggregate. The oracle reads the original parquet
+    doubled — a value mismatch means the sink or scan corrupted data."""
+    n = load_table(spark, sf_dir, "nation")
+    base = "/root/repo/.tmp_io"
+    csv_p, json_p = base + "/nation_csv", base + "/nation_json"
+    n.write.mode("overwrite").option("header", True).csv(csv_p)
+    n.write.mode("overwrite").json(json_p)
+    back = read_csv(spark, csv_p, schema=n.schema).unionByName(
+        read_json(spark, json_p, schema=n.schema)
+    )
+    return back.groupBy("n_regionkey").agg(
+        F.count("*").alias("n"),
+        F.sum("n_nationkey").cast("long").alias("key_sum"),
+        F.min("n_name").alias("first_name"),
+        F.max("n_name").alias("last_name"),
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
