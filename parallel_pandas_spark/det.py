@@ -46,11 +46,14 @@ def _c(col: Column | str) -> Column:
 # engine executes bit-identically:
 #
 #     v  = x_pow·10^s + 0.5                (mul+add, identical everywhere)
-#     q  = v - (v % 1.0)                   (trunc; fmod is IEEE-exact)
-#     hi = trunc(q / 2^32); lo = q - hi·2^32   (both exact: /2^32 is a
-#                                           power-of-two scale; the final
-#                                           subtraction's exact result is a
-#                                           representable integer < 2^32)
+#     q  = floor(v)                        (exact floor via fmod + sign fix;
+#                                           floor — NOT trunc — so negative
+#                                           values round half-up like lsum's
+#                                           floor(x·10^s + 0.5) path)
+#     hi = floor(q / 2^32); lo = q - hi·2^32   (both exact: /2^32 is a
+#                                           power-of-two scale; floor keeps
+#                                           lo in [0, 2^32), a representable
+#                                           integer)
 #
 # hi and lo are integer-valued doubles (|hi| < 2^63 for |q| < 2^95, |lo| <
 # 2^32), cast exactly to BIGINT, and accumulated as DECIMAL(38,0) /
@@ -63,16 +66,36 @@ def _c(col: Column | str) -> Column:
 _W = 4294967296.0  # 2^32
 
 
-def _trunc_d(v: Column) -> Column:
-    """Exact truncation of a double at any magnitude (fmod is IEEE-exact)."""
-    return v - (v % F.lit(1.0))
+def _floor_d(v: Column) -> Column:
+    """Exact floor of a double at any magnitude (fmod is IEEE-exact).
+
+    ``v - v % 1.0`` truncates toward zero; subtract 1 when the remainder is
+    negative to get the true floor (toward -inf). Spark's ``F.floor`` is NOT
+    usable here: it casts to LONG and overflows beyond 2^63, while this stays
+    exact to 2^95. (fmod(-2.0, 1.0) = -0.0, and -0.0 < 0 is false, so exact
+    negative integers pass through unchanged.)
+    """
+    r = v % F.lit(1.0)
+    t = v - r
+    return F.when(r < F.lit(0.0), t - F.lit(1.0)).otherwise(t)
+
+
+def _floor_d_sql(v: str) -> str:
+    r = f"({v} % 1.0)"
+    t = f"({v} - {r})"
+    return f"(CASE WHEN {r} < 0.0 THEN {t} - 1.0 ELSE {t} END)"
 
 
 def _qsplit(x: Column, scale: int) -> tuple[Column, Column]:
-    """Per-row engine-exact quantize of x·10^s into (hi, lo) long words."""
+    """Per-row engine-exact quantize of x·10^s into (hi, lo) long words.
+
+    floor (not trunc) in both places: q = floor(x·10^s + 0.5) matches the
+    round-half-up semantics of :func:`lsum` for negative values, and
+    hi = floor(q/2^32) keeps lo in [0, 2^32).
+    """
     v = x * F.lit(float(10**scale)) + F.lit(0.5)
-    q = _trunc_d(v)
-    h = _trunc_d(q / F.lit(_W))
+    q = _floor_d(v)
+    h = _floor_d(q / F.lit(_W))
     lo = q - h * F.lit(_W)
     return h.cast("long"), lo.cast("long")
 
@@ -80,8 +103,8 @@ def _qsplit(x: Column, scale: int) -> tuple[Column, Column]:
 def _qsplit_sql(x: str, scale: int) -> tuple[str, str]:
     ten = repr(float(10**scale))
     v = f"(CAST({x} AS DOUBLE)*{ten} + 0.5)"
-    q = f"({v} - ({v} % 1.0))"
-    h = f"(({q}/{_W!r}) - (({q}/{_W!r}) % 1.0))"
+    q = _floor_d_sql(v)
+    h = _floor_d_sql(f"({q}/{_W!r})")
     lo = f"({q} - {h}*{_W!r})"
     return f"CAST({h} AS BIGINT)", f"CAST({lo} AS BIGINT)"
 

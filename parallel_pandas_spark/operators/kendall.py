@@ -150,11 +150,19 @@ def kendall_tau_exact(
         )
 
     # ---- global (x, y) order, P contiguous range partitions ----
+    # Stage 1 (mapInPandas stats) and stage 3 (collapsed groupBy) both read
+    # this frame. repartitionByRange SAMPLES its boundaries, so two separate
+    # evaluations of the subtree could disagree on pid assignment and
+    # double-count/miss pairs; correctness must not hinge on Catalyst's
+    # exchange-reuse rule firing. localCheckpoint(eager) materializes the
+    # partitions ONCE — every consumer reads the same physical rows — and the
+    # blocks are reference-cleaned when the plan is GC'd.
     r = (
         d.repartitionByRange(P, "x", "y")
         .sortWithinPartitions("x", "y")
         .withColumn("pid", F.spark_partition_id())
         .withColumn("bkt", _bucket("y"))
+        .localCheckpoint(eager=True)
     )
 
     # ---- stage 1: per-partition local inversions + per-bucket histogram ----

@@ -317,6 +317,13 @@ def kendall_tau(
     reproducible on any cluster layout, unlike an unordered ``limit``),
     computed EXECUTOR-side in one grouped Arrow batch, never collected to
     the driver. Returns a 1-row DataFrame (tau double).
+
+    Size ``sample_mod`` so the surviving sample fits one executor's memory —
+    the single applyInPandas group materializes it as one pandas frame
+    (~16 B/row for two float64 cols, so ~1e7 rows ≈ 160 MB is a sane cap).
+    ``max_rows`` is a last-resort guard: if the sample still exceeds it, the
+    group is value-sorted and stride-thinned deterministically. For the
+    fully-distributed exact statistic use :func:`kendall.kendall_tau_exact`.
     """
     import numpy as np
     import pandas as pd
@@ -329,6 +336,11 @@ def kendall_tau(
 
     def _tau(pdf: pd.DataFrame) -> pd.DataFrame:
         if len(pdf) > max_rows:  # hard memory bound for the O(n²) kernel
+            # Arrival order inside the group is shuffle-nondeterministic, so
+            # sort by value before stride-thinning: the same rows survive the
+            # cap on any cluster layout. (tau itself is order-invariant, so
+            # the sort only matters when the cap triggers.)
+            pdf = pdf.sort_values([col_a, col_b], kind="mergesort")
             pdf = pdf.iloc[:: (len(pdf) // max_rows) + 1]
         x = pdf[col_a].to_numpy(dtype=np.float64)
         y = pdf[col_b].to_numpy(dtype=np.float64)

@@ -87,10 +87,11 @@ def stream_events(spark: SparkSession, path_dir: str, max_files: int = 1) -> Dat
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     if path_dir.endswith(".parquet"):
         # Spark's file stream source needs a directory or a glob — turn a
-        # literal file path into the narrowest glob matching it
-        path_dir = path_dir[: path_dir.rfind("/")] + "/" + "[e]" + path_dir[
-            path_dir.rfind("/") + 2 :
-        ]
+        # literal file path into the narrowest glob matching it by escaping
+        # the filename's own first character as a character class
+        slash = path_dir.rfind("/")
+        fname = path_dir[slash + 1 :]
+        path_dir = path_dir[: slash + 1] + "[" + fname[0] + "]" + fname[1:]
     raw = (
         spark.readStream.schema(EVENTS_RAW_SCHEMA)
         .option("maxFilesPerTrigger", max_files)

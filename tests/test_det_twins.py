@@ -54,3 +54,35 @@ def test_twin_bit_exact(spark, sf_dir, case):
         f"ulp-drift={abs(spark_val - duck_val) if spark_val and duck_val else '?'}"
     )
     assert math.isfinite(spark_val)
+
+
+def test_qsplit_negative_values_ground_truth(spark):
+    """Regression (r2 ADVICE, det.py): _qsplit truncated toward zero, so the
+    +0.5 offset mis-rounded negatives by up to 1.5*10^-s (x*10^s=-2.4 -> -1;
+    even the grid point -2.0 -> -1). Both twins erred identically, so only a
+    ground-truth check catches it: qsum must equal the exact Python
+    floor(x*10^s + 0.5) sum, and match the floor-based lsum/fsum path."""
+    import math as m
+
+    import pandas as pd
+
+    from parallel_pandas_spark.sources import from_pandas
+
+    xs = [-2.4, -2.0, -2.5, -0.004, -123.456, 0.0, 2.4, 2.5, 7.125, -7.125]
+    scale = 2
+    exact = sum(m.floor(x * 10**scale + 0.5) for x in xs) / 10**scale
+    sdf = from_pandas(spark, pd.DataFrame({"x": xs}))
+    row = sdf.agg(
+        det.qsum(sdf["x"].cast("double"), scale).alias("q"),
+        det.fsum("x", scale).alias("f"),
+        det.dsum("x", scale).alias("d"),
+    ).collect()[0]
+    assert row["q"] == exact, f"qsum {row['q']!r} != exact {exact!r}"
+    assert row["f"] == exact
+    assert row["d"] == exact
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame({"x": xs}))
+    dq = con.execute(f"SELECT {det.qsum_sql('x', scale)} AS v FROM t").fetchone()[0]
+    df_ = con.execute(f"SELECT {det.fsum_sql('x', scale)} AS v FROM t").fetchone()[0]
+    con.close()
+    assert dq == exact and df_ == exact

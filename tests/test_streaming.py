@@ -61,3 +61,18 @@ def test_stateful_running_totals(spark):
     }
     assert got == want
     assert len(got) > 0
+
+
+def test_stream_events_glob_any_filename(spark, tmp_path):
+    """Regression (r2 ADVICE, events.py): the literal-file->glob rewrite
+    hard-coded the class "[e]", so any parquet not named e*.parquet matched
+    nothing and the stream silently yielded zero rows. The glob must escape
+    the file's OWN first character."""
+    import shutil
+
+    dst = tmp_path / "zz_events.parquet"
+    shutil.copyfile(f"{SF}/events.parquet", dst)
+    stream = se.stream_events(spark, str(dst))
+    agg = se.stream_tumbling_counts(stream, "1 day", "2 days")
+    live = se.run_stream_to_memory(spark, agg, "t_glob_any", mode="complete")
+    assert live.count() > 0
