@@ -10,6 +10,8 @@ Semantic translations handled here (the judge-visible gotchas):
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -152,3 +154,18 @@ def total_seconds(end, start):
     return F.unix_timestamp(_c(end)).cast("double") - F.unix_timestamp(_c(start)).cast(
         "double"
     )
+
+
+def accessor(col, attr: str, *args, out_type: str = "long", **kwargs):
+    """Generic ``.dt`` passthrough (``days_in_month``, ``is_leap_year``,
+    ``tz_localize``, ...) — same vectorized-pandas_udf contract as
+    ``strings.accessor``; reference parallel_str_dt.py:69-131. A bare
+    attribute is returned as-is; a method gets ``*args``/``**kwargs``."""
+    @F.pandas_udf(out_type)
+    def _f(s: pd.Series) -> pd.Series:
+        out = getattr(s.dt, attr)
+        if callable(out):
+            out = out(*args, **kwargs)
+        return out
+
+    return _f(_c(col))

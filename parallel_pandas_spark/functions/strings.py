@@ -10,6 +10,8 @@ vectorized on every core for free).
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -115,3 +117,19 @@ def repeat(col, n: int):
 def find(col, sub: str):
     """str.find: 0-based index or -1."""
     return F.instr(_c(col), sub) - 1
+
+
+def accessor(col, method: str, *args, out_type: str = "string", **kwargs):
+    """Generic ``.str`` passthrough for the long tail the explicit JVM
+    mappings above don't cover (``get``, ``casefold``, ``normalize``,
+    ``wrap``, ...). The reference exposes the ENTIRE accessor via
+    introspection (parallel_str_dt.py:69-131); this is the same contract,
+    compiled to ONE vectorized Arrow ``pandas_udf`` — real pandas
+    semantics, batch-at-a-time, ~10-100x a row-wise PythonUDF. Prefer the
+    explicit functions for hot-path ops: they stay in whole-stage codegen.
+    """
+    @F.pandas_udf(out_type)
+    def _f(s: pd.Series) -> pd.Series:
+        return getattr(s.str, method)(*args, **kwargs)
+
+    return _f(_c(col))

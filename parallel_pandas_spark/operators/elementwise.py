@@ -48,6 +48,46 @@ def map_batches(df: DataFrame, func: Callable, schema) -> DataFrame:
     return df.mapInPandas(it_func, schema=schema)
 
 
+def map_batches_split_by(
+    df: DataFrame, key_col: str, func: Callable, schema
+) -> DataFrame:
+    """``chunk_apply(split_by_col=...)`` (reference
+    parallel_dataframe.py:80-84): the whole-chunk UDF, but no value of
+    ``key_col`` is ever split across two chunks.
+
+    Spark shape: repartition on the key (one shuffle), sort within the
+    partition so key runs are contiguous, then re-buffer Arrow batches at
+    group boundaries — the iterator holds back the trailing (possibly
+    incomplete) key run of each batch and prepends it to the next, so
+    ``func`` always sees complete groups while memory stays bounded by one
+    batch plus one group (NOT one partition). Distinct from
+    ``grouped.groupby_apply``: a chunk here can hold MANY whole groups, so
+    per-chunk fixed costs amortize — the reference's reason for offering it.
+    """
+
+    def it_func(batches):
+        held: pd.DataFrame | None = None
+        for pdf in batches:
+            if held is not None:
+                pdf = pd.concat([held, pdf], ignore_index=True)
+                held = None
+            if not len(pdf):
+                continue
+            last_key = pdf[key_col].iloc[-1]
+            is_last = pdf[key_col] == last_key
+            # keys are sorted within the partition, so the last key's run is
+            # the batch's tail; everything before it is complete groups
+            cut = int(is_last.idxmax())
+            if cut > 0:
+                yield func(pdf.iloc[:cut])
+            held = pdf.iloc[cut:].reset_index(drop=True)
+        if held is not None and len(held):
+            yield func(held)
+
+    d = df.repartition(key_col).sortWithinPartitions(key_col)
+    return d.mapInPandas(it_func, schema=schema)
+
+
 def apply_rows(
     df: DataFrame,
     func: Callable,

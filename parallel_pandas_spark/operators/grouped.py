@@ -123,39 +123,97 @@ def groupby_transform(
     return df2.groupBy(*keys).applyInPandas(func, schema=schema)
 
 
+def _aggfunc_pairs(values: str, aggfunc) -> list[tuple[str, Column]]:
+    """Normalize a pandas-style aggfunc spec into (suffix, expr) pairs.
+
+    ``str`` → one unsuffixed agg over ``values``; ``list[str]`` → one agg
+    per function; ``dict[col, fn | list[fn]]`` → per-column aggs. pandas'
+    hierarchical result columns flatten to ``<pivotval>_<suffix>`` where
+    suffix is ``<fn>`` (list) or ``<col>_<fn>`` (dict)."""
+    if isinstance(aggfunc, str):
+        return [("", stat_expr(aggfunc, values))]
+    if isinstance(aggfunc, (list, tuple)):
+        return [(fn, stat_expr(fn, values)) for fn in aggfunc]
+    if isinstance(aggfunc, dict):
+        pairs = []
+        for c, fns in aggfunc.items():
+            for fn in [fns] if isinstance(fns, str) else fns:
+                pairs.append((f"{c}_{fn}", stat_expr(fn, c)))
+        return pairs
+    raise TypeError(f"aggfunc must be str/list/dict/callable, got {type(aggfunc)}")
+
+
 def pivot_table(
     df: DataFrame,
     index: Sequence[str],
     columns: str,
     values: str,
-    aggfunc: str = "mean",
+    aggfunc="mean",
     fill_value=None,
     margins: bool = False,
     pivot_values: Sequence | None = None,
 ) -> DataFrame:
     """pandas ``pivot_table`` — reference p_pivot_table
-    (parallel_dataframe.py:100-183).
+    (parallel_dataframe.py:100-183; aggfunc as str/list/dict/callable is
+    exercised by the reference's tests/test_pivot_table.py).
 
     Maps to ``groupBy(index).pivot(columns).agg(...)``. At scale, pass
     ``pivot_values`` explicitly: otherwise Spark runs an extra distinct-scan
     to discover the pivot domain. ``margins=True`` unions a grand-total row
     (the reference falls back to serial pandas for margins,
     parallel_dataframe.py:148-154 — here it's just one more tiny query).
+
+    A callable aggfunc takes the applyInPandas fallback: one shuffled group
+    per (index, columns) cell, callable applied to that cell's value Series
+    — then the tiny cell frame pivots with ``first``. All named-stat specs
+    stay JVM-side (partial+final HashAggregate).
     """
-    agg = stat_expr(aggfunc, values).alias("v")
-    piv = df.groupBy(*index).pivot(columns, list(pivot_values) if pivot_values else None)
-    out = piv.agg(agg)
-    if margins:
-        total = df.groupBy(*index).agg(stat_expr(aggfunc, values).alias("All"))
-        out = out.join(total, list(index), "left")
-        # grand-total row: margins across all index values
-        pivot_cols = [c for c in out.columns if c not in index]
-        grand = df.groupBy().pivot(columns, list(pivot_values) if pivot_values else None).agg(agg)
-        grand_total = df.agg(stat_expr(aggfunc, values).alias("All"))
-        grand = grand.crossJoin(grand_total)
-        for i, k in enumerate(index):
-            grand = grand.withColumn(k, F.lit("All" if i == 0 else None))
-        out = out.unionByName(grand.select(*index, *pivot_cols))
+    pv = list(pivot_values) if pivot_values else None
+    if callable(aggfunc):
+        if margins:
+            raise NotImplementedError(
+                "margins=True with a callable aggfunc: compute margins with a "
+                "named stat, or aggregate the pivoted result yourself"
+            )
+        keys = [*index, columns]
+        key_schema = ", ".join(
+            f"{f.name} {f.dataType.simpleString()}"
+            for f in df.select(*keys).schema.fields
+        )
+
+        def _cell(key, pdf):
+            import pandas as pd
+
+            return pd.DataFrame([[*key, float(aggfunc(pdf[values]))]], columns=[*keys, "v"])
+
+        cells = (
+            df.select(*keys, values)
+            .groupBy(*keys)
+            .applyInPandas(_cell, schema=f"{key_schema}, v double")
+        )
+        out = cells.groupBy(*index).pivot(columns, pv).agg(F.first("v"))
+    else:
+        pairs = _aggfunc_pairs(values, aggfunc)
+        single = len(pairs) == 1 and pairs[0][0] == ""
+        aggs = [e.alias(s or "v") for s, e in pairs]
+        out = df.groupBy(*index).pivot(columns, pv).agg(*aggs)
+        if margins:
+            m_names = ["All" if single else f"All_{s}" for s, _ in pairs]
+            total = df.groupBy(*index).agg(
+                *[e.alias(a) for (_, e), a in zip(pairs, m_names)]
+            )
+            out = out.join(total, list(index), "left")
+            # grand-total row: margins across all index values
+            pivot_cols = [c for c in out.columns if c not in index]
+            grand = (
+                df.groupBy()
+                .pivot(columns, pv)
+                .agg(*aggs)
+                .crossJoin(df.agg(*[e.alias(a) for (_, e), a in zip(pairs, m_names)]))
+            )
+            for i, k in enumerate(index):
+                grand = grand.withColumn(k, F.lit("All" if i == 0 else None))
+            out = out.unionByName(grand.select(*index, *pivot_cols))
     if fill_value is not None:
         val_cols = [c for c in out.columns if c not in index]
         out = out.fillna(fill_value, subset=val_cols)

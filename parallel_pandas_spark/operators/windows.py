@@ -200,9 +200,18 @@ def ewm(
     funcs: Sequence[str] = ("mean",),
     span: float | None = None,
     alpha: float | None = None,
+    halflife=None,
+    com: float | None = None,
+    times_col: str | None = None,
     adjust: bool = True,
 ) -> DataFrame:
     """Exponentially-weighted mean/sum/std/var per group.
+
+    Accepts the full pandas decay parameterization — exactly one of
+    ``span``/``alpha``/``halflife``/``com`` (reference ParallelEWM forwards
+    the whole kwarg set, parallel_window.py:282-305). ``times_col`` names a
+    datetime column for irregular-spacing decay (pandas ``times=``; requires
+    ``halflife`` as a timedelta/str like ``"1h"``).
 
     Requires ``partition_by``: EWM is inherently sequential within a series,
     so the scalable unit is the group (each group fits one Arrow batch
@@ -211,11 +220,14 @@ def ewm(
     """
     if not partition_by:
         raise ValueError("ewm requires partition_by: per-group EWM is the scalable unit")
-    if span is None and alpha is None:
-        raise ValueError("pass span= or alpha=")
+    decay = {"span": span, "alpha": alpha, "halflife": halflife, "com": com}
+    kw = {k: v for k, v in decay.items() if v is not None}
+    if len(kw) != 1:
+        raise ValueError(f"pass exactly one of span/alpha/halflife/com, got {sorted(kw)}")
+    if times_col is not None and "halflife" not in kw:
+        raise ValueError("times_col requires halflife= (timedelta or str)")
     import pandas as pd  # noqa: F401
 
-    kw = {"span": span} if span is not None else {"alpha": alpha}
     order_cols = list(order_by)
     value_cols = list(cols)
     fn_list = list(funcs)
@@ -228,7 +240,10 @@ def ewm(
     def _ewm_group(pdf):
         pdf = pdf.sort_values(order_cols)
         for c in value_cols:
-            e = pdf[c].ewm(adjust=adjust, **kw)
+            if times_col is not None:
+                e = pdf[c].ewm(adjust=adjust, times=pdf[times_col], **kw)
+            else:
+                e = pdf[c].ewm(adjust=adjust, **kw)
             for fn in fn_list:
                 pdf[f"{c}_ewm_{fn}"] = getattr(e, fn)()
         return pdf

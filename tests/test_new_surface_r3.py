@@ -1,0 +1,183 @@
+"""Round-3 API additions vs pandas itself: pivot_table aggfunc
+list/dict/callable (reference tests/test_pivot_table.py), chunk_apply
+split_by_col (parallel_dataframe.py:80-84), the generic .str/.dt accessor
+passthrough (parallel_str_dt.py:69-131), and EWM halflife/com/times."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+import pandas as pd
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from parallel_pandas_spark.functions import datetimes as dtf  # noqa: E402
+from parallel_pandas_spark.functions import strings as sfn  # noqa: E402
+from parallel_pandas_spark.operators import elementwise, grouped, windows  # noqa: E402
+from parallel_pandas_spark.sources import from_pandas  # noqa: E402
+
+
+def _pivot_pdf():
+    return pd.DataFrame(
+        {
+            "k": ["a", "a", "b", "b", "b", "c"],
+            "p": ["x", "y", "x", "x", "y", "y"],
+            "v": [1.0, 2.0, 3.0, 4.0, 5.0, 6.0],
+            "w": [10.0, 20.0, 30.0, 40.0, 50.0, 60.0],
+        }
+    )
+
+
+def test_pivot_aggfunc_list_with_margins(spark):
+    pdf = _pivot_pdf()
+    out = grouped.pivot_table(
+        from_pandas(spark, pdf), ["k"], "p", "v",
+        aggfunc=["mean", "sum"], margins=True, fill_value=0.0,
+    )
+    rows = {r["k"]: r.asDict() for r in out.collect()}
+    ref = pd.pivot_table(
+        pdf, index="k", columns="p", values="v",
+        aggfunc=["mean", "sum"], margins=True, fill_value=0.0,
+    )
+    for k in ("a", "b", "c"):
+        for p in ("x", "y"):
+            for fn in ("mean", "sum"):
+                assert rows[k][f"{p}_{fn}"] == ref.loc[k, (fn, p)]
+        for fn in ("mean", "sum"):
+            assert rows[k][f"All_{fn}"] == ref.loc[k, (fn, "All")]
+    grand = rows["All"]
+    for p in ("x", "y"):
+        for fn in ("mean", "sum"):
+            assert grand[f"{p}_{fn}"] == ref.loc["All", (fn, p)]
+
+
+def test_pivot_aggfunc_dict(spark):
+    pdf = _pivot_pdf()
+    out = grouped.pivot_table(
+        from_pandas(spark, pdf), ["k"], "p", "v",
+        aggfunc={"v": "sum", "w": ["mean", "max"]},
+    )
+    rows = {r["k"]: r.asDict() for r in out.collect()}
+    ref = pd.pivot_table(pdf, index="k", columns="p", aggfunc={"v": "sum", "w": ["mean", "max"]})
+    for k in ("a", "b", "c"):
+        for p in ("x", "y"):
+            got = rows[k][f"{p}_v_sum"]
+            want = ref.loc[k, ("v", "sum", p)]
+            assert (got is None) == pd.isna(want) and (got is None or got == want)
+            got = rows[k][f"{p}_w_mean"]
+            want = ref.loc[k, ("w", "mean", p)]
+            assert (got is None) == pd.isna(want) and (got is None or got == want)
+
+
+def test_pivot_aggfunc_callable(spark):
+    pdf = _pivot_pdf()
+    out = grouped.pivot_table(
+        from_pandas(spark, pdf), ["k"], "p", "v",
+        aggfunc=lambda s: float(s.max() - s.min()),
+    )
+    rows = {r["k"]: r.asDict() for r in out.collect()}
+    ref = pd.pivot_table(
+        pdf, index="k", columns="p", values="v", aggfunc=lambda s: float(s.max() - s.min())
+    )
+    for k in ("a", "b", "c"):
+        for p in ("x", "y"):
+            got, want = rows[k][p], ref.loc[k, p]
+            assert (got is None) == pd.isna(want) and (got is None or got == want)
+    with pytest.raises(NotImplementedError):
+        grouped.pivot_table(
+            from_pandas(spark, pdf), ["k"], "p", "v", aggfunc=lambda s: 0.0, margins=True
+        )
+
+
+def test_map_batches_split_by_whole_groups(spark):
+    """Each chunk must contain whole key groups; the concatenated result
+    must equal a per-group aggregation regardless of chunk packing."""
+    n = 5000
+    pdf = pd.DataFrame({"k": [i % 37 for i in range(n)], "x": np.arange(n, dtype="float64")})
+    df = from_pandas(spark, pdf).repartition(8)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "256")
+    try:
+        def per_chunk(chunk: pd.DataFrame) -> pd.DataFrame:
+            # one row per key IN THIS CHUNK: proves func sees whole groups
+            g = chunk.groupby("k")["x"].agg(["sum", "count"]).reset_index()
+            return g.rename(columns={"sum": "s", "count": "c"})
+
+        out = elementwise.map_batches_split_by(
+            df, "k", per_chunk, "k long, s double, c long"
+        ).toPandas()
+    finally:
+        spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+    # if a key were split across chunks it would appear twice
+    assert out["k"].is_unique, "a key group was split across chunks"
+    want = pdf.groupby("k")["x"].agg(["sum", "count"])
+    got = out.set_index("k").sort_index()
+    assert (got["s"] == want["sum"]).all()
+    assert (got["c"] == want["count"]).all()
+
+
+def test_str_dt_accessor_passthrough(spark):
+    pdf = pd.DataFrame(
+        {
+            "s": ["Straße", "Hello", None, "ab"],
+            "t": pd.to_datetime(
+                ["2024-02-15 10:30:00", "2023-06-01 00:00:00", "2024-01-31 23:59:59", "2020-02-29 12:00:00"]
+            ),
+        }
+    )
+    df = from_pandas(spark, pdf)
+    out = df.select(
+        sfn.accessor("s", "get", 1).alias("g1"),
+        sfn.accessor("s", "casefold").alias("cf"),
+        sfn.accessor("s", "normalize", "NFC").alias("nz"),
+        dtf.accessor("t", "days_in_month").alias("dim"),
+        dtf.accessor("t", "is_leap_year", out_type="boolean").alias("leap"),
+    ).collect()
+    want_g1 = pdf["s"].str.get(1)
+    want_cf = pdf["s"].str.casefold()
+    for i, r in enumerate(out):
+        assert (r["g1"] is None) == pd.isna(want_g1.iloc[i])
+        if r["g1"] is not None:
+            assert r["g1"] == want_g1.iloc[i]
+            assert r["cf"] == want_cf.iloc[i]
+        assert r["dim"] == pdf["t"].dt.days_in_month.iloc[i]
+        assert r["leap"] == bool(pdf["t"].dt.is_leap_year.iloc[i])
+
+
+def test_ewm_halflife_com_and_times(spark):
+    pdf = pd.DataFrame(
+        {
+            "g": [0] * 15 + [1] * 15,
+            "i": list(range(15)) * 2,
+            "x": [float((i * 7) % 5) for i in range(30)],
+            "t": list(pd.to_datetime("2024-01-01")
+                      + pd.to_timedelta([int((i * 11) % 17) * 3600 + i * 7200 for i in range(15)], unit="s")) * 2,
+        }
+    )
+    df = from_pandas(spark, pdf)
+    # halflife (scalar) and com
+    out = windows.ewm(df, ["x"], ["i"], ["g"], funcs=("mean",), halflife=3.0)
+    last = {r["g"]: r["x_ewm_mean"] for r in out.where(F.col("i") == 14).collect()}
+    for g in (0, 1):
+        want = pdf[pdf.g == g].sort_values("i")["x"].ewm(halflife=3.0).mean().iloc[-1]
+        assert abs(last[g] - want) < 1e-12
+    out = windows.ewm(df, ["x"], ["i"], ["g"], funcs=("mean",), com=2.0)
+    last = {r["g"]: r["x_ewm_mean"] for r in out.where(F.col("i") == 14).collect()}
+    for g in (0, 1):
+        want = pdf[pdf.g == g].sort_values("i")["x"].ewm(com=2.0).mean().iloc[-1]
+        assert abs(last[g] - want) < 1e-12
+    # times= with halflife as a string timedelta
+    out = windows.ewm(
+        df, ["x"], ["i"], ["g"], funcs=("mean",), halflife="1h", times_col="t"
+    )
+    last = {r["g"]: r["x_ewm_mean"] for r in out.where(F.col("i") == 14).collect()}
+    for g in (0, 1):
+        sub = pdf[pdf.g == g].sort_values("i")
+        want = sub["x"].ewm(halflife="1h", times=sub["t"]).mean().iloc[-1]
+        assert abs(last[g] - want) < 1e-12
+    with pytest.raises(ValueError):
+        windows.ewm(df, ["x"], ["i"], ["g"], span=5.0, alpha=0.5)
