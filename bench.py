@@ -24,22 +24,24 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # family so per-round regressions anywhere are visible.
 HEADLINE = [
     "q1_pricing_summary",
-    "stats_central",
-    "stats_dispersion",
-    "stats_nunique",
+    "stats_battery",
     "zscore_normalize",
     "corr_pearson",
     "groupby_agg_spec",
     "groupby_transform_zscore",
     "groupby_apply_demean",
     "pivot_table_mean",
-    "rolling_mean_sum",
-    "cumulative_scan",
-    "merge_inner",
+    "pivot_aggfunc_battery",
+    "rolling_moments_battery",
+    "rolling_shapes_battery",
+    "ordered_battery",
+    "merge_battery",
+    "ewm_battery",
+    "chunk_split_by_col",
     "str_ops_battery",
     "minhash_dedup_pairs",
     "cosine_topk",
-    "text_profile",
+    "text_doc_battery",
     "tumbling_window_agg",
 ]
 

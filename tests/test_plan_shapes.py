@@ -19,7 +19,19 @@ SF = "/root/testdata/sf0.001"
 
 @pytest.fixture(scope="module")
 def qs():
-    return em.queries()
+    q = em.queries()
+
+    # component queries folded into registered batteries keep their module-
+    # level functions; plan assertions target the component plans directly
+    for name in (
+        "merge_inner",
+        "rolling_mean_sum",
+        "cumulative_scan",
+        "rank_methods",
+        "stats_mad",
+    ):
+        q.setdefault(name, getattr(em, name))
+    return q
 
 
 def _txt(df):
@@ -79,3 +91,19 @@ def test_projection_prunes_scan(spark, qs):
     # must not read all 16 lineitem columns
     df = qs["rank_methods"](spark, SF)
     assert len(explain.read_schema_columns(df)) <= 5
+
+
+def test_no_registered_plan_joins_on_raw_shingles(spark, qs):
+    """The standalone shingle self-join (dedup.ngram_jaccard_pairs) explodes
+    on non-selective shingles; the REGISTERED ngram query must be the
+    LSH-banded form whose join keys are (band, bucket-hash), with raw
+    shingles appearing only inside per-document signature computation —
+    never as a join/exchange key."""
+    df = qs["ngram_jaccard_pairs"](spark, SF)
+    txt = _txt(df)
+    assert "shingle" not in txt, txt
+    # and the unsafe primitive itself still exists, with the hazard local
+    unsafe = em.dedup.ngram_jaccard_pairs(
+        em.load_table(spark, SF, "documents"), "doc_id", "text", n=3, threshold=0.1
+    )
+    assert "shingle" in explain.explain_str(unsafe)
