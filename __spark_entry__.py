@@ -207,25 +207,25 @@ SELECT
   {v_d} AS l_discount_var, {s_d} AS l_discount_std
 FROM lineitem
 """.format(
-        v_qty=det.dvar_sql("l_quantity", 6, 6),
-        s_qty=det.dstd_sql("l_quantity", 6, 6),
-        e_qty=det.dsem_sql("l_quantity", 6, 6),
-        v_px=det.dvar_sql("l_extendedprice", 6, 4),
-        s_px=det.dstd_sql("l_extendedprice", 6, 4),
-        v_d=det.dvar_sql("l_discount", 9, 9),
-        s_d=det.dstd_sql("l_discount", 9, 9),
+        v_qty=det.dvar_sql("l_quantity", 6, 6, xmax=100.0),
+        s_qty=det.dstd_sql("l_quantity", 6, 6, xmax=100.0),
+        e_qty=det.dsem_sql("l_quantity", 6, 6, xmax=100.0),
+        v_px=det.dvar_sql("l_extendedprice", 6, 4, xmax=2e5),
+        s_px=det.dstd_sql("l_extendedprice", 6, 4, xmax=2e5),
+        v_d=det.dvar_sql("l_discount", 9, 9, xmax=1.0),
+        s_d=det.dstd_sql("l_discount", 9, 9, xmax=1.0),
     ),
 )
 def stats_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return li.agg(
-        det.dvar("l_quantity", 6, 6).alias("l_quantity_var"),
-        det.dstd("l_quantity", 6, 6).alias("l_quantity_std"),
-        det.dsem("l_quantity", 6, 6).alias("l_quantity_sem"),
-        det.dvar("l_extendedprice", 6, 4).alias("l_extendedprice_var"),
-        det.dstd("l_extendedprice", 6, 4).alias("l_extendedprice_std"),
-        det.dvar("l_discount", 9, 9).alias("l_discount_var"),
-        det.dstd("l_discount", 9, 9).alias("l_discount_std"),
+        det.dvar("l_quantity", 6, 6, xmax=100.0).alias("l_quantity_var"),
+        det.dstd("l_quantity", 6, 6, xmax=100.0).alias("l_quantity_std"),
+        det.dsem("l_quantity", 6, 6, xmax=100.0).alias("l_quantity_sem"),
+        det.dvar("l_extendedprice", 6, 4, xmax=2e5).alias("l_extendedprice_var"),
+        det.dstd("l_extendedprice", 6, 4, xmax=2e5).alias("l_extendedprice_std"),
+        det.dvar("l_discount", 9, 9, xmax=1.0).alias("l_discount_var"),
+        det.dstd("l_discount", 9, 9, xmax=1.0).alias("l_discount_std"),
     )
 
 
@@ -238,23 +238,23 @@ SELECT
   {sk_t} AS l_tax_skew, {ku_t} AS l_tax_kurt
 FROM lineitem
 """.format(
-        sk_q=det.dskew_sql("l_quantity", 6),
-        ku_q=det.dkurt_sql("l_quantity", 6),
-        sk_d=det.dskew_sql("l_discount", 12),
-        ku_d=det.dkurt_sql("l_discount", 12),
-        sk_t=det.dskew_sql("l_tax", 12),
-        ku_t=det.dkurt_sql("l_tax", 12),
+        sk_q=det.dskew_sql("l_quantity", 6, xmax=100.0),
+        ku_q=det.dkurt_sql("l_quantity", 6, xmax=100.0),
+        sk_d=det.dskew_sql("l_discount", 12, xmax=1.0),
+        ku_d=det.dkurt_sql("l_discount", 12, xmax=1.0),
+        sk_t=det.dskew_sql("l_tax", 12, xmax=1.0),
+        ku_t=det.dkurt_sql("l_tax", 12, xmax=1.0),
     ),
 )
 def stats_skew_kurt(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return li.agg(
-        det.dskew("l_quantity", 6).alias("l_quantity_skew"),
-        det.dkurt("l_quantity", 6).alias("l_quantity_kurt"),
-        det.dskew("l_discount", 12).alias("l_discount_skew"),
-        det.dkurt("l_discount", 12).alias("l_discount_kurt"),
-        det.dskew("l_tax", 12).alias("l_tax_skew"),
-        det.dkurt("l_tax", 12).alias("l_tax_kurt"),
+        det.dskew("l_quantity", 6, xmax=100.0).alias("l_quantity_skew"),
+        det.dkurt("l_quantity", 6, xmax=100.0).alias("l_quantity_kurt"),
+        det.dskew("l_discount", 12, xmax=1.0).alias("l_discount_skew"),
+        det.dkurt("l_discount", 12, xmax=1.0).alias("l_discount_kurt"),
+        det.dskew("l_tax", 12, xmax=1.0).alias("l_tax_skew"),
+        det.dkurt("l_tax", 12, xmax=1.0).alias("l_tax_kurt"),
     )
 
 
@@ -2691,36 +2691,30 @@ def ewm_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     sums (w_i = (1-alpha)^(n-i); var debiased by sw^2/(sw^2-sw2)), so the
     whole family gets a full value oracle. pandas' recursive form and the
     oracle's closed form agree to ~1e-12; ROUND(...,6) is the contract.
+    Both decay variants run in ONE grouped-map pass (windows.ewm_multi) —
+    pass-per-variant would re-shuffle the fact table and join to recombine.
     Reference ParallelEWM (parallel_window.py:282-305)."""
     ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
-    e5 = windows.ewm(
+    e = windows.ewm_multi(
         ev, ["value"], order_by=["ts", "event_id"], partition_by=["user_id"],
-        funcs=("mean", "std", "var", "sum"), span=5.0,
-    )
-    eh = windows.ewm(
-        ev, ["value"], order_by=["ts", "event_id"], partition_by=["user_id"],
-        funcs=("mean",), halflife=2.0,
+        specs=[
+            {"span": 5.0, "funcs": ("mean", "std", "var", "sum"), "suffix": ""},
+            {"halflife": 2.0, "funcs": ("mean",), "suffix": "_hl"},
+        ],
     )
     w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
-
-    def last(df, cols):
-        return (
-            df.withColumn("__rn", F.row_number().over(w))
-            .where(F.col("__rn") == 1)
-            .select("user_id", *cols)
-        )
-
-    l5 = last(
-        e5,
-        [
+    return (
+        e.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select(
+            "user_id",
             F.round("value_ewm_mean", 6).alias("ewm_mean"),
             F.round("value_ewm_std", 6).alias("ewm_std"),
             F.round("value_ewm_var", 6).alias("ewm_var"),
             F.round("value_ewm_sum", 6).alias("ewm_sum"),
-        ],
+            F.round("value_ewm_mean_hl", 6).alias("ewm_mean_hl"),
+        )
     )
-    lh = last(eh, [F.round("value_ewm_mean", 6).alias("ewm_mean_hl")])
-    return l5.join(lh, "user_id")
 
 
 _retire("ewm_mean_last", "ewm_std_var_last", "pivot_margins_fill")

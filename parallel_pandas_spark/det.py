@@ -7,8 +7,11 @@ count produces last-ulp-different sums, and a reference engine (the DuckDB
 correctness oracle) differs too. Solution: aggregate in fixed-point —
 quantize each row with pure IEEE-754 double ops (bit-identical in every
 engine; see the power-sums section for why ``CAST(x AS DECIMAL)`` is NOT
-engine-portable for computed values), split into hi/lo 32-bit words, and
-accumulate the words as exact integer sums, which are order-independent.
+engine-portable for computed values) and accumulate as exact integer sums,
+which are order-independent. Two paths: compact (default) quantizes
+straight into a LONG summed as DECIMAL(38,0) — valid while the caller
+declares ``|x|·10^s < 2^62`` — and ``wide=True`` splits the quantized
+value into hi/lo 32-bit words for magnitudes up to 2^90.
 Higher statistics (var/std/sem/skew/kurt/corr) are then *closed-form scalar
 functions of exact power sums*, so they are deterministic end to end.
 
@@ -109,49 +112,71 @@ def _qsplit_sql(x: str, scale: int) -> tuple[str, str]:
     return f"CAST({h} AS BIGINT)", f"CAST({lo} AS BIGINT)"
 
 
-def qsum(x: Column, scale: int) -> Column:
+def qsum(x: Column, scale: int, wide: bool = False) -> Column:
     """Engine-exact sum of round(x·10^s)/10^s over rows, as DOUBLE.
 
     Use for any *computed* expression (products, differences, powers) —
     unlike ``SUM(CAST(expr AS DECIMAL))`` the result is bit-identical
     across Spark/DuckDB and across partitionings.
+
+    Default (compact) path: the caller asserts ``|x|·10^s < 2^62``, so
+    ``floor(x·10^s + 0.5)`` is one exact IEEE multiply+floor landing in a
+    LONG, accumulated as DECIMAL(38,0) — exact for any row count, one agg
+    buffer, and a per-row expression of ~10 nodes instead of the ~700-node
+    hi/lo word split. (Column expressions are trees, not DAGs: the closed
+    forms in dskew/dkurt reference each power sum many times, so per-use
+    tree size multiplies into driver-side analysis seconds — measured 8 s
+    to *plan* a 3-column skew/kurt agg on the wide path.) Pass
+    ``wide=True`` for magnitudes up to 2^90, where the quantized value
+    itself exceeds LONG range and is split into exact hi/lo 32-bit words.
     """
-    hi, lo = _qsplit(x, scale)
-    shi = F.sum(hi.cast("decimal(38,0)")).cast("double")
-    slo = F.sum(lo.cast("decimal(38,0)")).cast("double")
-    return (shi * F.lit(_W) + slo) / F.lit(float(10**scale))
+    if wide:
+        hi, lo = _qsplit(x, scale)
+        shi = F.sum(hi.cast("decimal(38,0)")).cast("double")
+        slo = F.sum(lo.cast("decimal(38,0)")).cast("double")
+        return (shi * F.lit(_W) + slo) / F.lit(float(10**scale))
+    q = F.floor(x * F.lit(float(10**scale)) + F.lit(0.5))  # exact; LONG
+    return F.sum(q.cast("decimal(38,0)")).cast("double") / F.lit(float(10**scale))
 
 
-def qsum_sql(x: str, scale: int) -> str:
+def qsum_sql(x: str, scale: int, wide: bool = False) -> str:
     ten = repr(float(10**scale))
-    hi, lo = _qsplit_sql(x, scale)
-    shi = f"CAST(SUM({hi}) AS DOUBLE)"
-    slo = f"CAST(SUM({lo}) AS DOUBLE)"
-    return f"(({shi}*{_W!r} + {slo}) / {ten})"
+    if wide:
+        hi, lo = _qsplit_sql(x, scale)
+        shi = f"CAST(SUM({hi}) AS DOUBLE)"
+        slo = f"CAST(SUM({lo}) AS DOUBLE)"
+        return f"(({shi}*{_W!r} + {slo}) / {ten})"
+    q = f"CAST(FLOOR(CAST({x} AS DOUBLE)*{ten} + 0.5) AS BIGINT)"
+    return f"(CAST(SUM({q}) AS DOUBLE) / {ten})"
 
 
-def psum(col, power: int = 1, scale: int = 6) -> Column:
-    """Exact order-independent sum of x^power, returned as DOUBLE."""
+def psum(col, power: int = 1, scale: int = 6, wide: bool = False) -> Column:
+    """Exact order-independent sum of x^power, returned as DOUBLE.
+
+    Compact-path bound (default): ``max|x|^power · 10^scale < 2^62`` — the
+    callers pick ``scale`` from known column ranges already, so they own
+    the assertion; pass ``wide=True`` when the bound cannot be promised.
+    """
     c = _c(col).cast("double")
     x = c
     for _ in range(power - 1):
         x = x * c
-    return qsum(x, scale)
+    return qsum(x, scale, wide=wide)
 
 
-def psum_sql(col: str, power: int = 1, scale: int = 6) -> str:
+def psum_sql(col: str, power: int = 1, scale: int = 6, wide: bool = False) -> str:
     c = f"CAST({col} AS DOUBLE)"
     x = c if power == 1 else "(" + "*".join([c] * power) + ")"
-    return qsum_sql(x, scale)
+    return qsum_sql(x, scale, wide=wide)
 
 
-def cross_sum(a, b, scale: int = 6) -> Column:
+def cross_sum(a, b, scale: int = 6, wide: bool = False) -> Column:
     """Exact order-independent sum of a*b (for covariances/correlations)."""
-    return qsum(_c(a).cast("double") * _c(b).cast("double"), scale)
+    return qsum(_c(a).cast("double") * _c(b).cast("double"), scale, wide=wide)
 
 
-def cross_sum_sql(a: str, b: str, scale: int = 6) -> str:
-    return qsum_sql(f"(CAST({a} AS DOUBLE)*CAST({b} AS DOUBLE))", scale)
+def cross_sum_sql(a: str, b: str, scale: int = 6, wide: bool = False) -> str:
+    return qsum_sql(f"(CAST({a} AS DOUBLE)*CAST({b} AS DOUBLE))", scale, wide=wide)
 
 
 # --- scaled-long fast path --------------------------------------------------
@@ -207,48 +232,62 @@ def dmean_sql(col: str, scale: int = 6) -> str:
     return f"{psum_sql(col, 1, scale)} / COUNT({col})"
 
 
-def dvar(col, scale: int = 6, sq_scale: int = 4, ddof: int = 1) -> Column:
-    """Sample variance from exact power sums: (S2 - S1^2/n) / (n - ddof)."""
+def _wide_for(xmax: float | None, power: int, scale: int) -> bool:
+    """True when the compact scaled-long path cannot hold |x|^power·10^s.
+
+    ``xmax=None`` (unknown magnitude) always selects the wide hi/lo path —
+    correctness never depends on an undeclared bound."""
+    if xmax is None:
+        return True
+    return (abs(xmax) ** power) * (10**scale) >= float(2**62)
+
+
+def dvar(col, scale: int = 6, sq_scale: int = 4, ddof: int = 1, xmax: float | None = None) -> Column:
+    """Sample variance from exact power sums: (S2 - S1^2/n) / (n - ddof).
+
+    ``xmax`` declares max|x| so each power sum can take the compact
+    scaled-long path (see :func:`qsum`); omit it for the always-safe wide
+    path."""
     n = F.count(_c(col)).cast("double")
-    s1 = psum(col, 1, scale)
-    s2 = psum(col, 2, sq_scale)
+    s1 = psum(col, 1, scale, wide=_wide_for(xmax, 1, scale))
+    s2 = psum(col, 2, sq_scale, wide=_wide_for(xmax, 2, sq_scale))
     return (s2 - s1 * s1 / n) / (n - ddof)
 
 
-def dvar_sql(col: str, scale: int = 6, sq_scale: int = 4, ddof: int = 1) -> str:
-    s1 = psum_sql(col, 1, scale)
-    s2 = psum_sql(col, 2, sq_scale)
+def dvar_sql(col: str, scale: int = 6, sq_scale: int = 4, ddof: int = 1, xmax: float | None = None) -> str:
+    s1 = psum_sql(col, 1, scale, wide=_wide_for(xmax, 1, scale))
+    s2 = psum_sql(col, 2, sq_scale, wide=_wide_for(xmax, 2, sq_scale))
     n = f"CAST(COUNT({col}) AS DOUBLE)"
     return f"(({s2}) - ({s1})*({s1})/({n})) / (({n}) - {ddof})"
 
 
-def dstd(col, scale: int = 6, sq_scale: int = 4, ddof: int = 1) -> Column:
-    return F.sqrt(dvar(col, scale, sq_scale, ddof))
+def dstd(col, scale: int = 6, sq_scale: int = 4, ddof: int = 1, xmax: float | None = None) -> Column:
+    return F.sqrt(dvar(col, scale, sq_scale, ddof, xmax))
 
 
-def dstd_sql(col: str, scale: int = 6, sq_scale: int = 4, ddof: int = 1) -> str:
-    return f"SQRT({dvar_sql(col, scale, sq_scale, ddof)})"
+def dstd_sql(col: str, scale: int = 6, sq_scale: int = 4, ddof: int = 1, xmax: float | None = None) -> str:
+    return f"SQRT({dvar_sql(col, scale, sq_scale, ddof, xmax)})"
 
 
-def dsem(col, scale: int = 6, sq_scale: int = 4) -> Column:
+def dsem(col, scale: int = 6, sq_scale: int = 4, xmax: float | None = None) -> Column:
     """Standard error of the mean, ddof=1 (pandas default)."""
-    return F.sqrt(dvar(col, scale, sq_scale, 1) / F.count(_c(col)))
+    return F.sqrt(dvar(col, scale, sq_scale, 1, xmax) / F.count(_c(col)))
 
 
-def dsem_sql(col: str, scale: int = 6, sq_scale: int = 4) -> str:
-    return f"SQRT(({dvar_sql(col, scale, sq_scale, 1)}) / COUNT({col}))"
+def dsem_sql(col: str, scale: int = 6, sq_scale: int = 4, xmax: float | None = None) -> str:
+    return f"SQRT(({dvar_sql(col, scale, sq_scale, 1, xmax)}) / COUNT({col}))"
 
 
 # --- skew / kurt (pandas G1/G2 sample estimators) ---------------------------
 
 
-def dskew(col, scale: int = 6) -> Column:
+def dskew(col, scale: int = 6, xmax: float | None = None) -> Column:
     # NOTE: no POW anywhere — pow(x, 1.5) is not correctly-rounded and
     # JVM Math.pow vs DuckDB libm drift by an ulp value-dependently.
     # x^1.5 = x*sqrt(x): multiply and sqrt ARE exactly rounded (IEEE754),
     # so the twins are bit-identical across engines.
     n = F.count(_c(col)).cast("double")
-    s1, s2, s3 = (psum(col, p, scale) for p in (1, 2, 3))
+    s1, s2, s3 = (psum(col, p, scale, wide=_wide_for(xmax, p, scale)) for p in (1, 2, 3))
     m = s1 / n
     m2 = s2 / n - m * m
     m3 = s3 / n - 3 * m * s2 / n + 2 * m * m * m
@@ -256,8 +295,8 @@ def dskew(col, scale: int = 6) -> Column:
     return g1 * F.sqrt(n * (n - 1)) / (n - 2)
 
 
-def dskew_sql(col: str, scale: int = 6) -> str:
-    s1, s2, s3 = (psum_sql(col, p, scale) for p in (1, 2, 3))
+def dskew_sql(col: str, scale: int = 6, xmax: float | None = None) -> str:
+    s1, s2, s3 = (psum_sql(col, p, scale, wide=_wide_for(xmax, p, scale)) for p in (1, 2, 3))
     n = f"CAST(COUNT({col}) AS DOUBLE)"
     m = f"(({s1})/({n}))"
     m2 = f"(({s2})/({n}) - {m}*{m})"
@@ -266,9 +305,9 @@ def dskew_sql(col: str, scale: int = 6) -> str:
     return f"{g1} * SQRT(({n})*(({n})-1)) / (({n})-2)"
 
 
-def dkurt(col, scale: int = 6) -> Column:
+def dkurt(col, scale: int = 6, xmax: float | None = None) -> Column:
     n = F.count(_c(col)).cast("double")
-    s1, s2, s3, s4 = (psum(col, p, scale) for p in (1, 2, 3, 4))
+    s1, s2, s3, s4 = (psum(col, p, scale, wide=_wide_for(xmax, p, scale)) for p in (1, 2, 3, 4))
     m = s1 / n
     m2 = s2 / n - m * m
     # m^4 via explicit left-assoc multiplication (exactly rounded; POW is not)
@@ -277,8 +316,8 @@ def dkurt(col, scale: int = 6) -> Column:
     return ((n + 1) * g2 + 6) * (n - 1) / ((n - 2) * (n - 3))
 
 
-def dkurt_sql(col: str, scale: int = 6) -> str:
-    s1, s2, s3, s4 = (psum_sql(col, p, scale) for p in (1, 2, 3, 4))
+def dkurt_sql(col: str, scale: int = 6, xmax: float | None = None) -> str:
+    s1, s2, s3, s4 = (psum_sql(col, p, scale, wide=_wide_for(xmax, p, scale)) for p in (1, 2, 3, 4))
     n = f"CAST(COUNT({col}) AS DOUBLE)"
     m = f"(({s1})/({n}))"
     m2 = f"(({s2})/({n}) - {m}*{m})"
@@ -291,27 +330,35 @@ def dkurt_sql(col: str, scale: int = 6) -> str:
     return f"(((({n})+1)*{g2} + 6) * (({n})-1)) / (((({n})-2))*((({n})-3)))"
 
 
-def dcorr(a, b, scale_a: int = 6, scale_b: int = 6, scale_ab: int = 6) -> Column:
+def dcorr(
+    a, b, scale_a: int = 6, scale_b: int = 6, scale_ab: int = 6,
+    amax: float | None = None, bmax: float | None = None,
+) -> Column:
     """Pearson correlation from exact sums:
     (n·Sab − Sa·Sb) / sqrt((n·Saa − Sa²)(n·Sbb − Sb²))."""
     n = F.count(_c(a)).cast("double")
-    sa = psum(a, 1, scale_a)
-    sb = psum(b, 1, scale_b)
-    saa = psum(a, 2, max(scale_a - 2, 0))
-    sbb = psum(b, 2, max(scale_b - 2, 0))
-    sab = cross_sum(a, b, scale_ab)
+    abmax = None if (amax is None or bmax is None) else abs(amax) * abs(bmax)
+    sa = psum(a, 1, scale_a, wide=_wide_for(amax, 1, scale_a))
+    sb = psum(b, 1, scale_b, wide=_wide_for(bmax, 1, scale_b))
+    saa = psum(a, 2, max(scale_a - 2, 0), wide=_wide_for(amax, 2, max(scale_a - 2, 0)))
+    sbb = psum(b, 2, max(scale_b - 2, 0), wide=_wide_for(bmax, 2, max(scale_b - 2, 0)))
+    sab = cross_sum(a, b, scale_ab, wide=_wide_for(abmax, 1, scale_ab))
     num = n * sab - sa * sb
     den = F.sqrt((n * saa - sa * sa) * (n * sbb - sb * sb))
     return num / den
 
 
-def dcorr_sql(a: str, b: str, scale_a: int = 6, scale_b: int = 6, scale_ab: int = 6) -> str:
+def dcorr_sql(
+    a: str, b: str, scale_a: int = 6, scale_b: int = 6, scale_ab: int = 6,
+    amax: float | None = None, bmax: float | None = None,
+) -> str:
     n = f"CAST(COUNT({a}) AS DOUBLE)"
-    sa = psum_sql(a, 1, scale_a)
-    sb = psum_sql(b, 1, scale_b)
-    saa = psum_sql(a, 2, max(scale_a - 2, 0))
-    sbb = psum_sql(b, 2, max(scale_b - 2, 0))
-    sab = cross_sum_sql(a, b, scale_ab)
+    abmax = None if (amax is None or bmax is None) else abs(amax) * abs(bmax)
+    sa = psum_sql(a, 1, scale_a, wide=_wide_for(amax, 1, scale_a))
+    sb = psum_sql(b, 1, scale_b, wide=_wide_for(bmax, 1, scale_b))
+    saa = psum_sql(a, 2, max(scale_a - 2, 0), wide=_wide_for(amax, 2, max(scale_a - 2, 0)))
+    sbb = psum_sql(b, 2, max(scale_b - 2, 0), wide=_wide_for(bmax, 2, max(scale_b - 2, 0)))
+    sab = cross_sum_sql(a, b, scale_ab, wide=_wide_for(abmax, 1, scale_ab))
     num = f"(({n})*({sab}) - ({sa})*({sb}))"
     den = f"SQRT((({n})*({saa}) - ({sa})*({sa})) * (({n})*({sbb}) - ({sb})*({sb})))"
     return f"{num} / {den}"
@@ -320,21 +367,33 @@ def dcorr_sql(a: str, b: str, scale_a: int = 6, scale_b: int = 6, scale_ab: int 
 # --- windowed (per-group) deterministic expressions -------------------------
 
 
-def wqsum(x: Column, window, scale: int = 6) -> Column:
-    """Engine-exact windowed sum of round(x·10^s)/10^s (hi/lo split)."""
-    hi, lo = _qsplit(x, scale)
-    shi = F.sum(hi.cast("decimal(38,0)")).over(window).cast("double")
-    slo = F.sum(lo.cast("decimal(38,0)")).over(window).cast("double")
-    return (shi * F.lit(_W) + slo) / F.lit(float(10**scale))
+def wqsum(x: Column, window, scale: int = 6, wide: bool = False) -> Column:
+    """Engine-exact windowed sum of round(x·10^s)/10^s.
+
+    Same compact/wide split as :func:`qsum`; the integer accumulation also
+    sidesteps DuckDB's segment-tree double window sums, which are NOT
+    bit-identical to Spark's running doubles.
+    """
+    if wide:
+        hi, lo = _qsplit(x, scale)
+        shi = F.sum(hi.cast("decimal(38,0)")).over(window).cast("double")
+        slo = F.sum(lo.cast("decimal(38,0)")).over(window).cast("double")
+        return (shi * F.lit(_W) + slo) / F.lit(float(10**scale))
+    q = F.floor(x * F.lit(float(10**scale)) + F.lit(0.5))
+    s = F.sum(q.cast("decimal(38,0)")).over(window).cast("double")
+    return s / F.lit(float(10**scale))
 
 
-def wqsum_sql(x: str, over: str, scale: int = 6) -> str:
+def wqsum_sql(x: str, over: str, scale: int = 6, wide: bool = False) -> str:
     """SQL twin of :func:`wqsum`; ``over`` is e.g. ``"OVER w"``."""
     ten = repr(float(10**scale))
-    hi, lo = _qsplit_sql(x, scale)
-    shi = f"CAST(SUM({hi}) {over} AS DOUBLE)"
-    slo = f"CAST(SUM({lo}) {over} AS DOUBLE)"
-    return f"(({shi}*{_W!r} + {slo}) / {ten})"
+    if wide:
+        hi, lo = _qsplit_sql(x, scale)
+        shi = f"CAST(SUM({hi}) {over} AS DOUBLE)"
+        slo = f"CAST(SUM({lo}) {over} AS DOUBLE)"
+        return f"(({shi}*{_W!r} + {slo}) / {ten})"
+    q = f"CAST(FLOOR(CAST({x} AS DOUBLE)*{ten} + 0.5) AS BIGINT)"
+    return f"(CAST(SUM({q}) {over} AS DOUBLE) / {ten})"
 
 
 def wsum(col, window, scale: int = 6) -> Column:
