@@ -1362,12 +1362,71 @@ def ivf_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_q("lsh_topk")  # rows-only: approximation path; exactness covered by cosine_topk
+def _lsh_topk_oracle(
+    num_planes: int = 6, probe_hamming: int = 1, k: int = 5, dim: int = 64,
+    seed: int = 42,
+) -> str:
+    """Replays lsh_topk exactly: the same numpy-seeded hyperplanes are
+    embedded as SQL literals (the IVF-centroid technique), so bucket codes,
+    multi-probe XOR masks, candidate sets, and rounded-cosine ranks all
+    reproduce in DuckDB."""
+    import numpy as np
+
+    planes = np.random.default_rng(seed).standard_normal((num_planes, dim))
+
+    def bucket(v: str) -> str:
+        terms = []
+        for p in range(num_planes):
+            arr = "[" + ", ".join(repr(float(x)) for x in planes[p]) + "]"
+            dot = (
+                f"list_sum(list_transform(range(1, {dim}+1), "
+                f"i -> CAST({v}[i] AS DOUBLE) * ({arr})[i]))"
+            )
+            terms.append(f"(CASE WHEN {dot} >= 0 THEN {1 << p} ELSE 0 END)")
+        return "(" + " + ".join(terms) + ")"
+
+    probes = [0]
+    if probe_hamming >= 1:
+        probes += [1 << i for i in range(num_planes)]
+    if probe_hamming >= 2:
+        probes += [
+            (1 << i) | (1 << j)
+            for i in range(num_planes)
+            for j in range(i + 1, num_planes)
+        ]
+    probe_list = "[" + ", ".join(str(m) for m in probes) + "]"
+    cos = (
+        f"ROUND({_DOT_SQL.format(d=dim, a='qp.qv', b='c.cv')}"
+        f" / (SQRT({_DOT_SQL.format(d=dim, a='qp.qv', b='qp.qv')})"
+        f" * SQRT({_DOT_SQL.format(d=dim, a='c.cv', b='c.cv')})), 6)"
+    )
+    return f"""
+WITH c AS (SELECT vec_id AS neighbor_id, embedding AS cv,
+                  {bucket("embedding")} AS bucket
+           FROM embeddings),
+qb AS (SELECT vec_id AS query_id, embedding AS qv,
+              {bucket("embedding")} AS b0
+       FROM embeddings WHERE vec_id < 10),
+qp AS (SELECT query_id, qv, xor(b0, m.m) AS bucket
+       FROM qb CROSS JOIN (SELECT unnest({probe_list}) AS m) m),
+s AS (SELECT DISTINCT qp.query_id, c.neighbor_id, {cos} AS cosine
+      FROM c JOIN qp USING (bucket)
+      WHERE qp.query_id <> c.neighbor_id),
+r AS (SELECT query_id, neighbor_id, cosine,
+        ROW_NUMBER() OVER (PARTITION BY query_id
+                           ORDER BY cosine DESC, neighbor_id ASC) AS rank
+      FROM s)
+SELECT query_id, neighbor_id, cosine, rank FROM r WHERE rank <= {k}
+"""
+
+
+@_q("lsh_topk", _lsh_topk_oracle())
 def lsh_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-probe LSH approximate top-k (similarity.py:91-169) — the
     100 TB path where each query probes a few buckets instead of the
-    corpus. Rows-only: the result is approximate by design; the exact
-    baseline cosine_topk has the value oracle."""
+    corpus. Fully value-oracled: the seeded hyperplanes are embedded as
+    literals in the SQL twin, so the approximate result itself replays
+    exactly (bucket codes, probes, rounded-cosine ranks)."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 10)
     return similarity.lsh_topk(

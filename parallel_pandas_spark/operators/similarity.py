@@ -249,8 +249,12 @@ def lsh_topk(
     joined = c.join(F.broadcast(q), "bucket").where(
         F.col("query_id") != F.col("neighbor_id")
     )
+    # rank on the ROUNDED cosine (same contract as cosine_topk): last-ulp
+    # fold-order differences must not flip ranks between engines
     scored = joined.select(
-        "query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("cosine")
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cosine"),
     ).dropDuplicates(["query_id", "neighbor_id"])
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
@@ -258,5 +262,5 @@ def lsh_topk(
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank")
+        .select("query_id", "neighbor_id", "cosine", "rank")
     )
