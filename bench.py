@@ -7,6 +7,11 @@ Headline set mirrors the reference's published benchmarks (BASELINE.md):
 grouped aggregation, z-score normalize, nunique, rolling mean, regex
 extract, grouped UDF transform — plus the engine's scale extensions
 (dedup, similarity) so regressions there are visible per round.
+
+SPARK_GRAFT_PROGRESS=1 shows per-query live task progress (the
+reference's signature tqdm UX, progress_imap.py:143-221) via
+ProgressTracker — driver-side status polling only, so it costs nothing on
+the executors; stderr, so the JSON line on stdout stays machine-parsable.
 """
 
 from __future__ import annotations
@@ -61,11 +66,27 @@ def main() -> None:
     for name in names:
         qs[name](spark, "/root/testdata/sf0.001").count()
 
+    progress = os.environ.get("SPARK_GRAFT_PROGRESS", "") not in ("", "0")
+
+    def _run(name: str) -> int:
+        df = qs[name](spark, SF_DIR)
+        if not progress:
+            return df.count()
+        from parallel_pandas_spark.progress import ProgressTracker
+
+        def sink(done: int, active: int, total: int) -> None:
+            print(f"\r{name}: {done}/{total} tasks ({active} running)",
+                  end="", file=sys.stderr, flush=True)
+
+        with ProgressTracker(spark, sink=sink):
+            n = df.count()
+        print(file=sys.stderr)
+        return n
+
     timings: dict[str, float] = {}
     for name in names:
         t0 = time.perf_counter()
-        df = qs[name](spark, SF_DIR)
-        n = df.count()  # force full execution
+        n = _run(name)  # force full execution
         timings[name] = round(time.perf_counter() - t0, 4)
         assert n >= 0
     total = round(sum(timings.values()), 4)

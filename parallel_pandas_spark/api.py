@@ -30,8 +30,37 @@ from .operators import elementwise, grouped, joins, ordered, reductions, windows
 class ParallelFrame:
     """Wrapper exposing the reference's p_* surface over a DataFrame."""
 
+    _progress = False
+
     def __init__(self, df: DataFrame):
         self.df = df
+
+    @classmethod
+    def initialize(cls, progress_bar: bool = True) -> None:
+        """Engine-level toggle mirroring ``ParallelPandas.initialize(
+        disable_pr_bar=)`` (reference main.py:58-267): when on, the action
+        helpers below run under :class:`~parallel_pandas_spark.progress.
+        ProgressTracker` — live task counts from the driver-side status
+        tracker (tqdm if installed), zero executor overhead."""
+        cls._progress = progress_bar
+
+    def _action(self, fn: Callable):
+        if not ParallelFrame._progress:
+            return fn()
+        from .progress import ProgressTracker
+
+        with ProgressTracker(self.df.sparkSession):
+            return fn()
+
+    # terminal actions (progress-aware; transformations stay lazy)
+    def collect(self):
+        return self._action(self.df.collect)
+
+    def count(self) -> int:
+        return self._action(self.df.count)
+
+    def to_pandas(self):
+        return self._action(self.df.toPandas)
 
     # -- §2.3 full-frame reductions (reference ops #7-#17) ----------------
     def _stats(self, cols: Sequence[str] | None, stat: str) -> DataFrame:

@@ -73,3 +73,18 @@ def test_csv_json_roundtrip(spark, tmp_path):
     j = read_json(spark, json_path)
     assert j.count() == 3
     assert {r["v"] for r in j.collect()} == {"a", "b", "c"}
+
+
+def test_parallel_frame_progress_action(spark):
+    """ParallelFrame.initialize(progress_bar=True) routes terminal actions
+    through ProgressTracker (reference initialize() UX, main.py:58-267)."""
+    from parallel_pandas_spark.api import ParallelFrame
+
+    pf = ParallelFrame(spark.range(100).withColumn("x", F.col("id") * 2))
+    try:
+        ParallelFrame.initialize(progress_bar=True)
+        assert pf.count() == 100
+        assert len(pf.collect()) == 100
+    finally:
+        ParallelFrame.initialize(progress_bar=False)
+    assert pf.count() == 100
