@@ -2850,18 +2850,57 @@ _retire(
     "rolling_mean_sum", "rolling_std_var", "rolling_median_quantile", "expanding_sum_max"
 )
 
+_RCC_OVER = (
+    # the synthetic lineitem does NOT enforce the TPC-H (orderkey,
+    # linenumber) primary key (165 dup pairs at sf0.01) — the value
+    # columns as final tiebreaks make the ordering total-or-harmless:
+    # rows tying on all four have identical (a, b), so either frame
+    # assignment sums to the same result in any engine
+    "OVER (PARTITION BY l_suppkey ORDER BY l_orderkey, l_linenumber, "
+    "l_quantity, l_extendedprice ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)"
+)
+_RCC_COV, _RCC_CORR = windows.rolling_cov_corr_sql(
+    "l_quantity", "l_extendedprice", _RCC_OVER, min_periods=10,
+)
+_RCC_N = f"COUNT(l_quantity) {_RCC_OVER}"
+
+
+@_q(
+    "rolling_cov_corr",
+    f"""
+SELECT l_orderkey, l_linenumber,
+  CASE WHEN {_RCC_N} >= 10 THEN {_RCC_COV} END AS qty_px_roll_cov,
+  CASE WHEN {_RCC_N} >= 10 THEN {_RCC_CORR} END AS qty_px_roll_corr
+FROM lineitem
+""",
+)
+def rolling_cov_corr_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling pairwise cov + Pearson corr (reference rolling.p_cov
+    dispatch, parallel_window.py:180-185) — pure JVM window expressions on
+    engine-exact scaled-long sums; one shuffle on the partition key."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return windows.rolling_cov_corr(
+        li, "l_quantity", "l_extendedprice", window=10,
+        order_by=["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"],
+        partition_by=["l_suppkey"],
+        out_prefix="qty_px",
+    ).select("l_orderkey", "l_linenumber", "qty_px_roll_cov", "qty_px_roll_corr")
+
+
 _bfn, _bsql = _compose_union(
     [
         ("time", "rolling_time_events"),
         ("rankskew", "rolling_rank_skew"),
         ("apply", "rolling_apply_udf"),
+        ("covcorr", "rolling_cov_corr"),
     ]
 )
 _bfn.__doc__ = """Rolling shape variants (op #26 + §2.10): time-based
-rangeBetween windows, rolling rank/skew/sem, and rolling.apply with an
-arbitrary Python UDF through Arrow applyInPandas."""
+rangeBetween windows, rolling rank/skew/sem, rolling.apply with an
+arbitrary Python UDF through Arrow applyInPandas, and pairwise rolling
+cov/corr as JVM window expressions."""
 _q("rolling_shapes_battery", _bsql)(_bfn)
-_retire("rolling_time_events", "rolling_rank_skew", "rolling_apply_udf")
+_retire("rolling_time_events", "rolling_rank_skew", "rolling_apply_udf", "rolling_cov_corr")
 
 _bfn, _bsql = _compose_union(
     [("profile", "text_profile"), ("fingerprint", "doc_fingerprints")]

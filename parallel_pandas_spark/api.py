@@ -199,6 +199,9 @@ class ParallelFrame:
     def p_cummin(self, cols, order_by, **kw):
         return ordered.cummin(self.df, cols, order_by, **kw)
 
+    def p_cumprod(self, cols, order_by, **kw):
+        return ordered.cumprod(self.df, cols, order_by, **kw)
+
     def p_pct_change(self, cols, order_by, **kw):
         return ordered.pct_change(self.df, cols, order_by, **kw)
 
@@ -277,6 +280,13 @@ class ParallelRolling:
         return windows.rolling_apply(
             self.df, col, self.window, func, self.order_by, self.partition_by, **kw
         )
+
+    def p_cov(self, col_a, col_b, **kw):
+        return windows.rolling_cov_corr(
+            self.df, col_a, col_b, self.window, self.order_by, self.partition_by, **kw
+        )
+
+    p_corr = p_cov  # one pass emits both _roll_cov and _roll_corr columns
 
 
 class ParallelExpanding:

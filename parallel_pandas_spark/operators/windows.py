@@ -84,6 +84,79 @@ def rolling(
     return out
 
 
+def rolling_cov_corr(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+    window: int,
+    order_by: Sequence[str],
+    partition_by: Sequence[str] | None = None,
+    min_periods: int | None = None,
+    ddof: int = 1,
+    scale_a: int = 6,
+    scale_b: int = 6,
+    out_prefix: str | None = None,
+) -> DataFrame:
+    """Rolling pairwise covariance + Pearson correlation (reference
+    ``rolling.p_cov`` dispatch, parallel_window.py:180-185) as pure JVM
+    window expressions — no UDF: cov = (Sab − Sa·Sb/n)/(n−ddof) and
+    corr = (n·Sab − Sa·Sb)/√((n·Saa−Sa²)(n·Sbb−Sb²)) over the frame,
+    with engine-exact scaled-long window sums (det.wqsum) so the result
+    is bit-stable across partitionings and engines. ``scale_a``/
+    ``scale_b`` follow the det contract: |a|·10^scale_a < 2^62 etc.;
+    the cross/square sums use scale_a+scale_b−2-style reductions chosen
+    by the caller's magnitudes."""
+    from .. import det
+
+    pre = out_prefix or f"{col_a}_{col_b}"
+    mp = window if min_periods is None else min_periods
+    w = _ordered_window(order_by, partition_by).rowsBetween(-(window - 1), 0)
+    a = F.col(col_a).cast("double")
+    b = F.col(col_b).cast("double")
+    n = F.count(F.when(a.isNotNull() & b.isNotNull(), 1)).over(w).cast("double")
+    sa = det.wqsum(a, w, scale_a)
+    sb = det.wqsum(b, w, scale_b)
+    saa = det.wqsum(a * a, w, max(scale_a - 2, 0))
+    sbb = det.wqsum(b * b, w, max(scale_b - 2, 0))
+    sab = det.wqsum(a * b, w, max(min(scale_a, scale_b) - 1, 0))
+    guard = n >= mp
+    cov = (sab - sa * sb / n) / (n - ddof)
+    corr = (n * sab - sa * sb) / F.sqrt((n * saa - sa * sa) * (n * sbb - sb * sb))
+    return df.withColumn(f"{pre}_roll_cov", F.when(guard, cov)).withColumn(
+        f"{pre}_roll_corr", F.when(guard, corr)
+    )
+
+
+def rolling_cov_corr_sql(
+    col_a: str,
+    col_b: str,
+    over: str,
+    min_periods: int,
+    ddof: int = 1,
+    scale_a: int = 6,
+    scale_b: int = 6,
+) -> tuple[str, str]:
+    """SQL twins of :func:`rolling_cov_corr` (cov_expr, corr_expr); the
+    caller supplies the matching ``OVER`` clause and wraps with the
+    min_periods CASE guard."""
+    from .. import det
+
+    a = f"CAST({col_a} AS DOUBLE)"
+    b = f"CAST({col_b} AS DOUBLE)"
+    n = f"CAST(COUNT(CASE WHEN {col_a} IS NOT NULL AND {col_b} IS NOT NULL THEN 1 END) {over} AS DOUBLE)"
+    sa = det.wqsum_sql(a, over, scale_a)
+    sb = det.wqsum_sql(b, over, scale_b)
+    saa = det.wqsum_sql(f"({a}*{a})", over, max(scale_a - 2, 0))
+    sbb = det.wqsum_sql(f"({b}*{b})", over, max(scale_b - 2, 0))
+    sab = det.wqsum_sql(f"({a}*{b})", over, max(min(scale_a, scale_b) - 1, 0))
+    cov = f"(({sab}) - ({sa})*({sb})/({n})) / (({n}) - {ddof})"
+    corr = (
+        f"(({n})*({sab}) - ({sa})*({sb}))"
+        f" / SQRT((({n})*({saa}) - ({sa})*({sa})) * (({n})*({sbb}) - ({sb})*({sb})))"
+    )
+    return cov, corr
+
+
 def rolling_time(
     df: DataFrame,
     cols: Sequence[str],

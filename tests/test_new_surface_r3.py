@@ -181,3 +181,45 @@ def test_ewm_halflife_com_and_times(spark):
         assert abs(last[g] - want) < 1e-12
     with pytest.raises(ValueError):
         windows.ewm(df, ["x"], ["i"], ["g"], span=5.0, alpha=0.5)
+
+
+def test_rolling_cov_corr_matches_pandas(spark):
+    """windows.rolling_cov_corr (reference rolling.p_cov dispatch,
+    parallel_window.py:180-185) vs pandas rolling().cov()/corr()."""
+    rng = np.random.default_rng(7)
+    pdf = pd.DataFrame(
+        {
+            "g": np.repeat(["a", "b"], 40),
+            "i": np.tile(np.arange(40), 2),
+            "x": np.round(rng.uniform(0, 50, 80), 2),
+            "y": np.round(rng.uniform(0, 1000, 80), 2),
+        }
+    )
+    got = (
+        windows.rolling_cov_corr(
+            from_pandas(spark, pdf), "x", "y", window=7,
+            order_by=["i"], partition_by=["g"], out_prefix="xy",
+        )
+        .orderBy("g", "i")
+        .toPandas()
+    )
+    for g, sub in pdf.groupby("g"):
+        sub = sub.sort_values("i")
+        want_cov = sub["x"].rolling(7).cov(sub["y"]).to_numpy()
+        want_corr = sub["x"].rolling(7).corr(sub["y"]).to_numpy()
+        sel = got[got["g"] == g].sort_values("i")
+        np.testing.assert_allclose(sel["xy_roll_cov"], want_cov, rtol=1e-9, equal_nan=True)
+        np.testing.assert_allclose(sel["xy_roll_corr"], want_corr, rtol=1e-9, equal_nan=True)
+
+
+def test_api_rolling_cov_and_cumprod(spark):
+    from parallel_pandas_spark.api import ParallelFrame
+
+    pdf = pd.DataFrame({"i": range(12), "x": np.arange(12) * 0.5 + 1, "y": np.arange(12) % 4 + 1.0})
+    pf = ParallelFrame(from_pandas(spark, pdf))
+    out = pf.rolling(4, order_by=["i"]).p_cov("x", "y").orderBy("i").toPandas()
+    want = pdf["x"].rolling(4).cov(pdf["y"]).to_numpy()
+    np.testing.assert_allclose(out["x_y_roll_cov"], want, rtol=1e-9, equal_nan=True)
+
+    cp = pf.p_cumprod(["y"], order_by=["i"]).orderBy("i").toPandas()
+    np.testing.assert_allclose(cp["y_cumprod"], pdf["y"].cumprod(), rtol=1e-12)
