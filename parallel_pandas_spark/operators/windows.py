@@ -334,6 +334,7 @@ def ewm_multi(
 
     order_cols = list(order_by)
     value_cols = list(cols)
+    part_cols = list(partition_by)
 
     out_fields = ", ".join(
         f"{c}_ewm_{fn}{suffix} double"
@@ -343,19 +344,51 @@ def ewm_multi(
     )
     schema = f"{', '.join(f'{f.name} {f.dataType.simpleString()}' for f in df.schema.fields)}, {out_fields}"
 
-    def _ewm_group(pdf):
-        pdf = pdf.sort_values(order_cols)
-        for c in value_cols:
-            for kw, fn_list, adjust, times_col, suffix in norm:
-                if times_col is not None:
-                    e = pdf[c].ewm(adjust=adjust, times=pdf[times_col], **kw)
-                else:
-                    e = pdf[c].ewm(adjust=adjust, **kw)
-                for fn in fn_list:
-                    pdf[f"{c}_ewm_{fn}{suffix}"] = getattr(e, fn)()
-        return pdf
+    if any(times_col is not None for (_, _, _, times_col, _) in norm):
+        # irregular-spacing decay: per-group pandas ewm(times=) path
+        def _ewm_group(pdf):
+            pdf = pdf.sort_values(order_cols)
+            for c in value_cols:
+                for kw, fn_list, adjust, times_col, suffix in norm:
+                    if times_col is not None:
+                        e = pdf[c].ewm(adjust=adjust, times=pdf[times_col], **kw)
+                    else:
+                        e = pdf[c].ewm(adjust=adjust, **kw)
+                    for fn in fn_list:
+                        pdf[f"{c}_ewm_{fn}{suffix}"] = getattr(e, fn)()
+            return pdf
 
-    return df.groupBy(*partition_by).applyInPandas(_ewm_group, schema=schema)
+        return df.groupBy(*part_cols).applyInPandas(_ewm_group, schema=schema)
+
+    # Fast path: pandas grouped EWM is cython-vectorized ACROSS groups, so
+    # one pandas call per PARTITION beats one UDF call per group (Spark's
+    # grouped-map dispatch costs ~1-2 ms/group; thousands of small series
+    # per partition is the common shape). repartition on the keys
+    # co-locates each series; sortWithinPartitions orders rows so groups
+    # are contiguous and appearance-ordered — grouped-ewm output then
+    # aligns positionally with the partition frame. Memory is one
+    # partition per worker (sized by spark.sql.shuffle.partitions), the
+    # same contract as any shuffle-sized pandas stage.
+    def _ewm_partition(batches):
+        import pandas as pd
+
+        buf = list(batches)
+        if not buf:
+            return
+        pdf = pd.concat(buf, ignore_index=True)
+        gb = pdf.groupby(part_cols, sort=False, group_keys=False)
+        for c in value_cols:
+            for kw, fn_list, adjust, _times, suffix in norm:
+                e = gb[c].ewm(adjust=adjust, **kw)
+                for fn in fn_list:
+                    pdf[f"{c}_ewm_{fn}{suffix}"] = getattr(e, fn)().to_numpy()
+        yield pdf
+
+    return (
+        df.repartition(*part_cols)
+        .sortWithinPartitions(*part_cols, *order_cols)
+        .mapInPandas(_ewm_partition, schema=schema)
+    )
 
 
 def weighted_window(
