@@ -435,20 +435,38 @@ def rolling_apply(
     out_type: str = "double",
 ) -> DataFrame:
     """Arbitrary UDF over each rolling frame — reference
-    ``rolling.p_apply(raw=)`` (parallel_window.py:140-203). Arrow
-    applyInPandas per group; the UDF sees a numpy array per frame, exactly
-    pandas ``rolling.apply(raw=True)`` semantics."""
+    ``rolling.p_apply(raw=)`` (parallel_window.py:140-203). The UDF sees a
+    numpy array per frame, exactly pandas ``rolling.apply(raw=True)``
+    semantics. Partition-wise like :func:`ewm_multi`: key-repartition +
+    sortWithinPartitions, then pandas *grouped* rolling per partition —
+    frame boundaries still respect the group keys, but Spark dispatches
+    one UDF call per partition instead of per group."""
     out_col = out_col or f"{col}_roll_apply"
     order_cols = list(order_by)
+    part_cols = list(partition_by)
     mp = window if min_periods is None else min_periods
     schema = (
         f"{', '.join(f'{f.name} {f.dataType.simpleString()}' for f in df.schema.fields)},"
         f" {out_col} {out_type}"
     )
 
-    def _apply_group(pdf):
-        pdf = pdf.sort_values(order_cols)
-        pdf[out_col] = pdf[col].rolling(window, min_periods=mp).apply(func, raw=True)
-        return pdf
+    def _apply_partition(batches):
+        import pandas as pd
 
-    return df.groupBy(*partition_by).applyInPandas(_apply_group, schema=schema)
+        buf = list(batches)
+        if not buf:
+            return
+        pdf = pd.concat(buf, ignore_index=True)
+        pdf[out_col] = (
+            pdf.groupby(part_cols, sort=False, group_keys=False)[col]
+            .rolling(window, min_periods=mp)
+            .apply(func, raw=True)
+            .to_numpy()
+        )
+        yield pdf
+
+    return (
+        df.repartition(*part_cols)
+        .sortWithinPartitions(*part_cols, *order_cols)
+        .mapInPandas(_apply_partition, schema=schema)
+    )
