@@ -28,6 +28,7 @@ from parallel_pandas_spark.operators import (
     multimodal,
     ordered,
     reductions,
+    sampling,
     similarity,
     text,
     windows,
@@ -2929,11 +2930,56 @@ _retire("apply_rows_charge", "applymap_signed_log")
 del _bfn, _bsql
 
 
+def _sampling_oracle() -> str:
+    gate0 = sampling._gate_sql(["doc_id"], 0, _hexfold_sql)
+    gate1 = sampling._gate_sql(["doc_id"], 1, _hexfold_sql)
+    return f"""
+WITH s AS (
+  SELECT doc_id, lang, n_chars FROM documents
+  WHERE {gate0} < (CASE WHEN lang = 'en' THEN 300000 ELSE 1000000 END)
+),
+sp AS (
+  SELECT lang, n_chars, doc_id,
+         CASE WHEN {gate1} < 150000 THEN 'test'
+              WHEN {gate1} < 250000 THEN 'val'
+              ELSE 'train' END AS split
+  FROM s
+)
+SELECT lang, split, COUNT(*) AS n_docs,
+       CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM sp GROUP BY lang, split
+"""
+
+
+@_q("stratified_sample_split", _sampling_oracle())
+def stratified_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus downsampling + holdout assignment (operators/
+    sampling.py): stratified hash-gated sample (cap 'en' at 30%, keep rare
+    languages whole) then a content-hash train/val/test split — both pure
+    narrow expressions of the row key, so the selection reproduces on any
+    partitioning, engine, or rerun; the oracle replays the md5 gates
+    exactly. Aggregated to per-(lang, split) counts + key/char checksums
+    so every surviving row's membership is value-checked."""
+    docs = load_table(spark, sf_dir, "documents")
+    s = sampling.stratified_sample(
+        docs, "lang", {"en": 0.3}, ["doc_id"], default_fraction=1.0, seed=0
+    )
+    sp = sampling.train_test_split(
+        s, ["doc_id"], test_fraction=0.15, val_fraction=0.1, seed=1
+    )
+    return sp.groupBy("lang", "split").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("doc_id").alias("sum_ids"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+
+
 #: Registration order of the first 50 entries — the driver's correctness
 #: artifact covers exactly these, and every SURVEY §2 family plus every
 #: LLM-pipeline operator appears. Entries beyond 50 are redundant variants
-#: (sampled kendall; LSH ANN beside the oracle-checked IVF), still run by
-#: the local parity suite.
+#: (sampled kendall; LSH ANN beside the oracle-checked IVF; deterministic
+#: sampling/splits), still run by the local parity suite.
 _CORE_ORDER = [
     "q1_pricing_summary",
     "str_ops_battery",

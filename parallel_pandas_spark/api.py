@@ -24,7 +24,15 @@ from collections.abc import Callable, Sequence
 
 from pyspark.sql import DataFrame
 
-from .operators import elementwise, grouped, joins, ordered, reductions, windows
+from .operators import (
+    elementwise,
+    grouped,
+    joins,
+    ordered,
+    reductions,
+    sampling,
+    windows,
+)
 
 
 class ParallelFrame:
@@ -175,6 +183,18 @@ class ParallelFrame:
 
     def p_isin(self, col: str, values) -> "ParallelFrame":
         return ParallelFrame(reductions.isin_filter(self.df, col, values))
+
+    # -- deterministic sampling (LLM-pipeline extension) -------------------
+    def p_sample(self, id_cols, fraction: float, seed: int = 0) -> "ParallelFrame":
+        return ParallelFrame(sampling.hash_sample(self.df, id_cols, fraction, seed))
+
+    def p_stratified_sample(self, strata_col, fractions, id_cols, **kw) -> "ParallelFrame":
+        return ParallelFrame(
+            sampling.stratified_sample(self.df, strata_col, fractions, id_cols, **kw)
+        )
+
+    def p_train_test_split(self, id_cols, **kw) -> "ParallelFrame":
+        return ParallelFrame(sampling.train_test_split(self.df, id_cols, **kw))
 
     # -- §2.5 grouped / §2.4 ordered / merges ------------------------------
     def groupby(self, *keys: str) -> "ParallelGroupBy":

@@ -7,6 +7,7 @@ from . import (  # noqa: F401
     multimodal,
     ordered,
     reductions,
+    sampling,
     similarity,
     text,
     windows,

@@ -1,0 +1,95 @@
+"""Deterministic sampling for training-data pipelines.
+
+Spark's ``df.sample()`` is seed-deterministic only for a FIXED partitioning
+— add an executor or change file splits and the sample changes, which is
+unacceptable for a 100 TB corpus that must reproduce across reruns,
+engines, and cluster sizes. Every operator here gates rows on a pure
+content hash (``dedup.md5_long``) instead: membership is a function of the
+row's key alone, so the same rows survive on any layout, the selection is
+one narrow expression (no shuffle, no UDF, whole-stage codegen around the
+md5 call), and the DuckDB oracle replays it exactly.
+
+The reference has no sampling surface (single-machine pandas users call
+``df.sample``); these are part of the engine's LLM-pipeline extension the
+same way dedup/similarity are: domain-stratified downsampling and
+deterministic train/val/test splits are the first two operations of any
+corpus build.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import md5_long
+
+_DENOM = 1_000_000  # hash-gate resolution: fractions quantize to 1e-6
+
+
+def _gate(id_cols: Sequence[str], seed: int) -> Column:
+    """Uniform [0, 1e6) deterministic per-row draw from the key columns."""
+    key = F.concat_ws("\x1f", *[F.col(c).cast("string") for c in id_cols])
+    return F.pmod(md5_long(key, seed=seed), F.lit(_DENOM))
+
+
+def _gate_sql(id_cols: Sequence[str], seed: int, hexfold) -> str:
+    key = " || chr(31) || ".join(f"CAST({c} AS VARCHAR)" for c in id_cols)
+    h = hexfold(f"md5('s{seed}:' || {key})")
+    return f"(({h}) % {_DENOM})"
+
+
+def hash_sample(
+    df: DataFrame,
+    id_cols: Sequence[str],
+    fraction: float,
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic Bernoulli sample: keep a row iff its key hashes under
+    ``fraction`` — layout-independent, reproducible anywhere."""
+    return df.where(_gate(id_cols, seed) < F.lit(int(fraction * _DENOM)))
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict[object, float],
+    id_cols: Sequence[str],
+    default_fraction: float = 0.0,
+    seed: int = 0,
+) -> DataFrame:
+    """Per-stratum deterministic downsampling — e.g. cap an over-represented
+    language/domain while keeping rare strata whole. ``fractions`` maps
+    stratum value → keep fraction; unlisted strata keep
+    ``default_fraction``. The per-row draw is shared across strata (one
+    hash), and the threshold is a small CASE expression — no join, no
+    shuffle, exact expected proportions per stratum."""
+    thr: Column = F.lit(int(default_fraction * _DENOM))
+    for val, frac in sorted(fractions.items(), key=lambda kv: str(kv[0])):
+        thr = F.when(F.col(strata_col) == F.lit(val), F.lit(int(frac * _DENOM))).otherwise(thr)
+    return df.where(_gate(id_cols, seed) < thr)
+
+
+def train_test_split(
+    df: DataFrame,
+    id_cols: Sequence[str],
+    test_fraction: float = 0.1,
+    val_fraction: float = 0.0,
+    seed: int = 0,
+    out_col: str = "split",
+) -> DataFrame:
+    """Deterministic holdout assignment: adds ``split`` ∈ {train, val,
+    test}. Membership is a pure function of the key, so the split is
+    stable under reruns, appends, and engine changes — new rows land in
+    the same proportions without moving old ones (the property random
+    splits lose)."""
+    g = _gate(id_cols, seed)
+    t = int(test_fraction * _DENOM)
+    v = int(val_fraction * _DENOM)
+    split = (
+        F.when(g < F.lit(t), F.lit("test"))
+        .when(g < F.lit(t + v), F.lit("val"))
+        .otherwise(F.lit("train"))
+    )
+    return df.withColumn(out_col, split)

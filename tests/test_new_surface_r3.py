@@ -223,3 +223,36 @@ def test_api_rolling_cov_and_cumprod(spark):
 
     cp = pf.p_cumprod(["y"], order_by=["i"]).orderBy("i").toPandas()
     np.testing.assert_allclose(cp["y_cumprod"], pdf["y"].cumprod(), rtol=1e-12)
+
+
+def test_deterministic_sampling(spark):
+    """sampling.*: layout-independent membership, per-stratum fractions,
+    stable split assignment (operators/sampling.py)."""
+    from parallel_pandas_spark.operators import sampling
+
+    pdf = pd.DataFrame(
+        {"id": range(4000), "s": np.where(np.arange(4000) % 4 == 0, "rare", "big")}
+    )
+    df = from_pandas(spark, pdf)
+
+    a = set(r.id for r in sampling.hash_sample(df, ["id"], 0.25, seed=9).collect())
+    b = set(r.id for r in sampling.hash_sample(df.repartition(13), ["id"], 0.25, seed=9).collect())
+    assert a == b
+    assert 0.2 < len(a) / 4000 < 0.3
+
+    st = sampling.stratified_sample(
+        df, "s", {"big": 0.1}, ["id"], default_fraction=1.0, seed=2
+    ).toPandas()
+    assert (st[st.s == "rare"].shape[0]) == 1000  # rare stratum kept whole
+    assert 0.05 < st[st.s == "big"].shape[0] / 3000 < 0.15
+
+    sp = sampling.train_test_split(df, ["id"], test_fraction=0.2, val_fraction=0.1, seed=5)
+    counts = sp.groupBy("split").count().toPandas().set_index("split")["count"]
+    assert 0.15 < counts["test"] / 4000 < 0.25
+    assert 0.06 < counts["val"] / 4000 < 0.14
+    # appending rows never reassigns existing ones
+    sp2 = sampling.train_test_split(
+        from_pandas(spark, pdf.head(1000)), ["id"], test_fraction=0.2, val_fraction=0.1, seed=5
+    ).toPandas().set_index("id")["split"]
+    full = sp.toPandas().set_index("id")["split"]
+    assert (full.loc[sp2.index] == sp2).all()
