@@ -27,6 +27,7 @@ from parallel_pandas_spark.operators import (
     kendall,
     multimodal,
     ordered,
+    packing,
     reductions,
     sampling,
     similarity,
@@ -2975,11 +2976,45 @@ def stratified_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _packing_oracle() -> str:
+    inner = packing.pack_sequences_sql(
+        ["doc_id"], "n_chars", budget=10000, num_buckets=8, seed=0,
+        hexfold=_hexfold_sql,
+    ).replace("__SRC__", "(SELECT doc_id, n_chars FROM documents)")
+    return f"""
+SELECT pack_bucket, pack_id, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS pack_chars,
+       CAST(SUM(pack_offset) AS BIGINT) AS sum_offsets,
+       CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+FROM ({inner})
+GROUP BY pack_bucket, pack_id
+"""
+
+
+@_q("pack_sequences_query", _packing_oracle())
+def pack_sequences_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sequence packing (operators/packing.py): hash-bucketed
+    offset packing — the scalable relaxation of greedy packing — entirely
+    as window expressions over exact integer sums. Aggregated per
+    (bucket, pack) with doc/char/offset checksums, so every doc's bucket,
+    order, offset, and pack assignment is value-checked by the oracle."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    p = packing.pack_sequences(
+        docs, ["doc_id"], "n_chars", budget=10000, num_buckets=8, seed=0
+    )
+    return p.groupBy("pack_bucket", "pack_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("pack_chars"),
+        F.sum("pack_offset").alias("sum_offsets"),
+        F.sum("doc_id").alias("sum_ids"),
+    )
+
+
 #: Registration order of the first 50 entries — the driver's correctness
 #: artifact covers exactly these, and every SURVEY §2 family plus every
 #: LLM-pipeline operator appears. Entries beyond 50 are redundant variants
 #: (sampled kendall; LSH ANN beside the oracle-checked IVF; deterministic
-#: sampling/splits), still run by the local parity suite.
+#: sampling/splits; sequence packing), still run by the local parity suite.
 _CORE_ORDER = [
     "q1_pricing_summary",
     "str_ops_battery",

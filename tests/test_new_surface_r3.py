@@ -256,3 +256,28 @@ def test_deterministic_sampling(spark):
     ).toPandas().set_index("id")["split"]
     full = sp.toPandas().set_index("id")["split"]
     assert (full.loc[sp2.index] == sp2).all()
+
+
+def test_pack_sequences_invariants(spark):
+    """packing.pack_sequences: offsets are exact exclusive running totals
+    in hash order, pack ids are offset//budget, layout-independent."""
+    from parallel_pandas_spark.operators import packing
+
+    pdf = pd.DataFrame({"id": range(500), "tok": (np.arange(500) * 37) % 900 + 10})
+    df = from_pandas(spark, pdf)
+    out = packing.pack_sequences(df, ["id"], "tok", budget=2000, num_buckets=4, seed=1)
+    got = out.toPandas()
+    got2 = packing.pack_sequences(
+        from_pandas(spark, pdf).repartition(11), ["id"], "tok", budget=2000, num_buckets=4, seed=1
+    ).toPandas()
+    key = ["id"]
+    assert got.sort_values(key).reset_index(drop=True).equals(
+        got2.sort_values(key).reset_index(drop=True)
+    )
+    for b, sub in got.groupby("pack_bucket"):
+        sub = sub.sort_values("pack_offset")
+        run = 0
+        for _, r in sub.iterrows():
+            assert r["pack_offset"] == run
+            assert r["pack_id"] == run // 2000
+            run += r["tok"]
