@@ -107,3 +107,28 @@ def test_no_registered_plan_joins_on_raw_shingles(spark, qs):
         em.load_table(spark, SF, "documents"), "doc_id", "text", n=3, threshold=0.1
     )
     assert "shingle" in explain.explain_str(unsafe)
+
+
+def test_sampling_is_narrow_no_shuffle(spark, qs):
+    """Hash-gated sampling/splitting is pure row-local filtering — any
+    Exchange before the final aggregation means the gate stopped being a
+    narrow expression."""
+    from parallel_pandas_spark.operators import sampling
+
+    docs = em.load_table(spark, SF, "documents")
+    s = sampling.train_test_split(
+        sampling.stratified_sample(docs, "lang", {"en": 0.3}, ["doc_id"], 1.0),
+        ["doc_id"],
+        test_fraction=0.15,
+    )
+    assert "Exchange" not in _txt(s), _txt(s)
+
+
+def test_packing_single_exchange(spark, qs):
+    """Offset packing needs exactly one shuffle (hash bucket) — the window
+    sort must reuse the bucket partitioning, and never SinglePartition."""
+    df = qs["pack_sequences_query"](spark, SF)
+    txt = _txt(df)
+    assert "Exchange SinglePartition" not in txt, txt
+    # bucket shuffle + final agg shuffle only
+    assert txt.count("Exchange (") <= 2, txt
