@@ -34,7 +34,17 @@ def ensure_parallel(df: DataFrame) -> DataFrame:
     is a no-op."""
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
-    if df.rdd.getNumPartitions() < max(2, target // 2):
+    # Estimate input parallelism WITHOUT df.rdd (which eagerly builds the
+    # RDD lineage — a full analysis round-trip per call): for file-backed
+    # plans the file count bounds the scan tasks (single-row-group files,
+    # the testdata shape, cannot split further); non-file plans (already
+    # shuffled/derived) are assumed spread. Only the provably-narrow case
+    # repartitions.
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return df
+    if files and len(files) < max(2, target // 2):
         return df.repartition(target)
     return df
 
