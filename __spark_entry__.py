@@ -34,7 +34,7 @@ from parallel_pandas_spark.operators import (
     text,
     windows,
 )
-from parallel_pandas_spark.sources import load_table, read_csv, read_json
+from parallel_pandas_spark.sources import load_table, read_csv, read_json, read_orc
 from parallel_pandas_spark.streaming import events as streaming_events
 
 SF0001 = "/root/testdata/sf0.001"
@@ -2597,22 +2597,29 @@ SELECT n_regionkey,
   COUNT(*) AS n,
   CAST(SUM(n_nationkey) AS BIGINT) AS key_sum,
   MIN(n_name) AS first_name, MAX(n_name) AS last_name
-FROM (SELECT * FROM nation UNION ALL SELECT * FROM nation)
+FROM (SELECT * FROM nation UNION ALL SELECT * FROM nation
+      UNION ALL SELECT * FROM nation)
 GROUP BY n_regionkey
 """,
 )
 def csv_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """§2.1 non-parquet sources/sinks: write ``nation`` out as CSV and as
-    JSON (sources/loaders.py:71-90), read both back with the explicit
-    schema, union, aggregate. The oracle reads the original parquet
-    doubled — a value mismatch means the sink or scan corrupted data."""
+    """§2.1 non-parquet sources/sinks: write ``nation`` out as CSV, JSON,
+    and ORC (sources/loaders.py:71-105), read all three back with the
+    explicit schema, union, aggregate. The oracle reads the original
+    parquet tripled — a value mismatch means a sink or scan corrupted
+    data."""
     n = load_table(spark, sf_dir, "nation")
     base = "/root/repo/.tmp_io"
-    csv_p, json_p = base + "/nation_csv", base + "/nation_json"
+    csv_p, json_p, orc_p = (
+        base + "/nation_csv", base + "/nation_json", base + "/nation_orc"
+    )
     n.write.mode("overwrite").option("header", True).csv(csv_p)
     n.write.mode("overwrite").json(json_p)
-    back = read_csv(spark, csv_p, schema=n.schema).unionByName(
-        read_json(spark, json_p, schema=n.schema)
+    n.write.mode("overwrite").orc(orc_p)
+    back = (
+        read_csv(spark, csv_p, schema=n.schema)
+        .unionByName(read_json(spark, json_p, schema=n.schema))
+        .unionByName(read_orc(spark, orc_p, schema=n.schema))
     )
     return back.groupBy("n_regionkey").agg(
         F.count("*").alias("n"),

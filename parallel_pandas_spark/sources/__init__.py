@@ -5,5 +5,6 @@ from .loaders import (  # noqa: F401
     load_tables,
     read_csv,
     read_json,
+    read_orc,
     register_views,
 )

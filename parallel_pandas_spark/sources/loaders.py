@@ -82,3 +82,13 @@ def read_json(spark: SparkSession, path: str, schema=None, **options) -> DataFra
     if schema is not None:
         reader = reader.schema(schema)
     return reader.json(path)
+
+
+def read_orc(spark: SparkSession, path: str, schema=None, **options) -> DataFrame:
+    """ORC scan — Spark's second native columnar format (vectorized reader,
+    predicate pushdown, column pruning, splittable stripes — same scale
+    properties as parquet)."""
+    reader = spark.read.options(**{k: str(v) for k, v in options.items()})
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.orc(path)
