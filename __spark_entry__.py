@@ -2983,6 +2983,41 @@ def stratified_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _resample_oracle() -> str:
+    inner = sampling.resample_by_weight_sql(
+        "lang", {"zh": 2.5, "fr": 1.5, "en": 0.3}, ["doc_id"],
+        hexfold=_hexfold_sql, default_weight=1.0, seed=7,
+    ).replace("__SRC__", "(SELECT doc_id, lang, n_chars FROM documents)")
+    return f"""
+SELECT lang, COUNT(*) AS n_rows,
+       COUNT(DISTINCT doc_id) AS n_docs,
+       CAST(SUM(doc_id * copy_id) AS BIGINT) AS copy_checksum,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM ({inner})
+GROUP BY lang
+"""
+
+
+@_q("resample_by_weight_query", _resample_oracle())
+def resample_by_weight_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic domain mixing (operators/sampling.py): upsample rare
+    languages (zh x2.5, fr x1.5), downsample dominant English (x0.3) in
+    one narrow pass — floor(w) full copies + a hash-gated fractional copy,
+    no shuffle, layout-independent. The copy_id-weighted checksum pins
+    each row's exact copy count against the oracle."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    r = sampling.resample_by_weight(
+        docs, "lang", {"zh": 2.5, "fr": 1.5, "en": 0.3}, ["doc_id"],
+        default_weight=1.0, seed=7,
+    )
+    return r.groupBy("lang").agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.sum(F.col("doc_id") * F.col("copy_id")).alias("copy_checksum"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+
+
 def _packing_oracle() -> str:
     inner = packing.pack_sequences_sql(
         ["doc_id"], "n_chars", budget=10000, num_buckets=8, seed=0,

@@ -71,6 +71,64 @@ def stratified_sample(
     return df.where(_gate(id_cols, seed) < thr)
 
 
+def resample_by_weight(
+    df: DataFrame,
+    strata_col: str,
+    weights: dict[object, float],
+    id_cols: Sequence[str],
+    default_weight: float = 1.0,
+    seed: int = 0,
+    copy_col: str = "copy_id",
+) -> DataFrame:
+    """Deterministic domain mixing: stratum weight *w* yields an expected
+    *w* copies of each row — ``floor(w)`` full copies plus one extra gated
+    on the row hash with probability ``frac(w)``. Upsampling rare domains
+    (w > 1) and downsampling dominant ones (w < 1) in one pass, entirely
+    narrow (explode of a per-row literal-bounded sequence, no shuffle, no
+    UDF); output carries ``copy_col`` ∈ [1, n_copies] so downstream dedup
+    and packing can tell copies apart. Layout-independent and
+    oracle-replayable like every operator in this module."""
+    full = F.lit(int(default_weight))
+    thr = F.lit(int(round((default_weight - int(default_weight)) * _DENOM)))
+    for val, w in sorted(weights.items(), key=lambda kv: str(kv[0])):
+        cond = F.col(strata_col) == F.lit(val)
+        full = F.when(cond, F.lit(int(w))).otherwise(full)
+        thr = F.when(cond, F.lit(int(round((w - int(w)) * _DENOM)))).otherwise(thr)
+    extra = (_gate(id_cols, seed) < thr).cast("int")
+    n = (full + extra).alias("__n_copies")
+    return df.withColumn("__n", n).where(F.col("__n") >= 1).withColumn(
+        copy_col, F.explode(F.sequence(F.lit(1), F.col("__n")))
+    ).drop("__n")
+
+
+def resample_by_weight_sql(
+    strata_col: str,
+    weights: dict[object, float],
+    id_cols: Sequence[str],
+    hexfold,
+    default_weight: float = 1.0,
+    seed: int = 0,
+    copy_col: str = "copy_id",
+) -> str:
+    """DuckDB twin: emits a SELECT over ``__SRC__`` producing the same
+    exploded copies with ``copy_col``."""
+    full = str(int(default_weight))
+    thr = str(int(round((default_weight - int(default_weight)) * _DENOM)))
+    for val, w in sorted(weights.items(), key=lambda kv: str(kv[0])):
+        full = f"CASE WHEN {strata_col} = '{val}' THEN {int(w)} ELSE {full} END"
+        thr = (
+            f"CASE WHEN {strata_col} = '{val}' "
+            f"THEN {int(round((w - int(w)) * _DENOM))} ELSE {thr} END"
+        )
+    gate = _gate_sql(id_cols, seed, hexfold)
+    return f"""
+SELECT * EXCLUDE (__n), unnest(range(1, __n + 1)) AS {copy_col}
+FROM (SELECT *, ({full}) + (CASE WHEN {gate} < ({thr}) THEN 1 ELSE 0 END) AS __n
+      FROM __SRC__)
+WHERE __n >= 1
+"""
+
+
 def train_test_split(
     df: DataFrame,
     id_cols: Sequence[str],

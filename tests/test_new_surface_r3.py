@@ -281,3 +281,28 @@ def test_pack_sequences_invariants(spark):
             assert r["pack_offset"] == run
             assert r["pack_id"] == run // 2000
             run += r["tok"]
+
+
+def test_resample_by_weight(spark):
+    """sampling.resample_by_weight: expected copy counts per stratum,
+    deterministic across layouts, copy_id dense per row."""
+    from parallel_pandas_spark.operators import sampling
+
+    pdf = pd.DataFrame({"id": range(3000), "s": np.where(np.arange(3000) % 3 == 0, "rare", "big")})
+    df = from_pandas(spark, pdf)
+    r = sampling.resample_by_weight(df, "s", {"rare": 2.5, "big": 0.5}, ["id"], seed=4)
+    got = r.toPandas()
+    rare = got[got.s == "rare"]
+    big = got[got.s == "big"]
+    # rare: every source row has >= 2 copies; mean ~2.5
+    per = rare.groupby("id").size()
+    assert per.min() >= 2 and per.max() <= 3
+    assert 2.3 < per.mean() < 2.7
+    assert 0.4 < big.groupby("id").size().reindex(range(1, 3000, 1)).notna().sum() / 2000 < 0.6
+    # copies are dense 1..n
+    assert (rare.groupby("id")["copy_id"].max() == per).all()
+    got2 = sampling.resample_by_weight(
+        from_pandas(spark, pdf).repartition(9), "s", {"rare": 2.5, "big": 0.5}, ["id"], seed=4
+    ).toPandas()
+    k = ["id", "copy_id"]
+    assert got.sort_values(k).reset_index(drop=True).equals(got2.sort_values(k).reset_index(drop=True))
