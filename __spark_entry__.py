@@ -3052,11 +3052,116 @@ def pack_sequences_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _corpus_build_oracle() -> str:
+    gate_s = sampling._gate_sql(["doc_id"], 11, _hexfold_sql)
+    gate_t = sampling._gate_sql(["doc_id"], 12, _hexfold_sql)
+    pack = packing.pack_sequences_sql(
+        ["doc_id"], "n_chars", budget=8000, num_buckets=4, seed=3,
+        hexfold=_hexfold_sql,
+    ).replace("__SRC__", "(SELECT doc_id, lang, n_chars FROM sp WHERE split = 'train')")
+    return f"""
+WITH q AS (
+  SELECT doc_id, lang, n_chars, text,
+    LEAST(CAST(CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+          ELSE len(regexp_split_to_array(TRIM(text), '\\s+')) END AS DOUBLE)/64.0, 1.0) * 0.4
+    + GREATEST(0.0, 1.0 - CAST(LENGTH(regexp_replace(text, '[^.,;:!?''"()\\-]', '', 'g')) AS DOUBLE)
+        / (CASE WHEN LENGTH(text) > 0 THEN CAST(LENGTH(text) AS DOUBLE) ELSE 1.0 END) * 4) * 0.2
+    + GREATEST(0.0, 1.0 - CAST(LENGTH(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+        / (CASE WHEN LENGTH(text) > 0 THEN CAST(LENGTH(text) AS DOUBLE) ELSE 1.0 END) * 4) * 0.2
+    + LEAST(CAST(len(list_filter(regexp_split_to_array(TRIM(LOWER(text)), '\\s+'),
+        t -> list_contains({_STOP_SQL["en"]}, t))) AS DOUBLE)
+        / (CASE WHEN CAST(CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+             ELSE len(regexp_split_to_array(TRIM(text), '\\s+')) END AS DOUBLE) > 0
+           THEN CAST(CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+             ELSE len(regexp_split_to_array(TRIM(text), '\\s+')) END AS DOUBLE) ELSE 1.0 END)
+        * 4, 1.0) * 0.2 AS qs
+  FROM documents
+),
+flt AS (SELECT doc_id, lang, n_chars, md5({_NORM_SQL}) AS fp FROM q WHERE qs >= 0.45),
+ddp AS (
+  SELECT doc_id, lang, n_chars FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn FROM flt
+  ) WHERE rn = 1
+),
+samp AS (
+  SELECT * FROM ddp
+  WHERE {gate_s} < (CASE WHEN lang = 'en' THEN 500000 ELSE 1000000 END)
+),
+sp AS (
+  SELECT *, CASE WHEN {gate_t} < 100000 THEN 'test' ELSE 'train' END AS split
+  FROM samp
+),
+packed AS ({pack})
+SELECT 'train' AS split, pack_bucket, pack_id, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+FROM packed GROUP BY pack_bucket, pack_id
+UNION ALL
+SELECT split, CAST(-1 AS BIGINT) AS pack_bucket, CAST(-1 AS BIGINT) AS pack_id,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+FROM sp WHERE split = 'test' GROUP BY split
+"""
+
+
+@_q("corpus_build_pipeline", _corpus_build_oracle())
+def corpus_build_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-corpus build — the showcase that the pipeline
+    operators COMPOSE: quality-score filter (text.py) → exact content
+    dedup keeping the lowest id per fingerprint → stratified downsample
+    (cap 'en' at 50%) → deterministic 10% test holdout → token-budget
+    packing of the train split (packing.py). Every stage is the shipped
+    operator, the whole chain is replayed by one oracle CTE, and the plan
+    is two shuffles total (dedup window + pack bucket) — everything else
+    is narrow."""
+    docs = load_table(spark, sf_dir, "documents")
+    q = docs.select(
+        "doc_id", "lang", "n_chars",
+        text.quality_score(F.col("text")).alias("qs"),
+        text.fingerprint_md5("text").alias("fp"),
+    ).where(F.col("qs") >= 0.45)
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    ddp = (
+        q.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id", "lang", "n_chars")
+    )
+    samp = sampling.stratified_sample(
+        ddp, "lang", {"en": 0.5}, ["doc_id"], default_fraction=1.0, seed=11
+    )
+    sp = sampling.train_test_split(samp, ["doc_id"], test_fraction=0.1, seed=12)
+    train = sp.where(F.col("split") == "train")
+    packed = packing.pack_sequences(
+        train.select("doc_id", "lang", "n_chars"), ["doc_id"], "n_chars",
+        budget=8000, num_buckets=4, seed=3,
+    )
+    train_agg = packed.groupBy("pack_bucket", "pack_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.sum("doc_id").alias("sum_ids"),
+    ).select(
+        F.lit("train").alias("split"), "pack_bucket", "pack_id",
+        "n_docs", "sum_chars", "sum_ids",
+    )
+    test_agg = sp.where(F.col("split") == "test").groupBy("split").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.sum("doc_id").alias("sum_ids"),
+    ).select(
+        "split", F.lit(-1).cast("long").alias("pack_bucket"),
+        F.lit(-1).cast("long").alias("pack_id"),
+        "n_docs", "sum_chars", "sum_ids",
+    )
+    return train_agg.unionByName(test_agg)
+
+
 #: Registration order of the first 50 entries — the driver's correctness
 #: artifact covers exactly these, and every SURVEY §2 family plus every
 #: LLM-pipeline operator appears. Entries beyond 50 are redundant variants
 #: (sampled kendall; LSH ANN beside the oracle-checked IVF; deterministic
-#: sampling/splits; sequence packing), still run by the local parity suite.
+#: sampling/splits; sequence packing; the corpus-build composition), still
+#: run by the local parity suite.
 _CORE_ORDER = [
     "q1_pricing_summary",
     "str_ops_battery",
