@@ -2935,6 +2935,49 @@ demo) + vectorized p_applymap over every cell."""
 _q("elementwise_battery", _bsql)(_bfn)
 _retire("apply_rows_charge", "applymap_signed_log")
 
+_bfn, _bsql = _compose_union(
+    [("mean", "pivot_table_mean"), ("aggfuncs", "pivot_aggfunc_battery")]
+)
+_bfn.__doc__ = """pivot_table surface (op #24): single-stat mean pivot plus
+the aggfunc list/margins/fill form (dict/callable unit-tested)."""
+_q("pivot_battery", _bsql)(_bfn)
+_retire("pivot_table_mean", "pivot_aggfunc_battery")
+
+_bfn, _bsql = _compose_union(
+    [("ops", "str_ops_battery"), ("extract", "str_extract_split")]
+)
+_bfn.__doc__ = """.str accessor family (§2.7): the 21-op battery (+generic
+passthrough) plus regex extract/split."""
+_q("str_battery", _bsql)(_bfn)
+_retire("str_ops_battery", "str_extract_split")
+
+_bfn, _bsql = _compose_union(
+    [("parts", "dt_parts_battery"), ("floorceil", "dt_floor_ceil_strftime")]
+)
+_bfn.__doc__ = """.dt accessor family (§2.7): part extraction battery plus
+floor/ceil/strftime translation."""
+_q("dt_battery", _bsql)(_bfn)
+_retire("dt_parts_battery", "dt_floor_ceil_strftime")
+
+_bfn, _bsql = _compose_union([("rollup", "rollup_agg"), ("cube", "cube_agg_counts")])
+_bfn.__doc__ = """Multi-dimensional aggregation (§2.8): rollup and cube
+grouping sets."""
+_q("grouping_sets_battery", _bsql)(_bfn)
+_retire("rollup_agg", "cube_agg_counts")
+
+_bfn, _bsql = _compose_union(
+    [
+        ("tumbling", "tumbling_window_agg"),
+        ("sliding", "sliding_window_counts"),
+        ("session", "session_window_agg"),
+    ]
+)
+_bfn.__doc__ = """Event-time windows (§2.9 batch equivalents): tumbling,
+sliding, and session windows over the events stream table; the true
+readStream path is stream_tumbling_live."""
+_q("event_windows_battery", _bsql)(_bfn)
+_retire("tumbling_window_agg", "sliding_window_counts", "session_window_agg")
+
 del _bfn, _bsql
 
 
@@ -3164,10 +3207,8 @@ def corpus_build_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: run by the local parity suite.
 _CORE_ORDER = [
     "q1_pricing_summary",
-    "str_ops_battery",
-    "str_extract_split",
-    "dt_parts_battery",
-    "dt_floor_ceil_strftime",
+    "str_battery",
+    "dt_battery",
     "merge_battery",
     "asof_join_events",
     "set_ops_quantity_buckets",
@@ -3186,6 +3227,7 @@ _CORE_ORDER = [
     "corr_spearman",
     "corr_matrix_native",
     "kendall_tau_exact",
+    "kendall_tau_sample",
     "zscore_normalize",
     "replace_isin",
     "elementwise_battery",
@@ -3196,13 +3238,9 @@ _CORE_ORDER = [
     "groupby_transform_zscore",
     "groupby_apply_demean",
     "groupby_edge_battery",
-    "pivot_table_mean",
-    "pivot_aggfunc_battery",
-    "rollup_agg",
-    "cube_agg_counts",
-    "tumbling_window_agg",
-    "sliding_window_counts",
-    "session_window_agg",
+    "pivot_battery",
+    "grouping_sets_battery",
+    "event_windows_battery",
     "stream_tumbling_live",
     "exact_dedup",
     "minhash_dedup_pairs",
@@ -3211,8 +3249,13 @@ _CORE_ORDER = [
     "embedding_neardup_pairs",
     "cosine_topk",
     "ivf_topk",
+    "lsh_topk",
     "text_doc_battery",
     "multimodal_battery",
+    "stratified_sample_split",
+    "resample_by_weight_query",
+    "pack_sequences_query",
+    "corpus_build_pipeline",
 ]
 
 assert len(_CORE_ORDER) == 50, len(_CORE_ORDER)

@@ -35,19 +35,19 @@ HEADLINE = [
     "groupby_agg_spec",
     "groupby_transform_zscore",
     "groupby_apply_demean",
-    "pivot_table_mean",
-    "pivot_aggfunc_battery",
+    "pivot_battery",
     "rolling_moments_battery",
     "rolling_shapes_battery",
     "ordered_battery",
     "merge_battery",
     "ewm_battery",
     "chunk_split_by_col",
-    "str_ops_battery",
+    "str_battery",
     "minhash_dedup_pairs",
     "cosine_topk",
     "text_doc_battery",
-    "tumbling_window_agg",
+    "event_windows_battery",
+    "corpus_build_pipeline",
 ]
 
 
