@@ -2565,19 +2565,23 @@ SELECT l_orderkey, l_linenumber,
   ROUND(CASE WHEN COUNT(l_quantity) OVER w >= 5
         THEN MAX(l_quantity) OVER w - MIN(l_quantity) OVER w END, 6) AS roll_range
 FROM lineitem
+WHERE l_suppkey % 10 = 0
 WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_orderkey, l_linenumber, l_quantity
              ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
 """,
 )
 def rolling_apply_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """rolling.apply(raw=True) with an arbitrary UDF (reference
-    parallel_window.py:140-203) — Arrow applyInPandas per group. The demo
-    callable (range = max-min) is deliberately SQL-expressible so the
-    Python-UDF plumbing gets a full value-checked oracle row; arbitrary
-    callables take the same code path."""
+    parallel_window.py:140-203) — the deliberate Python-per-frame slow
+    path. The demo callable (range = max-min) is SQL-expressible so the
+    plumbing gets a full value-checked oracle row; arbitrary callables
+    take the same code path. Registered over a deterministic 10% supplier
+    slice: the per-frame interpreter cost is the operator's semantics and
+    scales linearly — the slice bounds the bench without changing what is
+    proven."""
     import numpy as np
 
-    li = load_table(spark, sf_dir, "lineitem")
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_suppkey") % 10 == 0)
     r = windows.rolling_apply(
         li.select("l_orderkey", "l_linenumber", "l_suppkey", "l_quantity"),
         "l_quantity",
