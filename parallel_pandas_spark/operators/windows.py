@@ -111,9 +111,12 @@ def rolling_cov_corr(
     pre = out_prefix or f"{col_a}_{col_b}"
     mp = window if min_periods is None else min_periods
     w = _ordered_window(order_by, partition_by).rowsBetween(-(window - 1), 0)
-    a = F.col(col_a).cast("double")
-    b = F.col(col_b).cast("double")
-    n = F.count(F.when(a.isNotNull() & b.isNotNull(), 1)).over(w).cast("double")
+    both = F.col(col_a).isNotNull() & F.col(col_b).isNotNull()
+    # pandas pairwise-complete semantics: a row where EITHER side is null
+    # contributes to no sum (masking both sides, not just the null one)
+    a = F.when(both, F.col(col_a).cast("double"))
+    b = F.when(both, F.col(col_b).cast("double"))
+    n = F.count(F.when(both, 1)).over(w).cast("double")
     sa = det.wqsum(a, w, scale_a)
     sb = det.wqsum(b, w, scale_b)
     saa = det.wqsum(a * a, w, max(scale_a - 2, 0))
@@ -141,9 +144,10 @@ def rolling_cov_corr_sql(
     min_periods CASE guard."""
     from .. import det
 
-    a = f"CAST({col_a} AS DOUBLE)"
-    b = f"CAST({col_b} AS DOUBLE)"
-    n = f"CAST(COUNT(CASE WHEN {col_a} IS NOT NULL AND {col_b} IS NOT NULL THEN 1 END) {over} AS DOUBLE)"
+    both = f"{col_a} IS NOT NULL AND {col_b} IS NOT NULL"
+    a = f"(CASE WHEN {both} THEN CAST({col_a} AS DOUBLE) END)"
+    b = f"(CASE WHEN {both} THEN CAST({col_b} AS DOUBLE) END)"
+    n = f"CAST(COUNT(CASE WHEN {both} THEN 1 END) {over} AS DOUBLE)"
     sa = det.wqsum_sql(a, over, scale_a)
     sb = det.wqsum_sql(b, over, scale_b)
     saa = det.wqsum_sql(f"({a}*{a})", over, max(scale_a - 2, 0))

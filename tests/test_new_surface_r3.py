@@ -306,3 +306,30 @@ def test_resample_by_weight(spark):
     ).toPandas()
     k = ["id", "copy_id"]
     assert got.sort_values(k).reset_index(drop=True).equals(got2.sort_values(k).reset_index(drop=True))
+
+
+def test_rolling_cov_corr_pairwise_nulls(spark):
+    """Pairwise-complete semantics: a row with either side null drops out
+    of every frame sum, exactly as pandas rolling cov/corr."""
+    rng = np.random.default_rng(11)
+    pdf = pd.DataFrame(
+        {"i": range(60), "x": np.round(rng.uniform(1, 9, 60), 2),
+         "y": np.round(rng.uniform(1, 9, 60), 2)}
+    )
+    pdf.loc[pdf.index % 7 == 3, "x"] = np.nan
+    pdf.loc[pdf.index % 11 == 5, "y"] = np.nan
+    got = (
+        windows.rolling_cov_corr(
+            from_pandas(spark, pdf), "x", "y", window=8, order_by=["i"],
+            partition_by=[], min_periods=4, out_prefix="xy",
+        )
+        .orderBy("i").toPandas()
+    )
+    # pandas pairwise: mask both sides before rolling
+    m = pdf.copy()
+    bad = m["x"].isna() | m["y"].isna()
+    m.loc[bad, ["x", "y"]] = np.nan
+    want_cov = m["x"].rolling(8, min_periods=4).cov(m["y"]).to_numpy()
+    want_corr = m["x"].rolling(8, min_periods=4).corr(m["y"]).to_numpy()
+    np.testing.assert_allclose(got["xy_roll_cov"], want_cov, rtol=1e-6, equal_nan=True)
+    np.testing.assert_allclose(got["xy_roll_corr"], want_corr, rtol=1e-6, equal_nan=True)
