@@ -3159,9 +3159,11 @@ def corpus_build_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup keeping the lowest id per fingerprint → stratified downsample
     (cap 'en' at 50%) → deterministic 10% test holdout → token-budget
     packing of the train split (packing.py). Every stage is the shipped
-    operator, the whole chain is replayed by one oracle CTE, and the plan
-    is two shuffles total (dedup window + pack bucket) — everything else
-    is narrow."""
+    operator, the whole chain is replayed by one oracle CTE, and only two
+    exchanges move full data (dedup window, pack bucket — the pack-level
+    aggregation reuses the bucket partitioning); the remaining two
+    shuffle only final per-group counters. Filter/sample/split stages are
+    narrow."""
     docs = load_table(spark, sf_dir, "documents")
     q = docs.select(
         "doc_id", "lang", "n_chars",

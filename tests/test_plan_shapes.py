@@ -132,3 +132,13 @@ def test_packing_single_exchange(spark, qs):
     assert "Exchange SinglePartition" not in txt, txt
     # bucket shuffle + final agg shuffle only
     assert txt.count("Exchange (") <= 2, txt
+
+
+def test_corpus_pipeline_shuffle_budget(spark, qs):
+    """Five-stage pipeline: only the dedup window and the pack bucket move
+    full data; the two result aggregations shuffle final counters. Any
+    fifth exchange means a narrow stage (filter/sample/split) regressed."""
+    df = qs["corpus_build_pipeline"](spark, SF)
+    txt = _txt(df)
+    assert "Exchange SinglePartition" not in txt, txt
+    assert txt.count("Exchange (") <= 4, txt
