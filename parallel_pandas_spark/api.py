@@ -196,6 +196,18 @@ class ParallelFrame:
     def p_train_test_split(self, id_cols, **kw) -> "ParallelFrame":
         return ParallelFrame(sampling.train_test_split(self.df, id_cols, **kw))
 
+    def p_resample_by_weight(self, strata_col, weights, id_cols, **kw) -> "ParallelFrame":
+        return ParallelFrame(
+            sampling.resample_by_weight(self.df, strata_col, weights, id_cols, **kw)
+        )
+
+    def p_pack_sequences(self, id_cols, token_col, budget, **kw) -> "ParallelFrame":
+        from .operators import packing
+
+        return ParallelFrame(
+            packing.pack_sequences(self.df, id_cols, token_col, budget, **kw)
+        )
+
     # -- §2.5 grouped / §2.4 ordered / merges ------------------------------
     def groupby(self, *keys: str) -> "ParallelGroupBy":
         return ParallelGroupBy(self.df, list(keys))

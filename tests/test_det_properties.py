@@ -102,3 +102,44 @@ def test_skew_twin_bit_exact(spark, xs):
     want = con.execute(f"SELECT {det.dskew_sql('x', 2)} AS sk FROM t").fetchone()[0]
     con.close()
     assert got == want or (got != got and want != want)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.integers(min_value=-(2**40), max_value=2**40),
+        min_size=1, max_size=60, unique=True,
+    ),
+    st.integers(min_value=0, max_value=9),
+)
+def test_sampling_gate_twin_bit_exact(spark, ids, seed):
+    """The md5 sampling gate (sampling._gate / _gate_sql) must agree
+    engine-for-engine on arbitrary keys — it decides corpus membership,
+    so a single divergent row breaks sample reproducibility."""
+    from parallel_pandas_spark.operators import sampling
+
+    def hexfold(hexcol):
+        return " + ".join(
+            f"(STRPOS('0123456789abcdef', SUBSTR({hexcol},{i + 1},1))-1)*{16 ** (14 - i)}"
+            for i in range(15)
+        )
+
+    pdf = pd.DataFrame({"id": ids})
+    sdf = from_pandas(spark, pdf)
+    got = {
+        r["id"]: r["g"]
+        for r in sdf.select("id", sampling._gate(["id"], seed).alias("g")).collect()
+    }
+    con = duckdb.connect()
+    con.register("t", pdf)
+    want = dict(
+        con.execute(
+            f"SELECT id, {sampling._gate_sql(['id'], seed, hexfold)} AS g FROM t"
+        ).fetchall()
+    )
+    con.close()
+    assert got == want
