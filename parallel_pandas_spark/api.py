@@ -366,3 +366,32 @@ class ParallelEWM:
 
     def p_sum(self, cols):
         return self._agg(cols, ("sum",))
+
+
+class ParallelAccessor:
+    """Bare-name dispatch onto the ``p_*`` surface — the reference's
+    ``df.parallel`` accessor (core/accessor.py; tests/test_accessor.py):
+    ``pf.parallel.mean()`` == ``pf.p_mean()``, ``pf.parallel.apply(f,
+    axis=1)`` == ``pf.p_apply(f, axis=1)``; unknown names raise
+    AttributeError naming the method, and ``dir()`` lists the surface."""
+
+    def __init__(self, frame: "ParallelFrame"):
+        self._frame = frame
+
+    def __getattr__(self, name: str):
+        target = "chunk_apply" if name == "chunk_apply" else f"p_{name}"
+        fn = getattr(self._frame, target, None)
+        if fn is None or not callable(fn):
+            raise AttributeError(f"no method '{name}' on the parallel accessor")
+        return fn
+
+    def __dir__(self):
+        base = [n[2:] for n in dir(self._frame) if n.startswith("p_")]
+        return sorted(set(base + ["chunk_apply"]))
+
+
+def _parallel(self: ParallelFrame) -> ParallelAccessor:
+    return ParallelAccessor(self)
+
+
+ParallelFrame.parallel = property(_parallel)

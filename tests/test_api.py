@@ -97,3 +97,21 @@ def test_elementwise_and_merge_surface(spark):
     cs = pf.p_cumsum(["x"], order_by=["id"], partition_by=["g"])
     lastc = cs.where(F.col("g") == 1).orderBy(F.col("id").desc()).limit(1).collect()[0]
     assert lastc["x_cumsum"] == pdf[pdf.g == 1]["x"].sum()
+
+
+def test_parallel_accessor_dispatch(spark):
+    """Reference .parallel accessor behaviors (tests/test_accessor.py):
+    bare-name dispatch, AttributeError on unknown, dir() listing."""
+    import pytest as _pytest
+
+    from parallel_pandas_spark.api import ParallelAccessor, ParallelFrame
+
+    pf = ParallelFrame(spark.range(50).withColumn("x", F.col("id") * 1.5))
+    assert isinstance(pf.parallel, ParallelAccessor)
+    a = pf.parallel.mean(["x"]).collect()
+    b = pf.p_mean(["x"]).collect()
+    assert a == b
+    with _pytest.raises(AttributeError, match="definitely_not_a_method"):
+        pf.parallel.definitely_not_a_method()
+    listing = dir(pf.parallel)
+    assert "mean" in listing and "apply" in listing and "chunk_apply" in listing
