@@ -152,7 +152,10 @@ class ParallelFrame:
             self.df, list(cols) if cols else self._numeric_cols(), method, round_to
         )
 
-    def p_agg(self, spec: dict):
+    def p_agg(self, spec):
+        if isinstance(spec, (list, tuple)):
+            # reference df.p_agg(["mean","std"]) — stats over all numeric cols
+            spec = {c: list(spec) for c in self._numeric_cols()}
         exprs = []
         for c, stats in spec.items():
             for s in [stats] if isinstance(stats, str) else stats:
@@ -222,16 +225,24 @@ class ParallelFrame:
     def p_rank(self, col: str, **kw):
         return ordered.rank(self.df, col, **kw)
 
-    def p_cumsum(self, cols, order_by, **kw):
+    def p_cumsum(self, cols, order_by=None, axis: int = 0, **kw):
+        if axis == 1:
+            return ordered.cum_axis1(self.df, cols, "sum")
         return ordered.cumsum(self.df, cols, order_by, **kw)
 
-    def p_cummax(self, cols, order_by, **kw):
+    def p_cummax(self, cols, order_by=None, axis: int = 0, **kw):
+        if axis == 1:
+            return ordered.cum_axis1(self.df, cols, "max")
         return ordered.cummax(self.df, cols, order_by, **kw)
 
-    def p_cummin(self, cols, order_by, **kw):
+    def p_cummin(self, cols, order_by=None, axis: int = 0, **kw):
+        if axis == 1:
+            return ordered.cum_axis1(self.df, cols, "min")
         return ordered.cummin(self.df, cols, order_by, **kw)
 
-    def p_cumprod(self, cols, order_by, **kw):
+    def p_cumprod(self, cols, order_by=None, axis: int = 0, **kw):
+        if axis == 1:
+            return ordered.cum_axis1(self.df, cols, "prod")
         return ordered.cumprod(self.df, cols, order_by, **kw)
 
     def p_pct_change(self, cols, order_by, **kw):

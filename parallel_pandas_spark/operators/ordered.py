@@ -224,3 +224,33 @@ def top_k_per_group(
         order.append(F.col(tie_breaker).asc())
     w = Window.partitionBy(*keys).orderBy(*order)
     return df.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") <= k).drop("__rn")
+
+
+def cum_axis1(df, cols, op, suffix=None):
+    """Row-wise (pandas axis=1) cumulative across the column list —
+    reference ``p_cumsum(axis=1)`` family (tests/test_dataframe_stats.py
+    CUMULATIVE axis=1). Pure narrow expressions: output column i is the
+    op-fold of columns [0..i] within the row; NULLs propagate like pandas
+    skipna=True (null inputs contribute nothing, output null only until
+    the first non-null). No shuffle, no window — this is embarrassingly
+    parallel at any scale."""
+    suffix = suffix or f"_cum{op}1"
+    fold = {
+        "sum": lambda a, b: a + b,
+        "prod": lambda a, b: a * b,
+        "max": F.greatest,
+        "min": F.least,
+    }[op]
+    out = df
+    acc = None
+    for c in cols:
+        cur = F.col(c).cast("double")
+        # pandas skipna=True: a NaN cell OUTPUTS NaN but the running value
+        # carries past it unchanged
+        acc = cur if acc is None else (
+            F.when(acc.isNull(), cur)
+            .when(cur.isNull(), acc)
+            .otherwise(fold(acc, cur))
+        )
+        out = out.withColumn(f"{c}{suffix}", F.when(cur.isNotNull(), acc))
+    return out

@@ -333,3 +333,33 @@ def test_rolling_cov_corr_pairwise_nulls(spark):
     want_corr = m["x"].rolling(8, min_periods=4).corr(m["y"]).to_numpy()
     np.testing.assert_allclose(got["xy_roll_cov"], want_cov, rtol=1e-6, equal_nan=True)
     np.testing.assert_allclose(got["xy_roll_corr"], want_corr, rtol=1e-6, equal_nan=True)
+
+
+def test_cum_axis1_matches_pandas(spark):
+    """Row-wise cumulatives (reference CUMULATIVE axis=1 tests) including
+    NaN propagation."""
+    from parallel_pandas_spark.api import ParallelFrame
+
+    rng = np.random.default_rng(3)
+    pdf = pd.DataFrame(rng.uniform(-5, 5, (40, 4)), columns=list("abcd")).round(3)
+    pdf.iloc[3, 1] = np.nan
+    pdf.iloc[7, 0] = np.nan
+    pf = ParallelFrame(from_pandas(spark, pdf.reset_index()))
+    for op in ["cumsum", "cumprod", "cummax", "cummin"]:
+        got = (
+            getattr(pf, f"p_{op}")(list("abcd"), axis=1)
+            .orderBy("index").toPandas()
+        )
+        want = getattr(pdf, op)(axis=1)
+        for i, c in enumerate("abcd"):
+            np.testing.assert_allclose(
+                got[f"{c}_cum{op[3:]}1"], want[c], rtol=1e-9, equal_nan=True
+            )
+
+
+def test_p_agg_list_spec(spark):
+    from parallel_pandas_spark.api import ParallelFrame
+
+    pdf = pd.DataFrame({"x": [1.0, 2.0, 3.0], "y": [4.0, 6.0, 11.0]})
+    out = ParallelFrame(from_pandas(spark, pdf)).p_agg(["mean", "max"]).collect()[0]
+    assert out["x_mean"] == 2.0 and out["y_max"] == 11.0
