@@ -268,7 +268,10 @@ class ParallelGroupBy:
     def __init__(self, df: DataFrame, keys: list[str]):
         self.df, self.keys = df, keys
 
-    def p_agg(self, spec, dropna: bool = True, sort: bool = True) -> DataFrame:
+    def p_agg(self, spec=None, dropna: bool = True, sort: bool = True, **named) -> DataFrame:
+        if named:
+            # pandas named-agg kwargs: p_agg(mx=("x", "max"), sy=("y", "sum"))
+            spec = grouped.named_agg(**named)
         return grouped.groupby_agg(self.df, self.keys, spec, dropna=dropna, sort=sort)
 
     def p_apply(self, func: Callable, schema, dropna: bool = True) -> DataFrame:

@@ -50,18 +50,51 @@ def groupby_agg(
     ordering stage only — skip it in pipelines.
     """
     df = _dropna_keys(df, keys, dropna)
+    callables: dict[str, Callable] = {}
     if isinstance(spec, dict):
         exprs = []
         for c, stats in spec.items():
+            if callable(stats) and not isinstance(stats, Column):
+                # pandas dict-with-callable (reference test_agg_dict):
+                # Series -> scalar, evaluated per group via Arrow
+                callables[c] = stats
+                continue
             if isinstance(stats, str):
                 stats = [stats]
             exprs.extend(stat_expr(s, c).alias(f"{c}_{s}") for s in stats)
     else:
         exprs = list(spec)
-    out = df.groupBy(*keys).agg(*exprs)
+    key_list = list(keys)
+    if callables:
+        items = sorted(callables.items())
+        schema = ", ".join(
+            f"{k} {t}" for k, t in
+            [(k, dict(df.dtypes)[k]) for k in key_list]
+            + [(f"{c}_agg", "double") for c, _ in items]
+        )
+
+        def _agg_group(pdf):
+            import pandas as pd
+
+            row = {k: [pdf[k].iloc[0]] for k in key_list}
+            for c, fn in items:
+                row[f"{c}_agg"] = [float(fn(pdf[c]))]
+            return pd.DataFrame(row)
+
+        cal = df.groupBy(*key_list).applyInPandas(_agg_group, schema=schema)
+        out = cal if not exprs else df.groupBy(*key_list).agg(*exprs).join(cal, key_list)
+    else:
+        out = df.groupBy(*key_list).agg(*exprs)
     if sort:
-        out = out.orderBy(*keys)
+        out = out.orderBy(*key_list)
     return out
+
+
+def named_agg(**named: tuple[str, str]) -> list[Column]:
+    """pandas named-agg form (reference test_agg_named):
+    ``named_agg(mx=("x", "max"), sy=("y", "sum"))`` → aliased Columns for
+    :func:`groupby_agg`'s expression-list spec."""
+    return [stat_expr(s, c).alias(name) for name, (c, s) in named.items()]
 
 
 def groupby_apply(

@@ -363,3 +363,23 @@ def test_p_agg_list_spec(spark):
     pdf = pd.DataFrame({"x": [1.0, 2.0, 3.0], "y": [4.0, 6.0, 11.0]})
     out = ParallelFrame(from_pandas(spark, pdf)).p_agg(["mean", "max"]).collect()[0]
     assert out["x_mean"] == 2.0 and out["y_max"] == 11.0
+
+
+def test_groupby_agg_named_and_callable(spark):
+    """Reference test_agg_named / test_agg_dict-with-callable forms."""
+    from parallel_pandas_spark.api import ParallelFrame
+
+    pdf = pd.DataFrame(
+        {"k": ["a", "a", "b", "b", "b"], "x": [1.0, 3.0, 2.0, 8.0, 4.0],
+         "y": [1.0, 2.0, 3.0, 4.0, 5.0]}
+    )
+    gb = ParallelFrame(from_pandas(spark, pdf)).groupby("k")
+    named = gb.p_agg(mx=("x", "max"), sy=("y", "sum")).toPandas().set_index("k")
+    want = pdf.groupby("k").agg(mx=("x", "max"), sy=("y", "sum"))
+    assert named["mx"].to_dict() == want["mx"].to_dict()
+    assert named["sy"].to_dict() == want["sy"].to_dict()
+
+    mixed = gb.p_agg({"x": "mean", "y": lambda s: float(s.max() - s.min())}).toPandas().set_index("k")
+    wantm = pdf.groupby("k").agg({"x": "mean", "y": lambda s: s.max() - s.min()})
+    assert mixed["x_mean"].to_dict() == wantm["x"].to_dict()
+    assert mixed["y_agg"].to_dict() == wantm["y"].to_dict()
