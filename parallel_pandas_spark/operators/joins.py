@@ -108,10 +108,13 @@ def asof_join(
     by_right: Sequence[str],
     right_cols: Sequence[str],
     direction: str = "backward",
+    tolerance_seconds: float | None = None,
 ) -> DataFrame:
     """As-of join: for each left row, the latest right row with
     ``right.ts <= left.ts`` within the same key (direction='backward';
     'forward' = earliest right row with ts >= left ts).
+    ``tolerance_seconds`` mirrors ``pandas.merge_asof(tolerance=)``: a
+    match farther than the tolerance from the left timestamp yields NULLs.
 
     No Spark primitive exists (SURVEY.md §2.8). A naive range join is
     O(n·m) per key; instead we union both sides tagged, sort once per key,
@@ -149,6 +152,7 @@ def asof_join(
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
         carry = {c: F.last(f"__r_{c}", ignorenulls=True).over(w) for c in right_cols}
+        carry["__mts"] = F.last(F.when(F.col("__side") == 0, F.col("__ts")), ignorenulls=True).over(w)
     else:
         w = (
             Window.partitionBy(*key_cols)
@@ -156,10 +160,21 @@ def asof_join(
             .rowsBetween(Window.currentRow, Window.unboundedFollowing)
         )
         carry = {c: F.first(f"__r_{c}", ignorenulls=True).over(w) for c in right_cols}
+        carry["__mts"] = F.first(F.when(F.col("__side") == 0, F.col("__ts")), ignorenulls=True).over(w)
 
     out = unioned.select(
+        F.col("__ts"),
         F.col("__lrow"), F.col("__side"), *[v.alias(f"__m_{c}") for c, v in carry.items()]
     ).where(F.col("__side") == 1)
+    if tolerance_seconds is not None:
+        within = (
+            F.abs(
+                F.col("__ts").cast("double") - F.col("__m___mts").cast("double")
+            )
+            <= F.lit(float(tolerance_seconds))
+        )
+        for c in right_cols:
+            out = out.withColumn(f"__m_{c}", F.when(within, F.col(f"__m_{c}")))
     return out.select(
         *[F.col(f"__lrow.{c}").alias(c) for c in left.columns],
         *[F.col(f"__m_{c}").alias(c) for c in right_cols],
