@@ -34,7 +34,13 @@ from parallel_pandas_spark.operators import (
     text,
     windows,
 )
-from parallel_pandas_spark.sources import load_table, read_csv, read_json, read_orc
+from parallel_pandas_spark.sources import (
+    from_pandas,
+    load_table,
+    read_csv,
+    read_json,
+    read_orc,
+)
 from parallel_pandas_spark.streaming import events as streaming_events
 
 SF0001 = "/root/testdata/sf0.001"
@@ -116,6 +122,15 @@ def _retire(*names: str) -> None:
 
 def _utc(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def _hexfold_sql(hexcol: str) -> str:
+    """First 15 hex chars of an md5 column → BIGINT (twin of
+    dedup.md5_long's conv(substring(md5, 1, 15), 16, 10))."""
+    return " + ".join(
+        f"(STRPOS('0123456789abcdef', SUBSTR({hexcol},{i + 1},1))-1)*{16 ** (14 - i)}"
+        for i in range(15)
+    )
 
 
 # =========================================================================
@@ -585,13 +600,57 @@ def corr_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wide.selectExpr(f"stack(3, {stack_args}) as (col_x, col_y, corr)")
 
 
-@_q("kendall_tau_sample")  # rows-only: no closed SQL form (O(n²) pair statistic)
+# Sampled kendall (r4): the md5 hash gate is replayable in SQL and the
+# statistic on the sample runs through the distributed exact kernel, so
+# the sampled variant gains a full value oracle — the quadratic DuckDB
+# pair join on the identical sample must hash-match (n, d, tau)
+# bit-for-bit. Key = (l_orderkey, l_linenumber): integer→VARCHAR casts
+# render identically in Spark and DuckDB (doubles would not).
+_KENDALL_SAMPLE_MOD = 16
+_KENDALL_SAMPLE_ORACLE = f"""
+WITH src AS (
+  SELECT CAST(l_quantity AS DOUBLE) AS x, CAST(l_discount AS DOUBLE) AS y,
+         md5('s0:' || CAST(l_orderkey AS VARCHAR) || chr(31) || CAST(l_linenumber AS VARCHAR)) AS h
+  FROM lineitem
+),
+t AS (
+  SELECT x, y FROM src
+  WHERE (({_hexfold_sql('h')}) % {_KENDALL_SAMPLE_MOD}) = 0
+    AND x IS NOT NULL AND y IS NOT NULL
+),
+pairs AS (
+  SELECT SUM(CASE WHEN (a.x<b.x AND a.y<b.y) OR (a.x>b.x AND a.y>b.y) THEN 1 ELSE 0 END) AS conc2,
+         SUM(CASE WHEN (a.x<b.x AND a.y>b.y) OR (a.x>b.x AND a.y<b.y) THEN 1 ELSE 0 END) AS disc2
+  FROM t a, t b
+),
+nn AS (SELECT COUNT(*) AS n FROM t),
+tx AS (SELECT COALESCE(SUM(c*(c-1)),0)//2 AS n1 FROM (SELECT COUNT(*) AS c FROM t GROUP BY x)),
+ty AS (SELECT COALESCE(SUM(c*(c-1)),0)//2 AS n2 FROM (SELECT COUNT(*) AS c FROM t GROUP BY y))
+SELECT nn.n AS n,
+       CAST(disc2//2 AS BIGINT) AS d,
+       CAST((conc2 - disc2)//2 AS DOUBLE)
+         / SQRT(CAST(nn.n*(nn.n-1)//2 - tx.n1 AS DOUBLE)
+                * CAST(nn.n*(nn.n-1)//2 - ty.n2 AS DOUBLE)) AS tau
+FROM pairs, nn, tx, ty
+"""
+
+
+@_q("kendall_tau_sample", _KENDALL_SAMPLE_ORACLE)
 def kendall_tau_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Kendall τ-b on a deterministic hash sample, computed executor-side
-    (reductions.kendall_tau; reference _numba.py:7-158). Rows-only: DuckDB
-    has no kendall aggregate and the statistic has no SQL closed form."""
+    """Kendall τ-b on a deterministic md5-gated sample, computed by the
+    FULLY DISTRIBUTED exact kernel (reductions.kendall_tau →
+    kendall.kendall_tau_exact; reference _numba.py:7-158). r4: the former
+    single-task applyInPandas reducer is gone and the hash gate is
+    SQL-replayable, so this query is now value-oracled like the exact
+    variant."""
     li = load_table(spark, sf_dir, "lineitem")
-    return reductions.kendall_tau(li, "l_quantity", "l_discount", sample_mod=4)
+    return reductions.kendall_tau(
+        li,
+        "l_quantity",
+        "l_discount",
+        sample_mod=_KENDALL_SAMPLE_MOD,
+        id_cols=["l_orderkey", "l_linenumber"],
+    )
 
 
 # DuckDB has no kendall aggregate, but τ-b IS oracle-checkable on a subset
@@ -936,6 +995,48 @@ def corr_matrix_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "corr_callable_minp",
+    """
+WITH w AS (SELECT ROUND(corr(event_id, user_id), 6) AS a,
+                  ROUND(corr(event_id, value), 6) AS b,
+                  ROUND(corr(user_id, value), 6) AS c
+           FROM events)
+SELECT 'cb' AS part, 'event_id' AS col_x, 'user_id' AS col_y, a AS corr FROM w
+UNION ALL SELECT 'cb', 'event_id', 'value', b FROM w
+UNION ALL SELECT 'cb', 'user_id', 'value', c FROM w
+UNION ALL
+SELECT 'mp', col_x, col_y, CAST(NULL AS DOUBLE)
+FROM (VALUES ('event_id','user_id'), ('event_id','value'), ('user_id','value'))
+     t(col_x, col_y)
+""",
+)
+def corr_callable_minp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p_corr tail (r4; reference parallel_dataframe.py:186-231): CALLABLE
+    ``method=`` through the pairwise applyInPandas fallback, and
+    ``min_periods`` as a pairwise-complete-count guard. Part ``cb``: the
+    demo callable is numpy pearson, so the pairwise plumbing (null-pair
+    exclusion included — ``value`` has NULLs in the events table) is
+    value-checked against DuckDB's corr; arbitrary callables take the same
+    path. Part ``mp``: min_periods above any SF's row count forces every
+    pair to NULL through the same guard the SQL CASE expresses."""
+    import numpy as np
+
+    ev = load_table(spark, sf_dir, "events")
+    cols = ["event_id", "user_id", "value"]
+
+    def np_pearson(x, y):
+        return float(np.corrcoef(x, y)[0, 1])
+
+    cb = reductions.corr_matrix(ev, cols, method=np_pearson, round_to=6)
+    mp = reductions.corr_matrix(
+        ev, cols, method=np_pearson, round_to=6, min_periods=10**12
+    )
+    return cb.select(F.lit("cb").alias("part"), "*").unionByName(
+        mp.select(F.lit("mp").alias("part"), "*")
+    )
+
+
 @_q("ewm_std_var_last")  # rows-only: pandas-recursion semantics, no SQL form
 def ewm_std_var_last(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EWM std/var (span=5, adjust=True, bias=False pandas defaults) per
@@ -1115,15 +1216,6 @@ def stream_tumbling_live_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 # =========================================================================
 
 _NORM_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
-
-
-def _hexfold_sql(hexcol: str) -> str:
-    """First 15 hex chars of an md5 column → BIGINT (twin of
-    dedup.md5_long's conv(substring(md5, 1, 15), 16, 10))."""
-    return " + ".join(
-        f"(STRPOS('0123456789abcdef', SUBSTR({hexcol},{i + 1},1))-1)*{16 ** (14 - i)}"
-        for i in range(15)
-    )
 
 
 _GRAMS3_SQL = """
@@ -1635,18 +1727,22 @@ SELECT o_orderkey,
   SQRT(o_totalprice) AS price_sqrt,
   CASE o_orderpriority WHEN '1-URGENT' THEN 'hot'
                        WHEN '2-HIGH' THEN 'hot'
-                       WHEN '5-LOW' THEN 'cold' END AS prio_class
-FROM orders
+                       WHEN '5-LOW' THEN 'cold' END AS prio_class,
+  c.c_mktsegment AS cust_segment
+FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
 """,
 )
 def map_elements_and_dict(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Series.p_apply(callable) via scalar pandas_udf (math.sqrt is
-    exactly rounded → bit-equal to SQL SQRT), and Series.p_map(dict) via a
+    exactly rounded → bit-equal to SQL SQRT); Series.p_map(dict) via a
     literal JVM MAP — unmapped keys ('3-MEDIUM', '4-NOT SPECIFIED') yield
-    NULL exactly as pandas yields NaN."""
+    NULL exactly as pandas yields NaN; and (r4) Series.p_map(SERIES) via a
+    broadcast-join lookup (elementwise.map_series — o_custkey mapped
+    through the customer key→mktsegment 'Series')."""
     import math
 
     o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
     r = elementwise.map_elements(o, "o_totalprice", math.sqrt, "price_sqrt", "double")
     r = elementwise.map_dict(
         r,
@@ -1654,7 +1750,10 @@ def map_elements_and_dict(spark: SparkSession, sf_dir: str) -> DataFrame:
         {"1-URGENT": "hot", "2-HIGH": "hot", "5-LOW": "cold"},
         out_col="prio_class",
     )
-    return r.select("o_orderkey", "price_sqrt", "prio_class")
+    r = elementwise.map_series(
+        r, "o_custkey", c, "c_custkey", "c_mktsegment", out_col="cust_segment"
+    )
+    return r.select("o_orderkey", "price_sqrt", "prio_class", "cust_segment")
 
 
 @_q(
@@ -2520,30 +2619,48 @@ def ewm_mean_last(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# gaussian(window=5, std=1.0) weights via the closed-form shape table
+# (windows.win_type_weights) — the exact doubles are embedded as literals
+# in BOTH engines, so the dot products agree to the last rounding digit.
+_GAUSS_W = windows.win_type_weights("gaussian", 5, std=1.0)
+_GAUSS_WSUM = float(sum(_GAUSS_W))
+_GAUSS_CASE = " ".join(
+    f"WHEN {4 - i} THEN {w!r}" for i, w in enumerate(_GAUSS_W)
+)
+
 @_q(
     "weighted_rolling_mean",
-    """
+    f"""
 WITH r AS (
   SELECT l_orderkey, l_linenumber, l_suppkey, l_quantity,
          ROW_NUMBER() OVER (PARTITION BY l_suppkey
                             ORDER BY l_orderkey, l_linenumber, l_quantity) AS rn
   FROM lineitem
 )
-SELECT a.l_orderkey, a.l_linenumber,
+SELECT 'lit3' AS src, a.l_orderkey, a.l_linenumber,
   CASE WHEN a.rn >= 3 THEN ROUND(SUM(b.l_quantity *
     CASE a.rn - b.rn WHEN 2 THEN 0.2 WHEN 1 THEN 0.3 WHEN 0 THEN 0.5 END) / 1.0, 6) END AS wmean
 FROM r a JOIN r b
   ON b.l_suppkey = a.l_suppkey AND b.rn BETWEEN a.rn - 2 AND a.rn
+GROUP BY a.l_suppkey, a.l_orderkey, a.l_linenumber, a.rn
+UNION ALL BY NAME
+SELECT 'gauss5' AS src, a.l_orderkey, a.l_linenumber,
+  CASE WHEN a.rn >= 5 THEN ROUND(SUM(b.l_quantity *
+    CASE a.rn - b.rn {_GAUSS_CASE} END) / {_GAUSS_WSUM!r}, 6) END AS wmean
+FROM r a JOIN r b
+  ON b.l_suppkey = a.l_suppkey AND b.rn BETWEEN a.rn - 4 AND a.rn
 GROUP BY a.l_suppkey, a.l_orderkey, a.l_linenumber, a.rn
 """,
 )
 def weighted_rolling_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted moving mean (reference ParallelWindow win_type=...,
     parallel_window.py:206-213) — explicit dot product over the frame,
-    JVM-side; weights here are a literal [0.2, 0.3, 0.5] (a scipy window
-    shape would be materialized the same way)."""
+    JVM-side. Tagged parts: ``lit3`` = caller-supplied literal weights
+    [0.2, 0.3, 0.5]; ``gauss5`` (r4) = ``win_type='gaussian'`` with the
+    scipy-shape translation table (windows.win_type_weights) producing
+    the weights — true parity with the reference's win_type surface."""
     li = load_table(spark, sf_dir, "lineitem")
-    r = windows.weighted_window(
+    lit3 = windows.weighted_window(
         li,
         "l_quantity",
         3,
@@ -2552,10 +2669,18 @@ def weighted_rolling_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["l_suppkey"],
         func="mean",
         out_col="wmean_raw",
-    )
-    return r.select(
-        "l_orderkey", "l_linenumber", F.round("wmean_raw", 6).alias("wmean")
-    )
+    ).select("l_orderkey", "l_linenumber", F.round("wmean_raw", 6).alias("wmean"))
+    gauss = windows.weighted_window(
+        li,
+        "l_quantity",
+        5,
+        _GAUSS_W,
+        _LI_ORD,
+        ["l_suppkey"],
+        func="mean",
+        out_col="wmean_raw",
+    ).select("l_orderkey", "l_linenumber", F.round("wmean_raw", 6).alias("wmean"))
+    return _pad_union([("lit3", lit3), ("gauss5", gauss)])
 
 
 @_q(
@@ -2597,21 +2722,48 @@ def rolling_apply_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q(
     "csv_json_roundtrip",
     """
-SELECT n_regionkey,
+SELECT 'files' AS src, n_regionkey,
   COUNT(*) AS n,
   CAST(SUM(n_nationkey) AS BIGINT) AS key_sum,
   MIN(n_name) AS first_name, MAX(n_name) AS last_name
 FROM (SELECT * FROM nation UNION ALL SELECT * FROM nation
       UNION ALL SELECT * FROM nation)
 GROUP BY n_regionkey
+UNION ALL BY NAME
+SELECT 'inmem' AS src, g, COUNT(*) AS n, CAST(SUM(v) AS BIGINT) AS vsum
+FROM (SELECT k, k % 5 AS g, (k*k) % 97 AS v FROM range(200) t(k))
+GROUP BY g
+UNION ALL BY NAME
+SELECT 'bucketed' AS src, s_nationkey,
+  COUNT(*) AS n, CAST(SUM(s_suppkey) AS BIGINT) AS key_sum
+FROM supplier GROUP BY s_nationkey
+UNION ALL BY NAME
+SELECT 'progress' AS src, COUNT(*) AS n, CAST(COUNT(*) AS BIGINT) AS key_sum
+FROM nation
 """,
 )
 def csv_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """§2.1 non-parquet sources/sinks: write ``nation`` out as CSV, JSON,
-    and ORC (sources/loaders.py:71-105), read all three back with the
-    explicit schema, union, aggregate. The oracle reads the original
-    parquet tripled — a value mismatch means a sink or scan corrupted
-    data."""
+    """§2.1 sources/sinks + §2.11 infrastructure battery, tagged parts
+    (r4: the three previously unit-test-only components gain driver rows):
+
+    - ``files``: write ``nation`` as CSV, JSON, and ORC
+      (sources/loaders.py:71-105), read all three back with the explicit
+      schema, union, aggregate; the oracle reads the original parquet
+      tripled — a value mismatch means a sink or scan corrupted data.
+    - ``inmem``: in-memory table over the Arrow ``createDataFrame`` path
+      (sources.from_pandas; SURVEY §2.1 — every reference test builds
+      frames from numpy, conftest.py:20-49).
+    - ``bucketed``: bucketBy sink + metastore-table scan
+      (joins.bucket_write — the co-located-join 100 TB design; the
+      exchange-free plan shape is asserted in tests/test_bucketing.py).
+    - ``progress``: accumulator row accounting (progress.count_rows, the
+      distributed twin of the reference's progress_udf_wrapper,
+      progress_imap.py:174-195) under a live ProgressTracker poll; the
+      value under check is the accumulator total — exactly the rows that
+      flowed through the instrumented stage.
+    """
+    import pandas as pd
+
     n = load_table(spark, sf_dir, "nation")
     base = "/root/repo/.tmp_io"
     csv_p, json_p, orc_p = (
@@ -2625,11 +2777,41 @@ def csv_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(read_json(spark, json_p, schema=n.schema))
         .unionByName(read_orc(spark, orc_p, schema=n.schema))
     )
-    return back.groupBy("n_regionkey").agg(
+    f_agg = back.groupBy("n_regionkey").agg(
         F.count("*").alias("n"),
         F.sum("n_nationkey").cast("long").alias("key_sum"),
         F.min("n_name").alias("first_name"),
         F.max("n_name").alias("last_name"),
+    )
+
+    pdf = pd.DataFrame({"k": range(200)})
+    pdf["g"] = pdf["k"] % 5
+    pdf["v"] = (pdf["k"] * pdf["k"]) % 97
+    m_agg = from_pandas(spark, pdf).groupBy("g").agg(
+        F.count("*").alias("n"), F.sum("v").cast("long").alias("vsum")
+    )
+
+    sup = load_table(spark, sf_dir, "supplier")
+    joins.bucket_write(
+        sup.select("s_suppkey", "s_nationkey"), "pps_supplier_bucketed",
+        ["s_nationkey"], 8,
+    )
+    b_agg = spark.table("pps_supplier_bucketed").groupBy("s_nationkey").agg(
+        F.count("*").alias("n"),
+        F.sum("s_suppkey").cast("long").alias("key_sum"),
+    )
+
+    from parallel_pandas_spark.progress import ProgressTracker, count_rows
+
+    acc = spark.sparkContext.accumulator(0)
+    with ProgressTracker(spark):
+        n_rows = count_rows(n.select("n_nationkey"), acc).count()
+    p_row = spark.createDataFrame(
+        [(int(n_rows), int(acc.value))], "n long, key_sum long"
+    )
+
+    return _pad_union(
+        [("files", f_agg), ("inmem", m_agg), ("bucketed", b_agg), ("progress", p_row)]
     )
 
 
@@ -2682,6 +2864,52 @@ def pivot_aggfunc_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         margins=True,
         pivot_values=["F", "O"],
     )
+
+
+@_q(
+    "pivot_dict_callable",
+    """
+SELECT l_returnflag,
+  COALESCE(SUM(CASE WHEN l_linestatus='F' THEN l_quantity END), 0) AS F_l_quantity_sum,
+  COALESCE(MAX(CASE WHEN l_linestatus='F' THEN l_quantity END), 0) AS F_l_quantity_max,
+  COUNT(CASE WHEN l_linestatus='F' THEN l_extendedprice END) AS F_l_extendedprice_count,
+  COALESCE(SUM(CASE WHEN l_linestatus='O' THEN l_quantity END), 0) AS O_l_quantity_sum,
+  COALESCE(MAX(CASE WHEN l_linestatus='O' THEN l_quantity END), 0) AS O_l_quantity_max,
+  COUNT(CASE WHEN l_linestatus='O' THEN l_extendedprice END) AS O_l_extendedprice_count,
+  MAX(CASE WHEN l_linestatus='F' THEN l_quantity END)
+    - MIN(CASE WHEN l_linestatus='F' THEN l_quantity END) AS F_range,
+  MAX(CASE WHEN l_linestatus='O' THEN l_quantity END)
+    - MIN(CASE WHEN l_linestatus='O' THEN l_quantity END) AS O_range
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+def pivot_dict_callable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pivot_table aggfunc DICT ({col: fn|[fns]} → per-column stats,
+    grouped._aggfunc_pairs dict arm) joined with aggfunc CALLABLE (the
+    applyInPandas per-cell path, grouped.pivot_table:205-227) — r4: both
+    previously unit-tested-only arms gain driver value rows. The demo
+    callable (range = max−min per cell) is SQL-expressible so the cell
+    plumbing is value-checked; arbitrary callables take the same path.
+    sum/count/max/min on integer-valued l_quantity are order-exact."""
+    li = load_table(spark, sf_dir, "lineitem")
+    d = grouped.pivot_table(
+        li,
+        index=["l_returnflag"],
+        columns="l_linestatus",
+        values="l_quantity",
+        aggfunc={"l_quantity": ["sum", "max"], "l_extendedprice": "count"},
+        fill_value=0,
+        pivot_values=["F", "O"],
+    )
+    c = grouped.pivot_table(
+        li,
+        index=["l_returnflag"],
+        columns="l_linestatus",
+        values="l_quantity",
+        aggfunc=lambda s: float(s.max() - s.min()),
+        pivot_values=["F", "O"],
+    ).withColumnsRenamed({"F": "F_range", "O": "O_range"})
+    return d.join(c, "l_returnflag")
 
 
 @_q(
@@ -2940,12 +3168,26 @@ _q("elementwise_battery", _bsql)(_bfn)
 _retire("apply_rows_charge", "applymap_signed_log")
 
 _bfn, _bsql = _compose_union(
-    [("mean", "pivot_table_mean"), ("aggfuncs", "pivot_aggfunc_battery")]
+    [
+        ("mean", "pivot_table_mean"),
+        ("aggfuncs", "pivot_aggfunc_battery"),
+        ("dictcall", "pivot_dict_callable"),
+    ]
 )
-_bfn.__doc__ = """pivot_table surface (op #24): single-stat mean pivot plus
-the aggfunc list/margins/fill form (dict/callable unit-tested)."""
+_bfn.__doc__ = """pivot_table surface (op #24): single-stat mean pivot, the
+aggfunc list/margins/fill form, and (r4) the aggfunc dict + callable
+forms — the full pandas aggfunc spec is driver-value-checked."""
 _q("pivot_battery", _bsql)(_bfn)
-_retire("pivot_table_mean", "pivot_aggfunc_battery")
+_retire("pivot_table_mean", "pivot_aggfunc_battery", "pivot_dict_callable")
+
+_bfn, _bsql = _compose_union(
+    [("native", "corr_matrix_native"), ("dynamic", "corr_callable_minp")]
+)
+_bfn.__doc__ = """corr_matrix surface (op #17): native one-scan pearson
+matrix plus (r4) the callable-method applyInPandas fallback and the
+min_periods pairwise-complete guard."""
+_q("corr_matrix_native", _bsql)(_bfn)
+_retire("corr_callable_minp")
 
 _bfn, _bsql = _compose_union(
     [("ops", "str_ops_battery"), ("extract", "str_extract_split")]

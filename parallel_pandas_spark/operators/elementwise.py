@@ -174,6 +174,32 @@ def map_dict(
     return df.withColumn(out_col or f"{col}_mapped", m[F.col(col)])
 
 
+def map_series(
+    df: DataFrame,
+    col: str,
+    lookup: DataFrame,
+    key_col: str,
+    value_col: str,
+    out_col: str | None = None,
+    broadcast: bool = True,
+) -> DataFrame:
+    """``Series.p_map`` with a *Series* argument (reference
+    parallel_series.py:47-68 — ``arg`` may be callable/dict/Series). A
+    Series is a key→value table, so map = left broadcast-hash-join lookup,
+    fully JVM-side: unmatched or NULL keys → NULL, matching pandas' NaN.
+    ``broadcast=False`` for a lookup too large to broadcast (sort-merge
+    join on the key instead). pandas raises on a duplicate lookup index;
+    here duplicates are dropped (arbitrary survivor) — dedupe upstream if
+    the choice matters."""
+    out_col = out_col or f"{col}_mapped"
+    lk = lookup.select(
+        F.col(key_col).alias("__map_key"), F.col(value_col).alias(out_col)
+    ).dropDuplicates(["__map_key"])
+    if broadcast:
+        lk = F.broadcast(lk)
+    return df.join(lk, F.col(col) == F.col("__map_key"), "left").drop("__map_key")
+
+
 def applymap(
     df: DataFrame,
     func: Callable,

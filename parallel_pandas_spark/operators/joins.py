@@ -197,6 +197,20 @@ def bucket_write(df: DataFrame, path_table: str, keys: Sequence[str], num_bucket
     """Persist bucketed by join/group key: repeated joins & aggs on ``keys``
     skip the exchange entirely (co-located scan). The 100 TB answer to
     'this join shuffles every night'."""
+    import os
+    import shutil
+
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {path_table}")
+    # a managed-table dir from a previous session survives the in-memory
+    # catalog, and saveAsTable refuses to overwrite an unregistered
+    # location (LOCATION_ALREADY_EXISTS) — clear any stale one
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    for prefix in ("file://", "file:"):
+        if wh.startswith(prefix):
+            wh = wh[len(prefix):]
+            break
+    shutil.rmtree(os.path.join(wh, path_table.lower()), ignore_errors=True)
     (
         df.write.mode("overwrite")
         .bucketBy(num_buckets, *keys)

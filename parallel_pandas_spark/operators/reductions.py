@@ -263,7 +263,11 @@ def nunique(df: DataFrame, cols: Sequence[str], approx: bool = False) -> DataFra
 
 
 def corr_matrix(
-    df: DataFrame, cols: Sequence[str], method: str = "pearson", round_to: int | None = None
+    df: DataFrame,
+    cols: Sequence[str],
+    method="pearson",
+    round_to: int | None = None,
+    min_periods: int | None = None,
 ) -> DataFrame:
     """Long-format pairwise correlation (col_x, col_y, corr).
 
@@ -274,9 +278,19 @@ def corr_matrix(
 
     pearson: native ``corr``. spearman: columns are rank-transformed
     (average ranks, matching ``pandas.rank(method='average')``) with window
-    expressions, then pearson on the ranks. kendall is O(n^2)/pair — use
-    :func:`kendall_tau` (pandas-UDF path) on sampled data at scale.
+    expressions, then pearson on the ranks. kendall needs pair counting —
+    use :func:`kendall_tau` (distributed merge-count kernel, optionally
+    hash-sampled) per pair. A CALLABLE ``method`` takes the pairwise
+    applyInPandas fallback (see :func:`_corr_matrix_callable`) — pandas
+    ``corr(method=callable)`` semantics, one task per pair.
+
+    ``min_periods`` (reference parallel_dataframe.py:186-231): a pair's
+    correlation is NULL unless its pairwise-complete row count reaches the
+    threshold — a CASE guard on a per-pair conditional count, still one
+    scan.
     """
+    if callable(method):
+        return _corr_matrix_callable(df, cols, method, round_to, min_periods)
     if method == "spearman":
         from .ordered import global_avg_rank
 
@@ -296,6 +310,11 @@ def corr_matrix(
     for i, a in enumerate(cols):
         for b in cols[i + 1 :]:
             e = F.corr(colmap[a], colmap[b])
+            if min_periods is not None:
+                both = F.when(
+                    F.col(colmap[a]).isNotNull() & F.col(colmap[b]).isNotNull(), 1
+                )
+                e = F.when(F.count(both) >= F.lit(min_periods), e)
             if round_to is not None:
                 e = F.round(e, round_to)
             exprs.append(e.alias(f"{a}__{b}"))
@@ -308,71 +327,90 @@ def corr_matrix(
     )
 
 
-def kendall_tau(
-    df: DataFrame, col_a: str, col_b: str, sample_mod: int = 1, max_rows: int = 20_000
+def _corr_matrix_callable(
+    df: DataFrame,
+    cols: Sequence[str],
+    func,
+    round_to: int | None = None,
+    min_periods: int | None = None,
 ) -> DataFrame:
-    """Kendall's τ-b for one pair (reference: exact O(n²) numba kernel,
-    _numba.py:7-158). Exact kendall is quadratic, so at scale it runs on a
-    DETERMINISTIC hash sample (``pmod(xxhash64(a,b), sample_mod) == 0`` —
-    reproducible on any cluster layout, unlike an unordered ``limit``),
-    computed EXECUTOR-side in one grouped Arrow batch, never collected to
-    the driver. Returns a 1-row DataFrame (tau double).
+    """Arbitrary-callable correlation (reference p_corr ``method=callable``,
+    parallel_dataframe.py:186-231 — the reference fans the C(k,2) pairs
+    across its pool; here each pair is one applyInPandas task, so pairs run
+    in parallel). The callable sees two aligned float64 numpy arrays (the
+    pair's pairwise-complete rows, (x, y)-sorted so the call is
+    deterministic under shuffle) and returns a scalar.
 
-    Size ``sample_mod`` so the surviving sample fits one executor's memory —
-    the single applyInPandas group materializes it as one pandas frame
-    (~16 B/row for two float64 cols, so ~1e7 rows ≈ 160 MB is a sane cap).
-    ``max_rows`` is a last-resort guard: if the sample still exceeds it, the
-    group is value-sorted and stride-thinned deterministically. For the
-    fully-distributed exact statistic use :func:`kendall.kendall_tau_exact`.
+    Scale note: an opaque callable forces the pair's complete rows into one
+    task (the reference holds them in one process too) — at corpus scale,
+    hash-sample first (sampling.hash_sample) exactly as with kendall.
     """
-    import numpy as np
     import pandas as pd
 
-    d = df.select(col_a, col_b).dropna()
-    if sample_mod > 1:
-        d = d.where(
-            F.pmod(F.xxhash64(F.col(col_a), F.col(col_b)), F.lit(sample_mod)) == 0
-        )
+    longf = None
+    for i, a in enumerate(cols):
+        for b in cols[i + 1 :]:
+            part = df.where(
+                F.col(a).isNotNull() & F.col(b).isNotNull()
+            ).select(
+                F.lit(a).alias("col_x"),
+                F.lit(b).alias("col_y"),
+                F.col(a).cast("double").alias("x"),
+                F.col(b).cast("double").alias("y"),
+            )
+            longf = part if longf is None else longf.unionByName(part)
+    mp = 1 if min_periods is None else int(min_periods)
 
-    def _tau(pdf: pd.DataFrame) -> pd.DataFrame:
-        if len(pdf) > max_rows:  # hard memory bound for the O(n²) kernel
-            # Arrival order inside the group is shuffle-nondeterministic, so
-            # sort by value before stride-thinning: the same rows survive the
-            # cap on any cluster layout. (tau itself is order-invariant, so
-            # the sort only matters when the cap triggers.)
-            pdf = pdf.sort_values([col_a, col_b], kind="mergesort")
-            pdf = pdf.iloc[:: (len(pdf) // max_rows) + 1]
-        x = pdf[col_a].to_numpy(dtype=np.float64)
-        y = pdf[col_b].to_numpy(dtype=np.float64)
-        n = len(x)
-        if n < 2:
-            return pd.DataFrame({"tau": [float("nan")]})
-        conc = disc = 0
-        block = 2048  # B×n int8 workspaces (~40 MB at n=20k), not n×n
-        for s0 in range(0, n, block):
-            xb = x[s0 : s0 + block]
-            yb = y[s0 : s0 + block]
-            sx = np.sign(xb[:, None] - x[None, :]).astype(np.int8)
-            sy = np.sign(yb[:, None] - y[None, :]).astype(np.int8)
-            s = sx * sy
-            upper = np.arange(n)[None, :] > np.arange(s0, s0 + len(xb))[:, None]
-            conc += int(((s > 0) & upper).sum())
-            disc += int(((s < 0) & upper).sum())
-        n0 = n * (n - 1) // 2
-        _, cx = np.unique(x, return_counts=True)
-        _, cy = np.unique(y, return_counts=True)
-        n1 = int((cx * (cx - 1) // 2).sum())
-        n2 = int((cy * (cy - 1) // 2).sum())
-        denom = np.sqrt(float(n0 - n1) * float(n0 - n2))
-        tau = (conc - disc) / denom if denom > 0 else float("nan")
-        return pd.DataFrame({"tau": [tau]})
+    def _pair(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < max(mp, 2):
+            v = float("nan")
+        else:
+            pdf = pdf.sort_values(["x", "y"], kind="mergesort")
+            v = float(func(pdf["x"].to_numpy(), pdf["y"].to_numpy()))
+        return pd.DataFrame({"col_x": [key[0]], "col_y": [key[1]], "corr": [v]})
 
-    return (
-        d.withColumn("__g", F.lit(1))
-        .groupBy("__g")
-        .applyInPandas(_tau, "tau double")
-        .select("tau")
+    out = longf.groupBy("col_x", "col_y").applyInPandas(
+        _pair, "col_x string, col_y string, corr double"
     )
+    if round_to is not None:
+        out = out.withColumn("corr", F.round("corr", round_to))
+    return out
+
+
+def kendall_tau(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+    sample_mod: int = 1,
+    id_cols: Sequence[str] | None = None,
+    seed: int = 0,
+    num_buckets: int = 64,
+) -> DataFrame:
+    """Kendall's τ-b for one pair, optionally on a deterministic hash
+    sample (reference: exact O(n²) numba kernel, _numba.py:7-158).
+
+    The statistic is computed by the fully distributed exact kernel
+    (:func:`kendall.kendall_tau_exact` — per-partition merge-counts +
+    histogram-grid windows, no O(n²) stage, no single-task reducer), so
+    the only approximation is the sampling itself. ``sample_mod > 1``
+    keeps a row iff ``md5(id_cols) % sample_mod == 0`` — a pure content
+    hash, reproducible on any cluster layout AND replayable by a SQL
+    oracle (md5 exists in every engine; the former xxhash64 gate did
+    not). ``id_cols`` defaults to the value columns themselves.
+
+    Returns a 1-row DataFrame ``(n, d, tau)``: sampled-row count, exact
+    discordant pairs on the sample, and τ-b of the sample.
+    """
+    from .dedup import md5_long
+    from .kendall import kendall_tau_exact
+
+    d = df
+    if sample_mod > 1:
+        keys = list(id_cols) if id_cols else [col_a, col_b]
+        key = F.concat_ws("\x1f", *[F.col(c).cast("string") for c in keys])
+        d = d.where(F.pmod(md5_long(key, seed=seed), F.lit(sample_mod)) == 0)
+    d = d.select(col_a, col_b).dropna()
+    return kendall_tau_exact(d, col_a, col_b, num_buckets=num_buckets)
 
 
 def zscore_normalize(df: DataFrame, cols: Sequence[str], ddof: int = 1) -> DataFrame:

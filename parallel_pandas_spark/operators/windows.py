@@ -395,6 +395,53 @@ def ewm_multi(
     )
 
 
+def win_type_weights(win_type: str, window: int, **params) -> list[float]:
+    """Translate a scipy window-shape name into literal weights — the
+    reference's ``win_type=`` surface (ParallelWindow,
+    parallel_window.py:206-213) where scipy produces the weights; pandas
+    calls ``scipy.signal.get_window(win_type, window, fftbins=False)``
+    (symmetric). These are the closed forms of the symmetric windows, so
+    no scipy dependency: feed the result straight into
+    :func:`weighted_window`.
+
+    Supported: gaussian (requires ``std=``), triang, bartlett, hamming,
+    hann, blackman.
+    """
+    import math
+
+    M = int(window)
+    if M < 1:
+        raise ValueError("window must be >= 1")
+    if M == 1:
+        return [1.0]
+    if win_type == "gaussian":
+        std = float(params["std"])
+        c = (M - 1) / 2.0
+        return [math.exp(-0.5 * ((i - c) / std) ** 2) for i in range(M)]
+    if win_type in ("hamming", "hann", "blackman"):
+        a0, a1, a2 = {
+            "hamming": (0.54, 0.46, 0.0),
+            "hann": (0.5, 0.5, 0.0),
+            "blackman": (0.42, 0.5, 0.08),
+        }[win_type]
+        return [
+            a0
+            - a1 * math.cos(2.0 * math.pi * i / (M - 1))
+            + a2 * math.cos(4.0 * math.pi * i / (M - 1))
+            for i in range(M)
+        ]
+    if win_type == "bartlett":
+        c = (M - 1) / 2.0
+        return [1.0 - abs(i - c) / c for i in range(M)]
+    if win_type == "triang":
+        if M % 2:
+            half = [2.0 * n / (M + 1) for n in range(1, (M + 1) // 2 + 1)]
+            return half + half[-2::-1]
+        half = [(2.0 * n - 1.0) / M for n in range(1, M // 2 + 1)]
+        return half + half[::-1]
+    raise ValueError(f"unsupported win_type {win_type!r}")
+
+
 def weighted_window(
     df: DataFrame,
     col: str,

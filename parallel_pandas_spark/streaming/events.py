@@ -14,13 +14,15 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-#: on-disk schema — the testdata parquet stores ts as TIMESTAMP(NANOS),
-#: which Spark only reads as long nanos (legacy conf); stream_events
-#: converts to microsecond timestamps after the scan.
+#: on-disk schema — the testdata parquet stores ts as TIMESTAMP(MICROS)
+#: (verified with pyarrow at sf0.001/0.01/0.1), which is Spark's native
+#: timestamp precision, so the stream declares TimestampType directly and
+#: reads the same values as the batch loader (loaders.py dtype-gates the
+#: same way).
 EVENTS_RAW_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
         T.StructField("user_id", T.LongType()),
         T.StructField("event_type", T.StringType()),
         T.StructField("value", T.DoubleType()),
@@ -82,9 +84,8 @@ def session_window_agg(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
 
 def stream_events(spark: SparkSession, path_dir: str, max_files: int = 1) -> DataFrame:
     """File-source stream over events parquet (file, glob, or directory).
-    Reads nanosecond timestamps as long and truncates to microseconds —
-    identical values to the batch loader."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ``ts`` is TIMESTAMP(MICROS) on disk — Spark-native — so the declared
+    schema reads identical values to the batch loader."""
     if path_dir.endswith(".parquet"):
         # Spark's file stream source needs a directory or a glob — turn a
         # literal file path into the narrowest glob matching it by escaping
@@ -92,12 +93,11 @@ def stream_events(spark: SparkSession, path_dir: str, max_files: int = 1) -> Dat
         slash = path_dir.rfind("/")
         fname = path_dir[slash + 1 :]
         path_dir = path_dir[: slash + 1] + "[" + fname[0] + "]" + fname[1:]
-    raw = (
+    return (
         spark.readStream.schema(EVENTS_RAW_SCHEMA)
         .option("maxFilesPerTrigger", max_files)
         .parquet(path_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
 
 
 def stream_tumbling_counts(
