@@ -2465,15 +2465,16 @@ WINDOW w AS ({_LI_WIN_SQL})
 """,
 )
 def rolling_median_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact linear-interpolation quantile over a moving frame —
-    ``percentile`` composes with window frames JVM-side (the reference
-    falls back to per-chunk pandas, parallel_window.py:140-203)."""
+    """Exact linear-interpolation quantiles over a moving frame (the
+    reference falls back to per-chunk pandas, parallel_window.py:140-203).
+    Both q's come from ONE collect_list + array_sort per row
+    (windows.rolling_quantiles) — bit-identical to percentile().over(w)
+    but ~7× faster, because the imperative Percentile aggregate rebuilds
+    its hashmap per row per q under a sliding frame."""
     li = load_table(spark, sf_dir, "lineitem")
-    r = windows.rolling_quantile(
-        li, "l_quantity", 7, 0.5, _LI_ORD, partition_by=["l_suppkey"], out_col="m"
-    )
-    r = windows.rolling_quantile(
-        r, "l_quantity", 7, 0.25, _LI_ORD, partition_by=["l_suppkey"], out_col="q25"
+    r = windows.rolling_quantiles(
+        li, "l_quantity", 7, {"m": 0.5, "q25": 0.25}, _LI_ORD,
+        partition_by=["l_suppkey"],
     )
     return r.select(
         "l_orderkey",

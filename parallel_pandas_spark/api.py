@@ -147,9 +147,23 @@ class ParallelFrame:
     def p_idxmin(self, value_cols: Sequence[str], id_col: str):
         return reductions.idxmin(self.df, value_cols, id_col)
 
-    def p_corr(self, cols=None, method: str = "pearson", round_to: int | None = None):
+    def p_corr(
+        self,
+        cols=None,
+        method="pearson",
+        round_to: int | None = None,
+        min_periods: int | None = None,
+    ):
+        """Full reference p_corr surface (parallel_dataframe.py:186-325):
+        method ∈ {'pearson','spearman','kendall'} or an arbitrary callable
+        (pairwise applyInPandas fallback); ``min_periods`` nulls any pair
+        whose pairwise-complete count is below the threshold."""
         return reductions.corr_matrix(
-            self.df, list(cols) if cols else self._numeric_cols(), method, round_to
+            self.df,
+            list(cols) if cols else self._numeric_cols(),
+            method,
+            round_to,
+            min_periods=min_periods,
         )
 
     def p_agg(self, spec):
@@ -173,9 +187,18 @@ class ParallelFrame:
             self.df, func, list(cols) if cols else self._numeric_cols(), **kw
         )
 
-    def p_map(self, col: str, arg, **kw):
+    def p_map(self, col: str, arg, key_col: str | None = None,
+              value_col: str | None = None, **kw):
+        """reference Series.p_map (parallel_series.py:47-68): ``arg`` may
+        be a callable, a dict (literal MAP lookup), or a Series — modeled
+        as a (key, value) DataFrame/ParallelFrame with ``key_col`` /
+        ``value_col`` naming the two columns (broadcast-join lookup)."""
         if isinstance(arg, dict):
             return elementwise.map_dict(self.df, col, arg, **kw)
+        if isinstance(arg, (DataFrame, ParallelFrame)):
+            lookup = arg.df if isinstance(arg, ParallelFrame) else arg
+            kc, vc = key_col or lookup.columns[0], value_col or lookup.columns[1]
+            return elementwise.map_series(self.df, col, lookup, kc, vc, **kw)
         return elementwise.map_elements(self.df, col, arg, out_col=f"{col}_mapped", **kw)
 
     def chunk_apply(self, func: Callable, schema):
@@ -252,8 +275,14 @@ class ParallelFrame:
         return ordered.shift(self.df, cols, order_by, **kw)
 
     # -- §2.6 windows ------------------------------------------------------
-    def rolling(self, window, order_by, partition_by=None) -> "ParallelRolling":
-        return ParallelRolling(self.df, window, order_by, partition_by)
+    def rolling(
+        self, window, order_by, partition_by=None, win_type: str | None = None, **shape
+    ) -> "ParallelRolling":
+        """``win_type=`` mirrors the reference's weighted Window family
+        (ParallelWindow, parallel_window.py:206-213): a scipy shape name
+        (gaussian/triang/hamming/hann/blackman/bartlett, shape params like
+        ``std=`` as kwargs) materialized to literal weights at plan time."""
+        return ParallelRolling(self.df, window, order_by, partition_by, win_type, shape)
 
     def expanding(self, order_by, partition_by=None) -> "ParallelExpanding":
         return ParallelExpanding(self.df, order_by, partition_by)
@@ -282,11 +311,13 @@ class ParallelGroupBy:
 
 
 class ParallelRolling:
-    """reference Rolling.p_* family."""
+    """reference Rolling.p_* family (+ the weighted Window family when
+    ``win_type`` is set — reference main.py:202-251 binds both)."""
 
-    def __init__(self, df, window, order_by, partition_by):
+    def __init__(self, df, window, order_by, partition_by, win_type=None, shape=None):
         self.df, self.window = df, window
         self.order_by, self.partition_by = order_by, partition_by
+        self.win_type, self.shape = win_type, shape or {}
 
     def _agg(self, cols, funcs, min_periods=None):
         return windows.rolling(
@@ -294,10 +325,24 @@ class ParallelRolling:
             self.partition_by, min_periods,
         )
 
+    def _weighted(self, cols, func):
+        w = windows.win_type_weights(self.win_type, self.window, **self.shape)
+        out = self.df
+        for c in [cols] if isinstance(cols, str) else cols:
+            out = windows.weighted_window(
+                out, c, self.window, w, self.order_by,
+                self.partition_by or [], func=func,
+            )
+        return out
+
     def p_mean(self, cols, **kw):
+        if self.win_type:
+            return self._weighted(cols, "mean")
         return self._agg(cols, ("mean",), **kw)
 
     def p_sum(self, cols, **kw):
+        if self.win_type:
+            return self._weighted(cols, "sum")
         return self._agg(cols, ("sum",), **kw)
 
     def p_min(self, cols, **kw):

@@ -291,6 +291,25 @@ def corr_matrix(
     """
     if callable(method):
         return _corr_matrix_callable(df, cols, method, round_to, min_periods)
+    if method == "kendall":
+        from .kendall import kendall_tau_exact
+
+        # full pandas p_corr parity: τ-b per pair through the distributed
+        # exact kernel (one independent pipeline per pair, unioned)
+        out = None
+        for i, a in enumerate(cols):
+            for b in cols[i + 1 :]:
+                t = kendall_tau_exact(df.select(a, b).dropna(), a, b)
+                e = F.col("tau")
+                if min_periods is not None:
+                    e = F.when(F.col("n") >= F.lit(min_periods), e)
+                if round_to is not None:
+                    e = F.round(e, round_to)
+                t = t.select(
+                    F.lit(a).alias("col_x"), F.lit(b).alias("col_y"), e.alias("corr")
+                )
+                out = t if out is None else out.unionByName(t)
+        return out
     if method == "spearman":
         from .ordered import global_avg_rank
 

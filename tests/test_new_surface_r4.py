@@ -201,6 +201,61 @@ def test_kendall_tau_sampled_matches_pandas_on_sample(spark):
     assert row["tau"] == pytest.approx(ref, abs=1e-12)
 
 
+def test_corr_matrix_kendall_method(spark):
+    rng = np.random.default_rng(3)
+    pdf = pd.DataFrame(
+        {
+            "a": rng.integers(0, 20, 120).astype(float),
+            "b": rng.normal(size=120),
+            "c": rng.integers(0, 5, 120).astype(float),
+        }
+    )
+    got = {
+        (r["col_x"], r["col_y"]): r["corr"]
+        for r in reductions.corr_matrix(
+            from_pandas(spark, pdf), ["a", "b", "c"], method="kendall"
+        ).collect()
+    }
+    assert set(got) == {("a", "b"), ("a", "c"), ("b", "c")}
+    for (x, y), v in got.items():
+        ref = _brute_tau_b(pdf[x].to_numpy(), pdf[y].to_numpy())
+        assert v == pytest.approx(ref, abs=1e-12)
+
+
+def test_api_p_corr_p_map_win_type(spark):
+    from parallel_pandas_spark.api import ParallelFrame
+
+    pdf = pd.DataFrame(
+        {"k": [1, 2, 3, 4, 5, 6], "v": [1.0, 3.0, 2.0, 5.0, 4.0, 6.0]}
+    )
+    pf = ParallelFrame(from_pandas(spark, pdf))
+    # p_corr kendall through the API
+    row = {
+        (r["col_x"], r["col_y"]): r["corr"]
+        for r in pf.p_corr(["k", "v"], method="kendall").collect()
+    }
+    assert row[("k", "v")] == pytest.approx(
+        _brute_tau_b(pdf["k"].to_numpy(dtype=float), pdf["v"].to_numpy()), abs=1e-12
+    )
+    # p_map with a Series-as-DataFrame argument
+    lk = from_pandas(spark, pd.DataFrame({"key": [1, 2], "val": ["a", "b"]}))
+    mapped = {r["k"]: r["k_mapped"] for r in pf.p_map("k", lk).collect()}
+    assert mapped[1] == "a" and mapped[2] == "b" and mapped[3] is None
+    # rolling(win_type=) weighted mean
+    out = (
+        ParallelFrame(
+            from_pandas(spark, pd.DataFrame({"g": ["x"] * 6, "i": range(6), "v": range(6)}))
+        )
+        .rolling(3, ["i"], ["g"], win_type="triang")
+        .p_mean("v")
+        .toPandas()
+        .sort_values("i")
+    )
+    w = np.array([0.5, 1.0, 0.5])
+    exp = float(np.dot(np.array([1.0, 2.0, 3.0]), w) / w.sum())
+    assert out["v_wmean"].iloc[3] == pytest.approx(exp, rel=1e-12)
+
+
 def test_kendall_tau_unsampled_is_exact(spark):
     pdf = pd.DataFrame({"x": [1.0, 2.0, 2.0, 3.0, 5.0], "y": [2.0, 1.0, 4.0, 4.0, 3.0]})
     row = reductions.kendall_tau(from_pandas(spark, pdf), "x", "y").first()
