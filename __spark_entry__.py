@@ -1193,20 +1193,54 @@ def session_window_agg_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_q("stream_tumbling_live")  # rows-only: true streaming execution path
 def stream_tumbling_live_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TRUE Structured Streaming run of the tumbling aggregation: file
-    source → watermark → windowed agg → memory sink, availableNow trigger
-    (streaming/events.py:80-99). Rows-only by contract; equality with the
-    batch form is asserted in tests/test_streaming.py."""
+    """TRUE Structured Streaming run of the tumbling aggregation, made
+    SELF-VERIFYING: file source → watermark → windowed agg → memory sink
+    (streaming/events.py:85-113), then a full-outer join against the
+    oracle-green batch equivalent (``tumbling_window_agg``, the same
+    ``F.window`` expressions on the static frame) on
+    (window_start, event_type), keeping only rows where BOTH sides are
+    present and the aggregate values agree.  The driver records this row
+    rows-only (no SQL oracle can run a stream), but any live/batch value
+    divergence now drops rows from the result, so the recorded row count
+    itself carries value evidence — closing the hole the round-3 ts-schema
+    bug slipped through."""
     _utc(spark)
     stream = streaming_events.stream_events(spark, f"{sf_dir}/events.parquet")
     agg = streaming_events.stream_tumbling_counts(stream, "1 day", "2 days")
     out = streaming_events.run_stream_to_memory(
         spark, agg, table="stream_tumbling_live", mode="complete"
     )
-    return out.select(
+    live = out.select(
         F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
         "event_type",
-        "n_events",
+        F.col("n_events").alias("live_n_events"),
+        F.col("sum_value").alias("live_sum_value"),
+    )
+    batch = streaming_events.tumbling_window_agg(
+        load_table(spark, sf_dir, "events"), "1 day"
+    ).select(
+        "window_start",
+        "event_type",
+        F.col("n_events").alias("batch_n_events"),
+        F.col("sum_value").alias("batch_sum_value"),
+    )
+    joined = live.join(batch, on=["window_start", "event_type"], how="full_outer")
+    # the live path sums raw doubles while the batch oracle form sums via
+    # decimal(28,6); allow only summation-order float noise between them
+    tol = F.lit(1e-6) + F.lit(1e-9) * F.greatest(
+        F.abs("live_sum_value"), F.abs("batch_sum_value")
+    )
+    values_match = (
+        F.col("live_n_events").isNotNull()
+        & F.col("batch_n_events").isNotNull()
+        & (F.col("live_n_events") == F.col("batch_n_events"))
+        & (F.abs(F.col("live_sum_value") - F.col("batch_sum_value")) <= tol)
+    )
+    return joined.filter(values_match).select(
+        "window_start",
+        "event_type",
+        F.col("live_n_events").alias("n_events"),
+        F.lit(True).alias("values_match"),
     )
 
 
@@ -3033,12 +3067,138 @@ _STATS_PARTS = [
     "stats_sum_prod_min_count", "stats_nunique", "stats_mode",
     "stats_idx_extremes", "stats_mad",
 ]
-_bfn, _bsql = _compose_cross(_STATS_PARTS)
-_bfn.__doc__ = """All single-row full-frame reductions (SURVEY §2.3 ops
-#7-#15) cross-joined into one row: central moments, dispersion, skew/kurt,
-sum/prod min_count, nunique, mode, idxmax/idxmin, mad — all on the det.*
-engine-exact fixed-point paths."""
-_q("stats_battery", _bsql)(_bfn)
+_, _bsql = _compose_cross(_STATS_PARTS)  # oracle: the 8 parts' SQL, crossed
+
+
+def _stats_battery_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All single-row full-frame reductions (SURVEY §2.3 ops #7-#15) in
+    FOUR lineitem passes instead of the former eight independent sub-plans:
+
+    - pass 1 (`core`): central moments, dispersion, skew/kurt, nunique and
+      the min_count-gated sums fused into ONE ``df.agg`` — the min_count
+      parts' `WHERE l_quantity <= 10` becomes a conditional aggregate so
+      it shares the scan; 4 exact countDistincts share it via Expand.
+    - pass 2 (`mad`): mean(|x − mean|) re-reads lineitem against the
+      broadcast pass-1 means (two-pass by definition; det.qsum fixed-point).
+    - pass 3 (`prods`): per-order product of line numbers (groupBy shape).
+    - pass 4 (`modes`): BOTH column modes from one scan via GROUPING SETS
+      ((l_quantity),(l_linenumber)) + a max(struct(cnt, −value)) pick —
+      greatest count, then smallest value among ties (pandas first-mode).
+
+    idxmax/idxmin run on orders (different table, one agg via the
+    ties-deterministic max(struct) expression). All recombines are 1-row
+    broadcast cross joins. Values and schema are unchanged from the 8
+    retired parts (same det.* fixed-point expressions), so the crossed
+    oracle SQL is untouched; only the scan count drops. At 100 TB this is
+    the difference between 4 reads of the fact table and 8."""
+    li = load_table(spark, sf_dir, "lineitem")
+    qty_small = F.when(F.col("l_quantity") <= 10, F.col("l_quantity"))
+    core = li.agg(
+        # --- stats_central ---
+        F.min("l_quantity").alias("l_quantity_min"),
+        F.max("l_quantity").alias("l_quantity_max"),
+        det.dmean("l_quantity").alias("l_quantity_mean"),
+        F.count("l_quantity").alias("l_quantity_count"),
+        F.min("l_extendedprice").alias("l_extendedprice_min"),
+        F.max("l_extendedprice").alias("l_extendedprice_max"),
+        det.dmean("l_extendedprice").alias("l_extendedprice_mean"),
+        F.min("l_discount").alias("l_discount_min"),
+        F.max("l_discount").alias("l_discount_max"),
+        det.dmean("l_discount", scale=9).alias("l_discount_mean"),
+        # --- stats_dispersion ---
+        det.dvar("l_quantity", 6, 6, xmax=100.0).alias("l_quantity_var"),
+        det.dstd("l_quantity", 6, 6, xmax=100.0).alias("l_quantity_std"),
+        det.dsem("l_quantity", 6, 6, xmax=100.0).alias("l_quantity_sem"),
+        det.dvar("l_extendedprice", 6, 4, xmax=2e5).alias("l_extendedprice_var"),
+        det.dstd("l_extendedprice", 6, 4, xmax=2e5).alias("l_extendedprice_std"),
+        det.dvar("l_discount", 9, 9, xmax=1.0).alias("l_discount_var"),
+        det.dstd("l_discount", 9, 9, xmax=1.0).alias("l_discount_std"),
+        # --- stats_skew_kurt ---
+        det.dskew("l_quantity", 6, xmax=100.0).alias("l_quantity_skew"),
+        det.dkurt("l_quantity", 6, xmax=100.0).alias("l_quantity_kurt"),
+        det.dskew("l_discount", 12, xmax=1.0).alias("l_discount_skew"),
+        det.dkurt("l_discount", 12, xmax=1.0).alias("l_discount_kurt"),
+        det.dskew("l_tax", 12, xmax=1.0).alias("l_tax_skew"),
+        det.dkurt("l_tax", 12, xmax=1.0).alias("l_tax_kurt"),
+        # --- stats_sum_prod_min_count (filter folded into the aggregate) ---
+        reductions.sum_min_count(qty_small, 100_000).alias("qty_sum_mc_high"),
+        reductions.sum_min_count(qty_small, 3).alias("qty_sum_mc_low"),
+        # --- stats_nunique ---
+        F.countDistinct("l_partkey").alias("l_partkey_nunique"),
+        F.countDistinct("l_suppkey").alias("l_suppkey_nunique"),
+        F.countDistinct("l_returnflag").alias("l_returnflag_nunique"),
+        F.countDistinct("l_quantity").alias("l_quantity_nunique"),
+    )
+    mad = (
+        li.crossJoin(F.broadcast(core.select("l_quantity_mean", "l_discount_mean")))
+        .agg(
+            (
+                det.qsum(F.abs(F.col("l_quantity") - F.col("l_quantity_mean")), 6)
+                / F.count("l_quantity")
+            ).alias("l_quantity_mad"),
+            (
+                det.qsum(F.abs(F.col("l_discount") - F.col("l_discount_mean")), 9)
+                / F.count("l_discount")
+            ).alias("l_discount_mad"),
+        )
+    )
+    prods = (
+        li.groupBy("l_orderkey")
+        .agg(reductions.prod_min_count("l_linenumber").alias("p"))
+        .agg(F.sum("p").cast("double").alias("sum_of_order_lineprods"))
+    )
+    qtype = dict(li.dtypes)["l_quantity"]
+    ltype = dict(li.dtypes)["l_linenumber"]
+    gs = li.groupingSets(
+        [["l_quantity"], ["l_linenumber"]], "l_quantity", "l_linenumber"
+    ).agg(F.count("*").alias("cnt"), F.grouping_id().alias("gid"))
+    q_pick = F.when(
+        (F.col("gid") == 1) & F.col("l_quantity").isNotNull(),
+        F.struct(F.col("cnt").alias("c"), (-F.col("l_quantity")).alias("nv")),
+    )
+    l_pick = F.when(
+        (F.col("gid") == 2) & F.col("l_linenumber").isNotNull(),
+        F.struct(F.col("cnt").alias("c"), (-F.col("l_linenumber")).alias("nv")),
+    )
+    modes = gs.agg(F.max(q_pick).alias("mq"), F.max(l_pick).alias("ml")).select(
+        (-F.col("mq.nv")).cast(qtype).alias("l_quantity_mode"),
+        F.col("mq.c").alias("l_quantity_mode_count"),
+        (-F.col("ml.nv")).cast(ltype).alias("l_linenumber_mode"),
+        F.col("ml.c").alias("l_linenumber_mode_count"),
+    )
+    o = load_table(spark, sf_dir, "orders")
+    idx = o.agg(
+        reductions.idx_extreme(o, "o_totalprice", "o_orderkey", largest=True).alias(
+            "o_totalprice_idxmax"
+        ),
+        reductions.idx_extreme(o, "o_totalprice", "o_orderkey", largest=False).alias(
+            "o_totalprice_idxmin"
+        ),
+    )
+    out = core
+    for part in (prods, modes, idx, mad):
+        out = out.crossJoin(F.broadcast(part))
+    return out.select(
+        # exact retired-part column order (matches the crossed oracle)
+        "l_quantity_min", "l_quantity_max", "l_quantity_mean", "l_quantity_count",
+        "l_extendedprice_min", "l_extendedprice_max", "l_extendedprice_mean",
+        "l_discount_min", "l_discount_max", "l_discount_mean",
+        "l_quantity_var", "l_quantity_std", "l_quantity_sem",
+        "l_extendedprice_var", "l_extendedprice_std",
+        "l_discount_var", "l_discount_std",
+        "l_quantity_skew", "l_quantity_kurt", "l_discount_skew", "l_discount_kurt",
+        "l_tax_skew", "l_tax_kurt",
+        "qty_sum_mc_high", "qty_sum_mc_low", "sum_of_order_lineprods",
+        "l_partkey_nunique", "l_suppkey_nunique", "l_returnflag_nunique",
+        "l_quantity_nunique",
+        "l_quantity_mode", "l_quantity_mode_count",
+        "l_linenumber_mode", "l_linenumber_mode_count",
+        "o_totalprice_idxmax", "o_totalprice_idxmin",
+        "l_quantity_mad", "l_discount_mad",
+    )
+
+
+_q("stats_battery", _bsql)(_stats_battery_fused)
 _retire(*_STATS_PARTS)
 
 _bfn, _bsql = _compose_union([("describe", "stats_describe"), ("quantile", "stats_quantile")])
