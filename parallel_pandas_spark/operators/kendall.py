@@ -97,6 +97,242 @@ def _inv_count(y: np.ndarray) -> int:
     return inv
 
 
+def kendall_tau_exact_multi(
+    df: DataFrame,
+    pair_col: str,
+    col_a: str = "x",
+    col_b: str = "y",
+    num_buckets: int = 64,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact Kendall τ-b for MANY (x, y) pairs in ONE keyed pipeline.
+
+    ``df`` is a pair-long frame ``(pair_col, x, y)`` — e.g. the single
+    explode :func:`reductions.corr_matrix` builds over a literal array of
+    (col_x, col_y) structs. Every stage of :func:`kendall_tau_exact` is
+    re-derived with ``pair_col`` prefixed to its keys, so all pairs share
+    one tie-count shuffle, one range partitioning, one histogram-grid
+    window pass, and one per-bucket multiset stage — instead of C(k,2)
+    independent kernel pipelines each re-scanning the input (the r4 shape
+    this replaces: quadratic input scans at wide k).
+
+    The only driver materialization is the per-pair bucket-boundary fetch
+    (n_pairs × (B−1) doubles — metadata). Boundaries are approximated from
+    the tie-collapsed ``(pair, x, y, c)`` frame; bucket placement affects
+    load balance only, never the statistic.
+
+    Returns one row per pair: ``(pair_col, n long, d long, tau double)``.
+    Pairs with zero input rows produce no row — callers seed-join if they
+    need explicit NULLs (reductions.corr_matrix does).
+    """
+    spark = df.sparkSession
+    P = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    B = num_buckets
+
+    d = (
+        df.select(
+            F.col(pair_col).cast("long").alias("pr"),
+            F.col(col_a).cast("double").alias("x"),
+            F.col(col_b).cast("double").alias("y"),
+        )
+        .dropna()
+    )
+
+    # ---- tie counts: one keyed shuffle on (pair, x, y) ----
+    g = d.groupBy("pr", "x", "y").agg(F.count("*").alias("c"))
+    base = g.groupBy("pr").agg(
+        F.sum("c").alias("n"),
+        F.expr("sum(c*(c-1)) div 2").alias("n3"),
+    )
+    t1 = (
+        g.groupBy("pr", "x")
+        .agg(F.sum("c").alias("t"))
+        .groupBy("pr")
+        .agg(F.expr("sum(t*(t-1)) div 2").alias("n1"))
+    )
+    t2 = (
+        g.groupBy("pr", "y")
+        .agg(F.sum("c").alias("t"))
+        .groupBy("pr")
+        .agg(F.expr("sum(t*(t-1)) div 2").alias("n2"))
+    )
+
+    # ---- per-pair y-bucket boundaries (approx quantiles of the DISTINCT
+    # (x,y) values — placement affects balance only); metadata-sized fetch ----
+    qarr = "array(" + ", ".join(str(i / B) for i in range(1, B)) + ")"
+    brows = (
+        g.groupBy("pr")
+        .agg(F.expr(f"approx_percentile(y, {qarr}, 2000)").alias("bounds"))
+        .collect()
+    )
+    bounds_by_pair = {
+        int(row["pr"]): np.sort(np.array(row["bounds"], dtype=np.float64))
+        for row in brows
+    }
+
+    @F.pandas_udf("int")
+    def _bucket(pr: pd.Series, s: pd.Series) -> pd.Series:
+        out = np.zeros(len(s), dtype=np.int32)
+        yv = s.to_numpy(dtype=np.float64)
+        pv = pr.to_numpy()
+        for p in np.unique(pv):
+            m = pv == p
+            out[m] = np.searchsorted(
+                bounds_by_pair[int(p)], yv[m], side="right"
+            ).astype(np.int32)
+        return pd.Series(out)
+
+    # ---- global (pair, x, y) order, P contiguous range partitions; pairs
+    # are contiguous runs, so every per-pair subsequence is (x,y)-sorted ----
+    r = (
+        d.repartitionByRange(P, "pr", "x", "y")
+        .sortWithinPartitions("pr", "x", "y")
+        .withColumn("pid", F.spark_partition_id())
+        .withColumn("bkt", _bucket("pr", "y"))
+        .localCheckpoint(eager=True)
+    )
+
+    # ---- stage 1: per-(partition, pair) local inversions + histograms ----
+    def _part_stats(it):
+        prs: list[np.ndarray] = []
+        ys: list[np.ndarray] = []
+        bs: list[np.ndarray] = []
+        pid = -1
+        for pdf in it:
+            if len(pdf):
+                pid = int(pdf["pid"].iloc[0])
+                prs.append(pdf["pr"].to_numpy(dtype=np.int64))
+                ys.append(pdf["y"].to_numpy(dtype=np.float64))
+                bs.append(pdf["bkt"].to_numpy(dtype=np.int64))
+        if pid < 0:
+            return
+        pr = np.concatenate(prs)  # sorted (pr asc) — pairs are runs
+        y = np.concatenate(ys)
+        b = np.concatenate(bs)
+        frames = []
+        for p in np.unique(pr):
+            m = pr == p
+            hist = np.bincount(b[m], minlength=B)
+            nz = np.flatnonzero(hist)
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "pr": np.int64(p),
+                        "pid": pid,
+                        "bkt": nz.astype("int64"),
+                        "cnt": hist[nz].astype("int64"),
+                        "inv": np.int64(0),
+                    }
+                )
+            )
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "pr": [np.int64(p)],
+                        "pid": [pid],
+                        "bkt": [-1],
+                        "cnt": [0],
+                        "inv": [_inv_count(y[m])],
+                    }
+                )
+            )
+        yield pd.concat(frames, ignore_index=True)
+
+    stats = r.mapInPandas(_part_stats, "pr long, pid long, bkt long, cnt long, inv long")
+    local_inv = stats.groupBy("pr").agg(F.sum("inv").alias("v1"))
+
+    # ---- stage 2: cross-partition, different-bucket — 2-D prefix sums over
+    # the dense (pair × P × B) grid (pure window expressions) ----
+    pairs_df = base.select("pr")
+    grid = (
+        pairs_df.crossJoin(spark.range(P).withColumnRenamed("id", "pid"))
+        .crossJoin(spark.range(B).withColumnRenamed("id", "bkt"))
+        .join(stats.where(F.col("bkt") >= 0), ["pr", "pid", "bkt"], "left")
+        .fillna(0, subset=["cnt"])
+    )
+    w_prev = (
+        Window.partitionBy("pr", "bkt")
+        .orderBy("pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_above = (
+        Window.partitionBy("pr", "pid")
+        .orderBy(F.col("bkt").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    diff_cross = (
+        grid.withColumn("prev", F.coalesce(F.sum("cnt").over(w_prev), F.lit(0)))
+        .withColumn("above", F.coalesce(F.sum("prev").over(w_above), F.lit(0)))
+        .groupBy("pr")
+        .agg(F.sum(F.col("cnt") * F.col("above")).alias("v2"))
+    )
+
+    # ---- stage 3: cross-partition, same-bucket — weighted multiset count
+    # over collapsed (pair, bkt, pid, y, cnt) rows, one group per (pair, bkt) ----
+    collapsed = r.groupBy("pr", "bkt", "pid", "y").agg(F.count("*").alias("c"))
+
+    def _bucket_cross(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["pid", "y"], kind="mergesort")
+        pids = pdf["pid"].to_numpy()
+        ys = pdf["y"].to_numpy(dtype=np.float64)
+        cs = pdf["c"].to_numpy(dtype=np.int64)
+        inv = 0
+        acc_y = np.empty(0, dtype=np.float64)
+        acc_w = np.empty(0, dtype=np.int64)
+        start = 0
+        m = len(pdf)
+        while start < m:
+            end = start
+            while end < m and pids[end] == pids[start]:
+                end += 1
+            yb, wb = ys[start:end], cs[start:end]
+            if len(acc_y):
+                cumw = np.concatenate(([0], np.cumsum(acc_w)))
+                gt = cumw[-1] - cumw[np.searchsorted(acc_y, yb, side="right")]
+                inv += int((gt * wb).sum())
+            acc_y = np.concatenate([acc_y, yb])
+            acc_w = np.concatenate([acc_w, wb])
+            order = np.argsort(acc_y, kind="mergesort")
+            acc_y, acc_w = acc_y[order], acc_w[order]
+            start = end
+        return pd.DataFrame({"pr": [key[0]], "inv": [inv]})
+
+    same_cross = (
+        collapsed.groupBy("pr", "bkt")
+        .applyInPandas(_bucket_cross, "pr long, inv long")
+        .groupBy("pr")
+        .agg(F.sum("inv").alias("v3"))
+    )
+
+    # ---- assemble τ-b per pair from exact integer counts ----
+    n0 = F.expr("n*(n-1) div 2")
+    out = (
+        base.join(t1, "pr")
+        .join(t2, "pr")
+        .join(local_inv, "pr")
+        .join(diff_cross, "pr")
+        .join(same_cross, "pr")
+        .select(
+            F.col("pr").alias(pair_col),
+            F.col("n"),
+            (F.col("v1") + F.col("v2") + F.col("v3")).alias("d"),
+            F.when(
+                (n0 > F.col("n1")) & (n0 > F.col("n2")),
+                (
+                    n0 - F.col("n1") - F.col("n2") + F.col("n3")
+                    - 2 * (F.col("v1") + F.col("v2") + F.col("v3"))
+                ).cast("double")
+                / F.sqrt(
+                    (n0 - F.col("n1")).cast("double") * (n0 - F.col("n2")).cast("double")
+                ),
+            )
+            .otherwise(F.lit(float("nan")))  # degenerate: a constant column
+            .alias("tau"),
+        )
+    )
+    return out
+
+
 def kendall_tau_exact(
     df: DataFrame,
     col_a: str,

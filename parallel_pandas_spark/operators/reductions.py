@@ -292,24 +292,25 @@ def corr_matrix(
     if callable(method):
         return _corr_matrix_callable(df, cols, method, round_to, min_periods)
     if method == "kendall":
-        from .kendall import kendall_tau_exact
+        from .kendall import kendall_tau_exact_multi
 
-        # full pandas p_corr parity: τ-b per pair through the distributed
-        # exact kernel (one independent pipeline per pair, unioned)
-        out = None
-        for i, a in enumerate(cols):
-            for b in cols[i + 1 :]:
-                t = kendall_tau_exact(df.select(a, b).dropna(), a, b)
-                e = F.col("tau")
-                if min_periods is not None:
-                    e = F.when(F.col("n") >= F.lit(min_periods), e)
-                if round_to is not None:
-                    e = F.round(e, round_to)
-                t = t.select(
-                    F.lit(a).alias("col_x"), F.lit(b).alias("col_y"), e.alias("corr")
-                )
-                out = t if out is None else out.unionByName(t)
-        return out
+        # full pandas p_corr parity: ONE explode builds the pair-long frame
+        # (single input scan for every pair), and ONE keyed kernel run
+        # computes every pair's τ-b — the former per-pair pipeline union
+        # re-scanned the input C(k,2) times.
+        longf = _pair_long(df, cols)
+        res = kendall_tau_exact_multi(longf, "pid", "x", "y")
+        e = F.col("tau")
+        if min_periods is not None:
+            e = F.when(F.col("n") >= F.lit(min_periods), e)
+        if round_to is not None:
+            e = F.round(e, round_to)
+        # seed-join so pairs with zero complete rows still yield a NULL row
+        return (
+            _pair_seed(df.sparkSession, cols)
+            .join(res, "pid", "left")
+            .select("col_x", "col_y", e.alias("corr"))
+        )
     if method == "spearman":
         from .ordered import global_avg_rank
 
@@ -346,6 +347,63 @@ def corr_matrix(
     )
 
 
+def _pairs_of(cols: Sequence[str]) -> list[tuple[int, str, str]]:
+    return [
+        (i * len(cols) + j, a, b)
+        for i, a in enumerate(cols)
+        for j, b in enumerate(cols)
+        if j > i
+    ]
+
+
+def _pair_long(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """Pair-long frame ``(pid, col_x, col_y, x, y)`` built in ONE pass: each
+    input row explodes over a literal array of C(k,2) per-pair structs, then
+    non-pairwise-complete rows are filtered. One scan of the input feeds
+    every pair — the union-of-per-pair-selects shape this replaces scanned
+    the input once per pair."""
+    structs = F.array(
+        *[
+            F.struct(
+                F.lit(pid).alias("pid"),
+                F.col(a).cast("double").alias("x"),
+                F.col(b).cast("double").alias("y"),
+            )
+            for pid, a, b in _pairs_of(cols)
+        ]
+    )
+    return (
+        df.select(F.explode(structs).alias("p"))
+        .select("p.pid", "p.x", "p.y")
+        .where(F.col("x").isNotNull() & F.col("y").isNotNull())
+    )
+
+
+def _pair_seed(spark, cols: Sequence[str]) -> DataFrame:
+    """Tiny literal frame of every pair ``(pid, col_x, col_y)`` — the
+    left side of the seed join that guarantees a row per pair even when a
+    pair has zero pairwise-complete input rows (pandas emits NaN there;
+    a missing row would silently under-report)."""
+    return (
+        spark.range(1)
+        .select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(pid).alias("pid"),
+                            F.lit(a).alias("col_x"),
+                            F.lit(b).alias("col_y"),
+                        )
+                        for pid, a, b in _pairs_of(cols)
+                    ]
+                )
+            ).alias("p")
+        )
+        .select("p.pid", "p.col_x", "p.col_y")
+    )
+
+
 def _corr_matrix_callable(
     df: DataFrame,
     cols: Sequence[str],
@@ -360,40 +418,39 @@ def _corr_matrix_callable(
     pair's pairwise-complete rows, (x, y)-sorted so the call is
     deterministic under shuffle) and returns a scalar.
 
+    The pair-long frame is built by ONE explode over a literal struct array
+    (:func:`_pair_long`) — a single scan of the input regardless of k — and
+    the result is seed-joined against the full pair list, so a pair with
+    zero pairwise-complete rows yields a NULL row (pandas: NaN) instead of
+    silently disappearing; below-``min_periods`` pairs are NULL too, the
+    same 'insufficient data' encoding as the native pearson/kendall arms.
+
     Scale note: an opaque callable forces the pair's complete rows into one
     task (the reference holds them in one process too) — at corpus scale,
     hash-sample first (sampling.hash_sample) exactly as with kendall.
     """
     import pandas as pd
 
-    longf = None
-    for i, a in enumerate(cols):
-        for b in cols[i + 1 :]:
-            part = df.where(
-                F.col(a).isNotNull() & F.col(b).isNotNull()
-            ).select(
-                F.lit(a).alias("col_x"),
-                F.lit(b).alias("col_y"),
-                F.col(a).cast("double").alias("x"),
-                F.col(b).cast("double").alias("y"),
-            )
-            longf = part if longf is None else longf.unionByName(part)
+    longf = _pair_long(df, cols)
     mp = 1 if min_periods is None else int(min_periods)
 
     def _pair(key, pdf: pd.DataFrame) -> pd.DataFrame:
         if len(pdf) < max(mp, 2):
-            v = float("nan")
+            v = None
         else:
             pdf = pdf.sort_values(["x", "y"], kind="mergesort")
             v = float(func(pdf["x"].to_numpy(), pdf["y"].to_numpy()))
-        return pd.DataFrame({"col_x": [key[0]], "col_y": [key[1]], "corr": [v]})
+        return pd.DataFrame({"pid": [key[0]], "corr": [v]}, dtype="object")
 
-    out = longf.groupBy("col_x", "col_y").applyInPandas(
-        _pair, "col_x string, col_y string, corr double"
-    )
+    res = longf.groupBy("pid").applyInPandas(_pair, "pid long, corr double")
+    e = F.col("corr")
     if round_to is not None:
-        out = out.withColumn("corr", F.round("corr", round_to))
-    return out
+        e = F.round(e, round_to)
+    return (
+        _pair_seed(df.sparkSession, cols)
+        .join(res, "pid", "left")
+        .select("col_x", "col_y", e.alias("corr"))
+    )
 
 
 def kendall_tau(
