@@ -917,21 +917,58 @@ def cube_agg_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q(
     "replace_isin",
     """
-SELECT CASE l_returnflag WHEN 'A' THEN 'AX' WHEN 'N' THEN 'NX' ELSE l_returnflag END AS flag,
-       COUNT(*) AS n
+SELECT 'map' AS src,
+       CASE l_returnflag WHEN 'A' THEN 'AX' WHEN 'N' THEN 'NX' ELSE l_returnflag END AS k,
+       COUNT(*) AS v
 FROM lineitem
 WHERE l_linenumber IN (1, 2, 3)
-GROUP BY 1
+GROUP BY 2
+UNION ALL BY NAME
+SELECT 'regex' AS src,
+       regexp_replace(n_name, '[AEIOU]', '*', 'g') AS k,
+       n_nationkey AS v
+FROM nation
+UNION ALL BY NAME
+SELECT 'fill' AS src, k, COUNT(*) AS v FROM (
+  SELECT LAST_VALUE(CASE WHEN o_orderstatus <> 'P' THEN o_orderstatus END IGNORE NULLS)
+           OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+                 ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) AS k
+  FROM orders
+) GROUP BY k
 """,
 )
 def replace_isin(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """p_replace (native DataFrame.replace → chained CASE WHEN) and p_isin
-    (IN/InSet predicate pushed to the scan) — reference
-    parallel_dataframe.py:364-385, 690-711."""
+    """The full p_replace surface (reference parallel_dataframe.py:364-385)
+    as a tagged battery:
+
+    - 'map': dict value replacement (native DataFrame.replace → chained
+      CASE WHEN) + p_isin (IN/InSet predicate pushed to the scan).
+    - 'regex' (r5): ``regex=True`` → JVM regexp_replace substitution.
+    - 'fill' (r5): ``method='ffill', limit=1`` — 'P' statuses erased and
+      filled from the previous surviving status within the customer,
+      bounded to a 1-row gap; partitioned window, no single-task sort.
+    """
     li = load_table(spark, sf_dir, "lineitem")
     r = reductions.replace_values(li, {"A": "AX", "N": "NX"}, subset=["l_returnflag"])
     r = reductions.isin_filter(r, "l_linenumber", [1, 2, 3])
-    return r.groupBy(F.col("l_returnflag").alias("flag")).agg(F.count("*").alias("n"))
+    p_map = r.groupBy(F.col("l_returnflag").alias("k")).agg(F.count("*").cast("long").alias("v"))
+
+    nat = load_table(spark, sf_dir, "nation")
+    p_regex = reductions.replace_values(
+        nat, {"[AEIOU]": "*"}, subset=["n_name"], regex=True
+    ).select(F.col("n_name").alias("k"), F.col("n_nationkey").cast("long").alias("v"))
+
+    o = load_table(spark, sf_dir, "orders")
+    p_fill = (
+        reductions.replace_fill(
+            o, "o_orderstatus", ["P"], method="ffill",
+            order_by=["o_orderkey"], partition_by=["o_custkey"], limit=1,
+            out_col="k",
+        )
+        .groupBy("k")
+        .agg(F.count("*").cast("long").alias("v"))
+    )
+    return _pad_union([("map", p_map), ("regex", p_regex), ("fill", p_fill)])
 
 
 @_q(
@@ -2266,12 +2303,20 @@ def cumulative_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 WITH r AS (
   SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity,
+         CASE WHEN l_quantity < 40 THEN l_quantity END AS vq,
          ROW_NUMBER() OVER (PARTITION BY l_returnflag
                             ORDER BY l_quantity, l_orderkey, l_linenumber) AS rn,
          RANK() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS rk,
          DENSE_RANK() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS dr,
          COUNT(*) OVER (PARTITION BY l_returnflag, l_quantity) AS eq,
-         COUNT(l_quantity) OVER (PARTITION BY l_returnflag) AS n
+         COUNT(l_quantity) OVER (PARTITION BY l_returnflag) AS n,
+         RANK() OVER (PARTITION BY l_returnflag
+                      ORDER BY (CASE WHEN l_quantity < 40 THEN l_quantity END)
+                      ASC NULLS FIRST) AS rk_natop,
+         ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                            ORDER BY (CASE WHEN l_quantity < 40 THEN l_quantity END)
+                            ASC NULLS LAST, l_orderkey, l_linenumber) AS rn_nabot,
+         COUNT(*) OVER (PARTITION BY l_returnflag) AS ntot
   FROM lineitem
 )
 SELECT l_orderkey, l_linenumber,
@@ -2280,16 +2325,24 @@ SELECT l_orderkey, l_linenumber,
   CAST(rk + eq - 1 AS DOUBLE) AS rank_max,
   CAST(rn AS DOUBLE) AS rank_first,
   CAST(dr AS DOUBLE) AS rank_dense,
-  CAST(AVG(rn) OVER (PARTITION BY l_returnflag, l_quantity) AS DOUBLE) / n AS rank_pct
+  CAST(AVG(rn) OVER (PARTITION BY l_returnflag, l_quantity) AS DOUBLE) / n AS rank_pct,
+  CAST(rk_natop AS DOUBLE) AS rank_na_top,
+  CAST(AVG(rn_nabot) OVER (PARTITION BY l_returnflag, vq) AS DOUBLE) / ntot AS rank_na_bottom
 FROM r
 """,
 )
 def rank_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
     """pandas rank, all five methods + pct, per group (reference p_rank,
     parallel_dataframe.py:571-595). 'first' uses the explicit
-    (l_orderkey, l_linenumber) appearance key."""
+    (l_orderkey, l_linenumber) appearance key.
+
+    r5 arms: ``na_option='top'`` (NULLs rank first, method='min') and
+    ``na_option='bottom'`` (NULLs rank last, method='average' + pct with
+    the all-rows denominator) on a derived column that NULLs out
+    ``l_quantity >= 40`` — both engines treat window-ordered and
+    window-partitioned NULLs as one tied peer group."""
     li = load_table(spark, sf_dir, "lineitem")
-    r = li
+    r = li.withColumn("vq", F.when(F.col("l_quantity") < 40, F.col("l_quantity")))
     for method in ("average", "min", "max", "first", "dense"):
         r = ordered.rank(
             r,
@@ -2303,6 +2356,15 @@ def rank_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
         r, "l_quantity", method="average", pct=True,
         partition_by=["l_returnflag"], out_col="rank_pct",
     )
+    r = ordered.rank(
+        r, "vq", method="min", na_option="top",
+        partition_by=["l_returnflag"], out_col="rank_na_top",
+    )
+    r = ordered.rank(
+        r, "vq", method="average", na_option="bottom", pct=True,
+        partition_by=["l_returnflag"], out_col="rank_na_bottom",
+        tie_break=["l_orderkey", "l_linenumber"],
+    )
     return r.select(
         "l_orderkey",
         "l_linenumber",
@@ -2312,6 +2374,8 @@ def rank_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rank_first").alias("rank_first"),
         F.col("rank_dense").alias("rank_dense"),
         "rank_pct",
+        "rank_na_top",
+        "rank_na_bottom",
     )
 
 

@@ -204,8 +204,32 @@ class ParallelFrame:
     def chunk_apply(self, func: Callable, schema):
         return elementwise.map_batches(self.df, func, schema)
 
-    def p_replace(self, mapping: dict, subset=None):
-        return ParallelFrame(reductions.replace_values(self.df, mapping, subset))
+    def p_replace(
+        self,
+        mapping,
+        subset=None,
+        regex: bool = False,
+        method: str | None = None,
+        col: str | None = None,
+        order_by=None,
+        partition_by=None,
+        limit: int | None = None,
+    ):
+        """Reference p_replace (parallel_dataframe.py:373-385). Dict
+        ``mapping`` -> value replacement (``regex=True``: {pattern: repl}
+        regexp substitution). ``method='ffill'/'bfill'`` treats ``mapping``
+        as the list of values to erase-and-fill along ``order_by`` (with
+        pandas' ``limit`` gap bound) in column ``col``."""
+        if method is not None:
+            return ParallelFrame(
+                reductions.replace_fill(
+                    self.df, col, mapping, method=method, order_by=order_by,
+                    partition_by=partition_by, limit=limit,
+                )
+            )
+        return ParallelFrame(
+            reductions.replace_values(self.df, mapping, subset, regex=regex)
+        )
 
     def p_isin(self, col: str, values) -> "ParallelFrame":
         return ParallelFrame(reductions.isin_filter(self.df, col, values))

@@ -75,14 +75,20 @@ def rank(
     partition_by: Sequence[str] | None = None,
     out_col: str | None = None,
     tie_break: Sequence[str] | None = None,
+    na_option: str = "keep",
 ) -> DataFrame:
     """pandas ``rank`` with all five methods (reference p_rank,
     parallel_dataframe.py:571-595).
 
     average -> avg(row_number) over equal values; min -> rank;
     max -> rank + count(equal) - 1; first -> row_number; dense -> dense_rank.
-    NULLs get NULL rank (pandas na_option='keep'). ``pct`` divides by the
-    non-null count in the partition.
+    ``pct`` divides by the count of ranked rows in the partition.
+
+    ``na_option`` (pandas): 'keep' -> NULLs get NULL rank; 'top' -> NULLs
+    are ranked first (lowest ranks); 'bottom' -> NULLs are ranked last.
+    For 'top'/'bottom' the NULLs participate in ranking as one tied group
+    (window ordering and partitioning both treat NULLs as peers, in Spark
+    and in ANSI SQL alike), and the ``pct`` denominator includes them.
 
     ``tie_break``: extra ordering columns resolving equal values for
     ``method='first'`` — pandas uses appearance order, which an unordered
@@ -90,7 +96,12 @@ def rank(
     'first' ranks of tied values are nondeterministic.
     """
     out_col = out_col or f"{col}_rank"
-    vorder = F.col(col).asc_nulls_last() if ascending else F.col(col).desc_nulls_last()
+    if na_option not in ("keep", "top", "bottom"):
+        raise ValueError(f"na_option must be keep/top/bottom, got {na_option!r}")
+    if na_option == "top":
+        vorder = F.col(col).asc_nulls_first() if ascending else F.col(col).desc_nulls_first()
+    else:
+        vorder = F.col(col).asc_nulls_last() if ascending else F.col(col).desc_nulls_last()
     # rank/dense_rank MUST order by value alone (ties share a rank); only
     # the row_number paths ('first', and the rn feeding 'average') take the
     # appearance tiebreak.
@@ -114,9 +125,11 @@ def rank(
         expr = F.dense_rank().over(base).cast("double")
     else:
         raise ValueError(f"unknown rank method {method!r}")
-    expr = F.when(F.col(col).isNotNull(), expr)
+    if na_option == "keep":
+        expr = F.when(F.col(col).isNotNull(), expr)
     if pct:
-        expr = expr / F.count(col).over(whole)
+        denom = F.count(col) if na_option == "keep" else F.count("*")
+        expr = expr / denom.over(whole)
     return df.withColumn(out_col, expr)
 
 

@@ -505,10 +505,69 @@ def zscore_normalize(df: DataFrame, cols: Sequence[str], ddof: int = 1) -> DataF
     return out.drop(*[f"__mean_{c}" for c in cols], *[f"__std_{c}" for c in cols])
 
 
-def replace_values(df: DataFrame, mapping: dict, subset: Sequence[str] | None = None) -> DataFrame:
+def replace_values(
+    df: DataFrame,
+    mapping: dict,
+    subset: Sequence[str] | None = None,
+    regex: bool = False,
+) -> DataFrame:
     """Value replacement (reference p_replace, parallel_dataframe.py:364-385)
-    — native ``DataFrame.replace`` (JVM-side chained CASE WHEN)."""
+    — native ``DataFrame.replace`` (JVM-side chained CASE WHEN).
+
+    ``regex=True`` treats ``mapping`` as ``{pattern: replacement}`` and
+    applies each as a JVM-side ``regexp_replace`` substitution (pandas'
+    ``re.sub`` semantics: every match within the string is replaced) over
+    the string columns in ``subset`` (default: all string columns).
+    Patterns are applied in mapping order, like pandas' sequential
+    replace_list pass."""
+    if regex:
+        cols = list(subset) if subset else [c for c, t in df.dtypes if t == "string"]
+        for c in cols:
+            e = F.col(c)
+            for pat, repl in mapping.items():
+                e = F.regexp_replace(e, pat, repl)
+            df = df.withColumn(c, e)
+        return df
     return df.replace(mapping, subset=list(subset) if subset else None)
+
+
+def replace_fill(
+    df: DataFrame,
+    col: str,
+    to_replace: Sequence,
+    method: str = "ffill",
+    order_by: Sequence[str] | None = None,
+    partition_by: Sequence[str] | None = None,
+    limit: int | None = None,
+    out_col: str | None = None,
+) -> DataFrame:
+    """pandas ``replace(to_replace, method='ffill'/'bfill', limit=n)``
+    (reference p_replace forwards both, parallel_dataframe.py:373-385):
+    listed values are erased and filled from the previous ('ffill'/'pad')
+    or next ('bfill') surviving value along an explicit order.
+
+    pandas fills along implicit row order; a distributed frame needs the
+    order spelled out (SURVEY.md §1.4), so ``order_by`` is required and
+    ``partition_by`` keeps the window partitioned (scale-safe — omitting it
+    funnels every row through one task, so it is deliberately not a
+    default). ``limit`` is pandas' maximum fill gap: a bounded
+    ``rowsBetween`` frame, so a replaced row further than ``limit`` rows
+    from its donor stays NULL."""
+    from pyspark.sql import Window
+
+    if not order_by:
+        raise ValueError("replace_fill needs an explicit order_by")
+    surviving = F.when(~F.col(col).isin(list(to_replace)), F.col(col))
+    w = Window.partitionBy(*(partition_by or [])).orderBy(*order_by)
+    if method in ("ffill", "pad"):
+        lo = Window.unboundedPreceding if limit is None else -int(limit)
+        e = F.last(surviving, ignorenulls=True).over(w.rowsBetween(lo, 0))
+    elif method in ("bfill", "backfill"):
+        hi = Window.unboundedFollowing if limit is None else int(limit)
+        e = F.first(surviving, ignorenulls=True).over(w.rowsBetween(0, hi))
+    else:
+        raise ValueError(f"method must be ffill/pad/bfill/backfill, got {method!r}")
+    return df.withColumn(out_col or col, e)
 
 
 def isin_filter(df: DataFrame, col: str, values: Sequence) -> DataFrame:

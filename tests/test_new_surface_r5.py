@@ -119,3 +119,105 @@ def test_corr_matrix_kendall_min_periods_and_empty_pair(spark):
         ).collect()
     }
     assert gated[("a", "c")] is None
+
+
+# --- rank na_option + p_replace regex/limit/method parity ------------------
+
+
+def test_rank_na_option_matches_pandas(spark):
+    from parallel_pandas_spark.operators import ordered
+
+    rng = np.random.default_rng(5)
+    pdf = pd.DataFrame(
+        {
+            "id": range(60),
+            "g": rng.integers(0, 3, 60),
+            "v": rng.integers(0, 10, 60).astype(float),
+        }
+    )
+    pdf.loc[rng.choice(60, 12, replace=False), "v"] = np.nan
+    df = from_pandas(spark, pdf)
+    for na_option in ("keep", "top", "bottom"):
+        for method, pct in (("min", False), ("average", True), ("dense", False)):
+            ref = pdf.groupby("g")["v"].rank(
+                method=method, na_option=na_option, pct=pct
+            )
+            got = {
+                r["id"]: r["r"]
+                for r in ordered.rank(
+                    df, "v", method=method, na_option=na_option, pct=pct,
+                    partition_by=["g"], out_col="r", tie_break=["id"],
+                ).collect()
+            }
+            for i in pdf["id"]:
+                rv = ref.iloc[i]
+                if math.isnan(rv):
+                    assert got[i] is None, (na_option, method, i)
+                else:
+                    assert got[i] == pytest.approx(rv, abs=1e-12), (
+                        na_option, method, pct, i,
+                    )
+
+
+def test_rank_na_option_descending(spark):
+    from parallel_pandas_spark.operators import ordered
+
+    pdf = pd.DataFrame({"id": range(6), "v": [3.0, np.nan, 1.0, 2.0, np.nan, 1.0]})
+    df = from_pandas(spark, pdf)
+    for na_option in ("top", "bottom"):
+        ref = pdf["v"].rank(method="min", ascending=False, na_option=na_option)
+        got = {
+            r["id"]: r["r"]
+            for r in ordered.rank(
+                df, "v", method="min", ascending=False, na_option=na_option,
+                partition_by=[], out_col="r", tie_break=["id"],
+            ).collect()
+        }
+        for i in pdf["id"]:
+            assert got[i] == pytest.approx(ref.iloc[i], abs=1e-12), (na_option, i)
+
+
+def test_replace_regex_matches_pandas(spark):
+    from parallel_pandas_spark.operators import reductions as red
+
+    pdf = pd.DataFrame(
+        {"s": ["foo bar", "bazfoo", "nothing", "foofoo"], "t": ["a1", "b22", "c", "d3"]}
+    )
+    got = (
+        red.replace_values(
+            from_pandas(spark, pdf), {"foo": "X", "[0-9]+": "#"}, regex=True
+        )
+        .orderBy("t")
+        .collect()
+    )
+    ref = pdf.replace({"foo": "X", "[0-9]+": "#"}, regex=True).sort_values("t")
+    assert [r["s"] for r in got] == list(ref["s"])
+    assert [r["t"] for r in got] == list(ref["t"])
+
+
+def test_replace_fill_method_limit_matches_pandas(spark):
+    from parallel_pandas_spark.operators import reductions as red
+
+    pdf = pd.DataFrame(
+        {
+            "id": range(8),
+            "v": ["a", "X", "X", "b", "X", "X", "X", "c"],
+        }
+    )
+    df = from_pandas(spark, pdf)
+    for method, limit in (("ffill", None), ("ffill", 1), ("bfill", None), ("bfill", 2)):
+        # pandas equivalent: mask the listed values, then fill with limit
+        masked = pdf["v"].where(pdf["v"] != "X")
+        ref = masked.ffill(limit=limit) if method == "ffill" else masked.bfill(limit=limit)
+        got = {
+            r["id"]: r["v"]
+            for r in red.replace_fill(
+                df, "v", ["X"], method=method, order_by=["id"], limit=limit
+            ).collect()
+        }
+        for i in pdf["id"]:
+            rv = ref.iloc[i]
+            if isinstance(rv, float) and math.isnan(rv):
+                assert got[i] is None, (method, limit, i)
+            else:
+                assert got[i] == rv, (method, limit, i)
