@@ -610,7 +610,9 @@ _KENDALL_SAMPLE_MOD = 16
 _KENDALL_SAMPLE_ORACLE = f"""
 WITH src AS (
   SELECT CAST(l_quantity AS DOUBLE) AS x, CAST(l_discount AS DOUBLE) AS y,
-         md5('s0:' || CAST(l_orderkey AS VARCHAR) || chr(31) || CAST(l_linenumber AS VARCHAR)) AS h
+         md5('s0:' || COALESCE(CAST(l_orderkey AS VARCHAR), chr(0) || 'null')
+             || chr(31)
+             || COALESCE(CAST(l_linenumber AS VARCHAR), chr(0) || 'null')) AS h
   FROM lineitem
 ),
 t AS (

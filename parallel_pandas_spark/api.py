@@ -344,12 +344,28 @@ class ParallelRolling:
         self.win_type, self.shape = win_type, shape or {}
 
     def _agg(self, cols, funcs, min_periods=None):
+        if self.win_type:
+            # pandas: only mean/sum/var/std are defined for weighted
+            # windows; silently returning UNWEIGHTED results here was the
+            # r4 bug this guard closes
+            raise NotImplementedError(
+                f"rolling(win_type={self.win_type!r}).{funcs[0]} is not a "
+                "weighted aggregation (pandas supports mean/sum/var/std)"
+            )
         return windows.rolling(
             self.df, cols, self.window, self.order_by, funcs,
             self.partition_by, min_periods,
         )
 
-    def _weighted(self, cols, func):
+    def _weighted(self, cols, func, **kw):
+        if kw:
+            # pandas threads min_periods through the window constructor;
+            # the weighted kernel here evaluates full frames only —
+            # reject rather than silently drop
+            raise NotImplementedError(
+                f"weighted rolling ({func}) does not accept {sorted(kw)}; "
+                "full windows only (rows before the window fills are NULL)"
+            )
         w = windows.win_type_weights(self.win_type, self.window, **self.shape)
         out = self.df
         for c in [cols] if isinstance(cols, str) else cols:
@@ -361,12 +377,12 @@ class ParallelRolling:
 
     def p_mean(self, cols, **kw):
         if self.win_type:
-            return self._weighted(cols, "mean")
+            return self._weighted(cols, "mean", **kw)
         return self._agg(cols, ("mean",), **kw)
 
     def p_sum(self, cols, **kw):
         if self.win_type:
-            return self._weighted(cols, "sum")
+            return self._weighted(cols, "sum", **kw)
         return self._agg(cols, ("sum",), **kw)
 
     def p_min(self, cols, **kw):
@@ -376,20 +392,32 @@ class ParallelRolling:
         return self._agg(cols, ("max",), **kw)
 
     def p_std(self, cols, **kw):
+        if self.win_type:
+            return self._weighted(cols, "std", **kw)
         return self._agg(cols, ("std",), **kw)
 
     def p_var(self, cols, **kw):
+        if self.win_type:
+            return self._weighted(cols, "var", **kw)
         return self._agg(cols, ("var",), **kw)
 
     def p_median(self, cols, **kw):
         return self._agg(cols, ("median",), **kw)
 
     def p_quantile(self, col, q, **kw):
+        if self.win_type:
+            raise NotImplementedError(
+                "rolling(win_type=).quantile is not a weighted aggregation"
+            )
         return windows.rolling_quantile(
             self.df, col, self.window, q, self.order_by, self.partition_by, **kw
         )
 
     def p_apply(self, col, func, **kw):
+        if self.win_type:
+            raise NotImplementedError(
+                "rolling(win_type=).apply is not a weighted aggregation"
+            )
         if not self.partition_by:
             raise ValueError("rolling.p_apply requires partition_by (per-group Arrow)")
         return windows.rolling_apply(
@@ -397,6 +425,10 @@ class ParallelRolling:
         )
 
     def p_cov(self, col_a, col_b, **kw):
+        if self.win_type:
+            raise NotImplementedError(
+                "rolling(win_type=).cov/corr is not a weighted aggregation"
+            )
         return windows.rolling_cov_corr(
             self.df, col_a, col_b, self.window, self.order_by, self.partition_by, **kw
         )

@@ -182,19 +182,45 @@ def map_series(
     value_col: str,
     out_col: str | None = None,
     broadcast: bool = True,
+    strict: bool = False,
 ) -> DataFrame:
     """``Series.p_map`` with a *Series* argument (reference
     parallel_series.py:47-68 — ``arg`` may be callable/dict/Series). A
     Series is a key→value table, so map = left broadcast-hash-join lookup,
     fully JVM-side: unmatched or NULL keys → NULL, matching pandas' NaN.
     ``broadcast=False`` for a lookup too large to broadcast (sort-merge
-    join on the key instead). pandas raises on a duplicate lookup index;
-    here duplicates are dropped (arbitrary survivor) — dedupe upstream if
-    the choice matters."""
+    join on the key instead).
+
+    A pre-existing ``out_col`` raises immediately (the join would
+    otherwise produce a duplicate/ambiguous column). Duplicate lookup
+    keys: pandas raises on a duplicate index; by default the smallest
+    value survives (deterministic, documented); ``strict=True`` fails the
+    job at runtime like pandas via an ``assert_true`` guard on the
+    per-key count."""
     out_col = out_col or f"{col}_mapped"
-    lk = lookup.select(
-        F.col(key_col).alias("__map_key"), F.col(value_col).alias(out_col)
-    ).dropDuplicates(["__map_key"])
+    if out_col in df.columns:
+        raise ValueError(
+            f"map_series: column {out_col!r} already exists in the input — "
+            "pass out_col= to choose another name"
+        )
+    lk = lookup.groupBy(F.col(key_col).alias("__map_key")).agg(
+        F.min(F.col(value_col)).alias("__map_val"),
+        F.count("*").alias("__map_cnt"),
+    )
+    if strict:
+        val = F.when(
+            F.assert_true(
+                F.col("__map_cnt") <= 1,
+                F.concat(
+                    F.lit("map_series(strict=True): duplicate lookup key "),
+                    F.col("__map_key").cast("string"),
+                ),
+            ).isNull(),
+            F.col("__map_val"),
+        )
+    else:
+        val = F.col("__map_val")
+    lk = lk.select("__map_key", val.alias(out_col))
     if broadcast:
         lk = F.broadcast(lk)
     return df.join(lk, F.col(col) == F.col("__map_key"), "left").drop("__map_key")

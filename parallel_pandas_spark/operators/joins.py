@@ -193,6 +193,31 @@ def except_all(a: DataFrame, b: DataFrame) -> DataFrame:
     return a.exceptAll(b)
 
 
+def _managed_table_location(spark, table: str) -> str | None:
+    """The path the catalog WOULD use for a managed table named ``table``,
+    or None when the warehouse is not a local filesystem (hdfs/s3 — never
+    delete there from the driver; let the catalog error surface instead).
+
+    Handles qualified names: default-database tables live directly under
+    the warehouse dir, any other database under ``<wh>/<db>.db/``.
+    """
+    import os
+
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    if "://" in wh and not wh.startswith("file:"):
+        return None
+    for prefix in ("file://", "file:"):
+        if wh.startswith(prefix):
+            wh = wh[len(prefix):]
+            break
+    parts = [p for p in table.lower().split(".") if p]
+    tbl = parts[-1]
+    db = parts[-2] if len(parts) >= 2 else "default"  # ignore catalog part
+    if db == "default":
+        return os.path.join(wh, tbl)
+    return os.path.join(wh, f"{db}.db", tbl)
+
+
 def bucket_write(df: DataFrame, path_table: str, keys: Sequence[str], num_buckets: int) -> None:
     """Persist bucketed by join/group key: repeated joins & aggs on ``keys``
     skip the exchange entirely (co-located scan). The 100 TB answer to
@@ -201,16 +226,18 @@ def bucket_write(df: DataFrame, path_table: str, keys: Sequence[str], num_bucket
     import shutil
 
     spark = df.sparkSession
-    spark.sql(f"DROP TABLE IF EXISTS {path_table}")
-    # a managed-table dir from a previous session survives the in-memory
-    # catalog, and saveAsTable refuses to overwrite an unregistered
-    # location (LOCATION_ALREADY_EXISTS) — clear any stale one
-    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
-    for prefix in ("file://", "file:"):
-        if wh.startswith(prefix):
-            wh = wh[len(prefix):]
-            break
-    shutil.rmtree(os.path.join(wh, path_table.lower()), ignore_errors=True)
+    if spark.catalog.tableExists(path_table):
+        # registered: DROP TABLE lets the catalog remove managed data at
+        # its true resolved location
+        spark.sql(f"DROP TABLE {path_table}")
+    # a managed-table dir from a previous session can survive the
+    # in-memory catalog, and saveAsTable refuses an unregistered existing
+    # location (LOCATION_ALREADY_EXISTS). Clear ONLY the exact managed
+    # location the catalog derives for this name (db.db-aware), and only
+    # on a local-filesystem warehouse.
+    loc = _managed_table_location(spark, path_table)
+    if loc and os.path.isdir(loc):
+        shutil.rmtree(loc, ignore_errors=True)
     (
         df.write.mode("overwrite")
         .bucketBy(num_buckets, *keys)

@@ -483,7 +483,16 @@ def kendall_tau(
     d = df
     if sample_mod > 1:
         keys = list(id_cols) if id_cols else [col_a, col_b]
-        key = F.concat_ws("\x1f", *[F.col(c).cast("string") for c in keys])
+        # NULL keys: concat_ws would silently SKIP a NULL column (so
+        # ('a', NULL) hashes like ('a',)), while a SQL '||' replay nulls
+        # the whole key and drops the row — coalesce each part to an
+        # explicit sentinel so sample membership is well-defined and
+        # identical in both engines (oracle: COALESCE(CAST(k AS VARCHAR),
+        # chr(0) || 'null')).
+        key = F.concat_ws(
+            "\x1f",
+            *[F.coalesce(F.col(c).cast("string"), F.lit("\x00null")) for c in keys],
+        )
         d = d.where(F.pmod(md5_long(key, seed=seed), F.lit(sample_mod)) == 0)
     d = d.select(col_a, col_b).dropna()
     return kendall_tau_exact(d, col_a, col_b, num_buckets=num_buckets)

@@ -504,9 +504,20 @@ def weighted_window(
     ``win_type=`` scipy shapes, parallel_window.py:206-213). Implemented as
     an explicit dot product over a ``collect_list`` slice — stays JVM-side;
     the scipy window shape is materialized to literal weights by the caller.
+
+    ``func``: 'mean', 'sum', 'var', 'std' — the same set pandas supports
+    for weighted windows (everything else raises NotImplementedError in
+    pandas too). var/std use pandas' debiased weighted formula
+    (roll_weighted_var, ddof=1):  V = (Σwx² − (Σwx)²/Σw) · Σw/((Σw)²−Σw²),
+    with Σw and Σw² compile-time literals.
     """
     if len(weights) != window:
         raise ValueError("len(weights) must equal window")
+    if func not in ("mean", "sum", "var", "std"):
+        raise NotImplementedError(
+            f"weighted window supports mean/sum/var/std, not {func!r} "
+            "(pandas raises NotImplementedError for these too)"
+        )
     out_col = out_col or f"{col}_w{func}"
     w = _ordered_window(order_by, partition_by).rowsBetween(-(window - 1), 0)
     vals = F.collect_list(F.col(col)).over(w)  # frame-ordered values
@@ -517,7 +528,19 @@ def weighted_window(
         lambda acc, x: acc + x,
     )
     wsum = F.lit(float(sum(weights)))
-    expr = dot / wsum if func == "mean" else dot
+    if func in ("var", "std"):
+        dot2 = F.aggregate(
+            F.zip_with(vals, warr, lambda v, wt: v * wt * v),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        wsum2 = F.lit(float(sum(x * x for x in weights)))
+        var = (dot2 - dot * dot / wsum) * wsum / (wsum * wsum - wsum2)
+        expr = F.sqrt(var) if func == "std" else var
+    elif func == "mean":
+        expr = dot / wsum
+    else:
+        expr = dot
     expr = F.when(F.size(vals) >= window, expr)
     return df.withColumn(out_col, expr)
 

@@ -221,3 +221,120 @@ def test_replace_fill_method_limit_matches_pandas(spark):
                 assert got[i] is None, (method, limit, i)
             else:
                 assert got[i] == rv, (method, limit, i)
+
+
+# --- ADVICE fixes: win_type guards, weighted var/std, map_series, sampling --
+
+
+def test_weighted_rolling_var_std_match_manual(spark):
+    from parallel_pandas_spark.operators import windows
+
+    rng = np.random.default_rng(9)
+    pdf = pd.DataFrame(
+        {"g": [0] * 20, "i": range(20), "v": rng.normal(size=20)}
+    )
+    wts = windows.win_type_weights("gaussian", 5, std=1.5)
+    df = from_pandas(spark, pdf)
+    got_var = {
+        r["i"]: r["v_wvar"]
+        for r in windows.weighted_window(
+            df, "v", 5, wts, ["i"], ["g"], func="var"
+        ).collect()
+    }
+    got_std = {
+        r["i"]: r["v_wstd"]
+        for r in windows.weighted_window(
+            df, "v", 5, wts, ["i"], ["g"], func="std"
+        ).collect()
+    }
+    w = np.array(wts)
+    sw, sw2 = w.sum(), (w * w).sum()
+    for i in range(20):
+        if i < 4:
+            assert got_var[i] is None and got_std[i] is None
+            continue
+        x = pdf["v"].to_numpy()[i - 4 : i + 1]
+        # pandas roll_weighted_var (ddof=1) closed form
+        ref = ((w * x * x).sum() - (w * x).sum() ** 2 / sw) * sw / (sw * sw - sw2)
+        assert got_var[i] == pytest.approx(ref, rel=1e-12), i
+        assert got_std[i] == pytest.approx(math.sqrt(ref), rel=1e-12), i
+
+
+def test_win_type_unsupported_aggs_raise(spark):
+    from parallel_pandas_spark.api import ParallelFrame
+
+    pdf = pd.DataFrame({"g": [0] * 6, "i": range(6), "v": [1.0] * 6})
+    pf = ParallelFrame(from_pandas(spark, pdf))
+    roll = pf.rolling(3, order_by=["i"], partition_by=["g"], win_type="hann")
+    for bad in ("p_min", "p_max", "p_median"):
+        with pytest.raises(NotImplementedError):
+            getattr(roll, bad)("v")
+    with pytest.raises(NotImplementedError):
+        roll.p_quantile("v", 0.5)
+    with pytest.raises(NotImplementedError):
+        roll.p_cov("v", "v")
+    with pytest.raises(NotImplementedError):  # min_periods silently dropped in r4
+        roll.p_mean("v", min_periods=1)
+    # weighted var/std now compute (no raise), unweighted paths untouched
+    roll.p_var("v")
+    pf.rolling(3, order_by=["i"], partition_by=["g"]).p_min("v")
+
+
+def test_map_series_out_col_collision_and_strict(spark):
+    from parallel_pandas_spark.operators import elementwise
+
+    df = from_pandas(spark, pd.DataFrame({"k": ["a", "b", "c"], "x": [1, 2, 3]}))
+    lk = from_pandas(
+        spark, pd.DataFrame({"key": ["a", "b", "b"], "val": [10, 20, 30]})
+    )
+    with pytest.raises(ValueError, match="already exists"):
+        elementwise.map_series(df, "k", lk, "key", "val", out_col="x")
+    # default: deterministic smallest-value survivor for duplicate keys
+    got = {
+        r["k"]: r["m"]
+        for r in elementwise.map_series(df, "k", lk, "key", "val", out_col="m").collect()
+    }
+    assert got == {"a": 10, "b": 20, "c": None}
+    # strict: duplicate lookup keys fail the job like pandas
+    from py4j.protocol import Py4JJavaError
+
+    with pytest.raises(Exception):
+        elementwise.map_series(
+            df, "k", lk, "key", "val", out_col="m", strict=True
+        ).collect()
+    # strict passes when keys are unique
+    uniq = from_pandas(spark, pd.DataFrame({"key": ["a", "b"], "val": [10, 20]}))
+    got2 = {
+        r["k"]: r["m"]
+        for r in elementwise.map_series(
+            df, "k", uniq, "key", "val", out_col="m", strict=True
+        ).collect()
+    }
+    assert got2 == {"a": 10, "b": 20, "c": None}
+
+
+def test_kendall_sample_gate_null_keys_deterministic(spark):
+    """NULL id_cols must hash via an explicit sentinel (concat_ws would
+    silently skip them, diverging from any SQL '||' replay)."""
+    import hashlib
+
+    from parallel_pandas_spark.operators import reductions as red
+
+    ids = [None if i % 10 in (0, 3) else f"k{i}" for i in range(100)]
+    pdf = pd.DataFrame(
+        {
+            "id": ids,
+            "x": np.arange(100, dtype=float) % 7,
+            "y": np.arange(100, dtype=float) % 5,
+        }
+    )
+    df = from_pandas(spark, pdf)
+    row = red.kendall_tau(df, "x", "y", sample_mod=3, id_cols=["id"]).first()
+
+    def gate(v):
+        s = "\x00null" if v is None else v
+        h = hashlib.md5(f"s0:{s}".encode()).hexdigest()[:15]
+        return int(h, 16) % 3 == 0
+
+    expect_n = sum(gate(v) for v in ids)
+    assert row["n"] == expect_n
