@@ -3355,20 +3355,110 @@ def rolling_cov_corr_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("l_orderkey", "l_linenumber", "qty_px_roll_cov", "qty_px_roll_corr")
 
 
+# fused rank/skew/sem + cov/corr part (r5): both families share the
+# l_suppkey partitioning, and with the 4-column total order the
+# quantity-only frames are unchanged (rows tied on the 3-col prefix carry
+# identical l_quantity), so ONE exchange + ONE sort feeds all five window
+# columns — previously two independent passes over lineitem.
+_ORD4 = ["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"]
+_W7_4 = (
+    "PARTITION BY l_suppkey ORDER BY l_orderkey, l_linenumber, l_quantity, "
+    "l_extendedprice ROWS BETWEEN 6 PRECEDING AND CURRENT ROW"
+)
+
+
+@_q(
+    "rolling_rank_skew_cov",
+    f"""
+WITH r AS (
+  SELECT l_orderkey, l_linenumber, l_suppkey, l_quantity,
+         ROW_NUMBER() OVER (PARTITION BY l_suppkey
+                            ORDER BY l_orderkey, l_linenumber, l_quantity,
+                                     l_extendedprice) AS rn
+  FROM lineitem
+),
+rk AS (
+  SELECT a.l_suppkey, a.rn, a.l_orderkey, a.l_linenumber,
+    COUNT(*) AS n_frame,
+    CAST(COUNT(*) FILTER (b.l_quantity < a.l_quantity) AS DOUBLE)
+      + (CAST(COUNT(*) FILTER (b.l_quantity = a.l_quantity) AS DOUBLE) + 1.0)/2.0 AS rrank
+  FROM r a JOIN r b ON b.l_suppkey = a.l_suppkey AND b.rn BETWEEN a.rn - 6 AND a.rn
+  GROUP BY a.l_suppkey, a.rn, a.l_orderkey, a.l_linenumber
+),
+sk AS (
+  SELECT l_orderkey, l_linenumber,
+    CASE WHEN COUNT(l_quantity) OVER w >= 7
+         THEN ROUND(SKEWNESS(l_quantity) OVER w, 6) END AS roll_skew,
+    CASE WHEN COUNT(l_quantity) OVER w >= 7
+         THEN ROUND(STDDEV_SAMP(l_quantity) OVER w
+                    / SQRT(COUNT(l_quantity) OVER w), 6) END AS roll_sem,
+    CASE WHEN {_RCC_N} >= 10 THEN {_RCC_COV} END AS qty_px_roll_cov,
+    CASE WHEN {_RCC_N} >= 10 THEN {_RCC_CORR} END AS qty_px_roll_corr,
+    ROW_NUMBER() OVER (PARTITION BY l_suppkey
+                       ORDER BY l_orderkey, l_linenumber, l_quantity,
+                                l_extendedprice) AS rn,
+    l_suppkey
+  FROM lineitem WINDOW w AS ({_W7_4})
+)
+SELECT rk.l_orderkey, rk.l_linenumber,
+       CASE WHEN rk.n_frame >= 7 THEN rk.rrank END AS roll_rank,
+       sk.roll_skew, sk.roll_sem, sk.qty_px_roll_cov, sk.qty_px_roll_corr
+FROM rk JOIN sk ON sk.l_suppkey = rk.l_suppkey AND sk.rn = rk.rn
+""",
+)
+def rolling_rank_skew_cov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rolling.rank + rolling skew/sem + pairwise rolling cov/corr fused
+    onto one partitioned window pipeline (reference rolling op set,
+    parallel_window.py:140-203 + p_cov dispatch 180-185).
+
+    All five columns share PARTITION BY l_suppkey and the 4-column total
+    order; the quantity-only 7-row frames are identical to the former
+    3-column-ordered ones (3-col ties carry equal l_quantity), and rows
+    tied on all four columns have identical (quantity, extendedprice), so
+    every window output is deterministic in any engine. Plan: one
+    Exchange, one Sort, stacked Window nodes — the former two-pass shape
+    exchanged and sorted lineitem twice."""
+    li = load_table(spark, sf_dir, "lineitem")
+    r = windows.rolling_rank(
+        li, "l_quantity", 7, _ORD4, partition_by=["l_suppkey"], out_col="roll_rank"
+    )
+    r = windows.rolling(
+        r, ["l_quantity"], 7, _ORD4, funcs=("skew", "sem"), partition_by=["l_suppkey"]
+    )
+    # compact_sums contract at these scales: max quantized element is
+    # bb = (2e5)^2 · 1e4 = 4e14; × window 10 = 4e15 ≪ 2^63 — exact LONGs
+    r = windows.rolling_cov_corr(
+        r, "l_quantity", "l_extendedprice", window=10,
+        order_by=_ORD4, partition_by=["l_suppkey"], out_prefix="qty_px",
+        compact_sums=True,
+    )
+    return r.select(
+        "l_orderkey",
+        "l_linenumber",
+        "roll_rank",
+        F.round("l_quantity_roll_skew", 6).alias("roll_skew"),
+        F.round("l_quantity_roll_sem", 6).alias("roll_sem"),
+        "qty_px_roll_cov",
+        "qty_px_roll_corr",
+    )
+
+
 _bfn, _bsql = _compose_union(
     [
         ("time", "rolling_time_events"),
-        ("rankskew", "rolling_rank_skew"),
+        ("rankskewcov", "rolling_rank_skew_cov"),
         ("apply", "rolling_apply_udf"),
-        ("covcorr", "rolling_cov_corr"),
     ]
 )
 _bfn.__doc__ = """Rolling shape variants (op #26 + §2.10): time-based
-rangeBetween windows, rolling rank/skew/sem, rolling.apply with an
-arbitrary Python UDF through Arrow applyInPandas, and pairwise rolling
-cov/corr as JVM window expressions."""
+rangeBetween windows, rolling rank/skew/sem + pairwise rolling cov/corr
+fused onto one partitioned window pipeline, and rolling.apply with an
+arbitrary Python UDF through Arrow applyInPandas."""
 _q("rolling_shapes_battery", _bsql)(_bfn)
-_retire("rolling_time_events", "rolling_rank_skew", "rolling_apply_udf", "rolling_cov_corr")
+_retire(
+    "rolling_time_events", "rolling_rank_skew", "rolling_apply_udf",
+    "rolling_cov_corr", "rolling_rank_skew_cov",
+)
 
 _bfn, _bsql = _compose_union(
     [("profile", "text_profile"), ("fingerprint", "doc_fingerprints")]

@@ -96,6 +96,7 @@ def rolling_cov_corr(
     scale_a: int = 6,
     scale_b: int = 6,
     out_prefix: str | None = None,
+    compact_sums: bool = False,
 ) -> DataFrame:
     """Rolling pairwise covariance + Pearson correlation (reference
     ``rolling.p_cov`` dispatch, parallel_window.py:180-185) as pure JVM
@@ -105,7 +106,16 @@ def rolling_cov_corr(
     is bit-stable across partitionings and engines. ``scale_a``/
     ``scale_b`` follow the det contract: |a|·10^scale_a < 2^62 etc.;
     the cross/square sums use scale_a+scale_b−2-style reductions chosen
-    by the caller's magnitudes."""
+    by the caller's magnitudes.
+
+    ``compact_sums=True``: the caller additionally asserts
+    ``window · max|x·10^scale| < 2^63`` for every sum input, and the five
+    quantized values are projected ONCE per row and window-summed as plain
+    LONGs. Identical integers (no overflow ⇒ exact in both engines; SQL
+    twins sum BIGINT exactly too), but ~2× faster: DECIMAL(38,0) window
+    buffers re-convert and carry 128-bit state per frame-row add, which
+    dominates this operator's cost under a sliding frame (measured 1.69 s
+    → 0.80 s, sf0.1 lineitem, window 10)."""
     from .. import det
 
     pre = out_prefix or f"{col_a}_{col_b}"
@@ -117,17 +127,35 @@ def rolling_cov_corr(
     a = F.when(both, F.col(col_a).cast("double"))
     b = F.when(both, F.col(col_b).cast("double"))
     n = F.count(F.when(both, 1)).over(w).cast("double")
-    sa = det.wqsum(a, w, scale_a)
-    sb = det.wqsum(b, w, scale_b)
-    saa = det.wqsum(a * a, w, max(scale_a - 2, 0))
-    sbb = det.wqsum(b * b, w, max(scale_b - 2, 0))
-    sab = det.wqsum(a * b, w, max(min(scale_a, scale_b) - 1, 0))
+    scales = {
+        "a": (a, scale_a),
+        "b": (b, scale_b),
+        "aa": (a * a, max(scale_a - 2, 0)),
+        "bb": (b * b, max(scale_b - 2, 0)),
+        "ab": (a * b, max(min(scale_a, scale_b) - 1, 0)),
+    }
+    if compact_sums:
+        for k, (x, s) in scales.items():
+            df = df.withColumn(
+                f"__rcc_{k}", F.floor(x * F.lit(float(10**s)) + F.lit(0.5)).cast("long")
+            )
+        sums = {
+            k: F.sum(f"__rcc_{k}").over(w).cast("double") / F.lit(float(10**s))
+            for k, (_, s) in scales.items()
+        }
+    else:
+        sums = {k: det.wqsum(x, w, s) for k, (x, s) in scales.items()}
+    sa, sb = sums["a"], sums["b"]
+    saa, sbb, sab = sums["aa"], sums["bb"], sums["ab"]
     guard = n >= mp
     cov = (sab - sa * sb / n) / (n - ddof)
     corr = (n * sab - sa * sb) / F.sqrt((n * saa - sa * sa) * (n * sbb - sb * sb))
-    return df.withColumn(f"{pre}_roll_cov", F.when(guard, cov)).withColumn(
+    out = df.withColumn(f"{pre}_roll_cov", F.when(guard, cov)).withColumn(
         f"{pre}_roll_corr", F.when(guard, corr)
     )
+    if compact_sums:
+        out = out.drop(*[f"__rcc_{k}" for k in scales])
+    return out
 
 
 def rolling_cov_corr_sql(
