@@ -201,8 +201,8 @@ class ParallelFrame:
             return elementwise.map_series(self.df, col, lookup, kc, vc, **kw)
         return elementwise.map_elements(self.df, col, arg, out_col=f"{col}_mapped", **kw)
 
-    def chunk_apply(self, func: Callable, schema):
-        return elementwise.map_batches(self.df, func, schema)
+    def chunk_apply(self, func: Callable, schema, concat_result: bool = True):
+        return elementwise.map_batches(self.df, func, schema, concat_result)
 
     def p_replace(
         self,

@@ -35,17 +35,50 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
-def map_batches(df: DataFrame, func: Callable, schema) -> DataFrame:
+def map_batches(df: DataFrame, func: Callable, schema, concat_result: bool = True):
     """Whole-chunk UDF (reference ``chunk_apply``,
     parallel_dataframe.py:66-97): ``func: pd.DataFrame -> pd.DataFrame``
     applied to each Arrow batch, iterator form so a batch never needs to
-    be held twice in memory."""
+    be held twice in memory.
+
+    ``concat_result=False`` reproduces the reference's list-return arm
+    (parallel_dataframe.py:92-95): a driver-side ``list[pd.DataFrame]``,
+    one entry per chunk in deterministic (partition, batch) order. The
+    reference holds every chunk result in driver memory too, so this is
+    explicitly a small-result convenience — per-chunk results must be
+    DataFrames matching ``schema`` (the engine cannot ship untyped
+    scalars), and the distributed shape to prefer is ``concat_result=True``
+    which never collects."""
 
     def it_func(batches):
         for pdf in batches:
             yield func(pdf)
 
-    return df.mapInPandas(it_func, schema=schema)
+    if concat_result:
+        return df.mapInPandas(it_func, schema=schema)
+
+    from pyspark import TaskContext
+
+    if isinstance(schema, str):
+        tagged_schema = f"{schema}, __chunk_pid int, __chunk_seq int"
+    else:
+        tagged_schema = T.StructType(list(schema.fields)).add(
+            "__chunk_pid", T.IntegerType()
+        ).add("__chunk_seq", T.IntegerType())
+
+    def it_tag(batches):
+        pid = TaskContext.get().partitionId()
+        for i, pdf in enumerate(batches):
+            out = func(pdf).copy()
+            out["__chunk_pid"] = pid
+            out["__chunk_seq"] = i
+            yield out
+
+    local = df.mapInPandas(it_tag, schema=tagged_schema).toPandas()
+    return [
+        g.drop(columns=["__chunk_pid", "__chunk_seq"]).reset_index(drop=True)
+        for _, g in local.groupby(["__chunk_pid", "__chunk_seq"], sort=True)
+    ]
 
 
 def map_batches_split_by(

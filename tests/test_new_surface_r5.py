@@ -338,3 +338,25 @@ def test_kendall_sample_gate_null_keys_deterministic(spark):
 
     expect_n = sum(gate(v) for v in ids)
     assert row["n"] == expect_n
+
+
+def test_chunk_apply_concat_result_false(spark):
+    """Reference chunk_apply(concat_result=False) returns the list of
+    per-chunk results without concatenation (parallel_dataframe.py:92-95)."""
+    from parallel_pandas_spark.operators import elementwise
+
+    pdf = pd.DataFrame({"k": list(range(30)), "v": [float(i) for i in range(30)]})
+    df = from_pandas(spark, pdf).repartition(3)
+
+    def f(chunk: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"n": [len(chunk)], "vsum": [float(chunk["v"].sum())]})
+
+    chunks = elementwise.map_batches(df, f, "n long, vsum double", concat_result=False)
+    assert isinstance(chunks, list)
+    assert all(isinstance(c, pd.DataFrame) for c in chunks)
+    assert 1 <= len(chunks) <= 3  # one result per non-empty partition batch
+    assert sum(int(c["n"].iloc[0]) for c in chunks) == 30
+    assert sum(c["vsum"].iloc[0] for c in chunks) == pytest.approx(pdf["v"].sum())
+    # concat form unchanged
+    cat = elementwise.map_batches(df, f, "n long, vsum double").toPandas()
+    assert int(cat["n"].sum()) == 30
