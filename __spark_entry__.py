@@ -3301,19 +3301,110 @@ pct_change, and rank with all five pandas methods + pct."""
 _q("ordered_battery", _bsql)(_bfn)
 _retire("cumulative_scan", "rank_methods")
 
-_bfn, _bsql = _compose_union(
-    [
-        ("meansum", "rolling_mean_sum"),
-        ("stdvar", "rolling_std_var"),
-        ("quantile", "rolling_median_quantile"),
-        ("expanding", "expanding_sum_max"),
-    ]
+@_q(
+    "rolling_moments_battery",
+    f"""
+WITH s AS (
+  SELECT l_orderkey, l_linenumber, l_suppkey, l_quantity,
+         CAST(FLOOR(CAST(l_quantity AS DOUBLE)*1000000.0 + 0.5) AS BIGINT) AS q6,
+         CAST(FLOOR(CAST(l_quantity AS DOUBLE)*CAST(l_quantity AS DOUBLE)*10000.0 + 0.5) AS BIGINT) AS qq4
+  FROM lineitem
+),
+t AS (
+  SELECT l_orderkey, l_linenumber,
+    COUNT(q6) OVER w AS cq6,
+    COUNT(l_quantity) OVER w AS cq,
+    CAST(COUNT(q6) OVER w AS DOUBLE) AS nd,
+    CAST(SUM(q6) OVER w AS DOUBLE)/1000000.0 AS s1,
+    CAST(SUM(qq4) OVER w AS DOUBLE)/10000.0 AS s2,
+    MIN(l_quantity) OVER w AS mn,
+    MAX(l_quantity) OVER w AS mx,
+    CASE WHEN COUNT(l_quantity) OVER w >= 7
+         THEN ROUND(quantile_cont(l_quantity, 0.5) OVER w, 6) END AS roll_median,
+    CASE WHEN COUNT(l_quantity) OVER w >= 7
+         THEN ROUND(quantile_cont(l_quantity, 0.25) OVER w, 6) END AS roll_q25,
+    CAST(SUM(q6) OVER we AS DOUBLE)/1000000.0 AS exp_sum,
+    MAX(l_quantity) OVER we AS exp_max,
+    COUNT(q6) OVER we AS exp_count
+  FROM s
+  WINDOW w AS ({_LI_WIN_SQL}),
+         we AS (PARTITION BY l_suppkey ORDER BY l_orderkey, l_linenumber, l_quantity
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
 )
-_bfn.__doc__ = """Rolling count-window moments (ops #26-#27): sum/mean/min/
-max, exact-power-sum std/var, exact interpolated median/quantile, and the
-expanding (unbounded-preceding) forms — all partitioned per-group windows,
-never Exchange SinglePartition."""
-_q("rolling_moments_battery", _bsql)(_bfn)
+SELECT l_orderkey, l_linenumber,
+  CASE WHEN cq6 >= 7 THEN s1 END AS roll_sum,
+  CASE WHEN cq6 >= 7 THEN s1/cq6 END AS roll_mean,
+  CASE WHEN cq >= 7 THEN mn END AS roll_min,
+  CASE WHEN cq >= 7 THEN mx END AS roll_max,
+  CASE WHEN nd >= 7 THEN (s2 - s1*s1/nd) / (nd - 1) END AS roll_var,
+  CASE WHEN nd >= 7 THEN SQRT((s2 - s1*s1/nd) / (nd - 1)) END AS roll_std,
+  roll_median, roll_q25, exp_sum, exp_max, exp_count
+FROM t
+""",
+)
+def rolling_moments_battery_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling count-window moments (ops #26-#27) FUSED onto one window
+    pipeline (r5): sum/mean/min/max, exact-power-sum std/var, exact
+    interpolated median/quantile, and the expanding (unbounded-preceding)
+    forms all share PARTITION BY l_suppkey + the _LI_ORD sort, so the plan
+    is one Exchange + one Sort with stacked Window nodes — the former
+    four-part union exchanged and sorted lineitem four times and emitted
+    4× the rows. Every column keeps its original expression tree (same
+    guards, same IEEE op order), so the values are bit-identical to the
+    retired parts'."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .withColumn("q6", F.floor(F.col("l_quantity") * F.lit(1e6) + F.lit(0.5)).cast("long"))
+        .withColumn(
+            "qq4",
+            F.floor(F.col("l_quantity") * F.col("l_quantity") * F.lit(1e4) + F.lit(0.5)).cast("long"),
+        )
+    )
+    r = windows.rolling(
+        li, ["q6"], 7, _LI_ORD, funcs=("sum", "count"), partition_by=["l_suppkey"]
+    )
+    r = windows.rolling(
+        r, ["l_quantity"], 7, _LI_ORD, funcs=("min", "max"), partition_by=["l_suppkey"]
+    )
+    w = (
+        Window.partitionBy("l_suppkey")
+        .orderBy(*[F.col(c) for c in _LI_ORD])
+        .rowsBetween(-6, 0)
+    )
+    n = F.count("q6").over(w).cast("double")
+    s1 = F.sum("q6").over(w).cast("double") / F.lit(1e6)
+    s2 = F.sum("qq4").over(w).cast("double") / F.lit(1e4)
+    var = (s2 - s1 * s1 / n) / (n - 1)
+    r = r.withColumn("roll_var", F.when(n >= 7, var)).withColumn(
+        "roll_std", F.when(n >= 7, F.sqrt(var))
+    )
+    r = windows.rolling_quantiles(
+        r, "l_quantity", 7, {"__rm": 0.5, "__rq25": 0.25}, _LI_ORD,
+        partition_by=["l_suppkey"],
+    )
+    r = windows.expanding(
+        r, ["q6"], _LI_ORD, funcs=("sum", "count"), partition_by=["l_suppkey"]
+    )
+    r = windows.expanding(
+        r, ["l_quantity"], _LI_ORD, funcs=("max",), partition_by=["l_suppkey"]
+    )
+    return r.select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("q6_roll_sum").cast("double") / F.lit(1e6)).alias("roll_sum"),
+        (F.col("q6_roll_sum").cast("double") / F.lit(1e6) / F.col("q6_roll_count")).alias(
+            "roll_mean"
+        ),
+        F.col("l_quantity_roll_min").alias("roll_min"),
+        F.col("l_quantity_roll_max").alias("roll_max"),
+        "roll_var",
+        "roll_std",
+        F.round("__rm", 6).alias("roll_median"),
+        F.round("__rq25", 6).alias("roll_q25"),
+        (F.col("q6_exp_sum").cast("double") / F.lit(1e6)).alias("exp_sum"),
+        F.col("l_quantity_exp_max").alias("exp_max"),
+        F.col("q6_exp_count").alias("exp_count"),
+    )
 _retire(
     "rolling_mean_sum", "rolling_std_var", "rolling_median_quantile", "expanding_sum_max"
 )
