@@ -3138,16 +3138,21 @@ _, _bsql = _compose_cross(_STATS_PARTS)  # oracle: the 8 parts' SQL, crossed
 
 def _stats_battery_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All single-row full-frame reductions (SURVEY §2.3 ops #7-#15) in
-    FOUR lineitem passes instead of the former eight independent sub-plans:
+    FIVE lineitem passes instead of the former eight independent sub-plans:
 
-    - pass 1 (`core`): central moments, dispersion, skew/kurt, nunique and
-      the min_count-gated sums fused into ONE ``df.agg`` — the min_count
+    - pass 1 (`core`): central moments, dispersion, skew/kurt and the
+      min_count-gated sums fused into ONE ``df.agg`` — the min_count
       parts' `WHERE l_quantity <= 10` becomes a conditional aggregate so
-      it shares the scan; 4 exact countDistincts share it via Expand.
-    - pass 2 (`mad`): mean(|x − mean|) re-reads lineitem against the
+      it shares the scan.
+    - pass 2 (`nun`): the 4 exact countDistincts, deliberately NOT in the
+      core agg — Spark's multi-distinct rewrite Expand-replicates every
+      row once per distinct group, and dragging the heavy moment
+      expressions through that 5× stream cost 8.7 s vs 1.5 s at sf0.1;
+      alone, the Expand runs over a pruned 4-column projection.
+    - pass 3 (`mad`): mean(|x − mean|) re-reads lineitem against the
       broadcast pass-1 means (two-pass by definition; det.qsum fixed-point).
-    - pass 3 (`prods`): per-order product of line numbers (groupBy shape).
-    - pass 4 (`modes`): BOTH column modes from one scan via GROUPING SETS
+    - pass 4 (`prods`): per-order product of line numbers (groupBy shape).
+    - pass 5 (`modes`): BOTH column modes from one scan via GROUPING SETS
       ((l_quantity),(l_linenumber)) + a max(struct(cnt, −value)) pick —
       greatest count, then smallest value among ties (pandas first-mode).
 
@@ -3156,7 +3161,7 @@ def _stats_battery_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast cross joins. Values and schema are unchanged from the 8
     retired parts (same det.* fixed-point expressions), so the crossed
     oracle SQL is untouched; only the scan count drops. At 100 TB this is
-    the difference between 4 reads of the fact table and 8."""
+    the difference between 5 reads of the fact table and 8."""
     li = load_table(spark, sf_dir, "lineitem")
     qty_small = F.when(F.col("l_quantity") <= 10, F.col("l_quantity"))
     core = li.agg(
@@ -3189,7 +3194,13 @@ def _stats_battery_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
         # --- stats_sum_prod_min_count (filter folded into the aggregate) ---
         reductions.sum_min_count(qty_small, 100_000).alias("qty_sum_mc_high"),
         reductions.sum_min_count(qty_small, 3).alias("qty_sum_mc_low"),
-        # --- stats_nunique ---
+    )
+    # nunique runs as its OWN narrow aggregation: mixing countDistinct into
+    # the core agg makes Spark's multi-distinct rewrite Expand-replicate
+    # every row 5x through all the heavy moment expressions (measured 8.7 s
+    # vs 1.5 s at sf0.1); separated, the Expand runs over a 4-column
+    # projection and the core agg stays single-stream
+    nun = li.agg(
         F.countDistinct("l_partkey").alias("l_partkey_nunique"),
         F.countDistinct("l_suppkey").alias("l_suppkey_nunique"),
         F.countDistinct("l_returnflag").alias("l_returnflag_nunique"),
@@ -3242,7 +3253,7 @@ def _stats_battery_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     out = core
-    for part in (prods, modes, idx, mad):
+    for part in (nun, prods, modes, idx, mad):
         out = out.crossJoin(F.broadcast(part))
     return out.select(
         # exact retired-part column order (matches the crossed oracle)

@@ -90,6 +90,14 @@ def rank(
     (window ordering and partitioning both treat NULLs as peers, in Spark
     and in ANSI SQL alike), and the ``pct`` denominator includes them.
 
+    EVERY na_option uses the same nulls-LAST window ordering, so mixed
+    variants over one column share a single partition sort. 'top' is the
+    exact rank-shift identity on the nulls-last ranks (k = non-null count,
+    nn = null count per partition): NULL rows map v → v − k (their tied
+    block slides from the tail to ranks 1..nn) and non-NULL rows map
+    v → v + nn; dense is the special case (NULLs → 1, others +1 iff any
+    NULL exists). No nulls-first re-sort is ever planned.
+
     ``tie_break``: extra ordering columns resolving equal values for
     ``method='first'`` — pandas uses appearance order, which an unordered
     engine replaces with an explicit key (SURVEY.md §1.4); without it,
@@ -98,10 +106,7 @@ def rank(
     out_col = out_col or f"{col}_rank"
     if na_option not in ("keep", "top", "bottom"):
         raise ValueError(f"na_option must be keep/top/bottom, got {na_option!r}")
-    if na_option == "top":
-        vorder = F.col(col).asc_nulls_first() if ascending else F.col(col).desc_nulls_first()
-    else:
-        vorder = F.col(col).asc_nulls_last() if ascending else F.col(col).desc_nulls_last()
+    vorder = F.col(col).asc_nulls_last() if ascending else F.col(col).desc_nulls_last()
     # rank/dense_rank MUST order by value alone (ties share a rank); only
     # the row_number paths ('first', and the rn feeding 'average') take the
     # appearance tiebreak.
@@ -127,8 +132,17 @@ def rank(
         raise ValueError(f"unknown rank method {method!r}")
     if na_option == "keep":
         expr = F.when(F.col(col).isNotNull(), expr)
+    elif na_option == "top":
+        k = F.count(col).over(whole).cast("double")
+        nn = F.count(F.lit(1)).over(whole).cast("double") - k
+        isnull = F.col(col).isNull()
+        if method == "dense":
+            expr = F.when(isnull, F.lit(1.0)).otherwise(expr + F.least(nn, F.lit(1.0)))
+        else:
+            expr = F.when(isnull, expr - k).otherwise(expr + nn)
+    # 'bottom': the nulls-last ranks are already the bottom ranks
     if pct:
-        denom = F.count(col) if na_option == "keep" else F.count("*")
+        denom = F.count(col) if na_option == "keep" else F.count(F.lit(1))
         expr = expr / denom.over(whole)
     return df.withColumn(out_col, expr)
 
