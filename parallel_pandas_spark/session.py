@@ -42,6 +42,12 @@ def get_spark(
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.python.worker.reuse", "true")
+        # generated-class cache: the default 100 entries thrashes once a
+        # resident session runs a few dozen multi-window queries — each
+        # re-run then pays ~2 s of Janino recompilation (measured on the
+        # ordered battery: 4.5 s cold-cache vs 2.3 s warm). A resident
+        # cluster keeps its compiled classes; so do we.
+        .config("spark.sql.codegen.cache.maxEntries", "2000")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
