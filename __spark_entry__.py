@@ -1299,19 +1299,8 @@ FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documen
 """
 
 
-@_q(
-    "exact_dedup",
-    f"""
-SELECT md5({_NORM_SQL}) AS fingerprint,
-       MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
-FROM documents GROUP BY 1
-""",
-)
-def exact_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact dedup: one shuffle on a 16-byte content digest
-    (dedup.py:34-42) — the 100 TB shape is unchanged."""
-    d = load_table(spark, sf_dir, "documents")
-    return dedup.exact_dedup(d, "doc_id", "text")
+# (exact_dedup is registered below, after _minhash_oracle — its clusters
+# arm replays the minhash pair pipeline inside a recursive-CTE oracle)
 
 
 def _minhash_oracle(num_hashes: int = 8, bands: int = 4, threshold: float = 0.3) -> str:
@@ -1357,6 +1346,55 @@ def minhash_dedup_pairs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_dedup_pairs(
         d, "doc_id", "text", n=3, num_hashes=8, bands=4, threshold=0.3
     )
+
+
+def _exact_dedup_oracle() -> str:
+    # the clusters arm replays the FULL minhash pair pipeline (threshold
+    # 0.3, identical to the minhash_dedup_pairs oracle) and then computes
+    # connected components with a recursive CTE: reach(v, l) propagates
+    # every label along symmetric edges; MIN per node = component minimum —
+    # exactly cluster_pairs' min-label fixpoint.
+    return f"""
+WITH RECURSIVE p AS ({_minhash_oracle()}),
+edges AS (SELECT id_a AS a, id_b AS b FROM p
+          UNION SELECT id_b, id_a FROM p),
+reach(v, l) AS (
+  SELECT DISTINCT a, a FROM edges
+  UNION
+  SELECT e.b, r.l FROM reach r JOIN edges e ON e.a = r.v
+),
+cl AS (SELECT v AS doc_id, MIN(l) AS cluster_id FROM reach GROUP BY v)
+SELECT 'exact' AS src, md5({_NORM_SQL}) AS fingerprint,
+       MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+FROM documents GROUP BY 2
+UNION ALL BY NAME
+SELECT 'minhash_cc' AS src, doc_id, cluster_id,
+       COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+       doc_id = cluster_id AS is_canonical
+FROM cl
+"""
+
+
+@_q("exact_dedup", _exact_dedup_oracle())
+def exact_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup outputs battery, tagged parts:
+
+    - ``exact``: one shuffle on a 16-byte content digest (dedup.py:59-67)
+      — the 100 TB shape is unchanged.
+    - ``minhash_cc`` (r5): near-dup PAIRS (the oracle-green minhash
+      pipeline at threshold 0.3) resolved into connected-component
+      CLUSTERS via distributed min-label propagation
+      (dedup.cluster_pairs): per-doc cluster id (= min doc_id of the
+      component), cluster size, and the canonical-survivor flag — the
+      actual keep/drop decision a corpus-dedup pipeline executes.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    exact = dedup.exact_dedup(d, "doc_id", "text")
+    pairs = dedup.minhash_dedup_pairs(
+        d, "doc_id", "text", n=3, num_hashes=8, bands=4, threshold=0.3
+    )
+    cc = dedup.cluster_pairs(pairs, "id_a", "id_b")
+    return _pad_union([("exact", exact), ("minhash_cc", cc)])
 
 
 @_q("ngram_jaccard_pairs", _minhash_oracle(threshold=0.1))

@@ -18,7 +18,7 @@ engine (the DuckDB oracle included).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .text import char_ngrams, fingerprint_md5, normalize_text, tokens, word_ngrams
@@ -64,6 +64,73 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str, keep: str = "min") ->
         df.select(F.col(id_col), fingerprint_md5(text_col).alias("fingerprint"))
         .groupBy("fingerprint")
         .agg(keep_fn(id_col).alias(id_col), F.count("*").alias("n_copies"))
+    )
+
+
+def cluster_pairs(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components over a duplicate-pair edge list — the step that
+    turns pairwise near-dup hits (minhash/simhash/embedding) into CLUSTERS
+    with one canonical survivor each, i.e. the actual corpus-dedup output
+    a training pipeline consumes.
+
+    Algorithm: iterative min-label propagation on the symmetrized edges —
+    each round every node takes the minimum of its own and its neighbors'
+    labels (one join + one groupBy per round, all distributed), stopping
+    when a round changes nothing. Rounds needed = graph diameter; near-dup
+    components are dense (band-collision cliques), so 2-4 rounds in
+    practice. Labels are min(doc_id) of the component — deterministic on
+    any cluster layout, and SQL-replayable by a recursive-CTE oracle.
+    Each round is localCheckpointed: the loop would otherwise stack lineage
+    and replan O(iter²) at scale.
+
+    Returns one row per node that appears in ANY pair:
+    ``(doc_id, cluster_id, cluster_size, is_canonical)`` — singleton docs
+    (no duplicate edges) are intentionally absent; the caller left-joins
+    and treats NULL cluster_id as "unique".
+    """
+    edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct().localCheckpoint(eager=True)
+    labels = (
+        edges.select(F.col("src").alias("v")).distinct()
+        .withColumn("lbl", F.col("v"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(labels, edges["dst"] == labels["v"])
+            .groupBy("src").agg(F.min("lbl").alias("nl"))
+        )
+        new = (
+            labels.join(nbr, labels["v"] == nbr["src"], "left")
+            .select(
+                labels["v"],
+                F.least(F.col("lbl"), F.coalesce(F.col("nl"), F.col("lbl"))).alias("lbl"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), F.col("n.v") == F.col("o.v"))
+            .where(F.col("n.lbl") != F.col("o.lbl"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(f"cluster_pairs did not converge in {max_iter} rounds")
+    w = Window.partitionBy("cluster_id")
+    return (
+        labels.select(F.col("v").alias("doc_id"), F.col("lbl").alias("cluster_id"))
+        .withColumn("cluster_size", F.count("*").over(w))
+        .withColumn("is_canonical", F.col("doc_id") == F.col("cluster_id"))
     )
 
 

@@ -360,3 +360,32 @@ def test_chunk_apply_concat_result_false(spark):
     # concat form unchanged
     cat = elementwise.map_batches(df, f, "n long, vsum double").toPandas()
     assert int(cat["n"].sum()) == 30
+
+
+def test_cluster_pairs_connected_components(spark):
+    """Min-label propagation must find exact components on topologies that
+    need multiple rounds (chains), with deterministic min-id labels."""
+    from parallel_pandas_spark.operators import dedup
+
+    edges = [
+        # chain 1-2-3-4-5 (diameter 4: exercises the iteration loop)
+        (1, 2), (2, 3), (3, 4), (4, 5),
+        # clique {10,11,12}
+        (10, 11), (10, 12), (11, 12),
+        # pair {20, 21}
+        (21, 20),
+    ]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {
+        r["doc_id"]: (r["cluster_id"], r["cluster_size"], r["is_canonical"])
+        for r in dedup.cluster_pairs(pairs).collect()
+    }
+    assert {k: v[0] for k, v in got.items()} == {
+        1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
+        10: 10, 11: 10, 12: 10,
+        20: 20, 21: 20,
+    }
+    assert got[3][1] == 5 and got[11][1] == 3 and got[20][1] == 2
+    assert [k for k, v in got.items() if v[2]] == [1, 10, 20] or sorted(
+        k for k, v in got.items() if v[2]
+    ) == [1, 10, 20]
