@@ -2763,6 +2763,7 @@ def ewm_mean_last(spark: SparkSession, sf_dir: str) -> DataFrame:
 # in BOTH engines, so the dot products agree to the last rounding digit.
 _GAUSS_W = windows.win_type_weights("gaussian", 5, std=1.0)
 _GAUSS_WSUM = float(sum(_GAUSS_W))
+_GAUSS_W2SUM = float(sum(w * w for w in _GAUSS_W))
 _GAUSS_CASE = " ".join(
     f"WHEN {4 - i} THEN {w!r}" for i, w in enumerate(_GAUSS_W)
 )
@@ -2789,15 +2790,31 @@ SELECT 'gauss5' AS src, a.l_orderkey, a.l_linenumber,
 FROM r a JOIN r b
   ON b.l_suppkey = a.l_suppkey AND b.rn BETWEEN a.rn - 4 AND a.rn
 GROUP BY a.l_suppkey, a.l_orderkey, a.l_linenumber, a.rn
+UNION ALL BY NAME
+SELECT 'gauss5var' AS src, l_orderkey, l_linenumber,
+  ROUND((s2 - s1*s1/{_GAUSS_WSUM!r}) * {_GAUSS_WSUM!r}
+        / ({_GAUSS_WSUM!r}*{_GAUSS_WSUM!r} - {_GAUSS_W2SUM!r}), 6) AS wvar,
+  ROUND(SQRT((s2 - s1*s1/{_GAUSS_WSUM!r}) * {_GAUSS_WSUM!r}
+        / ({_GAUSS_WSUM!r}*{_GAUSS_WSUM!r} - {_GAUSS_W2SUM!r})), 6) AS wstd
+FROM (
+  SELECT a.l_orderkey, a.l_linenumber, a.rn,
+    SUM(b.l_quantity * CASE a.rn - b.rn {_GAUSS_CASE} END) AS s1,
+    SUM(b.l_quantity * CASE a.rn - b.rn {_GAUSS_CASE} END * b.l_quantity) AS s2
+  FROM r a JOIN r b
+    ON b.l_suppkey = a.l_suppkey AND b.rn BETWEEN a.rn - 4 AND a.rn
+  GROUP BY a.l_suppkey, a.l_orderkey, a.l_linenumber, a.rn
+) WHERE rn >= 5
 """,
 )
 def weighted_rolling_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Weighted moving mean (reference ParallelWindow win_type=...,
-    parallel_window.py:206-213) — explicit dot product over the frame,
+    """Weighted moving aggregates (reference ParallelWindow win_type=...,
+    parallel_window.py:206-213) — explicit dot products over the frame,
     JVM-side. Tagged parts: ``lit3`` = caller-supplied literal weights
     [0.2, 0.3, 0.5]; ``gauss5`` (r4) = ``win_type='gaussian'`` with the
     scipy-shape translation table (windows.win_type_weights) producing
-    the weights — true parity with the reference's win_type surface."""
+    the weights; ``gauss5var`` (r5) = weighted var/std via pandas'
+    debiased roll_weighted_var closed form — the full pandas weighted
+    agg set (mean/sum/var/std) is driver-value-checked."""
     li = load_table(spark, sf_dir, "lineitem")
     lit3 = windows.weighted_window(
         li,
@@ -2819,7 +2836,21 @@ def weighted_rolling_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         func="mean",
         out_col="wmean_raw",
     ).select("l_orderkey", "l_linenumber", F.round("wmean_raw", 6).alias("wmean"))
-    return _pad_union([("lit3", lit3), ("gauss5", gauss)])
+    gv = windows.weighted_window(
+        li, "l_quantity", 5, _GAUSS_W, _LI_ORD, ["l_suppkey"],
+        func="var", out_col="wvar_raw",
+    )
+    gv = windows.weighted_window(
+        gv, "l_quantity", 5, _GAUSS_W, _LI_ORD, ["l_suppkey"],
+        func="std", out_col="wstd_raw",
+    )
+    gvar = gv.where(F.col("wvar_raw").isNotNull()).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round("wvar_raw", 6).alias("wvar"),
+        F.round("wstd_raw", 6).alias("wstd"),
+    )
+    return _pad_union([("lit3", lit3), ("gauss5", gauss), ("gauss5var", gvar)])
 
 
 @_q(
