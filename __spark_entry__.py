@@ -932,10 +932,23 @@ SELECT 'regex' AS src,
 FROM nation
 UNION ALL BY NAME
 SELECT 'fill' AS src, k, COUNT(*) AS v FROM (
-  SELECT LAST_VALUE(CASE WHEN o_orderstatus <> 'P' THEN o_orderstatus END IGNORE NULLS)
-           OVER (PARTITION BY o_custkey ORDER BY o_orderkey
-                 ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) AS k
-  FROM orders
+  SELECT CASE WHEN o_orderstatus <> 'P' THEN o_orderstatus
+              WHEN dr IS NOT NULL AND rn - dr <= 1 THEN dv
+              ELSE o_orderstatus END AS k
+  FROM (
+    SELECT o_orderstatus, rn,
+      LAST_VALUE(CASE WHEN o_orderstatus <> 'P' THEN o_orderstatus END IGNORE NULLS)
+        OVER win AS dv,
+      LAST_VALUE(CASE WHEN o_orderstatus <> 'P' THEN rn END IGNORE NULLS)
+        OVER win AS dr
+    FROM (
+      SELECT o_custkey, o_orderkey, o_orderstatus,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS rn
+      FROM orders
+    )
+    WINDOW win AS (PARTITION BY o_custkey ORDER BY o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+  )
 ) GROUP BY k
 """,
 )

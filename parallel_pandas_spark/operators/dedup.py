@@ -121,6 +121,9 @@ def cluster_pairs(
             .where(F.col("n.lbl") != F.col("o.lbl"))
             .count()
         )
+        # rebinding drops the only reference to the previous round's
+        # checkpoint; its blocks are reference-cleaned by the context
+        # cleaner, so storage stays O(1) rounds, not O(diameter)
         labels = new
         if changed == 0:
             break

@@ -60,11 +60,14 @@ def map_batches(df: DataFrame, func: Callable, schema, concat_result: bool = Tru
     from pyspark import TaskContext
 
     if isinstance(schema, str):
-        tagged_schema = f"{schema}, __chunk_pid int, __chunk_seq int"
+        tagged_schema = f"{schema}, __chunk_pid int, __chunk_seq int, __chunk_marker int"
     else:
-        tagged_schema = T.StructType(list(schema.fields)).add(
-            "__chunk_pid", T.IntegerType()
-        ).add("__chunk_seq", T.IntegerType())
+        tagged_schema = (
+            T.StructType(list(schema.fields))
+            .add("__chunk_pid", T.IntegerType())
+            .add("__chunk_seq", T.IntegerType())
+            .add("__chunk_marker", T.IntegerType())
+        )
 
     def it_tag(batches):
         pid = TaskContext.get().partitionId()
@@ -72,11 +75,23 @@ def map_batches(df: DataFrame, func: Callable, schema, concat_result: bool = Tru
             out = func(pdf).copy()
             out["__chunk_pid"] = pid
             out["__chunk_seq"] = i
-            yield out
+            out["__chunk_marker"] = 0
+            # one all-NULL marker row per chunk so an EMPTY func result
+            # still yields a list entry (the reference returns one entry
+            # per chunk, empties included — positional chunk alignment)
+            marker = pd.DataFrame(
+                {c: [None] for c in out.columns if not c.startswith("__chunk_")}
+            )
+            marker["__chunk_pid"] = pid
+            marker["__chunk_seq"] = i
+            marker["__chunk_marker"] = 1
+            yield pd.concat([out, marker], ignore_index=True)
 
     local = df.mapInPandas(it_tag, schema=tagged_schema).toPandas()
     return [
-        g.drop(columns=["__chunk_pid", "__chunk_seq"]).reset_index(drop=True)
+        g[g["__chunk_marker"] == 0]
+        .drop(columns=["__chunk_pid", "__chunk_seq", "__chunk_marker"])
+        .reset_index(drop=True)
         for _, g in local.groupby(["__chunk_pid", "__chunk_seq"], sort=True)
     ]
 
@@ -207,6 +222,19 @@ def map_dict(
     return df.withColumn(out_col or f"{col}_mapped", m[F.col(col)])
 
 
+def _contains_maptype(dt) -> bool:
+    """True when a type (or any nested part of it) is a MapType — the one
+    Spark type family with no ordering, so min()-based deterministic
+    survivor selection is undefined for it."""
+    if isinstance(dt, T.MapType):
+        return True
+    if isinstance(dt, T.ArrayType):
+        return _contains_maptype(dt.elementType)
+    if isinstance(dt, T.StructType):
+        return any(_contains_maptype(f.dataType) for f in dt.fields)
+    return False
+
+
 def map_series(
     df: DataFrame,
     col: str,
@@ -227,15 +255,24 @@ def map_series(
     A pre-existing ``out_col`` raises immediately (the join would
     otherwise produce a duplicate/ambiguous column). Duplicate lookup
     keys: pandas raises on a duplicate index; by default the smallest
-    value survives (deterministic, documented); ``strict=True`` fails the
-    job at runtime like pandas via an ``assert_true`` guard on the
-    per-key count."""
+    value survives (deterministic, documented) — for value types with no
+    ordering (maps), the survivor falls back to ``dropDuplicates``
+    (arbitrary but valid); ``strict=True`` fails the job at runtime like
+    pandas via an ``assert_true`` guard on the per-key count."""
     out_col = out_col or f"{col}_mapped"
     if out_col in df.columns:
         raise ValueError(
             f"map_series: column {out_col!r} already exists in the input — "
             "pass out_col= to choose another name"
         )
+    vtype = lookup.schema[value_col].dataType
+    if not strict and _contains_maptype(vtype):
+        lk = lookup.select(
+            F.col(key_col).alias("__map_key"), F.col(value_col).alias(out_col)
+        ).dropDuplicates(["__map_key"])
+        if broadcast:
+            lk = F.broadcast(lk)
+        return df.join(lk, F.col(col) == F.col("__map_key"), "left").drop("__map_key")
     lk = lookup.groupBy(F.col(key_col).alias("__map_key")).agg(
         F.min(F.col(value_col)).alias("__map_val"),
         F.count("*").alias("__map_cnt"),

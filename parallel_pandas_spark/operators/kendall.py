@@ -139,7 +139,14 @@ def kendall_tau_exact_multi(
     )
 
     # ---- tie counts: one keyed shuffle on (pair, x, y) ----
-    g = d.groupBy("pr", "x", "y").agg(F.count("*").alias("c"))
+    # lazily checkpointed: the bucket-boundary collect below is a separate
+    # ACTION from the final assembled job, and without materialization each
+    # action would re-scan and re-shuffle the exploded pair-long input into
+    # this aggregate. The first action materializes g once; every consumer
+    # (bounds, base, t1, t2) then reads the stored blocks.
+    g = d.groupBy("pr", "x", "y").agg(F.count("*").alias("c")).localCheckpoint(
+        eager=False
+    )
     base = g.groupBy("pr").agg(
         F.sum("c").alias("n"),
         F.expr("sum(c*(c-1)) div 2").alias("n3"),

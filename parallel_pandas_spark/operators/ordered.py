@@ -142,6 +142,18 @@ def rank(
             expr = F.when(isnull, expr - k).otherwise(expr + nn)
     # 'bottom': the nulls-last ranks are already the bottom ranks
     if pct:
+        if method == "dense":
+            # pandas divides dense ranks by the number of DISTINCT ranked
+            # values (incl. the NULL group under top/bottom) — which is
+            # exactly the partition's maximum dense rank, never the row
+            # count. Two window layers (max over the dense column), so
+            # stage through a temp column.
+            tmp = f"__{out_col}_dense"
+            out = df.withColumn(tmp, expr)
+            res = out.withColumn(
+                out_col, F.col(tmp) / F.max(tmp).over(whole)
+            ).drop(tmp)
+            return res
         denom = F.count(col) if na_option == "keep" else F.count(F.lit(1))
         expr = expr / denom.over(whole)
     return df.withColumn(out_col, expr)

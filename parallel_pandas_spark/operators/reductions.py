@@ -528,16 +528,56 @@ def replace_values(
     ``re.sub`` semantics: every match within the string is replaced) over
     the string columns in ``subset`` (default: all string columns).
     Patterns are applied in mapping order, like pandas' sequential
-    replace_list pass."""
+    replace_list pass. Replacement strings use ``re.sub`` syntax and are
+    TRANSLATED to Java's: ``\\1`` / ``\\g<1>`` become ``$1`` and literal
+    ``$`` is escaped — without this, a replacement like ``'cost: $1'``
+    (literal in pandas) would be read by the JVM as a group reference and
+    fail the job at runtime."""
     if regex:
         cols = list(subset) if subset else [c for c, t in df.dtypes if t == "string"]
         for c in cols:
             e = F.col(c)
             for pat, repl in mapping.items():
-                e = F.regexp_replace(e, pat, repl)
+                e = F.regexp_replace(e, pat, _java_repl(repl))
             df = df.withColumn(c, e)
         return df
     return df.replace(mapping, subset=list(subset) if subset else None)
+
+
+def _java_repl(repl: str) -> str:
+    """Translate a python ``re.sub`` replacement string to Java
+    ``Matcher.replaceAll`` syntax: ``\\N`` and ``\\g<N>`` group references
+    become ``$N``; literal ``$`` and stray backslashes are escaped."""
+    out: list[str] = []
+    i, n = 0, len(repl)
+    while i < n:
+        ch = repl[i]
+        if ch == "$":
+            out.append("\\$")
+        elif ch == "\\" and i + 1 < n:
+            nxt = repl[i + 1]
+            if nxt.isdigit():
+                j = i + 1
+                while j < n and repl[j].isdigit():
+                    j += 1
+                out.append("$" + repl[i + 1 : j])
+                i = j - 1
+            elif nxt == "g" and repl[i + 2 : i + 3] == "<":
+                j = repl.index(">", i + 3)
+                out.append("$" + repl[i + 3 : j])
+                i = j
+            elif nxt == "\\":
+                out.append("\\\\")
+                i += 1
+            else:  # \n, \t etc. — keep the escape for Java to interpret
+                out.append("\\" + nxt)
+                i += 1
+        elif ch == "\\":
+            out.append("\\\\")
+        else:
+            out.append(ch)
+        i += 1
+    return "".join(out)
 
 
 def replace_fill(
@@ -559,23 +599,49 @@ def replace_fill(
     order spelled out (SURVEY.md §1.4), so ``order_by`` is required and
     ``partition_by`` keeps the window partitioned (scale-safe — omitting it
     funnels every row through one task, so it is deliberately not a
-    default). ``limit`` is pandas' maximum fill gap: a bounded
-    ``rowsBetween`` frame, so a replaced row further than ``limit`` rows
-    from its donor stays NULL."""
+    default).
+
+    Exact pandas ``_pad_1d(values, limit, mask)`` semantics (verified
+    against pandas 2.2.2):
+    - only rows whose value is in ``to_replace`` change; a pre-existing
+      NULL is NEITHER filled NOR skipped over — it can itself be the
+      donor (so ['a', NULL, 'P'] ffills to ['a', NULL, NULL]);
+    - fills cascade: the donor of a masked run is the last NON-masked
+      row before the run, and every masked row within ``limit`` of that
+      donor takes its value;
+    - a masked row beyond ``limit``, or in a run with no donor (start of
+      partition), KEEPS its original value — it does not become NULL.
+
+    Implemented as one ordered window pass: the last non-masked row's
+    (row_number, value) struct is carried forward (struct-wrapped so a
+    NULL-valued donor survives ``ignorenulls``), and each masked row
+    applies it iff its distance from the donor is within ``limit``."""
     from pyspark.sql import Window
 
     if not order_by:
         raise ValueError("replace_fill needs an explicit order_by")
-    surviving = F.when(~F.col(col).isin(list(to_replace)), F.col(col))
+    if col is None:
+        raise ValueError("replace_fill needs the target column name (col=)")
+    # null-safe: isin(NULL) is NULL, which would drop NULL rows out of the
+    # ~mask branch and fill them — pandas leaves pre-existing NULLs alone
+    mask = F.coalesce(F.col(col).isin(list(to_replace)), F.lit(False))
     w = Window.partitionBy(*(partition_by or [])).orderBy(*order_by)
+    rn = F.row_number().over(w)
+    donor = F.when(~mask, F.struct(rn.alias("rn"), F.col(col).alias("v")))
     if method in ("ffill", "pad"):
-        lo = Window.unboundedPreceding if limit is None else -int(limit)
-        e = F.last(surviving, ignorenulls=True).over(w.rowsBetween(lo, 0))
+        d = F.last(donor, ignorenulls=True).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        )
+        dist = rn - d["rn"]
     elif method in ("bfill", "backfill"):
-        hi = Window.unboundedFollowing if limit is None else int(limit)
-        e = F.first(surviving, ignorenulls=True).over(w.rowsBetween(0, hi))
+        d = F.first(donor, ignorenulls=True).over(
+            w.rowsBetween(0, Window.unboundedFollowing)
+        )
+        dist = d["rn"] - rn
     else:
         raise ValueError(f"method must be ffill/pad/bfill/backfill, got {method!r}")
+    in_reach = d.isNotNull() if limit is None else d.isNotNull() & (dist <= int(limit))
+    e = F.when(~mask, F.col(col)).when(in_reach, d["v"]).otherwise(F.col(col))
     return df.withColumn(out_col or col, e)
 
 

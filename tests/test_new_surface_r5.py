@@ -196,19 +196,25 @@ def test_replace_regex_matches_pandas(spark):
 
 
 def test_replace_fill_method_limit_matches_pandas(spark):
+    """Differential against pandas' own Series.replace(method=, limit=)
+    (the real reference, not a mask+ffill approximation): pre-existing
+    NULLs are neither filled nor skipped (they can donate), fills cascade
+    through a masked run, and a masked row beyond limit / without a donor
+    KEEPS its original value."""
+    import warnings
+
     from parallel_pandas_spark.operators import reductions as red
 
-    pdf = pd.DataFrame(
-        {
-            "id": range(8),
-            "v": ["a", "X", "X", "b", "X", "X", "X", "c"],
-        }
-    )
+    vals = ["X", "a", "X", "X", "b", None, "X", "X", "X", "c", "X"]
+    pdf = pd.DataFrame({"id": range(len(vals)), "v": vals})
     df = from_pandas(spark, pdf)
-    for method, limit in (("ffill", None), ("ffill", 1), ("bfill", None), ("bfill", 2)):
-        # pandas equivalent: mask the listed values, then fill with limit
-        masked = pdf["v"].where(pdf["v"] != "X")
-        ref = masked.ffill(limit=limit) if method == "ffill" else masked.bfill(limit=limit)
+    for method, limit in (
+        ("ffill", None), ("ffill", 1), ("ffill", 2),
+        ("bfill", None), ("bfill", 2),
+    ):
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            ref = pdf["v"].replace(["X"], method=method, limit=limit)
         got = {
             r["id"]: r["v"]
             for r in red.replace_fill(
@@ -217,10 +223,83 @@ def test_replace_fill_method_limit_matches_pandas(spark):
         }
         for i in pdf["id"]:
             rv = ref.iloc[i]
-            if isinstance(rv, float) and math.isnan(rv):
-                assert got[i] is None, (method, limit, i)
-            else:
-                assert got[i] == rv, (method, limit, i)
+            rv = None if (rv is None or (isinstance(rv, float) and math.isnan(rv))) else rv
+            assert got[i] == rv, (method, limit, i, got[i], rv)
+
+
+def test_replace_regex_repl_translation(spark):
+    """re.sub replacement semantics: literal $ passes through, \\1 and
+    \\g<1> are group references (verified against pandas)."""
+    from parallel_pandas_spark.operators import reductions as red
+
+    pdf = pd.DataFrame({"s": ["price 12", "price 7x"]})
+    for mapping in ({"price": "cost: $1"}, {r"(\d+)": r"[\1]"}, {r"(\d+)": r"[\g<1>]"}):
+        ref = list(pdf.replace(mapping, regex=True)["s"])
+        got = [
+            r["s"]
+            for r in red.replace_values(from_pandas(spark, pdf), mapping, regex=True)
+            .orderBy("s")
+            .collect()
+        ]
+        assert sorted(got) == sorted(ref), mapping
+
+
+def test_rank_dense_pct_divides_by_distinct(spark):
+    from parallel_pandas_spark.operators import ordered
+
+    pdf = pd.DataFrame({"id": range(4), "v": [1.0, 1.0, 2.0, 3.0]})
+    got = {
+        r["id"]: r["r"]
+        for r in ordered.rank(
+            from_pandas(spark, pdf), "v", method="dense", pct=True,
+            partition_by=[], out_col="r",
+        ).collect()
+    }
+    ref = pdf["v"].rank(method="dense", pct=True)
+    for i in pdf["id"]:
+        assert got[i] == pytest.approx(ref.iloc[i], abs=1e-12), i
+    # na_option='top' variant: distinct count includes the NULL group
+    pdf2 = pd.DataFrame({"id": range(4), "v": [3.0, np.nan, 1.0, 1.0]})
+    got2 = {
+        r["id"]: r["r"]
+        for r in ordered.rank(
+            from_pandas(spark, pdf2), "v", method="dense", pct=True,
+            na_option="top", partition_by=[], out_col="r",
+        ).collect()
+    }
+    ref2 = pdf2["v"].rank(method="dense", pct=True, na_option="top")
+    for i in pdf2["id"]:
+        assert got2[i] == pytest.approx(ref2.iloc[i], abs=1e-12), i
+
+
+def test_chunk_apply_list_keeps_empty_chunks(spark):
+    from parallel_pandas_spark.operators import elementwise
+
+    pdf = pd.DataFrame({"k": list(range(30))})
+    df = from_pandas(spark, pdf).repartition(3)
+
+    def f(chunk: pd.DataFrame) -> pd.DataFrame:
+        # empty result for some chunks — the list entry must still exist
+        sub = chunk[chunk["k"] < 5]
+        return pd.DataFrame({"n": [len(sub)]} if len(sub) else {"n": []})
+
+    chunks = elementwise.map_batches(df, f, "n long", concat_result=False)
+    assert len(chunks) == 3  # one entry per chunk, empties included
+    assert sum(len(c) for c in chunks) >= 1
+
+
+def test_map_series_maptype_values_fall_back(spark):
+    from parallel_pandas_spark.operators import elementwise
+
+    df = from_pandas(spark, pd.DataFrame({"k": ["a", "b"]}))
+    lk = spark.createDataFrame(
+        [("a", {"x": "1"}), ("b", {"y": "2"})], "key string, val map<string,string>"
+    )
+    got = {
+        r["k"]: r["m"]
+        for r in elementwise.map_series(df, "k", lk, "key", "val", out_col="m").collect()
+    }
+    assert got["a"] == {"x": "1"} and got["b"] == {"y": "2"}
 
 
 # --- ADVICE fixes: win_type guards, weighted var/std, map_series, sampling --
