@@ -14,6 +14,8 @@ import os
 import sys
 
 import numpy as np
+import pandas as pd
+import pytest
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -85,3 +87,34 @@ def test_kendall_tiny_and_bucket_invariance(spark):
         n, d, tau = _run(spark, x, y, num_buckets=b, num_partitions=p)
         assert (n, d) == (37, d_ref)
         assert tau == tau_ref
+
+
+def test_kendall_multi_randomized_matches_brute(spark):
+    """Randomized battery for the keyed multi-pair kernel: several seeds ×
+    mixed tie densities, every pair checked against the O(n^2) reference in
+    ONE kernel invocation per frame (kendall_tau_exact_multi is the engine
+    behind corr_matrix(method='kendall'))."""
+    from parallel_pandas_spark.operators.reductions import corr_matrix
+
+    for seed in (0, 1, 2):
+        rng = np.random.default_rng(seed)
+        n = int(rng.integers(40, 160))
+        pdf = pd.DataFrame(
+            {
+                "a": rng.integers(0, max(2, n // 20), n).astype(float),
+                "b": rng.normal(size=n).round(int(rng.integers(0, 3))),
+                "c": np.resize(np.repeat(rng.normal(size=max(1, n // 8)), 8), n),
+            }
+        )
+        got = {
+            (r["col_x"], r["col_y"]): r["corr"]
+            for r in corr_matrix(
+                spark.createDataFrame(pdf), ["a", "b", "c"], method="kendall"
+            ).collect()
+        }
+        for (x, y), v in got.items():
+            _, ref = _brute(pdf[x].to_numpy(), pdf[y].to_numpy())
+            if math.isnan(ref):
+                assert v is None or math.isnan(v), (seed, x, y)
+            else:
+                assert v == pytest.approx(ref, abs=1e-12), (seed, x, y)
