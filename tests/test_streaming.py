@@ -76,3 +76,51 @@ def test_stream_events_glob_any_filename(spark, tmp_path):
     agg = se.stream_tumbling_counts(stream, "1 day", "2 days")
     live = se.run_stream_to_memory(spark, agg, "t_glob_any", mode="complete")
     assert live.count() > 0
+
+
+def test_stream_sliding_equivalence(spark):
+    """Live sliding-window stream (duration 1d / slide 12h) equals the
+    batch sliding form — every event lands in two windows."""
+    stream = se.stream_events(spark, f"{SF}/events.parquet")
+    agg = (
+        stream.withWatermark("ts", "2 days")
+        .groupBy(F.window("ts", "1 day", "12 hours").alias("window"))
+        .agg(F.count("*").alias("n_events"))
+    )
+    live = se.run_stream_to_memory(spark, agg, "t_slide_eq", mode="complete")
+    got = {r["window"]["start"]: r["n_events"] for r in live.collect()}
+
+    ev = load_table(spark, SF, "events")
+    want = {
+        r["window"]["start"]: r["n_events"]
+        for r in ev.groupBy(F.window("ts", "1 day", "12 hours").alias("window"))
+        .agg(F.count("*").alias("n_events"))
+        .collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_stream_incremental_batches_equivalence(spark, tmp_path):
+    """Tumbling aggregation over MULTIPLE micro-batches (maxFilesPerTrigger=1,
+    three input files) must equal the batch form — exercises cross-batch
+    state merge, not just a single-batch pass."""
+    ev = load_table(spark, SF, "events")
+    d = str(tmp_path / "ev_parts")
+    # three disjoint slices as separate files
+    ev.withColumn("__b", F.pmod(F.col("event_id"), F.lit(3))).repartition(
+        3, "__b"
+    ).drop("__b").write.mode("overwrite").parquet(d)
+    stream = se.stream_events(spark, d, max_files=1)
+    agg = se.stream_tumbling_counts(stream, "1 day", "2 days")
+    live = se.run_stream_to_memory(spark, agg, "t_multi_eq", mode="complete")
+    got = {
+        (r["window"]["start"], r["event_type"]): (r["n_events"], round(r["sum_value"], 6))
+        for r in live.collect()
+    }
+    want = {
+        (r["window"]["start"], r["event_type"]): (r["n_events"], round(r["sum_value"], 6))
+        for r in ev.groupBy(F.window("ts", "1 day").alias("window"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("sum_value"))
+        .collect()
+    }
+    assert got == want and len(got) > 0
