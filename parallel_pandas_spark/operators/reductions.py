@@ -601,21 +601,19 @@ def replace_fill(
     funnels every row through one task, so it is deliberately not a
     default).
 
-    Exact pandas ``_pad_1d(values, limit, mask)`` semantics (verified
-    against pandas 2.2.2):
+    Exact pandas ``pad_inplace(values, mask, limit)`` semantics (verified
+    against pandas 2.2.2, incl. a randomized differential test):
     - only rows whose value is in ``to_replace`` change; a pre-existing
       NULL is NEITHER filled NOR skipped over — it can itself be the
       donor (so ['a', NULL, 'P'] ffills to ['a', NULL, NULL]);
     - fills cascade: the donor of a masked run is the last NON-masked
-      row before the run, and every masked row within ``limit`` of that
-      donor takes its value;
-    - a masked row beyond ``limit``, or in a run with no donor (start of
-      partition), KEEPS its original value — it does not become NULL.
-
-    Implemented as one ordered window pass: the last non-masked row's
-    (row_number, value) struct is carried forward (struct-wrapped so a
-    NULL-valued donor survives ``ignorenulls``), and each masked row
-    applies it iff its distance from the donor is within ``limit``."""
+      row before the run; a run at the partition EDGE (no donor) fills
+      from the edge row's ORIGINAL value — pandas seeds its carry with
+      ``values[0]`` before any mask check, so a leading masked run
+      "fills" with its own first original;
+    - ``limit`` bounds the number of filled rows per run (1-based run
+      position); rows beyond it keep their original value — nothing ever
+      becomes NULL that wasn't."""
     from pyspark.sql import Window
 
     if not order_by:
@@ -626,22 +624,27 @@ def replace_fill(
     # ~mask branch and fill them — pandas leaves pre-existing NULLs alone
     mask = F.coalesce(F.col(col).isin(list(to_replace)), F.lit(False))
     w = Window.partitionBy(*(partition_by or [])).orderBy(*order_by)
+    whole = Window.partitionBy(*(partition_by or []))
     rn = F.row_number().over(w)
+    n_all = F.count(F.lit(1)).over(whole)
     donor = F.when(~mask, F.struct(rn.alias("rn"), F.col(col).alias("v")))
     if method in ("ffill", "pad"):
         d = F.last(donor, ignorenulls=True).over(
             w.rowsBetween(Window.unboundedPreceding, 0)
         )
-        dist = rn - d["rn"]
+        edge = F.first(F.col(col)).over(w.rowsBetween(Window.unboundedPreceding, 0))
+        dist = rn - F.coalesce(d["rn"], F.lit(0))  # no donor → 1-based run pos
     elif method in ("bfill", "backfill"):
         d = F.first(donor, ignorenulls=True).over(
             w.rowsBetween(0, Window.unboundedFollowing)
         )
-        dist = d["rn"] - rn
+        edge = F.last(F.col(col)).over(w.rowsBetween(0, Window.unboundedFollowing))
+        dist = F.coalesce(d["rn"], n_all + 1) - rn
     else:
         raise ValueError(f"method must be ffill/pad/bfill/backfill, got {method!r}")
-    in_reach = d.isNotNull() if limit is None else d.isNotNull() & (dist <= int(limit))
-    e = F.when(~mask, F.col(col)).when(in_reach, d["v"]).otherwise(F.col(col))
+    fill_val = F.when(d.isNotNull(), d["v"]).otherwise(edge)
+    in_reach = F.lit(True) if limit is None else dist <= int(limit)
+    e = F.when(~mask, F.col(col)).when(in_reach, fill_val).otherwise(F.col(col))
     return df.withColumn(out_col or col, e)
 
 

@@ -468,3 +468,34 @@ def test_cluster_pairs_connected_components(spark):
     assert [k for k, v in got.items() if v[2]] == [1, 10, 20] or sorted(
         k for k, v in got.items() if v[2]
     ) == [1, 10, 20]
+
+
+def test_replace_fill_randomized_vs_pandas(spark):
+    """Randomized differential: masks, NULLs, limits, both directions —
+    every case must equal pandas' Series.replace(method=, limit=)."""
+    import warnings
+
+    from parallel_pandas_spark.operators import reductions as red
+
+    rng = np.random.default_rng(13)
+    for case in range(8):
+        n = int(rng.integers(5, 25))
+        pool = ["X", "Y", "a", "b", "c", None]
+        vals = [pool[i] for i in rng.integers(0, len(pool), n)]
+        pdf = pd.DataFrame({"id": range(n), "v": vals})
+        method = ("ffill", "bfill")[case % 2]
+        limit = (None, 1, 2)[case % 3]
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            ref = pdf["v"].replace(["X", "Y"], method=method, limit=limit)
+        got = {
+            r["id"]: r["v"]
+            for r in red.replace_fill(
+                from_pandas(spark, pdf), "v", ["X", "Y"],
+                method=method, order_by=["id"], limit=limit,
+            ).collect()
+        }
+        for i in range(n):
+            rv = ref.iloc[i]
+            rv = None if (rv is None or (isinstance(rv, float) and math.isnan(rv))) else rv
+            assert got[i] == rv, (case, method, limit, i, vals)
