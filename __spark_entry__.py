@@ -2658,7 +2658,7 @@ sk AS (
          THEN ROUND(SKEWNESS(l_quantity) OVER w, 6) END AS roll_skew,
     CASE WHEN COUNT(l_quantity) OVER w >= 7
          THEN ROUND(STDDEV_SAMP(l_quantity) OVER w
-                    / SQRT(COUNT(l_quantity) OVER w), 6) END AS roll_sem,
+                    / SQRT(COUNT(l_quantity) OVER w - 1), 6) END AS roll_sem,
     ROW_NUMBER() OVER (PARTITION BY l_suppkey
                        ORDER BY l_orderkey, l_linenumber, l_quantity) AS rn,
     l_suppkey
@@ -3575,7 +3575,7 @@ sk AS (
          THEN ROUND(SKEWNESS(l_quantity) OVER w, 6) END AS roll_skew,
     CASE WHEN COUNT(l_quantity) OVER w >= 7
          THEN ROUND(STDDEV_SAMP(l_quantity) OVER w
-                    / SQRT(COUNT(l_quantity) OVER w), 6) END AS roll_sem,
+                    / SQRT(COUNT(l_quantity) OVER w - 1), 6) END AS roll_sem,
     CASE WHEN {_RCC_N} >= 10 THEN {_RCC_COV} END AS qty_px_roll_cov,
     CASE WHEN {_RCC_N} >= 10 THEN {_RCC_CORR} END AS qty_px_roll_corr,
     ROW_NUMBER() OVER (PARTITION BY l_suppkey

@@ -35,7 +35,10 @@ def _w_kurt(c, w):
 
 
 def _w_sem(c, w):
-    return F.stddev_samp(c).over(w) / F.sqrt(F.count(c).over(w))
+    # pandas WINDOW sem (Rolling/Expanding.sem, ddof=1) divides by
+    # sqrt(n − ddof), unlike Series.sem's sqrt(n) — a genuine pandas
+    # asymmetry, verified empirically; reductions.sem keeps the Series form
+    return F.stddev_samp(c).over(w) / F.sqrt(F.count(c).over(w) - F.lit(1))
 
 
 #: stat -> (col, windowspec) -> windowed Column. Simple aggregates apply

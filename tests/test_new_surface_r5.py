@@ -499,3 +499,49 @@ def test_replace_fill_randomized_vs_pandas(spark):
             rv = ref.iloc[i]
             rv = None if (rv is None or (isinstance(rv, float) and math.isnan(rv))) else rv
             assert got[i] == rv, (case, method, limit, i, vals)
+
+
+def test_rolling_full_family_randomized_vs_pandas(spark):
+    """Randomized one-frame differential of the whole count-window rolling
+    family (incl. skew/sem/rank, the shapes pandas computes per chunk in
+    the reference) against pandas rolling itself."""
+    from parallel_pandas_spark.operators import windows
+
+    rng = np.random.default_rng(21)
+    n, win = 80, 6
+    pdf = pd.DataFrame(
+        {
+            "g": rng.integers(0, 3, n),
+            "i": range(n),
+            "v": rng.integers(0, 12, n).astype(float),  # ties for rank
+        }
+    )
+    df = from_pandas(spark, pdf)
+    r = windows.rolling(
+        df, ["v"], win, ["i"], funcs=("mean", "sum", "min", "max", "std", "var", "skew", "sem"),
+        partition_by=["g"],
+    )
+    r = windows.rolling_rank(r, "v", win, ["i"], partition_by=["g"], out_col="v_rr")
+    r = windows.rolling_quantile(r, "v", win, 0.5, ["i"], partition_by=["g"], out_col="v_med")
+    got = {row["i"]: row.asDict() for row in r.collect()}
+
+    for g, grp in pdf.groupby("g"):
+        grp = grp.sort_values("i")
+        roll = grp["v"].rolling(win)
+        refs = {
+            "v_roll_mean": roll.mean(), "v_roll_sum": roll.sum(),
+            "v_roll_min": roll.min(), "v_roll_max": roll.max(),
+            "v_roll_std": roll.std(), "v_roll_var": roll.var(),
+            "v_roll_skew": roll.skew(),
+            "v_roll_sem": roll.sem(),
+            "v_rr": roll.rank(method="average", pct=False),
+            "v_med": roll.median(),
+        }
+        for pos, i in enumerate(grp["i"]):
+            for colname, series in refs.items():
+                rv = series.iloc[pos]
+                gv = got[i][colname]
+                if isinstance(rv, float) and math.isnan(rv):
+                    assert gv is None or math.isnan(gv), (g, i, colname)
+                else:
+                    assert gv == pytest.approx(rv, abs=1e-9), (g, i, colname, gv, rv)
