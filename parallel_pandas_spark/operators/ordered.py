@@ -30,28 +30,30 @@ def _cum_spec(order_by, partition_by):
     return _window(order_by, partition_by).rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
 
-def cumsum(df, cols, order_by, partition_by=None, suffix="_cumsum"):
+def _cum(df, cols, order_by, partition_by, suffix, agg):
+    # pandas cumulative semantics at a NULL row: the OUTPUT is NaN there
+    # (skipna keeps the running state, so later rows continue unaffected —
+    # which Spark's null-ignoring window aggregates already do); without
+    # the mask the running value would leak into the NULL positions
     w = _cum_spec(order_by, partition_by)
     out = df
     for c in cols:
-        out = out.withColumn(f"{c}{suffix}", F.sum(c).over(w))
+        out = out.withColumn(
+            f"{c}{suffix}", F.when(F.col(c).isNotNull(), agg(c).over(w))
+        )
     return out
+
+
+def cumsum(df, cols, order_by, partition_by=None, suffix="_cumsum"):
+    return _cum(df, cols, order_by, partition_by, suffix, F.sum)
 
 
 def cummax(df, cols, order_by, partition_by=None, suffix="_cummax"):
-    w = _cum_spec(order_by, partition_by)
-    out = df
-    for c in cols:
-        out = out.withColumn(f"{c}{suffix}", F.max(c).over(w))
-    return out
+    return _cum(df, cols, order_by, partition_by, suffix, F.max)
 
 
 def cummin(df, cols, order_by, partition_by=None, suffix="_cummin"):
-    w = _cum_spec(order_by, partition_by)
-    out = df
-    for c in cols:
-        out = out.withColumn(f"{c}{suffix}", F.min(c).over(w))
-    return out
+    return _cum(df, cols, order_by, partition_by, suffix, F.min)
 
 
 def cumprod(df, cols, order_by, partition_by=None, suffix="_cumprod"):
@@ -59,11 +61,7 @@ def cumprod(df, cols, order_by, partition_by=None, suffix="_cumprod"):
     ``product`` is an aggregate in Spark >= 3.2 and aggregates compose with
     window frames, staying JVM-side (reference dispatches numpy ufuncs,
     parallel_dataframe.py:871-880)."""
-    w = _cum_spec(order_by, partition_by)
-    out = df
-    for c in cols:
-        out = out.withColumn(f"{c}{suffix}", F.product(c).over(w))
-    return out
+    return _cum(df, cols, order_by, partition_by, suffix, F.product)
 
 
 def rank(

@@ -545,3 +545,43 @@ def test_rolling_full_family_randomized_vs_pandas(spark):
                     assert gv is None or math.isnan(gv), (g, i, colname)
                 else:
                     assert gv == pytest.approx(rv, abs=1e-9), (g, i, colname, gv, rv)
+
+
+def test_cum_expanding_pct_shift_with_nulls_vs_pandas(spark):
+    """Randomized NULL-bearing differential for cumulatives, expanding,
+    pct_change and shift against pandas (fill_method=None semantics)."""
+    from parallel_pandas_spark.operators import ordered, windows
+
+    rng = np.random.default_rng(31)
+    n = 60
+    v = rng.normal(size=n).round(3)
+    v[rng.choice(n, 12, replace=False)] = np.nan
+    pdf = pd.DataFrame({"g": rng.integers(0, 2, n), "i": range(n), "v": v})
+    df = from_pandas(spark, pdf)
+
+    r = ordered.cumsum(df, ["v"], ["i"], partition_by=["g"])
+    r = ordered.cummax(r, ["v"], ["i"], partition_by=["g"])
+    r = ordered.cumprod(r, ["v"], ["i"], partition_by=["g"])
+    r = ordered.pct_change(r, ["v"], ["i"], partition_by=["g"])
+    r = ordered.shift(r, ["v"], ["i"], partition_by=["g"])
+    r = windows.expanding(r, ["v"], ["i"], funcs=("mean", "std", "sem"),
+                          partition_by=["g"], min_periods=2)
+    got = {row["i"]: row.asDict() for row in r.collect()}
+
+    for g, grp in pdf.groupby("g"):
+        grp = grp.sort_values("i")
+        s = grp["v"]
+        exp = s.expanding(min_periods=2)
+        refs = {
+            "v_cumsum": s.cumsum(), "v_cummax": s.cummax(), "v_cumprod": s.cumprod(),
+            "v_pct_change": s.pct_change(fill_method=None), "v_shift": s.shift(),
+            "v_exp_mean": exp.mean(), "v_exp_std": exp.std(), "v_exp_sem": exp.sem(),
+        }
+        for pos, i in enumerate(grp["i"]):
+            for colname, series in refs.items():
+                rv = series.iloc[pos]
+                gv = got[i][colname]
+                if rv is None or (isinstance(rv, float) and (math.isnan(rv) or math.isinf(rv))):
+                    assert gv is None or math.isnan(gv) or math.isinf(gv), (g, i, colname, gv, rv)
+                else:
+                    assert gv == pytest.approx(rv, abs=1e-9), (g, i, colname, gv, rv)
