@@ -18,6 +18,18 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _epoch_double(df: DataFrame, col: str):
+    """Timestamp-or-numeric column → comparable double (epoch seconds for
+    time types; TIMESTAMP_NTZ has no direct double cast, so route through
+    TIMESTAMP)."""
+    dt = df.schema[col].dataType
+    c = F.col(col)
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType, T.DateType)):
+        return c.cast("timestamp").cast("double")
+    return c.cast("double")
 
 _HOW_MAP = {
     "inner": "inner",
@@ -118,15 +130,25 @@ def asof_join(
 
     No Spark primitive exists (SURVEY.md §2.8). A naive range join is
     O(n·m) per key; instead we union both sides tagged, sort once per key,
-    and carry the last-seen right values forward with
+    and carry the last-seen right ROW forward as ONE struct with
     ``last(..., ignorenulls=True)`` — one shuffle + one ordered scan,
     the same cost as a window aggregate, robust at any key cardinality.
     Ties (equal timestamps) match, as in ``pandas.merge_asof``.
+
+    The carry is a single struct of all right columns, not one carry per
+    column: per-column ``last(ignorenulls)`` would TEAR rows — a NULL
+    field in the matched right row would be silently backfilled from an
+    older row, where pandas returns the matched row's NaN (r5 fix,
+    differential-tested against ``pandas.merge_asof``).
     """
     if direction not in ("backward", "forward"):
         raise ValueError("direction must be 'backward' or 'forward'")
 
     key_cols = [f"__k{i}" for i in range(len(by_left))]
+    rstruct = F.struct(
+        _epoch_double(right, ts_right).alias("__mts"),
+        *[F.col(c).alias(c) for c in right_cols],
+    )
     # tag: right rows sort before left rows at equal ts for backward
     # (so an equal-ts right row is visible to the left row), after for forward
     l = left.select(
@@ -134,14 +156,16 @@ def asof_join(
         F.col(ts_left).alias("__ts"),
         F.lit(1).alias("__side"),
         F.struct(*left.columns).alias("__lrow"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in right_cols],
+        F.lit(None).cast(
+            right.select(rstruct.alias("__rrow")).schema["__rrow"].dataType
+        ).alias("__rrow"),
     )
     r = right.select(
         *[F.col(c).alias(k) for c, k in zip(by_right, key_cols)],
         F.col(ts_right).alias("__ts"),
         F.lit(0).alias("__side"),
         F.lit(None).cast(l.schema["__lrow"].dataType).alias("__lrow"),
-        *[F.col(c).alias(f"__r_{c}") for c in right_cols],
+        rstruct.alias("__rrow"),
     )
     unioned = l.unionByName(r)
 
@@ -151,33 +175,27 @@ def asof_join(
             .orderBy(F.col("__ts").asc(), F.col("__side").asc())
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
-        carry = {c: F.last(f"__r_{c}", ignorenulls=True).over(w) for c in right_cols}
-        carry["__mts"] = F.last(F.when(F.col("__side") == 0, F.col("__ts")), ignorenulls=True).over(w)
+        match = F.last("__rrow", ignorenulls=True).over(w)
     else:
         w = (
             Window.partitionBy(*key_cols)
             .orderBy(F.col("__ts").asc(), F.col("__side").desc())
             .rowsBetween(Window.currentRow, Window.unboundedFollowing)
         )
-        carry = {c: F.first(f"__r_{c}", ignorenulls=True).over(w) for c in right_cols}
-        carry["__mts"] = F.first(F.when(F.col("__side") == 0, F.col("__ts")), ignorenulls=True).over(w)
+        match = F.first("__rrow", ignorenulls=True).over(w)
 
     out = unioned.select(
-        F.col("__ts"),
-        F.col("__lrow"), F.col("__side"), *[v.alias(f"__m_{c}") for c, v in carry.items()]
+        F.col("__ts"), F.col("__lrow"), F.col("__side"), match.alias("__m")
     ).where(F.col("__side") == 1)
     if tolerance_seconds is not None:
         within = (
-            F.abs(
-                F.col("__ts").cast("double") - F.col("__m___mts").cast("double")
-            )
+            F.abs(_epoch_double(out, "__ts") - F.col("__m.__mts"))
             <= F.lit(float(tolerance_seconds))
         )
-        for c in right_cols:
-            out = out.withColumn(f"__m_{c}", F.when(within, F.col(f"__m_{c}")))
+        out = out.withColumn("__m", F.when(within, F.col("__m")))
     return out.select(
         *[F.col(f"__lrow.{c}").alias(c) for c in left.columns],
-        *[F.col(f"__m_{c}").alias(c) for c in right_cols],
+        *[F.col(f"__m.{c}").alias(c) for c in right_cols],
     )
 
 

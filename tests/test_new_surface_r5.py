@@ -585,3 +585,55 @@ def test_cum_expanding_pct_shift_with_nulls_vs_pandas(spark):
                     assert gv is None or math.isnan(gv) or math.isinf(gv), (g, i, colname, gv, rv)
                 else:
                     assert gv == pytest.approx(rv, abs=1e-9), (g, i, colname, gv, rv)
+
+
+def test_asof_join_randomized_vs_pandas_merge_asof(spark):
+    """Randomized differential vs pandas.merge_asof: NULL fields in the
+    matched right row must come through as NULL (no per-column backfill
+    tearing), ties match, tolerance nulls far matches — both directions."""
+    rng = np.random.default_rng(17)
+    nl, nr = 40, 30
+    lpdf = pd.DataFrame(
+        {
+            "k": rng.integers(0, 3, nl),
+            "t": np.sort(rng.uniform(0, 100, nl).round(1)),
+            "x": np.arange(nl),
+        }
+    )
+    rvals = rng.uniform(0, 100, nr).round(2)
+    rvals[rng.choice(nr, 8, replace=False)] = np.nan
+    rpdf = pd.DataFrame(
+        {
+            "k": rng.integers(0, 3, nr),
+            "t": np.sort(rng.uniform(0, 100, nr).round(1)),
+            "a": rvals,
+            "b": np.arange(nr, dtype=float),
+        }
+    )
+    # drop duplicate (k, t) on the right: which duplicate wins is input-
+    # order-defined in pandas and undefined distributed (SURVEY §1.4)
+    rpdf = rpdf.drop_duplicates(["k", "t"], keep="last")
+    from parallel_pandas_spark.operators import joins
+
+    for direction, tol in (("backward", None), ("forward", None), ("backward", 10.0)):
+        ref = pd.merge_asof(
+            lpdf.sort_values("t"), rpdf.sort_values("t"), on="t", by="k",
+            direction=direction, tolerance=tol,
+        ).sort_values("x")
+        got = {
+            r["x"]: (r["a"], r["b"])
+            for r in joins.asof_join(
+                spark.createDataFrame(lpdf), spark.createDataFrame(rpdf),
+                "t", "t", ["k"], ["k"], ["a", "b"],
+                direction=direction, tolerance_seconds=tol,
+            ).collect()
+        }
+        for _, row in ref.iterrows():
+            ga, gb = got[row["x"]]
+            for g, rv in ((ga, row["a"]), (gb, row["b"])):
+                if isinstance(rv, float) and math.isnan(rv):
+                    assert g is None or (isinstance(g, float) and math.isnan(g)), (
+                        direction, tol, row["x"], g, rv,
+                    )
+                else:
+                    assert g == pytest.approx(rv, abs=1e-12), (direction, tol, row["x"])
