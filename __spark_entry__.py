@@ -2143,7 +2143,7 @@ def dt_floor_ceil_strftime(spark: SparkSession, sf_dir: str) -> DataFrame:
     "merge_inner",
     """
 SELECT o_orderkey, o_custkey, o_totalprice, c_name, c_mktsegment
-FROM orders JOIN customer ON o_custkey = c_custkey
+FROM orders JOIN customer ON o_custkey IS NOT DISTINCT FROM c_custkey
 """,
 )
 def merge_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2174,7 +2174,7 @@ SELECT COALESCE(l.custkey, r.custkey) AS custkey,
        CASE WHEN l.custkey IS NOT NULL AND r.custkey IS NOT NULL THEN 'both'
             WHEN l.custkey IS NOT NULL THEN 'left_only'
             ELSE 'right_only' END AS _merge
-FROM l FULL OUTER JOIN r ON l.custkey = r.custkey
+FROM l FULL OUTER JOIN r ON l.custkey IS NOT DISTINCT FROM r.custkey
 """,
 )
 def merge_outer_suffix_indicator(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -58,6 +58,12 @@ def merge(
 
     Overlapping non-key columns get pandas-style suffixes. ``indicator=True``
     adds the pandas ``_merge`` column ('both'/'left_only'/'right_only').
+
+    Keys join NULL-SAFELY (``eqNullSafe``): pandas merges match NaN keys
+    to each other, while a plain SQL ``=`` silently drops (inner) or
+    splits (outer) those rows — r5 parity fix, differential-tested. The
+    ``on=`` form emits pandas' single key column (coalesced across sides
+    for outer joins); null-safe equality still plans as a hash join.
     """
     if on is not None:
         left_on = right_on = list(on)
@@ -65,7 +71,6 @@ def merge(
         raise ValueError("pass on= or both left_on=/right_on=")
     left_on, right_on = list(left_on), list(right_on)
 
-    lkeys = set(left_on)
     overlap = (set(left.columns) & set(right.columns)) - (
         set(left_on) & set(right_on) if left_on == right_on else set()
     )
@@ -76,21 +81,30 @@ def merge(
 
     l = left.withColumnsRenamed(lren) if lren else left
     r = right.withColumnsRenamed(rren) if rren else right
+    using_style = left_on == right_on and not (set(left_on) & overlap)
+    rtmp: dict[str, str] = {}
+    if using_style:
+        # pandas 'on=' output has ONE key column; stage the right keys
+        # under temp names so the null-safe condition is unambiguous
+        rtmp = {k: f"__rk_{k}" for k in right_on}
+        r = r.withColumnsRenamed(rtmp)
+        rkeys_renamed = [rtmp[k] for k in right_on]
     if indicator:
         l = l.withColumn("__l", F.lit(1))
         r = r.withColumn("__r", F.lit(1))
     if broadcast_right:
         r = F.broadcast(r)
 
-    if left_on == right_on and not (set(left_on) & overlap):
-        cond = list(left_on)  # USING-style: dedups key columns
-    else:
-        cond = None
-        for lk, rk in zip(lkeys_renamed, rkeys_renamed):
-            c = l[lk] == r[rk]
-            cond = c if cond is None else (cond & c)
+    cond = None
+    for lk, rk in zip(lkeys_renamed, rkeys_renamed):
+        c = l[lk].eqNullSafe(r[rk])
+        cond = c if cond is None else (cond & c)
 
     out = l.join(r, cond, _HOW_MAP[how])
+    if using_style:
+        for k, tmp in rtmp.items():
+            out = out.withColumn(k, F.coalesce(F.col(k), F.col(tmp)))
+        out = out.drop(*rtmp.values())
     if indicator:
         out = out.withColumn(
             "_merge",

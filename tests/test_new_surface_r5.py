@@ -637,3 +637,36 @@ def test_asof_join_randomized_vs_pandas_merge_asof(spark):
                     )
                 else:
                     assert g == pytest.approx(rv, abs=1e-12), (direction, tol, row["x"])
+
+
+def test_merge_nan_keys_match_like_pandas(spark):
+    """pandas merges match NaN keys to each other; a plain SQL '=' would
+    drop (inner) or split (outer) those rows."""
+    from parallel_pandas_spark.operators import joins
+
+    lpdf = pd.DataFrame({"k": [1.0, np.nan, 2.0], "x": [1, 2, 3]})
+    rpdf = pd.DataFrame({"k": [np.nan, 2.0], "y": [10, 20]})
+    l, r = from_pandas(spark, lpdf), from_pandas(spark, rpdf)
+    # NaN arrives in Spark as double NaN (not NULL) via createDataFrame;
+    # normalize to NULL to model a nullable key column
+    l = l.withColumn("k", F_nanvl_null("k"))
+    r = r.withColumn("k", F_nanvl_null("k"))
+
+    inner = joins.merge(l, r, how="inner", on=["k"]).collect()
+    ref_inner = pd.merge(lpdf, rpdf, on="k", how="inner")
+    assert len(inner) == len(ref_inner) == 2
+    got_pairs = sorted((row["x"], row["y"]) for row in inner)
+    want_pairs = sorted(zip(ref_inner["x"], ref_inner["y"]))
+    assert got_pairs == want_pairs
+
+    outer = joins.merge(l, r, how="outer", on=["k"], indicator=True).collect()
+    ref_outer = pd.merge(lpdf, rpdf, on="k", how="outer", indicator=True)
+    assert len(outer) == len(ref_outer) == 3
+    assert sorted(row["_merge"] for row in outer) == sorted(ref_outer["_merge"])
+
+
+from pyspark.sql import functions as _F
+
+
+def F_nanvl_null(c):
+    return _F.when(~_F.isnan(_F.col(c)), _F.col(c))
