@@ -38,6 +38,13 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # Spark 4 enables ANSI mode by default, which makes division by a
+        # zero/degenerate denominator a RUNTIME ERROR — z-scoring a
+        # constant column or pct_change over a zero base would crash the
+        # job, where pandas yields NaN/inf. This engine's contract
+        # (documented throughout) encodes pandas' NaN as NULL, which is
+        # exactly classic non-ANSI Spark division semantics.
+        .config("spark.sql.ansi.enabled", "false")
         # testdata events.parquet uses TIMESTAMP(NANOS); read as long nanos
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

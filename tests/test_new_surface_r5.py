@@ -670,3 +670,20 @@ from pyspark.sql import functions as _F
 
 def F_nanvl_null(c):
     return _F.when(~_F.isnan(_F.col(c)), _F.col(c))
+
+
+def test_degenerate_denominators_yield_null_not_crash(spark):
+    """Spark 4 ANSI mode would make these runtime DIVIDE_BY_ZERO errors;
+    the engine encodes pandas' NaN as NULL instead (session contract)."""
+    from parallel_pandas_spark.operators import ordered, reductions as red
+
+    pdf = pd.DataFrame({"a": [2.0, 2.0, 2.0], "b": [0.0, 1.0, 2.0], "i": [0, 1, 2]})
+    df = from_pandas(spark, pdf)
+    z = red.zscore_normalize(df, ["a", "b"]).collect()
+    assert all(r["a"] is None or math.isnan(r["a"]) for r in z)  # std=0 -> NaN in pandas
+    assert any(r["b"] is not None for r in z)
+    pc = ordered.pct_change(df, ["b"], ["i"]).collect()
+    by_i = {r["i"]: r["b_pct_change"] for r in pc}
+    # pandas: 1.0/0.0 - 1 = inf; engine contract encodes the degenerate as NULL
+    assert by_i[1] is None or math.isinf(by_i[1])
+    assert by_i[2] == pytest.approx(1.0)
