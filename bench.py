@@ -13,6 +13,11 @@ reference's signature tqdm UX, progress_imap.py:143-221) via
 ProgressTracker — driver-side status polling only, so it costs nothing on
 the executors; stderr, so the JSON line on stdout stays machine-parsable.
 
+VARIANCE NOTE (r5): identical code measured 19.8-26.6 s total across runs
+on this container minutes apart (every query moving together, including
+untouched ones) — machine-level noise, not regressions. Compare per-query
+RATIOS within a run, and rerun before concluding a cross-round delta.
+
 METHODOLOGY CHANGE (r4): queries are forced with a noop-sink write
 (``df.write.format("noop")``) instead of ``.count()``. Under count(),
 Catalyst prunes projection-only expressions to ``Project []`` — the
