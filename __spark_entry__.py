@@ -3627,21 +3627,135 @@ def rolling_rank_skew_cov(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "rolling_center_closed",
+    f"""
+SELECT l_orderkey, l_linenumber,
+  CASE WHEN COUNT(l_quantity) OVER wc  >= 3 THEN AVG(l_quantity) OVER wc  END AS center_mean,
+  CASE WHEN COUNT(l_quantity) OVER wl  >= 3 THEN SUM(l_quantity) OVER wl  END AS left_sum,
+  CASE WHEN COUNT(l_quantity) OVER wb  >= 3 THEN AVG(l_quantity) OVER wb  END AS both_mean,
+  CASE WHEN COUNT(l_quantity) OVER wn  >= 3 THEN SUM(l_quantity) OVER wn  END AS neither_sum,
+  CASE WHEN COUNT(l_quantity) OVER wcb >= 3 THEN AVG(l_quantity) OVER wcb END AS centerboth_mean
+FROM lineitem
+WINDOW
+  wc  AS (PARTITION BY l_suppkey ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice
+          ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING),
+  wl  AS (PARTITION BY l_suppkey ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice
+          ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING),
+  wb  AS (PARTITION BY l_suppkey ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice
+          ROWS BETWEEN 7 PRECEDING AND CURRENT ROW),
+  wn  AS (PARTITION BY l_suppkey ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice
+          ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING),
+  wcb AS (PARTITION BY l_suppkey ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice
+          ROWS BETWEEN 4 PRECEDING AND 2 FOLLOWING)
+""",
+)
+def rolling_center_closed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pandas ``rolling(center=, closed=)`` ctor-arg parity (the reference
+    snapshots every pandas window ctor arg and replays it per chunk,
+    parallel_window.py:91-100). Five frame shapes — center w7,
+    closed='left'/'both'/'neither' w7, and center+closed='both' w6 — map
+    to pandas' FixedWindowIndexer bounds (windows.fixed_frame_bounds,
+    verified empirically vs pandas 2.2). All five share PARTITION BY
+    l_suppkey and the 4-column total order, so the plan is one Exchange +
+    one Sort with stacked Window nodes; rows tied on the full key carry
+    equal l_quantity, so every frame aggregate is deterministic in any
+    engine."""
+    li = load_table(spark, sf_dir, "lineitem")
+    arms = [
+        ("center_mean", dict(window=7, center=True), "mean"),
+        ("left_sum", dict(window=7, closed="left"), "sum"),
+        ("both_mean", dict(window=7, closed="both"), "mean"),
+        ("neither_sum", dict(window=7, closed="neither"), "sum"),
+        ("centerboth_mean", dict(window=6, center=True, closed="both"), "mean"),
+    ]
+    r = li
+    for out_name, shape, fn in arms:
+        r = windows.rolling(
+            r, ["l_quantity"], shape.pop("window"), _ORD4, funcs=(fn,),
+            partition_by=["l_suppkey"], min_periods=3, **shape,
+        ).withColumnRenamed(f"l_quantity_roll_{fn}", out_name)
+    return r.select(
+        "l_orderkey", "l_linenumber",
+        "center_mean", "left_sum", "both_mean", "neither_sum", "centerboth_mean",
+    )
+
+
+@_q(
+    "rolling_time_closed",
+    """
+WITH s AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ep,
+         CAST(FLOOR(CAST(value AS DOUBLE)*1000000.0 + 0.5) AS BIGINT) AS v6
+  FROM events
+)
+SELECT event_id,
+  CAST(SUM(v6) OVER wr AS DOUBLE)/1000000.0 AS sum_right,
+  CAST(SUM(v6) OVER wl AS DOUBLE)/1000000.0 AS sum_left,
+  CAST(SUM(v6) OVER wb AS DOUBLE)/1000000.0 AS sum_both,
+  CAST(SUM(v6) OVER wn AS DOUBLE)/1000000.0 AS sum_neither,
+  COUNT(v6) OVER wr AS n_right
+FROM s
+WINDOW
+  wr AS (PARTITION BY user_id ORDER BY ep RANGE BETWEEN 599999999 PRECEDING AND CURRENT ROW),
+  wl AS (PARTITION BY user_id ORDER BY ep RANGE BETWEEN 600000000 PRECEDING AND 1 PRECEDING),
+  wb AS (PARTITION BY user_id ORDER BY ep RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW),
+  wn AS (PARTITION BY user_id ORDER BY ep RANGE BETWEEN 599999999 PRECEDING AND 1 PRECEDING)
+""",
+)
+def rolling_time_closed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based rolling with pandas ``closed`` semantics at microsecond
+    resolution (windows.time_frame_bounds_us): the pandas default 'right'
+    frame is LEFT-OPEN ``(t−w, t]`` — the pre-r6 epoch-second frame
+    silently included a row exactly ``w`` old (boundary-tie parity bug,
+    fixed this round). Four closed variants over one 10-minute window,
+    per-user partitions; the frame is value-defined over epoch
+    microseconds so equal timestamps behave identically in any engine.
+    All four stack on one (user_id, ep) sort pipeline."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "v6", F.floor(F.col("value").cast("double") * F.lit(1e6) + F.lit(0.5)).cast("long")
+    )
+    r = ev
+    for tag, closed in [("right", "right"), ("left", "left"),
+                        ("both", "both"), ("neither", "neither")]:
+        r = windows.rolling_time(
+            r, ["v6"], 600, "ts", funcs=("sum",), partition_by=["user_id"],
+            closed=closed,
+        ).withColumnRenamed("v6_roll_sum", f"s_{tag}")
+    r = windows.rolling_time(
+        r, ["v6"], 600, "ts", funcs=("count",), partition_by=["user_id"],
+    ).withColumnRenamed("v6_roll_count", "n_right")
+    six = F.lit(1e6)
+    return r.select(
+        "event_id",
+        (F.col("s_right").cast("double") / six).alias("sum_right"),
+        (F.col("s_left").cast("double") / six).alias("sum_left"),
+        (F.col("s_both").cast("double") / six).alias("sum_both"),
+        (F.col("s_neither").cast("double") / six).alias("sum_neither"),
+        "n_right",
+    )
+
+
 _bfn, _bsql = _compose_union(
     [
         ("time", "rolling_time_events"),
         ("rankskewcov", "rolling_rank_skew_cov"),
         ("apply", "rolling_apply_udf"),
+        ("centerclosed", "rolling_center_closed"),
+        ("timeclosed", "rolling_time_closed"),
     ]
 )
 _bfn.__doc__ = """Rolling shape variants (op #26 + §2.10): time-based
 rangeBetween windows, rolling rank/skew/sem + pairwise rolling cov/corr
-fused onto one partitioned window pipeline, and rolling.apply with an
-arbitrary Python UDF through Arrow applyInPandas."""
+fused onto one partitioned window pipeline, rolling.apply with an
+arbitrary Python UDF through Arrow applyInPandas, and (r6) the pandas
+``center=``/``closed=`` ctor-arg frames for both count- and time-based
+windows."""
 _q("rolling_shapes_battery", _bsql)(_bfn)
 _retire(
     "rolling_time_events", "rolling_rank_skew", "rolling_apply_udf",
-    "rolling_cov_corr", "rolling_rank_skew_cov",
+    "rolling_cov_corr", "rolling_rank_skew_cov", "rolling_center_closed",
+    "rolling_time_closed",
 )
 
 _bfn, _bsql = _compose_union(

@@ -300,13 +300,19 @@ class ParallelFrame:
 
     # -- §2.6 windows ------------------------------------------------------
     def rolling(
-        self, window, order_by, partition_by=None, win_type: str | None = None, **shape
+        self, window, order_by, partition_by=None, win_type: str | None = None,
+        center: bool = False, closed: str | None = None, **shape
     ) -> "ParallelRolling":
         """``win_type=`` mirrors the reference's weighted Window family
         (ParallelWindow, parallel_window.py:206-213): a scipy shape name
         (gaussian/triang/hamming/hann/blackman/bartlett, shape params like
-        ``std=`` as kwargs) materialized to literal weights at plan time."""
-        return ParallelRolling(self.df, window, order_by, partition_by, win_type, shape)
+        ``std=`` as kwargs) materialized to literal weights at plan time.
+        ``center``/``closed`` follow the pandas ctor args the reference
+        snapshots and replays per chunk (parallel_window.py:91-100)."""
+        return ParallelRolling(
+            self.df, window, order_by, partition_by, win_type, shape,
+            center=center, closed=closed,
+        )
 
     def expanding(self, order_by, partition_by=None) -> "ParallelExpanding":
         return ParallelExpanding(self.df, order_by, partition_by)
@@ -338,10 +344,12 @@ class ParallelRolling:
     """reference Rolling.p_* family (+ the weighted Window family when
     ``win_type`` is set — reference main.py:202-251 binds both)."""
 
-    def __init__(self, df, window, order_by, partition_by, win_type=None, shape=None):
+    def __init__(self, df, window, order_by, partition_by, win_type=None, shape=None,
+                 center: bool = False, closed: str | None = None):
         self.df, self.window = df, window
         self.order_by, self.partition_by = order_by, partition_by
         self.win_type, self.shape = win_type, shape or {}
+        self.center, self.closed = center, closed
 
     def _agg(self, cols, funcs, min_periods=None):
         if self.win_type:
@@ -355,9 +363,16 @@ class ParallelRolling:
         return windows.rolling(
             self.df, cols, self.window, self.order_by, funcs,
             self.partition_by, min_periods,
+            center=self.center, closed=self.closed,
         )
 
     def _weighted(self, cols, func, **kw):
+        if self.center or self.closed:
+            # the weighted kernel's dot-product frame is trailing-only;
+            # silently recentring would be the r4 unweighted-agg bug again
+            raise NotImplementedError(
+                "rolling(win_type=) does not support center=/closed="
+            )
         if kw:
             # pandas threads min_periods through the window constructor;
             # the weighted kernel here evaluates full frames only —
@@ -404,11 +419,20 @@ class ParallelRolling:
     def p_median(self, cols, **kw):
         return self._agg(cols, ("median",), **kw)
 
+    def _no_shape_kw(self, op: str) -> None:
+        if self.center or self.closed:
+            raise NotImplementedError(
+                f"rolling(center=/closed=).{op} is not supported yet; the "
+                "standard aggregations (mean/sum/min/max/std/var/median/"
+                "count/skew/kurt/sem) honor center/closed"
+            )
+
     def p_quantile(self, col, q, **kw):
         if self.win_type:
             raise NotImplementedError(
                 "rolling(win_type=).quantile is not a weighted aggregation"
             )
+        self._no_shape_kw("quantile")
         return windows.rolling_quantile(
             self.df, col, self.window, q, self.order_by, self.partition_by, **kw
         )
@@ -420,6 +444,7 @@ class ParallelRolling:
             )
         if not self.partition_by:
             raise ValueError("rolling.p_apply requires partition_by (per-group Arrow)")
+        self._no_shape_kw("apply")
         return windows.rolling_apply(
             self.df, col, self.window, func, self.order_by, self.partition_by, **kw
         )
@@ -429,6 +454,7 @@ class ParallelRolling:
             raise NotImplementedError(
                 "rolling(win_type=).cov/corr is not a weighted aggregation"
             )
+        self._no_shape_kw("cov/corr")
         return windows.rolling_cov_corr(
             self.df, col_a, col_b, self.window, self.order_by, self.partition_by, **kw
         )

@@ -163,35 +163,182 @@ def quantile(
     )
 
 
-def describe_exact(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+#: dtype-category tokens accepted by describe_exact include=/exclude=
+#: (pandas maps np.number/'O'/etc.; the string tokens cover the same space)
+_DESCRIBE_CATS = {"number", "object", "string", "datetime", "bool", "all"}
+
+
+def _describe_category(dtype: str) -> str:
+    if dtype in ("string",) or dtype.startswith("varchar") or dtype.startswith("char"):
+        return "object"
+    if dtype in ("boolean",):
+        return "bool"
+    if dtype in ("timestamp", "date", "timestamp_ntz"):
+        return "datetime"
+    if dtype.startswith("decimal") or dtype in (
+        "tinyint", "smallint", "int", "bigint", "float", "double",
+    ):
+        return "number"
+    return "other"  # arrays/maps/structs/binary: never auto-described
+
+
+def _describe_split(df, cols, include, exclude):
+    """Resolve (numeric_cols, object_cols) per pandas describe dtype
+    selection. 'object'/'string'/'bool'/'datetime' columns all take the
+    count/unique/top/freq path (datetime deliberately so — documented
+    deviation from pandas 2's numeric datetime describe; a distributed
+    mean-of-timestamps is rarely what a profiling call wants)."""
+    inc = {include} if isinstance(include, str) else set(include or ())
+    exc = {exclude} if isinstance(exclude, str) else set(exclude or ())
+    inc = {"string" if t == "object" else t for t in inc}
+    exc = {"string" if t == "object" else t for t in exc}
+    for t in inc | exc:
+        if t not in _DESCRIBE_CATS and t != "string":
+            raise ValueError(f"unknown dtype category {t!r}; known: {sorted(_DESCRIBE_CATS)}")
+    if inc & exc:
+        raise ValueError(f"include and exclude overlap: {sorted(inc & exc)}")
+    dtypes = dict(df.dtypes)
+    pool = list(cols) if cols is not None else list(df.columns)
+    cats = {c: _describe_category(dtypes[c]) for c in pool}
+    cats = {c: ("string" if v in ("object", "bool", "datetime") else v) for c, v in cats.items()}
+    raw_cats = {c: _describe_category(dtypes[c]) for c in pool}
+
+    def _selected(c):
+        rc = raw_cats[c]
+        rc_tok = "string" if rc == "object" else rc
+        if rc == "other":
+            return False
+        if "all" in inc:
+            return True
+        if inc:
+            return rc_tok in inc or (rc in ("object",) and "string" in inc)
+        if exc:
+            return rc_tok not in exc
+        # default: numeric only, unless nothing numeric is present
+        return rc == "number"
+
+    chosen = [c for c in pool if _selected(c)]
+    if not chosen and not inc and not exc:
+        chosen = [c for c in pool if raw_cats[c] != "other"]  # pandas all-object fallback
+    num = [c for c in chosen if raw_cats[c] == "number"]
+    obj = [c for c in chosen if raw_cats[c] != "number"]
+    return num, obj
+
+
+def _pct_label(p: float) -> str:
+    return f"{p * 100:g}%"
+
+
+def describe_exact(
+    df: DataFrame,
+    cols: Sequence[str] | None = None,
+    percentiles: Sequence[float] | None = None,
+    include=None,
+    exclude=None,
+) -> DataFrame:
     """pandas-style describe with *exact* percentiles.
 
     ``df.summary()`` uses approximate percentiles; the reference's
-    p_describe (parallel_dataframe.py:432-462) is exact, so we build exact
-    expressions. Long format: one row per statistic.
+    p_describe (parallel_dataframe.py:432-462) forwards
+    ``percentiles``/``include``/``exclude`` straight to pandas, so all
+    three are honored here: custom percentile rows (0.5 injected like
+    pandas), dtype-category selection, and the pandas mixed-frame row set
+    — ``count/unique/top/freq`` for non-numeric columns (NULL cells where
+    a stat does not apply). Long format: one row per statistic.
+
+    Plan shape: ONE aggregation computes every numeric (stat, col) cell
+    plus non-numeric count/countDistinct; ``top``/``freq`` for ALL
+    non-numeric columns come from ONE extra GROUPING SETS scan (max count,
+    ties -> smallest value: pandas' deterministic first mode); the long
+    format is a zero-cost stack of the single wide row.
     """
-    stat_rows = [
-        ("count", lambda c: F.count(c).cast("double")),
-        ("mean", lambda c: F.avg(c)),
-        ("std", lambda c: F.stddev_samp(c)),
-        ("min", lambda c: F.min(c).cast("double")),
-        ("25%", lambda c: F.expr(f"percentile({c}, 0.25)")),
-        ("50%", lambda c: F.expr(f"percentile({c}, 0.5)")),
-        ("75%", lambda c: F.expr(f"percentile({c}, 0.75)")),
-        ("max", lambda c: F.max(c).cast("double")),
-    ]
-    # ONE aggregation computes every (stat, col) cell; the long format is a
-    # zero-cost unpivot (stack) of the single wide row — previously this was
-    # 8 full scans unioned, one per stat row.
-    wide = df.agg(
-        *[fn(c).alias(f"__{i}_{c}") for i, (_, fn) in enumerate(stat_rows) for c in cols]
-    )
+    num_cols, obj_cols = _describe_split(df, cols, include, exclude)
+    if not num_cols and not obj_cols:
+        raise ValueError("no columns selected to describe")
+    if percentiles is None:
+        ps = [0.25, 0.5, 0.75]
+    else:
+        ps = sorted({float(p) for p in percentiles} | {0.5})
+        if any(p < 0 or p > 1 for p in ps):
+            raise ValueError("percentiles must all be in [0, 1]")
+
+    aggs = []
+    for c in num_cols:
+        qlist = ", ".join(str(p) for p in ps)
+        aggs += [
+            F.count(c).cast("double").alias(f"__cnt_{c}"),
+            F.avg(c).alias(f"__mean_{c}"),
+            F.stddev_samp(c).alias(f"__std_{c}"),
+            F.min(c).cast("double").alias(f"__min_{c}"),
+            F.max(c).cast("double").alias(f"__max_{c}"),
+            F.expr(f"percentile(`{c}`, array({qlist}))").alias(f"__pcts_{c}"),
+        ]
+    for c in obj_cols:
+        aggs += [
+            F.count(c).alias(f"__cnt_{c}"),
+            F.countDistinct(c).alias(f"__uniq_{c}"),
+        ]
+    wide = df.agg(*aggs)
+
+    if obj_cols:
+        k = len(obj_cols)
+        gs = df.groupingSets([[c] for c in obj_cols], *obj_cols).agg(
+            F.count("*").alias("cnt"), F.grouping_id().alias("gid")
+        )
+        picks = []
+        for i, c in enumerate(obj_cols):
+            gid_i = (2**k - 1) ^ (2 ** (k - 1 - i))
+            picks.append(
+                F.min(
+                    F.when(
+                        (F.col("gid") == gid_i) & F.col(c).isNotNull(),
+                        F.struct(
+                            (-F.col("cnt")).alias("nc"),
+                            F.col(c).cast("string").alias("v"),
+                        ),
+                    )
+                ).alias(f"__m_{c}")
+            )
+        modes = gs.agg(*picks).select(
+            *[F.col(f"__m_{c}.v").alias(f"__top_{c}") for c in obj_cols],
+            *[(-F.col(f"__m_{c}.nc")).alias(f"__freq_{c}") for c in obj_cols],
+        )
+        wide = wide.crossJoin(F.broadcast(modes))
+
+    labels = ["count"]
+    if obj_cols:
+        labels += ["unique", "top", "freq"]
+    if num_cols:
+        labels += ["mean", "std", "min"] + [_pct_label(p) for p in ps] + ["max"]
+
+    def _cell(label: str, c: str) -> str:
+        if c in num_cols:
+            if label == "count":
+                return f"`__cnt_{c}`"
+            if label in ("mean", "std", "min", "max"):
+                return f"`__{label}_{c}`"
+            if label.endswith("%"):
+                idx = labels.index(label) - labels.index(_pct_label(ps[0])) + 1
+                return f"element_at(`__pcts_{c}`, {idx})"
+            return "CAST(NULL AS DOUBLE)"
+        if label == "count":
+            return f"CAST(`__cnt_{c}` AS STRING)"
+        if label == "unique":
+            return f"CAST(`__uniq_{c}` AS STRING)"
+        if label == "top":
+            return f"`__top_{c}`"
+        if label == "freq":
+            return f"CAST(`__freq_{c}` AS STRING)"
+        return "CAST(NULL AS STRING)"
+
+    out_cols = [c for c in (cols if cols is not None else df.columns) if c in num_cols or c in obj_cols]
     stack_rows = ", ".join(
-        f"'{name}', " + ", ".join(f"`__{i}_{c}`" for c in cols)
-        for i, (name, _) in enumerate(stat_rows)
+        f"'{label}', " + ", ".join(_cell(label, c) for c in out_cols)
+        for label in labels
     )
+    names = ", ".join(f"`{c}`" for c in out_cols)
     return wide.selectExpr(
-        f"stack({len(stat_rows)}, {stack_rows}) as (summary, {', '.join(cols)})"
+        f"stack({len(labels)}, {stack_rows}) as (summary, {names})"
     )
 
 

@@ -63,6 +63,28 @@ def _ordered_window(order_by, partition_by) -> WindowSpec:
     return w.orderBy(*[F.col(c) for c in order_by])
 
 
+def fixed_frame_bounds(window: int, center: bool = False, closed: str | None = None) -> tuple[int, int]:
+    """pandas FixedWindowIndexer frame bounds as (start, end) row offsets
+    relative to the current row, both inclusive (``rowsBetween`` form).
+
+    The model (verified empirically vs pandas 2.2, all 20 combinations of
+    window∈{3,4} × center × closed): label offset ``(w−1)//2`` when
+    centered, then ``closed`` widens/narrows the edges — 'both' adds the
+    row before the frame (w+1 rows), 'left' shifts the whole frame one row
+    back, 'neither' drops the current row (w−1 rows). 'right' (the pandas
+    default) is the plain trailing frame."""
+    closed = closed or "right"
+    if closed not in ("right", "left", "both", "neither"):
+        raise ValueError(f"closed must be right/left/both/neither, got {closed!r}")
+    end = (window - 1) // 2 if center else 0
+    start = end - window + 1
+    if closed in ("left", "both"):
+        start -= 1
+    if closed in ("left", "neither"):
+        end -= 1
+    return start, end
+
+
 def rolling(
     df: DataFrame,
     cols: Sequence[str],
@@ -71,18 +93,34 @@ def rolling(
     funcs: Sequence[str] = ("mean",),
     partition_by: Sequence[str] | None = None,
     min_periods: int | None = None,
+    center: bool = False,
+    closed: str | None = None,
 ) -> DataFrame:
     """Count-based rolling window (reference ParallelRolling,
-    parallel_window.py:30-203). pandas default ``min_periods=window`` →
+    parallel_window.py:30-203; the reference snapshots every pandas ctor
+    arg — ``center``/``closed`` included — and replays it per chunk,
+    parallel_window.py:91-100). pandas default ``min_periods=window`` →
     rows with fewer observations yield NULL (test_window.py:9-13)."""
     mp = window if min_periods is None else min_periods
-    w = _ordered_window(order_by, partition_by).rowsBetween(-(window - 1), 0)
+    start, end = fixed_frame_bounds(window, center, closed)
+    if end < start:  # e.g. window=1, closed='neither': frame is empty
+        out = df
+        for c in cols:
+            for fn in funcs:
+                out = out.withColumn(f"{c}_roll_{fn}", F.lit(None).cast("double"))
+        return out
+    w = _ordered_window(order_by, partition_by).rowsBetween(start, end)
     out = df
     for c in cols:
         guard = F.count(c).over(w) >= mp
+        # pandas asymmetry (verified 2.2): .count() applies min_periods to
+        # the frame ROW count, NaN rows included — every other agg counts
+        # valid observations
+        rows_guard = F.count(F.lit(1)).over(w) >= mp
         for fn in funcs:
+            g = rows_guard if fn == "count" else guard
             out = out.withColumn(
-                f"{c}_roll_{fn}", F.when(guard, _ROLL_FNS[fn](c, w))
+                f"{c}_roll_{fn}", F.when(g, _ROLL_FNS[fn](c, w))
             )
     return out
 
@@ -192,6 +230,24 @@ def rolling_cov_corr_sql(
     return cov, corr
 
 
+def time_frame_bounds_us(window_seconds: float, closed: str | None = None) -> tuple[int, int]:
+    """pandas VariableWindowIndexer frame bounds in MICROSECONDS, both
+    inclusive (``rangeBetween`` form over a ``unix_micros`` ordering).
+
+    pandas' time-rolling default ``closed='right'`` is the LEFT-OPEN
+    interval ``(t−w, t]`` — a row sitting exactly at ``t−w`` is excluded
+    (verified vs pandas 2.2). At microsecond resolution that is exactly
+    ``[−(w_us−1), 0]``; 'both' = ``[−w_us, 0]``, 'left' = ``[−w_us, −1]``,
+    'neither' = ``[−(w_us−1), −1]``."""
+    closed = closed or "right"
+    if closed not in ("right", "left", "both", "neither"):
+        raise ValueError(f"closed must be right/left/both/neither, got {closed!r}")
+    us = int(round(window_seconds * 1_000_000))
+    start = -us if closed in ("left", "both") else -(us - 1)
+    end = -1 if closed in ("left", "neither") else 0
+    return start, end
+
+
 def rolling_time(
     df: DataFrame,
     cols: Sequence[str],
@@ -200,23 +256,39 @@ def rolling_time(
     funcs: Sequence[str] = ("mean",),
     partition_by: Sequence[str] | None = None,
     min_periods: int = 1,
+    closed: str | None = None,
 ) -> DataFrame:
     """Time-based rolling window ('3D'-style freq strings in the reference,
-    tools.py:8-36). ``rangeBetween`` over epoch seconds: frame is
-    [t - window, t] inclusive, pandas closed='right' default.
-    pandas time-rolling default min_periods=1."""
-    epoch = F.unix_timestamp(F.col(ts_col)).cast("long")
+    tools.py:8-36). ``rangeBetween`` over epoch MICROSECONDS with pandas
+    ``closed`` semantics — the default 'right' frame is the left-open
+    ``(t − window, t]``, so a row exactly ``window`` old is excluded (the
+    pre-r6 epoch-second form silently included it: a boundary-tie parity
+    bug). pandas time-rolling default min_periods=1.
+
+    Known divergence (deliberate): pandas frames DUPLICATE timestamps
+    positionally — each duplicate sees only the duplicates before it —
+    while a RANGE frame is value-based, so all equal-``ts`` peers are
+    included for every one of them. The value-based form is the only
+    partition-order-independent definition a distributed engine can give
+    (pandas' positional frame depends on input row order, which a shuffle
+    does not preserve)."""
+    start, end = time_frame_bounds_us(window_seconds, closed)
+    # NTZ parquet timestamps need an explicit cast for unix_micros; the
+    # session is pinned UTC so the NTZ->TZ cast is deterministic
+    epoch = F.unix_micros(F.col(ts_col).cast("timestamp"))
     w = (
         Window.partitionBy(*(partition_by or []))
         .orderBy(epoch)
-        .rangeBetween(-int(window_seconds), 0)
+        .rangeBetween(start, end)
     )
     out = df
     for c in cols:
         guard = F.count(c).over(w) >= min_periods
+        rows_guard = F.count(F.lit(1)).over(w) >= min_periods  # see rolling()
         for fn in funcs:
+            g = rows_guard if fn == "count" else guard
             out = out.withColumn(
-                f"{c}_roll_{fn}", F.when(guard, _ROLL_FNS[fn](c, w))
+                f"{c}_roll_{fn}", F.when(g, _ROLL_FNS[fn](c, w))
             )
     return out
 

@@ -1,0 +1,137 @@
+"""Round-6 surface: rolling ``center=``/``closed=`` ctor-arg parity (the
+reference snapshots every pandas window ctor arg and replays it per chunk,
+parallel_window.py:91-100), microsecond-exact time-window ``closed``
+semantics, describe(percentiles/include/exclude), and
+pct_change(fill_method/limit/freq)."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from parallel_pandas_spark.operators import windows
+
+SF = "/root/testdata/sf0.001"
+
+
+def from_pandas(spark, pdf):
+    return spark.createDataFrame(pdf)
+
+
+def _assert_series_match(got_by_key, key_iter, ref_series, colname, ctx):
+    for pos, key in enumerate(key_iter):
+        rv = ref_series.iloc[pos]
+        gv = got_by_key[key][colname]
+        if isinstance(rv, float) and math.isnan(rv):
+            assert gv is None or (isinstance(gv, float) and math.isnan(gv)), (ctx, key, colname, gv)
+        else:
+            assert gv == pytest.approx(rv, abs=1e-9), (ctx, key, colname, gv, rv)
+
+
+def test_fixed_frame_bounds_model():
+    """The (start, end) offsets reproduce pandas' FixedWindowIndexer for
+    every center × closed combination (empirically pinned, pandas 2.2)."""
+    cases = {
+        (3, False, "right"): (-2, 0),
+        (3, False, "left"): (-3, -1),
+        (3, False, "both"): (-3, 0),
+        (3, False, "neither"): (-2, -1),
+        (3, True, "right"): (-1, 1),
+        (4, True, "right"): (-2, 1),
+        (4, True, "both"): (-3, 1),
+        (6, True, "both"): (-4, 2),
+        (1, False, "neither"): (0, -1),  # empty frame
+    }
+    for (w, c, cl), want in cases.items():
+        assert windows.fixed_frame_bounds(w, c, cl) == want, (w, c, cl)
+    with pytest.raises(ValueError):
+        windows.fixed_frame_bounds(3, False, "bogus")
+
+
+def test_rolling_center_closed_randomized_vs_pandas(spark):
+    """Randomized differential of every center × closed combination of the
+    count-window rolling aggregations against pandas itself."""
+    rng = np.random.default_rng(66)
+    n = 70
+    v = rng.normal(size=n).round(3)
+    v[rng.choice(n, 8, replace=False)] = np.nan
+    pdf = pd.DataFrame({"g": rng.integers(0, 3, n), "i": range(n), "v": v})
+    df = from_pandas(spark, pdf)
+
+    for w in (3, 4, 7):
+        for center in (False, True):
+            for closed in ("right", "left", "both", "neither"):
+                r = windows.rolling(
+                    df, ["v"], w, ["i"], funcs=("mean", "sum", "count"),
+                    partition_by=["g"], min_periods=2,
+                    center=center, closed=closed,
+                )
+                got = {row["i"]: row.asDict() for row in r.collect()}
+                for g, grp in pdf.groupby("g"):
+                    grp = grp.sort_values("i")
+                    roll = grp["v"].rolling(w, min_periods=2, center=center, closed=closed)
+                    ctx = (w, center, closed, g)
+                    _assert_series_match(got, grp["i"], roll.mean(), "v_roll_mean", ctx)
+                    _assert_series_match(got, grp["i"], roll.sum(), "v_roll_sum", ctx)
+                    # pandas count ignores min_periods>frame rules the same way
+                    _assert_series_match(got, grp["i"], roll.count(), "v_roll_count", ctx)
+
+
+def test_rolling_time_closed_randomized_vs_pandas(spark):
+    """Time-window closed semantics at microsecond resolution, including
+    rows that sit EXACTLY window-width apart (the boundary ties that the
+    pre-r6 epoch-second frame got wrong: pandas' default closed='right'
+    frame is left-open (t−w, t])."""
+    rng = np.random.default_rng(67)
+    n = 60
+    # UNIQUE whole-second offsets: exact w-apart boundary ties across rows
+    # (the closed= bug surface) occur constantly, while equal-timestamp
+    # rows are excluded — pandas frames duplicate timestamps POSITIONALLY
+    # (each dup sees only earlier dups) where a RANGE frame is value-based
+    # (all equal-ts peers included); that divergence is documented on
+    # rolling_time, not silently asserted away here
+    offs = np.sort(rng.choice(np.arange(0, 120), size=n, replace=False))
+    ts = pd.Timestamp("2024-01-05 12:00:00") + pd.to_timedelta(offs, unit="s")
+    pdf = pd.DataFrame(
+        {"i": range(n), "ts": ts, "v": rng.integers(1, 9, n).astype(float)}
+    )
+    df = from_pandas(spark, pdf)
+
+    for closed in ("right", "left", "both", "neither"):
+        r = windows.rolling_time(
+            df, ["v"], 10, "ts", funcs=("sum", "count"), closed=closed,
+        )
+        got = {row["i"]: row.asDict() for row in r.collect()}
+        sp = pdf.set_index("ts").sort_index()
+        roll = sp["v"].rolling("10s", closed=closed)
+        _assert_series_match(got, pdf["i"], roll.sum(), "v_roll_sum", closed)
+        _assert_series_match(got, pdf["i"], roll.count(), "v_roll_count", closed)
+
+
+def test_rolling_center_closed_battery_matches_duckdb(spark):
+    """The driver-facing battery arms value-match their DuckDB oracle at
+    sf0.001 (same harness shape the driver runs at sf0.01)."""
+    import __spark_entry__ as em
+    from tests.oracle_harness import compare, duck_connection
+
+    con = duck_connection(SF)
+    oracles = em.oracle_sql()
+    for name in ("rolling_shapes_battery",):
+        problems = compare(name, em.queries()[name](spark, SF), con, oracles[name])
+        assert not problems, problems
+
+
+def test_rolling_weighted_rejects_center_closed(spark):
+    from parallel_pandas_spark.api import ParallelFrame
+
+    pdf = pd.DataFrame({"i": range(10), "v": np.arange(10.0)})
+    df = from_pandas(spark, pdf)
+    roll = ParallelFrame(df).rolling(5, ["i"], win_type="triang", center=True)
+    with pytest.raises(NotImplementedError):
+        roll.p_mean(["v"])
+    roll2 = ParallelFrame(df).rolling(5, ["i"], closed="left")
+    with pytest.raises(NotImplementedError):
+        roll2.p_quantile("v", 0.5)
