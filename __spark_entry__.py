@@ -3360,11 +3360,82 @@ def _stats_battery_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
 _q("stats_battery", _bsql)(_stats_battery_fused)
 _retire(*_STATS_PARTS)
 
-_bfn, _bsql = _compose_union([("describe", "stats_describe"), ("quantile", "stats_quantile")])
+@_q(
+    "stats_describe_custom",
+    """
+WITH w AS (
+  SELECT
+    CAST(COUNT(o_totalprice) AS DOUBLE) AS c_t,
+    AVG(o_totalprice) AS m_t, STDDEV_SAMP(o_totalprice) AS s_t,
+    CAST(MIN(o_totalprice) AS DOUBLE) AS mn_t, CAST(MAX(o_totalprice) AS DOUBLE) AS mx_t,
+    quantile_cont(o_totalprice, 0.1) AS p10_t,
+    quantile_cont(o_totalprice, 0.5) AS p50_t,
+    quantile_cont(o_totalprice, 0.9) AS p90_t,
+    quantile_cont(o_totalprice, 0.995) AS p995_t,
+    COUNT(o_orderstatus) AS c_s, COUNT(DISTINCT o_orderstatus) AS u_s,
+    COUNT(o_orderpriority) AS c_p, COUNT(DISTINCT o_orderpriority) AS u_p
+  FROM orders
+),
+top_s AS (
+  SELECT o_orderstatus AS v, COUNT(*) AS c FROM orders
+  WHERE o_orderstatus IS NOT NULL GROUP BY 1 ORDER BY c DESC, v ASC LIMIT 1
+),
+top_p AS (
+  SELECT o_orderpriority AS v, COUNT(*) AS c FROM orders
+  WHERE o_orderpriority IS NOT NULL GROUP BY 1 ORDER BY c DESC, v ASC LIMIT 1
+)
+SELECT 'count' AS summary, ROUND(c_t,6) AS o_totalprice,
+       CAST(c_s AS VARCHAR) AS o_orderstatus, CAST(c_p AS VARCHAR) AS o_orderpriority
+FROM w
+UNION ALL SELECT 'unique', NULL, CAST(u_s AS VARCHAR), CAST(u_p AS VARCHAR) FROM w
+UNION ALL SELECT 'top', NULL, (SELECT v FROM top_s), (SELECT v FROM top_p) FROM w
+UNION ALL SELECT 'freq', NULL, (SELECT CAST(c AS VARCHAR) FROM top_s),
+                 (SELECT CAST(c AS VARCHAR) FROM top_p) FROM w
+UNION ALL SELECT 'mean', ROUND(m_t,6), NULL, NULL FROM w
+UNION ALL SELECT 'std', ROUND(s_t,6), NULL, NULL FROM w
+UNION ALL SELECT 'min', ROUND(mn_t,6), NULL, NULL FROM w
+UNION ALL SELECT '10%', ROUND(p10_t,6), NULL, NULL FROM w
+UNION ALL SELECT '50%', ROUND(p50_t,6), NULL, NULL FROM w
+UNION ALL SELECT '90%', ROUND(p90_t,6), NULL, NULL FROM w
+UNION ALL SELECT '99.5%', ROUND(p995_t,6), NULL, NULL FROM w
+UNION ALL SELECT 'max', ROUND(mx_t,6), NULL, NULL FROM w
+""",
+)
+def stats_describe_custom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """describe(percentiles=, include=) — the full reference forwarding
+    surface (parallel_dataframe.py:445-455): custom percentile rows (0.5
+    injected like pandas) and dtype-category selection producing the
+    pandas MIXED-frame row set — count/unique/top/freq for the string
+    columns (one extra GROUPING SETS scan computes every string column's
+    top/freq; ties break to the smallest value). Numeric cells rounded 6
+    (generic avg/stddev accumulate in partition order)."""
+    o = load_table(spark, sf_dir, "orders")
+    d = reductions.describe_exact(
+        o,
+        ["o_totalprice", "o_orderstatus", "o_orderpriority"],
+        percentiles=[0.1, 0.9, 0.995],
+        include=["number", "object"],
+    )
+    return d.select(
+        "summary",
+        F.round("o_totalprice", 6).alias("o_totalprice"),
+        "o_orderstatus",
+        "o_orderpriority",
+    )
+
+
+_bfn, _bsql = _compose_union(
+    [
+        ("describe", "stats_describe"),
+        ("quantile", "stats_quantile"),
+        ("custom", "stats_describe_custom"),
+    ]
+)
 _bfn.__doc__ = """describe() (8 labeled rows, exact single-scan percentiles)
-padded-union with the arbitrary-quantile-list surface (ops #12-#13)."""
+padded-union with the arbitrary-quantile-list surface (ops #12-#13) and
+(r6) the percentiles=/include=/exclude= mixed-dtype describe."""
 _q("stats_quantile_describe", _bsql)(_bfn)
-_retire("stats_describe", "stats_quantile")
+_retire("stats_describe", "stats_quantile", "stats_describe_custom")
 
 _bfn, _bsql = _compose_union(
     [("salted", "salted_groupby_agg"), ("dropna", "groupby_dropna_keys")]

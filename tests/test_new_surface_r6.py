@@ -135,3 +135,53 @@ def test_rolling_weighted_rejects_center_closed(spark):
     roll2 = ParallelFrame(df).rolling(5, ["i"], closed="left")
     with pytest.raises(NotImplementedError):
         roll2.p_quantile("v", 0.5)
+
+
+def test_describe_percentiles_include_exclude_vs_pandas(spark):
+    """describe(percentiles/include/exclude) matches pandas' row set, row
+    labels, dtype selection, and values on a mixed frame."""
+    from parallel_pandas_spark.operators import reductions
+
+    rng = np.random.default_rng(68)
+    pdf = pd.DataFrame(
+        {
+            "x": rng.normal(10, 3, 50).round(3),
+            "y": rng.integers(0, 5, 50).astype("int64"),
+            "s": rng.choice(["aa", "bb", "cc"], 50),
+        }
+    )
+    df = from_pandas(spark, pdf)
+
+    # numeric-only default, custom percentiles (0.5 injected like pandas)
+    got = reductions.describe_exact(df, percentiles=[0.1, 0.9]).toPandas().set_index("summary")
+    ref = pdf.describe(percentiles=[0.1, 0.9])
+    assert list(got.index) == list(ref.index)
+    assert sorted(got.columns) == sorted(ref.columns) == ["x", "y"]
+    for c in ("x", "y"):
+        for lbl in ref.index:
+            assert got.loc[lbl, c] == pytest.approx(ref.loc[lbl, c], rel=1e-9), (c, lbl)
+
+    # include='all': mixed row set with count/unique/top/freq
+    got = reductions.describe_exact(df, include="all").toPandas().set_index("summary")
+    ref = pdf.describe(include="all")
+    assert list(got.index) == list(ref.index)
+    for lbl in ("unique", "top", "freq"):
+        rv = ref.loc[lbl, "s"]
+        assert got.loc[lbl, "s"] == str(rv), (lbl, got.loc[lbl, "s"], rv)
+    # pandas puts NaN in non-applicable cells; ours NULL
+    assert got.loc["mean", "s"] is None or pd.isna(got.loc["mean", "s"])
+    assert pd.isna(got.loc["top", "x"])
+
+    # exclude numbers -> object-only frame
+    got = reductions.describe_exact(df, exclude="number").toPandas().set_index("summary")
+    ref = pdf.describe(exclude="number")
+    assert list(got.index) == list(ref.index) == ["count", "unique", "top", "freq"]
+    assert list(got.columns) == ["s"]
+
+    # validation errors
+    with pytest.raises(ValueError):
+        reductions.describe_exact(df, percentiles=[1.5])
+    with pytest.raises(ValueError):
+        reductions.describe_exact(df, include="number", exclude="number")
+    with pytest.raises(ValueError):
+        reductions.describe_exact(df, include="bogus_cat")
