@@ -3459,11 +3459,115 @@ union, every row value-checked."""
 _q("merge_battery", _bsql)(_bfn)
 _retire("merge_inner", "merge_outer_suffix_indicator", "semi_anti_customers")
 
-_bfn, _bsql = _compose_union([("cum", "cumulative_scan"), ("rank", "rank_methods")])
+@_q(
+    "pct_change_fill",
+    """
+WITH s AS (
+  SELECT l_orderkey, l_linenumber, l_suppkey, l_quantity,
+         CASE WHEN l_quantity <> 25 THEN CAST(l_quantity AS DOUBLE) END AS qn
+  FROM lineitem
+), f AS (
+  SELECT l_orderkey, l_linenumber, l_suppkey, l_quantity, qn,
+    last_value(qn IGNORE NULLS) OVER (PARTITION BY l_suppkey
+      ORDER BY l_orderkey, l_linenumber, l_quantity
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS f_pad,
+    last_value(qn IGNORE NULLS) OVER (PARTITION BY l_suppkey
+      ORDER BY l_orderkey, l_linenumber, l_quantity
+      ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) AS f_padlim,
+    first_value(qn IGNORE NULLS) OVER (PARTITION BY l_suppkey
+      ORDER BY l_orderkey, l_linenumber, l_quantity
+      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS f_bfill
+  FROM s
+)
+SELECT l_orderkey, l_linenumber,
+  f_pad    / lag(f_pad)    OVER w - 1 AS pc_pad,
+  f_padlim / lag(f_padlim) OVER w - 1 AS pc_padlim,
+  f_bfill  / lag(f_bfill)  OVER w - 1 AS pc_bfill,
+  qn       / lag(qn)       OVER w - 1 AS pc_none
+FROM f
+WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_orderkey, l_linenumber, l_quantity)
+""",
+)
+def pct_change_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pct_change(fill_method=, limit=) — the reference forwards both to
+    pandas (parallel_dataframe.py:465-477). pandas fills FIRST, then
+    ratios the filled series (pinned empirically: a gap inside a run of
+    filled values yields 0.0). Four arms on one (l_suppkey, 3-col-order)
+    window pipeline: pad, pad+limit=1, bfill, and the no-fill default;
+    NULLs injected by voiding l_quantity=25. Rows tied on the full sort
+    key carry equal qn, so every fill + lag is deterministic in any
+    engine."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = li.withColumn(
+        "qn", F.when(F.col("l_quantity") != 25, F.col("l_quantity").cast("double"))
+    )
+    arms = [
+        ("pc_pad", dict(fill_method="pad")),
+        ("pc_padlim", dict(fill_method="pad", limit=1)),
+        ("pc_bfill", dict(fill_method="bfill")),
+        ("pc_none", {}),
+    ]
+    r = s
+    for out_name, kw in arms:
+        r = ordered.pct_change(
+            r, ["qn"], _LI_ORD, partition_by=["l_suppkey"], suffix=f"__{out_name}", **kw
+        ).withColumnRenamed(f"qn__{out_name}", out_name)
+    return r.select("l_orderkey", "l_linenumber", "pc_pad", "pc_padlim", "pc_bfill", "pc_none")
+
+
+@_q(
+    "pct_change_freq",
+    """
+WITH d AS (
+  SELECT l_suppkey, l_shipdate, CAST(SUM(l_quantity) AS DOUBLE) AS qty
+  FROM lineitem GROUP BY 1, 2
+)
+SELECT a.l_suppkey, strftime(a.l_shipdate, '%Y-%m-%d') AS ship_day, a.qty,
+       a.qty / b.qty - 1 AS qty_pct_1d
+FROM d a LEFT JOIN d b
+  ON b.l_suppkey = a.l_suppkey
+ AND epoch_us(b.l_shipdate) = epoch_us(a.l_shipdate) - 86400000000
+""",
+)
+def pct_change_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pct_change(freq=) — compare against the value at EXACTLY t − freq
+    (pandas shift(freq=) semantics: missing timestamps yield NULL, not
+    the previous row). Daily quantity per supplier vs the previous
+    calendar day, via ordered.pct_change(freq_seconds=86400): a
+    co-partitioned self-equi-join on (supplier, epoch−1d) — one shuffle
+    per side, no gap-scan window, the shape that holds at 100 TB. The
+    daily pre-aggregate makes (key, ts) unique, pandas' own requirement
+    for shift(freq=)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    d = li.groupBy("l_suppkey", "l_shipdate").agg(
+        F.sum("l_quantity").cast("double").alias("qty")
+    )
+    r = ordered.pct_change(
+        d, ["qty"], ["l_shipdate"], partition_by=["l_suppkey"],
+        suffix="__pc1d", freq_seconds=86400.0,
+    )
+    return r.select(
+        "l_suppkey",
+        F.date_format("l_shipdate", "yyyy-MM-dd").alias("ship_day"),
+        "qty",
+        F.col("qty__pc1d").alias("qty_pct_1d"),
+    )
+
+
+_bfn, _bsql = _compose_union(
+    [
+        ("cum", "cumulative_scan"),
+        ("rank", "rank_methods"),
+        ("pctfill", "pct_change_fill"),
+        ("pctfreq", "pct_change_freq"),
+    ]
+)
 _bfn.__doc__ = """Ordered scans (ops #18-#20): cumsum/cummax/cummin + shift +
-pct_change, and rank with all five pandas methods + pct."""
+pct_change, rank with all five pandas methods + pct, and (r6)
+pct_change(fill_method/limit) fill-first ratio semantics plus
+pct_change(freq=) exact-time-shift comparison."""
 _q("ordered_battery", _bsql)(_bfn)
-_retire("cumulative_scan", "rank_methods")
+_retire("cumulative_scan", "rank_methods", "pct_change_fill", "pct_change_freq")
 
 @_q(
     "rolling_moments_battery",

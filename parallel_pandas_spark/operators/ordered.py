@@ -225,15 +225,79 @@ def pct_change(
     periods: int = 1,
     partition_by: Sequence[str] | None = None,
     suffix: str = "_pct_change",
+    fill_method: str | None = None,
+    limit: int | None = None,
+    freq_seconds: float | None = None,
 ) -> DataFrame:
     """Fractional change vs the row ``periods`` before (reference
-    p_pct_change, parallel_dataframe.py:465-489 — defined but unregistered
-    there; first-class here)."""
+    p_pct_change, parallel_dataframe.py:465-489 — the reference forwards
+    ``fill_method``/``limit``/``freq`` straight to pandas).
+
+    pandas semantics (pinned empirically, 2.2): the series is FILLED
+    first ('pad'/'ffill' forward, 'bfill'/'backfill' backward, at most
+    ``limit`` positions), then the ratio is taken between the filled
+    value and the filled value ``periods`` rows back — so a gap inside a
+    run of equal filled values yields 0.0, not NULL. Default
+    ``fill_method=None`` (pandas' post-deprecation future default):
+    NULL on either side of the ratio propagates.
+
+    ``freq_seconds`` maps pandas ``freq=``: compare against the value at
+    EXACTLY ``t − periods·freq`` on the first ``order_by`` column (a
+    timestamp) — missing timestamps yield NULL. Implemented as a
+    co-partitioned equi-join on (partition keys, shifted epoch): one
+    shuffle each side, no window gap-scan, so it holds at any scale.
+    Requires (keys, timestamp) unique, like pandas' unique-index
+    requirement for ``shift(freq=)``."""
+    if limit is not None and fill_method is None:
+        raise ValueError("pct_change(limit=) requires fill_method")
+    if fill_method not in (None, "pad", "ffill", "bfill", "backfill"):
+        raise ValueError(f"fill_method must be pad/ffill/bfill/backfill/None, got {fill_method!r}")
     w = _window(order_by, partition_by)
     out = df
+    tmp = []
     for c in cols:
-        out = out.withColumn(f"{c}{suffix}", F.col(c) / F.lag(c, periods).over(w) - 1)
-    return out
+        if fill_method in ("pad", "ffill"):
+            wf = w.rowsBetween(-limit if limit else Window.unboundedPreceding, 0)
+            fc = F.last(c, ignorenulls=True).over(wf)
+        elif fill_method in ("bfill", "backfill"):
+            wf = w.rowsBetween(0, limit if limit else Window.unboundedFollowing)
+            fc = F.first(c, ignorenulls=True).over(wf)
+        else:
+            fc = F.col(c).cast("double")
+        out = out.withColumn(f"__f_{c}", fc)
+        tmp.append(f"__f_{c}")
+
+    if freq_seconds is None:
+        for c in cols:
+            out = out.withColumn(
+                f"{c}{suffix}",
+                F.col(f"__f_{c}") / F.lag(f"__f_{c}", periods).over(w) - 1,
+            )
+        return out.drop(*tmp)
+
+    ts = order_by[0]
+    keys = list(partition_by or [])
+    us = int(round(freq_seconds * 1_000_000)) * periods
+    ep = F.unix_micros(F.col(ts).cast("timestamp"))
+    a = out.withColumn("__ep_want", ep - F.lit(us))
+    # rename every right-side column: a self-join on shared-lineage
+    # attributes silently resolves `a[k] == b[k]` to a trivially-true
+    # predicate (Spark warns and the key condition is dropped)
+    b = out.select(
+        *[F.col(k).alias(f"__bk_{k}") for k in keys],
+        ep.alias("__ep_b"),
+        *[F.col(f"__f_{c}").alias(f"__b_{c}") for c in cols],
+    )
+    cond = F.col("__ep_want") == F.col("__ep_b")
+    for k in keys:
+        cond = cond & F.col(k).eqNullSafe(F.col(f"__bk_{k}"))
+    j = a.join(b, cond, "left")
+    for c in cols:
+        j = j.withColumn(f"{c}{suffix}", F.col(f"__f_{c}") / F.col(f"__b_{c}") - 1)
+    return j.select(
+        *df.columns,
+        *[F.col(f"{c}{suffix}") for c in cols],
+    )
 
 
 def shift(df, cols, order_by, periods=1, partition_by=None, suffix="_shift"):

@@ -185,3 +185,64 @@ def test_describe_percentiles_include_exclude_vs_pandas(spark):
         reductions.describe_exact(df, include="number", exclude="number")
     with pytest.raises(ValueError):
         reductions.describe_exact(df, include="bogus_cat")
+
+
+def test_pct_change_fill_limit_freq_vs_pandas(spark):
+    """Randomized differential of pct_change(fill_method/limit) against
+    pandas (fill-first-then-ratio semantics), plus the freq= exact-time
+    path against pandas shift(freq=)."""
+    from parallel_pandas_spark.operators import ordered
+
+    rng = np.random.default_rng(69)
+    n = 60
+    v = rng.integers(1, 20, n).astype(float)
+    v[rng.choice(n, 15, replace=False)] = np.nan
+    pdf = pd.DataFrame({"g": rng.integers(0, 2, n), "i": range(n), "v": v})
+    df = from_pandas(spark, pdf)
+
+    import warnings
+
+    cases = [
+        (None, None, 1), ("pad", None, 1), ("pad", 2, 1), ("bfill", None, 1),
+        ("ffill", 1, 2), ("backfill", 3, 1),
+    ]
+    for fill_method, limit, periods in cases:
+        r = ordered.pct_change(
+            df, ["v"], ["i"], periods=periods, partition_by=["g"],
+            fill_method=fill_method, limit=limit,
+        )
+        got = {row["i"]: row["v_pct_change"] for row in r.collect()}
+        for g, grp in pdf.groupby("g"):
+            grp = grp.sort_values("i")
+            with warnings.catch_warnings():
+                warnings.simplefilter("ignore")  # fill_method deprecation
+                ref = grp["v"].pct_change(
+                    periods=periods, fill_method=fill_method, limit=limit
+                )
+            for pos, i in enumerate(grp["i"]):
+                rv, gv = ref.iloc[pos], got[i]
+                if isinstance(rv, float) and math.isnan(rv):
+                    assert gv is None or math.isnan(gv), (fill_method, limit, periods, i)
+                else:
+                    assert gv == pytest.approx(rv, abs=1e-12), (fill_method, limit, periods, i)
+
+    # freq=: exact-time comparison with gaps
+    days = np.sort(rng.choice(np.arange(0, 40), size=25, replace=False))
+    ts = pd.Timestamp("2024-03-01") + pd.to_timedelta(days, unit="D")
+    tv = rng.integers(1, 50, 25).astype(float)
+    tpdf = pd.DataFrame({"ts": ts, "v": tv})
+    tdf = from_pandas(spark, tpdf)
+    r = ordered.pct_change(tdf, ["v"], ["ts"], freq_seconds=86400.0)
+    got = {row["ts"]: row["v_pct_change"] for row in r.collect()}
+    sref = pd.Series(tv, index=ts).pct_change(freq="D", fill_method=None)
+    for t, rv in sref.items():
+        gv = got[t.to_pydatetime()]
+        if isinstance(rv, float) and math.isnan(rv):
+            assert gv is None or math.isnan(gv), t
+        else:
+            assert gv == pytest.approx(rv, abs=1e-12), t
+
+    with pytest.raises(ValueError):
+        ordered.pct_change(df, ["v"], ["i"], limit=2)
+    with pytest.raises(ValueError):
+        ordered.pct_change(df, ["v"], ["i"], fill_method="bogus")
