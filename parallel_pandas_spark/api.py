@@ -220,6 +220,11 @@ class ParallelFrame:
         regexp substitution). ``method='ffill'/'bfill'`` treats ``mapping``
         as the list of values to erase-and-fill along ``order_by`` (with
         pandas' ``limit`` gap bound) in column ``col``."""
+        if regex and method is not None:
+            # the fill arm treats `mapping` as a value LIST; silently
+            # winning over regex=True would hand the caller fill
+            # semantics for what they wrote as a pattern substitution
+            raise ValueError("p_replace: regex=True and method= are mutually exclusive")
         if method is not None:
             return ParallelFrame(
                 reductions.replace_fill(

@@ -78,11 +78,14 @@ def cluster_pairs(
     with one canonical survivor each, i.e. the actual corpus-dedup output
     a training pipeline consumes.
 
-    Algorithm: iterative min-label propagation on the symmetrized edges —
-    each round every node takes the minimum of its own and its neighbors'
-    labels (one join + one groupBy per round, all distributed), stopping
-    when a round changes nothing. Rounds needed = graph diameter; near-dup
-    components are dense (band-collision cliques), so 2-4 rounds in
+    Algorithm: iterative min-label propagation on the symmetrized edges
+    with a POINTER-JUMPING step per round (label <- label-of-label, the
+    path-halving trick from Hash-to-Min / large-star–small-star CC): each
+    round every node takes the min of its own, its neighbors', and its
+    current label's label. Propagation distance doubles per round, so a
+    chain of length d converges in O(log d) rounds instead of O(d) —
+    max_iter=50 now covers components 2^50 hops across, not 50. Near-dup
+    components are dense (band-collision cliques), so 2-3 rounds in
     practice. Labels are min(doc_id) of the component — deterministic on
     any cluster layout, and SQL-replayable by a recursive-CTE oracle.
     Each round is localCheckpointed: the loop would otherwise stack lineage
@@ -107,11 +110,25 @@ def cluster_pairs(
             edges.join(labels, edges["dst"] == labels["v"])
             .groupBy("src").agg(F.min("lbl").alias("nl"))
         )
+        stepped = labels.join(nbr, labels["v"] == nbr["src"], "left").select(
+            labels["v"],
+            F.least(F.col("lbl"), F.coalesce(F.col("nl"), F.col("lbl"))).alias("lbl"),
+        )
+        # pointer jumping: lbl <- lbl(lbl). Every label is itself a node
+        # id, so the self-join always resolves; this halves remaining
+        # chain distance each round (O(log d) total rounds)
         new = (
-            labels.join(nbr, labels["v"] == nbr["src"], "left")
+            stepped.alias("x")
+            .join(
+                stepped.select(
+                    F.col("v").alias("jv"), F.col("lbl").alias("jlbl")
+                ),
+                F.col("x.lbl") == F.col("jv"),
+                "left",
+            )
             .select(
-                labels["v"],
-                F.least(F.col("lbl"), F.coalesce(F.col("nl"), F.col("lbl"))).alias("lbl"),
+                F.col("x.v").alias("v"),
+                F.least(F.col("x.lbl"), F.coalesce(F.col("jlbl"), F.col("x.lbl"))).alias("lbl"),
             )
             .localCheckpoint(eager=True)
         )
@@ -128,7 +145,12 @@ def cluster_pairs(
         if changed == 0:
             break
     else:
-        raise RuntimeError(f"cluster_pairs did not converge in {max_iter} rounds")
+        raise RuntimeError(
+            f"cluster_pairs did not converge in {max_iter} rounds — with "
+            "pointer jumping that needs a component ~2^{max_iter} hops "
+            "across; pass a larger max_iter= if the pair graph really is "
+            "that pathological"
+        )
     w = Window.partitionBy("cluster_id")
     return (
         labels.select(F.col("v").alias("doc_id"), F.col("lbl").alias("cluster_id"))

@@ -48,7 +48,17 @@ def map_batches(df: DataFrame, func: Callable, schema, concat_result: bool = Tru
     explicitly a small-result convenience — per-chunk results must be
     DataFrames matching ``schema`` (the engine cannot ship untyped
     scalars), and the distributed shape to prefer is ``concat_result=True``
-    which never collects."""
+    which never collects.
+
+    Two documented divergences of the list arm from the reference:
+    (1) "chunk" means one ARROW BATCH (sized by
+    ``spark.sql.execution.arrow.maxRecordsPerBatch``, default 10k rows),
+    not the reference's n_cpu row slices — the list length differs;
+    (2) because each chunk round-trips through an Arrow frame carrying an
+    all-NULL marker row, non-nullable dtypes in ``func``'s output come
+    back nullable (int64 -> float64/object where the chunk held a NULL) —
+    call ``.convert_dtypes()`` or cast per ``schema`` on the entries if
+    exact dtypes matter."""
 
     def it_func(batches):
         for pdf in batches:

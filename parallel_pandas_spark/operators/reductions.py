@@ -711,7 +711,10 @@ def _java_repl(repl: str) -> str:
                 i = j - 1
             elif nxt == "g" and repl[i + 2 : i + 3] == "<":
                 j = repl.index(">", i + 3)
-                out.append("$" + repl[i + 3 : j])
+                # Java named-group references need braces: ${name} (bare
+                # $name is rejected by Matcher.replaceAll); numeric
+                # \g<1> tolerates either form, so emit braces uniformly
+                out.append("${" + repl[i + 3 : j] + "}")
                 i = j
             elif nxt == "\\":
                 out.append("\\\\")

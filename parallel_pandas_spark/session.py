@@ -44,6 +44,12 @@ def get_spark(
         # job, where pandas yields NaN/inf. This engine's contract
         # (documented throughout) encodes pandas' NaN as NULL, which is
         # exactly classic non-ANSI Spark division semantics.
+        #
+        # USER-VISIBLE CONTRACT: any SQL the caller runs through this
+        # session (spark.sql(...)) inherits non-ANSI arithmetic too —
+        # x/0 is NULL, not an error; overflowing casts wrap instead of
+        # raising. Run ANSI-dependent SQL on a separate session, or
+        # `SET spark.sql.ansi.enabled=true` per statement scope.
         .config("spark.sql.ansi.enabled", "false")
         # testdata events.parquet uses TIMESTAMP(NANOS); read as long nanos
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")

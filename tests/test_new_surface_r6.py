@@ -246,3 +246,45 @@ def test_pct_change_fill_limit_freq_vs_pandas(spark):
         ordered.pct_change(df, ["v"], ["i"], limit=2)
     with pytest.raises(ValueError):
         ordered.pct_change(df, ["v"], ["i"], fill_method="bogus")
+
+
+def test_replace_regex_named_group_java_translation(spark):
+    """re.sub named-group references (\\g<name>) must translate to Java's
+    ${name} — bare $name is rejected by Matcher.replaceAll at runtime."""
+    from parallel_pandas_spark.operators import reductions
+
+    pdf = pd.DataFrame({"s": ["ab12cd", "xy34zf", "nope"]})
+    df = from_pandas(spark, pdf)
+    out = reductions.replace_values(
+        df, {r"(?<num>\d+)": r"[\g<num>]"}, subset=["s"], regex=True
+    )
+    got = [r["s"] for r in out.orderBy("s").collect()]
+    ref = sorted(pd.Series(pdf["s"]).str.replace(r"(?P<num>\d+)", r"[\g<num>]", regex=True))
+    assert got == ref, (got, ref)
+
+
+def test_p_replace_regex_and_method_mutually_exclusive(spark):
+    from parallel_pandas_spark.api import ParallelFrame
+
+    df = from_pandas(spark, pd.DataFrame({"i": range(4), "v": ["a", "b", "a", "c"]}))
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        ParallelFrame(df).p_replace(
+            {"a": "z"}, regex=True, method="ffill", col="v", order_by=["i"]
+        )
+
+
+def test_cluster_pairs_long_chain_converges_logarithmically(spark):
+    """A 40-hop chain component must converge well under 40 rounds — the
+    pointer-jumping step doubles propagation distance per round."""
+    from parallel_pandas_spark.operators import dedup
+
+    n = 41
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    out = dedup.cluster_pairs(pairs, max_iter=10)  # O(log 40) ~ 6 rounds
+    rows = out.collect()
+    assert len(rows) == n
+    assert all(r["cluster_id"] == 0 for r in rows)
+    assert sum(r["is_canonical"] for r in rows) == 1
+    assert all(r["cluster_size"] == n for r in rows)
