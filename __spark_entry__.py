@@ -1255,7 +1255,13 @@ def stream_tumbling_live_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows-only (no SQL oracle can run a stream), but any live/batch value
     divergence now drops rows from the result, so the recorded row count
     itself carries value evidence — closing the hole the round-3 ts-schema
-    bug slipped through."""
+    bug slipped through.
+
+    r6: a second, STATEFUL arm (``applyInPandasWithState`` per-user
+    running totals, streaming/events.py:116-147) is unioned in under
+    window_start='__stateful__' rows, self-verified the same way against
+    the batch per-user totals — the custom-stateful-operator path now has
+    driver-visible value evidence too."""
     _utc(spark)
     stream = streaming_events.stream_events(spark, f"{sf_dir}/events.parquet")
     agg = streaming_events.stream_tumbling_counts(stream, "1 day", "2 days")
@@ -1288,12 +1294,58 @@ def stream_tumbling_live_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("live_n_events") == F.col("batch_n_events"))
         & (F.abs(F.col("live_sum_value") - F.col("batch_sum_value")) <= tol)
     )
-    return joined.filter(values_match).select(
+    tumbling_rows = joined.filter(values_match).select(
         "window_start",
         "event_type",
         F.col("live_n_events").alias("n_events"),
         F.lit(True).alias("values_match"),
     )
+
+    # --- stateful arm (r6): applyInPandasWithState driver-visible value
+    # evidence. The per-user running-totals stream runs to a memory sink;
+    # the LAST update per user (max n_events — the count is monotone) is
+    # its final state, full-outer-joined against the batch-computed
+    # totals. Only value-agreeing users survive, so these rows' count is
+    # value evidence for the custom stateful path too.
+    sstream = streaming_events.stream_events(spark, f"{sf_dir}/events.parquet")
+    stot = streaming_events.user_running_totals_stateful(sstream)
+    sout = streaming_events.run_stream_to_memory(
+        spark, stot, table="stream_stateful_live", mode="update"
+    )
+    live_u = (
+        sout.groupBy("user_id")
+        .agg(F.max(F.struct("n_events", "total_value")).alias("m"))
+        .select(
+            "user_id",
+            F.col("m.n_events").alias("live_n"),
+            F.col("m.total_value").alias("live_tot"),
+        )
+    )
+    batch_u = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("batch_n"),
+            F.sum(F.coalesce(F.col("value"), F.lit(0.0))).alias("batch_tot"),
+        )
+    )
+    ju = live_u.join(batch_u, "user_id", "full_outer")
+    tol_u = F.lit(1e-6) + F.lit(1e-9) * F.greatest(
+        F.abs("live_tot"), F.abs("batch_tot")
+    )
+    stateful_match = (
+        F.col("live_n").isNotNull()
+        & F.col("batch_n").isNotNull()
+        & (F.col("live_n") == F.col("batch_n"))
+        & (F.abs(F.col("live_tot") - F.col("batch_tot")) <= tol_u)
+    )
+    stateful_rows = ju.filter(stateful_match).select(
+        F.lit("__stateful__").alias("window_start"),
+        F.col("user_id").cast("string").alias("event_type"),
+        F.col("live_n").alias("n_events"),
+        F.lit(True).alias("values_match"),
+    )
+    return tumbling_rows.unionByName(stateful_rows)
 
 
 # =========================================================================
