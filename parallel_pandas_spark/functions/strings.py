@@ -74,11 +74,32 @@ def slice_(col, start: int = 0, stop: int | None = None):  # str.slice
 
 
 def zfill(col, width: int):  # str.zfill
-    return F.lpad(_c(col), width, "0")
+    """pandas semantics (r6 fuzz fix): NEVER truncates (Spark lpad cuts a
+    longer string to ``width``) and a leading +/- sign stays ahead of the
+    inserted zeros ('-5'.zfill(4) == '-005', not '00-5')."""
+    c = _c(col)
+    has_sign = c.rlike(r"^[+-]")
+    sign = F.when(has_sign, c.substr(1, 1)).otherwise(F.lit(""))
+    body = F.when(has_sign, c.substr(F.lit(2), F.length(c))).otherwise(c)
+    zeros = F.repeat(F.lit("0"), F.greatest(F.lit(0), F.lit(width) - F.length(c)))
+    return F.concat(sign, zeros, body)
 
 
 def pad(col, width: int, side: str = "left", fillchar: str = " "):
-    return (F.lpad if side == "left" else F.rpad)(_c(col), width, fillchar)
+    """pandas semantics (r6 fuzz fix): NEVER truncates; ``side='both'``
+    centers with the smaller half on the left ((width−len)//2)."""
+    c = _c(col)
+    n = F.greatest(F.lit(0), F.lit(width) - F.length(c))
+    if side == "left":
+        return F.concat(F.repeat(F.lit(fillchar), n), c)
+    if side == "right":
+        return F.concat(c, F.repeat(F.lit(fillchar), n))
+    if side != "both":
+        raise ValueError(f"side must be left/right/both, got {side!r}")
+    left = F.floor(n / 2).cast("int")
+    return F.concat(
+        F.repeat(F.lit(fillchar), left), c, F.repeat(F.lit(fillchar), n - left)
+    )
 
 
 def extract(col, pattern: str, groups: int) -> list[Column]:
@@ -107,7 +128,19 @@ def cat(cols, sep: str = ""):  # str.cat
 
 
 def title(col):
-    return F.initcap(_c(col))
+    """Python/pandas str.title semantics (r6 fuzz fix): a letter is
+    uppercased when it FOLLOWS ANY NON-LETTER (apostrophes, hyphens,
+    digits...), not only whitespace — "d'angelo-x" -> "D'Angelo-X" where
+    Spark's initcap gives "D'angelo-x". Per-char JVM transform (split →
+    transform-with-index → array_join), no Python path."""
+    c = _c(col)
+    chars = F.split(c, "")
+
+    def _tr(x, i):
+        prev_alpha = F.element_at(chars, i).rlike(r"^\p{L}$")  # 1-based: char before x
+        return F.when((i == F.lit(0)) | ~prev_alpha, F.upper(x)).otherwise(F.lower(x))
+
+    return F.array_join(F.transform(chars, _tr), "")
 
 
 def repeat(col, n: int):

@@ -144,8 +144,14 @@ def groupby_transform(
         for k in keys:
             c = F.col(k).isNotNull()
             keys_ok = c if keys_ok is None else (keys_ok & c)
+        from .reductions import MINCOUNT_IDENTITY
+
         for c in cols:
             expr = _TRANSFORM_FNS[func](c).over(w)
+            if func in MINCOUNT_IDENTITY:
+                # pandas min_count=0: an all-NULL group transforms to the
+                # identity (0 for sum, 1 for prod) on every row
+                expr = F.coalesce(expr, F.lit(MINCOUNT_IDENTITY[func]))
             if dropna:
                 expr = F.when(keys_ok, expr)
             out = out.withColumn(f"{c}_{suffix}", expr)

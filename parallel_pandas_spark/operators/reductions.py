@@ -94,7 +94,11 @@ def prod_min_count(col: str | Column, min_count: int = 0) -> Column:
     return F.when(F.count(c) >= min_count, p)
 
 
-#: stat name -> Column builder; mirrors the reference's patched p_* set.
+#: stat name -> RAW aggregate Column builder (window-composable: callers
+#: may apply .over()); mirrors the reference's patched p_* set. pandas'
+#: min_count=0 identities for sum/prod (all-NULL input -> 0 / 1, not
+#: SQL's NULL — r6 fuzz fix) live in MINCOUNT_IDENTITY and are applied by
+#: stat_expr() in aggregation context and post-.over() by transforms.
 STAT_EXPRS = {
     "min": F.min,
     "max": F.max,
@@ -117,11 +121,19 @@ STAT_EXPRS = {
 }
 
 
+#: pandas min_count=0 identity values (the int literal coerces to the
+#: aggregate's own type, so long sums stay long)
+MINCOUNT_IDENTITY = {"sum": 0, "prod": 1}
+
+
 def stat_expr(stat: str, col: str) -> Column:
     try:
-        return STAT_EXPRS[stat](col)
+        e = STAT_EXPRS[stat](col)
     except KeyError:
         raise ValueError(f"unknown stat {stat!r}; known: {sorted(STAT_EXPRS)}") from None
+    if stat in MINCOUNT_IDENTITY:
+        e = F.coalesce(e, F.lit(MINCOUNT_IDENTITY[stat]))
+    return e
 
 
 def agg_stats(df: DataFrame, cols: Sequence[str], stats: Sequence[str]) -> DataFrame:
@@ -711,10 +723,11 @@ def _java_repl(repl: str) -> str:
                 i = j - 1
             elif nxt == "g" and repl[i + 2 : i + 3] == "<":
                 j = repl.index(">", i + 3)
+                ref = repl[i + 3 : j]
                 # Java named-group references need braces: ${name} (bare
-                # $name is rejected by Matcher.replaceAll); numeric
-                # \g<1> tolerates either form, so emit braces uniformly
-                out.append("${" + repl[i + 3 : j] + "}")
+                # $name is rejected by Matcher.replaceAll) — but NUMERIC
+                # refs must stay bare: ${1} is an invalid group NAME
+                out.append(("$" + ref) if ref.isdigit() else ("${" + ref + "}"))
                 i = j
             elif nxt == "\\":
                 out.append("\\\\")

@@ -53,6 +53,17 @@ def get_spark(
         .config("spark.sql.ansi.enabled", "false")
         # testdata events.parquet uses TIMESTAMP(NANOS); read as long nanos
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # scan-split granularity (r6): the default 128m leaves a
+        # single-file table as ONE scan task — at sf1 that serializes the
+        # whole map side (6M-row partial aggregation on one core; measured
+        # super-linear slope on stats_battery/apply_demean). 16m engages
+        # every core wherever the file's row-group layout allows a split.
+        # On a real multi-file 100 TB layout the default is fine — this
+        # knob matters exactly when file count < core count.
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "16m"),
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.python.worker.reuse", "true")
         # generated-class cache: the default 100 entries thrashes once a

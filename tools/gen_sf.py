@@ -49,7 +49,13 @@ DAY = np.timedelta64(1, "D").astype("timedelta64[us]")
 
 
 def _write(out_dir: str, name: str, table: pa.Table) -> None:
-    pq.write_table(table, os.path.join(out_dir, f"{name}.parquet"))
+    # small row groups so Spark can split the single file across cores
+    # (a task maps to the row groups whose start offset falls in its byte
+    # range — pyarrow's default 1M-row groups would cap lineitem at ~6
+    # scan tasks)
+    pq.write_table(
+        table, os.path.join(out_dir, f"{name}.parquet"), row_group_size=131_072
+    )
     print(f"  {name}: {table.num_rows} rows")
 
 
