@@ -429,7 +429,8 @@ class ParallelRolling:
             raise NotImplementedError(
                 f"rolling(center=/closed=).{op} is not supported yet; the "
                 "standard aggregations (mean/sum/min/max/std/var/median/"
-                "count/skew/kurt/sem) honor center/closed"
+                "count/skew/kurt/sem) plus quantile and rank honor "
+                "center/closed"
             )
 
     def p_quantile(self, col, q, **kw):
@@ -437,9 +438,19 @@ class ParallelRolling:
             raise NotImplementedError(
                 "rolling(win_type=).quantile is not a weighted aggregation"
             )
-        self._no_shape_kw("quantile")
         return windows.rolling_quantile(
-            self.df, col, self.window, q, self.order_by, self.partition_by, **kw
+            self.df, col, self.window, q, self.order_by, self.partition_by,
+            center=self.center, closed=self.closed, **kw
+        )
+
+    def p_rank(self, col, **kw):
+        if self.win_type:
+            raise NotImplementedError(
+                "rolling(win_type=).rank is not a weighted aggregation"
+            )
+        return windows.rolling_rank(
+            self.df, col, self.window, self.order_by, self.partition_by,
+            center=self.center, closed=self.closed, **kw
         )
 
     def p_apply(self, col, func, **kw):

@@ -302,9 +302,12 @@ def rolling_quantile(
     partition_by: Sequence[str] | None = None,
     min_periods: int | None = None,
     out_col: str | None = None,
+    center: bool = False,
+    closed: str | None = None,
+    interpolation: str = "linear",
 ) -> DataFrame:
-    """Exact linear-interpolation quantile over a moving frame — one-q
-    convenience over :func:`rolling_quantiles`."""
+    """Exact quantile over a moving frame — one-q convenience over
+    :func:`rolling_quantiles`."""
     return rolling_quantiles(
         df,
         col,
@@ -313,6 +316,9 @@ def rolling_quantile(
         order_by,
         partition_by,
         min_periods,
+        center=center,
+        closed=closed,
+        interpolation=interpolation,
     )
 
 
@@ -324,13 +330,18 @@ def rolling_quantiles(
     order_by: Sequence[str],
     partition_by: Sequence[str] | None = None,
     min_periods: int | None = None,
+    center: bool = False,
+    closed: str | None = None,
+    interpolation: str = "linear",
 ) -> DataFrame:
     """Exact quantiles over a moving frame, every requested ``q`` from ONE
     frame materialization: ``collect_list`` over the frame, one
     ``array_sort``, then each quantile is Spark ``Percentile``'s own
     interpolation ((hi−pos)·lower + (pos−lo)·higher, exact value when the
     position is integral) on the sorted array — values bit-identical to
-    ``percentile(col, q).over(w)``.
+    ``percentile(col, q).over(w)``. ``interpolation`` supports the full
+    pandas set: linear/lower/higher/nearest/midpoint (r6 — the reference
+    forwards Rolling.quantile's interpolation arg).
 
     Why not ``percentile().over(w)`` directly: Percentile is an imperative
     (ObjectAggregate) function, so a sliding frame rebuilds its
@@ -341,11 +352,19 @@ def rolling_quantiles(
     windows prefer rolling_apply (pandas' O(1)-amortized sliding skiplist).
     """
     mp = window if min_periods is None else min_periods
-    w = _ordered_window(order_by, partition_by).rowsBetween(-(window - 1), 0)
+    start, end = fixed_frame_bounds(window, center, closed)
+    if end < start:
+        out = df
+        for out_col in qs:
+            out = out.withColumn(out_col, F.lit(None).cast("double"))
+        return out
+    w = _ordered_window(order_by, partition_by).rowsBetween(start, end)
     # one window evaluation, one sort: each lives in its OWN projection so
     # CollapseProject cannot inline (and so duplicate) them per consumer
     out = df.withColumn("__rq_vals", F.collect_list(F.col(col)).over(w))
     out = out.withColumn("__rq_srt", F.array_sort(F.col("__rq_vals")))
+    if interpolation not in ("linear", "lower", "higher", "nearest", "midpoint"):
+        raise ValueError(f"unknown interpolation {interpolation!r}")
     srt = F.col("__rq_srt")
     n = F.size(srt)
     for out_col, q in qs.items():
@@ -353,12 +372,22 @@ def rolling_quantiles(
         lo = F.floor(pos).cast("long")
         hi = F.ceil(pos).cast("long")
         lower = F.element_at(srt, (lo + 1).cast("int")).cast("double")
+        higher = F.element_at(srt, (hi + 1).cast("int")).cast("double")
         exact = hi == lo
-        interp = (hi.cast("double") - pos) * lower + (
-            pos - lo.cast("double")
-        ) * F.element_at(srt, (hi + 1).cast("int")).cast("double")
+        if interpolation == "linear":
+            between = (hi.cast("double") - pos) * lower + (pos - lo.cast("double")) * higher
+        elif interpolation == "lower":
+            between = lower
+        elif interpolation == "higher":
+            between = higher
+        elif interpolation == "midpoint":
+            between = (lower + higher) / 2.0
+        else:  # nearest: round-half-to-EVEN index, numpy/pandas convention
+            frac = pos - lo.cast("double")
+            pick_hi = (frac > 0.5) | ((frac == 0.5) & (hi % 2 == 0))
+            between = F.when(pick_hi, higher).otherwise(lower)
         out = out.withColumn(
-            out_col, F.when(n >= mp, F.when(exact, lower).otherwise(interp))
+            out_col, F.when(n >= mp, F.when(exact, lower).otherwise(between))
         )
     return out.drop("__rq_vals", "__rq_srt")
 
@@ -371,23 +400,61 @@ def rolling_rank(
     partition_by: Sequence[str] | None = None,
     min_periods: int | None = None,
     out_col: str | None = None,
+    center: bool = False,
+    closed: str | None = None,
+    method: str = "average",
+    pct: bool = False,
 ) -> DataFrame:
-    """pandas ``rolling.rank()`` (method='average', pct=False): the rank
-    of the CURRENT value among the frame's values. No window primitive
-    compares frame rows to the current row, so the frame is materialized
+    """pandas ``rolling.rank(method=, pct=)`` (r6: full arg surface —
+    'average'/'min'/'max' and the pct fraction-of-frame form): the rank
+    of the FRAME'S LAST element among the frame's values — pinned
+    empirically; with ``center``/``closed`` frames the ranked element is
+    the frame-end row, NOT the current row (e.g. closed='left' ranks the
+    previous row's value within the lagged frame). No window primitive
+    compares frame rows to a chosen row, so the frame is materialized
     with ``collect_list`` (O(window) per row — fine for small windows; use
     rolling_apply for large ones) and the average rank is
-    count_less + (count_equal + 1)/2 via array filters — all JVM-side."""
+    count_less + (count_equal + 1)/2 via array filters — all JVM-side.
+    NaNs in the frame are excluded from ranking (collect_list drops
+    NULLs); a NULL frame-end value yields NULL, like pandas.
+
+    Known divergence (deliberate): at the LAST ``end`` rows of a
+    partition, a lookahead frame (center=True, or closed frames with a
+    FOLLOWING edge) clips — we rank the clipped frame's actual last
+    element. pandas 2.2 instead repeats the rank computed at the last
+    position where its streaming skiplist inserted a value (removals
+    never refresh it), emitting stale ranks that can EXCEED the window
+    size (rolling(3, center=True).rank() returns 4.0 on monotonic data).
+    That is internal-state leakage, not a semantics worth replicating."""
     mp = window if min_periods is None else min_periods
     out_col = out_col or f"{col}_roll_rank"
-    w = _ordered_window(order_by, partition_by).rowsBetween(-(window - 1), 0)
-    vals = F.collect_list(F.col(col)).over(w)  # frame-ordered; last = current
-    cur = F.element_at(vals, -1)
+    start, end = fixed_frame_bounds(window, center, closed)
+    if end < start:
+        return df.withColumn(out_col, F.lit(None).cast("double"))
+    w = _ordered_window(order_by, partition_by).rowsBetween(start, end)
+    vals = F.collect_list(F.col(col)).over(w)  # frame-ordered, NULLs dropped
+    if end == 0:
+        cur = F.col(col)
+    else:
+        # the frame-end ROW's value: last() over the SAME frame keeps the
+        # partition-edge clipping pandas applies (a lead() would overshoot
+        # past the partition tail and return NULL where pandas ranks the
+        # clipped frame's own last row)
+        cur = F.last(F.col(col), ignorenulls=False).over(w)
     less = F.size(F.filter(vals, lambda v: v < cur))
     eq = F.size(F.filter(vals, lambda v: v == cur))
-    rank = less.cast("double") + (eq.cast("double") + 1.0) / 2.0
-    guard = F.count(col).over(w) >= mp
-    return df.withColumn(out_col, F.when(guard & F.col(col).isNotNull(), rank))
+    if method == "average":
+        rank = less.cast("double") + (eq.cast("double") + 1.0) / 2.0
+    elif method == "min":
+        rank = less.cast("double") + 1.0
+    elif method == "max":
+        rank = less.cast("double") + eq.cast("double")
+    else:
+        raise ValueError(f"rank method must be average/min/max, got {method!r}")
+    if pct:
+        rank = rank / F.size(vals).cast("double")
+    guard = F.size(vals) >= mp
+    return df.withColumn(out_col, F.when(guard & cur.isNotNull(), rank))
 
 
 def expanding(

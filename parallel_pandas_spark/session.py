@@ -73,7 +73,12 @@ def get_spark(
         # cluster keeps its compiled classes; so do we.
         .config("spark.sql.codegen.cache.maxEntries", "2000")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # local[32] runs every task in the driver JVM: 32 concurrent
+        # external sorts share the execution-memory pool, and an 8g heap
+        # measurably spilled the sf1 window sorts (ordered_battery 48 s ->
+        # 15 s at 48g, r6 slope study). A real cluster sizes executor
+        # memory to its partition budget; locally we take the RAM we have.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -134,7 +134,7 @@ def test_rolling_weighted_rejects_center_closed(spark):
         roll.p_mean(["v"])
     roll2 = ParallelFrame(df).rolling(5, ["i"], closed="left")
     with pytest.raises(NotImplementedError):
-        roll2.p_quantile("v", 0.5)
+        roll2.p_cov("v", "v")  # cov/corr does not take shaped frames yet
 
 
 def test_describe_percentiles_include_exclude_vs_pandas(spark):
@@ -288,3 +288,84 @@ def test_cluster_pairs_long_chain_converges_logarithmically(spark):
     assert all(r["cluster_id"] == 0 for r in rows)
     assert sum(r["is_canonical"] for r in rows) == 1
     assert all(r["cluster_size"] == n for r in rows)
+
+
+def test_rolling_quantile_rank_center_closed_vs_pandas(spark):
+    """quantile and rank under every center × closed frame vs pandas —
+    including the pinned subtlety that rolling.rank ranks the FRAME-END
+    element (for closed='left' that is the previous row's value), not the
+    current row."""
+    rng = np.random.default_rng(70)
+    n = 50
+    v = rng.integers(0, 8, n).astype(float)  # ties for rank
+    v[rng.choice(n, 6, replace=False)] = np.nan
+    pdf = pd.DataFrame({"g": rng.integers(0, 2, n), "i": range(n), "v": v})
+    df = from_pandas(spark, pdf)
+
+    for w in (3, 5):
+        for center in (False, True):
+            for closed in ("right", "left", "both", "neither"):
+                r = windows.rolling_quantile(
+                    df, "v", w, 0.5, ["i"], partition_by=["g"],
+                    min_periods=2, out_col="v_med", center=center, closed=closed,
+                )
+                r = windows.rolling_rank(
+                    r, "v", w, ["i"], partition_by=["g"], min_periods=2,
+                    out_col="v_rank", center=center, closed=closed,
+                )
+                got = {row["i"]: row.asDict() for row in r.collect()}
+                _, end = windows.fixed_frame_bounds(w, center, closed)
+                for g, grp in pdf.groupby("g"):
+                    grp = grp.sort_values("i")
+                    roll = grp["v"].rolling(w, min_periods=2, center=center, closed=closed)
+                    ctx = (w, center, closed, g)
+                    _assert_series_match(got, grp["i"], roll.quantile(0.5), "v_med", ctx)
+                    # rank: skip the last `end` rows per group — pandas'
+                    # streaming skiplist emits STALE ranks where a
+                    # lookahead frame clips (can exceed the window size;
+                    # divergence documented on rolling_rank)
+                    keep = grp["i"].iloc[: len(grp) - end if end > 0 else len(grp)]
+                    _assert_series_match(
+                        got, keep, roll.rank().iloc[: len(keep)], "v_rank", ctx
+                    )
+
+
+def test_rolling_quantile_interpolation_and_rank_methods_vs_pandas(spark):
+    """Rolling.quantile interpolation variants + rank method/pct — the
+    remaining ctor/kwarg surface the reference forwards to pandas."""
+    rng = np.random.default_rng(71)
+    n = 40
+    v = rng.integers(0, 9, n).astype(float)
+    pdf = pd.DataFrame({"i": range(n), "v": v})
+    df = from_pandas(spark, pdf)
+    w = 5
+
+    for interp in ("linear", "lower", "higher", "nearest", "midpoint"):
+        for q in (0.25, 0.5, 0.77):
+            r = windows.rolling_quantile(
+                df, "v", w, q, ["i"], min_periods=2, out_col="vq",
+                interpolation=interp,
+            )
+            got = {row["i"]: row["vq"] for row in r.collect()}
+            ref = pdf["v"].rolling(w, min_periods=2).quantile(q, interpolation=interp)
+            for i in pdf["i"]:
+                rv, gv = ref.iloc[i], got[i]
+                if isinstance(rv, float) and math.isnan(rv):
+                    assert gv is None, (interp, q, i)
+                else:
+                    assert gv == pytest.approx(rv, abs=1e-12), (interp, q, i, gv, rv)
+
+    for method in ("average", "min", "max"):
+        for pct in (False, True):
+            r = windows.rolling_rank(
+                df, "v", w, ["i"], min_periods=2, out_col="vr",
+                method=method, pct=pct,
+            )
+            got = {row["i"]: row["vr"] for row in r.collect()}
+            ref = pdf["v"].rolling(w, min_periods=2).rank(method=method, pct=pct)
+            for i in pdf["i"]:
+                rv, gv = ref.iloc[i], got[i]
+                if isinstance(rv, float) and math.isnan(rv):
+                    assert gv is None, (method, pct, i)
+                else:
+                    assert gv == pytest.approx(rv, abs=1e-12), (method, pct, i, gv, rv)
