@@ -477,6 +477,30 @@ class ParallelRolling:
 
     p_corr = p_cov  # one pass emits both _roll_cov and _roll_corr columns
 
+    def p_agg(self, spec, **kw):
+        """pandas ``Rolling.agg`` / ``aggregate`` spec (reference op set
+        main.py:44-46 includes aggregate/agg): str, list[str], or
+        {col: str | list[str]}. All stats for one column share the SAME
+        window pipeline (one Exchange + Sort), so a 5-stat agg costs one
+        sort, not five."""
+        if self.win_type:
+            raise NotImplementedError("rolling(win_type=).agg is not supported")
+        if isinstance(spec, str):
+            raise ValueError("rolling.p_agg(str) needs columns: pass {col: stat}")
+        if not isinstance(spec, dict):
+            raise TypeError(f"agg spec must be dict {{col: stat|[stats]}}, got {type(spec)}")
+        out = self.df
+        for c, stats in spec.items():
+            stats = [stats] if isinstance(stats, str) else list(stats)
+            out = windows.rolling(
+                out, [c], self.window, self.order_by, tuple(stats),
+                self.partition_by, kw.get("min_periods"),
+                center=self.center, closed=self.closed,
+            )
+        return out
+
+    p_aggregate = p_agg
+
 
 class ParallelExpanding:
     def __init__(self, df, order_by, partition_by):
@@ -498,6 +522,59 @@ class ParallelExpanding:
 
     def p_max(self, cols, **kw):
         return self._agg(cols, ("max",), **kw)
+
+    def p_std(self, cols, **kw):
+        return self._agg(cols, ("std",), **kw)
+
+    def p_var(self, cols, **kw):
+        return self._agg(cols, ("var",), **kw)
+
+    def p_median(self, cols, **kw):
+        return self._agg(cols, ("median",), **kw)
+
+    def p_count(self, cols, **kw):
+        return self._agg(cols, ("count",), **kw)
+
+    def p_skew(self, cols, **kw):
+        return self._agg(cols, ("skew",), **kw)
+
+    def p_kurt(self, cols, **kw):
+        return self._agg(cols, ("kurt",), **kw)
+
+    def p_sem(self, cols, **kw):
+        return self._agg(cols, ("sem",), **kw)
+
+    def p_quantile(self, col, q, **kw):
+        return windows.expanding_quantile(
+            self.df, col, q, self.order_by, self.partition_by, **kw
+        )
+
+    def p_rank(self, col, **kw):
+        return windows.expanding_rank(
+            self.df, col, self.order_by, self.partition_by, **kw
+        )
+
+    def p_apply(self, col, func, **kw):
+        if not self.partition_by:
+            raise ValueError("expanding.p_apply requires partition_by (per-group Arrow)")
+        return windows.expanding_apply(
+            self.df, col, func, self.order_by, self.partition_by, **kw
+        )
+
+    def p_agg(self, spec, **kw):
+        """Expanding.agg spec — same contract as Rolling.p_agg."""
+        if not isinstance(spec, dict):
+            raise TypeError(f"agg spec must be dict {{col: stat|[stats]}}, got {type(spec)}")
+        out = self.df
+        for c, stats in spec.items():
+            stats = [stats] if isinstance(stats, str) else list(stats)
+            out = windows.expanding(
+                out, [c], self.order_by, tuple(stats), self.partition_by,
+                kw.get("min_periods", 1),
+            )
+        return out
+
+    p_aggregate = p_agg
 
 
 class ParallelEWM:

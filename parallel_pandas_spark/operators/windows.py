@@ -50,7 +50,10 @@ _ROLL_FNS = {
     "max": lambda c, w: F.max(c).over(w),
     "std": lambda c, w: F.stddev_samp(c).over(w),
     "var": lambda c, w: F.var_samp(c).over(w),
-    "median": lambda c, w: F.median(c).over(w),
+    # Spark 4 rejects median() with a window frame
+    # (INVALID_WINDOW_SPEC_FOR_AGGREGATION_FUNC); percentile(c, 0.5) is
+    # the same exact interpolated median and IS frame-composable
+    "median": lambda c, w: F.expr(f"percentile(`{c}`, 0.5)").over(w),
     "count": lambda c, w: F.count(c).over(w),
     "skew": _w_skew,
     "kurt": _w_kurt,
@@ -333,6 +336,7 @@ def rolling_quantiles(
     center: bool = False,
     closed: str | None = None,
     interpolation: str = "linear",
+    _frame: tuple[int, int] | None = None,
 ) -> DataFrame:
     """Exact quantiles over a moving frame, every requested ``q`` from ONE
     frame materialization: ``collect_list`` over the frame, one
@@ -352,7 +356,7 @@ def rolling_quantiles(
     windows prefer rolling_apply (pandas' O(1)-amortized sliding skiplist).
     """
     mp = window if min_periods is None else min_periods
-    start, end = fixed_frame_bounds(window, center, closed)
+    start, end = _frame if _frame is not None else fixed_frame_bounds(window, center, closed)
     if end < start:
         out = df
         for out_col in qs:
@@ -404,6 +408,7 @@ def rolling_rank(
     closed: str | None = None,
     method: str = "average",
     pct: bool = False,
+    _frame: tuple[int, int] | None = None,
 ) -> DataFrame:
     """pandas ``rolling.rank(method=, pct=)`` (r6: full arg surface —
     'average'/'min'/'max' and the pct fraction-of-frame form): the rank
@@ -428,7 +433,7 @@ def rolling_rank(
     That is internal-state leakage, not a semantics worth replicating."""
     mp = window if min_periods is None else min_periods
     out_col = out_col or f"{col}_roll_rank"
-    start, end = fixed_frame_bounds(window, center, closed)
+    start, end = _frame if _frame is not None else fixed_frame_bounds(window, center, closed)
     if end < start:
         return df.withColumn(out_col, F.lit(None).cast("double"))
     w = _ordered_window(order_by, partition_by).rowsBetween(start, end)
@@ -478,6 +483,93 @@ def expanding(
                 f"{c}_exp_{fn}", F.when(guard, _ROLL_FNS[fn](c, w))
             )
     return out
+
+
+#: "unbounded preceding .. current row" as a rowsBetween pair, usable as
+#: the _frame override of the rolling quantile/rank kernels
+_EXPANDING_FRAME = (Window.unboundedPreceding, 0)
+
+
+def expanding_quantile(
+    df: DataFrame,
+    col: str,
+    q: float,
+    order_by: Sequence[str],
+    partition_by: Sequence[str] | None = None,
+    min_periods: int = 1,
+    out_col: str | None = None,
+    interpolation: str = "linear",
+) -> DataFrame:
+    """pandas ``Expanding.quantile`` — the rolling quantile kernel on the
+    unbounded-preceding frame (reference ROLL_AND_EXP_OPS applies the
+    same op set to Expanding, main.py:44-46)."""
+    return rolling_quantiles(
+        df, col, max(min_periods, 1),
+        {out_col or f"{col}_exp_q{q}": q},
+        order_by, partition_by, min_periods,
+        interpolation=interpolation, _frame=_EXPANDING_FRAME,
+    )
+
+
+def expanding_rank(
+    df: DataFrame,
+    col: str,
+    order_by: Sequence[str],
+    partition_by: Sequence[str] | None = None,
+    min_periods: int = 1,
+    out_col: str | None = None,
+    method: str = "average",
+    pct: bool = False,
+) -> DataFrame:
+    """pandas ``Expanding.rank`` — the rolling rank kernel on the
+    unbounded-preceding frame (current row is the frame end)."""
+    return rolling_rank(
+        df, col, max(min_periods, 1), order_by, partition_by, min_periods,
+        out_col=out_col or f"{col}_exp_rank", method=method, pct=pct,
+        _frame=_EXPANDING_FRAME,
+    )
+
+
+def expanding_apply(
+    df: DataFrame,
+    col: str,
+    func,
+    order_by: Sequence[str],
+    partition_by: Sequence[str],
+    min_periods: int = 1,
+    out_col: str | None = None,
+    out_type: str = "double",
+) -> DataFrame:
+    """pandas ``Expanding.apply(raw=True)`` — same partition-wise Arrow
+    shape as :func:`rolling_apply` with the expanding frame."""
+    out_col = out_col or f"{col}_exp_apply"
+    order_cols = list(order_by)
+    part_cols = list(partition_by)
+    schema = (
+        f"{', '.join(f'{f.name} {f.dataType.simpleString()}' for f in df.schema.fields)},"
+        f" {out_col} {out_type}"
+    )
+
+    def _apply_partition(batches):
+        import pandas as pd
+
+        buf = list(batches)
+        if not buf:
+            return
+        pdf = pd.concat(buf, ignore_index=True)
+        pdf[out_col] = (
+            pdf.groupby(part_cols, sort=False, group_keys=False)[col]
+            .expanding(min_periods=min_periods)
+            .apply(func, raw=True)
+            .to_numpy()
+        )
+        yield pdf
+
+    return (
+        df.repartition(*part_cols)
+        .sortWithinPartitions(*part_cols, *order_cols)
+        .mapInPandas(_apply_partition, schema=schema)
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -369,3 +369,66 @@ def test_rolling_quantile_interpolation_and_rank_methods_vs_pandas(spark):
                     assert gv is None, (method, pct, i)
                 else:
                     assert gv == pytest.approx(rv, abs=1e-12), (method, pct, i, gv, rv)
+
+
+def test_rolling_expanding_agg_spec_vs_pandas(spark):
+    """Rolling.agg / Expanding.agg dict specs (reference op set includes
+    aggregate/agg, main.py:44-46) vs pandas."""
+    from parallel_pandas_spark.api import ParallelFrame
+
+    rng = np.random.default_rng(72)
+    n = 40
+    pdf = pd.DataFrame({"i": range(n), "v": rng.normal(5, 2, n).round(3),
+                        "u": rng.integers(1, 9, n).astype(float)})
+    df = from_pandas(spark, pdf)
+
+    r = ParallelFrame(df).rolling(4, ["i"]).p_agg({"v": ["mean", "std"], "u": "sum"})
+    got = {row["i"]: row.asDict() for row in r.collect()}
+    roll = pdf.rolling(4)
+    for name, ref in (("v_roll_mean", roll["v"].mean()), ("v_roll_std", roll["v"].std()),
+                      ("u_roll_sum", roll["u"].sum())):
+        _assert_series_match(got, pdf["i"], ref, name, name)
+
+    e = ParallelFrame(df).expanding(["i"]).p_agg({"v": ["median", "var"]})
+    got = {row["i"]: row.asDict() for row in e.collect()}
+    exp = pdf.expanding()
+    _assert_series_match(got, pdf["i"], exp["v"].median(), "v_exp_median", "em")
+    _assert_series_match(got, pdf["i"], exp["v"].var(), "v_exp_var", "ev")
+
+    with pytest.raises(TypeError):
+        ParallelFrame(df).rolling(4, ["i"]).p_agg(["mean"])
+
+
+def test_expanding_full_op_set_vs_pandas(spark):
+    """The reference applies the SAME op list to Expanding as Rolling
+    (ROLL_AND_EXP_OPS, main.py:44-46): skew/kurt/sem/quantile/rank/apply
+    now exist on the expanding surface too."""
+    from parallel_pandas_spark.api import ParallelFrame
+
+    rng = np.random.default_rng(73)
+    n = 50
+    pdf = pd.DataFrame({
+        "g": rng.integers(0, 2, n), "i": range(n),
+        "v": rng.normal(3, 2, n).round(3),
+    })
+    df = from_pandas(spark, pdf)
+    pf = ParallelFrame(df)
+
+    r = pf.expanding(["i"], ["g"]).p_skew(["v"])
+    r = ParallelFrame(r).expanding(["i"], ["g"]).p_sem(["v"])
+    r = windows.expanding_quantile(r, "v", 0.3, ["i"], ["g"], out_col="vq")
+    r = windows.expanding_rank(r, "v", ["i"], ["g"], out_col="vr", method="min")
+    r = windows.expanding_apply(
+        r, "v", lambda a: float(np.ptp(a)), ["i"], ["g"], out_col="va"
+    )
+    got = {row["i"]: row.asDict() for row in r.collect()}
+    for g, grp in pdf.groupby("g"):
+        grp = grp.sort_values("i")
+        exp = grp["v"].expanding()
+        refs = {
+            "v_exp_skew": exp.skew(), "v_exp_sem": exp.sem(),
+            "vq": exp.quantile(0.3), "vr": exp.rank(method="min"),
+            "va": grp["v"].expanding().apply(lambda a: float(np.ptp(a)), raw=True),
+        }
+        for name, series in refs.items():
+            _assert_series_match(got, grp["i"], series, name, (g, name))
