@@ -2364,16 +2364,33 @@ def set_ops_quantity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 WITH s AS (
   SELECT l_orderkey, l_linenumber, l_suppkey, l_quantity,
-         CAST(FLOOR(CAST(l_quantity AS DOUBLE)*1000000.0 + 0.5) AS BIGINT) AS q6
+         CAST(FLOOR(CAST(l_quantity AS DOUBLE)*1000000.0 + 0.5) AS BIGINT) AS q6,
+         CASE WHEN l_quantity <> 25 THEN CAST(l_quantity AS DOUBLE) END AS qn
   FROM lineitem
+), f AS (
+  SELECT l_orderkey, l_linenumber, l_suppkey, l_quantity, q6, qn,
+    last_value(qn IGNORE NULLS) OVER (PARTITION BY l_suppkey
+      ORDER BY l_orderkey, l_linenumber, l_quantity
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS f_pad,
+    last_value(qn IGNORE NULLS) OVER (PARTITION BY l_suppkey
+      ORDER BY l_orderkey, l_linenumber, l_quantity
+      ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) AS f_padlim,
+    first_value(qn IGNORE NULLS) OVER (PARTITION BY l_suppkey
+      ORDER BY l_orderkey, l_linenumber, l_quantity
+      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS f_bfill
+  FROM s
 )
 SELECT l_orderkey, l_linenumber,
   CAST(SUM(q6) OVER w AS DOUBLE)/1000000.0 AS qty_cumsum,
   MAX(l_quantity) OVER w AS qty_cummax,
   MIN(l_quantity) OVER w AS qty_cummin,
   LAG(l_quantity, 1) OVER wo AS qty_shift,
-  l_quantity / LAG(l_quantity, 1) OVER wo - 1 AS qty_pct_change
-FROM s
+  l_quantity / LAG(l_quantity, 1) OVER wo - 1 AS qty_pct_change,
+  f_pad    / lag(f_pad)    OVER wo - 1 AS pc_pad,
+  f_padlim / lag(f_padlim) OVER wo - 1 AS pc_padlim,
+  f_bfill  / lag(f_bfill)  OVER wo - 1 AS pc_bfill,
+  qn       / lag(qn)       OVER wo - 1 AS pc_none
+FROM f
 WINDOW
   w AS (PARTITION BY l_suppkey ORDER BY l_orderkey, l_linenumber, l_quantity
         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
@@ -2383,15 +2400,34 @@ WINDOW
 def cumulative_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """cumsum/cummax/cummin + shift + pct_change in one ordered pass per
     group (reference ParallelizeAccumFunc parallel_dataframe.py:864-916,
-    p_pct_change 465-489). One window spec, all scans share the sort."""
+    p_pct_change 465-489), FUSED (r6) with the
+    ``pct_change(fill_method=/limit=)`` arms — pandas fills first
+    ('pad'/'pad,limit=1'/'bfill'), then ratios the filled series (a gap
+    inside a run of filled values yields 0.0); NULLs injected by voiding
+    l_quantity=25. Every column shares PARTITION BY l_suppkey and the
+    same 3-column order, so the plan stays ONE Exchange + ONE Sort with
+    stacked Window nodes — the former standalone pctfill part scanned
+    and shuffled lineitem a second time for the identical pipeline."""
     li = load_table(spark, sf_dir, "lineitem").withColumn(
         "q6", F.floor(F.col("l_quantity") * F.lit(1e6) + F.lit(0.5)).cast("long")
+    ).withColumn(
+        "qn", F.when(F.col("l_quantity") != 25, F.col("l_quantity").cast("double"))
     )
     r = ordered.cumsum(li, ["q6"], _LI_ORD, partition_by=["l_suppkey"])
     r = ordered.cummax(r, ["l_quantity"], _LI_ORD, partition_by=["l_suppkey"])
     r = ordered.cummin(r, ["l_quantity"], _LI_ORD, partition_by=["l_suppkey"])
     r = ordered.shift(r, ["l_quantity"], _LI_ORD, partition_by=["l_suppkey"])
     r = ordered.pct_change(r, ["l_quantity"], _LI_ORD, partition_by=["l_suppkey"])
+    for out_name, kw in [
+        ("pc_pad", dict(fill_method="pad")),
+        ("pc_padlim", dict(fill_method="pad", limit=1)),
+        ("pc_bfill", dict(fill_method="bfill")),
+        ("pc_none", {}),
+    ]:
+        r = ordered.pct_change(
+            r, ["qn"], _LI_ORD, partition_by=["l_suppkey"],
+            suffix=f"__{out_name}", **kw,
+        ).withColumnRenamed(f"qn__{out_name}", out_name)
     return r.select(
         "l_orderkey",
         "l_linenumber",
@@ -2400,6 +2436,7 @@ def cumulative_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_quantity_cummin").alias("qty_cummin"),
         F.col("l_quantity_shift").alias("qty_shift"),
         F.col("l_quantity_pct_change").alias("qty_pct_change"),
+        "pc_pad", "pc_padlim", "pc_bfill", "pc_none",
     )
 
 
@@ -2626,32 +2663,66 @@ def rolling_std_var(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rolling_time_events",
     """
 WITH s AS (
-  SELECT event_id, user_id, value,
-         CAST(FLOOR(epoch(ts)) AS BIGINT) AS ep,
+  SELECT event_id, user_id, epoch_us(ts) AS ep,
          CAST(FLOOR(CAST(value AS DOUBLE)*1000000.0 + 0.5) AS BIGINT) AS v6
   FROM events
 )
 SELECT event_id,
-  COUNT(v6) OVER w AS n_1h,
-  CAST(SUM(v6) OVER w AS DOUBLE)/1000000.0 AS sum_1h
+  COUNT(v6) OVER w1h AS n_1h,
+  CAST(SUM(v6) OVER w1h AS DOUBLE)/1000000.0 AS sum_1h,
+  CAST(SUM(v6) OVER wr AS DOUBLE)/1000000.0 AS sum_right,
+  CAST(SUM(v6) OVER wl AS DOUBLE)/1000000.0 AS sum_left,
+  CAST(SUM(v6) OVER wb AS DOUBLE)/1000000.0 AS sum_both,
+  CAST(SUM(v6) OVER wn AS DOUBLE)/1000000.0 AS sum_neither,
+  COUNT(v6) OVER wr AS n_right
 FROM s
-WINDOW w AS (PARTITION BY user_id ORDER BY ep RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+WINDOW
+  w1h AS (PARTITION BY user_id ORDER BY ep RANGE BETWEEN 3599999999 PRECEDING AND CURRENT ROW),
+  wr AS (PARTITION BY user_id ORDER BY ep RANGE BETWEEN 599999999 PRECEDING AND CURRENT ROW),
+  wl AS (PARTITION BY user_id ORDER BY ep RANGE BETWEEN 600000000 PRECEDING AND 1 PRECEDING),
+  wb AS (PARTITION BY user_id ORDER BY ep RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW),
+  wn AS (PARTITION BY user_id ORDER BY ep RANGE BETWEEN 599999999 PRECEDING AND 1 PRECEDING)
 """,
 )
 def rolling_time_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Time-based rolling window ('1h' freq-string in the reference,
-    tools.py:8-36): rangeBetween over epoch seconds, per-user partitions.
-    The frame is value-defined, so equal timestamps are handled
-    identically in any engine."""
+    """Time-based rolling windows ('1h' freq-string in the reference,
+    tools.py:8-36) at microsecond resolution with pandas ``closed``
+    semantics (windows.time_frame_bounds_us): the '1h' default-'right'
+    frame is the left-open ``(t−1h, t]``, plus (r6) four ``closed``
+    variants of a 10-minute window — all SIX frames stack on ONE
+    (user_id, epoch-μs) Exchange + Sort (formerly two independent events
+    passes, one of which used a second-resolution frame that silently
+    included a row exactly ``w`` old — the boundary-tie parity bug fixed
+    this round). Frames are value-defined over epoch microseconds, so
+    equal timestamps behave identically in any engine."""
     ev = load_table(spark, sf_dir, "events").withColumn(
         "v6", F.floor(F.col("value").cast("double") * F.lit(1e6) + F.lit(0.5)).cast("long")
     )
-    ep = F.unix_timestamp(F.col("ts")).cast("long")
-    w = Window.partitionBy("user_id").orderBy(ep).rangeBetween(-3600, 0)
-    return ev.select(
+    r = windows.rolling_time(
+        ev, ["v6"], 3600, "ts", funcs=("count", "sum"), partition_by=["user_id"],
+    )
+    r = r.withColumnRenamed("v6_roll_count", "n_1h").withColumnRenamed(
+        "v6_roll_sum", "s_1h"
+    )
+    for tag, closed in [("right", "right"), ("left", "left"),
+                        ("both", "both"), ("neither", "neither")]:
+        r = windows.rolling_time(
+            r, ["v6"], 600, "ts", funcs=("sum",), partition_by=["user_id"],
+            closed=closed,
+        ).withColumnRenamed("v6_roll_sum", f"s_{tag}")
+    r = windows.rolling_time(
+        r, ["v6"], 600, "ts", funcs=("count",), partition_by=["user_id"],
+    ).withColumnRenamed("v6_roll_count", "n_right")
+    six = F.lit(1e6)
+    return r.select(
         "event_id",
-        F.count("v6").over(w).alias("n_1h"),
-        (F.sum("v6").over(w).cast("double") / F.lit(1e6)).alias("sum_1h"),
+        "n_1h",
+        (F.col("s_1h").cast("double") / six).alias("sum_1h"),
+        (F.col("s_right").cast("double") / six).alias("sum_right"),
+        (F.col("s_left").cast("double") / six).alias("sum_left"),
+        (F.col("s_both").cast("double") / six).alias("sum_both"),
+        (F.col("s_neither").cast("double") / six).alias("sum_neither"),
+        "n_right",
     )
 
 
@@ -3610,14 +3681,14 @@ _bfn, _bsql = _compose_union(
     [
         ("cum", "cumulative_scan"),
         ("rank", "rank_methods"),
-        ("pctfill", "pct_change_fill"),
         ("pctfreq", "pct_change_freq"),
     ]
 )
 _bfn.__doc__ = """Ordered scans (ops #18-#20): cumsum/cummax/cummin + shift +
-pct_change, rank with all five pandas methods + pct, and (r6)
-pct_change(fill_method/limit) fill-first ratio semantics plus
-pct_change(freq=) exact-time-shift comparison."""
+pct_change fused with the (r6) pct_change(fill_method/limit) fill-first
+arms on ONE (l_suppkey, 3-col-order) window pipeline, rank with all five
+pandas methods + pct, and pct_change(freq=) exact-time-shift comparison
+(an equal-bound range window — no self-join)."""
 _q("ordered_battery", _bsql)(_bfn)
 _retire("cumulative_scan", "rank_methods", "pct_change_fill", "pct_change_freq")
 
@@ -3805,15 +3876,32 @@ sk AS (
                     / SQRT(COUNT(l_quantity) OVER w - 1), 6) END AS roll_sem,
     CASE WHEN {_RCC_N} >= 10 THEN {_RCC_COV} END AS qty_px_roll_cov,
     CASE WHEN {_RCC_N} >= 10 THEN {_RCC_CORR} END AS qty_px_roll_corr,
+    CASE WHEN COUNT(l_quantity) OVER wc  >= 3 THEN AVG(l_quantity) OVER wc  END AS center_mean,
+    CASE WHEN COUNT(l_quantity) OVER wl  >= 3 THEN SUM(l_quantity) OVER wl  END AS left_sum,
+    CASE WHEN COUNT(l_quantity) OVER wb  >= 3 THEN AVG(l_quantity) OVER wb  END AS both_mean,
+    CASE WHEN COUNT(l_quantity) OVER wn  >= 3 THEN SUM(l_quantity) OVER wn  END AS neither_sum,
+    CASE WHEN COUNT(l_quantity) OVER wcb >= 3 THEN AVG(l_quantity) OVER wcb END AS centerboth_mean,
     ROW_NUMBER() OVER (PARTITION BY l_suppkey
                        ORDER BY l_orderkey, l_linenumber, l_quantity,
                                 l_extendedprice) AS rn,
     l_suppkey
-  FROM lineitem WINDOW w AS ({_W7_4})
+  FROM lineitem WINDOW w AS ({_W7_4}),
+    wc  AS (PARTITION BY l_suppkey ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice
+            ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING),
+    wl  AS (PARTITION BY l_suppkey ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice
+            ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING),
+    wb  AS (PARTITION BY l_suppkey ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice
+            ROWS BETWEEN 7 PRECEDING AND CURRENT ROW),
+    wn  AS (PARTITION BY l_suppkey ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice
+            ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING),
+    wcb AS (PARTITION BY l_suppkey ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice
+            ROWS BETWEEN 4 PRECEDING AND 2 FOLLOWING)
 )
 SELECT rk.l_orderkey, rk.l_linenumber,
        CASE WHEN rk.n_frame >= 7 THEN rk.rrank END AS roll_rank,
-       sk.roll_skew, sk.roll_sem, sk.qty_px_roll_cov, sk.qty_px_roll_corr
+       sk.roll_skew, sk.roll_sem, sk.qty_px_roll_cov, sk.qty_px_roll_corr,
+       sk.center_mean, sk.left_sum, sk.both_mean, sk.neither_sum,
+       sk.centerboth_mean
 FROM rk JOIN sk ON sk.l_suppkey = rk.l_suppkey AND sk.rn = rk.rn
 """,
 )
@@ -3843,6 +3931,21 @@ def rolling_rank_skew_cov(spark: SparkSession, sf_dir: str) -> DataFrame:
         order_by=_ORD4, partition_by=["l_suppkey"], out_prefix="qty_px",
         compact_sums=True,
     )
+    # (r6) pandas center=/closed= ctor-arg frames (reference snapshots
+    # every window ctor arg, parallel_window.py:91-100) fused onto the
+    # SAME (l_suppkey, 4-col) pipeline — five more stacked frame shapes,
+    # zero extra Exchange/Sort (formerly a standalone lineitem pass)
+    for out_name, shape, fn in [
+        ("center_mean", dict(window=7, center=True), "mean"),
+        ("left_sum", dict(window=7, closed="left"), "sum"),
+        ("both_mean", dict(window=7, closed="both"), "mean"),
+        ("neither_sum", dict(window=7, closed="neither"), "sum"),
+        ("centerboth_mean", dict(window=6, center=True, closed="both"), "mean"),
+    ]:
+        r = windows.rolling(
+            r, ["l_quantity"], shape.pop("window"), _ORD4, funcs=(fn,),
+            partition_by=["l_suppkey"], min_periods=3, **shape,
+        ).withColumnRenamed(f"l_quantity_roll_{fn}", out_name)
     return r.select(
         "l_orderkey",
         "l_linenumber",
@@ -3851,6 +3954,8 @@ def rolling_rank_skew_cov(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("l_quantity_roll_sem", 6).alias("roll_sem"),
         "qty_px_roll_cov",
         "qty_px_roll_corr",
+        "center_mean", "left_sum", "both_mean", "neither_sum",
+        "centerboth_mean",
     )
 
 
@@ -3968,16 +4073,16 @@ _bfn, _bsql = _compose_union(
         ("time", "rolling_time_events"),
         ("rankskewcov", "rolling_rank_skew_cov"),
         ("apply", "rolling_apply_udf"),
-        ("centerclosed", "rolling_center_closed"),
-        ("timeclosed", "rolling_time_closed"),
     ]
 )
 _bfn.__doc__ = """Rolling shape variants (op #26 + §2.10): time-based
-rangeBetween windows, rolling rank/skew/sem + pairwise rolling cov/corr
-fused onto one partitioned window pipeline, rolling.apply with an
-arbitrary Python UDF through Arrow applyInPandas, and (r6) the pandas
-``center=``/``closed=`` ctor-arg frames for both count- and time-based
-windows."""
+rangeBetween windows — the '1h' arm plus all four pandas ``closed``
+variants stacked on one (user_id, epoch-μs) pipeline; rolling
+rank/skew/sem + pairwise rolling cov/corr + the five (r6) pandas
+``center=``/``closed=`` count-window frames fused onto one
+(l_suppkey, 4-col-order) pipeline; and rolling.apply with an arbitrary
+Python UDF through Arrow applyInPandas. Three parts, three scans — the
+pre-fusion r6 shape ran five."""
 _q("rolling_shapes_battery", _bsql)(_bfn)
 _retire(
     "rolling_time_events", "rolling_rank_skew", "rolling_apply_udf",

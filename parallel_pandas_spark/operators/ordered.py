@@ -243,11 +243,15 @@ def pct_change(
 
     ``freq_seconds`` maps pandas ``freq=``: compare against the value at
     EXACTLY ``t − periods·freq`` on the first ``order_by`` column (a
-    timestamp) — missing timestamps yield NULL. Implemented as a
-    co-partitioned equi-join on (partition keys, shifted epoch): one
-    shuffle each side, no window gap-scan, so it holds at any scale.
-    Requires (keys, timestamp) unique, like pandas' unique-index
-    requirement for ``shift(freq=)``."""
+    timestamp) — missing timestamps yield NULL. Implemented as an
+    EQUAL-BOUND range window (``RANGE BETWEEN us PRECEDING AND us
+    PRECEDING`` over epoch microseconds): the frame holds exactly the
+    row at ``t − freq`` or nothing, so it is one shuffle + one sort on
+    the partition keys with no gap-scan — and unlike the previous
+    self-join form it evaluates the upstream plan ONCE (Spark gives a
+    self-join no common-subtree reuse, so the join re-executed the whole
+    input twice). Requires (keys, timestamp) unique, like pandas'
+    unique-index requirement for ``shift(freq=)``."""
     if limit is not None and fill_method is None:
         raise ValueError("pct_change(limit=) requires fill_method")
     if fill_method not in (None, "pad", "ffill", "bfill", "backfill"):
@@ -279,22 +283,15 @@ def pct_change(
     keys = list(partition_by or [])
     us = int(round(freq_seconds * 1_000_000)) * periods
     ep = F.unix_micros(F.col(ts).cast("timestamp"))
-    a = out.withColumn("__ep_want", ep - F.lit(us))
-    # rename every right-side column: a self-join on shared-lineage
-    # attributes silently resolves `a[k] == b[k]` to a trivially-true
-    # predicate (Spark warns and the key condition is dropped)
-    b = out.select(
-        *[F.col(k).alias(f"__bk_{k}") for k in keys],
-        ep.alias("__ep_b"),
-        *[F.col(f"__f_{c}").alias(f"__b_{c}") for c in cols],
-    )
-    cond = F.col("__ep_want") == F.col("__ep_b")
-    for k in keys:
-        cond = cond & F.col(k).eqNullSafe(F.col(f"__bk_{k}"))
-    j = a.join(b, cond, "left")
+    out = out.withColumn("__ep", ep)
+    # frame = exactly the row(s) at ep − us; with (keys, ts) unique that
+    # is 0 or 1 row, so max() IS the shifted value (NULL when absent)
+    wp = Window.partitionBy(*keys).orderBy("__ep").rangeBetween(-us, -us)
     for c in cols:
-        j = j.withColumn(f"{c}{suffix}", F.col(f"__f_{c}") / F.col(f"__b_{c}") - 1)
-    return j.select(
+        out = out.withColumn(
+            f"{c}{suffix}", F.col(f"__f_{c}") / F.max(f"__f_{c}").over(wp) - 1
+        )
+    return out.select(
         *df.columns,
         *[F.col(f"{c}{suffix}") for c in cols],
     )
