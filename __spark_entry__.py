@@ -1261,7 +1261,11 @@ def stream_tumbling_live_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     running totals, streaming/events.py:116-147) is unioned in under
     window_start='__stateful__' rows, self-verified the same way against
     the batch per-user totals — the custom-stateful-operator path now has
-    driver-visible value evidence too."""
+    driver-visible value evidence too; and a third STREAMING-DEDUP arm
+    (``dropDuplicatesWithinWatermark``, streaming/events.py stream_dedup)
+    under window_start='__dedup__', whose rows survive only if the live
+    emitted key set equals the batch distinct key set exactly (no
+    extras, no missing, no double emissions)."""
     _utc(spark)
     stream = streaming_events.stream_events(spark, f"{sf_dir}/events.parquet")
     agg = streaming_events.stream_tumbling_counts(stream, "1 day", "2 days")
@@ -1345,7 +1349,40 @@ def stream_tumbling_live_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("live_n").alias("n_events"),
         F.lit(True).alias("values_match"),
     )
-    return tumbling_rows.unionByName(stateful_rows)
+
+    # --- streaming-dedup arm (r6): dropDuplicatesWithinWatermark
+    # (streaming/events.py stream_dedup) run live to a memory sink; the
+    # emitted key set is inner-joined against the batch distinct key set
+    # and both directions are checked (left_anti counts must be 0 on
+    # BOTH sides for any row to survive) — a missing or spurious key
+    # changes the row count, so the count is value evidence.
+    dstream = streaming_events.stream_events(spark, f"{sf_dir}/events.parquet")
+    dd = streaming_events.stream_dedup(dstream, ["user_id", "event_type"])
+    dout = streaming_events.run_stream_to_memory(
+        spark, dd.select("user_id", "event_type"),
+        table="stream_dedup_live", mode="append",
+    ).select("user_id", "event_type")
+    batch_keys = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "event_type").distinct()
+    )
+    extra = dout.join(batch_keys, ["user_id", "event_type"], "left_anti").count()
+    missing = batch_keys.join(dout, ["user_id", "event_type"], "left_anti").count()
+    dup_emitted = dout.count() - dout.distinct().count()
+    dedup_ok = extra == 0 and missing == 0 and dup_emitted == 0
+    dedup_rows = (
+        dout.join(batch_keys, ["user_id", "event_type"], "inner")
+        .where(F.lit(dedup_ok))
+        .select(
+            F.lit("__dedup__").alias("window_start"),
+            F.concat_ws("/", F.col("user_id").cast("string"), "event_type").alias(
+                "event_type"
+            ),
+            F.lit(1).cast("long").alias("n_events"),
+            F.lit(True).alias("values_match"),
+        )
+    )
+    return tumbling_rows.unionByName(stateful_rows).unionByName(dedup_rows)
 
 
 # =========================================================================
@@ -1791,6 +1828,34 @@ def doc_fingerprints_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         text.fingerprint_md5("text").alias("fp_md5"),
         text.rolling_hash_fingerprint("text").alias("fp_rolling"),
     )
+
+
+@_q(
+    "corpus_vocab_topk",
+    """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(TRIM(LOWER(text)), '\\s+')) AS token
+  FROM documents WHERE LENGTH(TRIM(text)) > 0
+)
+SELECT token, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
+FROM toks WHERE token <> ''
+GROUP BY token
+ORDER BY tf DESC, token ASC
+LIMIT 50
+""",
+)
+def corpus_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary (text.vocab_topk): top-50 tokens by term
+    frequency with document frequency — the seed statistics for a
+    BPE-style tokenizer vocab and IDF weighting. Explode → one grouped
+    agg (tf partial-aggregates map-side; exact df plans as a two-stage
+    (token, doc) → token aggregation) → TakeOrderedAndProject top-k
+    (per-task k-row heap, no global sort). The (tf DESC, token ASC)
+    order is a total order — the 50 rows are deterministic in any
+    engine."""
+    d = load_table(spark, sf_dir, "documents")
+    return text.vocab_topk(d, "doc_id", "text", k=50)
 
 
 # =========================================================================
@@ -3046,6 +3111,12 @@ FROM supplier GROUP BY s_nationkey
 UNION ALL BY NAME
 SELECT 'progress' AS src, COUNT(*) AS n, CAST(COUNT(*) AS BIGINT) AS key_sum
 FROM nation
+UNION ALL BY NAME
+SELECT 'shards' AS src, doc_id % 8 AS shard, COUNT(*) AS n,
+  CAST(SUM(doc_id) AS BIGINT) AS key_sum,
+  CAST(MIN(doc_id) AS BIGINT) AS id_min, CAST(MAX(doc_id) AS BIGINT) AS id_max,
+  CAST(CEIL(COUNT(*)/40.0) AS BIGINT) AS n_files
+FROM documents GROUP BY doc_id % 8
 """,
 )
 def csv_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3067,6 +3138,13 @@ def csv_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
       progress_imap.py:174-195) under a live ProgressTracker poll; the
       value under check is the accumulator total — exactly the rows that
       flowed through the instrumented stage.
+    - ``shards`` (r6): the sharded training-data sink
+      (sources/shards.py) — deterministic ``doc_id % 8`` membership,
+      ``maxRecordsPerFile=40`` bounded files, manifest computed by
+      READING BACK the written layout; the oracle recomputes every
+      manifest cell (counts, id-sum checksums, ranges, and the
+      deterministic ``ceil(rows/40)`` file count) from the source table,
+      so a match proves the sink lost nothing.
     """
     import pandas as pd
 
@@ -3116,8 +3194,24 @@ def csv_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(int(n_rows), int(acc.value))], "n long, key_sum long"
     )
 
+    from parallel_pandas_spark.sources import shard_manifest, write_shards
+
+    docs = load_table(spark, sf_dir, "documents")
+    shard_path = base + "/doc_shards"
+    write_shards(
+        docs, shard_path, "doc_id", n_shards=8, max_records_per_file=40,
+        order_within=["doc_id"],
+    )
+    s_agg = shard_manifest(spark, shard_path, "doc_id").select(
+        F.col("shard").cast("long").alias("shard"),
+        F.col("n_rows").alias("n"),
+        F.col("id_sum").alias("key_sum"),
+        "id_min", "id_max", "n_files",
+    )
+
     return _pad_union(
-        [("files", f_agg), ("inmem", m_agg), ("bucketed", b_agg), ("progress", p_row)]
+        [("files", f_agg), ("inmem", m_agg), ("bucketed", b_agg),
+         ("progress", p_row), ("shards", s_agg)]
     )
 
 
@@ -4091,12 +4185,18 @@ _retire(
 )
 
 _bfn, _bsql = _compose_union(
-    [("profile", "text_profile"), ("fingerprint", "doc_fingerprints")]
+    [
+        ("profile", "text_profile"),
+        ("fingerprint", "doc_fingerprints"),
+        ("vocab", "corpus_vocab_topk"),
+    ]
 )
 _bfn.__doc__ = """Text analysis (pipeline ops): single-scan profile
-(lang-ID, quality score, token counts) + md5/rolling-hash fingerprints."""
+(lang-ID, quality score, token counts), md5/rolling-hash fingerprints,
+and (r6) the top-k corpus vocabulary with term + document frequencies
+(BPE-vocab seeding / IDF statistics)."""
 _q("text_doc_battery", _bsql)(_bfn)
-_retire("text_profile", "doc_fingerprints")
+_retire("text_profile", "doc_fingerprints", "corpus_vocab_topk")
 
 _bfn, _bsql = _compose_union(
     [("decode", "multimodal_decode"), ("frames", "video_frame_sample")]

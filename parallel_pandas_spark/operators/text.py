@@ -174,6 +174,41 @@ def char_ngrams(col: Column | str, n: int = 5) -> Column:
     )
 
 
+def vocab_topk(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 50,
+    lowercase: bool = True,
+    min_count: int = 1,
+) -> DataFrame:
+    """Corpus vocabulary: top-``k`` tokens by term frequency, with document
+    frequency — the seed statistics for a BPE-style tokenizer vocabulary
+    and for IDF weighting.
+
+    100 TB shape: explode(whitespace tokens) → one grouped aggregation on
+    the token. ``count(*)`` partial-aggregates map-side, so hot tokens
+    ("the") collapse before the shuffle; the exact ``countDistinct(doc)``
+    makes Catalyst plan a two-stage (token, doc) → (token) aggregation —
+    also partial, also skew-safe (a token's doc set is spread over input
+    partitions). Top-k is ``orderBy().limit(k)`` → TakeOrderedAndProject:
+    each task keeps a k-row heap, no global sort materializes. Ties are
+    impossible in the (tf DESC, token ASC) order — token is unique per
+    group — so the k rows are deterministic in any engine."""
+    c = F.col(text_col)
+    if lowercase:
+        c = F.lower(c)
+    toks = df.where(F.length(F.trim(F.col(text_col))) > 0).select(
+        F.col(id_col).alias("__doc"), F.explode(tokens(c)).alias("token")
+    ).where(F.col("token") != "")
+    agg = toks.groupBy("token").agg(
+        F.count("*").alias("tf"), F.countDistinct("__doc").alias("df")
+    )
+    if min_count > 1:
+        agg = agg.where(F.col("tf") >= min_count)
+    return agg.orderBy(F.col("tf").desc(), F.col("token").asc()).limit(k)
+
+
 def text_profile(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """One row per document: token stats + quality + language guess +
     fingerprint. Single scan."""

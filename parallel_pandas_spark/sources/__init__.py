@@ -8,3 +8,4 @@ from .loaders import (  # noqa: F401
     read_orc,
     register_views,
 )
+from .shards import shard_manifest, write_shards  # noqa: F401

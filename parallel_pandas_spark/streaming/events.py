@@ -113,6 +113,24 @@ def stream_tumbling_counts(
     )
 
 
+def stream_dedup(
+    stream: DataFrame, keys, watermark: str = "2 days"
+) -> DataFrame:
+    """Streaming exact deduplication — the ingestion-time form of the
+    batch exact-dedup operator (operators/dedup.py): emit the first
+    arrival per key, drop repeats. ``dropDuplicatesWithinWatermark``
+    keeps per-key state only inside the watermark horizon, so state is
+    BOUNDED on an unbounded stream (a plain ``dropDuplicates`` on a
+    stream retains every key forever — the thing that falls over at
+    100 TB/day). Contract: duplicates arriving further apart than the
+    watermark can re-emit; size the watermark to the real dedup horizon.
+    Batch equivalent for verification: ``df.select(keys).distinct()``."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(list(keys))
+    )
+
+
 def user_running_totals_stateful(stream: DataFrame):
     """Custom stateful operator via ``applyInPandasWithState``: per-user
     running event count + value total, state times out after 1h idle

@@ -432,3 +432,80 @@ def test_expanding_full_op_set_vs_pandas(spark):
         }
         for name, series in refs.items():
             _assert_series_match(got, grp["i"], series, name, (g, name))
+
+
+def test_vocab_topk_matches_python_counter(spark):
+    """vocab_topk's (token, tf, df) agrees with a plain Python Counter on
+    randomized multi-line unicode docs, including empty and
+    whitespace-only documents (which contribute no tokens)."""
+    from collections import Counter
+
+    from parallel_pandas_spark.operators import text
+
+    rng = np.random.default_rng(77)
+    words = ["the", "cat", "sat", "Mat", "ümlaut", "汉字", "a", "b-b", "x1"]
+    docs = []
+    for i in range(60):
+        n = int(rng.integers(0, 12))
+        body = " ".join(rng.choice(words, n)) if n else rng.choice(["", "   ", "\t\n"])
+        docs.append((i, body))
+    pdf = pd.DataFrame(docs, columns=["doc_id", "text"])
+
+    tf, df_ = Counter(), Counter()
+    for _, row in pdf.iterrows():
+        toks = [t for t in row["text"].lower().split() if t]
+        tf.update(toks)
+        df_.update(set(toks))
+
+    got = text.vocab_topk(from_pandas(spark, pdf), "doc_id", "text", k=5).collect()
+    expected = sorted(tf.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    assert [(r["token"], r["tf"], r["df"]) for r in got] == [
+        (tok, cnt, df_[tok]) for tok, cnt in expected
+    ]
+
+
+def test_vocab_topk_is_heap_topk_not_global_sort(spark):
+    """The top-k is planned as TakeOrderedAndProject (per-task k-row
+    heap), never a full global Sort of the vocabulary."""
+    from parallel_pandas_spark.operators import text
+    from parallel_pandas_spark.plans import explain
+
+    d = spark.read.parquet(SF + "/documents.parquet")
+    plan = explain.explain_str(text.vocab_topk(d, "doc_id", "text", k=50))
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_write_shards_deterministic_layout_and_manifest(spark, tmp_path):
+    """write_shards: membership is id % n_shards, every file respects
+    maxRecordsPerFile, the file count per shard is the deterministic
+    ceil(rows/max), and the read-back manifest checks against the
+    source frame exactly."""
+    from parallel_pandas_spark.sources import shard_manifest, write_shards
+
+    pdf = pd.DataFrame({"doc_id": range(103), "payload": [f"p{i}" for i in range(103)]})
+    path = str(tmp_path / "shards")
+    write_shards(
+        from_pandas(spark, pdf), path, "doc_id", n_shards=4,
+        max_records_per_file=10, order_within=["doc_id"],
+    )
+
+    back = spark.read.parquet(path)
+    rows = back.collect()
+    assert len(rows) == 103
+    assert all(r["doc_id"] % 4 == r["shard"] for r in rows)
+
+    import pyspark.sql.functions as F
+    per_file = (
+        back.withColumn("f", F.input_file_name())
+        .groupBy("shard", "f").count().collect()
+    )
+    assert all(r["count"] <= 10 for r in per_file)
+
+    man = {r["shard"]: r for r in shard_manifest(spark, path, "doc_id").collect()}
+    for s in range(4):
+        ids = [i for i in range(103) if i % 4 == s]
+        assert man[s]["n_rows"] == len(ids)
+        assert man[s]["id_sum"] == sum(ids)
+        assert man[s]["id_min"] == min(ids)
+        assert man[s]["id_max"] == max(ids)
+        assert man[s]["n_files"] == math.ceil(len(ids) / 10)

@@ -124,3 +124,27 @@ def test_stream_incremental_batches_equivalence(spark, tmp_path):
         .collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_stream_dedup_across_microbatches(spark, tmp_path):
+    """Streaming dropDuplicatesWithinWatermark over three micro-batches
+    with duplicates INSIDE and ACROSS batches: exactly one emission per
+    key, and the emitted key set equals the batch distinct set."""
+    ev = load_table(spark, SF, "events").limit(200)
+    d = str(tmp_path / "ev_dup_parts")
+    # each file holds the same 200 events -> every key duplicates across
+    # all three micro-batches (and event repeats inside a batch dedupe too)
+    for i in range(3):
+        ev.write.mode("append").parquet(d)
+    stream = se.stream_events(spark, d, max_files=1)
+    dd = se.stream_dedup(stream, ["user_id", "event_type"], watermark="365 days")
+    out = se.run_stream_to_memory(
+        spark, dd.select("user_id", "event_type"), "t_dedup_live", mode="append"
+    )
+    got = [(r["user_id"], r["event_type"]) for r in out.collect()]
+    want = {
+        (r["user_id"], r["event_type"])
+        for r in ev.select("user_id", "event_type").distinct().collect()
+    }
+    assert len(got) == len(set(got)), "a key was emitted more than once"
+    assert set(got) == want
