@@ -1474,6 +1474,11 @@ SELECT 'minhash_cc' AS src, doc_id, cluster_id,
        COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
        doc_id = cluster_id AS is_canonical
 FROM cl
+UNION ALL BY NAME
+SELECT 'keepfirst' AS src, lang, source, doc_id FROM (
+  SELECT lang, source, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY lang, source ORDER BY doc_id) AS rn
+  FROM documents) WHERE rn = 1
 """
 
 
@@ -1489,6 +1494,10 @@ def exact_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
       (dedup.cluster_pairs): per-doc cluster id (= min doc_id of the
       component), cluster size, and the canonical-survivor flag — the
       actual keep/drop decision a corpus-dedup pipeline executes.
+    - ``keepfirst`` (r6): pandas ``drop_duplicates(subset, keep='first')``
+      with deterministic keep semantics (dedup.drop_duplicates) — the
+      lowest doc_id per (lang, source) group survives; one shuffle,
+      rank filter pushed into the window sort.
     """
     d = load_table(spark, sf_dir, "documents")
     exact = dedup.exact_dedup(d, "doc_id", "text")
@@ -1496,7 +1505,11 @@ def exact_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         d, "doc_id", "text", n=3, num_hashes=8, bands=4, threshold=0.3
     )
     cc = dedup.cluster_pairs(pairs, "id_a", "id_b")
-    return _pad_union([("exact", exact), ("minhash_cc", cc)])
+    kf = dedup.drop_duplicates(
+        d.select("lang", "source", "doc_id"), ["lang", "source"],
+        order_by=["doc_id"], keep="first",
+    )
+    return _pad_union([("exact", exact), ("minhash_cc", cc), ("keepfirst", kf)])
 
 
 @_q("ngram_jaccard_pairs", _minhash_oracle(threshold=0.1))
@@ -2451,6 +2464,8 @@ SELECT l_orderkey, l_linenumber,
   MIN(l_quantity) OVER w AS qty_cummin,
   LAG(l_quantity, 1) OVER wo AS qty_shift,
   l_quantity / LAG(l_quantity, 1) OVER wo - 1 AS qty_pct_change,
+  l_quantity - LAG(l_quantity, 1) OVER wo AS qty_diff,
+  l_quantity - LEAD(l_quantity, 2) OVER wo AS qty_diff_m2,
   f_pad    / lag(f_pad)    OVER wo - 1 AS pc_pad,
   f_padlim / lag(f_padlim) OVER wo - 1 AS pc_padlim,
   f_bfill  / lag(f_bfill)  OVER wo - 1 AS pc_bfill,
@@ -2483,6 +2498,13 @@ def cumulative_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = ordered.cummin(r, ["l_quantity"], _LI_ORD, partition_by=["l_suppkey"])
     r = ordered.shift(r, ["l_quantity"], _LI_ORD, partition_by=["l_suppkey"])
     r = ordered.pct_change(r, ["l_quantity"], _LI_ORD, partition_by=["l_suppkey"])
+    # (r6) pandas diff(periods) incl. a negative-periods lead — same
+    # window spec, stacks for free
+    r = ordered.diff(r, ["l_quantity"], _LI_ORD, partition_by=["l_suppkey"])
+    r = ordered.diff(
+        r, ["l_quantity"], _LI_ORD, periods=-2, partition_by=["l_suppkey"],
+        suffix="_diff_m2",
+    )
     for out_name, kw in [
         ("pc_pad", dict(fill_method="pad")),
         ("pc_padlim", dict(fill_method="pad", limit=1)),
@@ -2501,6 +2523,8 @@ def cumulative_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_quantity_cummin").alias("qty_cummin"),
         F.col("l_quantity_shift").alias("qty_shift"),
         F.col("l_quantity_pct_change").alias("qty_pct_change"),
+        F.col("l_quantity_diff").alias("qty_diff"),
+        F.col("l_quantity_diff_m2").alias("qty_diff_m2"),
         "pc_pad", "pc_padlim", "pc_bfill", "pc_none",
     )
 
@@ -2589,7 +2613,7 @@ def rank_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q(
     "top3_orders_per_priority",
     """
-SELECT o_orderpriority, o_orderkey, o_totalprice
+SELECT 'top3' AS src, o_orderpriority, o_orderkey, o_totalprice
 FROM (
   SELECT o_orderpriority, o_orderkey, o_totalprice,
          ROW_NUMBER() OVER (PARTITION BY o_orderpriority
@@ -2597,14 +2621,29 @@ FROM (
   FROM orders
 )
 WHERE rn <= 3
+UNION ALL BY NAME
+SELECT 'nlargest' AS src, o_orderkey, o_totalprice FROM
+  (SELECT o_orderkey, o_totalprice FROM orders
+   ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 5) t
+UNION ALL BY NAME
+SELECT 'nsmallest' AS src, o_orderkey, o_totalprice FROM
+  (SELECT o_orderkey, o_totalprice FROM orders
+   ORDER BY o_totalprice ASC, o_orderkey ASC LIMIT 5) t
 """,
 )
 def top3_orders_per_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-k per group — rank-pushdown window (WindowGroupLimit keeps only
-    k rows per group through the sort; capability the reference lacks,
-    SURVEY.md §2.8)."""
+    """Top-k battery, tagged parts:
+
+    - ``top3``: top-k PER GROUP — rank-pushdown window (WindowGroupLimit
+      keeps only k rows per group through the sort; capability the
+      reference lacks, SURVEY.md §2.8).
+    - ``nlargest``/``nsmallest`` (r6): pandas global top-n
+      (reductions.nlargest/nsmallest) — TakeOrderedAndProject per-task
+      heaps, no global sort; the o_orderkey tie-breaker makes the
+      boundary cut deterministic (pandas keep='first' is input-position,
+      undefined after a shuffle)."""
     o = load_table(spark, sf_dir, "orders")
-    return ordered.top_k_per_group(
+    top3 = ordered.top_k_per_group(
         o.select("o_orderpriority", "o_orderkey", "o_totalprice"),
         ["o_orderpriority"],
         "o_totalprice",
@@ -2612,6 +2651,10 @@ def top3_orders_per_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         descending=True,
         tie_breaker="o_orderkey",
     )
+    slim = o.select("o_orderkey", "o_totalprice")
+    nl = reductions.nlargest(slim, 5, "o_totalprice", tie_breaker=["o_orderkey"])
+    ns = reductions.nsmallest(slim, 5, "o_totalprice", tie_breaker=["o_orderkey"])
+    return _pad_union([("top3", top3), ("nlargest", nl), ("nsmallest", ns)])
 
 
 # =========================================================================
@@ -3654,14 +3697,46 @@ padded-union with the arbitrary-quantile-list surface (ops #12-#13) and
 _q("stats_quantile_describe", _bsql)(_bfn)
 _retire("stats_describe", "stats_quantile", "stats_describe_custom")
 
+@_q(
+    "value_counts_arms",
+    """
+SELECT 'prio' AS vsrc, o_orderpriority AS value, COUNT(*) AS count
+FROM orders WHERE o_orderpriority IS NOT NULL GROUP BY 2
+UNION ALL BY NAME
+SELECT 'flagnorm' AS vsrc, l_returnflag AS value,
+       COUNT(*) * 1.0
+         / (SELECT COUNT(*) FROM lineitem WHERE l_returnflag IS NOT NULL)
+         AS proportion
+FROM lineitem WHERE l_returnflag IS NOT NULL GROUP BY 2
+""",
+)
+def value_counts_arms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pandas ``value_counts`` (reductions.value_counts): plain counts on
+    orders priority, plus ``normalize=True`` proportions on lineitem
+    returnflag (total via a 1-row broadcast cross, not a second scan).
+    One grouped count each, map-side partials — hot values collapse
+    before the shuffle."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    vc = reductions.value_counts(o, "o_orderpriority")
+    vn = reductions.value_counts(li, "l_returnflag", normalize=True, ascending=True)
+    return _pad_union([("prio", vc), ("flagnorm", vn)]).withColumnRenamed(
+        "src", "vsrc"
+    )
+
+
 _bfn, _bsql = _compose_union(
-    [("salted", "salted_groupby_agg"), ("dropna", "groupby_dropna_keys")]
+    [
+        ("salted", "salted_groupby_agg"),
+        ("dropna", "groupby_dropna_keys"),
+        ("vcounts", "value_counts_arms"),
+    ]
 )
 _bfn.__doc__ = """Grouped-aggregation edge cases: skew-safe two-stage salted
-plan (equal to the unsalted result by construction) + pandas dropna=True
-NULL-key semantics."""
+plan (equal to the unsalted result by construction), pandas dropna=True
+NULL-key semantics, and (r6) value_counts with normalize/ascending."""
 _q("groupby_edge_battery", _bsql)(_bfn)
-_retire("salted_groupby_agg", "groupby_dropna_keys")
+_retire("salted_groupby_agg", "groupby_dropna_keys", "value_counts_arms")
 
 _bfn, _bsql = _compose_union(
     [
@@ -4206,13 +4281,55 @@ _bfn.__doc__ = """Multimodal binary columns: decode-to-metadata/features and
 _q("multimodal_battery", _bsql)(_bfn)
 _retire("multimodal_decode", "video_frame_sample")
 
+@_q(
+    "numeric_elementwise",
+    """
+SELECT l_orderkey, l_linenumber,
+  GREATEST(LEAST(l_quantity, 40.0), 10.0) AS qty_clip,
+  ROUND(l_extendedprice, -2) AS px_round,
+  ABS(l_discount - 0.05) AS disc_absdev,
+  CASE WHEN l_tax > 0.04 THEN l_quantity END AS qty_where,
+  CASE WHEN NOT (l_tax > 0.04) THEN l_quantity ELSE 0.0 END AS qty_mask
+FROM lineitem
+""",
+)
+def numeric_elementwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pandas numeric elementwise surface (r6): clip / round / abs /
+    where / mask via the ParallelFrame API (api.py p_clip..p_mask) —
+    pure JVM expressions (least/greatest/round/abs/CASE), narrow,
+    whole-stage codegen, zero shuffles."""
+    from parallel_pandas_spark.api import ParallelFrame
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber",
+        F.col("l_quantity").alias("qty_clip"),
+        F.col("l_extendedprice").alias("px_round"),
+        (F.col("l_discount") - 0.05).alias("disc_absdev"),
+        F.col("l_quantity").alias("qty_where"),
+        F.col("l_quantity").alias("qty_mask"),
+        "l_tax",
+    )
+    pf = ParallelFrame(li)
+    pf = pf.p_clip(["qty_clip"], lower=10.0, upper=40.0)
+    pf = pf.p_round(["px_round"], -2)
+    pf = pf.p_abs(["disc_absdev"])
+    pf = pf.p_where(["qty_where"], F.col("l_tax") > 0.04)
+    pf = pf.p_mask(["qty_mask"], F.col("l_tax") > 0.04, other=0.0)
+    return pf.df.drop("l_tax")
+
+
 _bfn, _bsql = _compose_union(
-    [("rows", "apply_rows_charge"), ("applymap", "applymap_signed_log")]
+    [
+        ("rows", "apply_rows_charge"),
+        ("applymap", "applymap_signed_log"),
+        ("numeric", "numeric_elementwise"),
+    ]
 )
 _bfn.__doc__ = """Row-at-a-time p_apply(axis=1) (honest slow-path parity
-demo) + vectorized p_applymap over every cell."""
+demo) + vectorized p_applymap over every cell + (r6) the JVM-expression
+numeric surface (clip/round/abs/where/mask)."""
 _q("elementwise_battery", _bsql)(_bfn)
-_retire("apply_rows_charge", "applymap_signed_log")
+_retire("apply_rows_charge", "applymap_signed_log", "numeric_elementwise")
 
 _bfn, _bsql = _compose_union(
     [

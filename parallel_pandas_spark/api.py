@@ -303,6 +303,41 @@ class ParallelFrame:
     def p_shift(self, cols, order_by, **kw):
         return ordered.shift(self.df, cols, order_by, **kw)
 
+    def p_diff(self, cols, order_by, **kw):
+        return ordered.diff(self.df, cols, order_by, **kw)
+
+    # -- pandas-completeness surface (r6) ---------------------------------
+    def p_value_counts(self, col: str, **kw) -> DataFrame:
+        return reductions.value_counts(self.df, col, **kw)
+
+    def p_nlargest(self, n: int, columns, **kw) -> DataFrame:
+        return reductions.nlargest(self.df, n, columns, **kw)
+
+    def p_nsmallest(self, n: int, columns, **kw) -> DataFrame:
+        return reductions.nsmallest(self.df, n, columns, **kw)
+
+    def p_drop_duplicates(self, subset, order_by=None, keep="first") -> "ParallelFrame":
+        from .operators import dedup
+
+        return ParallelFrame(dedup.drop_duplicates(self.df, subset, order_by, keep))
+
+    def p_clip(self, cols, lower=None, upper=None) -> "ParallelFrame":
+        return ParallelFrame(elementwise.clip(self.df, cols, lower, upper))
+
+    def p_round(self, cols, decimals: int = 0) -> "ParallelFrame":
+        return ParallelFrame(elementwise.round_cols(self.df, cols, decimals))
+
+    def p_abs(self, cols) -> "ParallelFrame":
+        return ParallelFrame(elementwise.abs_cols(self.df, cols))
+
+    def p_where(self, cols, cond, other=None) -> "ParallelFrame":
+        return ParallelFrame(elementwise.where_mask(self.df, cols, cond, other))
+
+    def p_mask(self, cols, cond, other=None) -> "ParallelFrame":
+        return ParallelFrame(
+            elementwise.where_mask(self.df, cols, cond, other, mask=True)
+        )
+
     # -- §2.6 windows ------------------------------------------------------
     def rolling(
         self, window, order_by, partition_by=None, win_type: str | None = None,

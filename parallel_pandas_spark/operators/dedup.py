@@ -67,6 +67,45 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str, keep: str = "min") ->
     )
 
 
+def drop_duplicates(
+    df: DataFrame,
+    subset,
+    order_by=None,
+    keep: str = "first",
+) -> DataFrame:
+    """pandas ``drop_duplicates(subset, keep=)`` with DETERMINISTIC keep
+    semantics: pandas keeps by input position, which a shuffled engine
+    cannot reproduce, so 'first'/'last' here mean the extreme row per
+    ``subset`` group under an explicit ``order_by`` (required).
+    ``keep=False`` drops every group with more than one row and needs no
+    order. Plan: one shuffle on the subset key — row_number (or a
+    group-count window) then filter; Spark pushes the rank filter into
+    the window sort (WindowGroupLimit), so only the kept row per group
+    survives the sort for 'first'/'last'."""
+    subset = [subset] if isinstance(subset, str) else list(subset)
+    if keep is False:
+        w = Window.partitionBy(*subset)
+        return (
+            df.withColumn("__n", F.count("*").over(w))
+            .where(F.col("__n") == 1)
+            .drop("__n")
+        )
+    if keep not in ("first", "last"):
+        raise ValueError(f"keep must be 'first', 'last', or False, got {keep!r}")
+    if not order_by:
+        raise ValueError(
+            "keep='first'/'last' needs an explicit order_by: pandas keeps by "
+            "input position, which is not defined after a shuffle"
+        )
+    order = [F.col(c).asc() if keep == "first" else F.col(c).desc() for c in order_by]
+    w = Window.partitionBy(*subset).orderBy(*order)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
 def cluster_pairs(
     pairs: DataFrame,
     id_a: str = "id_a",

@@ -326,3 +326,55 @@ def applymap(
     for c in cols:
         out = out.withColumn(c, udf(F.col(c)))
     return out
+
+
+def clip(df: DataFrame, cols: Sequence[str], lower=None, upper=None) -> DataFrame:
+    """pandas ``clip(lower, upper)``: pure JVM least/greatest expressions —
+    narrow, codegen'd, no shuffle. NULLs pass through like pandas."""
+    out = df
+    for c in cols:
+        e = F.col(c)
+        if lower is not None:
+            e = F.greatest(e, F.lit(lower))
+        if upper is not None:
+            e = F.least(e, F.lit(upper))
+        out = out.withColumn(c, F.when(F.col(c).isNull(), None).otherwise(e))
+    return out
+
+
+def round_cols(df: DataFrame, cols: Sequence[str], decimals: int = 0) -> DataFrame:
+    """pandas ``round(decimals)`` — HALF_UP like Spark's round (pandas uses
+    banker's rounding on exact halves of binary doubles; the divergence
+    only appears on exactly-representable .5 values)."""
+    out = df
+    for c in cols:
+        out = out.withColumn(c, F.round(F.col(c), decimals))
+    return out
+
+
+def abs_cols(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    out = df
+    for c in cols:
+        out = out.withColumn(c, F.abs(F.col(c)))
+    return out
+
+
+def where_mask(
+    df: DataFrame, cols: Sequence[str], cond, other=None, mask: bool = False
+) -> DataFrame:
+    """pandas ``where(cond, other)`` / ``mask(cond, other)``: keep the value
+    where ``cond`` holds (``mask=True`` inverts, like pandas.mask),
+    otherwise ``other`` (default NULL ↔ pandas NaN). ``cond`` is a Column
+    or a SQL boolean string — one JVM CASE expression per column."""
+    c = F.expr(cond) if isinstance(cond, str) else cond
+    if mask:
+        c = ~c
+    out = df
+    for col in cols:
+        out = out.withColumn(
+            col,
+            F.when(c, F.col(col)).otherwise(
+                F.lit(other) if other is not None else F.lit(None)
+            ),
+        )
+    return out

@@ -305,6 +305,21 @@ def shift(df, cols, order_by, periods=1, partition_by=None, suffix="_shift"):
     return out
 
 
+def diff(df, cols, order_by, periods=1, partition_by=None, suffix="_diff"):
+    """pandas ``diff(periods)``: x − x.shift(periods); negative ``periods``
+    compares against the row |periods| AFTER (lead). Same single
+    (partition, order) window as shift/cumsum — stacks onto their
+    pipeline at zero extra Exchange/Sort."""
+    w = _window(order_by, partition_by)
+    lagged = (lambda c: F.lag(c, periods).over(w)) if periods >= 0 else (
+        lambda c: F.lead(c, -periods).over(w)
+    )
+    out = df
+    for c in cols:
+        out = out.withColumn(f"{c}{suffix}", F.col(c) - lagged(c))
+    return out
+
+
 def top_k_per_group(
     df: DataFrame,
     keys: Sequence[str],

@@ -815,3 +815,61 @@ def isin_filter(df: DataFrame, col: str, values: Sequence) -> DataFrame:
     """Membership predicate (reference p_isin, parallel_dataframe.py:690-711).
     Catalyst compiles small lists to IN / InSet and pushes them to the scan."""
     return df.where(F.col(col).isin(list(values)))
+
+
+def value_counts(
+    df: DataFrame,
+    col: str,
+    normalize: bool = False,
+    ascending: bool = False,
+    dropna: bool = True,
+) -> DataFrame:
+    """pandas ``Series.value_counts``: one grouped count over the column
+    (map-side partial aggregation — hot values collapse before the
+    shuffle), ordered (count, value) both directions deterministic — a
+    total order, since the value is unique per group. ``normalize=True``
+    divides by the total via a 1-row broadcast cross join, not a second
+    scan. NULLs: pandas drops them unless ``dropna=False``."""
+    base = df.where(F.col(col).isNotNull()) if dropna else df
+    counts = base.groupBy(F.col(col).alias("value")).agg(
+        F.count("*").alias("count")
+    )
+    if normalize:
+        total = base.agg(F.count("*").alias("__tot"))
+        counts = counts.crossJoin(F.broadcast(total)).select(
+            "value",
+            (F.col("count") / F.col("__tot")).alias("proportion"),
+        )
+        measure = "proportion"
+    else:
+        measure = "count"
+    order = (
+        [F.col(measure).asc(), F.col("value").asc()]
+        if ascending
+        else [F.col(measure).desc(), F.col("value").asc()]
+    )
+    return counts.orderBy(*order)
+
+
+def nlargest(df: DataFrame, n: int, columns, tie_breaker=None) -> DataFrame:
+    """pandas ``nlargest``: global top-n by the given column(s).
+    ``orderBy().limit(n)`` plans as TakeOrderedAndProject — each task
+    keeps an n-row heap and the driver merges heaps, so no global sort
+    materializes (the shape that survives 100 TB for bounded n).
+    pandas' ``keep='first'`` cuts boundary ties by input position, which
+    no distributed engine can reproduce; pass ``tie_breaker`` columns
+    (e.g. a key) to make the cut deterministic instead."""
+    cols = [columns] if isinstance(columns, str) else list(columns)
+    order = [F.col(c).desc() for c in cols] + [
+        F.col(c).asc() for c in (tie_breaker or [])
+    ]
+    return df.orderBy(*order).limit(n)
+
+
+def nsmallest(df: DataFrame, n: int, columns, tie_breaker=None) -> DataFrame:
+    """pandas ``nsmallest`` — see :func:`nlargest`."""
+    cols = [columns] if isinstance(columns, str) else list(columns)
+    order = [F.col(c).asc() for c in cols] + [
+        F.col(c).asc() for c in (tie_breaker or [])
+    ]
+    return df.orderBy(*order).limit(n)

@@ -509,3 +509,131 @@ def test_write_shards_deterministic_layout_and_manifest(spark, tmp_path):
         assert man[s]["id_min"] == min(ids)
         assert man[s]["id_max"] == max(ids)
         assert man[s]["n_files"] == math.ceil(len(ids) / 10)
+
+
+def test_diff_value_counts_clip_where_vs_pandas(spark):
+    """Randomized differential of the r6 pandas-completeness surface:
+    diff (positive and negative periods), value_counts (counts +
+    normalize, dropna both ways), clip/abs/where/mask — all against
+    real pandas on a NaN-bearing frame."""
+    from parallel_pandas_spark.api import ParallelFrame
+    from parallel_pandas_spark.operators import reductions
+
+    rng = np.random.default_rng(11)
+    n = 300
+    pdf = pd.DataFrame({
+        "i": range(n),
+        "g": rng.integers(0, 4, n),
+        "v": rng.normal(0, 10, n).round(3),
+        "s": rng.choice(["a", "b", "c", None], n),
+    })
+    pdf.loc[rng.choice(n, 25, replace=False), "v"] = np.nan
+    df = spark.createDataFrame(pdf)
+
+    # diff within groups, periods 1 and -2
+    for periods in (1, -2):
+        got = {
+            r["i"]: r["v_diff"]
+            for r in ParallelFrame(df).p_diff(
+                ["v"], ["i"], periods=periods, partition_by=["g"]
+            ).collect()
+        }
+        for g, grp in pdf.groupby("g"):
+            grp = grp.sort_values("i")
+            ref = grp["v"].diff(periods)
+            for pos, i in enumerate(grp["i"]):
+                rv, gv = ref.iloc[pos], got[i]
+                if isinstance(rv, float) and math.isnan(rv):
+                    assert gv is None or math.isnan(gv), (periods, i)
+                else:
+                    assert gv == pytest.approx(rv), (periods, i)
+
+    # value_counts: counts and normalized, dropna True/False
+    for dropna in (True, False):
+        got = [
+            (r["value"], r["count"])
+            for r in reductions.value_counts(df, "s", dropna=dropna).collect()
+        ]
+        ref = pdf["s"].value_counts(dropna=dropna)
+        ref = sorted(
+            ((k if not (isinstance(k, float) and math.isnan(k)) else None, int(c))
+             for k, c in ref.items()),
+            key=lambda kv: (-kv[1], str(kv[0])),
+        )
+        # engine emits NULL-last ordering differences only within tf ties;
+        # compare as multisets plus the top element
+        assert sorted(got, key=lambda kv: (-kv[1], str(kv[0]))) == ref
+    norm = {
+        r["value"]: r["proportion"]
+        for r in reductions.value_counts(df, "s", normalize=True).collect()
+    }
+    ref_n = pdf["s"].value_counts(normalize=True)
+    for k, p in ref_n.items():
+        assert norm[k] == pytest.approx(p)
+
+    # clip / abs / where / mask
+    pf = ParallelFrame(df.select("i", "v", "g"))
+    got_clip = {r["i"]: r["v"] for r in pf.p_clip(["v"], -5.0, 5.0).df.collect()}
+    ref_clip = pdf.set_index("i")["v"].clip(-5.0, 5.0)
+    got_where = {
+        r["i"]: r["v"]
+        for r in pf.p_where(["v"], "g < 2", other=-1.0).df.collect()
+    }
+    ref_where = pdf.set_index("i")["v"].where(pdf.set_index("i")["g"] < 2, -1.0)
+    for i in pdf["i"]:
+        for gv, rv in ((got_clip[i], ref_clip.loc[i]), (got_where[i], ref_where.loc[i])):
+            if isinstance(rv, float) and math.isnan(rv):
+                assert gv is None or math.isnan(gv), i
+            else:
+                assert gv == pytest.approx(rv), i
+
+
+def test_drop_duplicates_keep_variants(spark):
+    """drop_duplicates keep='first'/'last'/False against pandas on a
+    frame sorted by the explicit order column."""
+    from parallel_pandas_spark.operators import dedup
+
+    rng = np.random.default_rng(5)
+    pdf = pd.DataFrame({
+        "i": range(120),
+        "k": rng.integers(0, 10, 120),
+        "v": rng.integers(0, 100, 120),
+    })
+    df = spark.createDataFrame(pdf)
+    base = pdf.sort_values("i")
+    for keep in ("first", "last", False):
+        got = sorted(
+            (r["k"], r["i"]) for r in dedup.drop_duplicates(
+                df, ["k"], order_by=["i"], keep=keep
+            ).collect()
+        )
+        want = sorted(
+            (int(r["k"]), int(r["i"]))
+            for _, r in base.drop_duplicates(subset=["k"], keep=keep).iterrows()
+        )
+        assert got == want, keep
+    with pytest.raises(ValueError):
+        dedup.drop_duplicates(df, ["k"], keep="first")  # no order_by
+
+
+def test_nlargest_nsmallest_with_tiebreaker(spark):
+    from parallel_pandas_spark.operators import reductions
+    from parallel_pandas_spark.plans import explain
+
+    pdf = pd.DataFrame({"i": range(200), "v": [x % 17 for x in range(200)]})
+    df = spark.createDataFrame(pdf)
+    nl = reductions.nlargest(df, 7, "v", tie_breaker=["i"])
+    got = [(r["v"], r["i"]) for r in nl.collect()]
+    want = list(
+        pdf.sort_values(["v", "i"], ascending=[False, True]).head(7)[["v", "i"]]
+        .itertuples(index=False, name=None)
+    )
+    assert got == want
+    assert "TakeOrderedAndProject" in explain.explain_str(nl)
+    ns = reductions.nsmallest(df, 7, "v", tie_breaker=["i"])
+    got_s = [(r["v"], r["i"]) for r in ns.collect()]
+    want_s = list(
+        pdf.sort_values(["v", "i"]).head(7)[["v", "i"]]
+        .itertuples(index=False, name=None)
+    )
+    assert got_s == want_s
