@@ -1479,6 +1479,37 @@ SELECT 'keepfirst' AS src, lang, source, doc_id FROM (
   SELECT lang, source, doc_id,
          ROW_NUMBER() OVER (PARTITION BY lang, source ORDER BY doc_id) AS rn
   FROM documents) WHERE rn = 1
+UNION ALL BY NAME
+SELECT 'contam' AS src, train_id, eval_id, n_shared,
+       ROUND(n_shared * 1.0 / n_train_grams, 6) AS train_overlap_frac
+FROM (
+  SELECT tg.train_id, eg.eval_id, COUNT(*) AS n_shared
+  FROM (
+    SELECT doc_id AS train_id, unnest(list_distinct(CASE WHEN len(t) >= 4
+        THEN list_transform(range(1, len(t)-2), j -> array_to_string(t[j:j+3], ' '))
+        ELSE [array_to_string(t, ' ')] END)) AS gram
+    FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+          FROM documents WHERE doc_id % 10 <> 0)
+  ) tg
+  JOIN (
+    SELECT doc_id AS eval_id, unnest(list_distinct(CASE WHEN len(t) >= 4
+        THEN list_transform(range(1, len(t)-2), j -> array_to_string(t[j:j+3], ' '))
+        ELSE [array_to_string(t, ' ')] END)) AS gram
+    FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+          FROM documents WHERE doc_id % 10 = 0)
+  ) eg ON tg.gram = eg.gram
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= 2
+) p
+JOIN (
+  SELECT doc_id AS train_id, COUNT(*) AS n_train_grams FROM (
+    SELECT doc_id, unnest(list_distinct(CASE WHEN len(t) >= 4
+        THEN list_transform(range(1, len(t)-2), j -> array_to_string(t[j:j+3], ' '))
+        ELSE [array_to_string(t, ' ')] END)) AS gram
+    FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+          FROM documents WHERE doc_id % 10 <> 0)
+  ) GROUP BY 1
+) tsz USING (train_id)
 """
 
 
@@ -1498,6 +1529,12 @@ def exact_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
       with deterministic keep semantics (dedup.drop_duplicates) — the
       lowest doc_id per (lang, source) group survives; one shuffle,
       rank filter pushed into the window sort.
+    - ``contam`` (r6): benchmark DECONTAMINATION
+      (dedup.ngram_contamination) — every 10th doc plays the eval set;
+      (train, eval) pairs sharing ≥2 distinct word 4-grams emit the
+      shared count + train-side overlap fraction. The gram join key is
+      an md5 digest and the eval side broadcasts, so the train corpus is
+      scanned once with no train-side shuffle.
     """
     d = load_table(spark, sf_dir, "documents")
     exact = dedup.exact_dedup(d, "doc_id", "text")
@@ -1509,7 +1546,15 @@ def exact_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("lang", "source", "doc_id"), ["lang", "source"],
         order_by=["doc_id"], keep="first",
     )
-    return _pad_union([("exact", exact), ("minhash_cc", cc), ("keepfirst", kf)])
+    contam = dedup.ngram_contamination(
+        d.where(F.col("doc_id") % 10 != 0),
+        d.where(F.col("doc_id") % 10 == 0),
+        "doc_id", "text", n=4, min_shared=2,
+    )
+    return _pad_union(
+        [("exact", exact), ("minhash_cc", cc), ("keepfirst", kf),
+         ("contam", contam)]
+    )
 
 
 @_q("ngram_jaccard_pairs", _minhash_oracle(threshold=0.1))

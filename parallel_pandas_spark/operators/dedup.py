@@ -243,6 +243,58 @@ def ngram_jaccard_pairs(
     return out
 
 
+def ngram_contamination(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+    min_shared: int = 1,
+) -> DataFrame:
+    """Train/eval overlap detection (benchmark DECONTAMINATION — the
+    standard n-gram check public LLM pipelines run before training):
+    for every (train doc, eval doc) pair sharing ≥ ``min_shared``
+    distinct word ``n``-grams, emit the shared-gram count and the
+    train-side overlap fraction.
+
+    Plan: explode distinct n-grams on both sides, hash each gram to a
+    16-byte digest (join key is the digest, never the raw gram — no
+    wide-string shuffle), inner-join train grams to eval grams. The eval
+    side is benchmark-sized (thousands of docs, not the corpus), so
+    Spark broadcasts it and the join is ONE pass over the train grams
+    with no train-side shuffle; the per-pair count then groups on
+    (train, eval) pairs that actually collided — output-sized, not
+    corpus-sized. Long word n-grams (n≥5 default) are near-unique, so
+    no hot-gram explosion; lower n only with a stop-gram filter."""
+    tg = ensure_parallel(train).select(
+        F.col(id_col).alias("train_id"),
+        F.explode(
+            F.array_distinct(word_ngrams(text_col, n))
+        ).alias("gram"),
+    ).select("train_id", F.md5(F.col("gram")).alias("g"))
+    eg = eval_df.select(
+        F.col(id_col).alias("eval_id"),
+        F.explode(
+            F.array_distinct(word_ngrams(text_col, n))
+        ).alias("gram"),
+    ).select("eval_id", F.md5(F.col("gram")).alias("g"))
+    tsz = tg.groupBy("train_id").agg(F.count("*").alias("n_train_grams"))
+    pairs = (
+        tg.join(F.broadcast(eg), "g")
+        .groupBy("train_id", "eval_id")
+        .agg(F.count("*").alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )
+    return pairs.join(tsz, "train_id").select(
+        "train_id",
+        "eval_id",
+        "n_shared",
+        F.round(F.col("n_shared") / F.col("n_train_grams"), 6).alias(
+            "train_overlap_frac"
+        ),
+    )
+
+
 _MERSENNE31 = 2_147_483_647  # 2^31 - 1
 
 

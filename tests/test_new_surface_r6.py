@@ -637,3 +637,41 @@ def test_nlargest_nsmallest_with_tiebreaker(spark):
         .itertuples(index=False, name=None)
     )
     assert got_s == want_s
+
+
+def test_ngram_contamination_planted_overlaps(spark):
+    """Decontamination finds exactly the planted train/eval overlaps with
+    the right shared-gram counts, and the eval side broadcasts (one pass
+    over the train corpus, no train-side shuffle for the gram join)."""
+    from parallel_pandas_spark.operators import dedup
+    from parallel_pandas_spark.plans import explain
+
+    secret = "alpha beta gamma delta epsilon zeta eta theta"
+    train = spark.createDataFrame(
+        [
+            (1, "completely unrelated text about weather patterns today"),
+            (2, f"prefix words then {secret} and a suffix tail"),
+            (3, f"{secret} appears right at the start here"),
+            (4, "short doc"),
+        ],
+        "doc_id long, text string",
+    )
+    eval_df = spark.createDataFrame(
+        [(100, f"the benchmark question contains {secret} verbatim")],
+        "doc_id long, text string",
+    )
+    out = dedup.ngram_contamination(train, eval_df, "doc_id", "text", n=5, min_shared=1)
+    got = {(r["train_id"], r["eval_id"]): r["n_shared"] for r in out.collect()}
+
+    def grams(s, n=5):
+        t = s.split()
+        return {" ".join(t[i:i + n]) for i in range(len(t) - n + 1)} if len(t) >= n else {s}
+
+    eg = grams(eval_df.collect()[0]["text"])
+    want = {}
+    for r in train.collect():
+        shared = len(grams(r["text"]) & eg)
+        if shared:
+            want[(r["doc_id"], 100)] = shared
+    assert got == want and (2, 100) in got and (3, 100) in got
+    assert explain.has_broadcast_join(out)
