@@ -218,6 +218,24 @@ def global_avg_rank(
     return out.drop("__b", "__lrn", "__off")
 
 
+def _ieee_ratio_m1(num, den):
+    """``num/den − 1`` with IEEE zero-denominator semantics, as pandas
+    pct_change produces them: x/0 → ±inf, 0/0 and NaN/0 → NaN. The
+    session pins ANSI off (session.py), where Spark's ``/`` returns NULL
+    for ANY zero denominator — but pandas distinguishes inf (a real
+    ratio against a zero base) from missing, and silently folding both
+    to NULL loses that. (−0.0 denominators take the +0.0 sign branch;
+    pandas' 1/−0.0 = −inf edge is not reproduced.)"""
+    inf, nan = F.lit(float("inf")), F.lit(float("nan"))
+    return F.when(
+        den == 0,
+        F.when(num.isNull(), F.lit(None).cast("double"))
+        .when(F.isnan(num) | (num == 0), nan)
+        .when(num > 0, inf)
+        .otherwise(-inf),
+    ).otherwise(num / den - 1)
+
+
 def pct_change(
     df: DataFrame,
     cols: Sequence[str],
@@ -275,7 +293,7 @@ def pct_change(
         for c in cols:
             out = out.withColumn(
                 f"{c}{suffix}",
-                F.col(f"__f_{c}") / F.lag(f"__f_{c}", periods).over(w) - 1,
+                _ieee_ratio_m1(F.col(f"__f_{c}"), F.lag(f"__f_{c}", periods).over(w)),
             )
         return out.drop(*tmp)
 
@@ -289,7 +307,8 @@ def pct_change(
     wp = Window.partitionBy(*keys).orderBy("__ep").rangeBetween(-us, -us)
     for c in cols:
         out = out.withColumn(
-            f"{c}{suffix}", F.col(f"__f_{c}") / F.max(f"__f_{c}").over(wp) - 1
+            f"{c}{suffix}",
+            _ieee_ratio_m1(F.col(f"__f_{c}"), F.max(f"__f_{c}").over(wp)),
         )
     return out.select(
         *df.columns,

@@ -20,6 +20,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, Window, WindowSpec
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 def _w_skew(c, w):
     # sample G1 from windowed population skewness — the compound must apply
@@ -64,6 +65,46 @@ _ROLL_FNS = {
 def _ordered_window(order_by, partition_by) -> WindowSpec:
     w = Window.partitionBy(*(partition_by or []))
     return w.orderBy(*[F.col(c) for c in order_by])
+
+
+def _is_floating(df: DataFrame, c: str) -> bool:
+    return isinstance(df.schema[c].dataType, (T.DoubleType, T.FloatType))
+
+
+def _finite(c: F.Column) -> F.Column:
+    """Non-finite → NULL. pandas' windowed aggregation kernels treat
+    NaN AND ±inf as MISSING observations (verified pandas 2.2: even
+    ``rolling.max`` over a frame containing +inf returns the finite max,
+    and ``min_periods`` counts only finite values) — unlike its
+    cumulative/arithmetic ops, which propagate inf by plain IEEE. The
+    reference replays real pandas per chunk, so window parity requires
+    the same rule. ``.count()`` is the one exception: it counts inf but
+    not NaN (:func:`_non_nan`)."""
+    return F.when(~(F.isnan(c) | (F.abs(c) == F.lit(float("inf")))), c)
+
+
+def _non_nan(c: F.Column) -> F.Column:
+    return F.when(~F.isnan(c), c)
+
+
+def _window_obs(df: DataFrame, cols: Sequence[str]):
+    """Project per-column masked companions for the window kernels:
+    ``fin[c]`` (finite only — the aggregation input and min_periods
+    basis) and ``nn[c]`` (NaN-masked, inf kept — the ``count`` input).
+    Integer columns cannot hold non-finite values and pass through."""
+    out = df
+    fin: dict[str, str] = {}
+    nn: dict[str, str] = {}
+    temps: list[str] = []
+    for c in cols:
+        if _is_floating(out, c):
+            out = out.withColumn(f"__fin_{c}", _finite(F.col(c)))
+            out = out.withColumn(f"__nn_{c}", _non_nan(F.col(c)))
+            fin[c], nn[c] = f"__fin_{c}", f"__nn_{c}"
+            temps += [f"__fin_{c}", f"__nn_{c}"]
+        else:
+            fin[c], nn[c] = c, c
+    return out, fin, nn, temps
 
 
 def fixed_frame_bounds(window: int, center: bool = False, closed: str | None = None) -> tuple[int, int]:
@@ -113,19 +154,20 @@ def rolling(
                 out = out.withColumn(f"{c}_roll_{fn}", F.lit(None).cast("double"))
         return out
     w = _ordered_window(order_by, partition_by).rowsBetween(start, end)
-    out = df
+    out, fin, nn, temps = _window_obs(df, cols)
     for c in cols:
-        guard = F.count(c).over(w) >= mp
+        guard = F.count(fin[c]).over(w) >= mp
         # pandas asymmetry (verified 2.2): .count() applies min_periods to
         # the frame ROW count, NaN rows included — every other agg counts
-        # valid observations
+        # valid (finite) observations
         rows_guard = F.count(F.lit(1)).over(w) >= mp
         for fn in funcs:
             g = rows_guard if fn == "count" else guard
+            src = nn[c] if fn == "count" else fin[c]
             out = out.withColumn(
-                f"{c}_roll_{fn}", F.when(g, _ROLL_FNS[fn](c, w))
+                f"{c}_roll_{fn}", F.when(g, _ROLL_FNS[fn](src, w))
             )
-    return out
+    return out.drop(*temps)
 
 
 def rolling_cov_corr(
@@ -165,9 +207,17 @@ def rolling_cov_corr(
     pre = out_prefix or f"{col_a}_{col_b}"
     mp = window if min_periods is None else min_periods
     w = _ordered_window(order_by, partition_by).rowsBetween(-(window - 1), 0)
-    both = F.col(col_a).isNotNull() & F.col(col_b).isNotNull()
-    # pandas pairwise-complete semantics: a row where EITHER side is null
-    # contributes to no sum (masking both sides, not just the null one)
+    # pandas pairwise-complete semantics: a row where EITHER side is
+    # missing contributes to no sum — and the window kernels treat
+    # non-finite values as missing (see _finite), so mask both sides on
+    # (null | NaN | ±inf) of either
+    def _ok(c: str) -> F.Column:
+        col = F.col(c)
+        if _is_floating(df, c):
+            return col.isNotNull() & ~F.isnan(col) & (F.abs(col) != F.lit(float("inf")))
+        return col.isNotNull()
+
+    both = _ok(col_a) & _ok(col_b)
     a = F.when(both, F.col(col_a).cast("double"))
     b = F.when(both, F.col(col_b).cast("double"))
     n = F.count(F.when(both, 1)).over(w).cast("double")
@@ -284,16 +334,17 @@ def rolling_time(
         .orderBy(epoch)
         .rangeBetween(start, end)
     )
-    out = df
+    out, fin, nn, temps = _window_obs(df, cols)
     for c in cols:
-        guard = F.count(c).over(w) >= min_periods
+        guard = F.count(fin[c]).over(w) >= min_periods
         rows_guard = F.count(F.lit(1)).over(w) >= min_periods  # see rolling()
         for fn in funcs:
             g = rows_guard if fn == "count" else guard
+            src = nn[c] if fn == "count" else fin[c]
             out = out.withColumn(
-                f"{c}_roll_{fn}", F.when(g, _ROLL_FNS[fn](c, w))
+                f"{c}_roll_{fn}", F.when(g, _ROLL_FNS[fn](src, w))
             )
-    return out
+    return out.drop(*temps)
 
 
 def rolling_quantile(
@@ -363,9 +414,10 @@ def rolling_quantiles(
             out = out.withColumn(out_col, F.lit(None).cast("double"))
         return out
     w = _ordered_window(order_by, partition_by).rowsBetween(start, end)
+    src = _finite(F.col(col)) if _is_floating(df, col) else F.col(col)
     # one window evaluation, one sort: each lives in its OWN projection so
     # CollapseProject cannot inline (and so duplicate) them per consumer
-    out = df.withColumn("__rq_vals", F.collect_list(F.col(col)).over(w))
+    out = df.withColumn("__rq_vals", F.collect_list(src).over(w))
     out = out.withColumn("__rq_srt", F.array_sort(F.col("__rq_vals")))
     if interpolation not in ("linear", "lower", "higher", "nearest", "midpoint"):
         raise ValueError(f"unknown interpolation {interpolation!r}")
@@ -437,15 +489,16 @@ def rolling_rank(
     if end < start:
         return df.withColumn(out_col, F.lit(None).cast("double"))
     w = _ordered_window(order_by, partition_by).rowsBetween(start, end)
-    vals = F.collect_list(F.col(col)).over(w)  # frame-ordered, NULLs dropped
+    src = _finite(F.col(col)) if _is_floating(df, col) else F.col(col)
+    vals = F.collect_list(src).over(w)  # frame-ordered, non-finite dropped
     if end == 0:
-        cur = F.col(col)
+        cur = src
     else:
         # the frame-end ROW's value: last() over the SAME frame keeps the
         # partition-edge clipping pandas applies (a lead() would overshoot
         # past the partition tail and return NULL where pandas ranks the
         # clipped frame's own last row)
-        cur = F.last(F.col(col), ignorenulls=False).over(w)
+        cur = F.last(src, ignorenulls=False).over(w)
     less = F.size(F.filter(vals, lambda v: v < cur))
     eq = F.size(F.filter(vals, lambda v: v == cur))
     if method == "average":
@@ -475,14 +528,17 @@ def expanding(
     w = _ordered_window(order_by, partition_by).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    out = df
+    out, fin, nn, temps = _window_obs(df, cols)
     for c in cols:
-        guard = F.count(c).over(w) >= min_periods
+        guard = F.count(fin[c]).over(w) >= min_periods
+        rows_guard = F.count(F.lit(1)).over(w) >= min_periods  # see rolling()
         for fn in funcs:
+            g = rows_guard if fn == "count" else guard
+            src = nn[c] if fn == "count" else fin[c]
             out = out.withColumn(
-                f"{c}_exp_{fn}", F.when(guard, _ROLL_FNS[fn](c, w))
+                f"{c}_exp_{fn}", F.when(g, _ROLL_FNS[fn](src, w))
             )
-    return out
+    return out.drop(*temps)
 
 
 #: "unbounded preceding .. current row" as a rowsBetween pair, usable as

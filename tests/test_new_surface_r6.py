@@ -675,3 +675,60 @@ def test_ngram_contamination_planted_overlaps(spark):
             want[(r["doc_id"], 100)] = shared
     assert got == want and (2, 100) in got and (3, 100) in got
     assert explain.has_broadcast_join(out)
+
+
+def test_window_kernels_treat_nonfinite_as_missing(spark):
+    """pandas' windowed aggregation kernels treat NaN AND ±inf as missing
+    observations (even rolling.max over a frame containing +inf returns
+    the finite max; min_periods counts only finite values; count counts
+    inf but not NaN), while pct_change produces IEEE ±inf/NaN on zero
+    denominators. Differential vs pandas 2.2 with planted 0/±inf."""
+    from parallel_pandas_spark.operators import ordered, windows
+
+    rng = np.random.default_rng(99)
+    n = 50
+    v = rng.normal(0, 5, n).round(2)
+    v[5] = 0.0; v[6] = 0.0; v[10] = np.inf; v[11] = -np.inf
+    pdf = pd.DataFrame({"i": range(n), "g": rng.integers(0, 2, n), "v": v})
+    df = from_pandas(spark, pdf)
+
+    def check(got, ref, ctx):
+        for pos, i in enumerate(ref.index):
+            rv, gv = ref.iloc[pos], got[i]
+            if isinstance(rv, float) and math.isnan(rv):
+                assert gv is None or math.isnan(gv), (ctx, i, gv)
+            elif isinstance(rv, float) and math.isinf(rv):
+                assert isinstance(gv, float) and math.isinf(gv) and (gv > 0) == (rv > 0), (ctx, i, gv)
+            else:
+                assert gv == pytest.approx(rv), (ctx, i, gv, rv)
+
+    r = ordered.pct_change(df, ["v"], ["i"], partition_by=["g"])
+    got = {row["i"]: row["v_pct_change"] for row in r.collect()}
+    for g, grp in pdf.groupby("g"):
+        grp = grp.sort_values("i").set_index("i")
+        check(got, grp["v"].pct_change(), ("pct", g))
+
+    fns = ("mean", "sum", "count", "max", "std")
+    r = windows.rolling(df, ["v"], 3, ["i"], funcs=fns, partition_by=["g"], min_periods=1)
+    rows = {row["i"]: row for row in r.collect()}
+    for g, grp in pdf.groupby("g"):
+        grp = grp.sort_values("i").set_index("i")
+        roll = grp["v"].rolling(3, min_periods=1)
+        for fn in fns:
+            check({i: rows[i][f"v_roll_{fn}"] for i in grp.index},
+                  getattr(roll, fn)(), (fn, g))
+
+    r = windows.rolling_rank(df, "v", 3, ["i"], partition_by=["g"], min_periods=1, out_col="rk")
+    got = {row["i"]: row["rk"] for row in r.collect()}
+    for g, grp in pdf.groupby("g"):
+        grp = grp.sort_values("i").set_index("i")
+        check(got, grp["v"].rolling(3, min_periods=1).rank(), ("rank", g))
+
+    r = windows.expanding(df, ["v"], ["i"], funcs=("mean", "count"), partition_by=["g"])
+    rows = {row["i"]: row for row in r.collect()}
+    for g, grp in pdf.groupby("g"):
+        grp = grp.sort_values("i").set_index("i")
+        exp = grp["v"].expanding()
+        for fn in ("mean", "count"):
+            check({i: rows[i][f"v_exp_{fn}"] for i in grp.index},
+                  getattr(exp, fn)(), ("exp_" + fn, g))
