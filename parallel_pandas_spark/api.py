@@ -94,13 +94,13 @@ class ParallelFrame:
     def p_sum(self, cols=None, min_count: int = 0):
         cols = list(cols) if cols else self._numeric_cols()
         return self.df.agg(
-            *[reductions.sum_min_count(c, min_count).alias(f"{c}_sum") for c in cols]
+            *[reductions.sum_min_count(c, min_count, self.df).alias(f"{c}_sum") for c in cols]
         )
 
     def p_prod(self, cols=None, min_count: int = 0):
         cols = list(cols) if cols else self._numeric_cols()
         return self.df.agg(
-            *[reductions.prod_min_count(c, min_count).alias(f"{c}_prod") for c in cols]
+            *[reductions.prod_min_count(c, min_count, self.df).alias(f"{c}_prod") for c in cols]
         )
 
     def p_std(self, cols=None, ddof: int = 1):
@@ -173,7 +173,7 @@ class ParallelFrame:
         exprs = []
         for c, stats in spec.items():
             for s in [stats] if isinstance(stats, str) else stats:
-                exprs.append(reductions.stat_expr(s, c).alias(f"{c}_{s}"))
+                exprs.append(reductions.stat_expr(s, c, self.df).alias(f"{c}_{s}"))
         return self.df.agg(*exprs)
 
     # -- §2.2 elementwise / UDF surface (reference ops #1-#5) -------------

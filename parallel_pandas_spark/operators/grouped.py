@@ -61,7 +61,7 @@ def groupby_agg(
                 continue
             if isinstance(stats, str):
                 stats = [stats]
-            exprs.extend(stat_expr(s, c).alias(f"{c}_{s}") for s in stats)
+            exprs.extend(stat_expr(s, c, df).alias(f"{c}_{s}") for s in stats)
     else:
         exprs = list(spec)
     key_list = list(keys)
@@ -147,7 +147,9 @@ def groupby_transform(
         from .reductions import MINCOUNT_IDENTITY
 
         for c in cols:
-            expr = _TRANSFORM_FNS[func](c).over(w)
+            from .reductions import nan_safe
+
+            expr = _TRANSFORM_FNS[func](nan_safe(df, c)).over(w)
             if func in MINCOUNT_IDENTITY:
                 # pandas min_count=0: an all-NULL group transforms to the
                 # identity (0 for sum, 1 for prod) on every row
@@ -162,7 +164,7 @@ def groupby_transform(
     return df2.groupBy(*keys).applyInPandas(func, schema=schema)
 
 
-def _aggfunc_pairs(values: str, aggfunc) -> list[tuple[str, Column]]:
+def _aggfunc_pairs(values: str, aggfunc, df: DataFrame | None = None) -> list[tuple[str, Column]]:
     """Normalize a pandas-style aggfunc spec into (suffix, expr) pairs.
 
     ``str`` → one unsuffixed agg over ``values``; ``list[str]`` → one agg
@@ -170,14 +172,14 @@ def _aggfunc_pairs(values: str, aggfunc) -> list[tuple[str, Column]]:
     hierarchical result columns flatten to ``<pivotval>_<suffix>`` where
     suffix is ``<fn>`` (list) or ``<col>_<fn>`` (dict)."""
     if isinstance(aggfunc, str):
-        return [("", stat_expr(aggfunc, values))]
+        return [("", stat_expr(aggfunc, values, df))]
     if isinstance(aggfunc, (list, tuple)):
-        return [(fn, stat_expr(fn, values)) for fn in aggfunc]
+        return [(fn, stat_expr(fn, values, df)) for fn in aggfunc]
     if isinstance(aggfunc, dict):
         pairs = []
         for c, fns in aggfunc.items():
             for fn in [fns] if isinstance(fns, str) else fns:
-                pairs.append((f"{c}_{fn}", stat_expr(fn, c)))
+                pairs.append((f"{c}_{fn}", stat_expr(fn, c, df)))
         return pairs
     raise TypeError(f"aggfunc must be str/list/dict/callable, got {type(aggfunc)}")
 
@@ -232,7 +234,7 @@ def pivot_table(
         )
         out = cells.groupBy(*index).pivot(columns, pv).agg(F.first("v"))
     else:
-        pairs = _aggfunc_pairs(values, aggfunc)
+        pairs = _aggfunc_pairs(values, aggfunc, df)
         single = len(pairs) == 1 and pairs[0][0] == ""
         aggs = [e.alias(s or "v") for s, e in pairs]
         out = df.groupBy(*index).pivot(columns, pv).agg(*aggs)

@@ -29,10 +29,32 @@ from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 # ---------------------------------------------------------------------------
 # expression builders
 # ---------------------------------------------------------------------------
+
+
+def _floating(df: DataFrame, col: str) -> bool:
+    try:
+        return isinstance(df.schema[col].dataType, (T.DoubleType, T.FloatType))
+    except Exception:
+        return False
+
+
+def nan_safe(df: DataFrame, col: str) -> Column:
+    """pandas ``skipna=True`` shim for TRUE NaN values: parquet-borne NaN
+    is a VALUE to Spark (it poisons sums, sorts above every double, and
+    counts as an observation), but pandas treats it as missing in every
+    reduction by default. Mask NaN → NULL at the aggregation input for
+    floating columns (``nanvl`` — stays inside whole-stage codegen).
+    ±inf is KEPT: pandas full-frame stats propagate inf by IEEE, unlike
+    its window kernels which drop non-finite entirely (windows._finite)."""
+    c = F.col(col)
+    if _floating(df, col):
+        return F.nanvl(c, F.lit(None).cast("double"))
+    return c
 
 
 def decimal_sum(col: str | Column, scale: int = 6) -> Column:
@@ -77,17 +99,21 @@ def kurt_sample(col: str | Column) -> Column:
     return ((n + 1) * g2 + 6) * (n - 1) / ((n - 2) * (n - 3))
 
 
-def sum_min_count(col: str | Column, min_count: int = 0) -> Column:
+def sum_min_count(col: str | Column, min_count: int = 0, df: DataFrame | None = None) -> Column:
     """pandas p_sum(min_count=): NULL unless >= min_count non-null values."""
-    c = F.col(col) if isinstance(col, str) else col
+    c = nan_safe(df, col) if (df is not None and isinstance(col, str)) else (
+        F.col(col) if isinstance(col, str) else col
+    )
     total = F.sum(c)
     if min_count <= 0:
         return F.coalesce(total, F.lit(0.0))
     return F.when(F.count(c) >= min_count, total)
 
 
-def prod_min_count(col: str | Column, min_count: int = 0) -> Column:
-    c = F.col(col) if isinstance(col, str) else col
+def prod_min_count(col: str | Column, min_count: int = 0, df: DataFrame | None = None) -> Column:
+    c = nan_safe(df, col) if (df is not None and isinstance(col, str)) else (
+        F.col(col) if isinstance(col, str) else col
+    )
     p = F.product(c)
     if min_count <= 0:
         return F.coalesce(p, F.lit(1.0))
@@ -126,9 +152,13 @@ STAT_EXPRS = {
 MINCOUNT_IDENTITY = {"sum": 0, "prod": 1}
 
 
-def stat_expr(stat: str, col: str) -> Column:
+def stat_expr(stat: str, col, df: DataFrame | None = None) -> Column:
+    """Aggregate expression for ``stat`` over ``col``. Pass ``df`` to get
+    pandas skipna semantics for TRUE NaN values (:func:`nan_safe`) —
+    callers with a frame in hand should always pass it."""
+    src = nan_safe(df, col) if (df is not None and isinstance(col, str)) else col
     try:
-        e = STAT_EXPRS[stat](col)
+        e = STAT_EXPRS[stat](src)
     except KeyError:
         raise ValueError(f"unknown stat {stat!r}; known: {sorted(STAT_EXPRS)}") from None
     if stat in MINCOUNT_IDENTITY:
@@ -143,7 +173,7 @@ def agg_stats(df: DataFrame, cols: Sequence[str], stats: Sequence[str]) -> DataF
     ParallelizeMinCountStatFunc (parallel_dataframe.py:714-861) — each op
     there is a separate pool dispatch; here all pairs share one scan.
     """
-    exprs = [stat_expr(s, c).alias(f"{c}_{s}") for c in cols for s in stats]
+    exprs = [stat_expr(s, c, df).alias(f"{c}_{s}") for c in cols for s in stats]
     return df.agg(*exprs)
 
 
@@ -157,15 +187,14 @@ def quantile(
     ``exact=False`` switches to ``approx_percentile`` (the 100 TB path:
     single-pass sketch, no global sort).
     """
-    fn = "percentile" if exact else "approx_percentile"
-    qlist = ", ".join(str(float(q)) for q in qs)
+    fn = F.percentile if exact else F.percentile_approx
+    qarr = F.array(*[F.lit(float(q)) for q in qs])
     # ONE scan: percentile(col, array(qs)) computes every quantile of every
     # column in a single aggregation (the sort/sketch per column is shared
     # across qs) — the previous per-q agg+union re-scanned the input once
-    # per output row, an 8x IO bug at the 100 TB target.
-    wide = df.agg(
-        *[F.expr(f"{fn}({c}, array({qlist}))").alias(c) for c in cols]
-    )
+    # per output row, an 8x IO bug at the 100 TB target. nan_safe: pandas
+    # quantile skips NaN; Spark's percentile sorts NaN above every value.
+    wide = df.agg(*[fn(nan_safe(df, c), qarr).alias(c) for c in cols])
     zipped = F.arrays_zip(
         F.array(*[F.lit(float(q)) for q in qs]).alias("q"),
         *[F.col(c) for c in cols],
@@ -276,14 +305,15 @@ def describe_exact(
 
     aggs = []
     for c in num_cols:
-        qlist = ", ".join(str(p) for p in ps)
+        src = nan_safe(df, c)
+        parr = F.array(*[F.lit(float(p)) for p in ps])
         aggs += [
-            F.count(c).cast("double").alias(f"__cnt_{c}"),
-            F.avg(c).alias(f"__mean_{c}"),
-            F.stddev_samp(c).alias(f"__std_{c}"),
-            F.min(c).cast("double").alias(f"__min_{c}"),
-            F.max(c).cast("double").alias(f"__max_{c}"),
-            F.expr(f"percentile(`{c}`, array({qlist}))").alias(f"__pcts_{c}"),
+            F.count(src).cast("double").alias(f"__cnt_{c}"),
+            F.avg(src).alias(f"__mean_{c}"),
+            F.stddev_samp(src).alias(f"__std_{c}"),
+            F.min(src).cast("double").alias(f"__min_{c}"),
+            F.max(src).cast("double").alias(f"__max_{c}"),
+            F.percentile(src, parr).alias(f"__pcts_{c}"),
         ]
     for c in obj_cols:
         aggs += [
@@ -359,10 +389,13 @@ def mad(df: DataFrame, cols: Sequence[str]) -> DataFrame:
     parallel_dataframe.py:502-522). Two aggregation passes — means first,
     then mean(|x - mean|) — composed via a broadcast cross join, so the
     second pass is still a single scan with map-side partials."""
-    means = df.agg(*[F.avg(c).alias(f"__mean_{c}") for c in cols])
+    means = df.agg(*[F.avg(nan_safe(df, c)).alias(f"__mean_{c}") for c in cols])
     joined = df.crossJoin(F.broadcast(means))
     return joined.agg(
-        *[F.avg(F.abs(F.col(c) - F.col(f"__mean_{c}"))).alias(f"{c}_mad") for c in cols]
+        *[
+            F.avg(F.abs(nan_safe(df, c) - F.col(f"__mean_{c}"))).alias(f"{c}_mad")
+            for c in cols
+        ]
     )
 
 
@@ -371,7 +404,10 @@ def mode(df: DataFrame, col: str, tie: str = "min") -> DataFrame:
     default — pandas returns *all* tied modes sorted, so 'min' equals
     pandas' first mode). Reference p_mode: parallel_dataframe.py:625-647.
     """
-    counts = df.where(F.col(col).isNotNull()).groupBy(col).agg(F.count("*").alias("cnt"))
+    keep = F.col(col).isNotNull()
+    if _floating(df, col):
+        keep = keep & ~F.isnan(F.col(col))  # pandas mode drops NaN
+    counts = df.where(keep).groupBy(col).agg(F.count("*").alias("cnt"))
     pick = F.min(col) if tie == "min" else F.max(col)
     best = counts.agg(F.max("cnt").alias("cnt"))
     return (
@@ -391,7 +427,7 @@ def idx_extreme(
     struct comparison orders by value first, then by negated id, so the
     smallest id among ties wins, deterministically, with no second scan.
     """
-    v = F.col(value_col)
+    v = nan_safe(df, value_col)  # pandas idxmax/idxmin skip NaN rows
     i = F.col(id_col).cast("long")
     if largest:
         pair = F.when(v.isNotNull(), F.struct(v.alias("v"), (-i).alias("ni")))
@@ -418,7 +454,8 @@ def nunique(df: DataFrame, cols: Sequence[str], approx: bool = False) -> DataFra
     (single-pass, mergeable sketch) — the right call at 100 TB where exact
     per-column distinct forces a shuffle per column."""
     fn = F.approx_count_distinct if approx else F.countDistinct
-    return df.agg(*[fn(c).alias(f"{c}_nunique") for c in cols])
+    # pandas nunique(dropna=True) excludes NaN; Spark counts it as a value
+    return df.agg(*[fn(nan_safe(df, c)).alias(f"{c}_nunique") for c in cols])
 
 
 def corr_matrix(
@@ -447,7 +484,24 @@ def corr_matrix(
     correlation is NULL unless its pairwise-complete row count reaches the
     threshold — a CASE guard on a per-pair conditional count, still one
     scan.
+
+    Missing data: NaN is normalized to NULL at entry and every method is
+    pairwise-complete over NULLs. Known divergence (deliberate): for
+    SPEARMAN with missing values, pandas re-ranks each pair's complete
+    subset (nancorr_spearman), which would serialize every pair's full
+    column through one task at scale; we rank each column once (missing
+    rows excluded from ranking) and pairwise-delete afterwards, so
+    spearman values differ slightly when one column's missing rows don't
+    coincide with its partner's. With no missing data the results are
+    identical.
     """
+    # normalize TRUE NaN -> NULL once at entry: every branch below already
+    # implements pairwise-complete semantics for NULLs (F.corr skips a row
+    # when either side is NULL; _pair_long filters), and pandas treats NaN
+    # as missing in corr
+    for c in cols:
+        if _floating(df, c):
+            df = df.withColumn(c, nan_safe(df, c))
     if callable(method):
         return _corr_matrix_callable(df, cols, method, round_to, min_periods)
     if method == "kendall":
@@ -534,7 +588,12 @@ def _pair_long(df: DataFrame, cols: Sequence[str]) -> DataFrame:
     return (
         df.select(F.explode(structs).alias("p"))
         .select("p.pid", "p.x", "p.y")
-        .where(F.col("x").isNotNull() & F.col("y").isNotNull())
+        # pairwise-complete: pandas corr drops a pair-row when either side
+        # is missing — and a TRUE NaN is missing, not a value
+        .where(
+            F.col("x").isNotNull() & F.col("y").isNotNull()
+            & ~F.isnan("x") & ~F.isnan("y")
+        )
     )
 
 
@@ -664,8 +723,8 @@ def zscore_normalize(df: DataFrame, cols: Sequence[str], ddof: int = 1) -> DataF
     itself, scales linearly."""
     stdfn = F.stddev_samp if ddof == 1 else F.stddev_pop
     moments = df.agg(
-        *[F.avg(c).alias(f"__mean_{c}") for c in cols],
-        *[stdfn(c).alias(f"__std_{c}") for c in cols],
+        *[F.avg(nan_safe(df, c)).alias(f"__mean_{c}") for c in cols],
+        *[stdfn(nan_safe(df, c)).alias(f"__std_{c}") for c in cols],
     )
     out = df.crossJoin(F.broadcast(moments))
     for c in cols:
@@ -829,8 +888,13 @@ def value_counts(
     shuffle), ordered (count, value) both directions deterministic — a
     total order, since the value is unique per group. ``normalize=True``
     divides by the total via a 1-row broadcast cross join, not a second
-    scan. NULLs: pandas drops them unless ``dropna=False``."""
-    base = df.where(F.col(col).isNotNull()) if dropna else df
+    scan. NULLs: pandas drops them unless ``dropna=False`` (a TRUE NaN
+    counts as missing too; with ``dropna=False`` Spark's grouping
+    normalizes NaN, so all NaNs form one group, like pandas)."""
+    keep = F.col(col).isNotNull()
+    if _floating(df, col):
+        keep = keep & ~F.isnan(F.col(col))
+    base = df.where(keep) if dropna else df
     counts = base.groupBy(F.col(col).alias("value")).agg(
         F.count("*").alias("count")
     )

@@ -732,3 +732,70 @@ def test_window_kernels_treat_nonfinite_as_missing(spark):
         for fn in ("mean", "count"):
             check({i: rows[i][f"v_exp_{fn}"] for i in grp.index},
                   getattr(exp, fn)(), ("exp_" + fn, g))
+
+
+def test_reductions_skipna_true_nan(spark):
+    """pandas skipna=True for TRUE NaN values (parquet-borne NaN is a
+    VALUE to Spark): every reduction, grouped agg/transform, quantile,
+    describe, mode, idxmax, nunique, value_counts, and pearson corr must
+    exclude NaN, while propagating ±inf like pandas full-frame stats."""
+    import pyspark.sql.functions as SF
+    from parallel_pandas_spark.api import ParallelFrame
+    from parallel_pandas_spark.operators import grouped, reductions
+
+    rng = np.random.default_rng(4)
+    v = rng.normal(10, 2, 40).round(3)
+    pdf = pd.DataFrame({"i": range(40), "g": [i % 2 for i in range(40)], "v": v})
+    pdf_nan = pdf.copy()
+    pdf_nan.loc[3, "v"] = np.nan
+    pdf_nan.loc[17, "v"] = np.nan
+    df = spark.createDataFrame(pdf).withColumn(
+        "v", SF.when(SF.col("i").isin(3, 17), SF.lit(float("nan"))).otherwise(SF.col("v"))
+    )
+    pn = pdf_nan["v"]
+    pf = ParallelFrame(df)
+    checks = {
+        "p_mean": (pf.p_mean(["v"]), pn.mean()),
+        "p_sum": (pf.p_sum(["v"]), pn.sum()),
+        "p_std": (pf.p_std(["v"]), pn.std()),
+        "p_max": (pf.p_max(["v"]), pn.max()),
+        "p_median": (pf.p_median(["v"]), pn.median()),
+        "p_nunique": (pf.p_nunique(["v"]), float(pn.nunique())),
+        "p_skew": (pf.p_skew(["v"]), pn.skew()),
+        "p_mad": (pf.p_mad(["v"]), (pn - pn.mean()).abs().mean()),
+    }
+    for name, (got_df, want) in checks.items():
+        got = list(got_df.collect()[0].asDict().values())[0]
+        assert got == pytest.approx(want), (name, got, want)
+
+    ga = grouped.groupby_agg(df, ["g"], {"v": ["mean", "count"]})
+    got = {r["g"]: (r["v_mean"], r["v_count"]) for r in ga.collect()}
+    pg = pdf_nan.groupby("g")["v"]
+    for g in (0, 1):
+        assert got[g][0] == pytest.approx(pg.mean()[g]), g
+        assert got[g][1] == pg.count()[g], g
+
+    tr = grouped.groupby_transform(df, ["g"], ["v"], "mean")
+    want = pdf_nan.groupby("g")["v"].transform("mean")
+    got = {r["i"]: r["v_mean"] for r in tr.collect()}
+    assert all(got[i] == pytest.approx(want.iloc[i]) for i in range(40))
+
+    d = {r["summary"]: r["v"] for r in reductions.describe_exact(df, ["v"]).collect()}
+    ref = pn.describe()
+    for k in ("count", "mean", "std", "min", "25%", "50%", "max"):
+        assert d[k] == pytest.approx(ref[k]), k
+
+    df2 = df.withColumn(
+        "u",
+        SF.col("i").cast("double")
+        + SF.when(SF.col("i") == 5, SF.lit(float("nan"))).otherwise(SF.lit(0.0)),
+    )
+    pdf2 = pdf_nan.assign(u=[float(i) if i != 5 else np.nan for i in range(40)])
+    cm = reductions.corr_matrix(df2, ["v", "u"], "pearson")
+    got = {(r["col_x"], r["col_y"]): r["corr"] for r in cm.collect()}
+    assert got[("v", "u")] == pytest.approx(pdf2[["v", "u"]].corr().loc["v", "u"])
+
+    # inf still PROPAGATES in full-frame stats (unlike window kernels)
+    dfi = df.withColumn("v", SF.when(SF.col("i") == 7, SF.lit(float("inf"))).otherwise(SF.col("v")))
+    got = ParallelFrame(dfi).p_mean(["v"]).collect()[0][0]
+    assert math.isinf(got)
