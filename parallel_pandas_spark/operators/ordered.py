@@ -19,6 +19,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, Window, WindowSpec
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def _window(order_by: Sequence[str], partition_by: Sequence[str] | None) -> WindowSpec:
@@ -31,16 +32,21 @@ def _cum_spec(order_by, partition_by):
 
 
 def _cum(df, cols, order_by, partition_by, suffix, agg):
-    # pandas cumulative semantics at a NULL row: the OUTPUT is NaN there
-    # (skipna keeps the running state, so later rows continue unaffected —
-    # which Spark's null-ignoring window aggregates already do); without
-    # the mask the running value would leak into the NULL positions
+    # pandas cumulative skipna semantics: a missing row (NULL or TRUE NaN)
+    # outputs NaN/NULL but does NOT enter the running state — later rows
+    # continue unaffected. Spark's window aggregates skip NULLs natively;
+    # NaN must be masked out of the input or one NaN poisons every later
+    # accumulation (and NaN is exactly what parquet float columns carry).
     w = _cum_spec(order_by, partition_by)
     out = df
     for c in cols:
-        out = out.withColumn(
-            f"{c}{suffix}", F.when(F.col(c).isNotNull(), agg(c).over(w))
-        )
+        col = F.col(c)
+        floating = isinstance(df.schema[c].dataType, (T.DoubleType, T.FloatType))
+        src = F.nanvl(col, F.lit(None).cast("double")) if floating else col
+        e = F.when(col.isNotNull(), agg(src).over(w))
+        if floating:
+            e = F.when(F.isnan(col), col).otherwise(e)  # NaN position stays NaN
+        out = out.withColumn(f"{c}{suffix}", e)
     return out
 
 
@@ -104,6 +110,15 @@ def rank(
     out_col = out_col or f"{col}_rank"
     if na_option not in ("keep", "top", "bottom"):
         raise ValueError(f"na_option must be keep/top/bottom, got {na_option!r}")
+    # pandas treats TRUE NaN as NA in rank (na_option applies to it);
+    # Spark sorts NaN above every double as a VALUE — mask to NULL first
+    temps = []
+    if isinstance(df.schema[col].dataType, (T.DoubleType, T.FloatType)):
+        df = df.withColumn(
+            "__rk_src", F.nanvl(F.col(col), F.lit(None).cast("double"))
+        )
+        col = "__rk_src"
+        temps = ["__rk_src"]
     vorder = F.col(col).asc_nulls_last() if ascending else F.col(col).desc_nulls_last()
     # rank/dense_rank MUST order by value alone (ties share a rank); only
     # the row_number paths ('first', and the rn feeding 'average') take the
@@ -151,10 +166,10 @@ def rank(
             res = out.withColumn(
                 out_col, F.col(tmp) / F.max(tmp).over(whole)
             ).drop(tmp)
-            return res
+            return res.drop(*temps)
         denom = F.count(col) if na_option == "keep" else F.count(F.lit(1))
         expr = expr / denom.over(whole)
-    return df.withColumn(out_col, expr)
+    return df.withColumn(out_col, expr).drop(*temps)
 
 
 def global_avg_rank(

@@ -799,3 +799,33 @@ def test_reductions_skipna_true_nan(spark):
     dfi = df.withColumn("v", SF.when(SF.col("i") == 7, SF.lit(float("inf"))).otherwise(SF.col("v")))
     got = ParallelFrame(dfi).p_mean(["v"]).collect()[0][0]
     assert math.isinf(got)
+
+
+def test_cumulatives_and_rank_skip_true_nan(spark):
+    """pandas cumulative skipna for TRUE NaN (the NaN row outputs NaN but
+    does not poison the running state) and rank-treats-NaN-as-NA."""
+    import pyspark.sql.functions as SF
+    from parallel_pandas_spark.operators import ordered
+
+    pdf = pd.DataFrame({"i": range(8), "g": [0] * 8,
+                        "v": [1.0, np.nan, 2, 3, np.nan, 4, 5, 6]})
+    df = spark.createDataFrame(pdf).withColumn(
+        "v", SF.when(SF.col("i").isin(1, 4), SF.lit(float("nan"))).otherwise(SF.col("v"))
+    )
+
+    def check(got, ref, ctx):
+        for a, b in zip(got, ref):
+            if isinstance(b, float) and math.isnan(b):
+                assert a is None or math.isnan(a), (ctx, got, ref)
+            else:
+                assert a == pytest.approx(b), (ctx, got, ref)
+
+    for op, ref in [("cumsum", pdf["v"].cumsum()), ("cummax", pdf["v"].cummax()),
+                    ("cumprod", pdf["v"].cumprod())]:
+        r = getattr(ordered, op)(df, ["v"], ["i"], partition_by=["g"])
+        check([row[f"v_{op}"] for row in r.orderBy("i").collect()], ref.tolist(), op)
+
+    for na in ("keep", "top", "bottom"):
+        r = ordered.rank(df, "v", partition_by=["g"], na_option=na, tie_break=["i"])
+        check([row["v_rank"] for row in r.orderBy("i").collect()],
+              pdf["v"].rank(na_option=na).tolist(), na)
