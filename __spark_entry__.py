@@ -4363,18 +4363,81 @@ def numeric_elementwise(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pf.df.drop("l_tax")
 
 
+@_q(
+    "fillna_dropna_arm",
+    """
+SELECT 'fill' AS fsrc, l_orderkey, l_linenumber,
+  COALESCE(CASE WHEN l_quantity <> 30 THEN l_quantity END, -1.0) AS q_const,
+  last_value(CASE WHEN l_quantity <> 30 THEN l_quantity END IGNORE NULLS) OVER
+    (PARTITION BY l_suppkey ORDER BY l_orderkey, l_linenumber, l_quantity
+     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS q_ffill
+FROM lineitem
+UNION ALL BY NAME
+SELECT 'drop' AS fsrc, COUNT(*) AS n_kept,
+  CAST(SUM(CAST(FLOOR(l_quantity * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS q2_sum
+FROM lineitem WHERE l_quantity <> 30
+""",
+)
+def fillna_dropna_arm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pandas ``fillna`` (scalar + ffill-with-order) and ``dropna`` (r6,
+    elementwise.fillna/dropna): NULLs injected by voiding l_quantity=30;
+    the constant fill is a narrow codegen CASE, the directional fill is
+    one last-IGNORE-NULLS window on the (l_suppkey, 3-col) pipeline —
+    leading unfillable rows stay NULL like pandas — and dropna is a pure
+    narrow filter whose surviving rows are value-checked by count +
+    exact quantized sum."""
+    from parallel_pandas_spark.api import ParallelFrame
+
+    li = load_table(spark, sf_dir, "lineitem")
+    voided = li.select(
+        "l_orderkey", "l_linenumber", "l_suppkey", "l_quantity",
+        F.when(F.col("l_quantity") != 30, F.col("l_quantity")).alias("q_const"),
+        F.when(F.col("l_quantity") != 30, F.col("l_quantity")).alias("q_ffill"),
+    )
+    pf = ParallelFrame(voided)
+    pf = pf.p_fillna(value=-1.0, cols=["q_const"])
+    pf = pf.p_fillna(
+        method="ffill", cols=["q_ffill"], order_by=_LI_ORD,
+        partition_by=["l_suppkey"],
+    )
+    fill = pf.df.select("l_orderkey", "l_linenumber", "q_const", "q_ffill")
+
+    kept = (
+        ParallelFrame(
+            voided.select(
+                F.when(F.col("l_quantity") != 30, F.col("l_quantity")).alias("qn")
+            )
+        )
+        .p_dropna(cols=["qn"])
+        .df.agg(
+            F.count("*").alias("n_kept"),
+            F.sum(
+                F.floor(F.col("qn") * F.lit(100.0) + F.lit(0.5)).cast("long")
+            ).cast("long").alias("q2_sum"),
+        )
+    )
+    return _pad_union([("fill", fill), ("drop", kept)]).withColumnRenamed(
+        "src", "fsrc"
+    )
+
+
 _bfn, _bsql = _compose_union(
     [
         ("rows", "apply_rows_charge"),
         ("applymap", "applymap_signed_log"),
         ("numeric", "numeric_elementwise"),
+        ("nafill", "fillna_dropna_arm"),
     ]
 )
 _bfn.__doc__ = """Row-at-a-time p_apply(axis=1) (honest slow-path parity
 demo) + vectorized p_applymap over every cell + (r6) the JVM-expression
-numeric surface (clip/round/abs/where/mask)."""
+numeric surface (clip/round/abs/where/mask) and the fillna/dropna
+missing-data surface."""
 _q("elementwise_battery", _bsql)(_bfn)
-_retire("apply_rows_charge", "applymap_signed_log", "numeric_elementwise")
+_retire(
+    "apply_rows_charge", "applymap_signed_log", "numeric_elementwise",
+    "fillna_dropna_arm",
+)
 
 _bfn, _bsql = _compose_union(
     [

@@ -321,6 +321,15 @@ class ParallelFrame:
 
         return ParallelFrame(dedup.drop_duplicates(self.df, subset, order_by, keep))
 
+    def p_fillna(self, value=None, cols=None, method=None, limit=None,
+                 order_by=None, partition_by=None) -> "ParallelFrame":
+        return ParallelFrame(elementwise.fillna(
+            self.df, value, cols, method, limit, order_by, partition_by
+        ))
+
+    def p_dropna(self, cols=None, how="any", thresh=None) -> "ParallelFrame":
+        return ParallelFrame(elementwise.dropna(self.df, cols, how, thresh))
+
     def p_clip(self, cols, lower=None, upper=None) -> "ParallelFrame":
         return ParallelFrame(elementwise.clip(self.df, cols, lower, upper))
 

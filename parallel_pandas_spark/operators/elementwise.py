@@ -378,3 +378,100 @@ def where_mask(
             ),
         )
     return out
+
+
+def fillna(
+    df: DataFrame,
+    value=None,
+    cols: Sequence[str] | None = None,
+    method: str | None = None,
+    limit: int | None = None,
+    order_by: Sequence[str] | None = None,
+    partition_by: Sequence[str] | None = None,
+) -> DataFrame:
+    """pandas ``fillna``: fill missing values (NULL and TRUE NaN both count
+    as missing, like pandas) with a scalar, a per-column dict, or
+    directionally ('ffill'/'bfill', at most ``limit`` positions).
+
+    Directional fills need an explicit ``order_by`` (pandas fills by input
+    position, which is undefined after a shuffle) and plan as one
+    last/first-IGNORE-NULLS window over a bounded frame — one shuffle on
+    the partition key, no Python. Scalar/dict fills are narrow codegen
+    expressions."""
+    from pyspark.sql import Window, types as T
+
+    if (value is None) == (method is None):
+        raise ValueError("fillna needs exactly one of value= or method=")
+    targets = list(cols) if cols is not None else [
+        f.name for f in df.schema.fields
+        if not isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+    ]
+
+    def _missing(c: str):
+        cond = F.col(c).isNull()
+        if isinstance(df.schema[c].dataType, (T.DoubleType, T.FloatType)):
+            cond = cond | F.isnan(F.col(c))
+        return cond
+
+    out = df
+    if method is not None:
+        if method not in ("ffill", "pad", "bfill", "backfill"):
+            raise ValueError(f"method must be ffill/pad/bfill/backfill, got {method!r}")
+        if not order_by:
+            raise ValueError(
+                "fillna(method=) needs an explicit order_by: pandas fills by "
+                "input position, which is not defined after a shuffle"
+            )
+        w = Window.partitionBy(*(partition_by or [])).orderBy(
+            *[F.col(c) for c in order_by]
+        )
+        if method in ("ffill", "pad"):
+            wf = w.rowsBetween(-limit if limit else Window.unboundedPreceding, 0)
+            pick = lambda src: F.last(src, ignorenulls=True).over(wf)  # noqa: E731
+        else:
+            wf = w.rowsBetween(0, limit if limit else Window.unboundedFollowing)
+            pick = lambda src: F.first(src, ignorenulls=True).over(wf)  # noqa: E731
+        for c in targets:
+            src = F.when(~_missing(c), F.col(c))
+            out = out.withColumn(c, F.when(_missing(c), pick(src)).otherwise(F.col(c)))
+        return out
+
+    vals = value if isinstance(value, dict) else {c: value for c in targets}
+    for c, v in vals.items():
+        out = out.withColumn(c, F.when(_missing(c), F.lit(v)).otherwise(F.col(c)))
+    return out
+
+
+def dropna(
+    df: DataFrame,
+    cols: Sequence[str] | None = None,
+    how: str = "any",
+    thresh: int | None = None,
+) -> DataFrame:
+    """pandas ``dropna(subset, how, thresh)``: drop rows with missing
+    values (NULL or TRUE NaN). Pure narrow filter — pushes toward the
+    scan, no shuffle."""
+    from pyspark.sql import types as T
+
+    targets = list(cols) if cols is not None else [
+        f.name for f in df.schema.fields
+        if not isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+    ]
+
+    def _ok(c: str):
+        cond = F.col(c).isNotNull()
+        if isinstance(df.schema[c].dataType, (T.DoubleType, T.FloatType)):
+            cond = cond & ~F.isnan(F.col(c))
+        return cond
+
+    n_ok = None
+    for c in targets:
+        term = _ok(c).cast("int")
+        n_ok = term if n_ok is None else (n_ok + term)
+    if thresh is not None:
+        return df.where(n_ok >= thresh)
+    if how == "any":
+        return df.where(n_ok == len(targets))
+    if how == "all":
+        return df.where(n_ok > 0)
+    raise ValueError(f"how must be 'any' or 'all', got {how!r}")

@@ -829,3 +829,60 @@ def test_cumulatives_and_rank_skip_true_nan(spark):
         r = ordered.rank(df, "v", partition_by=["g"], na_option=na, tie_break=["i"])
         check([row["v_rank"] for row in r.orderBy("i").collect()],
               pdf["v"].rank(na_option=na).tolist(), na)
+
+
+def test_fillna_dropna_vs_pandas(spark):
+    """fillna (scalar / dict / ffill / bfill / limit) and dropna
+    (any / all / thresh) against pandas, with NULL and TRUE NaN mixed —
+    both count as missing, like pandas."""
+    import pyspark.sql.functions as SF
+    from parallel_pandas_spark.operators import elementwise
+
+    pdf = pd.DataFrame({
+        "i": range(10),
+        "a": [1.0, np.nan, np.nan, 4, np.nan, 6, np.nan, np.nan, 9, 10],
+        "b": [np.nan, np.nan, 3.0, np.nan, 5, np.nan, 7, 8, np.nan, np.nan],
+    })
+    # half the missing as TRUE NaN, half as NULL: same answer required
+    df = spark.createDataFrame(pdf.assign(a=pdf["a"].fillna(-999), b=pdf["b"].fillna(-999)))
+    df = df.withColumn("a", SF.when(SF.col("a") == -999,
+        SF.when(SF.col("i") % 2 == 0, SF.lit(float("nan"))).otherwise(SF.lit(None))
+        ).otherwise(SF.col("a")))
+    df = df.withColumn("b", SF.when(SF.col("b") == -999,
+        SF.when(SF.col("i") % 2 == 1, SF.lit(float("nan"))).otherwise(SF.lit(None))
+        ).otherwise(SF.col("b")))
+
+    def vals(rdf, c):
+        return [r[c] for r in rdf.orderBy("i").collect()]
+
+    def check(got, ref, ctx):
+        for g, r in zip(got, ref):
+            if isinstance(r, float) and math.isnan(r):
+                assert g is None or math.isnan(g), (ctx, got, ref)
+            else:
+                assert g == pytest.approx(r), (ctx, got, ref)
+
+    check(vals(elementwise.fillna(df, value=0.0, cols=["a"]), "a"),
+          pdf["a"].fillna(0.0).tolist(), "scalar")
+    check(vals(elementwise.fillna(df, value={"a": 1.5, "b": -2.0}), "a"),
+          pdf["a"].fillna(1.5).tolist(), "dict-a")
+    check(vals(elementwise.fillna(df, value={"a": 1.5, "b": -2.0}), "b"),
+          pdf["b"].fillna(-2.0).tolist(), "dict-b")
+    for method, ref_m in [("ffill", pdf.ffill()), ("bfill", pdf.bfill())]:
+        r = elementwise.fillna(df, method=method, cols=["a", "b"], order_by=["i"])
+        check(vals(r, "a"), ref_m["a"].tolist(), method + "-a")
+        check(vals(r, "b"), ref_m["b"].tolist(), method + "-b")
+    r = elementwise.fillna(df, method="ffill", cols=["a"], order_by=["i"], limit=1)
+    check(vals(r, "a"), pdf["a"].ffill(limit=1).tolist(), "ffill-limit")
+
+    for how in ("any", "all"):
+        got = sorted(r["i"] for r in elementwise.dropna(df, ["a", "b"], how=how).collect())
+        want = sorted(pdf.dropna(subset=["a", "b"], how=how)["i"].tolist())
+        assert got == want, how
+    got = sorted(r["i"] for r in elementwise.dropna(df, ["a", "b"], thresh=2).collect())
+    want = sorted(pdf.dropna(subset=["a", "b"], thresh=2)["i"].tolist())
+    assert got == want
+    with pytest.raises(ValueError):
+        elementwise.fillna(df, method="ffill")  # no order_by
+    with pytest.raises(ValueError):
+        elementwise.fillna(df)  # neither value nor method
