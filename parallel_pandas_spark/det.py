@@ -40,6 +40,19 @@ def _c(col: Column | str) -> Column:
     return F.col(col) if isinstance(col, str) else col
 
 
+def _nobs(col: Column | str) -> Column:
+    """Observation count matching the quantized sums: the quantizer maps
+    NaN to NULL (floor(NaN) is NaN, cast to long is NULL), so sums SKIP
+    NaN — pandas skipna, by construction. Counts must skip it too, or
+    every mean/variance divides by an inflated n when a float column
+    carries true NaN."""
+    return F.count(F.nanvl(_c(col).cast("double"), F.lit(None).cast("double")))
+
+
+def _nobs_sql(col: str) -> str:
+    return f"COUNT(CASE WHEN NOT isnan(CAST({col} AS DOUBLE)) THEN {col} END)"
+
+
 # --- power sums ------------------------------------------------------------
 # Per-row quantization must NOT go through CAST(double AS DECIMAL): Spark
 # rounds the double's shortest decimal representation (BigDecimal.valueOf)
@@ -104,8 +117,12 @@ def _qsplit(x: Column, scale: int) -> tuple[Column, Column]:
 
 
 def _qsplit_sql(x: str, scale: int) -> tuple[str, str]:
+    # the CASE guard matches Spark's non-ANSI CAST(NaN AS BIGINT) -> NULL
+    # (DuckDB raises on that cast), so NaN rows drop out of both engines'
+    # sums identically
     ten = repr(float(10**scale))
-    v = f"(CAST({x} AS DOUBLE)*{ten} + 0.5)"
+    xs = f"(CASE WHEN isnan(CAST({x} AS DOUBLE)) THEN NULL ELSE CAST({x} AS DOUBLE) END)"
+    v = f"({xs}*{ten} + 0.5)"
     q = _floor_d_sql(v)
     h = _floor_d_sql(f"({q}/{_W!r})")
     lo = f"({q} - {h}*{_W!r})"
@@ -146,7 +163,8 @@ def qsum_sql(x: str, scale: int, wide: bool = False) -> str:
         shi = f"CAST(SUM({hi}) AS DOUBLE)"
         slo = f"CAST(SUM({lo}) AS DOUBLE)"
         return f"(({shi}*{_W!r} + {slo}) / {ten})"
-    q = f"CAST(FLOOR(CAST({x} AS DOUBLE)*{ten} + 0.5) AS BIGINT)"
+    q = (f"CAST(CASE WHEN isnan(CAST({x} AS DOUBLE)) THEN NULL ELSE "
+        f"FLOOR(CAST({x} AS DOUBLE)*{ten} + 0.5) END AS BIGINT)")
     return f"(CAST(SUM({q}) AS DOUBLE) / {ten})"
 
 
@@ -200,7 +218,8 @@ def lsum(col, scale: int = 6) -> Column:
 
 def lsum_sql(expr: str, scale: int = 6) -> str:
     return (
-        f"SUM(CAST(FLOOR(CAST({expr} AS DOUBLE)*{float(10**scale)!r} + 0.5) AS BIGINT))"
+        f"SUM(CAST(CASE WHEN isnan(CAST({expr} AS DOUBLE)) THEN NULL ELSE "
+        f"FLOOR(CAST({expr} AS DOUBLE)*{float(10**scale)!r} + 0.5) END AS BIGINT))"
     )
 
 
@@ -225,11 +244,11 @@ def dsum_sql(col: str, scale: int = 6) -> str:
 
 
 def dmean(col, scale: int = 6) -> Column:
-    return psum(col, 1, scale) / F.count(_c(col))
+    return psum(col, 1, scale) / _nobs(col)
 
 
 def dmean_sql(col: str, scale: int = 6) -> str:
-    return f"{psum_sql(col, 1, scale)} / COUNT({col})"
+    return f"{psum_sql(col, 1, scale)} / {_nobs_sql(col)}"
 
 
 def _wide_for(xmax: float | None, power: int, scale: int) -> bool:
@@ -248,7 +267,7 @@ def dvar(col, scale: int = 6, sq_scale: int = 4, ddof: int = 1, xmax: float | No
     ``xmax`` declares max|x| so each power sum can take the compact
     scaled-long path (see :func:`qsum`); omit it for the always-safe wide
     path."""
-    n = F.count(_c(col)).cast("double")
+    n = _nobs(col).cast("double")
     s1 = psum(col, 1, scale, wide=_wide_for(xmax, 1, scale))
     s2 = psum(col, 2, sq_scale, wide=_wide_for(xmax, 2, sq_scale))
     return (s2 - s1 * s1 / n) / (n - ddof)
@@ -257,7 +276,7 @@ def dvar(col, scale: int = 6, sq_scale: int = 4, ddof: int = 1, xmax: float | No
 def dvar_sql(col: str, scale: int = 6, sq_scale: int = 4, ddof: int = 1, xmax: float | None = None) -> str:
     s1 = psum_sql(col, 1, scale, wide=_wide_for(xmax, 1, scale))
     s2 = psum_sql(col, 2, sq_scale, wide=_wide_for(xmax, 2, sq_scale))
-    n = f"CAST(COUNT({col}) AS DOUBLE)"
+    n = f"CAST({_nobs_sql(col)} AS DOUBLE)"
     return f"(({s2}) - ({s1})*({s1})/({n})) / (({n}) - {ddof})"
 
 
@@ -271,11 +290,11 @@ def dstd_sql(col: str, scale: int = 6, sq_scale: int = 4, ddof: int = 1, xmax: f
 
 def dsem(col, scale: int = 6, sq_scale: int = 4, xmax: float | None = None) -> Column:
     """Standard error of the mean, ddof=1 (pandas default)."""
-    return F.sqrt(dvar(col, scale, sq_scale, 1, xmax) / F.count(_c(col)))
+    return F.sqrt(dvar(col, scale, sq_scale, 1, xmax) / _nobs(col))
 
 
 def dsem_sql(col: str, scale: int = 6, sq_scale: int = 4, xmax: float | None = None) -> str:
-    return f"SQRT(({dvar_sql(col, scale, sq_scale, 1, xmax)}) / COUNT({col}))"
+    return f"SQRT(({dvar_sql(col, scale, sq_scale, 1, xmax)}) / {_nobs_sql(col)})"
 
 
 # --- skew / kurt (pandas G1/G2 sample estimators) ---------------------------
@@ -286,7 +305,7 @@ def dskew(col, scale: int = 6, xmax: float | None = None) -> Column:
     # JVM Math.pow vs DuckDB libm drift by an ulp value-dependently.
     # x^1.5 = x*sqrt(x): multiply and sqrt ARE exactly rounded (IEEE754),
     # so the twins are bit-identical across engines.
-    n = F.count(_c(col)).cast("double")
+    n = _nobs(col).cast("double")
     s1, s2, s3 = (psum(col, p, scale, wide=_wide_for(xmax, p, scale)) for p in (1, 2, 3))
     m = s1 / n
     m2 = s2 / n - m * m
@@ -297,7 +316,7 @@ def dskew(col, scale: int = 6, xmax: float | None = None) -> Column:
 
 def dskew_sql(col: str, scale: int = 6, xmax: float | None = None) -> str:
     s1, s2, s3 = (psum_sql(col, p, scale, wide=_wide_for(xmax, p, scale)) for p in (1, 2, 3))
-    n = f"CAST(COUNT({col}) AS DOUBLE)"
+    n = f"CAST({_nobs_sql(col)} AS DOUBLE)"
     m = f"(({s1})/({n}))"
     m2 = f"(({s2})/({n}) - {m}*{m})"
     m3 = f"(({s3})/({n}) - 3*{m}*({s2})/({n}) + 2*{m}*{m}*{m})"
@@ -306,7 +325,7 @@ def dskew_sql(col: str, scale: int = 6, xmax: float | None = None) -> str:
 
 
 def dkurt(col, scale: int = 6, xmax: float | None = None) -> Column:
-    n = F.count(_c(col)).cast("double")
+    n = _nobs(col).cast("double")
     s1, s2, s3, s4 = (psum(col, p, scale, wide=_wide_for(xmax, p, scale)) for p in (1, 2, 3, 4))
     m = s1 / n
     m2 = s2 / n - m * m
@@ -318,7 +337,7 @@ def dkurt(col, scale: int = 6, xmax: float | None = None) -> Column:
 
 def dkurt_sql(col: str, scale: int = 6, xmax: float | None = None) -> str:
     s1, s2, s3, s4 = (psum_sql(col, p, scale, wide=_wide_for(xmax, p, scale)) for p in (1, 2, 3, 4))
-    n = f"CAST(COUNT({col}) AS DOUBLE)"
+    n = f"CAST({_nobs_sql(col)} AS DOUBLE)"
     m = f"(({s1})/({n}))"
     m2 = f"(({s2})/({n}) - {m}*{m})"
     m4 = f"(({s4})/({n}) - 4*{m}*({s3})/({n}) + 6*{m}*{m}*({s2})/({n}) - 3*({m}*{m}*{m}*{m}))"
@@ -336,7 +355,7 @@ def dcorr(
 ) -> Column:
     """Pearson correlation from exact sums:
     (n·Sab − Sa·Sb) / sqrt((n·Saa − Sa²)(n·Sbb − Sb²))."""
-    n = F.count(_c(a)).cast("double")
+    n = _nobs(a).cast("double")
     abmax = None if (amax is None or bmax is None) else abs(amax) * abs(bmax)
     sa = psum(a, 1, scale_a, wide=_wide_for(amax, 1, scale_a))
     sb = psum(b, 1, scale_b, wide=_wide_for(bmax, 1, scale_b))
@@ -352,7 +371,7 @@ def dcorr_sql(
     a: str, b: str, scale_a: int = 6, scale_b: int = 6, scale_ab: int = 6,
     amax: float | None = None, bmax: float | None = None,
 ) -> str:
-    n = f"CAST(COUNT({a}) AS DOUBLE)"
+    n = f"CAST({_nobs_sql(a)} AS DOUBLE)"
     abmax = None if (amax is None or bmax is None) else abs(amax) * abs(bmax)
     sa = psum_sql(a, 1, scale_a, wide=_wide_for(amax, 1, scale_a))
     sb = psum_sql(b, 1, scale_b, wide=_wide_for(bmax, 1, scale_b))
@@ -392,7 +411,8 @@ def wqsum_sql(x: str, over: str, scale: int = 6, wide: bool = False) -> str:
         shi = f"CAST(SUM({hi}) {over} AS DOUBLE)"
         slo = f"CAST(SUM({lo}) {over} AS DOUBLE)"
         return f"(({shi}*{_W!r} + {slo}) / {ten})"
-    q = f"CAST(FLOOR(CAST({x} AS DOUBLE)*{ten} + 0.5) AS BIGINT)"
+    q = (f"CAST(CASE WHEN isnan(CAST({x} AS DOUBLE)) THEN NULL ELSE "
+        f"FLOOR(CAST({x} AS DOUBLE)*{ten} + 0.5) END AS BIGINT)")
     return f"(CAST(SUM({q}) {over} AS DOUBLE) / {ten})"
 
 
@@ -402,12 +422,12 @@ def wsum(col, window, scale: int = 6) -> Column:
 
 
 def wmean(col, window, scale: int = 6) -> Column:
-    return wsum(col, window, scale) / F.count(_c(col)).over(window)
+    return wsum(col, window, scale) / _nobs(col).over(window)
 
 
 def wstd(col, window, scale: int = 6, sq_scale: int = 4, ddof: int = 1) -> Column:
     c = _c(col).cast("double")
-    n = F.count(_c(col)).over(window).cast("double")
+    n = _nobs(col).over(window).cast("double")
     s1 = wsum(col, window, scale)
     s2 = wqsum(c * c, window, sq_scale)
     return F.sqrt((s2 - s1 * s1 / n) / (n - ddof))

@@ -886,3 +886,37 @@ def test_fillna_dropna_vs_pandas(spark):
         elementwise.fillna(df, method="ffill")  # no order_by
     with pytest.raises(ValueError):
         elementwise.fillna(df)  # neither value nor method
+
+
+def test_det_moments_skip_true_nan_both_engines(spark):
+    """det.* exact moments skip TRUE NaN like their quantized sums already
+    did implicitly — and the count divisor now skips it too (it used to
+    count NaN rows, inflating n). The SQL twins guard the quantizer with
+    CASE isnan so DuckDB (which RAISES on CAST(NaN AS BIGINT), unlike
+    Spark's non-ANSI NULL) computes the identical sums."""
+    import duckdb
+    import pyspark.sql.functions as SF
+    from parallel_pandas_spark import det
+
+    pn = pd.Series([0.0, 1, np.nan, 3, 4])
+    df = spark.range(5).withColumn(
+        "v", SF.when(SF.col("id") == 2, SF.lit(float("nan"))).otherwise(SF.col("id").cast("double"))
+    )
+    r = df.agg(
+        det.dmean("v").alias("m"), det.dvar("v").alias("var"),
+        det.dstd("v").alias("s"), det.dsem("v").alias("sem"),
+        det.dskew("v").alias("sk"), det.dkurt("v").alias("k"),
+    ).collect()[0]
+    for got, want in [(r["m"], pn.mean()), (r["var"], pn.var()), (r["s"], pn.std()),
+                      (r["sem"], pn.sem()), (r["sk"], pn.skew()), (r["k"], pn.kurt())]:
+        assert got == pytest.approx(want)
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT * FROM (VALUES (0.0),(1.0),('NaN'::DOUBLE),(3.0),(4.0)) v(x)"
+    )
+    got = con.execute(
+        f"SELECT {det.dmean_sql('x')}, {det.dvar_sql('x')}, {det.dskew_sql('x')} FROM t"
+    ).fetchone()
+    for g, w in zip(got, (pn.mean(), pn.var(), pn.skew())):
+        assert g == pytest.approx(w)
