@@ -3442,6 +3442,7 @@ def chunk_split_by_col_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 WITH r AS (
   SELECT user_id, value,
+         CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS v,
          ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
   FROM events
 ),
@@ -3458,16 +3459,41 @@ p AS (
          SUM(w5) AS sw, SUM(w5*w5) AS sw2,
          SUM(value*wh) AS shx, SUM(wh) AS sh
   FROM w GROUP BY user_id
+),
+pig0 AS (
+  -- ignore_na=False: weights over ABSOLUTE row positions (NaN rows keep
+  -- consuming decay steps); sums over non-NULL obs only
+  SELECT r.user_id,
+         SUM(r.v * POWER(2.0/3.0, mx.last_rn - r.rn)) AS sx0,
+         SUM(CASE WHEN r.v IS NOT NULL
+             THEN POWER(2.0/3.0, mx.last_rn - r.rn) END) AS sw0,
+         COUNT(r.v) AS nobs
+  FROM r JOIN mx USING (user_id) GROUP BY r.user_id
+),
+nn AS (
+  SELECT user_id, v,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY rn) AS rn1,
+         COUNT(*) OVER (PARTITION BY user_id) AS cnt1
+  FROM r WHERE v IS NOT NULL
+),
+pig1 AS (
+  -- ignore_na=True: weights over RELATIVE positions among non-NULL obs
+  SELECT user_id,
+         SUM(v * POWER(2.0/3.0, cnt1 - rn1)) AS sx1,
+         SUM(POWER(2.0/3.0, cnt1 - rn1)) AS sw1
+  FROM nn GROUP BY user_id
 )
-SELECT user_id,
+SELECT p.user_id,
   ROUND(swx/sw, 6) AS ewm_mean,
   ROUND(CASE WHEN sw*sw > sw2
         THEN SQRT((swx2 - swx*swx/sw) * sw/(sw*sw - sw2)) END, 6) AS ewm_std,
   ROUND(CASE WHEN sw*sw > sw2
         THEN (swx2 - swx*swx/sw) * sw/(sw*sw - sw2) END, 6) AS ewm_var,
   ROUND(swx, 6) AS ewm_sum,
-  ROUND(shx/sh, 6) AS ewm_mean_hl
-FROM p
+  ROUND(shx/sh, 6) AS ewm_mean_hl,
+  ROUND(CASE WHEN pig0.nobs >= 3 THEN pig0.sx0/pig0.sw0 END, 6) AS ewm_mean_ig0,
+  ROUND(CASE WHEN pig0.nobs >= 3 THEN pig1.sx1/pig1.sw1 END, 6) AS ewm_mean_ig1
+FROM p JOIN pig0 USING (user_id) LEFT JOIN pig1 USING (user_id)
 """,
 )
 def ewm_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3481,13 +3507,25 @@ def ewm_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle's closed form agree to ~1e-12; ROUND(...,6) is the contract.
     Both decay variants run in ONE grouped-map pass (windows.ewm_multi) —
     pass-per-variant would re-shuffle the fact table and join to recombine.
+    r6b adds the min_periods/ignore_na forwarding surface: ``value_v``
+    voids every 7th event deterministically, and two per-spec-column arms
+    run span=5 means with ignore_na False/True at min_periods=3 — the
+    NaN-gap decay semantics where the two modes genuinely diverge.
     Reference ParallelEWM (parallel_window.py:282-305)."""
     ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
+    ev = ev.withColumn(
+        "value_v",
+        F.when(F.col("event_id") % 7 == 0, F.lit(None)).otherwise(F.col("value")),
+    )
     e = windows.ewm_multi(
         ev, ["value"], order_by=["ts", "event_id"], partition_by=["user_id"],
         specs=[
             {"span": 5.0, "funcs": ("mean", "std", "var", "sum"), "suffix": ""},
             {"halflife": 2.0, "funcs": ("mean",), "suffix": "_hl"},
+            {"span": 5.0, "funcs": ("mean",), "suffix": "_ig0",
+             "min_periods": 3, "ignore_na": False, "cols": ["value_v"]},
+            {"span": 5.0, "funcs": ("mean",), "suffix": "_ig1",
+             "min_periods": 3, "ignore_na": True, "cols": ["value_v"]},
         ],
     )
     w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
@@ -3501,6 +3539,8 @@ def ewm_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("value_ewm_var", 6).alias("ewm_var"),
             F.round("value_ewm_sum", 6).alias("ewm_sum"),
             F.round("value_ewm_mean_hl", 6).alias("ewm_mean_hl"),
+            F.round("value_v_ewm_mean_ig0", 6).alias("ewm_mean_ig0"),
+            F.round("value_v_ewm_mean_ig1", 6).alias("ewm_mean_ig1"),
         )
     )
 
@@ -3729,18 +3769,100 @@ def stats_describe_custom(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_INTERP_QS = (0.25, 0.6, 0.9)
+
+
+def _interp_idx_sql(mode: str, q: float) -> list[str]:
+    """DuckDB index expressions for the numpy quantile position
+    ``h=(n-1)*q`` — n is a column of the ordered CTE, so the target index
+    is computable row-locally. 'nearest' spells out banker's rounding
+    (round half to even), matching Python round() on the Spark side."""
+    h = f"(n-1)*{q}"
+    fl = f"CAST(FLOOR({h}) AS BIGINT)"
+    if mode == "lower":
+        return [fl]
+    if mode == "higher":
+        return [f"CAST(CEIL({h}) AS BIGINT)"]
+    if mode == "nearest":
+        return [
+            f"CASE WHEN {h} - FLOOR({h}) = 0.5 THEN {fl} + {fl} % 2"
+            f" ELSE CAST(FLOOR({h} + 0.5) AS BIGINT) END"
+        ]
+    return [fl, f"CAST(CEIL({h}) AS BIGINT)"]  # midpoint: avg of the two
+
+
+def _interp_oracle_sql() -> str:
+    rows = []
+    for mode in ("lower", "higher", "nearest", "midpoint"):
+        for q in _INTERP_QS:
+            cells = []
+            for cte in ("sq", "sp"):
+                idx = ", ".join(_interp_idx_sql(mode, q))
+                cells.append(
+                    f"(SELECT ROUND(AVG(x),6) FROM {cte} WHERE i IN ({idx}))"
+                )
+            rows.append(
+                f"SELECT '{mode}' AS mode, CAST({q} AS DOUBLE) AS q,\n"
+                f"  {cells[0]} AS l_quantity,\n  {cells[1]} AS l_extendedprice"
+            )
+    body = "\nUNION ALL\n".join(rows)
+    return f"""
+WITH sq AS (
+  SELECT x, ROW_NUMBER() OVER (ORDER BY x) - 1 AS i, COUNT(*) OVER () AS n
+  FROM (SELECT l_quantity AS x FROM lineitem WHERE l_quantity IS NOT NULL) t
+),
+sp AS (
+  SELECT x, ROW_NUMBER() OVER (ORDER BY x) - 1 AS i, COUNT(*) OVER () AS n
+  FROM (SELECT l_extendedprice AS x FROM lineitem WHERE l_extendedprice IS NOT NULL) t
+)
+{body}
+"""
+
+
+@_q("stats_quantile_interp", _interp_oracle_sql())
+def stats_quantile_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p_quantile(interpolation=) — the four non-linear numpy modes
+    (lower/higher/nearest/midpoint; reference p_quantile forwards every
+    pandas kwarg, parallel_dataframe.py:598-622). Each mode re-expresses
+    the chosen data-point index as a literal probability so the same
+    single-scan percentile aggregate serves it (reductions.quantile);
+    the oracle selects the identical index from a ROW_NUMBER CTE."""
+    li = load_table(spark, sf_dir, "lineitem")
+    parts = []
+    for mode in ("lower", "higher", "nearest", "midpoint"):
+        d = reductions.quantile(
+            li, ["l_quantity", "l_extendedprice"], list(_INTERP_QS),
+            interpolation=mode,
+        )
+        parts.append(
+            d.select(
+                F.lit(mode).alias("mode"),
+                "q",
+                F.round("l_quantity", 6).alias("l_quantity"),
+                F.round("l_extendedprice", 6).alias("l_extendedprice"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 _bfn, _bsql = _compose_union(
     [
         ("describe", "stats_describe"),
         ("quantile", "stats_quantile"),
         ("custom", "stats_describe_custom"),
+        ("interp", "stats_quantile_interp"),
     ]
 )
 _bfn.__doc__ = """describe() (8 labeled rows, exact single-scan percentiles)
-padded-union with the arbitrary-quantile-list surface (ops #12-#13) and
-(r6) the percentiles=/include=/exclude= mixed-dtype describe."""
+padded-union with the arbitrary-quantile-list surface (ops #12-#13),
+(r6) the percentiles=/include=/exclude= mixed-dtype describe, and (r6b)
+the non-linear quantile interpolation modes."""
 _q("stats_quantile_describe", _bsql)(_bfn)
-_retire("stats_describe", "stats_quantile", "stats_describe_custom")
+_retire("stats_describe", "stats_quantile", "stats_describe_custom",
+        "stats_quantile_interp")
 
 @_q(
     "value_counts_arms",

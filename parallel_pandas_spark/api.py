@@ -132,10 +132,12 @@ class ParallelFrame:
             self.df, list(cols) if cols else self._numeric_cols()
         )
 
-    def p_quantile(self, q=0.5, cols=None, exact: bool = True):
+    def p_quantile(self, q=0.5, cols=None, exact: bool = True,
+                   interpolation: str = "linear"):
         qs = [q] if isinstance(q, (int, float)) else list(q)
         return reductions.quantile(
-            self.df, list(cols) if cols else self._numeric_cols(), qs, exact=exact
+            self.df, list(cols) if cols else self._numeric_cols(), qs,
+            exact=exact, interpolation=interpolation,
         )
 
     def p_mode(self, col: str):
@@ -366,8 +368,12 @@ class ParallelFrame:
     def expanding(self, order_by, partition_by=None) -> "ParallelExpanding":
         return ParallelExpanding(self.df, order_by, partition_by)
 
-    def ewm(self, order_by, partition_by, span=None, alpha=None) -> "ParallelEWM":
-        return ParallelEWM(self.df, order_by, partition_by, span, alpha)
+    def ewm(self, order_by, partition_by, span=None, alpha=None,
+            halflife=None, com=None, min_periods: int = 0,
+            ignore_na: bool = False, adjust: bool = True) -> "ParallelEWM":
+        return ParallelEWM(self.df, order_by, partition_by, span, alpha,
+                           halflife=halflife, com=com, min_periods=min_periods,
+                           ignore_na=ignore_na, adjust=adjust)
 
 
 class ParallelGroupBy:
@@ -622,15 +628,21 @@ class ParallelExpanding:
 
 
 class ParallelEWM:
-    def __init__(self, df, order_by, partition_by, span, alpha):
+    def __init__(self, df, order_by, partition_by, span, alpha,
+                 halflife=None, com=None, min_periods: int = 0,
+                 ignore_na: bool = False, adjust: bool = True):
         self.df = df
         self.order_by, self.partition_by = order_by, partition_by
         self.span, self.alpha = span, alpha
+        self.halflife, self.com = halflife, com
+        self.min_periods, self.ignore_na, self.adjust = min_periods, ignore_na, adjust
 
     def _agg(self, cols, funcs):
         return windows.ewm(
             self.df, cols, self.order_by, self.partition_by, funcs,
-            span=self.span, alpha=self.alpha,
+            span=self.span, alpha=self.alpha, halflife=self.halflife,
+            com=self.com, min_periods=self.min_periods,
+            ignore_na=self.ignore_na, adjust=self.adjust,
         )
 
     def p_mean(self, cols):

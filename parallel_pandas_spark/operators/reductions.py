@@ -25,6 +25,7 @@ pandas-semantics shims implemented as expressions:
 
 from __future__ import annotations
 
+import math
 from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame
@@ -177,16 +178,50 @@ def agg_stats(df: DataFrame, cols: Sequence[str], stats: Sequence[str]) -> DataF
     return df.agg(*exprs)
 
 
-def quantile(
-    df: DataFrame, cols: Sequence[str], qs: Sequence[float], exact: bool = True
-) -> DataFrame:
-    """Exact (linear-interpolation, pandas-default) or approximate quantiles.
+#: pandas Series.quantile(interpolation=) modes (numpy method names)
+_QUANTILE_INTERP = {"linear", "lower", "higher", "nearest", "midpoint"}
 
-    Reference p_quantile (parallel_dataframe.py:598-622). One output row per
-    q, one column per input column — mirrors pandas' list-q frame shape.
-    ``exact=False`` switches to ``approx_percentile`` (the 100 TB path:
-    single-pass sketch, no global sort).
+
+def _round_half_even(h: float) -> int:
+    """numpy 'nearest' tie rule: round half to even (np.around); Python's
+    built-in round() implements exactly this on floats."""
+    return int(round(h))
+
+
+def quantile(
+    df: DataFrame,
+    cols: Sequence[str],
+    qs: Sequence[float],
+    exact: bool = True,
+    interpolation: str = "linear",
+) -> DataFrame:
+    """Exact or approximate quantiles with the full pandas
+    ``interpolation=`` surface (linear/lower/higher/nearest/midpoint).
+
+    Reference p_quantile (parallel_dataframe.py:598-622) forwards every
+    pandas kwarg — pandas resolves position ``h = (n-1)*q`` over the
+    non-NaN sorted values and picks per mode (numpy quantile methods).
+    One output row per q, one column per input column — mirrors pandas'
+    list-q frame shape. ``exact=False`` switches to ``approx_percentile``
+    (the 100 TB path: single-pass sketch, no global sort; linear only).
+
+    Non-linear modes select *data points* (or their midpoint), which
+    Spark's ``percentile`` cannot express directly (its probability
+    argument must be foldable). Two passes: a cheap 1-row count agg fixes
+    ``n`` per column, then the index ``k`` chosen per mode is re-expressed
+    as the literal probability ``k/(n-1)`` so the same single-scan
+    ``percentile(col, array(...))`` aggregate serves every mode. The
+    float division puts the interpolation position within one ulp of the
+    integer index, so the "interpolation" collapses to the data point
+    (error bounded by ulp × neighbor-gap). The count row is a
+    metadata-sized driver fetch, same class as kendall's bucket bounds.
     """
+    if interpolation not in _QUANTILE_INTERP:
+        raise ValueError(
+            f"unknown interpolation {interpolation!r}; known: {sorted(_QUANTILE_INTERP)}"
+        )
+    if not exact and interpolation != "linear":
+        raise ValueError("approx quantile sketches support interpolation='linear' only")
     fn = F.percentile if exact else F.percentile_approx
     qarr = F.array(*[F.lit(float(q)) for q in qs])
     # ONE scan: percentile(col, array(qs)) computes every quantile of every
@@ -194,7 +229,47 @@ def quantile(
     # across qs) — the previous per-q agg+union re-scanned the input once
     # per output row, an 8x IO bug at the 100 TB target. nan_safe: pandas
     # quantile skips NaN; Spark's percentile sorts NaN above every value.
-    wide = df.agg(*[fn(nan_safe(df, c), qarr).alias(c) for c in cols])
+    if interpolation == "linear":
+        wide = df.agg(*[fn(nan_safe(df, c), qarr).alias(c) for c in cols])
+    else:
+        counts = df.agg(
+            *[F.count(nan_safe(df, c)).alias(c) for c in cols]
+        ).first()
+        sel_exprs = []
+        for c in cols:
+            n = counts[c]
+            if n == 0:
+                sel_exprs.append(
+                    F.array(*[F.lit(None).cast("double") for _ in qs]).alias(c)
+                )
+                continue
+            probs: list[float] = []  # flat; midpoint uses two per q
+            for q in qs:
+                h = (n - 1) * float(q)
+                lo, hi = math.floor(h), math.ceil(h)
+                if interpolation == "lower":
+                    idxs = [lo]
+                elif interpolation == "higher":
+                    idxs = [hi]
+                elif interpolation == "nearest":
+                    idxs = [_round_half_even(h)]
+                else:  # midpoint
+                    idxs = [lo, hi]
+                probs += [(k / (n - 1)) if n > 1 else 0.0 for k in idxs]
+            parr = F.array(*[F.lit(p) for p in probs])
+            picked = F.percentile(nan_safe(df, c), parr)
+            if interpolation == "midpoint":
+                pairs = F.array(
+                    *[
+                        (F.element_at(picked, 2 * i + 1) + F.element_at(picked, 2 * i + 2))
+                        / F.lit(2.0)
+                        for i in range(len(qs))
+                    ]
+                )
+                sel_exprs.append(pairs.alias(c))
+            else:
+                sel_exprs.append(picked.alias(c))
+        wide = df.agg(*sel_exprs)
     zipped = F.arrays_zip(
         F.array(*[F.lit(float(q)) for q in qs]).alias("q"),
         *[F.col(c) for c in cols],

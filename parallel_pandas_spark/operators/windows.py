@@ -647,6 +647,8 @@ def ewm(
     com: float | None = None,
     times_col: str | None = None,
     adjust: bool = True,
+    min_periods: int = 0,
+    ignore_na: bool = False,
 ) -> DataFrame:
     """Exponentially-weighted mean/sum/std/var per group.
 
@@ -663,7 +665,8 @@ def ewm(
     """
     decay = {"span": span, "alpha": alpha, "halflife": halflife, "com": com}
     kw = {k: v for k, v in decay.items() if v is not None}
-    spec = dict(kw, funcs=funcs, adjust=adjust, times_col=times_col, suffix="")
+    spec = dict(kw, funcs=funcs, adjust=adjust, times_col=times_col, suffix="",
+                min_periods=min_periods, ignore_na=ignore_na)
     return ewm_multi(df, cols, order_by, partition_by, [spec])
 
 
@@ -695,12 +698,20 @@ def ewm_multi(
         adjust = s.pop("adjust", True)
         times_col = s.pop("times_col", None)
         suffix = s.pop("suffix", "")
+        # pandas ewm kwargs that are not decay parameters — forwarded
+        # verbatim (reference ParallelEWM snapshots the whole ctor kwarg
+        # set, parallel_window.py:282-305)
+        min_periods = s.pop("min_periods", 0)
+        ignore_na = s.pop("ignore_na", False)
+        spec_cols = s.pop("cols", None)  # per-spec column override
         kw = {k: v for k, v in s.items() if v is not None}
         if len(kw) != 1:
             raise ValueError(f"pass exactly one of span/alpha/halflife/com, got {sorted(kw)}")
         if times_col is not None and "halflife" not in kw:
             raise ValueError("times_col requires halflife= (timedelta or str)")
-        norm.append((kw, fn_list, adjust, times_col, suffix))
+        kw = dict(kw, min_periods=int(min_periods or 0), ignore_na=bool(ignore_na))
+        norm.append((kw, fn_list, adjust, times_col, suffix,
+                     list(spec_cols) if spec_cols is not None else None))
 
     order_cols = list(order_by)
     value_cols = list(cols)
@@ -708,18 +719,18 @@ def ewm_multi(
 
     out_fields = ", ".join(
         f"{c}_ewm_{fn}{suffix} double"
-        for c in value_cols
-        for (_, fn_list, _, _, suffix) in norm
+        for (_, fn_list, _, _, suffix, spec_cols) in norm
+        for c in (spec_cols if spec_cols is not None else value_cols)
         for fn in fn_list
     )
     schema = f"{', '.join(f'{f.name} {f.dataType.simpleString()}' for f in df.schema.fields)}, {out_fields}"
 
-    if any(times_col is not None for (_, _, _, times_col, _) in norm):
+    if any(times_col is not None for (_, _, _, times_col, _, _) in norm):
         # irregular-spacing decay: per-group pandas ewm(times=) path
         def _ewm_group(pdf):
             pdf = pdf.sort_values(order_cols)
-            for c in value_cols:
-                for kw, fn_list, adjust, times_col, suffix in norm:
+            for kw, fn_list, adjust, times_col, suffix, spec_cols in norm:
+                for c in (spec_cols if spec_cols is not None else value_cols):
                     if times_col is not None:
                         e = pdf[c].ewm(adjust=adjust, times=pdf[times_col], **kw)
                     else:
@@ -747,8 +758,8 @@ def ewm_multi(
             return
         pdf = pd.concat(buf, ignore_index=True)
         gb = pdf.groupby(part_cols, sort=False, group_keys=False)
-        for c in value_cols:
-            for kw, fn_list, adjust, _times, suffix in norm:
+        for kw, fn_list, adjust, _times, suffix, spec_cols in norm:
+            for c in (spec_cols if spec_cols is not None else value_cols):
                 e = gb[c].ewm(adjust=adjust, **kw)
                 for fn in fn_list:
                     pdf[f"{c}_ewm_{fn}{suffix}"] = getattr(e, fn)().to_numpy()
