@@ -29,6 +29,8 @@ from parallel_pandas_spark.operators import (
     ordered,
     packing,
     reductions,
+    resample,
+    reshape,
     sampling,
     similarity,
     text,
@@ -1112,6 +1114,7 @@ def ewm_std_var_last(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("value_ewm_std", 6).alias("ewm_std"),
             F.round("value_ewm_var", 6).alias("ewm_var"),
             F.round("value_ewm_sum", 6).alias("ewm_sum"),
+            F.round("value_ewm_var_b", 6).alias("ewm_var_biased"),
         )
     )
 
@@ -2450,7 +2453,7 @@ def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
-    "set_ops_quantity_buckets",
+    "set_ops_core",
     """
 WITH a AS (SELECT DISTINCT l_returnflag AS flag, CAST(FLOOR(l_quantity) AS BIGINT) % 10 AS bucket
            FROM lineitem WHERE l_discount > 0.05),
@@ -3490,6 +3493,7 @@ SELECT p.user_id,
   ROUND(CASE WHEN sw*sw > sw2
         THEN (swx2 - swx*swx/sw) * sw/(sw*sw - sw2) END, 6) AS ewm_var,
   ROUND(swx, 6) AS ewm_sum,
+  ROUND((swx2 - swx*swx/sw) / sw, 6) AS ewm_var_biased,
   ROUND(shx/sh, 6) AS ewm_mean_hl,
   ROUND(CASE WHEN pig0.nobs >= 3 THEN pig0.sx0/pig0.sw0 END, 6) AS ewm_mean_ig0,
   ROUND(CASE WHEN pig0.nobs >= 3 THEN pig1.sx1/pig1.sw1 END, 6) AS ewm_mean_ig1
@@ -3502,8 +3506,10 @@ def ewm_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Replaces the separate ewm_mean_last / rows-only ewm_std_var_last
     queries: adjust=True EWM is a closed-form function of weighted power
-    sums (w_i = (1-alpha)^(n-i); var debiased by sw^2/(sw^2-sw2)), so the
-    whole family gets a full value oracle. pandas' recursive form and the
+    sums (w_i = (1-alpha)^(n-i); var debiased by sw^2/(sw^2-sw2); the r6
+    bias=True arm drops the debias factor — reference p_ewm_ddof forwards
+    bias=, parallel_window.py:282-305), so the whole family gets a full
+    value oracle. pandas' recursive form and the
     oracle's closed form agree to ~1e-12; ROUND(...,6) is the contract.
     Both decay variants run in ONE grouped-map pass (windows.ewm_multi) —
     pass-per-variant would re-shuffle the fact table and join to recombine.
@@ -3521,6 +3527,7 @@ def ewm_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, ["value"], order_by=["ts", "event_id"], partition_by=["user_id"],
         specs=[
             {"span": 5.0, "funcs": ("mean", "std", "var", "sum"), "suffix": ""},
+            {"span": 5.0, "funcs": ("var",), "suffix": "_b", "bias": True},
             {"halflife": 2.0, "funcs": ("mean",), "suffix": "_hl"},
             {"span": 5.0, "funcs": ("mean",), "suffix": "_ig0",
              "min_periods": 3, "ignore_na": False, "cols": ["value_v"]},
@@ -3538,6 +3545,7 @@ def ewm_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("value_ewm_std", 6).alias("ewm_std"),
             F.round("value_ewm_var", 6).alias("ewm_var"),
             F.round("value_ewm_sum", 6).alias("ewm_sum"),
+            F.round("value_ewm_var_b", 6).alias("ewm_var_biased"),
             F.round("value_ewm_mean_hl", 6).alias("ewm_mean_hl"),
             F.round("value_v_ewm_mean_ig0", 6).alias("ewm_mean_ig0"),
             F.round("value_v_ewm_mean_ig1", 6).alias("ewm_mean_ig1"),
@@ -4543,22 +4551,397 @@ def fillna_dropna_arm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# =========================================================================
+# r6 pandas-completeness arms: reshape / binning / interpolate / resample /
+# covariance (operators/reshape.py, resample.py, ordered.interpolate,
+# reductions.cov_matrix)
+# =========================================================================
+
+_PRIOS = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+_SEGS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+
+
+def _reshape_oracle() -> str:
+    ctcols = ",\n         ".join(
+        f"CAST(COUNT(*) FILTER (WHERE o_orderpriority = '{p}') AS DOUBLE) AS \"{p}\""
+        for p in _PRIOS
+    )
+    tot = " + ".join(f'"{p}"' for p in _PRIOS)
+    norm = ", ".join(f'ROUND("{p}" / ({tot}), 6) AS "{p}"' for p in _PRIOS)
+    dums = ",\n       ".join(
+        f"CAST(SUM(CASE WHEN c_mktsegment = '{s}' THEN 1 ELSE 0 END) AS BIGINT) AS seg_{s}"
+        for s in _SEGS
+    )
+    return f"""
+WITH ag AS (
+  SELECT o_orderpriority, CAST(COUNT(*) AS DOUBLE) AS n_orders,
+         ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE), 4) AS sum_total
+  FROM orders GROUP BY 1),
+ct AS (
+  SELECT o_orderstatus,
+         {ctcols}
+  FROM orders GROUP BY 1)
+SELECT 'melt' AS rsrc, o_orderpriority, 'n_orders' AS variable, n_orders AS value FROM ag
+UNION ALL BY NAME
+SELECT 'melt' AS rsrc, o_orderpriority, 'sum_total' AS variable, sum_total AS value FROM ag
+UNION ALL BY NAME
+SELECT 'ctab' AS rsrc, 'count' AS kind, * FROM ct
+UNION ALL BY NAME
+SELECT 'ctab' AS rsrc, 'norm' AS kind, o_orderstatus, {norm} FROM ct
+UNION ALL BY NAME
+SELECT 'dums' AS rsrc, c_nationkey,
+       {dums}
+FROM customer GROUP BY c_nationkey
+"""
+
+
+@_q("reshape_arm", _reshape_oracle())
+def reshape_arm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reshape surface (operators/reshape.py): ``melt`` via Spark's native
+    unpivot/Expand (one scan, no shuffle), ``crosstab`` as
+    groupBy+pivot count with a static value list (count + normalize=
+    'index' forms), ``get_dummies`` one-hot indicators through the
+    dynamic category-collect path, value-checked via per-nation dummy
+    sums. pandas reshape verbs the reference's accessor inherits but
+    never lists; schema width == category cardinality is the pandas
+    contract, so the category collect is metadata-sized by definition."""
+    od = load_table(spark, sf_dir, "orders")
+    agg = od.groupBy("o_orderpriority").agg(
+        F.count("*").cast("double").alias("n_orders"),
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(28,6)")).cast("double"), 4
+        ).alias("sum_total"),
+    )
+    melted = reshape.melt(agg, ["o_orderpriority"], ["n_orders", "sum_total"])
+    ct = reshape.crosstab(od, "o_orderstatus", "o_orderpriority", values=_PRIOS)
+    ct = ct.select(
+        "o_orderstatus",
+        *[F.col(f"`{p}`").cast("double").alias(p) for p in _PRIOS],
+    )
+    ctn = reshape.crosstab(
+        od, "o_orderstatus", "o_orderpriority", values=_PRIOS, normalize="index"
+    )
+    ctn = ctn.select(
+        "o_orderstatus", *[F.round(F.col(f"`{p}`"), 6).alias(p) for p in _PRIOS]
+    )
+    cu = _pad_union([("count", ct), ("norm", ctn)]).withColumnRenamed("src", "kind")
+    cust = load_table(spark, sf_dir, "customer")
+    gd = reshape.get_dummies(
+        cust.select("c_nationkey", "c_mktsegment"), ["c_mktsegment"]
+    )
+    dums = gd.groupBy("c_nationkey").agg(
+        *[F.sum(f"`c_mktsegment_{s}`").alias(f"seg_{s}") for s in _SEGS]
+    )
+    return _pad_union(
+        [("melt", melted), ("ctab", cu), ("dums", dums)]
+    ).withColumnRenamed("src", "rsrc")
+
+
+_CUT_EDGES = [0, 10000, 20000, 40000, 120000]
+_CUT_LABELS = ["low", "mid", "high", "top"]
+
+
+def _cut_qcut_oracle() -> str:
+    e = _CUT_EDGES
+    code_case = " ".join(
+        f"WHEN l_extendedprice > {e[i]} AND l_extendedprice <= {e[i + 1]} THEN {i}"
+        for i in range(4)
+    )
+    lab_case = " ".join(
+        f"WHEN l_extendedprice > {e[i]} AND l_extendedprice <= {e[i + 1]} THEN '{_CUT_LABELS[i]}'"
+        for i in range(4)
+    )
+    return f"""
+WITH cutp AS (
+  SELECT CASE {code_case} END AS code,
+         CASE {lab_case} END AS label,
+         l_extendedprice FROM lineitem),
+e AS (SELECT quantile_cont(l_quantity, 0.25) AS e1, quantile_cont(l_quantity, 0.5) AS e2,
+             quantile_cont(l_quantity, 0.75) AS e3 FROM lineitem)
+SELECT 'cut' AS bsrc, code, label, COUNT(*) AS n,
+       MIN(l_extendedprice) AS mn, MAX(l_extendedprice) AS mx
+FROM cutp GROUP BY code, label
+UNION ALL BY NAME
+SELECT 'qcut' AS bsrc,
+       CASE WHEN l_quantity <= e.e1 THEN 0 WHEN l_quantity <= e.e2 THEN 1
+            WHEN l_quantity <= e.e3 THEN 2 ELSE 3 END AS qbin,
+       COUNT(*) AS n, MIN(l_quantity) AS mn, MAX(l_quantity) AS mx
+FROM lineitem, e GROUP BY qbin
+"""
+
+
+@_q("cut_qcut_binning", _cut_qcut_oracle())
+def cut_qcut_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binning surface (operators/reshape.py): ``cut`` with literal edges
+    (codes + custom labels stacked on ONE scan — two CASE-chain
+    projections) and ``qcut`` equal-frequency quartiles. qcut's exact
+    quantile edges are computed in one tiny agg and compiled to literals;
+    binning l_quantity (integer-valued) keeps the Spark/DuckDB edge
+    doubles bit-identical (integer edges exactly, interpolations land on
+    dyadic fractions between consecutive integers), so bucket assignment
+    is engine-exact. Per-bucket count/min/max value-check every row's
+    membership."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cb = reshape.cut(li, "l_extendedprice", _CUT_EDGES, labels=False, out_col="code")
+    cb = reshape.cut(
+        cb, "l_extendedprice", _CUT_EDGES, labels=_CUT_LABELS, out_col="label"
+    )
+    cut_part = cb.groupBy("code", "label").agg(
+        F.count("*").alias("n"),
+        F.min("l_extendedprice").alias("mn"),
+        F.max("l_extendedprice").alias("mx"),
+    )
+    qb = reshape.qcut(li, "l_quantity", 4, labels=False, out_col="qbin")
+    qcut_part = qb.groupBy("qbin").agg(
+        F.count("*").alias("n"),
+        F.min("l_quantity").alias("mn"),
+        F.max("l_quantity").alias("mx"),
+    )
+    return _pad_union([("cut", cut_part), ("qcut", qcut_part)]).withColumnRenamed(
+        "src", "bsrc"
+    )
+
+
+_INTERP_ORACLE = """
+WITH s0 AS (
+  SELECT l_suppkey, l_orderkey, l_linenumber, MAX(l_extendedprice) AS px
+  FROM lineitem GROUP BY 1, 2, 3),
+s AS (
+  SELECT l_orderkey, l_linenumber, l_suppkey,
+         CAST(l_orderkey * 10 + l_linenumber AS DOUBLE) AS pos,
+         CASE WHEN l_orderkey % 7 >= 2 THEN px END AS v
+  FROM s0),
+w1 AS (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY l_suppkey ORDER BY pos) AS DOUBLE) AS rn
+  FROM s),
+w2 AS (
+  SELECT *,
+    last_value(v IGNORE NULLS) OVER wb AS pv,
+    last_value(CASE WHEN v IS NOT NULL THEN rn END IGNORE NULLS) OVER wb AS pn,
+    last_value(CASE WHEN v IS NOT NULL THEN pos END IGNORE NULLS) OVER wb AS pp,
+    first_value(v IGNORE NULLS) OVER wf AS nv,
+    first_value(CASE WHEN v IS NOT NULL THEN rn END IGNORE NULLS) OVER wf AS nn,
+    first_value(CASE WHEN v IS NOT NULL THEN pos END IGNORE NULLS) OVER wf AS np
+  FROM w1
+  WINDOW wb AS (PARTITION BY l_suppkey ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wf AS (PARTITION BY l_suppkey ORDER BY pos
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)),
+w3 AS (
+  SELECT *,
+    CASE WHEN v IS NULL AND pv IS NOT NULL AND nv IS NOT NULL
+         THEN nn - pn ELSE 1.0 END AS gl,
+    CASE WHEN v IS NULL AND pv IS NOT NULL AND nv IS NOT NULL
+         THEN np - pp ELSE 1.0 END AS gv,
+    CASE WHEN v IS NOT NULL THEN v WHEN pv IS NULL THEN NULL
+         WHEN nv IS NULL THEN pv
+         ELSE pv + (nv - pv) * (rn - pn) / (nn - pn) END AS v_li,
+    CASE WHEN v IS NOT NULL THEN v WHEN pv IS NULL THEN NULL
+         WHEN nv IS NULL THEN pv
+         ELSE pv + (nv - pv) * (pos - pp) / (np - pp) END AS v_vals
+  FROM w2)
+SELECT l_suppkey, l_orderkey, l_linenumber,
+  CAST(gl AS BIGINT) AS g_li,
+  CAST(gv AS BIGINT) AS g_vals,
+  CAST(FLOOR(v_li * 100.0 * gl + 0.5) AS BIGINT) AS v_li_q,
+  CASE WHEN v IS NOT NULL OR rn - pn <= 1
+       THEN CAST(FLOOR(v_li * 100.0 * gl + 0.5) AS BIGINT) END AS v_lim_q,
+  CAST(FLOOR(v_vals * 100.0 * gv + 0.5) AS BIGINT) AS v_vals_q
+FROM w3
+"""
+
+
+@_q("interpolate_arm", _INTERP_ORACLE)
+def interpolate_arm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``interpolate`` (ordered.py): linear gap-fill between nearest
+    non-missing neighbors with pandas' edge semantics (leading gap stays
+    missing, trailing gap carries the last value), the ``limit=1``
+    first-N-of-gap variant, and ``method='values'`` (order-column-distance
+    weights). All three arms share ONE (l_suppkey, pos) Exchange+Sort —
+    stacked Window nodes, zero extra shuffles. NULLs injected by voiding
+    l_orderkey % 7 ∈ {0,1}, giving multi-row interior gaps plus leading/
+    trailing edges across suppliers."""
+    li = load_table(spark, sf_dir, "lineitem")
+    # (l_orderkey, l_linenumber) repeats in the synthetic lineitem, even
+    # within a supplier — collapse to one row per (supp, order, line) so
+    # the per-supplier ordering is TOTAL (a non-total order under an
+    # ignore-nulls running window is nondeterministic in any engine)
+    d = (
+        li.groupBy("l_suppkey", "l_orderkey", "l_linenumber")
+        .agg(F.max("l_extendedprice").alias("px"))
+        .select(
+            "l_suppkey", "l_orderkey", "l_linenumber",
+            (F.col("l_orderkey") * 10 + F.col("l_linenumber")).cast("double").alias("pos"),
+            F.when(F.col("l_orderkey") % 7 >= 2, F.col("px")).alias("v"),
+        )
+    )
+    out = ordered.interpolate(d, ["v"], ["pos"], ["l_suppkey"], method="linear", suffix="_li")
+    out = ordered.interpolate(out, ["v"], ["pos"], ["l_suppkey"], method="linear", limit=1, suffix="_lim")
+    out = ordered.interpolate(out, ["v"], ["pos"], ["l_suppkey"], method="values", suffix="_vals")
+    # gap-aware quantizer: an interior fill's true value is the rational
+    # A/(100·g) (cent-valued neighbors over an integer neighbor distance
+    # g), so NO fixed decimal grid can hash it — midpoints of odd-cent
+    # sums are EXACT half-cents and engines ulp-differ across the round
+    # boundary (observed live: ROUND(...,2) mismatched at sf0.01).
+    # floor(v·100·g + 0.5) recovers the integer numerator A exactly: the
+    # accumulated cross-engine error is ≤ ~1e-3 against a 0.5 margin.
+    # The same windows that drive interpolate() re-derive g here, on the
+    # same (l_suppkey, pos) sort — no extra shuffle.
+    wsp = Window.partitionBy("l_suppkey").orderBy("pos")
+    back = wsp.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    fwd = wsp.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    v = F.col("v")
+    rn = F.row_number().over(wsp).cast("double")
+    pn = F.last(F.when(v.isNotNull(), rn), ignorenulls=True).over(back)
+    nn = F.first(F.when(v.isNotNull(), rn), ignorenulls=True).over(fwd)
+    pp = F.last(F.when(v.isNotNull(), F.col("pos")), ignorenulls=True).over(back)
+    np_ = F.first(F.when(v.isNotNull(), F.col("pos")), ignorenulls=True).over(fwd)
+    interior = v.isNull() & pn.isNotNull() & nn.isNotNull()
+    out = out.withColumn("gl", F.when(interior, nn - pn).otherwise(F.lit(1.0)))
+    out = out.withColumn("gv", F.when(interior, np_ - pp).otherwise(F.lit(1.0)))
+    return out.select(
+        "l_suppkey", "l_orderkey", "l_linenumber",
+        F.col("gl").cast("long").alias("g_li"),
+        F.col("gv").cast("long").alias("g_vals"),
+        F.floor(F.col("v_li") * 100.0 * F.col("gl") + 0.5).cast("long").alias("v_li_q"),
+        F.floor(F.col("v_lim") * 100.0 * F.col("gl") + 0.5).cast("long").alias("v_lim_q"),
+        F.floor(F.col("v_vals") * 100.0 * F.col("gv") + 0.5).cast("long").alias("v_vals_q"),
+    )
+
+
+_RESAMPLE_ORACLE = """
+WITH e AS (SELECT event_type, value, epoch_us(ts) AS eu FROM events),
+d AS (SELECT event_type, eu // 3600000000 AS m, COUNT(*) AS n,
+        ROUND(CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE), 6) AS sv
+      FROM e GROUP BY 1, 2),
+r AS (SELECT event_type, (eu + 3599999999) // 3600000000 AS m, COUNT(*) AS n,
+        ROUND(CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE), 6) AS sv
+      FROM e GROUP BY 1, 2),
+g0 AS (SELECT event_type, eu // 21600000000 AS m,
+        ROUND(CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE), 6) AS sv
+      FROM e GROUP BY 1, 2),
+gb AS (SELECT event_type, MIN(m) AS lo, MAX(m) AS hi FROM g0 GROUP BY 1),
+grid AS (SELECT event_type, unnest(range(lo, hi + 1, 1)) AS m FROM gb),
+gj AS (SELECT grid.event_type, grid.m, g0.sv
+       FROM grid LEFT JOIN g0 USING (event_type, m)),
+gf AS (SELECT event_type, m,
+         last_value(sv IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY m
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sv
+       FROM gj)
+SELECT 'down' AS rs, event_type,
+       strftime(make_timestamp(m * 3600000000), '%Y-%m-%d %H:%M:%S') AS bin, n, sv
+FROM d
+UNION ALL BY NAME
+SELECT 'right' AS rs, event_type,
+       strftime(make_timestamp(m * 3600000000), '%Y-%m-%d %H:%M:%S') AS bin, n, sv
+FROM r
+UNION ALL BY NAME
+SELECT 'grid' AS rs, event_type,
+       strftime(make_timestamp(m * 21600000000), '%Y-%m-%d %H:%M:%S') AS bin, sv
+FROM gf
+"""
+
+
+@_q("resample_arm", _RESAMPLE_ORACLE)
+def resample_arm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time resampling (operators/resample.py): hourly downsample per
+    event_type (closed='left'/label='left', the pandas default), the
+    closed='right'/label='right' variant (bin edges assigned by exact
+    integer-microsecond ceil division — sub-second timestamps make the
+    truncating unix_timestamp shape wrong here), and a 6-hour
+    asfreq+ffill arm whose grid materializes EMPTY bins per group via
+    sequence()+explode before forward-filling — the pandas
+    resample().ffill() contract. Down arms are one shuffle each; the grid
+    arm adds one metadata-sized bounds agg and a grid join."""
+    _utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+
+    def sv():
+        return F.sum(F.col("value").cast("decimal(28,6)")).cast("double").alias("sv")
+
+    def fmt(df):
+        return df.select(
+            "event_type",
+            F.date_format("bin", "yyyy-MM-dd HH:mm:ss").alias("bin"),
+            *[c for c in df.columns if c not in ("event_type", "bin")],
+        )
+
+    down = resample.resample_agg(
+        ev, "ts", "1h", [F.count("*").alias("n"), sv()], ["event_type"]
+    )
+    down = fmt(down).withColumn("sv", F.round("sv", 6))
+    right = resample.resample_agg(
+        ev, "ts", "1h", [F.count("*").alias("n"), sv()], ["event_type"],
+        closed="right", label="right",
+    )
+    right = fmt(right).withColumn("sv", F.round("sv", 6))
+    grid = resample.resample_asfreq(ev, "ts", "6h", [sv()], ["sv"], ["event_type"])
+    grid = fmt(grid).withColumn("sv", F.round("sv", 6))
+    return _pad_union(
+        [("down", down), ("right", right), ("grid", grid)]
+    ).withColumnRenamed("src", "rs")
+
+
+def _cov_oracle() -> str:
+    cols = ["l_quantity", "l_discount", "l_tax"]
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i:]]
+    samp_rows = "\nUNION ALL BY NAME\n".join(
+        f"SELECT 'samp' AS cvk, '{a}' AS col_x, '{b}' AS col_y, "
+        f"ROUND({'var_samp(' + a + ')' if a == b else f'covar_samp({a}, {b})'}, 8) AS cov FROM lineitem"
+        for a, b in pairs
+    )
+    pop_rows = "\nUNION ALL BY NAME\n".join(
+        f"SELECT 'pop' AS cvk, '{a}' AS col_x, '{b}' AS col_y, "
+        f"ROUND({'var_pop(' + a + ')' if a == b else f'covar_pop({a}, {b})'}, 8) AS cov FROM lineitem"
+        for a, b in pairs
+    )
+    mp_rows = "\nUNION ALL BY NAME\n".join(
+        f"SELECT 'mp' AS cvk, '{a}' AS col_x, '{b}' AS col_y, CAST(NULL AS DOUBLE) AS cov"
+        for a, b in pairs
+    )
+    return f"{samp_rows}\nUNION ALL BY NAME\n{pop_rows}\nUNION ALL BY NAME\n{mp_rows}"
+
+
+@_q("cov_matrix_arm", _cov_oracle())
+def cov_matrix_arm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pandas ``df.cov()`` (reductions.cov_matrix): one-scan pairwise
+    covariance matrix incl. the variance diagonal — ddof=1 with a
+    satisfied min_periods guard, the ddof=0 rescale, and a
+    min_periods-above-n arm that must NULL every pair through the
+    pairwise-complete count guard. Small-magnitude columns keep
+    ROUND(...,8) safely above cross-engine moment-merge ulp noise (the
+    same reasoning as corr's ROUND 6, with covariances ≤ ~2·10²)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cols = ["l_quantity", "l_discount", "l_tax"]
+    s = reductions.cov_matrix(li, cols, min_periods=10, ddof=1)
+    s = s.select("col_x", "col_y", F.round("cov", 8).alias("cov"))
+    p = reductions.cov_matrix(li, cols, ddof=0)
+    p = p.select("col_x", "col_y", F.round("cov", 8).alias("cov"))
+    mp = reductions.cov_matrix(li, cols, min_periods=10**9)
+    mp = mp.select("col_x", "col_y", F.col("cov").cast("double").alias("cov"))
+    return _pad_union([("samp", s), ("pop", p), ("mp", mp)]).withColumnRenamed(
+        "src", "cvk"
+    )
+
+
 _bfn, _bsql = _compose_union(
     [
         ("rows", "apply_rows_charge"),
         ("applymap", "applymap_signed_log"),
         ("numeric", "numeric_elementwise"),
         ("nafill", "fillna_dropna_arm"),
+        ("interp", "interpolate_arm"),
     ]
 )
 _bfn.__doc__ = """Row-at-a-time p_apply(axis=1) (honest slow-path parity
 demo) + vectorized p_applymap over every cell + (r6) the JVM-expression
-numeric surface (clip/round/abs/where/mask) and the fillna/dropna
-missing-data surface."""
+numeric surface (clip/round/abs/where/mask), the fillna/dropna
+missing-data surface, and the interpolate gap-fill family (linear /
+limit= / method='values')."""
 _q("elementwise_battery", _bsql)(_bfn)
 _retire(
     "apply_rows_charge", "applymap_signed_log", "numeric_elementwise",
-    "fillna_dropna_arm",
+    "fillna_dropna_arm", "interpolate_arm",
 )
 
 _bfn, _bsql = _compose_union(
@@ -4566,22 +4949,28 @@ _bfn, _bsql = _compose_union(
         ("mean", "pivot_table_mean"),
         ("aggfuncs", "pivot_aggfunc_battery"),
         ("dictcall", "pivot_dict_callable"),
+        ("reshape", "reshape_arm"),
     ]
 )
 _bfn.__doc__ = """pivot_table surface (op #24): single-stat mean pivot, the
-aggfunc list/margins/fill form, and (r4) the aggfunc dict + callable
-forms — the full pandas aggfunc spec is driver-value-checked."""
+aggfunc list/margins/fill form, (r4) the aggfunc dict + callable
+forms — the full pandas aggfunc spec is driver-value-checked — and (r6)
+the reshape verbs: melt (native unpivot), crosstab (count +
+normalize='index'), get_dummies (dynamic category one-hot)."""
 _q("pivot_battery", _bsql)(_bfn)
-_retire("pivot_table_mean", "pivot_aggfunc_battery", "pivot_dict_callable")
+_retire("pivot_table_mean", "pivot_aggfunc_battery", "pivot_dict_callable",
+        "reshape_arm")
 
 _bfn, _bsql = _compose_union(
-    [("native", "corr_matrix_native"), ("dynamic", "corr_callable_minp")]
+    [("native", "corr_matrix_native"), ("dynamic", "corr_callable_minp"),
+     ("cov", "cov_matrix_arm")]
 )
 _bfn.__doc__ = """corr_matrix surface (op #17): native one-scan pearson
 matrix plus (r4) the callable-method applyInPandas fallback and the
-min_periods pairwise-complete guard."""
+min_periods pairwise-complete guard, and (r6) the df.cov() matrix
+(ddof=1/0 + min_periods, diagonal included)."""
 _q("corr_matrix_native", _bsql)(_bfn)
-_retire("corr_callable_minp")
+_retire("corr_callable_minp", "cov_matrix_arm")
 
 _bfn, _bsql = _compose_union(
     [("ops", "str_ops_battery"), ("extract", "str_extract_split")]
@@ -4592,12 +4981,23 @@ _q("str_battery", _bsql)(_bfn)
 _retire("str_ops_battery", "str_extract_split")
 
 _bfn, _bsql = _compose_union(
-    [("parts", "dt_parts_battery"), ("floorceil", "dt_floor_ceil_strftime")]
+    [("parts", "dt_parts_battery"), ("floorceil", "dt_floor_ceil_strftime"),
+     ("resample", "resample_arm")]
 )
 _bfn.__doc__ = """.dt accessor family (§2.7): part extraction battery plus
-floor/ceil/strftime translation."""
+floor/ceil/strftime translation, and (r6) time resampling — hourly
+closed-left/right downsamples and the 6h asfreq+ffill grid."""
 _q("dt_battery", _bsql)(_bfn)
-_retire("dt_parts_battery", "dt_floor_ceil_strftime")
+_retire("dt_parts_battery", "dt_floor_ceil_strftime", "resample_arm")
+
+_bfn, _bsql = _compose_union(
+    [("setops", "set_ops_core"), ("bins", "cut_qcut_binning")]
+)
+_bfn.__doc__ = """intersect/except set operations (§2.8) plus (r6) the
+binning surface: cut with literal edges (codes + labels on one scan) and
+qcut exact-quantile quartiles."""
+_q("set_ops_quantity_buckets", _bsql)(_bfn)
+_retire("set_ops_core", "cut_qcut_binning")
 
 _bfn, _bsql = _compose_union([("rollup", "rollup_agg"), ("cube", "cube_agg_counts")])
 _bfn.__doc__ = """Multi-dimensional aggregation (§2.8): rollup and cube

@@ -349,6 +349,61 @@ class ParallelFrame:
             elementwise.where_mask(self.df, cols, cond, other, mask=True)
         )
 
+    def p_interpolate(self, cols, order_by, **kw) -> "ParallelFrame":
+        return ParallelFrame(ordered.interpolate(self.df, cols, order_by, **kw))
+
+    def p_cov(self, cols, min_periods=None, ddof: int = 1) -> DataFrame:
+        return self._action(
+            lambda: reductions.cov_matrix(self.df, cols, min_periods, ddof)
+        )
+
+    # -- reshape / binning (operators/reshape.py) --------------------------
+    def p_melt(self, id_vars, value_vars, var_name="variable",
+               value_name="value") -> "ParallelFrame":
+        from .operators import reshape
+
+        return ParallelFrame(
+            reshape.melt(self.df, id_vars, value_vars, var_name, value_name)
+        )
+
+    def p_crosstab(self, row_col, col_col, values=None,
+                   normalize=False) -> "ParallelFrame":
+        from .operators import reshape
+
+        return ParallelFrame(
+            reshape.crosstab(self.df, row_col, col_col, values, normalize)
+        )
+
+    def p_get_dummies(self, cols, **kw) -> "ParallelFrame":
+        from .operators import reshape
+
+        return ParallelFrame(reshape.get_dummies(self.df, cols, **kw))
+
+    def p_cut(self, col, bins, **kw) -> "ParallelFrame":
+        from .operators import reshape
+
+        return ParallelFrame(reshape.cut(self.df, col, bins, **kw))
+
+    def p_qcut(self, col, q, **kw) -> "ParallelFrame":
+        from .operators import reshape
+
+        return ParallelFrame(reshape.qcut(self.df, col, q, **kw))
+
+    # -- time resampling (operators/resample.py) ---------------------------
+    def p_resample(self, time_col, freq, aggs, partition_by=None,
+                   asfreq: bool = False, fill_cols=(), **kw) -> "ParallelFrame":
+        """pandas ``resample(freq).agg(...)``; ``asfreq=True`` materializes
+        the full bin grid (empty bins) and forward-fills ``fill_cols``."""
+        from .operators import resample as _rs
+
+        if asfreq:
+            out = _rs.resample_asfreq(
+                self.df, time_col, freq, aggs, fill_cols, partition_by, **kw
+            )
+        else:
+            out = _rs.resample_agg(self.df, time_col, freq, aggs, partition_by, **kw)
+        return ParallelFrame(out)
+
     # -- §2.6 windows ------------------------------------------------------
     def rolling(
         self, window, order_by, partition_by=None, win_type: str | None = None,

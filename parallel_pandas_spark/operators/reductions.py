@@ -635,6 +635,51 @@ def corr_matrix(
     )
 
 
+def cov_matrix(
+    df: DataFrame,
+    cols: Sequence[str],
+    min_periods: int | None = None,
+    ddof: int = 1,
+) -> DataFrame:
+    """Long-format pairwise covariance ``(col_x, col_y, cov)`` including
+    the diagonal (variance) — pandas ``df.cov(min_periods=, ddof=)``.
+
+    Same one-scan shape as :func:`corr_matrix` pearson: every (i<=j) pair
+    is one ``covar_samp`` aggregate in a single ``agg`` — map-side partial
+    moments, one pass. Pairwise-complete over missing values (NULL or
+    TRUE NaN on either side drops the row for that pair only), exactly
+    pandas. General ``ddof`` rescales the ddof=1 native aggregate by
+    (n−1)/(n−ddof) with n the pair's complete-row count.
+
+    Documented divergence (twin-tested): pandas 2.x honors ``ddof`` only
+    on its dense path — any NaN in the frame routes to ``nancorr``, which
+    hardcodes the n−1 divisor and silently ignores ``ddof``. We apply
+    ``ddof`` uniformly (the dense-path / np.cov generalization), so for
+    NaN-bearing frames with ddof≠1 we return the mathematically-intended
+    value, not pandas' quirk.
+    """
+    for c in cols:
+        if _floating(df, c):
+            df = df.withColumn(c, nan_safe(df, c))
+    exprs, names = [], []
+    for i, a in enumerate(cols):
+        for b in cols[i:]:
+            e = F.covar_samp(a, b)
+            both = F.when(F.col(a).isNotNull() & F.col(b).isNotNull(), 1)
+            n = F.count(both)
+            if ddof != 1:
+                e = e * (n - F.lit(1)) / (n - F.lit(ddof))
+            if min_periods is not None:
+                e = F.when(n >= F.lit(min_periods), e)
+            exprs.append(e.alias(f"{a}__{b}"))
+            names.append((a, b))
+    wide = df.agg(*exprs)
+    stack_args = ", ".join(f"'{a}', '{b}', `{a}__{b}`" for a, b in names)
+    return wide.selectExpr(
+        f"stack({len(names)}, {stack_args}) as (col_x, col_y, cov)"
+    )
+
+
 def _pairs_of(cols: Sequence[str]) -> list[tuple[int, str, str]]:
     return [
         (i * len(cols) + j, a, b)

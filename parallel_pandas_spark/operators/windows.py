@@ -703,6 +703,9 @@ def ewm_multi(
         # set, parallel_window.py:282-305)
         min_periods = s.pop("min_periods", 0)
         ignore_na = s.pop("ignore_na", False)
+        # reference p_ewm_ddof forwards bias= to std/var
+        # (parallel_window.py:282-305); pandas default bias=False
+        bias = s.pop("bias", False)
         spec_cols = s.pop("cols", None)  # per-spec column override
         kw = {k: v for k, v in s.items() if v is not None}
         if len(kw) != 1:
@@ -711,7 +714,7 @@ def ewm_multi(
             raise ValueError("times_col requires halflife= (timedelta or str)")
         kw = dict(kw, min_periods=int(min_periods or 0), ignore_na=bool(ignore_na))
         norm.append((kw, fn_list, adjust, times_col, suffix,
-                     list(spec_cols) if spec_cols is not None else None))
+                     list(spec_cols) if spec_cols is not None else None, bias))
 
     order_cols = list(order_by)
     value_cols = list(cols)
@@ -719,24 +722,25 @@ def ewm_multi(
 
     out_fields = ", ".join(
         f"{c}_ewm_{fn}{suffix} double"
-        for (_, fn_list, _, _, suffix, spec_cols) in norm
+        for (_, fn_list, _, _, suffix, spec_cols, _) in norm
         for c in (spec_cols if spec_cols is not None else value_cols)
         for fn in fn_list
     )
     schema = f"{', '.join(f'{f.name} {f.dataType.simpleString()}' for f in df.schema.fields)}, {out_fields}"
 
-    if any(times_col is not None for (_, _, _, times_col, _, _) in norm):
+    if any(times_col is not None for (_, _, _, times_col, _, _, _) in norm):
         # irregular-spacing decay: per-group pandas ewm(times=) path
         def _ewm_group(pdf):
             pdf = pdf.sort_values(order_cols)
-            for kw, fn_list, adjust, times_col, suffix, spec_cols in norm:
+            for kw, fn_list, adjust, times_col, suffix, spec_cols, bias in norm:
                 for c in (spec_cols if spec_cols is not None else value_cols):
                     if times_col is not None:
                         e = pdf[c].ewm(adjust=adjust, times=pdf[times_col], **kw)
                     else:
                         e = pdf[c].ewm(adjust=adjust, **kw)
                     for fn in fn_list:
-                        pdf[f"{c}_ewm_{fn}{suffix}"] = getattr(e, fn)()
+                        akw = {"bias": bias} if fn in ("std", "var") else {}
+                        pdf[f"{c}_ewm_{fn}{suffix}"] = getattr(e, fn)(**akw)
             return pdf
 
         return df.groupBy(*part_cols).applyInPandas(_ewm_group, schema=schema)
@@ -758,11 +762,12 @@ def ewm_multi(
             return
         pdf = pd.concat(buf, ignore_index=True)
         gb = pdf.groupby(part_cols, sort=False, group_keys=False)
-        for kw, fn_list, adjust, _times, suffix, spec_cols in norm:
+        for kw, fn_list, adjust, _times, suffix, spec_cols, bias in norm:
             for c in (spec_cols if spec_cols is not None else value_cols):
                 e = gb[c].ewm(adjust=adjust, **kw)
                 for fn in fn_list:
-                    pdf[f"{c}_ewm_{fn}{suffix}"] = getattr(e, fn)().to_numpy()
+                    akw = {"bias": bias} if fn in ("std", "var") else {}
+                    pdf[f"{c}_ewm_{fn}{suffix}"] = getattr(e, fn)(**akw).to_numpy()
         yield pdf
 
     return (
