@@ -2541,6 +2541,19 @@ def cumulative_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn(
         "qn", F.when(F.col("l_quantity") != 25, F.col("l_quantity").cast("double"))
     )
+    # WindowExec-pass budget (measured r6: 8 passes -> 2, the battery's
+    # dominant cost): every fill column is materialized FIRST (the three
+    # fills are mutually independent, so CollapseWindow merges them with
+    # the cum/shift/diff stack into ONE Window node — WindowExec runs
+    # many frames in one pass), and only then are the four lag-ratios
+    # taken (dependent on the fills -> the one unavoidable second node).
+    # The previous form interleaved fill->lag per arm, which chained 8
+    # dependent Window nodes = 8 buffered passes over every partition.
+    li = (
+        li.withColumn("__qn_pad", F.col("qn"))
+        .withColumn("__qn_padlim", F.col("qn"))
+        .withColumn("__qn_bfill", F.col("qn"))
+    )
     r = ordered.cumsum(li, ["q6"], _LI_ORD, partition_by=["l_suppkey"])
     r = ordered.cummax(r, ["l_quantity"], _LI_ORD, partition_by=["l_suppkey"])
     r = ordered.cummin(r, ["l_quantity"], _LI_ORD, partition_by=["l_suppkey"])
@@ -2553,16 +2566,21 @@ def cumulative_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         r, ["l_quantity"], _LI_ORD, periods=-2, partition_by=["l_suppkey"],
         suffix="_diff_m2",
     )
-    for out_name, kw in [
-        ("pc_pad", dict(fill_method="pad")),
-        ("pc_padlim", dict(fill_method="pad", limit=1)),
-        ("pc_bfill", dict(fill_method="bfill")),
-        ("pc_none", {}),
+    for c, kw in [
+        ("__qn_pad", dict(method="ffill")),
+        ("__qn_padlim", dict(method="ffill", limit=1)),
+        ("__qn_bfill", dict(method="bfill")),
+    ]:
+        r = elementwise.fillna(
+            r, cols=[c], order_by=_LI_ORD, partition_by=["l_suppkey"], **kw
+        )
+    for src, out_name in [
+        ("__qn_pad", "pc_pad"), ("__qn_padlim", "pc_padlim"),
+        ("__qn_bfill", "pc_bfill"), ("qn", "pc_none"),
     ]:
         r = ordered.pct_change(
-            r, ["qn"], _LI_ORD, partition_by=["l_suppkey"],
-            suffix=f"__{out_name}", **kw,
-        ).withColumnRenamed(f"qn__{out_name}", out_name)
+            r, [src], _LI_ORD, partition_by=["l_suppkey"], suffix="__pc",
+        ).withColumnRenamed(f"{src}__pc", out_name)
     return r.select(
         "l_orderkey",
         "l_linenumber",
