@@ -2871,9 +2871,14 @@ def rolling_time_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     equal timestamps behave identically in any engine."""
     ev = load_table(spark, sf_dir, "events").withColumn(
         "v6", F.floor(F.col("value").cast("double") * F.lit(1e6) + F.lit(0.5)).cast("long")
+    ).withColumn(
+        # one epoch-μs column shared by all six frames: ordering by the
+        # SAME attribute lets every Window reuse one Sort (see
+        # rolling_time's scale note; ordering expressions re-sort per call)
+        "ep", F.unix_micros(F.col("ts").cast("timestamp"))
     )
     r = windows.rolling_time(
-        ev, ["v6"], 3600, "ts", funcs=("count", "sum"), partition_by=["user_id"],
+        ev, ["v6"], 3600, "ep", funcs=("count", "sum"), partition_by=["user_id"],
     )
     r = r.withColumnRenamed("v6_roll_count", "n_1h").withColumnRenamed(
         "v6_roll_sum", "s_1h"
@@ -2881,11 +2886,11 @@ def rolling_time_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     for tag, closed in [("right", "right"), ("left", "left"),
                         ("both", "both"), ("neither", "neither")]:
         r = windows.rolling_time(
-            r, ["v6"], 600, "ts", funcs=("sum",), partition_by=["user_id"],
+            r, ["v6"], 600, "ep", funcs=("sum",), partition_by=["user_id"],
             closed=closed,
         ).withColumnRenamed("v6_roll_sum", f"s_{tag}")
     r = windows.rolling_time(
-        r, ["v6"], 600, "ts", funcs=("count",), partition_by=["user_id"],
+        r, ["v6"], 600, "ep", funcs=("count",), partition_by=["user_id"],
     ).withColumnRenamed("v6_roll_count", "n_right")
     six = F.lit(1e6)
     return r.select(
