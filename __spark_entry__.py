@@ -2640,26 +2640,31 @@ def rank_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
     window-partitioned NULLs as one tied peer group."""
     li = load_table(spark, sf_dir, "lineitem")
     r = li.withColumn("vq", F.when(F.col("l_quantity") < 40, F.col("l_quantity")))
-    for method in ("average", "min", "max", "first", "dense"):
-        r = ordered.rank(
-            r,
-            "l_quantity",
-            method=method,
-            partition_by=["l_returnflag"],
-            out_col=f"rank_{method[:5] if method != 'average' else 'avg'}",
-            tie_break=["l_orderkey", "l_linenumber"],
-        )
-    r = ordered.rank(
-        r, "l_quantity", method="average", pct=True,
-        partition_by=["l_returnflag"], out_col="rank_pct",
+    # fused rank_multi (r6): one sort per SOURCE column — six l_quantity
+    # variants on one (flag, qty-nulls-last, tiebreak) ordering, two vq
+    # na_option variants on one (flag, vq-nulls-last, tiebreak) ordering.
+    # Independent rank() calls each planned their own sort (12 total).
+    r = ordered.rank_multi(
+        r, "l_quantity",
+        [
+            {"method": "average", "out_col": "rank_avg"},
+            {"method": "min", "out_col": "rank_min"},
+            {"method": "max", "out_col": "rank_max"},
+            {"method": "first", "out_col": "rank_first"},
+            {"method": "dense", "out_col": "rank_dense"},
+            {"method": "average", "pct": True, "out_col": "rank_pct"},
+        ],
+        partition_by=["l_returnflag"],
+        tie_break=["l_orderkey", "l_linenumber"],
     )
-    r = ordered.rank(
-        r, "vq", method="min", na_option="top",
-        partition_by=["l_returnflag"], out_col="rank_na_top",
-    )
-    r = ordered.rank(
-        r, "vq", method="average", na_option="bottom", pct=True,
-        partition_by=["l_returnflag"], out_col="rank_na_bottom",
+    r = ordered.rank_multi(
+        r, "vq",
+        [
+            {"method": "min", "na_option": "top", "out_col": "rank_na_top"},
+            {"method": "average", "na_option": "bottom", "pct": True,
+             "out_col": "rank_na_bottom"},
+        ],
+        partition_by=["l_returnflag"],
         tie_break=["l_orderkey", "l_linenumber"],
     )
     return r.select(

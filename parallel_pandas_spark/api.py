@@ -279,6 +279,11 @@ class ParallelFrame:
     def p_rank(self, col: str, **kw):
         return ordered.rank(self.df, col, **kw)
 
+    def p_rank_multi(self, col: str, specs, **kw):
+        """Several rank variants of one column in one fused single-sort
+        plan (see ordered.rank_multi)."""
+        return ordered.rank_multi(self.df, col, specs, **kw)
+
     def p_cumsum(self, cols, order_by=None, axis: int = 0, **kw):
         if axis == 1:
             return ordered.cum_axis1(self.df, cols, "sum")

@@ -326,3 +326,73 @@ def test_api_exposes_r6c_surface(spark):
     ts = _mk_ts(72, 50)
     rf = ParallelFrame(spark.createDataFrame(ts))
     assert "bin" in rf.p_resample("ts", "1h", [F.count("v").alias("n")]).df.columns
+
+
+# ------------------------------------------------------------ rank_multi --
+@pytest.mark.parametrize("seed", [81, 82, 83])
+def test_rank_multi_matches_pandas_and_single_rank(spark, seed):
+    """The fused single-sort family agrees with pandas for every method,
+    pct, and na_option over NaN-bearing grouped data."""
+    rng = np.random.default_rng(seed)
+    n = 400
+    v = rng.choice([1.0, 2.5, 2.5, 7.0, np.nan, 11.0], n)  # heavy ties + NaN
+    pdf = pd.DataFrame(
+        {
+            "g": rng.choice(["a", "b", "c"], n),
+            "ok": np.arange(n, dtype=np.int64),
+            "v": v,
+        }
+    )
+    sdf = spark.createDataFrame(pdf)
+    specs = [
+        {"method": "average", "out_col": "r_avg"},
+        {"method": "min", "out_col": "r_min"},
+        {"method": "max", "out_col": "r_max"},
+        {"method": "first", "out_col": "r_first"},
+        {"method": "dense", "out_col": "r_dense"},
+        {"method": "average", "pct": True, "out_col": "r_pct"},
+        {"method": "min", "na_option": "top", "out_col": "r_natop"},
+        {"method": "average", "na_option": "bottom", "pct": True,
+         "out_col": "r_nabot"},
+    ]
+    got = (
+        ordered.rank_multi(sdf, "v", specs, partition_by=["g"],
+                           tie_break=["ok"])
+        .toPandas().sort_values("ok").reset_index(drop=True)
+    )
+    g = pdf.sort_values("ok").reset_index(drop=True).groupby("g")["v"]
+    for out_col, kw in [
+        ("r_avg", dict(method="average")),
+        ("r_min", dict(method="min")),
+        ("r_max", dict(method="max")),
+        ("r_first", dict(method="first")),
+        ("r_dense", dict(method="dense")),
+        ("r_pct", dict(method="average", pct=True)),
+        ("r_natop", dict(method="min", na_option="top")),
+        ("r_nabot", dict(method="average", na_option="bottom", pct=True)),
+    ]:
+        want = g.rank(**kw).to_numpy()
+        np.testing.assert_allclose(
+            got[out_col].to_numpy(), want, rtol=1e-12,
+            err_msg=f"{out_col} seed={seed}",
+        )
+
+
+def test_rank_multi_single_sort_plan(spark):
+    """The whole 8-variant family plans exactly ONE Exchange + ONE Sort."""
+    import re
+    from collections import Counter
+
+    pdf = pd.DataFrame({"g": ["a", "b"] * 50, "ok": range(100),
+                        "v": [float(i % 7) for i in range(100)]})
+    sdf = spark.createDataFrame(pdf)
+    specs = [
+        {"method": m, "out_col": f"r_{m}"}
+        for m in ("average", "min", "max", "first", "dense")
+    ] + [{"method": "average", "pct": True, "out_col": "r_pct"}]
+    df = ordered.rank_multi(sdf, "v", specs, partition_by=["g"],
+                            tie_break=["ok"])
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    counts = Counter(re.findall(r"^[\s+\-:*]*(\w+)", plan, re.M))
+    assert counts["Sort"] == 1, plan
+    assert counts["Exchange"] == 1, plan
