@@ -70,10 +70,10 @@ def _q(name: str, oracle: str | None = None):
 # `src` tag, preserving every individual value check.
 
 
-def _pad_union(parts: list[tuple[str, DataFrame]]) -> DataFrame:
+def _pad_union(parts: list[tuple[str, DataFrame]], tag_col: str = "src") -> DataFrame:
     out = None
     for tag, df in parts:
-        d = df.select(F.lit(tag).alias("src"), "*")
+        d = df.select(F.lit(tag).alias(tag_col), "*")
         out = d if out is None else out.unionByName(d, allowMissingColumns=True)
     return out
 
@@ -3941,18 +3941,136 @@ NULL-key semantics, and (r6) value_counts with normalize/ascending."""
 _q("groupby_edge_battery", _bsql)(_bfn)
 _retire("salted_groupby_agg", "groupby_dropna_keys", "value_counts_arms")
 
+_VERBS_ORACLE = """
+WITH ag AS (
+  SELECT o_orderpriority, o_orderstatus, CAST(COUNT(*) AS DOUBLE) AS n
+  FROM orders GROUP BY 1, 2),
+pv AS (
+  SELECT o_orderpriority,
+         MAX(CASE WHEN o_orderstatus = 'F' THEN n END) AS "F",
+         MAX(CASE WHEN o_orderstatus = 'O' THEN n END) AS "O",
+         MAX(CASE WHEN o_orderstatus = 'P' THEN n END) AS "P"
+  FROM ag GROUP BY 1),
+dup AS (
+  SELECT c_nationkey, SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS n_dup
+  FROM (SELECT c_nationkey,
+               ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                                  ORDER BY c_custkey) AS rn
+        FROM customer) GROUP BY 1),
+ix AS (
+  SELECT CASE WHEN qv >= g THEN 'qv' WHEN dv >= g THEN 'dv' ELSE 'tv' END AS winner
+  FROM (SELECT CAST(l_quantity AS DOUBLE) AS qv,
+               CAST(l_discount AS DOUBLE) * 100 AS dv,
+               CAST(l_tax AS DOUBLE) * 100 AS tv,
+               GREATEST(CAST(l_quantity AS DOUBLE),
+                        CAST(l_discount AS DOUBLE) * 100,
+                        CAST(l_tax AS DOUBLE) * 100) AS g
+        FROM lineitem)),
+idxc AS (SELECT winner, COUNT(*) AS n_idx FROM ix GROUP BY 1),
+comb AS (
+  SELECT c_nationkey,
+         SUM(CAST(FLOOR(COALESCE(CASE WHEN c_acctbal >= 0
+                                      THEN CAST(c_acctbal AS DOUBLE) END,
+                                 0.0) * 100 + 0.5) AS BIGINT)) AS bal_cents
+  FROM customer GROUP BY 1),
+qq AS (
+  SELECT o_orderstatus, COUNT(*) AS n_q FROM orders
+  WHERE o_totalprice > 150000
+    AND o_orderpriority IN ('1-URGENT', '2-HIGH')
+    AND NOT (o_orderstatus = 'P')
+  GROUP BY 1)
+SELECT 'pivotw' AS vkind, * FROM pv
+UNION ALL BY NAME SELECT 'dup' AS vkind, * FROM dup
+UNION ALL BY NAME SELECT 'idx' AS vkind, * FROM idxc
+UNION ALL BY NAME SELECT 'comb' AS vkind, * FROM comb
+UNION ALL BY NAME SELECT 'query' AS vkind, * FROM qq
+"""
+
+
+@_q("pandas_verbs_arm", _VERBS_ORACLE)
+def pandas_verbs_arm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r6d pandas verbs, each through its library operator: non-agg
+    ``pivot`` (reshape.pivot_wide — duplicate-cell check live on the
+    aggregated frame), ``duplicated`` marker (dedup.duplicated, same
+    one-shuffle window as drop_duplicates), row-wise ``idxmax(axis=1)``
+    (elementwise.idx_extreme_axis1 — narrow first-column-wins CASE
+    chain), ``combine_first`` (joins.combine_first full-outer coalesce
+    patch join), and the ``query()`` expression compiler
+    (functions/queryexpr.py — pandas ``&``/``in``/``@var``/``~``
+    precedence compiled to a pushdown-able SQL predicate). Markers are
+    aggregated to metadata-sized outputs so every value is oracle-checked
+    without shipping the full fact table through the compare."""
+    from parallel_pandas_spark.api import ParallelFrame
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    li = load_table(spark, sf_dir, "lineitem")
+
+    ag = orders.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.count("*").cast("double").alias("n")
+    )
+    pv = reshape.pivot_wide(
+        ag, ["o_orderpriority"], "o_orderstatus", "n",
+        pivot_values=["F", "O", "P"],
+    )
+
+    d = dedup.duplicated(customer, "c_nationkey", order_by=["c_custkey"],
+                         keep="first")
+    dup_agg = d.groupBy("c_nationkey").agg(
+        F.sum(F.col("duplicated").cast("long")).alias("n_dup")
+    )
+
+    ixin = li.select(
+        F.col("l_quantity").cast("double").alias("qv"),
+        (F.col("l_discount").cast("double") * 100).alias("dv"),
+        (F.col("l_tax").cast("double") * 100).alias("tv"),
+    )
+    ix = elementwise.idx_extreme_axis1(ixin, ["qv", "dv", "tv"], how="max",
+                                       out_col="winner")
+    idx_agg = ix.groupBy("winner").agg(F.count("*").alias("n_idx"))
+
+    leftf = customer.select(
+        "c_custkey", "c_nationkey",
+        F.when(F.col("c_acctbal") >= 0, F.col("c_acctbal").cast("double"))
+        .alias("bal"),
+    )
+    rightf = customer.select("c_custkey", F.lit(0.0).alias("bal"))
+    cb = joins.combine_first(leftf, rightf, ["c_custkey"])
+    comb_agg = cb.groupBy("c_nationkey").agg(
+        F.sum(
+            F.floor(F.col("bal") * 100 + F.lit(0.5)).cast("long")
+        ).alias("bal_cents")
+    )
+
+    q = ParallelFrame(orders).p_query(
+        "o_totalprice > @lo & o_orderpriority in ['1-URGENT', '2-HIGH']"
+        " & ~(o_orderstatus == 'P')",
+        env={"lo": 150000},
+    ).df
+    query_agg = q.groupBy("o_orderstatus").agg(F.count("*").alias("n_q"))
+
+    return _pad_union([
+        ("pivotw", pv), ("dup", dup_agg), ("idx", idx_agg),
+        ("comb", comb_agg), ("query", query_agg),
+    ], tag_col="vkind")
+
+
 _bfn, _bsql = _compose_union(
     [
         ("inner", "merge_inner"),
         ("outer", "merge_outer_suffix_indicator"),
         ("semi_anti", "semi_anti_customers"),
+        ("verbs", "pandas_verbs_arm"),
     ]
 )
 _bfn.__doc__ = """pandas merge surface (op #25): how='inner' broadcast join,
-how='outer' with suffixes + indicator, and semi/anti joins — one tagged
-union, every row value-checked."""
+how='outer' with suffixes + indicator, and semi/anti joins — plus the
+(r6d) pandas-verbs arm (non-agg pivot, duplicated marker, idxmax(axis=1),
+combine_first, query() expression compiler). One tagged union, every row
+value-checked."""
 _q("merge_battery", _bsql)(_bfn)
-_retire("merge_inner", "merge_outer_suffix_indicator", "semi_anti_customers")
+_retire("merge_inner", "merge_outer_suffix_indicator", "semi_anti_customers",
+        "pandas_verbs_arm")
 
 @_q(
     "pct_change_fill",

@@ -394,6 +394,42 @@ class ParallelFrame:
 
         return ParallelFrame(reshape.qcut(self.df, col, q, **kw))
 
+    def p_pivot(self, index, columns, values, **kw) -> "ParallelFrame":
+        """Non-aggregating pandas ``pivot`` (raises on duplicate cells)."""
+        from .operators import reshape
+
+        return ParallelFrame(reshape.pivot_wide(self.df, index, columns, values, **kw))
+
+    def p_duplicated(self, subset, order_by=None, keep="first",
+                     out_col="duplicated") -> "ParallelFrame":
+        from .operators import dedup
+
+        return ParallelFrame(
+            dedup.duplicated(self.df, subset, order_by, keep, out_col)
+        )
+
+    def p_idxmax_axis1(self, cols, **kw) -> "ParallelFrame":
+        return ParallelFrame(
+            elementwise.idx_extreme_axis1(self.df, cols, how="max", **kw)
+        )
+
+    def p_idxmin_axis1(self, cols, **kw) -> "ParallelFrame":
+        return ParallelFrame(
+            elementwise.idx_extreme_axis1(self.df, cols, how="min", **kw)
+        )
+
+    def p_combine_first(self, other, on) -> "ParallelFrame":
+        right = other.df if isinstance(other, ParallelFrame) else other
+        return ParallelFrame(joins.combine_first(self.df, right, on))
+
+    def p_query(self, expr: str, env: dict | None = None) -> "ParallelFrame":
+        """pandas ``query`` string (``&``/``|``/``~``, chained compares,
+        ``in``, ``@var``, backticks) compiled to a native SQL predicate —
+        pushes down to the scan like any ``.where``."""
+        from .functions.queryexpr import to_sql
+
+        return ParallelFrame(self.df.where(to_sql(expr, env)))
+
     # -- time resampling (operators/resample.py) ---------------------------
     def p_resample(self, time_col, freq, aggs, partition_by=None,
                    asfreq: bool = False, fill_cols=(), **kw) -> "ParallelFrame":

@@ -106,6 +106,35 @@ def drop_duplicates(
     )
 
 
+def duplicated(
+    df: DataFrame,
+    subset,
+    order_by=None,
+    keep: str = "first",
+    out_col: str = "duplicated",
+) -> DataFrame:
+    """pandas ``duplicated(subset, keep=)`` — a boolean MARKER column
+    instead of row removal (same determinism contract as
+    :func:`drop_duplicates`: 'first'/'last' need an explicit
+    ``order_by``; ``keep=False`` marks every member of any multi-row
+    group). Plan: the identical one-shuffle window; downstream filters
+    on the marker reduce to the drop_duplicates plan."""
+    subset = [subset] if isinstance(subset, str) else list(subset)
+    if keep is False:
+        w = Window.partitionBy(*subset)
+        return df.withColumn(out_col, F.count("*").over(w) > 1)
+    if keep not in ("first", "last"):
+        raise ValueError(f"keep must be 'first', 'last', or False, got {keep!r}")
+    if not order_by:
+        raise ValueError(
+            "keep='first'/'last' needs an explicit order_by: pandas marks by "
+            "input position, which is not defined after a shuffle"
+        )
+    order = [F.col(c).asc() if keep == "first" else F.col(c).desc() for c in order_by]
+    w = Window.partitionBy(*subset).orderBy(*order)
+    return df.withColumn(out_col, F.row_number().over(w) > 1)
+
+
 def cluster_pairs(
     pairs: DataFrame,
     id_a: str = "id_a",

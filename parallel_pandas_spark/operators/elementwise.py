@@ -475,3 +475,45 @@ def dropna(
     if how == "all":
         return df.where(n_ok > 0)
     raise ValueError(f"how must be 'any' or 'all', got {how!r}")
+
+
+def idx_extreme_axis1(
+    df: DataFrame,
+    cols: Sequence[str],
+    how: str = "max",
+    out_col: str | None = None,
+    skipna: bool = True,
+) -> DataFrame:
+    """pandas ``idxmax(axis=1)`` / ``idxmin(axis=1)``: the NAME of the
+    column holding the row-wise extreme. Pure narrow CASE projection
+    (codegen, zero shuffle). pandas tie-breaks by first column in order;
+    missing (NULL/TRUE NaN) entries are skipped (``skipna=True``), an
+    all-missing row yields NULL. ``skipna=False`` (pandas: NaN wins)
+    yields NULL for any row containing a missing entry, matching pandas'
+    NaN result."""
+    if how not in ("max", "min"):
+        raise ValueError(f"how must be 'max' or 'min', got {how!r}")
+    out_col = out_col or f"idx{how}"
+
+    def _m(c: str):
+        col = F.col(c)
+        if isinstance(df.schema[c].dataType, (T.DoubleType, T.FloatType)):
+            return F.nanvl(col, F.lit(None).cast("double"))
+        return col.cast("double")
+
+    vals = [_m(c) for c in cols]
+    cmp = F.greatest(*vals) if how == "max" else F.least(*vals)
+    expr = F.lit(None).cast("string")
+    # first-column-wins tie-break: scan in order, pick the first equal
+    chain = None
+    for c, v in zip(cols, vals):
+        cond = v.isNotNull() & (v == cmp)
+        chain = F.when(cond, F.lit(c)) if chain is None else chain.when(cond, F.lit(c))
+    expr = chain
+    if not skipna:
+        missing = None
+        for c, v in zip(cols, vals):
+            m = v.isNull()
+            missing = m if missing is None else (missing | m)
+        expr = F.when(~missing, expr)
+    return df.withColumn(out_col, expr)

@@ -276,3 +276,42 @@ def bucket_write(df: DataFrame, path_table: str, keys: Sequence[str], num_bucket
         .sortBy(*keys)
         .saveAsTable(path_table)
     )
+
+
+def combine_first(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+) -> DataFrame:
+    """pandas ``DataFrame.combine_first``: patch ``left``'s missing cells
+    (NULL or TRUE NaN) with ``right``'s values, aligned on the explicit
+    key ``on`` (the engine's replacement for pandas index alignment,
+    SURVEY.md §1.4); the result carries the UNION of rows and columns,
+    with left winning any populated cell. Plan: one full-outer
+    equi-join on the key (broadcast when one side is small, AQE
+    otherwise) + coalesce projections — no Python."""
+    from pyspark.sql import types as T
+
+    on = [on] if isinstance(on, str) else list(on)
+    lcols = [c for c in left.columns if c not in on]
+    rcols = [c for c in right.columns if c not in on]
+    j = left.alias("__l").join(right.alias("__r"), on, "full_outer")
+
+    def _val(side: str, df_: DataFrame, c: str):
+        col = F.col(f"{side}.`{c}`")
+        if isinstance(df_.schema[c].dataType, (T.DoubleType, T.FloatType)):
+            return F.nanvl(col, F.lit(None).cast("double"))
+        return col
+
+    out = [*on]
+    for c in lcols:
+        if c in right.columns:
+            out.append(
+                F.coalesce(_val("__l", left, c), _val("__r", right, c)).alias(c)
+            )
+        else:
+            out.append(F.col(f"__l.`{c}`").alias(c))
+    for c in rcols:
+        if c not in left.columns:
+            out.append(F.col(f"__r.`{c}`").alias(c))
+    return j.select(*out)

@@ -147,6 +147,45 @@ def get_dummies(
     return df.select(*keep, *exprs)
 
 
+def pivot_wide(
+    df: DataFrame,
+    index: Sequence[str],
+    columns: str,
+    values: str,
+    pivot_values: Sequence | None = None,
+    check_duplicates: bool = True,
+) -> DataFrame:
+    """pandas ``pivot(index, columns, values)`` — NON-aggregating
+    long-to-wide reshape. pandas raises on duplicate (index, columns)
+    cells; here ``check_duplicates=True`` (default) plans the same
+    groupBy with ``count`` alongside ``first`` and fails the job via an
+    assertion expression if any cell holds >1 row — one pass, no extra
+    action. Pass ``pivot_values`` to keep the plan fully static (else
+    Spark collects the distinct pivot values, bounded by
+    ``spark.sql.pivotMaxValues`` — metadata-sized: it IS the output
+    schema width)."""
+    idx = list(index)
+    piv = (
+        df.groupBy(*idx).pivot(columns, list(pivot_values))
+        if pivot_values is not None
+        else df.groupBy(*idx).pivot(columns)
+    )
+    if not check_duplicates:
+        return piv.agg(F.first(values))
+    out = piv.agg(
+        F.first(values).alias("__v"), F.count(F.lit(1)).alias("__n")
+    )
+    data = [c[: -len("___v")] for c in out.columns if c.endswith("___v")]
+    sel = [
+        F.when(
+            F.col(f"`{c}___n`") > 1,
+            F.raise_error(F.lit(f"pivot_wide: duplicate entries for column {c!r}")),
+        ).otherwise(F.col(f"`{c}___v`")).alias(c)
+        for c in data
+    ]
+    return out.select(*idx, *sel)
+
+
 def _cut_expr(col, edges: Sequence[float], labels, right: bool, include_lowest: bool):
     """CASE chain mapping a value to its bin label/code; NULL outside."""
     n = len(edges) - 1

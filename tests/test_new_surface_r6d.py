@@ -1,0 +1,157 @@
+"""Round-6d pandas verbs: non-aggregating pivot, duplicated marker,
+row-wise idxmax/idxmin, combine_first patch-join, and the query()
+expression compiler — each twinned against real pandas."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from parallel_pandas_spark.api import ParallelFrame
+from parallel_pandas_spark.functions.queryexpr import to_sql
+from parallel_pandas_spark.operators import dedup, elementwise, joins, reshape
+
+
+# -------------------------------------------------------------- pivot_wide --
+def test_pivot_wide_matches_pandas(spark):
+    pdf = pd.DataFrame(
+        {
+            "k": [1, 1, 2, 2, 3],
+            "c": ["a", "b", "a", "b", "a"],
+            "v": [10.0, 20.0, 30.0, 40.0, 50.0],
+        }
+    )
+    sdf = spark.createDataFrame(pdf)
+    got = (
+        reshape.pivot_wide(sdf, ["k"], "c", "v", pivot_values=["a", "b"])
+        .toPandas().sort_values("k").reset_index(drop=True)
+    )
+    want = pdf.pivot(index="k", columns="c", values="v").reset_index()
+    want.columns.name = None
+    np.testing.assert_allclose(
+        got[["a", "b"]].to_numpy(dtype=float),
+        want[["a", "b"]].to_numpy(dtype=float),
+    )
+
+
+def test_pivot_wide_raises_on_duplicates(spark):
+    pdf = pd.DataFrame({"k": [1, 1], "c": ["a", "a"], "v": [1.0, 2.0]})
+    sdf = spark.createDataFrame(pdf)
+    with pytest.raises(Exception, match="duplicate entries"):
+        reshape.pivot_wide(sdf, ["k"], "c", "v").collect()
+    # pandas raises too
+    with pytest.raises(ValueError):
+        pdf.pivot(index="k", columns="c", values="v")
+
+
+# -------------------------------------------------------------- duplicated --
+@pytest.mark.parametrize("keep", ["first", "last", False])
+def test_duplicated_matches_pandas(spark, keep):
+    rng = np.random.default_rng(5)
+    pdf = pd.DataFrame(
+        {"k": rng.integers(0, 8, 60), "ord": np.arange(60, dtype=np.int64)}
+    ).sort_values("ord").reset_index(drop=True)
+    sdf = spark.createDataFrame(pdf)
+    got = (
+        dedup.duplicated(sdf, "k", order_by=["ord"], keep=keep)
+        .toPandas().sort_values("ord")["duplicated"].to_numpy()
+    )
+    want = pdf.duplicated(subset=["k"], keep=keep).to_numpy()
+    np.testing.assert_array_equal(got, want, err_msg=f"keep={keep}")
+
+
+# ------------------------------------------------------------ idxmax axis=1 --
+@pytest.mark.parametrize("how", ["max", "min"])
+@pytest.mark.parametrize("skipna", [True, False])
+def test_idx_extreme_axis1_matches_pandas(spark, how, skipna):
+    rng = np.random.default_rng(7)
+    a = rng.normal(0, 1, 120)
+    b = rng.normal(0, 1, 120)
+    c = rng.normal(0, 1, 120)
+    a[::7] = np.nan
+    c[::11] = np.nan
+    a[3], b[3], c[3] = np.nan, np.nan, np.nan  # all-missing row
+    pdf = pd.DataFrame({"ord": np.arange(120, dtype=np.int64),
+                        "a": a, "b": b, "c": c})
+    sdf = spark.createDataFrame(pdf)
+    got = (
+        elementwise.idx_extreme_axis1(sdf, ["a", "b", "c"], how=how,
+                                      skipna=skipna)
+        .toPandas().sort_values("ord")[f"idx{how}"]
+    )
+    fn = getattr(pdf[["a", "b", "c"]], f"idx{how}")
+    want = fn(axis=1, skipna=skipna)
+    want_n = want.where(want.notna(), None).to_numpy(dtype=object)
+    got_n = got.where(got.notna(), None).to_numpy(dtype=object)
+    np.testing.assert_array_equal(got_n, want_n,
+                                  err_msg=f"how={how} skipna={skipna}")
+
+
+# ----------------------------------------------------------- combine_first --
+def test_combine_first_matches_pandas(spark):
+    left = pd.DataFrame(
+        {"k": [1, 2, 3, 4], "x": [1.0, np.nan, 3.0, np.nan],
+         "y": ["a", None, "c", None], "lonly": [9, 9, 9, 9]}
+    )
+    right = pd.DataFrame(
+        {"k": [2, 3, 4, 5], "x": [20.0, 30.0, np.nan, 50.0],
+         "y": ["B", "C", "D", "E"], "ronly": [7, 7, 7, 7]}
+    )
+    sdf = joins.combine_first(
+        spark.createDataFrame(left), spark.createDataFrame(right), ["k"]
+    ).toPandas().sort_values("k").reset_index(drop=True)
+    want = (
+        left.set_index("k").combine_first(right.set_index("k"))
+        .reset_index().sort_values("k").reset_index(drop=True)
+    )
+    for c in ("x",):
+        np.testing.assert_allclose(
+            sdf[c].to_numpy(dtype=float), want[c].to_numpy(dtype=float)
+        )
+    assert list(sdf["y"].fillna("-")) == list(want["y"].fillna("-"))
+    assert set(sdf.columns) == set(want.columns)
+
+
+# -------------------------------------------------------------------- query --
+@pytest.mark.parametrize(
+    "expr,env",
+    [
+        ("a > 1 & b == 'x'", None),
+        ("a > 1 and not (b == 'y')", None),
+        ("1 < a < 4", None),
+        ("b in ['x', 'z'] | a == 0", None),
+        ("c.notnull() & b not in ['y']", None),
+        ("a ** 2 + 1 >= @lo", {"lo": 5}),
+        ("`weird col` % 2 == 0", None),
+    ],
+)
+def test_query_expr_matches_pandas(spark, expr, env):
+    pdf = pd.DataFrame(
+        {
+            "a": [0, 1, 2, 3, 4, 5] * 10,
+            "b": ["x", "y", "z"] * 20,
+            "c": [1.0, None, 3.0] * 20,
+            "weird col": list(range(60)),
+        }
+    )
+    pf = ParallelFrame(spark.createDataFrame(pdf))
+    got = pf.p_query(expr, env=env).df.toPandas()
+    want = pdf.query(expr, engine="python",
+                     local_dict=env or {}, parser="pandas")
+    assert len(got) == len(want), f"{expr}: {len(got)} vs {len(want)}"
+    assert sorted(got["a"].tolist()) == sorted(want["a"].tolist()), expr
+
+
+def test_query_pushdown_reaches_scan(spark, tmp_path):
+    """The compiled predicate appears in PushedFilters at the scan."""
+    p = str(tmp_path / "t.parquet")
+    spark.range(100).selectExpr("id", "id % 7 AS m").write.parquet(p)
+    df = ParallelFrame(spark.read.parquet(p)).p_query("id > 50").df
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "GreaterThan(id,50" in plan, plan
+
+
+def test_query_rejects_unsupported(spark):
+    with pytest.raises(ValueError, match="unsupported"):
+        to_sql("a.map(f) > 2")
+    with pytest.raises(ValueError, match="not supplied"):
+        to_sql("a > @missing")
