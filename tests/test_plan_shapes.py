@@ -142,3 +142,67 @@ def test_corpus_pipeline_shuffle_budget(spark, qs):
     txt = _txt(df)
     assert "Exchange SinglePartition" not in txt, txt
     assert txt.count("Exchange (") <= 4, txt
+
+
+def test_melt_is_narrow_expand_no_shuffle(spark):
+    """melt plans a single-scan Expand: no Exchange at all."""
+    from parallel_pandas_spark.operators import reshape
+
+    df = reshape.melt(
+        spark.read.parquet(f"{SF}/orders.parquet"),
+        ["o_orderkey"], ["o_totalprice", "o_custkey"],
+    )
+    txt = _txt(df)
+    assert "Exchange" not in txt, txt
+    assert "Expand" in txt, txt
+
+
+def test_resample_agg_single_shuffle_partial_agg(spark):
+    """Downsample = one shuffle on (keys, bin) with map-side partials."""
+    from pyspark.sql import functions as F
+
+    from parallel_pandas_spark.operators import resample
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    df = resample.resample_agg(
+        ev, "ts", "1h", [F.sum("value").alias("s")], partition_by=["user_id"]
+    )
+    txt = _txt(df)
+    assert txt.count("Exchange (") == 1, txt
+    assert "partial" in txt.lower() or "HashAggregate" in txt, txt  # map-side combine
+
+
+def test_cut_get_dummies_are_narrow(spark):
+    """Binning and one-hot (static categories) are pure projections."""
+    from parallel_pandas_spark.operators import reshape
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    df = reshape.cut(li, "l_quantity", [0, 10, 25, 50], labels=False)
+    df = reshape.get_dummies(df, ["l_returnflag"], values={"l_returnflag": list("ANR")})
+    txt = _txt(df)
+    assert "Exchange" not in txt, txt
+
+
+def test_interpolate_single_sort_single_shuffle(spark):
+    """Gap interpolation = one (partition, order) pipeline."""
+    from parallel_pandas_spark.operators import ordered
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    df = ordered.interpolate(
+        li, ["l_quantity"], ["l_orderkey", "l_linenumber"],
+        partition_by=["l_suppkey"],
+    )
+    txt = _txt(df)
+    assert txt.count("Exchange (") == 1, txt
+    assert "Exchange SinglePartition" not in txt
+
+
+def test_query_compiles_to_pushdown(spark):
+    """query() predicates reach the parquet scan as PushedFilters."""
+    from parallel_pandas_spark.api import ParallelFrame
+
+    pf = ParallelFrame(spark.read.parquet(f"{SF}/orders.parquet"))
+    df = pf.p_query("o_totalprice > 100000 & o_orderstatus in ['O']").df
+    pushed = explain.pushed_filters(df)
+    assert any("o_totalprice" in p for p in pushed), pushed
+    assert any("o_orderstatus" in p for p in pushed), pushed
