@@ -23,6 +23,7 @@ from __future__ import annotations
 from collections.abc import Callable, Sequence
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from .operators import (
     elementwise,
@@ -356,6 +357,78 @@ class ParallelFrame:
 
     def p_interpolate(self, cols, order_by, **kw) -> "ParallelFrame":
         return ParallelFrame(ordered.interpolate(self.df, cols, order_by, **kw))
+
+    def p_corrwith(self, pairs, min_periods=None) -> DataFrame:
+        """pandas ``corrwith`` over explicit column pairs — one scan."""
+        return self._action(
+            lambda: reductions.corr_with(self.df, pairs, min_periods)
+        )
+
+    # -- thin frame verbs (pandas ergonomics over native Spark ops) --------
+    def p_sort_values(self, by, ascending=True,
+                      na_position: str = "last") -> "ParallelFrame":
+        """pandas ``sort_values``. NOTE the scale contract: a global sort
+        is a range-partitioned total order (Spark's orderBy), fine as a
+        final presentation step, a bottleneck as a mid-pipeline one."""
+        by = [by] if isinstance(by, str) else list(by)
+        asc = [ascending] * len(by) if isinstance(ascending, bool) else list(ascending)
+        cols = []
+        for c, a in zip(by, asc):
+            col = F.col(c)
+            if a:
+                cols.append(col.asc_nulls_last() if na_position == "last"
+                            else col.asc_nulls_first())
+            else:
+                cols.append(col.desc_nulls_last() if na_position == "last"
+                            else col.desc_nulls_first())
+        return ParallelFrame(self.df.orderBy(*cols))
+
+    _DTYPES = {
+        "int8": "tinyint", "int16": "smallint", "int32": "int",
+        "int64": "bigint", "float32": "float", "float64": "double",
+        "bool": "boolean", "object": "string", "str": "string",
+        "datetime64[ns]": "timestamp", "category": "string",
+    }
+
+    def p_astype(self, dtypes) -> "ParallelFrame":
+        """pandas ``astype`` with numpy dtype names mapped to Spark types
+        (int64 -> bigint, float64 -> double, object -> string, ...)."""
+        out = self.df
+        for c, dt in dtypes.items():
+            spark_t = self._DTYPES.get(str(dt), str(dt))
+            out = out.withColumn(c, F.col(c).cast(spark_t))
+        return ParallelFrame(out)
+
+    def p_rename(self, columns: dict) -> "ParallelFrame":
+        out = self.df
+        for old, new in columns.items():
+            out = out.withColumnRenamed(old, new)
+        return ParallelFrame(out)
+
+    def p_assign(self, **exprs) -> "ParallelFrame":
+        """pandas ``assign``: each kwarg is a Column expression or a
+        callable receiving the underlying DataFrame."""
+        out = self.df
+        for name, e in exprs.items():
+            out = out.withColumn(name, e(out) if callable(e) else e)
+        return ParallelFrame(out)
+
+    def p_between(self, col: str, left, right,
+                  inclusive: str = "both") -> "ParallelFrame":
+        """pandas ``Series.between`` as a filter."""
+        c = F.col(col)
+        lo = c >= left if inclusive in ("both", "left") else c > left
+        hi = c <= right if inclusive in ("both", "right") else c < right
+        return ParallelFrame(self.df.where(lo & hi))
+
+    def p_explode(self, col: str, out_col: str | None = None,
+                  keep_empty: bool = False) -> "ParallelFrame":
+        """pandas ``explode`` of a list column (narrow Generate node;
+        ``keep_empty`` mirrors pandas emitting a NaN row for []/NULL)."""
+        fn = F.explode_outer if keep_empty else F.explode
+        return ParallelFrame(
+            self.df.withColumn(out_col or col, fn(F.col(col)))
+        )
 
     def p_cov(self, cols, min_periods=None, ddof: int = 1) -> DataFrame:
         return self._action(

@@ -680,6 +680,45 @@ def cov_matrix(
     )
 
 
+def corr_with(
+    df: DataFrame,
+    pairs: Sequence[tuple[str, str]],
+    min_periods: int | None = None,
+) -> DataFrame:
+    """pandas ``DataFrame.corrwith`` re-expressed for explicit column
+    pairs: one row ``(col_a, col_b, corr)`` per requested pair, ALL pairs
+    in ONE aggregation pass (map-side partial moments — the same one-scan
+    shape as :func:`cov_matrix`). Pairwise-complete over missing values
+    (NULL or TRUE NaN on either side drops the row for that pair only),
+    exactly pandas. pandas aligns on index/column labels; the distributed
+    contract takes the pair list explicitly (SURVEY.md §1.4)."""
+    exprs, names = [], []
+    work = df
+    safe: dict[str, str] = {}
+    for a, b in pairs:
+        for c in (a, b):
+            if c not in safe:
+                if _floating(df, c):
+                    work = work.withColumn(f"__cw_{c}", nan_safe(df, c))
+                    safe[c] = f"__cw_{c}"
+                else:
+                    safe[c] = c
+    for a, b in pairs:
+        e = F.corr(safe[a], safe[b])
+        if min_periods is not None:
+            both = F.when(
+                F.col(safe[a]).isNotNull() & F.col(safe[b]).isNotNull(), 1
+            )
+            e = F.when(F.count(both) >= F.lit(min_periods), e)
+        exprs.append(e.alias(f"{a}__{b}"))
+        names.append((a, b))
+    wide = work.agg(*exprs)
+    stack_args = ", ".join(f"'{a}', '{b}', `{a}__{b}`" for a, b in names)
+    return wide.selectExpr(
+        f"stack({len(names)}, {stack_args}) as (col_a, col_b, corr)"
+    )
+
+
 def _pairs_of(cols: Sequence[str]) -> list[tuple[int, str, str]]:
     return [
         (i * len(cols) + j, a, b)

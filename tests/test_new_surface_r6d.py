@@ -155,3 +155,51 @@ def test_query_rejects_unsupported(spark):
         to_sql("a.map(f) > 2")
     with pytest.raises(ValueError, match="not supplied"):
         to_sql("a > @missing")
+
+
+# ------------------------------------------------------- thin frame verbs --
+def test_corrwith_matches_pandas(spark):
+    rng = np.random.default_rng(11)
+    pdf = pd.DataFrame(
+        {
+            "a": rng.normal(0, 1, 200),
+            "b": rng.normal(0, 1, 200),
+            "c": rng.normal(0, 1, 200),
+        }
+    )
+    pdf["b"] = pdf["b"] + 0.5 * pdf["a"]
+    pdf.loc[::9, "a"] = np.nan
+    from parallel_pandas_spark.operators import reductions
+
+    got = reductions.corr_with(
+        spark.createDataFrame(pdf), [("a", "b"), ("a", "c")]
+    ).toPandas()
+    for _, r in got.iterrows():
+        want = pdf[r["col_a"]].corr(pdf[r["col_b"]])
+        np.testing.assert_allclose(r["corr"], want, rtol=1e-10)
+
+
+def test_thin_verbs_roundtrip(spark):
+    pdf = pd.DataFrame(
+        {"k": [3, 1, 2], "v": [1.5, 2.5, None], "lst": [[1, 2], [], [3]]}
+    )
+    pf = ParallelFrame(spark.createDataFrame(pdf))
+    s = pf.p_sort_values("k", ascending=False).df.toPandas()
+    assert list(s["k"]) == [3, 2, 1]
+    a = pf.p_astype({"k": "float64"}).df
+    assert dict(a.dtypes)["k"] == "double"
+    r = pf.p_rename({"v": "val"}).df
+    assert "val" in r.columns and "v" not in r.columns
+    from pyspark.sql import functions as F
+
+    g = pf.p_assign(k2=F.col("k") * 2, k3=lambda d: d["k"] + 1).df.toPandas()
+    assert list(g.sort_values("k")["k2"]) == [2, 4, 6]
+    assert list(g.sort_values("k")["k3"]) == [2, 3, 4]
+    b = pf.p_between("k", 1, 2).df
+    assert b.count() == 2
+    b2 = pf.p_between("k", 1, 2, inclusive="neither").df
+    assert b2.count() == 0
+    e = pf.p_explode("lst").df.toPandas()
+    assert sorted(e["lst"].tolist()) == [1, 2, 3]
+    eo = pf.p_explode("lst", keep_empty=True).df
+    assert eo.count() == 4  # NaN row kept for the empty list, like pandas
