@@ -4411,8 +4411,13 @@ def rolling_rank_skew_cov(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = windows.rolling_rank(
         li, "l_quantity", 7, _ORD4, partition_by=["l_suppkey"], out_col="roll_rank"
     )
+    # keep_obs=True: the first rolling call materializes the __fin/__nn
+    # masks ONCE and every later frame reuses them, so the stacked window
+    # layers are plan-adjacent and CollapseWindow fuses them (SCALE.md
+    # window-pass discipline); the final select prunes the masks
     r = windows.rolling(
-        r, ["l_quantity"], 7, _ORD4, funcs=("skew", "sem"), partition_by=["l_suppkey"]
+        r, ["l_quantity"], 7, _ORD4, funcs=("skew", "sem"),
+        partition_by=["l_suppkey"], keep_obs=True,
     )
     # compact_sums contract at these scales: max quantized element is
     # bb = (2e5)^2 · 1e4 = 4e14; × window 10 = 4e15 ≪ 2^63 — exact LONGs
@@ -4434,7 +4439,7 @@ def rolling_rank_skew_cov(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]:
         r = windows.rolling(
             r, ["l_quantity"], shape.pop("window"), _ORD4, funcs=(fn,),
-            partition_by=["l_suppkey"], min_periods=3, **shape,
+            partition_by=["l_suppkey"], min_periods=3, keep_obs=True, **shape,
         ).withColumnRenamed(f"l_quantity_roll_{fn}", out_name)
     return r.select(
         "l_orderkey",
@@ -4495,7 +4500,7 @@ def rolling_center_closed(spark: SparkSession, sf_dir: str) -> DataFrame:
     for out_name, shape, fn in arms:
         r = windows.rolling(
             r, ["l_quantity"], shape.pop("window"), _ORD4, funcs=(fn,),
-            partition_by=["l_suppkey"], min_periods=3, **shape,
+            partition_by=["l_suppkey"], min_periods=3, keep_obs=True, **shape,
         ).withColumnRenamed(f"l_quantity_roll_{fn}", out_name)
     return r.select(
         "l_orderkey", "l_linenumber",

@@ -91,17 +91,25 @@ def _window_obs(df: DataFrame, cols: Sequence[str]):
     """Project per-column masked companions for the window kernels:
     ``fin[c]`` (finite only — the aggregation input and min_periods
     basis) and ``nn[c]`` (NaN-masked, inf kept — the ``count`` input).
-    Integer columns cannot hold non-finite values and pass through."""
+    Integer columns cannot hold non-finite values and pass through.
+
+    REUSES a mask column that already exists by name: combined with
+    ``keep_obs=True`` on the kernels, a chain of window calls over the
+    same columns adds its masks ONCE, so the later calls' Window nodes
+    are ADJACENT in the logical plan and CollapseWindow fuses them into
+    one WindowExec pass (a fresh mask Project between windows blocks the
+    rule — the r6 window-pass-discipline finding, SCALE.md)."""
     out = df
     fin: dict[str, str] = {}
     nn: dict[str, str] = {}
     temps: list[str] = []
     for c in cols:
         if _is_floating(out, c):
-            out = out.withColumn(f"__fin_{c}", _finite(F.col(c)))
-            out = out.withColumn(f"__nn_{c}", _non_nan(F.col(c)))
             fin[c], nn[c] = f"__fin_{c}", f"__nn_{c}"
-            temps += [f"__fin_{c}", f"__nn_{c}"]
+            if fin[c] not in out.columns:
+                out = out.withColumn(fin[c], _finite(F.col(c)))
+                out = out.withColumn(nn[c], _non_nan(F.col(c)))
+                temps += [fin[c], nn[c]]
         else:
             fin[c], nn[c] = c, c
     return out, fin, nn, temps
@@ -139,12 +147,19 @@ def rolling(
     min_periods: int | None = None,
     center: bool = False,
     closed: str | None = None,
+    keep_obs: bool = False,
 ) -> DataFrame:
     """Count-based rolling window (reference ParallelRolling,
     parallel_window.py:30-203; the reference snapshots every pandas ctor
     arg — ``center``/``closed`` included — and replays it per chunk,
     parallel_window.py:91-100). pandas default ``min_periods=window`` →
-    rows with fewer observations yield NULL (test_window.py:9-13)."""
+    rows with fewer observations yield NULL (test_window.py:9-13).
+
+    ``keep_obs=True`` leaves the ``__fin_*``/``__nn_*`` mask columns in
+    the output so the NEXT rolling call over the same columns reuses
+    them (see ``_window_obs``) — chained frames then fuse into one
+    WindowExec pass. Callers select their final columns anyway, which
+    prunes the masks."""
     mp = window if min_periods is None else min_periods
     start, end = fixed_frame_bounds(window, center, closed)
     if end < start:  # e.g. window=1, closed='neither': frame is empty
@@ -167,7 +182,7 @@ def rolling(
             out = out.withColumn(
                 f"{c}_roll_{fn}", F.when(g, _ROLL_FNS[fn](src, w))
             )
-    return out.drop(*temps)
+    return out if keep_obs else out.drop(*temps)
 
 
 def rolling_cov_corr(
