@@ -1483,6 +1483,11 @@ SELECT 'keepfirst' AS src, lang, source, doc_id FROM (
          ROW_NUMBER() OVER (PARTITION BY lang, source ORDER BY doc_id) AS rn
   FROM documents) WHERE rn = 1
 UNION ALL BY NAME
+SELECT 'bloom' AS src, doc_id FROM documents
+WHERE doc_id % 3 <> 0
+  AND md5({_NORM_SQL}) NOT IN (
+    SELECT md5({_NORM_SQL}) FROM documents WHERE doc_id % 3 = 0)
+UNION ALL BY NAME
 SELECT 'contam' AS src, train_id, eval_id, n_shared,
        ROUND(n_shared * 1.0 / n_train_grams, 6) AS train_overlap_frac
 FROM (
@@ -1554,9 +1559,21 @@ def exact_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.where(F.col("doc_id") % 10 == 0),
         "doc_id", "text", n=4, min_shared=2,
     )
+    # (r6) incremental-corpus dedup: bloom_anti_join — the broadcastable
+    # hash-bucket prefilter clears definitely-new docs without joining
+    # the seen corpus; survivors are EXACTLY the anti-join (the oracle)
+    from parallel_pandas_spark.operators.text import fingerprint_md5
+
+    new_docs = d.where(F.col("doc_id") % 3 != 0).select(
+        "doc_id", fingerprint_md5("text").alias("fp")
+    )
+    seen_docs = d.where(F.col("doc_id") % 3 == 0).select(
+        fingerprint_md5("text").alias("fp")
+    )
+    bl = dedup.bloom_anti_join(new_docs, seen_docs, "fp").select("doc_id")
     return _pad_union(
         [("exact", exact), ("minhash_cc", cc), ("keepfirst", kf),
-         ("contam", contam)]
+         ("contam", contam), ("bloom", bl)]
     )
 
 

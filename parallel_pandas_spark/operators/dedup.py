@@ -717,3 +717,43 @@ def embedding_neardup_pairs(
             F.round("cosine", 6).alias("cosine"),
         )
     )
+
+
+def bloom_anti_join(
+    new_df: DataFrame,
+    seen_df: DataFrame,
+    on: str | Sequence[str],
+    num_buckets: int = 1 << 22,
+) -> DataFrame:
+    """Incremental-corpus dedup: rows of ``new_df`` whose key does NOT
+    appear in ``seen_df`` — EXACTLY a left-anti join (the oracle), but
+    with a Bloom-style prefilter so the big corpus is only joined by
+    probable hits.
+
+    Mechanics: the seen keys hash into ``num_buckets`` buckets (xxhash64,
+    one-hash Bloom); the DISTINCT bucket set (<= num_buckets longs, tiny
+    vs the corpus) broadcasts. New rows missing their bucket are
+    DEFINITELY new (no false negatives — same key, same bucket) and skip
+    the exact join entirely, shuffling nothing; only rows whose bucket is
+    occupied (~ occupancy-rate fraction, <= 1-exp(-n_seen/num_buckets))
+    proceed to the exact anti-join that removes hash collisions. At
+    100 TB the exact join's shuffle carries the collision candidates and
+    the matching seen keys, not |new| + |seen|.
+
+    Size ``num_buckets`` >= a few x expected distinct seen keys; the
+    bucket set stays broadcast-sized (8 bytes per OCCUPIED bucket).
+    """
+    cols = [on] if isinstance(on, str) else list(on)
+    bucket = (F.xxhash64(*[F.col(c) for c in cols]) % num_buckets).alias("__bkt")
+    seen_buckets = seen_df.select(bucket).distinct()
+    new_b = new_df.withColumn("__bkt", bucket)
+    definite_new = new_b.join(
+        F.broadcast(seen_buckets), "__bkt", "left_anti"
+    ).drop("__bkt")
+    candidates = new_b.join(
+        F.broadcast(seen_buckets), "__bkt", "left_semi"
+    ).drop("__bkt")
+    survivors = candidates.join(
+        seen_df.select(*cols).distinct(), cols, "left_anti"
+    )
+    return definite_new.unionByName(survivors)

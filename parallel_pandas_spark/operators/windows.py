@@ -548,9 +548,12 @@ def expanding(
     funcs: Sequence[str] = ("sum",),
     partition_by: Sequence[str] | None = None,
     min_periods: int = 1,
+    keep_obs: bool = False,
 ) -> DataFrame:
     """Expanding window (reference ParallelExpanding,
-    parallel_window.py:262-275): frame = start..current row."""
+    parallel_window.py:262-275): frame = start..current row.
+    ``keep_obs`` as in :func:`rolling` — mask-column reuse for chained
+    window fusion."""
     w = _ordered_window(order_by, partition_by).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
@@ -564,7 +567,7 @@ def expanding(
             out = out.withColumn(
                 f"{c}_exp_{fn}", F.when(g, _ROLL_FNS[fn](src, w))
             )
-    return out.drop(*temps)
+    return out if keep_obs else out.drop(*temps)
 
 
 #: "unbounded preceding .. current row" as a rowsBetween pair, usable as

@@ -203,3 +203,34 @@ def test_thin_verbs_roundtrip(spark):
     assert sorted(e["lst"].tolist()) == [1, 2, 3]
     eo = pf.p_explode("lst", keep_empty=True).df
     assert eo.count() == 4  # NaN row kept for the empty list, like pandas
+
+
+# ---------------------------------------------------------- bloom anti-join --
+def test_bloom_anti_join_equals_plain_anti_join(spark):
+    """Exact-semantics contract: identical result to a left-anti join,
+    including hash-collision candidates, across bucket sizes (tiny
+    num_buckets forces heavy collisions through the exact path)."""
+    from parallel_pandas_spark.operators import dedup as dd
+
+    rng = np.random.default_rng(17)
+    new = pd.DataFrame({"k": rng.integers(0, 500, 300), "tag": range(300)})
+    seen = pd.DataFrame({"k": rng.integers(0, 500, 200)})
+    sn, ss = spark.createDataFrame(new), spark.createDataFrame(seen)
+    want = sorted(
+        r["tag"] for r in sn.join(ss.distinct(), "k", "left_anti").collect()
+    )
+    for m in (8, 1 << 10, 1 << 22):  # heavy / moderate / no collisions
+        got = sorted(
+            r["tag"] for r in dd.bloom_anti_join(sn, ss, "k", num_buckets=m).collect()
+        )
+        assert got == want, f"num_buckets={m}"
+
+
+def test_bloom_anti_join_broadcasts_bucket_set(spark):
+    from parallel_pandas_spark.operators import dedup as dd
+    from parallel_pandas_spark.plans import explain
+
+    sn = spark.range(1000).selectExpr("id AS k")
+    ss = spark.range(100).selectExpr("id * 3 AS k")
+    df = dd.bloom_anti_join(sn, ss, "k")
+    assert explain.has_broadcast_join(df)
