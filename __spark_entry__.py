@@ -4602,19 +4602,58 @@ _retire(
     "rolling_time_closed",
 )
 
+_BM25_TERMS = ["hash", "join", "vectorized", "filter"]
+_BM25_ORACLE = f"""
+WITH lt AS (
+  SELECT doc_id, regexp_split_to_array(TRIM(LOWER(text)), '\\s+') AS toks
+  FROM documents WHERE LENGTH(TRIM(text)) > 0
+),
+dl AS (SELECT doc_id, len(toks) AS dl, toks FROM lt),
+stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(dl) AS avgdl FROM dl),
+tf AS (
+  SELECT doc_id, dl, t, CAST(COUNT(*) AS DOUBLE) AS tf
+  FROM (SELECT doc_id, dl, unnest(toks) AS t FROM dl)
+  WHERE t IN ({", ".join(f"'{t}'" for t in _BM25_TERMS)})
+  GROUP BY 1, 2, 3
+),
+dfreq AS (SELECT t, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY 1)
+SELECT doc_id, ROUND(SUM(
+  ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+  * tf * (1.2 + 1) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+), 6) AS bm25
+FROM tf JOIN dfreq USING (t) CROSS JOIN stats
+GROUP BY doc_id
+ORDER BY bm25 DESC, doc_id ASC
+LIMIT 10
+"""
+
+
+@_q("bm25_ranking", _BM25_ORACLE)
+def bm25_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-10 for a 4-term query (text.bm25_topk): explode is
+    query-term-filtered immediately so every aggregate is query-sized;
+    N/avgdl recombine as a 1-row broadcast cross; top-k orders by the
+    ROUNDED score + id tiebreak (deterministic across engines)."""
+    d = load_table(spark, sf_dir, "documents")
+    return text.bm25_topk(d, "doc_id", "text", _BM25_TERMS, k=10)
+
+
 _bfn, _bsql = _compose_union(
     [
         ("profile", "text_profile"),
         ("fingerprint", "doc_fingerprints"),
         ("vocab", "corpus_vocab_topk"),
+        ("bm25", "bm25_ranking"),
     ]
 )
 _bfn.__doc__ = """Text analysis (pipeline ops): single-scan profile
 (lang-ID, quality score, token counts), md5/rolling-hash fingerprints,
-and (r6) the top-k corpus vocabulary with term + document frequencies
-(BPE-vocab seeding / IDF statistics)."""
+(r6) the top-k corpus vocabulary with term + document frequencies
+(BPE-vocab seeding / IDF statistics), and (r6) Okapi BM25 lexical
+retrieval scoring for quality-targeted subcorpus selection."""
 _q("text_doc_battery", _bsql)(_bfn)
-_retire("text_profile", "doc_fingerprints", "corpus_vocab_topk")
+_retire("text_profile", "doc_fingerprints", "corpus_vocab_topk",
+        "bm25_ranking")
 
 _bfn, _bsql = _compose_union(
     [("decode", "multimodal_decode"), ("frames", "video_frame_sample")]

@@ -224,3 +224,61 @@ def text_profile(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         lang_id(text_col).alias("lang_guess"),
         fingerprint_md5(text_col).alias("fingerprint"),
     )
+
+
+def bm25_topk(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: "list[str]",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    round_to: int = 6,
+) -> DataFrame:
+    """Okapi BM25 document ranking for a term query — the retrieval-
+    scoring primitive a training-data pipeline uses for quality-targeted
+    subcorpus selection (and the classic lexical-search baseline).
+
+    score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·|d|/avgdl)),
+    idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5)).
+
+    Scale shape: ONE corpus scan tokenizes (lowercase, whitespace — the
+    vocab_topk convention); the explode is filtered to the QUERY TERMS
+    immediately, so every aggregate downstream is query-sized, not
+    corpus-sized: per-(doc, term) tf (one shuffle over matching tokens),
+    term df (tiny, broadcast back), corpus N/avgdl (1-row broadcast
+    cross). Top-k orders by the ROUNDED score with an id tiebreak —
+    TakeOrderedAndProject per-task heaps, no global sort — and rounding
+    first makes the boundary deterministic across engines (ulp-level ln/
+    division differences cannot reorder equal rounded scores).
+    """
+    terms = [t.lower() for t in query_terms]
+    lt = df.where(F.length(F.trim(F.col(text_col))) > 0).select(
+        F.col(id_col), tokens(F.lower(F.col(text_col))).alias("__toks")
+    )
+    dl = lt.select(id_col, F.size("__toks").alias("__dl"), "__toks")
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("__n_docs"),
+        F.avg("__dl").alias("__avgdl"),
+    )
+    tf = (
+        dl.select(id_col, "__dl", F.explode("__toks").alias("__t"))
+        .where(F.col("__t").isin(terms))
+        .groupBy(id_col, "__dl", "__t")
+        .agg(F.count(F.lit(1)).cast("double").alias("__tf"))
+    )
+    dfreq = tf.groupBy("__t").agg(F.count(F.lit(1)).cast("double").alias("__df"))
+    parts = tf.join(F.broadcast(dfreq), "__t").crossJoin(F.broadcast(stats))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("__n_docs") - F.col("__df") + 0.5) / (F.col("__df") + 0.5)
+    )
+    denom = F.col("__tf") + k1 * (
+        1.0 - b + b * F.col("__dl").cast("double") / F.col("__avgdl")
+    )
+    contrib = idf * F.col("__tf") * (k1 + 1.0) / denom
+    scored = parts.groupBy(id_col).agg(
+        F.round(F.sum(contrib), round_to).alias("bm25")
+    )
+    return scored.orderBy(F.col("bm25").desc(), F.col(id_col).asc()).limit(k)

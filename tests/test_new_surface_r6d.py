@@ -234,3 +234,47 @@ def test_bloom_anti_join_broadcasts_bucket_set(spark):
     ss = spark.range(100).selectExpr("id * 3 AS k")
     df = dd.bloom_anti_join(sn, ss, "k")
     assert explain.has_broadcast_join(df)
+
+
+# --------------------------------------------------------------------- bm25 --
+def test_bm25_matches_reference_implementation(spark):
+    """BM25 scores equal a straightforward numpy reference on a tiny
+    corpus with known tf/df structure."""
+    import math
+
+    from parallel_pandas_spark.operators import text as tx
+
+    docs = [
+        (1, "hash join hash join hash"),
+        (2, "join filter scan scan scan scan"),
+        (3, "filter filter filter hash"),
+        (4, "scan order merge batch"),
+        (5, ""),
+    ]
+    pdf = pd.DataFrame(docs, columns=["doc_id", "text"])
+    sdf = spark.createDataFrame(pdf)
+    terms = ["hash", "filter"]
+    got = {
+        r["doc_id"]: r["bm25"]
+        for r in tx.bm25_topk(sdf, "doc_id", "text", terms, k=10).collect()
+    }
+    # reference: corpus = non-empty docs
+    corpus = {i: t.split() for i, t in docs if t.strip()}
+    N = len(corpus)
+    avgdl = sum(len(v) for v in corpus.values()) / N
+    dfreq = {t: sum(1 for v in corpus.values() if t in v) for t in terms}
+    k1, b = 1.2, 0.75
+    for i, toks in corpus.items():
+        s = 0.0
+        for t in terms:
+            tf = toks.count(t)
+            if not tf:
+                continue
+            idf = math.log(1 + (N - dfreq[t] + 0.5) / (dfreq[t] + 0.5))
+            s += idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * len(toks) / avgdl))
+        if s:
+            np.testing.assert_allclose(got[i], round(s, 6), atol=2e-6,
+                                       err_msg=f"doc {i}")
+        else:
+            assert i not in got
+    assert 5 not in got  # empty doc never scores
