@@ -5212,18 +5212,55 @@ grouping sets."""
 _q("grouping_sets_battery", _bsql)(_bfn)
 _retire("rollup_agg", "cube_agg_counts")
 
+@_q(
+    "json_props_arm",
+    """
+SELECT event_type,
+       COUNT(k) AS n_k,
+       SUM(k) AS sum_k,
+       ROUND(AVG(k), 6) AS avg_k,
+       COUNT(*) - COUNT(k) AS n_bad
+FROM (SELECT event_type,
+             CAST(json_extract(props, '$.k') AS BIGINT) AS k
+      FROM events)
+GROUP BY 1
+""",
+)
+def json_props_arm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON payload surface (functions/jsonf.py — SURVEY §2.7 events.props
+    hook): schema-declared ``json_normalize`` flattens the props JSON
+    string into a typed ``k BIGINT`` column entirely JVM-side (from_json,
+    PERMISSIVE — malformed rows count into ``n_bad`` instead of failing),
+    then one grouped aggregate per event_type. No inference scan, no
+    Python."""
+    from parallel_pandas_spark.functions import jsonf
+
+    ev = load_table(spark, sf_dir, "events")
+    flat = jsonf.json_normalize(ev, "props", "k BIGINT")
+    return flat.groupBy("event_type").agg(
+        F.count("k").alias("n_k"),
+        F.sum("k").alias("sum_k"),
+        F.round(F.avg("k"), 6).alias("avg_k"),
+        (F.count(F.lit(1)) - F.count("k")).alias("n_bad"),
+    )
+
+
 _bfn, _bsql = _compose_union(
     [
         ("tumbling", "tumbling_window_agg"),
         ("sliding", "sliding_window_counts"),
         ("session", "session_window_agg"),
+        ("json", "json_props_arm"),
     ]
 )
 _bfn.__doc__ = """Event-time windows (§2.9 batch equivalents): tumbling,
 sliding, and session windows over the events stream table; the true
-readStream path is stream_tumbling_live."""
+readStream path is stream_tumbling_live. Plus (r6) the JSON payload
+surface: schema-declared json_normalize of events.props (typed columns,
+PERMISSIVE malformed handling, zero Python)."""
 _q("event_windows_battery", _bsql)(_bfn)
-_retire("tumbling_window_agg", "sliding_window_counts", "session_window_agg")
+_retire("tumbling_window_agg", "sliding_window_counts", "session_window_agg",
+        "json_props_arm")
 
 del _bfn, _bsql
 

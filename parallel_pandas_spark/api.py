@@ -495,6 +495,13 @@ class ParallelFrame:
         right = other.df if isinstance(other, ParallelFrame) else other
         return ParallelFrame(joins.combine_first(self.df, right, on))
 
+    def p_json_normalize(self, col: str, schema, **kw) -> "ParallelFrame":
+        """Flatten a JSON-string column into typed columns (explicit
+        schema — see functions/jsonf.py for the 100 TB rationale)."""
+        from .functions import jsonf
+
+        return ParallelFrame(jsonf.json_normalize(self.df, col, schema, **kw))
+
     def p_query(self, expr: str, env: dict | None = None) -> "ParallelFrame":
         """pandas ``query`` string (``&``/``|``/``~``, chained compares,
         ``in``, ``@var``, backticks) compiled to a native SQL predicate —

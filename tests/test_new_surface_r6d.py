@@ -278,3 +278,39 @@ def test_bm25_matches_reference_implementation(spark):
         else:
             assert i not in got
     assert 5 not in got  # empty doc never scores
+
+
+# --------------------------------------------------------------------- json --
+def test_json_normalize_nested_and_malformed(spark):
+    from pyspark.sql import types as T
+
+    from parallel_pandas_spark.functions import jsonf
+
+    pdf = pd.DataFrame(
+        {
+            "id": [1, 2, 3, 4],
+            "js": [
+                '{"a": 1, "b": {"c": "x", "d": 2.5}}',
+                '{"a": 7, "b": {"c": "y"}}',
+                "not json at all",
+                None,
+            ],
+        }
+    )
+    sdf = spark.createDataFrame(pdf)
+    out = jsonf.json_normalize(
+        sdf, "js", "a BIGINT, b STRUCT<c: STRING, d: DOUBLE>"
+    ).toPandas().sort_values("id").reset_index(drop=True)
+    assert list(out.columns) == ["id", "a", "b.c", "b.d"]
+    assert out["a"].tolist()[:2] == [1, 7]
+    assert out["b.c"].tolist()[:2] == ["x", "y"]
+    assert pd.isna(out.loc[2, "a"]) and pd.isna(out.loc[3, "b.c"])
+    # inference path agrees on the flat field set
+    st = jsonf.infer_json_schema(sdf.where("id < 3"), "js")
+    assert {f.name for f in st.fields} == {"a", "b"}
+    # single-path getter
+    got = (
+        sdf.select("id", jsonf.json_get("js", "$.b.c").alias("c"))
+        .toPandas().sort_values("id")["c"].tolist()
+    )
+    assert got[:2] == ["x", "y"] and got[2] is None
