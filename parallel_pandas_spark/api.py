@@ -491,6 +491,10 @@ class ParallelFrame:
             elementwise.idx_extreme_axis1(self.df, cols, how="min", **kw)
         )
 
+    def p_merge_ordered(self, right, on, **kw) -> "ParallelFrame":
+        r = right.df if isinstance(right, ParallelFrame) else right
+        return ParallelFrame(joins.merge_ordered(self.df, r, on, **kw))
+
     def p_combine_first(self, other, on) -> "ParallelFrame":
         right = other.df if isinstance(other, ParallelFrame) else other
         return ParallelFrame(joins.combine_first(self.df, right, on))

@@ -10,6 +10,8 @@ vectorized on every core for free).
 
 from __future__ import annotations
 
+import re
+
 import pandas as pd
 
 from pyspark.sql import Column
@@ -166,3 +168,17 @@ def accessor(col, method: str, *args, out_type: str = "string", **kwargs):
         return getattr(s.str, method)(*args, **kwargs)
 
     return _f(_c(col))
+
+
+def get_dummies(col, values: "list[str]", sep: str = "|") -> "list[Column]":
+    """pandas ``Series.str.get_dummies(sep=)``: membership indicators for
+    a ``sep``-joined tag string. Like the frame-level one-hot
+    (reshape.get_dummies), the category list IS the output schema — pass
+    it explicitly for a static plan; each indicator is one narrow
+    ``array_contains(split(...))`` expression."""
+    c = _c(col)
+    arr = F.split(c, re.escape(sep))
+    return [
+        F.when(F.array_contains(arr, v), 1).otherwise(0).alias(v)
+        for v in values
+    ]

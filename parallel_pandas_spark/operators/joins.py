@@ -315,3 +315,48 @@ def combine_first(
         if c not in left.columns:
             out.append(F.col(f"__r.`{c}`").alias(c))
     return j.select(*out)
+
+
+def merge_ordered(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: Sequence[str] | None = None,
+    fill_method: str | None = None,
+    suffixes: tuple = ("_x", "_y"),
+) -> DataFrame:
+    """pandas ``merge_ordered``: full-outer merge on an ordering key
+    (optionally per ``by`` group), the combined key set sorted, with
+    optional forward-fill of the gaps each side leaves — the classic
+    irregular-time-series alignment step.
+
+    Plan: one full-outer equi-join on (by, on) — broadcast or AQE-chosen
+    — then ``fill_method='ffill'`` adds ONE window pass per side
+    (last-ignorenulls over the (by, on) ordering); no Python, and no
+    global sort is materialized (the fill window orders within groups;
+    order the final result only for presentation)."""
+    if fill_method not in (None, "ffill"):
+        raise NotImplementedError("fill_method must be None or 'ffill'")
+    keys = [*(by or []), on]
+    lcols = [c for c in left.columns if c not in keys]
+    rcols = [c for c in right.columns if c not in keys]
+    lx, rx = left, right
+    for c in lcols:
+        if c in rcols:
+            lx = lx.withColumnRenamed(c, c + suffixes[0])
+    for c in rcols:
+        if c in lcols:
+            rx = rx.withColumnRenamed(c, c + suffixes[1])
+    j = lx.join(rx, keys, "full_outer")
+    if fill_method is None:
+        return j
+    w = (
+        Window.partitionBy(*(by or []))
+        .orderBy(on)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = j
+    for c in out.columns:
+        if c not in keys:
+            out = out.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    return out

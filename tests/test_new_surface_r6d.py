@@ -314,3 +314,46 @@ def test_json_normalize_nested_and_malformed(spark):
         .toPandas().sort_values("id")["c"].tolist()
     )
     assert got[:2] == ["x", "y"] and got[2] is None
+
+
+# ------------------------------------------------------------ merge_ordered --
+def test_merge_ordered_matches_pandas(spark):
+    left = pd.DataFrame({"g": ["a", "a", "b"], "t": [1, 3, 2],
+                         "lv": [10.0, 30.0, 20.0]})
+    right = pd.DataFrame({"g": ["a", "a", "b"], "t": [2, 3, 1],
+                          "rv": [200.0, 300.0, 100.0]})
+    from parallel_pandas_spark.operators import joins as jn
+
+    got = (
+        jn.merge_ordered(
+            spark.createDataFrame(left), spark.createDataFrame(right),
+            on="t", by=["g"], fill_method="ffill",
+        )
+        .toPandas().sort_values(["g", "t"]).reset_index(drop=True)
+    )
+    want = (
+        pd.merge_ordered(left, right, on="t", left_by="g",
+                         fill_method="ffill")
+        .sort_values(["g", "t"]).reset_index(drop=True)
+    )
+    for c in ("lv", "rv"):
+        np.testing.assert_allclose(
+            got[c].to_numpy(dtype=float), want[c].to_numpy(dtype=float),
+            err_msg=c,
+        )
+
+
+def test_str_get_dummies_matches_pandas(spark):
+    from parallel_pandas_spark.functions import strings as st
+
+    pdf = pd.DataFrame({"i": range(4), "tags": ["a|b", "b", "", "c|a"]})
+    sdf = spark.createDataFrame(pdf)
+    got = (
+        sdf.select("i", *st.get_dummies("tags", ["a", "b", "c"]))
+        .toPandas().sort_values("i").reset_index(drop=True)
+    )
+    want = pdf["tags"].str.get_dummies(sep="|")
+    for c in ("a", "b", "c"):
+        np.testing.assert_array_equal(
+            got[c].to_numpy(), want[c].to_numpy(), err_msg=c
+        )
