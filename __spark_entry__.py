@@ -2793,7 +2793,8 @@ def rolling_mean_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         li, ["q6"], 7, _LI_ORD, funcs=("sum", "count"), partition_by=["l_suppkey"]
     )
     r = windows.rolling(
-        r, ["l_quantity"], 7, _LI_ORD, funcs=("min", "max"), partition_by=["l_suppkey"]
+        r, ["l_quantity"], 7, _LI_ORD, funcs=("min", "max"),
+        partition_by=["l_suppkey"], keep_obs=True,
     )
     return r.select(
         "l_orderkey",
@@ -4262,7 +4263,8 @@ def rolling_moments_battery_fused(spark: SparkSession, sf_dir: str) -> DataFrame
         li, ["q6"], 7, _LI_ORD, funcs=("sum", "count"), partition_by=["l_suppkey"]
     )
     r = windows.rolling(
-        r, ["l_quantity"], 7, _LI_ORD, funcs=("min", "max"), partition_by=["l_suppkey"]
+        r, ["l_quantity"], 7, _LI_ORD, funcs=("min", "max"),
+        partition_by=["l_suppkey"], keep_obs=True,
     )
     w = (
         Window.partitionBy("l_suppkey")
@@ -4284,7 +4286,8 @@ def rolling_moments_battery_fused(spark: SparkSession, sf_dir: str) -> DataFrame
         r, ["q6"], _LI_ORD, funcs=("sum", "count"), partition_by=["l_suppkey"]
     )
     r = windows.expanding(
-        r, ["l_quantity"], _LI_ORD, funcs=("max",), partition_by=["l_suppkey"]
+        r, ["l_quantity"], _LI_ORD, funcs=("max",), partition_by=["l_suppkey"],
+        keep_obs=True,
     )
     return r.select(
         "l_orderkey",
