@@ -5271,6 +5271,8 @@ del _bfn, _bsql
 def _sampling_oracle() -> str:
     gate0 = sampling._gate_sql(["doc_id"], 0, _hexfold_sql)
     gate1 = sampling._gate_sql(["doc_id"], 1, _hexfold_sql)
+    h3 = _hexfold_sql("md5('s3:' || CAST(doc_id AS VARCHAR))")
+    h4 = _hexfold_sql("md5('s4:' || CAST(doc_id AS VARCHAR))")
     return f"""
 WITH s AS (
   SELECT doc_id, lang, n_chars FROM documents
@@ -5283,10 +5285,19 @@ sp AS (
               ELSE 'train' END AS split
   FROM s
 )
-SELECT lang, split, COUNT(*) AS n_docs,
+SELECT 'gated' AS src, lang, split, COUNT(*) AS n_docs,
        CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
        CAST(SUM(n_chars) AS BIGINT) AS sum_chars
 FROM sp GROUP BY lang, split
+UNION ALL BY NAME
+(SELECT 'exactn' AS src, doc_id FROM documents
+ ORDER BY ({h3}), CAST(doc_id AS VARCHAR) LIMIT 50)
+UNION ALL BY NAME
+SELECT 'stratn' AS src, lang, doc_id FROM (
+  SELECT lang, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY ({h4}), CAST(doc_id AS VARCHAR)) AS rn
+  FROM documents) WHERE rn <= 10
 """
 
 
@@ -5306,11 +5317,19 @@ def stratified_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     sp = sampling.train_test_split(
         s, ["doc_id"], test_fraction=0.15, val_fraction=0.1, seed=1
     )
-    return sp.groupBy("lang", "split").agg(
+    gated = sp.groupBy("lang", "split").agg(
         F.count("*").alias("n_docs"),
         F.sum("doc_id").alias("sum_ids"),
         F.sum("n_chars").alias("sum_chars"),
     )
+    # (r6) deterministic EXACT-count samples: global n (TakeOrdered heap,
+    # O(n) driver memory) and per-stratum n (WindowGroupLimit) — both
+    # full-hash-ordered with a key tiebreak, so the n-boundary is exact
+    exn = sampling.sample_n(docs.select("doc_id"), ["doc_id"], 50, seed=3)
+    stn = sampling.stratified_sample_n(
+        docs.select("lang", "doc_id"), "lang", ["doc_id"], 10, seed=4
+    )
+    return _pad_union([("gated", gated), ("exactn", exn), ("stratn", stn)])
 
 
 def _resample_oracle() -> str:

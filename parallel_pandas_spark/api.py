@@ -251,6 +251,15 @@ class ParallelFrame:
             sampling.stratified_sample(self.df, strata_col, fractions, id_cols, **kw)
         )
 
+    def p_sample_n(self, id_cols, n: int, seed: int = 0) -> "ParallelFrame":
+        return ParallelFrame(sampling.sample_n(self.df, id_cols, n, seed))
+
+    def p_stratified_sample_n(self, strata_col, id_cols, n: int,
+                              seed: int = 0) -> "ParallelFrame":
+        return ParallelFrame(
+            sampling.stratified_sample_n(self.df, strata_col, id_cols, n, seed)
+        )
+
     def p_train_test_split(self, id_cols, **kw) -> "ParallelFrame":
         return ParallelFrame(sampling.train_test_split(self.df, id_cols, **kw))
 

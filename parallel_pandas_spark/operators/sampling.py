@@ -151,3 +151,57 @@ def train_test_split(
         .otherwise(F.lit("train"))
     )
     return df.withColumn(out_col, split)
+
+
+def sample_n(
+    df: DataFrame,
+    id_cols: Sequence[str],
+    n: int,
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic EXACT-count sample — pandas ``sample(n=)`` with the
+    engine's content-hash determinism contract: the kept set is the n
+    rows with the smallest seeded content hash, so it is identical on
+    any cluster layout, stable under reruns, and changes minimally under
+    appends (a new row displaces at most one old row).
+
+    Plan: ``orderBy(hash, key).limit(n)`` → TakeOrderedAndProject — an
+    n-row heap per task merged on the driver, NO global sort
+    materializes; driver memory is O(n), the same contract as nlargest.
+    Ordering uses the FULL 63-bit hash with the key string as tiebreak,
+    so the n-boundary is exactly determined (the quantized _gate would
+    tie ~n²/1e6 rows)."""
+    key = F.concat_ws("\x1f", *[F.col(c).cast("string") for c in id_cols])
+    return (
+        df.withColumn("__smp", md5_long(key, seed=seed))
+        .withColumn("__smpk", key)
+        .orderBy("__smp", "__smpk")
+        .limit(n)
+        .drop("__smp", "__smpk")
+    )
+
+
+def stratified_sample_n(
+    df: DataFrame,
+    strata_col: str,
+    id_cols: Sequence[str],
+    n_per_stratum: int,
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic exact-count sample PER STRATUM (pandas
+    ``groupby().sample(n=)``): within each stratum keep the
+    ``n_per_stratum`` smallest seeded content hashes. One shuffle on the
+    stratum key; the rank filter pushes into the window sort
+    (WindowGroupLimit), so only ~n rows per stratum survive each task's
+    sort buffer."""
+    from pyspark.sql import Window
+
+    key = F.concat_ws("\x1f", *[F.col(c).cast("string") for c in id_cols])
+    w = Window.partitionBy(strata_col).orderBy("__smp", "__smpk")
+    return (
+        df.withColumn("__smp", md5_long(key, seed=seed))
+        .withColumn("__smpk", key)
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= n_per_stratum)
+        .drop("__smp", "__smpk", "__rn")
+    )

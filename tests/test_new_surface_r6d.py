@@ -357,3 +357,34 @@ def test_str_get_dummies_matches_pandas(spark):
         np.testing.assert_array_equal(
             got[c].to_numpy(), want[c].to_numpy(), err_msg=c
         )
+
+
+# ------------------------------------------------------------ exact-n sample --
+def test_sample_n_exact_deterministic_and_scale_plan(spark):
+    from parallel_pandas_spark.operators import sampling as smp
+    from parallel_pandas_spark.plans import explain
+
+    df = spark.range(1000).selectExpr("id")
+    a = sorted(r["id"] for r in smp.sample_n(df, ["id"], 37, seed=5).collect())
+    b = sorted(
+        r["id"]
+        for r in smp.sample_n(df.repartition(13), ["id"], 37, seed=5).collect()
+    )
+    assert len(a) == 37 and a == b  # exact count, layout-independent
+    c = sorted(r["id"] for r in smp.sample_n(df, ["id"], 37, seed=6).collect())
+    assert a != c  # seed changes the draw
+    txt = explain.explain_str(smp.sample_n(df, ["id"], 37, seed=5))
+    assert "TakeOrderedAndProject" in txt, txt  # no global sort
+
+
+def test_stratified_sample_n_per_group_counts(spark):
+    from parallel_pandas_spark.operators import sampling as smp
+
+    pdf = pd.DataFrame(
+        {"g": ["a"] * 30 + ["b"] * 4, "id": range(34)}
+    )
+    out = smp.stratified_sample_n(
+        spark.createDataFrame(pdf), "g", ["id"], 5, seed=1
+    ).toPandas()
+    counts = out.groupby("g").size().to_dict()
+    assert counts == {"a": 5, "b": 4}  # capped at stratum size
