@@ -56,7 +56,7 @@ def json_normalize(
     NULLs (PERMISSIVE), never job failures."""
     parsed = F.from_json(F.col(col), schema)
     # resolve the schema object for flattening
-    st = schema if isinstance(schema, T.StructType) else T._parse_datatype_string(schema)
+    st = schema if isinstance(schema, T.StructType) else T.StructType.fromDDL(schema)
     cols = _flatten("", st, parsed, sep)
     keep_cols = df.columns if keep else [c for c in df.columns if c != col]
     return df.select(

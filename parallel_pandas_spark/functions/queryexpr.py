@@ -78,7 +78,7 @@ def to_sql(expr: str, env: dict | None = None) -> str:
         ]
         src = tk.untokenize(mapped)
         tree = ast.parse(src, mode="eval")
-    except (SyntaxError, tk.TokenizeError) as e:
+    except (SyntaxError, tk.TokenError) as e:
         raise ValueError(f"cannot parse query expression {expr!r}: {e}") from e
 
     def name(n: str) -> str:
