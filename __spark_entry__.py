@@ -1114,7 +1114,6 @@ def ewm_std_var_last(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("value_ewm_std", 6).alias("ewm_std"),
             F.round("value_ewm_var", 6).alias("ewm_var"),
             F.round("value_ewm_sum", 6).alias("ewm_sum"),
-            F.round("value_ewm_var_b", 6).alias("ewm_var_biased"),
         )
     )
 

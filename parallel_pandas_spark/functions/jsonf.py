@@ -59,6 +59,12 @@ def json_normalize(
     st = schema if isinstance(schema, T.StructType) else T.StructType.fromDDL(schema)
     cols = _flatten("", st, parsed, sep)
     keep_cols = df.columns if keep else [c for c in df.columns if c != col]
+    clash = sorted(set(n for n, _ in cols) & set(keep_cols))
+    if clash:
+        raise ValueError(
+            f"json_normalize would duplicate existing column(s) {clash}; "
+            "rename them first or choose a different sep="
+        )
     return df.select(
         *keep_cols, *[expr.alias(name) for name, expr in cols]
     )
@@ -78,4 +84,10 @@ def infer_json_schema(
     ]
     if not sample:
         return T.StructType([])
-    return spark.read.json(spark.sparkContext.parallelize(sample)).schema
+    st = spark.read.json(spark.sparkContext.parallelize(sample)).schema
+    # malformed sample docs inject the reader's synthetic corrupt-record
+    # field; it is not part of the data's schema
+    bad = spark.conf.get(
+        "spark.sql.columnNameOfCorruptRecord", "_corrupt_record"
+    )
+    return T.StructType([f for f in st.fields if f.name != bad])

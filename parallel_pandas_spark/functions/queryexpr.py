@@ -53,13 +53,46 @@ def to_sql(expr: str, env: dict | None = None) -> str:
     env = env or {}
     bq: dict[str, str] = {}
 
-    def _stash(m: re.Match) -> str:
-        key = f"__bq_{len(bq)}__"
-        bq[key] = m.group(1)
-        return key
-
-    src = re.sub(r"`([^`]+)`", _stash, expr)
-    src = re.sub(r"@(\w+)", r"__at_\1__", src)
+    # Pre-pass: rewrite backticked names and @vars OUTSIDE string
+    # literals only — a quote-state scanner, not a regex, because
+    # "x@y.com" or 'a`b' inside a literal must pass through untouched.
+    out_chars: list[str] = []
+    i, n_src, quote = 0, len(expr), None
+    while i < n_src:
+        ch = expr[i]
+        if quote:
+            out_chars.append(ch)
+            if ch == "\\" and i + 1 < n_src:  # escaped char inside literal
+                out_chars.append(expr[i + 1])
+                i += 2
+                continue
+            if ch == quote:
+                quote = None
+            i += 1
+            continue
+        if ch in "'\"":
+            quote = ch
+            out_chars.append(ch)
+            i += 1
+            continue
+        if ch == "`":
+            j = expr.find("`", i + 1)
+            if j < 0:
+                raise ValueError(f"unterminated backtick in query expression {expr!r}")
+            key = f"__bq_{len(bq)}__"
+            bq[key] = expr[i + 1 : j]
+            out_chars.append(key)
+            i = j + 1
+            continue
+        if ch == "@":
+            m = re.match(r"@(\w+)", expr[i:])
+            if m:
+                out_chars.append(f"__at_{m.group(1)}__")
+                i += m.end()
+                continue
+        out_chars.append(ch)
+        i += 1
+    src = "".join(out_chars)
     # pandas gives & | ~ BOOLEAN precedence (looser than comparisons);
     # Python binds them tighter, so `a > 1 & b == 2` would parse as
     # `a > (1 & b) == 2`. Rewrite at the token level (never inside string
@@ -110,6 +143,11 @@ def to_sql(expr: str, env: dict | None = None) -> str:
                 return f"({g(node.left)} OR {g(node.right)})"
             if isinstance(node.op, ast.Pow):
                 return f"POWER({g(node.left)}, {g(node.right)})"
+            if isinstance(node.op, ast.Mod):
+                # Python % takes the DIVISOR's sign; SQL % the dividend's.
+                # ((a % b) + b) % b reproduces Python for every sign pair.
+                a, b_ = g(node.left), g(node.right)
+                return f"((({a} % {b_}) + {b_}) % {b_})"
             if type(node.op) in _BIN:
                 return f"({g(node.left)} {_BIN[type(node.op)]} {g(node.right)})"
             raise ValueError(f"unsupported operator {ast.dump(node.op)}")

@@ -502,7 +502,10 @@ def idx_extreme_axis1(
         return col.cast("double")
 
     vals = [_m(c) for c in cols]
-    cmp = F.greatest(*vals) if how == "max" else F.least(*vals)
+    if len(vals) == 1:  # greatest/least require >= 2 args
+        cmp = vals[0]
+    else:
+        cmp = F.greatest(*vals) if how == "max" else F.least(*vals)
     expr = F.lit(None).cast("string")
     # first-column-wins tie-break: scan in order, pick the first equal
     chain = None

@@ -46,15 +46,21 @@ def bucket_expr(time_col: str, freq, closed: str = "left", label: str = "left") 
     ku = k * 1_000_000
     # exact integer microseconds: unix_timestamp() TRUNCATES sub-second
     # components (mis-bins edge values under closed='right'), and float
-    # epoch division can round across a bin edge at the ulp — integer
-    # `div` is exact and reproduces identically in any engine
+    # epoch division can round across a bin edge at the ulp. FLOOR
+    # division via pmod, not Spark's `div` — `div` truncates toward
+    # zero, which mis-bins PRE-EPOCH (negative-micros) timestamps one
+    # bucket high; pmod(x, k) is in [0, k) for every sign, so
+    # x - pmod(x, k) is the floored bin start and x + pmod(-x, k) the
+    # ceiled bin end, matching pandas (and DuckDB's floor `//`) exactly.
+    ep = F.expr(f"unix_micros(CAST(`{time_col}` AS TIMESTAMP))")
     if closed == "left":
-        lo = F.expr(f"unix_micros(CAST(`{time_col}` AS TIMESTAMP)) div {ku}") * k
+        lo_us = ep - F.pmod(ep, F.lit(ku))
     elif closed == "right":
-        # ceil division: edge value belongs to the bin it terminates
-        lo = (F.expr(f"(unix_micros(CAST(`{time_col}` AS TIMESTAMP)) + {ku - 1}) div {ku}") - 1) * k
+        # (lo, hi]: an edge-exact value terminates its bin (hi = value)
+        lo_us = ep + F.pmod(-ep, F.lit(ku)) - ku
     else:
         raise ValueError(f"closed must be 'left' or 'right', got {closed!r}")
+    lo = (lo_us / F.lit(1_000_000)).cast("long")  # exact: lo_us % 1e6 == 0
     lab = lo if label == "left" else lo + k
     return F.timestamp_seconds(lab.cast("long"))
 

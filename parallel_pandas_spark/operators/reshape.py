@@ -64,7 +64,12 @@ def crosstab(
     distinct pivot values (driver metadata, bounded by
     ``spark.sql.pivotMaxValues`` — see module docstring); pass the value
     list explicitly in pipelines to keep the plan fully static.
-    ``normalize``: False | 'index' (rows sum to 1) | 'all'.
+    ``normalize``: False | 'index' (rows sum to 1) | 'all'. Denominators
+    are pandas': the FULL row / grand total over every category in the
+    data — carried as an extra count in the same aggregation — so an
+    explicit ``values=`` SUBSET narrows the columns without inflating
+    the fractions (pandas has no values-subset; dividing by only the
+    listed columns would silently change every number).
     """
     if values is not None:
         piv = df.groupBy(row_col).pivot(col_col, list(values))
@@ -77,19 +82,18 @@ def crosstab(
     )
     if not normalize:
         return filled
+    # pandas denominator: counts over ALL categories, not just `values`
+    # (count(col_col): pandas crosstab drops NaN pairs before counting)
+    row_tot = df.groupBy(row_col).agg(F.count(col_col).alias("__rowtot"))
     if normalize == "index":
-        total = None
-        for c in data_cols:
-            t = F.col(f"`{c}`")
-            total = t if total is None else total + t
-        return filled.select(
+        return filled.join(row_tot, row_col).select(
             row_col,
-            *[(F.col(f"`{c}`") / total).alias(c) for c in data_cols],
+            *[(F.col(f"`{c}`") / F.col("__rowtot")).alias(c) for c in data_cols],
         )
     if normalize in (True, "all"):
         # one extra 1-row agg, recombined by broadcast cross join
-        gtot = filled.agg(
-            sum((F.sum(f"`{c}`") for c in data_cols), F.lit(0)).alias("__tot")
+        gtot = df.where(F.col(col_col).isNotNull()).agg(
+            F.count(row_col).alias("__tot")
         )
         return filled.crossJoin(F.broadcast(gtot)).select(
             row_col,
@@ -211,8 +215,10 @@ def _cut_expr(col, edges: Sequence[float], labels, right: bool, include_lowest: 
             lo_ok = (col >= lo) if (include_lowest and i == 0) else (col > lo)
             hi_ok = col <= hi
         else:
+            # pandas: include_lowest is a NO-OP when right=False (bins are
+            # already left-closed; the top edge stays open) — verified 2.2
             lo_ok = col >= lo
-            hi_ok = (col <= hi) if i == n - 1 and include_lowest else (col < hi)
+            hi_ok = col < hi
         cond = lo_ok & hi_ok
         chain = F.when(cond, outs[i]) if chain is None else chain.when(cond, outs[i])
     return chain if chain is not None else expr

@@ -93,12 +93,17 @@ def _window_obs(df: DataFrame, cols: Sequence[str]):
     basis) and ``nn[c]`` (NaN-masked, inf kept — the ``count`` input).
     Integer columns cannot hold non-finite values and pass through.
 
-    REUSES a mask column that already exists by name: combined with
+    REUSES a mask PAIR that already exists by name: combined with
     ``keep_obs=True`` on the kernels, a chain of window calls over the
     same columns adds its masks ONCE, so the later calls' Window nodes
     are ADJACENT in the logical plan and CollapseWindow fuses them into
     one WindowExec pass (a fresh mask Project between windows blocks the
-    rule — the r6 window-pass-discipline finding, SCALE.md)."""
+    rule — the r6 window-pass-discipline finding, SCALE.md).
+
+    Caller contract for ``keep_obs`` chains: do NOT overwrite ``c``
+    between calls — an existing ``__fin_c``/``__nn_c`` pair is trusted
+    to reflect the current column (that trust is what buys the fusion).
+    Reuse requires BOTH masks present; a half-pair is rebuilt."""
     out = df
     fin: dict[str, str] = {}
     nn: dict[str, str] = {}
@@ -106,7 +111,7 @@ def _window_obs(df: DataFrame, cols: Sequence[str]):
     for c in cols:
         if _is_floating(out, c):
             fin[c], nn[c] = f"__fin_{c}", f"__nn_{c}"
-            if fin[c] not in out.columns:
+            if not (fin[c] in out.columns and nn[c] in out.columns):
                 out = out.withColumn(fin[c], _finite(F.col(c)))
                 out = out.withColumn(nn[c], _non_nan(F.col(c)))
                 temps += [fin[c], nn[c]]

@@ -388,3 +388,98 @@ def test_stratified_sample_n_per_group_counts(spark):
     ).toPandas()
     counts = out.groupby("g").size().to_dict()
     assert counts == {"a": 5, "b": 4}  # capped at stratum size
+
+
+# ----------------------------------------------- review-pass regressions --
+def test_query_at_and_backtick_inside_string_literals(spark):
+    """@ and backtick inside string literals pass through untouched."""
+    assert to_sql("email == 'x@y.com'") == "(`email` = 'x@y.com')"
+    assert to_sql('t == "a`b"') == "(`t` = 'a`b')"
+
+
+def test_query_modulo_matches_python_sign(spark):
+    pdf = pd.DataFrame({"a": [-3, -2, -1, 0, 1, 2, 3]})
+    pf = ParallelFrame(spark.createDataFrame(pdf))
+    got = sorted(r["a"] for r in pf.p_query("a % 2 == 1").df.collect())
+    want = sorted(pdf.query("a % 2 == 1")["a"].tolist())
+    assert got == want == [-3, -1, 1, 3]
+
+
+def test_cut_right_false_include_lowest_noop_like_pandas(spark):
+    pdf = pd.DataFrame({"ord": range(3), "x": [0.0, 10.0, 20.0]})
+    got = (
+        reshape.cut(spark.createDataFrame(pdf), "x", [0, 10, 20],
+                    labels=False, right=False, include_lowest=True)
+        .toPandas().sort_values("ord")["x_bin"].to_numpy(dtype=float)
+    )
+    want = pd.cut(pdf["x"], [0, 10, 20], labels=False, right=False,
+                  include_lowest=True).to_numpy(dtype=float)
+    np.testing.assert_array_equal(got, want)  # 20.0 -> NaN in both
+
+
+def test_resample_pre_epoch_bins_floor_like_pandas(spark):
+    from pyspark.sql import functions as F
+
+    from parallel_pandas_spark.operators import resample as rs
+
+    ts = pd.to_datetime([
+        "1969-12-31 22:10:00", "1969-12-31 23:30:00", "1970-01-01 00:20:00",
+        "1969-12-31 23:00:00",  # exact edge
+    ])
+    pdf = pd.DataFrame({"ts": ts, "v": [1.0, 2.0, 3.0, 4.0]})
+    for closed in ("left", "right"):
+        got = (
+            rs.resample_agg(spark.createDataFrame(pdf), "ts", "1h",
+                            [F.sum("v").alias("s")], closed=closed)
+            .toPandas().sort_values("bin").reset_index(drop=True)
+        )
+        want = pdf.set_index("ts")["v"].resample("1h", closed=closed).sum()
+        want = want[want > 0]
+        np.testing.assert_array_equal(got["bin"].to_numpy(),
+                                      want.index.to_numpy(),
+                                      err_msg=f"closed={closed}")
+        np.testing.assert_allclose(got["s"].to_numpy(), want.to_numpy())
+
+
+def test_crosstab_values_subset_keeps_pandas_denominators(spark):
+    pdf = pd.DataFrame({"r": ["a", "a", "a", "b"], "c": ["u", "v", "w", "u"]})
+    sdf = spark.createDataFrame(pdf)
+    got = (
+        reshape.crosstab(sdf, "r", "c", values=["u", "v"], normalize="index")
+        .toPandas().sort_values("r").set_index("r")
+    )
+    want = pd.crosstab(pdf["r"], pdf["c"], normalize="index")[["u", "v"]]
+    np.testing.assert_allclose(got[["u", "v"]].to_numpy(dtype=float),
+                               want.to_numpy(dtype=float))
+
+
+def test_idx_extreme_axis1_single_column(spark):
+    pdf = pd.DataFrame({"x": [1.0, np.nan, 3.0]})
+    out = elementwise.idx_extreme_axis1(
+        spark.createDataFrame(pdf), ["x"], how="max"
+    ).toPandas()
+    assert out["idxmax"].tolist() == ["x", None, "x"]
+
+
+def test_json_normalize_rejects_column_collision(spark):
+    from parallel_pandas_spark.functions import jsonf
+
+    sdf = spark.createDataFrame(pd.DataFrame({"a": [1], "js": ['{"a": 2}']}))
+    with pytest.raises(ValueError, match="duplicate existing column"):
+        jsonf.json_normalize(sdf, "js", "a BIGINT")
+
+
+def test_infer_json_schema_drops_corrupt_record(spark):
+    from parallel_pandas_spark.functions import jsonf
+
+    sdf = spark.createDataFrame(
+        pd.DataFrame({"js": ['{"a": 1}', "not json"]})
+    )
+    st = jsonf.infer_json_schema(sdf, "js")
+    assert {f.name for f in st.fields} == {"a"}
+
+
+def test_ewm_std_var_last_still_runs(spark, sf_small):
+    import __spark_entry__ as em
+
+    assert em.ewm_std_var_last(spark, sf_small).count() > 0
