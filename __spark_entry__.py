@@ -2557,56 +2557,53 @@ def cumulative_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn(
         "qn", F.when(F.col("l_quantity") != 25, F.col("l_quantity").cast("double"))
     )
-    # WindowExec-pass budget (measured r6: 8 passes -> 2, the battery's
-    # dominant cost): every fill column is materialized FIRST (the three
-    # fills are mutually independent, so CollapseWindow merges them with
-    # the cum/shift/diff stack into ONE Window node — WindowExec runs
-    # many frames in one pass), and only then are the four lag-ratios
-    # taken (dependent on the fills -> the one unavoidable second node).
-    # The previous form interleaved fill->lag per arm, which chained 8
-    # dependent Window nodes = 8 buffered passes over every partition.
-    li = (
-        li.withColumn("__qn_pad", F.col("qn"))
-        .withColumn("__qn_padlim", F.col("qn"))
-        .withColumn("__qn_bfill", F.col("qn"))
+    # WindowExec-pass budget (r6, twice tightened): the fused
+    # ordered.scan_multi computes every RAW window primitive of a phase
+    # in ONE select = ONE Window node by construction (the standalone
+    # kernels' guard Projects between Window nodes block CollapseWindow,
+    # so the original interleaved chain ran 8-11 buffered passes per
+    # partition). Phase 1: cum/shift/diff primitives + the three fills;
+    # phase 2: the four lag-ratios over the filled series (dependent on
+    # phase 1 -> the one unavoidable second pass). 11 Window nodes -> 2.
+    r = ordered.scan_multi(
+        li,
+        [
+            {"op": "cumsum", "col": "q6", "out": "q6_cumsum"},
+            {"op": "cummax", "col": "l_quantity", "out": "qty_cummax"},
+            {"op": "cummin", "col": "l_quantity", "out": "qty_cummin"},
+            {"op": "shift", "col": "l_quantity", "out": "qty_shift"},
+            {"op": "pct_change", "col": "l_quantity", "out": "qty_pct_change"},
+            {"op": "diff", "col": "l_quantity", "out": "qty_diff"},
+            {"op": "diff", "col": "l_quantity", "periods": -2,
+             "out": "qty_diff_m2"},
+            {"op": "ffill", "col": "qn", "out": "f_pad"},
+            {"op": "ffill", "col": "qn", "limit": 1, "out": "f_padlim"},
+            {"op": "bfill", "col": "qn", "out": "f_bfill"},
+        ],
+        _LI_ORD,
+        partition_by=["l_suppkey"],
     )
-    r = ordered.cumsum(li, ["q6"], _LI_ORD, partition_by=["l_suppkey"])
-    r = ordered.cummax(r, ["l_quantity"], _LI_ORD, partition_by=["l_suppkey"])
-    r = ordered.cummin(r, ["l_quantity"], _LI_ORD, partition_by=["l_suppkey"])
-    r = ordered.shift(r, ["l_quantity"], _LI_ORD, partition_by=["l_suppkey"])
-    r = ordered.pct_change(r, ["l_quantity"], _LI_ORD, partition_by=["l_suppkey"])
-    # (r6) pandas diff(periods) incl. a negative-periods lead — same
-    # window spec, stacks for free
-    r = ordered.diff(r, ["l_quantity"], _LI_ORD, partition_by=["l_suppkey"])
-    r = ordered.diff(
-        r, ["l_quantity"], _LI_ORD, periods=-2, partition_by=["l_suppkey"],
-        suffix="_diff_m2",
+    r = ordered.scan_multi(
+        r,
+        [
+            {"op": "pct_change", "col": "f_pad", "out": "pc_pad"},
+            {"op": "pct_change", "col": "f_padlim", "out": "pc_padlim"},
+            {"op": "pct_change", "col": "f_bfill", "out": "pc_bfill"},
+            {"op": "pct_change", "col": "qn", "out": "pc_none"},
+        ],
+        _LI_ORD,
+        partition_by=["l_suppkey"],
     )
-    for c, kw in [
-        ("__qn_pad", dict(method="ffill")),
-        ("__qn_padlim", dict(method="ffill", limit=1)),
-        ("__qn_bfill", dict(method="bfill")),
-    ]:
-        r = elementwise.fillna(
-            r, cols=[c], order_by=_LI_ORD, partition_by=["l_suppkey"], **kw
-        )
-    for src, out_name in [
-        ("__qn_pad", "pc_pad"), ("__qn_padlim", "pc_padlim"),
-        ("__qn_bfill", "pc_bfill"), ("qn", "pc_none"),
-    ]:
-        r = ordered.pct_change(
-            r, [src], _LI_ORD, partition_by=["l_suppkey"], suffix="__pc",
-        ).withColumnRenamed(f"{src}__pc", out_name)
     return r.select(
         "l_orderkey",
         "l_linenumber",
         (F.col("q6_cumsum").cast("double") / F.lit(1e6)).alias("qty_cumsum"),
-        F.col("l_quantity_cummax").alias("qty_cummax"),
-        F.col("l_quantity_cummin").alias("qty_cummin"),
-        F.col("l_quantity_shift").alias("qty_shift"),
-        F.col("l_quantity_pct_change").alias("qty_pct_change"),
-        F.col("l_quantity_diff").alias("qty_diff"),
-        F.col("l_quantity_diff_m2").alias("qty_diff_m2"),
+        "qty_cummax",
+        "qty_cummin",
+        "qty_shift",
+        "qty_pct_change",
+        "qty_diff",
+        "qty_diff_m2",
         "pc_pad", "pc_padlim", "pc_bfill", "pc_none",
     )
 

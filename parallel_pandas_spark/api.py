@@ -289,6 +289,12 @@ class ParallelFrame:
     def p_rank(self, col: str, **kw):
         return ordered.rank(self.df, col, **kw)
 
+    def p_scan_multi(self, specs, order_by, **kw) -> "ParallelFrame":
+        """Several ordered-scan ops (cum*/shift/diff/pct_change/ffill/
+        bfill) fused into the minimum WindowExec passes (see
+        ordered.scan_multi)."""
+        return ParallelFrame(ordered.scan_multi(self.df, specs, order_by, **kw))
+
     def p_rank_multi(self, col: str, specs, **kw):
         """Several rank variants of one column in one fused single-sort
         plan (see ordered.rank_multi)."""

@@ -172,6 +172,92 @@ def rank(
     return df.withColumn(out_col, expr).drop(*temps)
 
 
+def scan_multi(
+    df: DataFrame,
+    specs: Sequence[dict],
+    order_by: Sequence[str],
+    partition_by: Sequence[str] | None = None,
+) -> DataFrame:
+    """Several ordered-scan operators over ONE (partition, order)
+    pipeline in the minimum number of WindowExec passes.
+
+    ``specs``: [{'op': 'cumsum'|'cummax'|'cummin'|'shift'|'diff'|
+    'pct_change', 'col': c, 'out': name, 'periods': p}, ...] — same
+    per-entry semantics as the standalone kernels (pandas NaN-skip
+    cumulatives, lead for negative periods, IEEE pct_change ratios).
+
+    Why it exists (scale, SCALE.md window-pass discipline): the
+    standalone kernels each wrap their window aggregate in a NaN/NULL
+    guard, and that guard Project between Window nodes blocks
+    CollapseWindow — a chain of k operators runs k buffered passes per
+    partition even on one sort. Here phase 1 computes every RAW window
+    primitive (cum aggregates, lags/leads — shared: shift/diff/
+    pct_change over the same (col, periods) reuse ONE lag) in a single
+    select = ONE Window node by construction; phase 2 applies the
+    guards and ratios as a plain projection. k operators, 1 pass.
+    """
+    w = _cum_spec(order_by, partition_by)
+    lagw = _window(order_by, partition_by)
+    raw: dict[str, F.Column] = {}
+    aggs = {"cumsum": F.sum, "cummax": F.max, "cummin": F.min, "cumprod": F.product}
+
+    def _masked(c: str) -> F.Column:
+        col = F.col(c)
+        if isinstance(df.schema[c].dataType, (T.DoubleType, T.FloatType)):
+            return F.nanvl(col, F.lit(None).cast("double"))
+        return col
+
+    for s in specs:
+        op, c = s["op"], s["col"]
+        p = s.get("periods", 1)
+        if op in aggs:
+            raw.setdefault(f"__sc_{op}_{c}", aggs[op](_masked(c)).over(w))
+        elif op in ("shift", "diff", "pct_change"):
+            key = f"__sc_lag_{c}_{p}"
+            raw.setdefault(key, F.lag(c, p).over(lagw) if p >= 0
+                           else F.lead(c, -p).over(lagw))
+        elif op in ("ffill", "bfill"):
+            # raw IS the fill: for a valid row last/first-IGNORE-NULLS
+            # over the frame returns the row's own value, for a missing
+            # row the nearest valid within limit — no guard layer needed
+            lim = s.get("limit")
+            if op == "ffill":
+                wf = lagw.rowsBetween(-lim if lim else Window.unboundedPreceding, 0)
+                raw[f"__sc_out_{s['out']}"] = F.last(
+                    _masked(c), ignorenulls=True
+                ).over(wf)
+            else:
+                wf = lagw.rowsBetween(0, lim if lim else Window.unboundedFollowing)
+                raw[f"__sc_out_{s['out']}"] = F.first(
+                    _masked(c), ignorenulls=True
+                ).over(wf)
+        else:
+            raise ValueError(f"unknown scan op {op!r}")
+    out = df.select("*", *[e.alias(n) for n, e in raw.items()])
+    final = []
+    for s in specs:
+        op, c, name = s["op"], s["col"], s["out"]
+        p = s.get("periods", 1)
+        col = F.col(c)
+        floating = isinstance(df.schema[c].dataType, (T.DoubleType, T.FloatType))
+        if op in aggs:
+            e = F.when(col.isNotNull(), F.col(f"__sc_{op}_{c}"))
+            if floating:
+                e = F.when(F.isnan(col), col).otherwise(e)
+        elif op in ("ffill", "bfill"):
+            e = F.col(f"__sc_out_{name}")
+        else:
+            lag = F.col(f"__sc_lag_{c}_{p}")
+            if op == "shift":
+                e = lag
+            elif op == "diff":
+                e = col - lag
+            else:
+                e = _ieee_ratio_m1(col.cast("double"), lag.cast("double"))
+        final.append(e.alias(name))
+    return out.select(*df.columns, *final)
+
+
 def rank_multi(
     df: DataFrame,
     col: str,

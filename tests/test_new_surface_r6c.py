@@ -396,3 +396,68 @@ def test_rank_multi_single_sort_plan(spark):
     counts = Counter(re.findall(r"^[\s+\-:*]*(\w+)", plan, re.M))
     assert counts["Sort"] == 1, plan
     assert counts["Exchange"] == 1, plan
+
+
+# ------------------------------------------------------------- scan_multi --
+@pytest.mark.parametrize("seed", [91, 92])
+def test_scan_multi_matches_standalone_kernels_and_pandas(spark, seed):
+    rng = np.random.default_rng(seed)
+    n = 300
+    v = rng.normal(5, 2, n)
+    v[rng.random(n) < 0.2] = np.nan
+    pdf = pd.DataFrame(
+        {"g": rng.choice(["a", "b"], n), "ord": np.arange(n, dtype=np.int64),
+         "v": v}
+    )
+    sdf = spark.createDataFrame(pdf)
+    out = (
+        ordered.scan_multi(
+            sdf,
+            [
+                {"op": "cumsum", "col": "v", "out": "cs"},
+                {"op": "cummax", "col": "v", "out": "cm"},
+                {"op": "shift", "col": "v", "out": "sh"},
+                {"op": "diff", "col": "v", "out": "df1"},
+                {"op": "diff", "col": "v", "periods": -2, "out": "dfm2"},
+                {"op": "ffill", "col": "v", "out": "ff"},
+                {"op": "ffill", "col": "v", "limit": 1, "out": "ffl"},
+                {"op": "bfill", "col": "v", "out": "bf"},
+            ],
+            ["ord"], partition_by=["g"],
+        )
+        .toPandas().sort_values(["g", "ord"]).reset_index(drop=True)
+    )
+    g = pdf.sort_values(["g", "ord"]).reset_index(drop=True).groupby("g")["v"]
+    checks = {
+        "cs": g.cumsum(), "cm": g.cummax(), "sh": g.shift(1),
+        "df1": g.diff(1), "dfm2": g.diff(-2),
+        "ff": g.ffill(), "ffl": g.ffill(limit=1), "bf": g.bfill(),
+    }
+    for name, want in checks.items():
+        np.testing.assert_allclose(
+            out[name].to_numpy(dtype=float), want.to_numpy(dtype=float),
+            rtol=1e-12, err_msg=f"{name} seed={seed}",
+        )
+
+
+def test_scan_multi_single_window_node(spark):
+    import re
+    from collections import Counter
+
+    pdf = pd.DataFrame({"g": ["a", "b"] * 40, "ord": range(80),
+                        "v": [float(i) for i in range(80)]})
+    df = ordered.scan_multi(
+        spark.createDataFrame(pdf),
+        [
+            {"op": "cumsum", "col": "v", "out": "cs"},
+            {"op": "cummin", "col": "v", "out": "cmn"},
+            {"op": "shift", "col": "v", "out": "sh"},
+            {"op": "pct_change", "col": "v", "out": "pc"},
+            {"op": "ffill", "col": "v", "out": "ff"},
+        ],
+        ["ord"], partition_by=["g"],
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    counts = Counter(re.findall(r"^[\s+\-:*]*(\w+)", plan, re.M))
+    assert counts["Window"] == 1, plan
+    assert counts["Sort"] == 1 and counts["Exchange"] == 1, plan
