@@ -580,7 +580,7 @@ class ParallelGroupBy:
     def p_agg(self, spec=None, dropna: bool = True, sort: bool = True, **named) -> DataFrame:
         if named:
             # pandas named-agg kwargs: p_agg(mx=("x", "max"), sy=("y", "sum"))
-            spec = grouped.named_agg(**named)
+            spec = grouped.named_agg(self.df, **named)
         return grouped.groupby_agg(self.df, self.keys, spec, dropna=dropna, sort=sort)
 
     def p_apply(self, func: Callable, schema, dropna: bool = True) -> DataFrame:

@@ -215,9 +215,9 @@ def cluster_pairs(
     else:
         raise RuntimeError(
             f"cluster_pairs did not converge in {max_iter} rounds — with "
-            "pointer jumping that needs a component ~2^{max_iter} hops "
-            "across; pass a larger max_iter= if the pair graph really is "
-            "that pathological"
+            f"pointer jumping that needs a component ~2^{max_iter} hops "
+            f"across; pass a larger max_iter= if the pair graph really is "
+            f"that pathological"
         )
     w = Window.partitionBy("cluster_id")
     return (

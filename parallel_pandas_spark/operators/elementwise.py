@@ -330,7 +330,10 @@ def applymap(
 
 def clip(df: DataFrame, cols: Sequence[str], lower=None, upper=None) -> DataFrame:
     """pandas ``clip(lower, upper)``: pure JVM least/greatest expressions —
-    narrow, codegen'd, no shuffle. NULLs pass through like pandas."""
+    narrow, codegen'd, no shuffle. Missing values pass through like
+    pandas: NULL stays NULL and TRUE NaN stays NaN (Spark's least()
+    orders NaN as the greatest double, which would otherwise turn a NaN
+    cell into the upper bound)."""
     out = df
     for c in cols:
         e = F.col(c)
@@ -338,7 +341,10 @@ def clip(df: DataFrame, cols: Sequence[str], lower=None, upper=None) -> DataFram
             e = F.greatest(e, F.lit(lower))
         if upper is not None:
             e = F.least(e, F.lit(upper))
-        out = out.withColumn(c, F.when(F.col(c).isNull(), None).otherwise(e))
+        guard = F.when(F.col(c).isNull(), None)
+        if isinstance(df.schema[c].dataType, (T.DoubleType, T.FloatType)):
+            guard = guard.when(F.isnan(F.col(c)), F.col(c))
+        out = out.withColumn(c, guard.otherwise(e))
     return out
 
 

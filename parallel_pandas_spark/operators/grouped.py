@@ -90,11 +90,14 @@ def groupby_agg(
     return out
 
 
-def named_agg(**named: tuple[str, str]) -> list[Column]:
+def named_agg(df: DataFrame | None = None, **named: tuple[str, str]) -> list[Column]:
     """pandas named-agg form (reference test_agg_named):
-    ``named_agg(mx=("x", "max"), sy=("y", "sum"))`` → aliased Columns for
-    :func:`groupby_agg`'s expression-list spec."""
-    return [stat_expr(s, c).alias(name) for name, (c, s) in named.items()]
+    ``named_agg(df, mx=("x", "max"), sy=("y", "sum"))`` → aliased Columns
+    for :func:`groupby_agg`'s expression-list spec. Pass ``df`` so
+    floating columns get the NaN-skip mask every other aggregation path
+    applies (stat_expr masks only when it can see the schema — without
+    it a true-NaN observation poisons sums and inflates counts)."""
+    return [stat_expr(s, c, df).alias(name) for name, (c, s) in named.items()]
 
 
 def groupby_apply(

@@ -482,12 +482,19 @@ def pct_change(
     out = df
     tmp = []
     for c in cols:
+        # TRUE NaN counts as missing for the fill, like pandas ffill/
+        # bfill (last/first-IGNORE-NULLS alone skips only NULL — an
+        # unmasked NaN would neither fill nor be filled, poisoning every
+        # later filled position)
+        src = F.col(c)
+        if isinstance(df.schema[c].dataType, (T.DoubleType, T.FloatType)):
+            src = F.nanvl(src, F.lit(None).cast("double"))
         if fill_method in ("pad", "ffill"):
             wf = w.rowsBetween(-limit if limit else Window.unboundedPreceding, 0)
-            fc = F.last(c, ignorenulls=True).over(wf)
+            fc = F.last(src, ignorenulls=True).over(wf)
         elif fill_method in ("bfill", "backfill"):
             wf = w.rowsBetween(0, limit if limit else Window.unboundedFollowing)
-            fc = F.first(c, ignorenulls=True).over(wf)
+            fc = F.first(src, ignorenulls=True).over(wf)
         else:
             fc = F.col(c).cast("double")
         out = out.withColumn(f"__f_{c}", fc)

@@ -315,8 +315,6 @@ def _describe_split(df, cols, include, exclude):
         raise ValueError(f"include and exclude overlap: {sorted(inc & exc)}")
     dtypes = dict(df.dtypes)
     pool = list(cols) if cols is not None else list(df.columns)
-    cats = {c: _describe_category(dtypes[c]) for c in pool}
-    cats = {c: ("string" if v in ("object", "bool", "datetime") else v) for c, v in cats.items()}
     raw_cats = {c: _describe_category(dtypes[c]) for c in pool}
 
     def _selected(c):
@@ -1074,11 +1072,27 @@ def value_counts(
     return counts.orderBy(*order)
 
 
+def _drop_missing_rows(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """Rows where ANY ranked column is missing (NULL or TRUE NaN) never
+    enter a top-n: pandas nlargest/nsmallest excludes them entirely —
+    and without this, asc ordering ranks NULL first and desc ordering
+    ranks NaN first (Spark sorts NaN as the greatest double), so the
+    'top' n fills with missing rows."""
+    keep = None
+    for c in cols:
+        k = F.col(c).isNotNull()
+        if _floating(df, c):
+            k = k & ~F.isnan(F.col(c))
+        keep = k if keep is None else (keep & k)
+    return df.where(keep) if keep is not None else df
+
+
 def nlargest(df: DataFrame, n: int, columns, tie_breaker=None) -> DataFrame:
     """pandas ``nlargest``: global top-n by the given column(s).
     ``orderBy().limit(n)`` plans as TakeOrderedAndProject — each task
     keeps an n-row heap and the driver merges heaps, so no global sort
     materializes (the shape that survives 100 TB for bounded n).
+    Missing values (NULL / TRUE NaN) are excluded like pandas.
     pandas' ``keep='first'`` cuts boundary ties by input position, which
     no distributed engine can reproduce; pass ``tie_breaker`` columns
     (e.g. a key) to make the cut deterministic instead."""
@@ -1086,7 +1100,7 @@ def nlargest(df: DataFrame, n: int, columns, tie_breaker=None) -> DataFrame:
     order = [F.col(c).desc() for c in cols] + [
         F.col(c).asc() for c in (tie_breaker or [])
     ]
-    return df.orderBy(*order).limit(n)
+    return _drop_missing_rows(df, cols).orderBy(*order).limit(n)
 
 
 def nsmallest(df: DataFrame, n: int, columns, tie_breaker=None) -> DataFrame:
@@ -1095,4 +1109,4 @@ def nsmallest(df: DataFrame, n: int, columns, tie_breaker=None) -> DataFrame:
     order = [F.col(c).asc() for c in cols] + [
         F.col(c).asc() for c in (tie_breaker or [])
     ]
-    return df.orderBy(*order).limit(n)
+    return _drop_missing_rows(df, cols).orderBy(*order).limit(n)

@@ -483,3 +483,63 @@ def test_ewm_std_var_last_still_runs(spark, sf_small):
     import __spark_entry__ as em
 
     assert em.ewm_std_var_last(spark, sf_small).count() > 0
+
+
+# ----------------------------------------------- review-pass 2 regressions --
+def _nan_frame(spark):
+    pdf = pd.DataFrame(
+        {"k": [1, 2, 3, 4, 5],
+         "v": [1.0, np.nan, None, 2.0, 3.0]}
+    )
+    return pdf, spark.createDataFrame(pdf)
+
+
+def test_nlargest_nsmallest_exclude_missing(spark):
+    from parallel_pandas_spark.operators import reductions as red
+
+    pdf, sdf = _nan_frame(spark)
+    small = [r["v"] for r in red.nsmallest(sdf, 2, "v", tie_breaker=["k"]).collect()]
+    large = [r["v"] for r in red.nlargest(sdf, 2, "v", tie_breaker=["k"]).collect()]
+    assert small == pdf.nsmallest(2, "v")["v"].tolist() == [1.0, 2.0]
+    assert large == pdf.nlargest(2, "v")["v"].tolist() == [3.0, 2.0]
+
+
+def test_clip_preserves_true_nan(spark):
+    from parallel_pandas_spark.operators import elementwise as el
+
+    _, sdf = _nan_frame(spark)
+    got = (
+        el.clip(sdf, ["v"], lower=1.5, upper=2.5)
+        .toPandas().sort_values("k")["v"].tolist()
+    )
+    assert got[0] == 1.5 and np.isnan(got[1]) and got[2] is None or pd.isna(got[2])
+    assert got[3] == 2.0 and got[4] == 2.5
+
+
+def test_pct_change_fill_treats_nan_as_missing(spark):
+    from parallel_pandas_spark.operators import ordered as od
+
+    pdf = pd.DataFrame(
+        {"ord": range(5), "v": [1.0, np.nan, None, 2.0, 4.0]}
+    )
+    got = (
+        od.pct_change(spark.createDataFrame(pdf), ["v"], ["ord"],
+                      fill_method="ffill")
+        .toPandas().sort_values("ord")["v_pct_change"].to_numpy(dtype=float)
+    )
+    want = pdf["v"].ffill().pct_change().to_numpy()
+    np.testing.assert_allclose(got, want, rtol=1e-12)  # [nan,0,0,1,1]
+
+
+def test_named_agg_skips_true_nan(spark):
+    from parallel_pandas_spark.api import ParallelFrame
+
+    pdf = pd.DataFrame({"k": ["a", "a", "b"], "x": [1.0, np.nan, 5.0]})
+    out = (
+        ParallelFrame(spark.createDataFrame(pdf))
+        .groupby("k").p_agg(sx=("x", "sum"), cx=("x", "count"))
+        .toPandas().set_index("k")
+    )
+    want = pdf.groupby("k").agg(sx=("x", "sum"), cx=("x", "count"))
+    assert out.loc["a", "sx"] == want.loc["a", "sx"] == 1.0
+    assert out.loc["a", "cx"] == want.loc["a", "cx"] == 1
