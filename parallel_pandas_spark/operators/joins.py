@@ -65,6 +65,14 @@ def merge(
     ``on=`` form emits pandas' single key column (coalesced across sides
     for outer joins); null-safe equality still plans as a hash join.
     """
+    if how == "cross":
+        # pandas how='cross': no keys; every left row pairs every right row
+        if any(k is not None for k in (on, left_on, right_on)):
+            raise ValueError("how='cross' takes no join keys")
+        overlap = set(left.columns) & set(right.columns)
+        l = left.withColumnsRenamed({c: f"{c}{suffixes[0]}" for c in overlap})
+        r = right.withColumnsRenamed({c: f"{c}{suffixes[1]}" for c in overlap})
+        return l.crossJoin(F.broadcast(r) if broadcast_right else r)
     if on is not None:
         left_on = right_on = list(on)
     if left_on is None or right_on is None:
@@ -101,6 +109,10 @@ def merge(
         cond = c if cond is None else (cond & c)
 
     out = l.join(r, cond, _HOW_MAP[how])
+    if how in ("semi", "anti"):
+        # semi/anti output carries LEFT columns only — the right-side
+        # temp keys and the __r indicator flag never exist in it
+        return out.drop("__l") if indicator else out
     if using_style:
         for k, tmp in rtmp.items():
             out = out.withColumn(k, F.coalesce(F.col(k), F.col(tmp)))
@@ -207,9 +219,16 @@ def asof_join(
             <= F.lit(float(tolerance_seconds))
         )
         out = out.withColumn("__m", F.when(within, F.col("__m")))
+    # pandas merge_asof suffixes right columns that collide with left's
+    # (no suffix= knob here; '_y' is the pandas default) — duplicate
+    # output names would make every later by-name reference ambiguous
+    lset = set(left.columns)
     return out.select(
         *[F.col(f"__lrow.{c}").alias(c) for c in left.columns],
-        *[F.col(f"__m.{c}").alias(c) for c in right_cols],
+        *[
+            F.col(f"__m.{c}").alias(f"{c}_y" if c in lset else c)
+            for c in right_cols
+        ],
     )
 
 
@@ -244,7 +263,14 @@ def _managed_table_location(spark, table: str) -> str | None:
             break
     parts = [p for p in table.lower().split(".") if p]
     tbl = parts[-1]
-    db = parts[-2] if len(parts) >= 2 else "default"  # ignore catalog part
+    if len(parts) >= 2:
+        db = parts[-2]  # ignore catalog part
+    else:
+        # unqualified names resolve against the session's CURRENT database
+        try:
+            db = spark.catalog.currentDatabase()
+        except Exception:
+            db = "default"
     if db == "default":
         return os.path.join(wh, tbl)
     return os.path.join(wh, f"{db}.db", tbl)

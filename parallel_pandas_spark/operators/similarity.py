@@ -133,11 +133,16 @@ def _cent_dist(vec: Column, cvec: list[float]) -> Column:
 
 def ivf_assign(vec: Column, cents: list[tuple[int, list[float]]]) -> Column:
     """Nearest-centroid id (argmin via least-of-structs; ties → lowest
-    centroid id, deterministically)."""
+    centroid id, deterministically). A 0/1-centroid list degenerates
+    gracefully (F.least needs >= 2 args)."""
+    if not cents:
+        return F.lit(None).cast("int")
     structs = [
         F.struct(_cent_dist(vec, cvec).alias("d"), F.lit(cid).alias("cid"))
         for cid, cvec in cents
     ]
+    if len(structs) == 1:
+        return F.lit(cents[0][0])
     return F.least(*structs).getField("cid")
 
 
@@ -242,6 +247,12 @@ def lsh_topk(
         _bucket_expr(F.col(vec_col), planes).alias("bucket"),
     )
     # query probes: own bucket + neighbors within hamming radius
+    if probe_hamming > 2:
+        raise NotImplementedError(
+            f"probe_hamming={probe_hamming}: radii above 2 are not "
+            "implemented (probe count grows as C(num_planes, r)); raise "
+            "recall with more bands/planes instead of silently capping"
+        )
     probes = [0]
     if probe_hamming >= 1:
         probes += [1 << i for i in range(num_planes)]
@@ -251,31 +262,37 @@ def lsh_topk(
             for i in range(num_planes)
             for j in range(i + 1, num_planes)
         ]
+    # compute the bucket code ONCE per query row, then XOR the literal
+    # probe masks over it (the previous form re-evaluated the full
+    # num_planes-dot-product bucket expression per probe mask —
+    # 1+n+C(n,2) times the per-row cost)
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
         l2_norm(F.col(vec_col)).alias("qn"),
+        _bucket_expr(F.col(vec_col), planes).alias("__code"),
+    ).select(
+        "query_id", "qv", "qn",
         F.explode(
-            F.array(
-                *[
-                    _bucket_expr(F.col(vec_col), planes).bitwiseXOR(F.lit(m))
-                    for m in probes
-                ]
-            )
+            F.array(*[F.col("__code").bitwiseXOR(F.lit(m)) for m in probes])
         ).alias("bucket"),
     )
     joined = c.join(F.broadcast(q), "bucket").where(
         F.col("query_id") != F.col("neighbor_id")
     )
     # rank on the ROUNDED cosine (same contract as cosine_topk): last-ulp
-    # fold-order differences must not flip ranks between engines
+    # fold-order differences must not flip ranks between engines.
+    # No dedup needed: a corpus row lives in exactly ONE bucket and the
+    # probe masks are distinct, so XOR against a fixed code yields
+    # distinct buckets — each (query, neighbor) pair joins at most once
+    # (the former dropDuplicates was a pure extra shuffle).
     scored = joined.select(
         "query_id",
         "neighbor_id",
         F.round(
             dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6
         ).alias("cosine"),
-    ).dropDuplicates(["query_id", "neighbor_id"])
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )

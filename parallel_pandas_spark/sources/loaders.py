@@ -30,15 +30,20 @@ TABLES = (
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one testdata table. The ``events`` table is written with
-    parquet TIMESTAMP(NANOS), which Spark rejects by default — read it as
-    long nanos (legacy conf, set at runtime so it works under any caller's
-    session) and truncate to microsecond timestamps, exactly how DuckDB's
-    µs TIMESTAMP reads the same file."""
+    """Read one testdata table. A table written with parquet
+    TIMESTAMP(NANOS) is rejected by Spark's default reader — fall back to
+    long nanos (legacy conf) and truncate to microsecond timestamps,
+    exactly how DuckDB's µs TIMESTAMP reads the same file. The fallback
+    fires ONLY for that specific error (the shipped sf* events files are
+    already µs — verified — so it is normally dormant): any other read
+    failure (missing path, corrupt file) re-raises untouched instead of
+    permanently flipping a session-wide legacy conf on the caller."""
     path = os.path.join(sf_dir, f"{name}.parquet")
     try:
         df = spark.read.parquet(path)
-    except Exception:
+    except Exception as e:
+        if "NANOS" not in str(e).upper():
+            raise
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
     ts_type = dict(df.dtypes).get("ts")
@@ -69,7 +74,11 @@ def from_pandas(spark: SparkSession, pdf, schema=None) -> DataFrame:
 
 
 def read_csv(spark: SparkSession, path: str, schema=None, **options) -> DataFrame:
-    reader = spark.read.options(header="true", **{k: str(v) for k, v in options.items()})
+    # header defaults true but stays caller-overridable (header=False is
+    # the pd.read_csv(header=None) case)
+    opts = {"header": "true"}
+    opts.update({k: str(v) for k, v in options.items()})
+    reader = spark.read.options(**opts)
     if schema is not None:
         reader = reader.schema(schema)
     else:

@@ -543,3 +543,77 @@ def test_named_agg_skips_true_nan(spark):
     want = pdf.groupby("k").agg(sx=("x", "sum"), cx=("x", "count"))
     assert out.loc["a", "sx"] == want.loc["a", "sx"] == 1.0
     assert out.loc["a", "cx"] == want.loc["a", "cx"] == 1
+
+
+# ----------------------------------------------- review-pass 3 regressions --
+def test_merge_semi_anti_and_cross_with_on(spark):
+    from parallel_pandas_spark.operators import joins as jn
+
+    left = spark.createDataFrame(pd.DataFrame({"k": [1, 2, 3], "a": [10, 20, 30]}))
+    right = spark.createDataFrame(pd.DataFrame({"k": [2, 3, 4], "b": [1, 1, 1]}))
+    semi = jn.merge(left, right, how="semi", on=["k"]).toPandas()
+    assert sorted(semi["k"]) == [2, 3] and list(semi.columns) == ["k", "a"]
+    anti = jn.merge(left, right, how="anti", on=["k"]).toPandas()
+    assert sorted(anti["k"]) == [1]
+    cross = jn.merge(left, right, how="cross").toPandas()
+    assert len(cross) == 9 and "k_x" in cross.columns and "k_y" in cross.columns
+    with pytest.raises(ValueError, match="no join keys"):
+        jn.merge(left, right, how="cross", on=["k"])
+
+
+def test_read_csv_header_overridable(spark, tmp_path):
+    from parallel_pandas_spark.sources import loaders
+
+    p = str(tmp_path / "h.csv")
+    with open(p, "w") as f:
+        f.write("1,x\n2,y\n")
+    df = loaders.read_csv(spark, p, header=False)
+    assert df.count() == 2  # first line is DATA, not a header
+
+
+def test_load_table_missing_path_raises_cleanly(spark):
+    from parallel_pandas_spark.sources import loaders
+
+    before = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "unset")
+    with pytest.raises(Exception):
+        loaders.load_table(spark, "/root/testdata/sf0.001", "no_such_table")
+    after = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "unset")
+    assert before == after  # session conf untouched by unrelated failures
+
+
+def test_ivf_small_corpus_and_probe_guard(spark):
+    from parallel_pandas_spark.operators import similarity as sim
+
+    one = spark.createDataFrame(
+        pd.DataFrame({"vec_id": [0], "embedding": [[1.0, 0.0]]})
+    )
+    q = spark.createDataFrame(
+        pd.DataFrame({"vec_id": [100], "embedding": [[1.0, 0.1]]})
+    )
+    out = sim.ivf_topk(one, q, k=1, num_centroids=4)
+    assert out.count() == 1  # single-row corpus no longer crashes
+    with pytest.raises(NotImplementedError, match="probe_hamming"):
+        sim.lsh_topk(one, q, probe_hamming=3)
+
+
+def test_asof_join_suffixes_colliding_right_cols(spark):
+    from parallel_pandas_spark.operators import joins as jn
+
+    left = spark.createDataFrame(
+        pd.DataFrame({"g": [1, 1], "ts": [1.0, 5.0], "value": [10.0, 20.0]})
+    )
+    right = spark.createDataFrame(
+        pd.DataFrame({"g": [1, 1], "ts": [0.0, 4.0], "value": [1.0, 2.0]})
+    )
+    out = jn.asof_join(left, right, ts_left="ts", ts_right="ts",
+                       by_left=["g"], by_right=["g"],
+                       right_cols=["value"], direction="backward")
+    assert "value_y" in out.columns and out.columns.count("value") == 1
+    got = out.toPandas().sort_values("ts")
+    assert got["value_y"].tolist() == [1.0, 2.0]
+
+
+def test_streaming_package_exports_complete(spark):
+    from parallel_pandas_spark import streaming as st
+
+    assert callable(st.stream_dedup) and callable(st.run_stream_to_memory)
