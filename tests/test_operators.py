@@ -35,10 +35,13 @@ def test_merge_right_and_cross(spark):
     r = joins.merge(left, right, how="right", on=["k"]).orderBy("k").collect()
     assert [row["k"] for row in r] == [2, 3, 4]
     assert r[2]["a"] is None  # k=4 has no left match
-    c = joins.merge(left, right, how="cross", on=["k"])
-    # cross joins ignore keys in pandas only via how='cross' without on;
-    # our mapping keeps the USING key — just verify inner x-product shape
-    assert c.count() == 2  # USING-join with how=cross degenerates to equi
+    # pandas merge(how='cross') takes NO keys (raises MergeError with on=)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="no join keys"):
+        joins.merge(left, right, how="cross", on=["k"])
+    c = joins.merge(left, right, how="cross")
+    assert c.count() == 9  # full Cartesian product, like pandas
     semi = joins.semi_join(left, right, ["k"]).orderBy("k").collect()
     assert [row["k"] for row in semi] == [2, 3]
 
