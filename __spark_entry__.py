@@ -2898,6 +2898,7 @@ def rolling_time_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     r = windows.rolling_time(
         ev, ["v6"], 3600, "ep", funcs=("count", "sum"), partition_by=["user_id"],
+        epoch_unit="us",
     )
     r = r.withColumnRenamed("v6_roll_count", "n_1h").withColumnRenamed(
         "v6_roll_sum", "s_1h"
@@ -2906,10 +2907,11 @@ def rolling_time_events(spark: SparkSession, sf_dir: str) -> DataFrame:
                         ("both", "both"), ("neither", "neither")]:
         r = windows.rolling_time(
             r, ["v6"], 600, "ep", funcs=("sum",), partition_by=["user_id"],
-            closed=closed,
+            closed=closed, epoch_unit="us",
         ).withColumnRenamed("v6_roll_sum", f"s_{tag}")
     r = windows.rolling_time(
         r, ["v6"], 600, "ep", funcs=("count",), partition_by=["user_id"],
+        epoch_unit="us",
     ).withColumnRenamed("v6_roll_count", "n_right")
     six = F.lit(1e6)
     return r.select(

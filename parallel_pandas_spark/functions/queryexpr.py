@@ -38,7 +38,12 @@ def _lit(v) -> str:
     if isinstance(v, bool):
         return "TRUE" if v else "FALSE"
     if isinstance(v, str):
-        return "'" + v.replace("'", "''") + "'"
+        # Backslashes first: the session parser runs with
+        # escapedStringLiterals=false (the Spark default), so an unescaped
+        # backslash would be read as a C-style escape — 'a\b' would compare
+        # against "a<backspace>" and a trailing '\' would swallow the
+        # closing quote (PARSE_SYNTAX_ERROR).
+        return "'" + v.replace("\\", "\\\\").replace("'", "''") + "'"
     if isinstance(v, (int, float)):
         return repr(v)
     if isinstance(v, (list, tuple)):

@@ -95,6 +95,8 @@ def resample_asfreq(
     fill_cols: Sequence[str],
     partition_by: Sequence[str] | None = None,
     method: str | None = "ffill",
+    closed: str = "left",
+    label: str = "left",
     out_col: str = "bin",
 ) -> DataFrame:
     """Downsample onto the FULL bin grid (empty bins present), then
@@ -109,7 +111,13 @@ def resample_asfreq(
     one window pass with ``last(ignorenulls)``.
     """
     k = _freq_seconds(freq)
-    agged = resample_agg(df, time_col, freq, aggs, partition_by, out_col="__b")
+    # closed/label thread through to the binning; the grid arithmetic is
+    # unchanged either way (labels stay k-spaced regardless of which edge
+    # names the bin).
+    agged = resample_agg(
+        df, time_col, freq, aggs, partition_by,
+        closed=closed, label=label, out_col="__b",
+    )
     parts = list(partition_by or [])
     bounds = agged.groupBy(*parts).agg(
         F.min("__b").alias("__lo"), F.max("__b").alias("__hi")

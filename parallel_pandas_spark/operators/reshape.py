@@ -70,7 +70,13 @@ def crosstab(
     explicit ``values=`` SUBSET narrows the columns without inflating
     the fractions (pandas has no values-subset; dividing by only the
     listed columns would silently change every number).
+
+    NULL keys on EITHER axis are dropped up front, matching pandas
+    crosstab's NaN handling — otherwise Spark's pivot emits a ``null``
+    column and groupBy keeps a null row key, and the normalize
+    denominators (which exclude nulls) stop summing to 1.
     """
+    df = df.where(F.col(row_col).isNotNull() & F.col(col_col).isNotNull())
     if values is not None:
         piv = df.groupBy(row_col).pivot(col_col, list(values))
     else:

@@ -330,6 +330,7 @@ def rolling_time(
     partition_by: Sequence[str] | None = None,
     min_periods: int = 1,
     closed: str | None = None,
+    epoch_unit: str | None = None,
 ) -> DataFrame:
     """Time-based rolling window ('3D'-style freq strings in the reference,
     tools.py:8-36). ``rangeBetween`` over epoch MICROSECONDS with pandas
@@ -357,7 +358,19 @@ def rolling_time(
     from pyspark.sql import types as T
 
     if isinstance(df.schema[ts_col].dataType, (T.LongType, T.IntegerType)):
-        epoch = F.col(ts_col)
+        # An integer epoch column is AMBIGUOUS (seconds vs microseconds is
+        # a silent 1e6x window-width change) — require the caller to
+        # declare the unit rather than guessing.
+        if epoch_unit == "us":
+            epoch = F.col(ts_col)
+        elif epoch_unit == "s":
+            epoch = F.col(ts_col).cast("long") * F.lit(1_000_000)
+        else:
+            raise ValueError(
+                f"integer ts_col {ts_col!r} is ambiguous: pass "
+                "epoch_unit='us' (epoch microseconds) or epoch_unit='s' "
+                "(epoch seconds)"
+            )
     else:
         epoch = F.unix_micros(F.col(ts_col).cast("timestamp"))
     w = (

@@ -1,0 +1,122 @@
+"""Regression tests for the round-6 advisor findings (ADVICE.md r7).
+
+1. queryexpr `_lit` must escape backslashes — the session parser runs
+   with escapedStringLiterals=false, so an unescaped '\\' becomes a
+   C-style escape (silently wrong matches) and a trailing '\\' eats the
+   closing quote (PARSE_SYNTAX_ERROR).
+2. crosstab must drop NULL keys on both axes (pandas NaN behavior) so
+   normalize='index' rows sum to 1.
+3. rolling_time over an INTEGER epoch column must demand an explicit
+   epoch_unit instead of silently guessing microseconds.
+4. p_resample(asfreq=True, closed=, label=) must accept and honor the
+   binning kwargs.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from parallel_pandas_spark.api import ParallelFrame
+from parallel_pandas_spark.functions.queryexpr import to_sql
+from parallel_pandas_spark.operators import reshape, windows
+
+
+def _from_pandas(spark, pdf):
+    return spark.createDataFrame(pdf)
+
+
+def test_query_backslash_literals(spark):
+    pdf = pd.DataFrame({"s": ["a\\b", "plain", "tail\\"], "v": [1, 2, 3]})
+    df = _from_pandas(spark, pdf)
+
+    got = ParallelFrame(df).p_query("s == @x", env={"x": "a\\b"}).df.collect()
+    assert [r["v"] for r in got] == [1]
+
+    # trailing backslash: must not PARSE_SYNTAX_ERROR, must match
+    got = ParallelFrame(df).p_query("s == @x", env={"x": "tail\\"}).df.collect()
+    assert [r["v"] for r in got] == [3]
+
+    # pandas twins for the inline-literal forms: `'a\b'` decodes as a
+    # BACKSPACE under Python/pandas semantics (matches nothing here);
+    # `'a\\b'` is the literal backslash. Our AST path inherits both.
+    for expr, expect in ((r"s == 'a\b'", []), ("s == 'a\\\\b'", [1])):
+        sql = to_sql(expr)
+        got = [r["v"] for r in df.where(sql).collect()]
+        exp = pdf.query(expr)["v"].tolist()
+        assert got == exp == expect, expr
+
+
+def test_crosstab_drops_null_keys_and_normalizes(spark):
+    pdf = pd.DataFrame(
+        {
+            "r": ["x", "x", "y", None, "x"],
+            "c": ["a", "b", "a", "a", None],
+        }
+    )
+    df = _from_pandas(spark, pdf)
+    out = reshape.crosstab(df, "r", "c").toPandas().set_index("r").sort_index()
+    exp = pd.crosstab(pdf["r"], pdf["c"]).sort_index()
+    assert sorted(out.columns) == sorted(exp.columns)
+    for col in exp.columns:
+        assert out[col].tolist() == exp[col].tolist(), col
+    assert None not in out.index and "null" not in out.columns
+
+    norm = (
+        reshape.crosstab(df, "r", "c", normalize="index")
+        .toPandas()
+        .set_index("r")
+        .sort_index()
+    )
+    sums = norm.sum(axis=1)
+    assert np.allclose(sums.values, 1.0), sums
+
+
+def test_rolling_time_integer_epoch_requires_unit(spark):
+    pdf = pd.DataFrame({"ep": [0, 1_000_000, 2_000_000], "v": [1.0, 2.0, 3.0]})
+    df = _from_pandas(spark, pdf)
+    with pytest.raises(ValueError, match="epoch_unit"):
+        windows.rolling_time(df, ["v"], 10, "ep", funcs=("sum",))
+
+    # epoch seconds vs microseconds give the declared window width
+    r_us = windows.rolling_time(
+        df, ["v"], 2, "ep", funcs=("count",), epoch_unit="us"
+    ).collect()
+    # 2-second window over values 0s, 1s, 2s
+    by_ep = {row["ep"]: row["v_roll_count"] for row in r_us}
+    assert by_ep == {0: 1, 1_000_000: 2, 2_000_000: 2}
+
+    pdf_s = pd.DataFrame({"ep": [0, 1, 2], "v": [1.0, 2.0, 3.0]})
+    r_s = windows.rolling_time(
+        _from_pandas(spark, pdf_s), ["v"], 2, "ep", funcs=("count",), epoch_unit="s"
+    ).collect()
+    by_ep = {row["ep"]: row["v_roll_count"] for row in r_s}
+    assert by_ep == {0: 1, 1: 2, 2: 2}
+
+
+def test_resample_asfreq_closed_label(spark):
+    from pyspark.sql import functions as F
+
+    ts = pd.to_datetime(
+        ["2024-01-01 00:00:00", "2024-01-01 00:10:00", "2024-01-01 00:30:00"]
+    )
+    pdf = pd.DataFrame({"ts": ts, "v": [1.0, 2.0, 4.0]})
+    df = _from_pandas(spark, pdf)
+
+    out = (
+        ParallelFrame(df)
+        .p_resample(
+            "ts", "10min", [F.sum("v").alias("v")],
+            asfreq=True, fill_cols=("v",),
+            closed="right", label="right",
+        )
+        .df.orderBy("bin")
+        .toPandas()
+    )
+    exp = (
+        pdf.set_index("ts")["v"]
+        .resample("10min", closed="right", label="right")
+        .sum(min_count=1)
+        .ffill()
+    )
+    assert out["bin"].tolist() == list(exp.index)
+    assert out["v"].tolist() == exp.tolist()
