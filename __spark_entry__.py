@@ -92,6 +92,10 @@ def _compose_union(parts: list[tuple[str, str]]):
     def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
         return _pad_union([(tag, f(spark, sf_dir)) for tag, f in fns])
 
+    # per-arm attribution hook for bench.py: the battery headline time is
+    # unauditable at arm granularity otherwise (a regression can hide
+    # behind a newly-added arm — r6 verdict #1)
+    fn.__arms__ = list(fns)
     return fn, sql
 
 
@@ -111,6 +115,7 @@ def _compose_cross(names: list[str]):
             out = d if out is None else out.crossJoin(d)
         return out
 
+    fn.__arms__ = [(n, f) for n, f in zip(names, fns)]
     return fn, sql
 
 

@@ -115,6 +115,26 @@ def main() -> None:
         _run(name)  # force full execution
         timings[name] = round(time.perf_counter() - t0, 4)
     total = round(sum(timings.values()), 4)
+
+    # Per-arm attribution (r7): batteries are pad-unions of component
+    # queries, so the headline number alone can't say WHICH arm regressed
+    # round-over-round. After the headline loop (so its timings are
+    # untouched), each composed battery's arms run under their own timer.
+    # The arm sum roughly re-runs the battery once, so SPARK_GRAFT_ARMS=0
+    # skips this for quick iteration; the headline metric is identical
+    # either way.
+    arms: dict[str, dict[str, float]] = {}
+    if os.environ.get("SPARK_GRAFT_ARMS", "1") not in ("", "0"):
+        for name in names:
+            parts = getattr(qs[name], "__arms__", None)
+            if not parts:
+                continue
+            per: dict[str, float] = {}
+            for tag, fn in parts:
+                t0 = time.perf_counter()
+                _force(fn(spark, SF_DIR))
+                per[tag] = round(time.perf_counter() - t0, 4)
+            arms[name] = per
     try:
         sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1])
     except ValueError:
@@ -126,6 +146,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "arms": arms,
                 "sf": sf,
             }
         )
