@@ -413,11 +413,10 @@ def fillna(
         if not isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
     ]
 
+    from .masks import missing_cond
+
     def _missing(c: str):
-        cond = F.col(c).isNull()
-        if isinstance(df.schema[c].dataType, (T.DoubleType, T.FloatType)):
-            cond = cond | F.isnan(F.col(c))
-        return cond
+        return missing_cond(df, c)
 
     out = df
     if method is not None:
@@ -503,8 +502,9 @@ def idx_extreme_axis1(
 
     def _m(c: str):
         col = F.col(c)
-        if isinstance(df.schema[c].dataType, (T.DoubleType, T.FloatType)):
-            return F.nanvl(col, F.lit(None).cast("double"))
+        from .masks import is_floating as _isf, nan_safe_col as _nsc
+        if _isf(df, c):
+            return _nsc(col)
         return col.cast("double")
 
     vals = [_m(c) for c in cols]

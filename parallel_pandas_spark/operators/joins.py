@@ -20,6 +20,8 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from .masks import is_floating, nan_safe_col
+
 
 def _epoch_double(df: DataFrame, col: str):
     """Timestamp-or-numeric column → comparable double (epoch seconds for
@@ -325,8 +327,8 @@ def combine_first(
 
     def _val(side: str, df_: DataFrame, c: str):
         col = F.col(f"{side}.`{c}`")
-        if isinstance(df_.schema[c].dataType, (T.DoubleType, T.FloatType)):
-            return F.nanvl(col, F.lit(None).cast("double"))
+        if is_floating(df_, c):
+            return nan_safe_col(col)
         return col
 
     out = [*on]

@@ -21,6 +21,8 @@ from pyspark.sql import DataFrame, Window, WindowSpec
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from .masks import is_floating, nan_safe_col
+
 
 def _window(order_by: Sequence[str], partition_by: Sequence[str] | None) -> WindowSpec:
     w = Window.partitionBy(*partition_by) if partition_by else Window.partitionBy()
@@ -41,8 +43,8 @@ def _cum(df, cols, order_by, partition_by, suffix, agg):
     out = df
     for c in cols:
         col = F.col(c)
-        floating = isinstance(df.schema[c].dataType, (T.DoubleType, T.FloatType))
-        src = F.nanvl(col, F.lit(None).cast("double")) if floating else col
+        floating = is_floating(df, c)
+        src = nan_safe_col(col) if floating else col
         e = F.when(col.isNotNull(), agg(src).over(w))
         if floating:
             e = F.when(F.isnan(col), col).otherwise(e)  # NaN position stays NaN
@@ -113,10 +115,8 @@ def rank(
     # pandas treats TRUE NaN as NA in rank (na_option applies to it);
     # Spark sorts NaN above every double as a VALUE — mask to NULL first
     temps = []
-    if isinstance(df.schema[col].dataType, (T.DoubleType, T.FloatType)):
-        df = df.withColumn(
-            "__rk_src", F.nanvl(F.col(col), F.lit(None).cast("double"))
-        )
+    if is_floating(df, col):
+        df = df.withColumn("__rk_src", nan_safe_col(F.col(col)))
         col = "__rk_src"
         temps = ["__rk_src"]
     vorder = F.col(col).asc_nulls_last() if ascending else F.col(col).desc_nulls_last()
@@ -203,8 +203,8 @@ def scan_multi(
 
     def _masked(c: str) -> F.Column:
         col = F.col(c)
-        if isinstance(df.schema[c].dataType, (T.DoubleType, T.FloatType)):
-            return F.nanvl(col, F.lit(None).cast("double"))
+        if is_floating(df, c):
+            return nan_safe_col(col)
         return col
 
     for s in specs:
@@ -284,10 +284,8 @@ def rank_multi(
     keys = list(partition_by or [])
     src = col
     temps = []
-    if isinstance(df.schema[col].dataType, (T.DoubleType, T.FloatType)):
-        df = df.withColumn(
-            "__rkm_src", F.nanvl(F.col(col), F.lit(None).cast("double"))
-        )
+    if is_floating(df, col):
+        df = df.withColumn("__rkm_src", nan_safe_col(F.col(col)))
         src = "__rkm_src"
         temps = ["__rkm_src"]
     vorder = F.col(src).asc_nulls_last() if ascending else F.col(src).desc_nulls_last()
@@ -487,8 +485,8 @@ def pct_change(
         # unmasked NaN would neither fill nor be filled, poisoning every
         # later filled position)
         src = F.col(c)
-        if isinstance(df.schema[c].dataType, (T.DoubleType, T.FloatType)):
-            src = F.nanvl(src, F.lit(None).cast("double"))
+        if is_floating(df, c):
+            src = nan_safe_col(src)
         if fill_method in ("pad", "ffill"):
             wf = w.rowsBetween(-limit if limit else Window.unboundedPreceding, 0)
             fc = F.last(src, ignorenulls=True).over(wf)

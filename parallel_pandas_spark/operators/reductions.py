@@ -37,25 +37,11 @@ from pyspark.sql import types as T
 # ---------------------------------------------------------------------------
 
 
-def _floating(df: DataFrame, col: str) -> bool:
-    try:
-        return isinstance(df.schema[col].dataType, (T.DoubleType, T.FloatType))
-    except Exception:
-        return False
-
-
-def nan_safe(df: DataFrame, col: str) -> Column:
-    """pandas ``skipna=True`` shim for TRUE NaN values: parquet-borne NaN
-    is a VALUE to Spark (it poisons sums, sorts above every double, and
-    counts as an observation), but pandas treats it as missing in every
-    reduction by default. Mask NaN → NULL at the aggregation input for
-    floating columns (``nanvl`` — stays inside whole-stage codegen).
-    ±inf is KEPT: pandas full-frame stats propagate inf by IEEE, unlike
-    its window kernels which drop non-finite entirely (windows._finite)."""
-    c = F.col(col)
-    if _floating(df, col):
-        return F.nanvl(c, F.lit(None).cast("double"))
-    return c
+# canonical mask helpers live in masks.py (consolidated r7 after the r6
+# drift bug); re-exported here because half the package and the entry
+# file import them under these names.
+from .masks import is_floating as _floating  # noqa: E402
+from .masks import nan_safe  # noqa: E402,F401
 
 
 def decimal_sum(col: str | Column, scale: int = 6) -> Column:

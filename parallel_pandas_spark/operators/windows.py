@@ -67,24 +67,12 @@ def _ordered_window(order_by, partition_by) -> WindowSpec:
     return w.orderBy(*[F.col(c) for c in order_by])
 
 
-def _is_floating(df: DataFrame, c: str) -> bool:
-    return isinstance(df.schema[c].dataType, (T.DoubleType, T.FloatType))
-
-
-def _finite(c: F.Column) -> F.Column:
-    """Non-finite → NULL. pandas' windowed aggregation kernels treat
-    NaN AND ±inf as MISSING observations (verified pandas 2.2: even
-    ``rolling.max`` over a frame containing +inf returns the finite max,
-    and ``min_periods`` counts only finite values) — unlike its
-    cumulative/arithmetic ops, which propagate inf by plain IEEE. The
-    reference replays real pandas per chunk, so window parity requires
-    the same rule. ``.count()`` is the one exception: it counts inf but
-    not NaN (:func:`_non_nan`)."""
-    return F.when(~(F.isnan(c) | (F.abs(c) == F.lit(float("inf")))), c)
-
-
-def _non_nan(c: F.Column) -> F.Column:
-    return F.when(~F.isnan(c), c)
+# canonical mask helpers (masks.py): the window kernels use the
+# FINITE contract — pandas windowed aggregations treat NaN and ±inf
+# alike as missing, unlike its full-frame reductions (masks.nan_safe).
+from .masks import finite as _finite  # noqa: E402
+from .masks import is_floating as _is_floating  # noqa: E402
+from .masks import non_nan as _non_nan  # noqa: E402
 
 
 def _window_obs(df: DataFrame, cols: Sequence[str]):
