@@ -742,10 +742,19 @@ def bloom_anti_join(
 
     Size ``num_buckets`` >= a few x expected distinct seen keys; the
     bucket set stays broadcast-sized (8 bytes per OCCUPIED bucket).
+
+    The bucket set is materialized EAGERLY (``localCheckpoint``): it
+    feeds two broadcast joins (anti for definite-new, semi for
+    candidates), and without the checkpoint each consumer re-runs the
+    distinct aggregation — at 100 TB the seen-keys scan is the expensive
+    side, so the double scan is the dominant waste (r6 verdict #5). The
+    returned plan therefore contains exactly ONE scan of ``seen_df``
+    (the exact-key side of the collision anti-join); the bucket-set scan
+    happens once, at call time.
     """
     cols = [on] if isinstance(on, str) else list(on)
     bucket = (F.xxhash64(*[F.col(c) for c in cols]) % num_buckets).alias("__bkt")
-    seen_buckets = seen_df.select(bucket).distinct()
+    seen_buckets = seen_df.select(bucket).distinct().localCheckpoint()
     new_b = new_df.withColumn("__bkt", bucket)
     definite_new = new_b.join(
         F.broadcast(seen_buckets), "__bkt", "left_anti"
