@@ -3109,6 +3109,20 @@ _GAUSS_CASE = " ".join(
     f"WHEN {4 - i} THEN {w!r}" for i, w in enumerate(_GAUSS_W)
 )
 
+# r7: the win_type tail (reference accepts any scipy shape name,
+# parallel_window.py:206-213) — kaiser/parzen/bohman/blackmanharris
+# closed forms, embedded as exact-double literals in both engines
+_SHAPE_W = {
+    "kaiser": windows.win_type_weights("kaiser", 5, beta=6.0),
+    "parzen": windows.win_type_weights("parzen", 5),
+    "bohman": windows.win_type_weights("bohman", 5),
+    "blackmanharris": windows.win_type_weights("blackmanharris", 5),
+}
+
+
+def _shape_case(ws: list[float]) -> str:
+    return " ".join(f"WHEN {4 - i} THEN {w!r}" for i, w in enumerate(ws))
+
 @_q(
     "weighted_rolling_mean",
     f"""
@@ -3145,6 +3159,23 @@ FROM (
     ON b.l_suppkey = a.l_suppkey AND b.rn BETWEEN a.rn - 4 AND a.rn
   GROUP BY a.l_suppkey, a.l_orderkey, a.l_linenumber, a.rn
 ) WHERE rn >= 5
+UNION ALL BY NAME
+SELECT 'shapes4' AS src, a.l_orderkey, a.l_linenumber,
+  CASE WHEN a.rn >= 5 THEN ROUND(SUM(b.l_quantity *
+    CASE a.rn - b.rn {_shape_case(_SHAPE_W["kaiser"])} END)
+    / {float(sum(_SHAPE_W["kaiser"]))!r}, 6) END AS kmean,
+  CASE WHEN a.rn >= 5 THEN ROUND(SUM(b.l_quantity *
+    CASE a.rn - b.rn {_shape_case(_SHAPE_W["parzen"])} END)
+    / {float(sum(_SHAPE_W["parzen"]))!r}, 6) END AS pmean,
+  CASE WHEN a.rn >= 5 THEN ROUND(SUM(b.l_quantity *
+    CASE a.rn - b.rn {_shape_case(_SHAPE_W["bohman"])} END)
+    / {float(sum(_SHAPE_W["bohman"]))!r}, 6) END AS bmean,
+  CASE WHEN a.rn >= 5 THEN ROUND(SUM(b.l_quantity *
+    CASE a.rn - b.rn {_shape_case(_SHAPE_W["blackmanharris"])} END)
+    / {float(sum(_SHAPE_W["blackmanharris"]))!r}, 6) END AS bhmean
+FROM r a JOIN r b
+  ON b.l_suppkey = a.l_suppkey AND b.rn BETWEEN a.rn - 4 AND a.rn
+GROUP BY a.l_suppkey, a.l_orderkey, a.l_linenumber, a.rn
 """,
 )
 def weighted_rolling_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3155,7 +3186,10 @@ def weighted_rolling_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     scipy-shape translation table (windows.win_type_weights) producing
     the weights; ``gauss5var`` (r5) = weighted var/std via pandas'
     debiased roll_weighted_var closed form — the full pandas weighted
-    agg set (mean/sum/var/std) is driver-value-checked."""
+    agg set (mean/sum/var/std) is driver-value-checked; ``shapes4``
+    (r7) = the win_type tail (kaiser β=6 / parzen / bohman /
+    blackmanharris closed forms, the shapes the reference reaches via
+    scipy.signal.get_window)."""
     li = load_table(spark, sf_dir, "lineitem")
     lit3 = windows.weighted_window(
         li,
@@ -3191,7 +3225,22 @@ def weighted_rolling_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("wvar_raw", 6).alias("wvar"),
         F.round("wstd_raw", 6).alias("wstd"),
     )
-    return _pad_union([("lit3", lit3), ("gauss5", gauss), ("gauss5var", gvar)])
+    shp = li
+    outs = {"kaiser": "kmean", "parzen": "pmean",
+            "bohman": "bmean", "blackmanharris": "bhmean"}
+    for wt, oc in outs.items():
+        shp = windows.weighted_window(
+            shp, "l_quantity", 5, _SHAPE_W[wt], _LI_ORD, ["l_suppkey"],
+            func="mean", out_col=f"__{oc}",
+        )
+    shapes4 = shp.select(
+        "l_orderkey", "l_linenumber",
+        *[F.round(f"__{oc}", 6).alias(oc) for oc in outs.values()],
+    )
+    return _pad_union([
+        ("lit3", lit3), ("gauss5", gauss), ("gauss5var", gvar),
+        ("shapes4", shapes4),
+    ])
 
 
 @_q(

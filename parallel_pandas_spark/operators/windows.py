@@ -822,7 +822,11 @@ def win_type_weights(win_type: str, window: int, **params) -> list[float]:
     :func:`weighted_window`.
 
     Supported: gaussian (requires ``std=``), triang, bartlett, hamming,
-    hann, blackman.
+    hann, blackman, blackmanharris, bohman, parzen, kaiser (requires
+    ``beta=``) — the shapes scipy's symmetric-window catalog defines in
+    closed form (scipy.signal.windows source; kaiser's I0 Bessel factor
+    is evaluated by its power series, the same definition numpy.kaiser
+    uses, so no scipy dependency).
     """
     import math
 
@@ -835,16 +839,20 @@ def win_type_weights(win_type: str, window: int, **params) -> list[float]:
         std = float(params["std"])
         c = (M - 1) / 2.0
         return [math.exp(-0.5 * ((i - c) / std) ** 2) for i in range(M)]
-    if win_type in ("hamming", "hann", "blackman"):
-        a0, a1, a2 = {
-            "hamming": (0.54, 0.46, 0.0),
-            "hann": (0.5, 0.5, 0.0),
-            "blackman": (0.42, 0.5, 0.08),
-        }[win_type]
+    _COS_TERMS = {
+        # generalized-cosine family: w[i] = sum_k (-1)^k a_k cos(2πki/(M−1))
+        "hamming": (0.54, 0.46),
+        "hann": (0.5, 0.5),
+        "blackman": (0.42, 0.5, 0.08),
+        "blackmanharris": (0.35875, 0.48829, 0.14128, 0.01168),
+    }
+    if win_type in _COS_TERMS:
+        coefs = _COS_TERMS[win_type]
         return [
-            a0
-            - a1 * math.cos(2.0 * math.pi * i / (M - 1))
-            + a2 * math.cos(4.0 * math.pi * i / (M - 1))
+            sum(
+                (-1.0) ** k * a * math.cos(2.0 * math.pi * k * i / (M - 1))
+                for k, a in enumerate(coefs)
+            )
             for i in range(M)
         ]
     if win_type == "bartlett":
@@ -856,6 +864,47 @@ def win_type_weights(win_type: str, window: int, **params) -> list[float]:
             return half + half[-2::-1]
         half = [(2.0 * n - 1.0) / M for n in range(1, M // 2 + 1)]
         return half + half[::-1]
+    if win_type == "bohman":
+        # x = |linspace(-1, 1, M)|; w = (1−x)cos(πx) + sin(πx)/π
+        out = []
+        for i in range(M):
+            x = abs(2.0 * i / (M - 1) - 1.0)
+            out.append((1.0 - x) * math.cos(math.pi * x)
+                       + math.sin(math.pi * x) / math.pi)
+        return out
+    if win_type == "parzen":
+        # de la Vallée Poussin: piecewise cubic over n = i − (M−1)/2,
+        # x = |n|/(M/2): 1 − 6x² + 6x³ for |n| ≤ (M−1)/4, else 2(1−x)³
+        out = []
+        for i in range(M):
+            n = i - (M - 1) / 2.0
+            x = abs(n) / (M / 2.0)
+            if abs(n) <= (M - 1) / 4.0:
+                out.append(1.0 - 6.0 * x * x + 6.0 * x * x * x)
+            else:
+                out.append(2.0 * (1.0 - x) ** 3)
+        return out
+    if win_type == "kaiser":
+        beta = float(params["beta"])
+
+        def i0(x: float) -> float:
+            # modified Bessel I0 power series: Σ ((x/2)^k / k!)² —
+            # monotone positive terms, converges in <40 iterations for
+            # any beta a window shape would use
+            term, total, k = 1.0, 1.0, 0
+            while True:
+                k += 1
+                term *= (x / 2.0 / k) ** 2
+                total += term
+                if term < total * 1e-16 or k > 500:
+                    return total
+
+        denom = i0(beta)
+        return [
+            i0(beta * math.sqrt(max(0.0, 1.0 - (2.0 * i / (M - 1) - 1.0) ** 2)))
+            / denom
+            for i in range(M)
+        ]
     raise ValueError(f"unsupported win_type {win_type!r}")
 
 

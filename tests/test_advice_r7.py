@@ -145,3 +145,35 @@ def test_bloom_anti_join_single_seen_scan(spark):
         )
         got = sorted(r["tag"] for r in out.collect())
         assert got == want
+
+
+def test_win_type_tail_shapes():
+    """r6 verdict #6: kaiser/parzen/bohman/blackmanharris closed forms.
+    kaiser twins against numpy.kaiser (same I0-series definition scipy
+    uses); the other three against hand-derived values of the published
+    scipy formulas."""
+    from parallel_pandas_spark.operators.windows import win_type_weights as w
+
+    for m, beta in ((5, 6.0), (9, 6.0), (12, 14.0), (2, 0.5)):
+        assert np.allclose(w("kaiser", m, beta=beta), np.kaiser(m, beta))
+
+    # parzen(4): n = ±0.5 -> 1 - 6(.25)^2 + 6(.25)^3 = 0.71875;
+    #            n = ±1.5 -> 2(1 - 0.75)^3 = 0.03125
+    assert np.allclose(w("parzen", 4), [0.03125, 0.71875, 0.71875, 0.03125])
+    # bohman(7): x = 2/3 -> (1/3)cos(2π/3) + sin(2π/3)/π; x = 1/3 sym.
+    import math
+
+    b23 = (1 / 3) * math.cos(2 * math.pi / 3) + math.sin(2 * math.pi / 3) / math.pi
+    b13 = (2 / 3) * math.cos(math.pi / 3) + math.sin(math.pi / 3) / math.pi
+    assert np.allclose(w("bohman", 7), [0.0, b23, b13, 1.0, b13, b23, 0.0])
+    # blackmanharris(5): published 4-term coefficients at n/(M-1) = 0,.25,.5
+    e0 = 0.35875 - 0.48829 + 0.14128 - 0.01168
+    e1 = 0.35875 - 0.14128
+    assert np.allclose(w("blackmanharris", 5), [e0, e1, 1.0, e1, e0])
+
+    # every shape is symmetric and peaks at the center
+    for wt, kw in (("kaiser", {"beta": 6.0}), ("parzen", {}), ("bohman", {}),
+                   ("blackmanharris", {}), ("gaussian", {"std": 1.0})):
+        ws = w(wt, 9, **kw)
+        assert np.allclose(ws, ws[::-1]), wt
+        assert max(ws) == ws[4], wt
