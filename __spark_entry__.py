@@ -4302,7 +4302,9 @@ def rolling_moments_battery_fused(spark: SparkSession, sf_dir: str) -> DataFrame
     four-part union exchanged and sorted lineitem four times and emitted
     4× the rows. Every column keeps its original expression tree (same
     guards, same IEEE op order), so the values are bit-identical to the
-    retired parts'."""
+    retired parts'. The sum/count pair is produced through
+    ``ParallelRolling.p_agg({'q6': ['sum', 'count']})`` (r7), so the
+    pandas agg-dict-spec wrapper is driver-value-checked here."""
     li = (
         load_table(spark, sf_dir, "lineitem")
         .withColumn("q6", F.floor(F.col("l_quantity") * F.lit(1e6) + F.lit(0.5)).cast("long"))
@@ -4311,8 +4313,16 @@ def rolling_moments_battery_fused(spark: SparkSession, sf_dir: str) -> DataFrame
             F.floor(F.col("l_quantity") * F.col("l_quantity") * F.lit(1e4) + F.lit(0.5)).cast("long"),
         )
     )
-    r = windows.rolling(
-        li, ["q6"], 7, _LI_ORD, funcs=("sum", "count"), partition_by=["l_suppkey"]
+    # the sum/count pair goes through the pandas agg-DICT-spec wrapper
+    # (reference Rolling.aggregate/agg, main.py:44-46) — same fused
+    # kernel underneath, so the battery now driver-value-checks
+    # ParallelRolling.p_agg too (r7, verdict #7)
+    from parallel_pandas_spark.api import ParallelFrame
+
+    r = (
+        ParallelFrame(li)
+        .rolling(7, _LI_ORD, partition_by=["l_suppkey"])
+        .p_agg({"q6": ["sum", "count"]})
     )
     r = windows.rolling(
         r, ["l_quantity"], 7, _LI_ORD, funcs=("min", "max"),
