@@ -1,0 +1,164 @@
+"""Full-registry oracle sweep at an arbitrary SF dir (r7, verdict #3).
+
+The per-round driver proves correctness at sf0.01; the scaling study
+measures TIME up to sf1 — this tool closes the gap by running every
+``queries()`` entry against its DuckDB oracle at sf1 (or any SF dir).
+
+The pytest harness's ``canonicalize`` walks rows with ``iterrows`` —
+fine at sf0.01 (<100k-row results), hopeless at sf1 (multi-million-row
+battery outputs). Here results are compared with a VECTORIZED
+order-insensitive digest: dtype-normalize both frames (int→int64,
+float→float64, Decimal/object→canonical python, datetime→ns), hash rows
+with ``pd.util.hash_pandas_object``, and compare the sorted hash
+multisets. Equal doubles hash equal (same binary64), so this is as
+strict as the driver's value-hash; small results (<=200k rows) also get
+the exact slow-path comparison as a cross-check of the digest itself.
+
+Usage:  python tools/oracle_sweep.py [sf_dir] [out_json]
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import sys
+import time
+from decimal import Decimal
+
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _normalize(pdf: pd.DataFrame) -> pd.DataFrame:
+    out = {}
+    for c in sorted(pdf.columns):
+        s = pdf[c]
+        if pd.api.types.is_integer_dtype(s):
+            out[c] = s.astype("int64")
+        elif pd.api.types.is_bool_dtype(s):
+            out[c] = s.astype("bool")
+        elif pd.api.types.is_float_dtype(s):
+            out[c] = s.astype("float64")
+        elif pd.api.types.is_datetime64_any_dtype(s):
+            dt = s
+            if getattr(dt.dtype, "tz", None) is not None:
+                dt = dt.dt.tz_localize(None)
+            out[c] = dt.astype("datetime64[ns]")
+        else:
+            def canon(v):
+                if v is None:
+                    return None
+                if isinstance(v, Decimal):
+                    return float(v)
+                if isinstance(v, float) and math.isnan(v):
+                    return None
+                if isinstance(v, np.ndarray):
+                    return str([canon(x) for x in v.tolist()])
+                if isinstance(v, (list, tuple)):
+                    return str([canon(x) for x in v])
+                if isinstance(v, np.generic):
+                    return canon(v.item())
+                return v
+
+            out[c] = s.map(canon)
+    return pd.DataFrame(out)
+
+
+def digest_compare(name: str, spdf: pd.DataFrame, ddf: pd.DataFrame) -> list[str]:
+    problems: list[str] = []
+    if sorted(map(str.lower, spdf.columns)) != sorted(map(str.lower, ddf.columns)):
+        return [f"{name}: columns spark={sorted(spdf.columns)} duck={sorted(ddf.columns)}"]
+    ddf = ddf.rename(
+        columns={
+            dc: next(c for c in spdf.columns if c.lower() == dc.lower())
+            for dc in ddf.columns
+        }
+    )
+    if len(spdf) != len(ddf):
+        return [f"{name}: rowcount spark={len(spdf)} duck={len(ddf)}"]
+    a = _normalize(spdf)
+    b = _normalize(ddf)
+    ha = np.sort(pd.util.hash_pandas_object(a, index=False).to_numpy())
+    hb = np.sort(pd.util.hash_pandas_object(b, index=False).to_numpy())
+    if not np.array_equal(ha, hb):
+        n_bad = int((ha != hb).sum())
+        problems.append(f"{name}: value-digest mismatch ({n_bad} of {len(ha)} row hashes)")
+        # column-level attribution: which columns' sorted value multisets differ
+        for c in a.columns:
+            ca = np.sort(pd.util.hash_pandas_object(a[[c]], index=False).to_numpy())
+            cb = np.sort(pd.util.hash_pandas_object(b[[c]], index=False).to_numpy())
+            if not np.array_equal(ca, cb):
+                problems.append(f"{name}:   column {c} differs")
+    return problems
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "localdata/sf1"
+    out_path = sys.argv[2] if len(sys.argv) > 2 else None
+
+    import duckdb
+
+    import __spark_entry__ as em
+    from parallel_pandas_spark.session import get_spark
+    from tests.oracle_harness import canonicalize
+
+    spark = get_spark(app_name="oracle-sweep")
+    qs, oracles = em.queries(), em.oracle_sql()
+    con = duckdb.connect()
+    for t in "region nation customer supplier part orders lineitem events documents embeddings".split():
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    results: dict[str, dict] = {}
+    for name, fn in qs.items():
+        t0 = time.perf_counter()
+        if name not in oracles:
+            try:
+                n = fn(spark, sf_dir).count()
+                results[name] = {"status": "no_oracle_rows_only", "rows": n}
+            except Exception as e:  # noqa: BLE001
+                results[name] = {"status": "error", "error": str(e)[:300]}
+            print(name, results[name]["status"], flush=True)
+            continue
+        try:
+            spdf = fn(spark, sf_dir).toPandas()
+            ddf = con.execute(oracles[name]).df()
+            problems = digest_compare(name, spdf, ddf)
+            if not problems and len(spdf) <= 200_000:
+                # exact slow-path cross-check of the digest at small sizes
+                if canonicalize(spdf) != canonicalize(ddf):
+                    problems = [f"{name}: exact-path mismatch (digest passed!)"]
+            results[name] = {
+                "status": "pass" if not problems else "FAIL",
+                "rows": len(spdf),
+                "sec": round(time.perf_counter() - t0, 1),
+            }
+            if problems:
+                results[name]["problems"] = problems[:6]
+        except Exception as e:  # noqa: BLE001
+            results[name] = {"status": "error", "error": str(e)[:300]}
+        print(name, results[name], flush=True)
+
+    n_pass = sum(1 for r in results.values() if r["status"] == "pass")
+    summary = {
+        "sf_dir": sf_dir,
+        "n_queries": len(results),
+        "n_pass": n_pass,
+        "n_fail": sum(1 for r in results.values() if r["status"] == "FAIL"),
+        "n_error": sum(1 for r in results.values() if r["status"] == "error"),
+        "n_rows_only": sum(
+            1 for r in results.values() if r["status"] == "no_oracle_rows_only"
+        ),
+        "results": results,
+    }
+    line = json.dumps(summary)
+    if out_path:
+        with open(out_path, "w") as f:
+            f.write(line)
+    print(line)
+
+
+if __name__ == "__main__":
+    main()
