@@ -177,3 +177,69 @@ def test_resample_grid_fuzz_vs_pandas(spark):
         )
         assert got.index.tolist() == want.index.tolist(), (seed, freq, closed, label)
         assert got.tolist() == want.tolist(), (seed, freq, closed, label)
+
+
+def test_crosstab_fuzz_vs_pandas(spark):
+    """crosstab across normalize modes with NaN keys on both axes — the
+    r7 advisor fix (NULL keys dropped like pandas) under random data."""
+    from parallel_pandas_spark.operators import reshape
+
+    for seed in range(8):
+        rng = np.random.default_rng(300 + seed)
+        n = 120
+        r_keys = rng.choice(["x", "y", "z", None], n, p=[0.4, 0.3, 0.2, 0.1])
+        c_keys = rng.choice(["a", "b", None], n, p=[0.5, 0.4, 0.1])
+        pdf = pd.DataFrame({"r": r_keys, "c": c_keys})
+        df = from_pandas(spark, pdf)
+        for norm in (False, "index", "all"):
+            got = (
+                reshape.crosstab(df, "r", "c", normalize=norm)
+                .toPandas()
+                .set_index("r")
+                .sort_index()
+            )
+            want = pd.crosstab(pdf["r"], pdf["c"], normalize=norm).sort_index()
+            assert sorted(got.columns) == sorted(want.columns), (seed, norm)
+            for col in want.columns:
+                assert np.allclose(
+                    got[col].to_numpy(dtype=float), want[col].to_numpy(dtype=float)
+                ), (seed, norm, col)
+
+
+def test_resample_asfreq_ffill_fuzz_vs_pandas(spark):
+    """asfreq grid + forward fill across closed/label combos vs pandas
+    resample().sum().ffill() (single global group, the pandas-equal
+    case — per-group grids are the documented distributed contract)."""
+    from pyspark.sql import functions as F
+
+    from parallel_pandas_spark.operators import resample as rs
+
+    for seed in range(8):
+        rng = np.random.default_rng(600 + seed)
+        n = 40
+        ts = (
+            pd.Timestamp("2024-06-01")
+            + pd.to_timedelta(np.sort(rng.choice(7200, n, replace=False)) * 5, unit="s")
+        )
+        pdf = pd.DataFrame({"ts": ts, "v": rng.integers(1, 9, n).astype(float)})
+        freq = rng.choice(["10min", "30min"])
+        closed = rng.choice(["left", "right"])
+        label = rng.choice(["left", "right"])
+        got = (
+            rs.resample_asfreq(
+                from_pandas(spark, pdf), "ts", freq,
+                [F.sum("v").alias("v")], ("v",),
+                closed=closed, label=label,
+            )
+            .toPandas()
+            .set_index("bin")["v"]
+            .sort_index()
+        )
+        want = (
+            pdf.set_index("ts")["v"]
+            .resample(freq, closed=closed, label=label)
+            .sum(min_count=1)
+            .ffill()
+        )
+        assert got.index.tolist() == want.index.tolist(), (seed, freq, closed, label)
+        assert got.tolist() == want.tolist(), (seed, freq, closed, label)
