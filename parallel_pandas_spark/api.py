@@ -590,6 +590,34 @@ class ParallelGroupBy:
         return grouped.groupby_transform(self.df, self.keys, cols, func, **kw)
 
 
+def _broadcast_agg_spec(spec, df, order_by, partition_by) -> dict:
+    """Normalize a window agg spec to {col: [stats]} — pandas
+    ``Rolling.agg`` also takes a bare string or a list, applied to every
+    NUMERIC value column (the rolled columns; order/partition keys are
+    index-like here and excluded, as pandas' index is)."""
+    if isinstance(spec, dict):
+        return spec
+    if isinstance(spec, str):
+        stats = [spec]
+    elif isinstance(spec, (list, tuple)):
+        stats = list(spec)
+    else:
+        raise TypeError(
+            f"agg spec must be str, list, or dict {{col: stat|[stats]}}, got {type(spec)}"
+        )
+    from pyspark.sql import types as T
+
+    keys = set(order_by or []) | set(partition_by or [])
+    value_cols = [
+        f.name
+        for f in df.schema.fields
+        if f.name not in keys and isinstance(f.dataType, T.NumericType)
+    ]
+    if not value_cols:
+        raise ValueError("agg spec over all columns found no numeric value columns")
+    return {c: stats for c in value_cols}
+
+
 class ParallelRolling:
     """reference Rolling.p_* family (+ the weighted Window family when
     ``win_type`` is set — reference main.py:202-251 binds both)."""
@@ -730,10 +758,7 @@ class ParallelRolling:
         sort, not five."""
         if self.win_type:
             raise NotImplementedError("rolling(win_type=).agg is not supported")
-        if isinstance(spec, str):
-            raise ValueError("rolling.p_agg(str) needs columns: pass {col: stat}")
-        if not isinstance(spec, dict):
-            raise TypeError(f"agg spec must be dict {{col: stat|[stats]}}, got {type(spec)}")
+        spec = _broadcast_agg_spec(spec, self.df, self.order_by, self.partition_by)
         out = self.df
         for c, stats in spec.items():
             stats = [stats] if isinstance(stats, str) else list(stats)
@@ -808,8 +833,7 @@ class ParallelExpanding:
 
     def p_agg(self, spec, **kw):
         """Expanding.agg spec — same contract as Rolling.p_agg."""
-        if not isinstance(spec, dict):
-            raise TypeError(f"agg spec must be dict {{col: stat|[stats]}}, got {type(spec)}")
+        spec = _broadcast_agg_spec(spec, self.df, self.order_by, self.partition_by)
         out = self.df
         for c, stats in spec.items():
             stats = [stats] if isinstance(stats, str) else list(stats)

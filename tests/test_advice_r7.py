@@ -177,3 +177,38 @@ def test_win_type_tail_shapes():
         ws = w(wt, 9, **kw)
         assert np.allclose(ws, ws[::-1]), wt
         assert max(ws) == ws[4], wt
+
+
+def test_rolling_agg_list_and_str_spec(spark):
+    """pandas Rolling.agg also takes a bare string or list applied to
+    every numeric value column — parity for the non-dict spec forms."""
+    import pandas as pd
+
+    from parallel_pandas_spark.api import ParallelFrame
+
+    pdf = pd.DataFrame(
+        {"i": range(12), "v": [float(x * x % 7) for x in range(12)],
+         "u": [float(x % 5) for x in range(12)]}
+    )
+    df = spark.createDataFrame(pdf)
+
+    out = (
+        ParallelFrame(df).rolling(3, ["i"]).p_agg(["mean", "max"])
+        .orderBy("i").toPandas()
+    )
+    ref = pdf.set_index("i").rolling(3).agg(["mean", "max"])
+    for c in ("v", "u"):
+        for stat in ("mean", "max"):
+            got = out[f"{c}_roll_{stat}"].tolist()
+            want = ref[(c, stat)].tolist()
+            for g, w in zip(got, want):
+                g_null = g is None or (isinstance(g, float) and np.isnan(g))
+                assert (g_null and np.isnan(w)) or g == w, (c, stat, g, w)
+
+    es = (
+        ParallelFrame(df).expanding(["i"]).p_agg("sum")
+        .orderBy("i").toPandas()
+    )
+    ref2 = pdf.set_index("i").expanding(1).agg("sum")
+    assert es["v_exp_sum"].tolist() == ref2["v"].tolist()
+    assert es["u_exp_sum"].tolist() == ref2["u"].tolist()

@@ -105,7 +105,13 @@ def main() -> None:
     from parallel_pandas_spark.session import get_spark
     from tests.oracle_harness import canonicalize
 
-    spark = get_spark(app_name="oracle-sweep")
+    # the sweep DELIBERATELY collects multi-GB sf1 battery results for
+    # comparison — lift the driver-side collect cap for this tool only
+    # (production pipelines never collect fact-table-sized results)
+    spark = get_spark(
+        app_name="oracle-sweep",
+        extra_conf={"spark.driver.maxResultSize": "24g"},
+    )
     qs, oracles = em.queries(), em.oracle_sql()
     con = duckdb.connect()
     for t in "region nation customer supplier part orders lineitem events documents embeddings".split():
