@@ -56,8 +56,10 @@ def test_win_type_shapes_match_scipy_values(name, M, expected):
 
 def test_win_type_window_one_and_errors():
     assert windows.win_type_weights("hamming", 1) == [1.0]
+    # parzen graduated to a supported closed form in r7; 'exponential'
+    # (needs scipy's tau parameterization) is still an explicit raise
     with pytest.raises(ValueError):
-        windows.win_type_weights("parzen", 5)
+        windows.win_type_weights("exponential", 5)
 
 
 def test_weighted_window_gaussian_matches_pandas_dot(spark):
