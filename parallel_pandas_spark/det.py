@@ -197,23 +197,37 @@ def cross_sum_sql(a: str, b: str, scale: int = 6, wide: bool = False) -> str:
     return qsum_sql(f"(CAST({a} AS DOUBLE)*CAST({b} AS DOUBLE))", scale, wide=wide)
 
 
-# --- scaled-long fast path --------------------------------------------------
-# The decimal(38) builders above pay a per-row BigDecimal construction
-# (~10x a double agg). When |expr|·10^scale·rows < 2^63 the same exactness
-# comes from pure long arithmetic, inside whole-stage codegen:
-# floor(x·10^s + 0.5) is one IEEE multiply + floor (identical in any
-# engine; ties at exact .5 cannot occur when x is within <0.5 ulp-scaled
-# of a decimal grid point, which quantized source data guarantees), and
-# SUM(long) is exact and order-independent. Callers must check the bound:
-# e.g. price² ≈ 1.9e9 at scale 2 → 1.9e11/row → ~4.8e7 rows of headroom
-# per 10^? ... concretely 2^63/1.9e11 ≈ 4.8e7 rows; beyond that, drop the
-# scale or fall back to psum (decimal) — the unbounded path.
+# --- scaled-long sums --------------------------------------------------------
+# Per-row quantization stays pure long/double arithmetic inside
+# whole-stage codegen: floor(x·10^s + 0.5) is one IEEE multiply + floor
+# (identical in any engine; ties at exact .5 cannot occur when x is
+# within <0.5 ulp-scaled of a decimal grid point, which quantized source
+# data guarantees). The ACCUMULATOR is DECIMAL(38,0), not LONG: this
+# family previously summed raw longs with a caller-owned
+# |expr|·10^scale·rows < 2^63 bound, and the r7 sf1 oracle sweep caught
+# corr_spearman silently violating it (Spark SUM(BIGINT) WRAPS in
+# non-ANSI mode; DuckDB promotes to HUGEINT — a one-engine wrong answer
+# that only appears when the data grows). A row-count-dependent bound is
+# exactly the contract a 100 TB engine must not offer; the decimal
+# accumulator costs one BigDecimal add per row in these single-row
+# aggregations (scan-dominated queries, unmeasurable at sf1) and is
+# exact to 1e38.
 
 
 def lsum(col, scale: int = 6) -> Column:
-    """Exact scaled-long sum of an expression; returns the raw LONG sum."""
+    """Exact scaled-long sum of an expression.
+
+    The per-VALUE bound is the caller's contract (|x|·10^s < 2^62); the
+    SUM accumulates as DECIMAL(38,0), NOT as LONG — Spark's SUM(BIGINT)
+    silently WRAPS past 2^63 in non-ANSI mode while DuckDB's SUM(BIGINT)
+    promotes to HUGEINT, so a long accumulator diverges exactly when the
+    data gets big (found by the r7 sf1 oracle sweep: Σ(2·rank)² over 6M
+    rows ≈ 2.9e20 went negative). DECIMAL(38,0) holds sums to 1e38 —
+    ~1e17 rows at the per-value bound — and stays exact integer
+    arithmetic on both engines."""
     c = _c(col).cast("double")
-    return F.sum(F.floor(c * F.lit(float(10**scale)) + F.lit(0.5)).cast("long"))
+    q = F.floor(c * F.lit(float(10**scale)) + F.lit(0.5)).cast("long")
+    return F.sum(q.cast("decimal(38,0)"))
 
 
 def lsum_sql(expr: str, scale: int = 6) -> str:
