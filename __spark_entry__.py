@@ -3100,82 +3100,88 @@ def ewm_mean_last(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # gaussian(window=5, std=1.0) weights via the closed-form shape table
-# (windows.win_type_weights) — the exact doubles are embedded as literals
-# in BOTH engines, so the dot products agree to the last rounding digit.
-_GAUSS_W = windows.win_type_weights("gaussian", 5, std=1.0)
-_GAUSS_WSUM = float(sum(_GAUSS_W))
+# (windows.win_type_weights), DYADIC-quantized (det.dyadic, 2^-38 grid):
+# l_quantity is integer-valued (≤ 50, 6 bits), so every w·x product and
+# every ≤5-term partial sum is an EXACT double — the dot products are
+# bit-identical on any engine including ones that contract mul+add into
+# FMA (the r7 sf1 sweep caught a 1-ulp chain difference with
+# full-precision weights, landing exactly on a ROUND .5 boundary).
+_GAUSS_W = det.dyadic(windows.win_type_weights("gaussian", 5, std=1.0))
+_GAUSS_WSUM = float(sum(_GAUSS_W))  # exact: 41-bit dyadic
 _GAUSS_W2SUM = float(sum(w * w for w in _GAUSS_W))
-_GAUSS_CASE = " ".join(
-    f"WHEN {4 - i} THEN {w!r}" for i, w in enumerate(_GAUSS_W)
-)
+# debias factor as ONE plan-time literal on both engines (see
+# windows.weighted_window for why the engine must not compute it)
+_GAUSS_K = _GAUSS_WSUM / (_GAUSS_WSUM * _GAUSS_WSUM - _GAUSS_W2SUM)
 
 # r7: the win_type tail (reference accepts any scipy shape name,
 # parallel_window.py:206-213) — kaiser/parzen/bohman/blackmanharris
-# closed forms, embedded as exact-double literals in both engines
+# closed forms, dyadic-quantized like the gaussian above
 _SHAPE_W = {
-    "kaiser": windows.win_type_weights("kaiser", 5, beta=6.0),
-    "parzen": windows.win_type_weights("parzen", 5),
-    "bohman": windows.win_type_weights("bohman", 5),
-    "blackmanharris": windows.win_type_weights("blackmanharris", 5),
+    "kaiser": det.dyadic(windows.win_type_weights("kaiser", 5, beta=6.0)),
+    "parzen": det.dyadic(windows.win_type_weights("parzen", 5)),
+    "bohman": det.dyadic(windows.win_type_weights("bohman", 5)),
+    "blackmanharris": det.dyadic(windows.win_type_weights("blackmanharris", 5)),
 }
+_LIT3_W = det.dyadic([0.2, 0.3, 0.5])
 
 
-def _shape_case(ws: list[float]) -> str:
-    return " ".join(f"WHEN {4 - i} THEN {w!r}" for i, w in enumerate(ws))
+def _lag_dot(ws: list[float], squared: bool = False, over: str = "w") -> str:
+    """Oracle-side weighted dot product as an explicit LAG chain with the
+    SAME association order as Spark's fold (weighted_window's
+    ``F.aggregate``: init 0.0, oldest term first). A join-group SUM gives
+    DuckDB freedom over addition order, and the r7 sf1 sweep caught a
+    1-ulp order difference landing exactly on a ROUND .5 boundary —
+    bit-reproducibility needs the identical expression tree, not just
+    the identical multiset of terms."""
+    n = len(ws)
+    expr = "0.0"
+    for i, wt in enumerate(ws):
+        k = n - 1 - i  # weights[0] applies to the OLDEST row in the frame
+        src = f"LAG(l_quantity, {k}) OVER {over}" if k else "l_quantity"
+        term = f"({src}*{wt!r})*{src}" if squared else f"{src}*{wt!r}"
+        expr = f"({expr} + {term})"
+    return expr
+
+_GVAR = (
+    f"(({_lag_dot(_GAUSS_W, squared=True)} - "
+    f"{_lag_dot(_GAUSS_W)}*{_lag_dot(_GAUSS_W)}/{_GAUSS_WSUM!r}) * {_GAUSS_K!r})"
+)
 
 @_q(
     "weighted_rolling_mean",
     f"""
 WITH r AS (
-  SELECT l_orderkey, l_linenumber, l_suppkey, l_quantity,
-         ROW_NUMBER() OVER (PARTITION BY l_suppkey
-                            ORDER BY l_orderkey, l_linenumber, l_quantity) AS rn
+  SELECT l_orderkey, l_linenumber,
+         ROW_NUMBER() OVER w AS rn,
+         {_lag_dot(_LIT3_W)} AS d_lit3,
+         {_lag_dot(_GAUSS_W)} AS d_g,
+         {_GVAR} AS v_g,
+         {_lag_dot(_SHAPE_W["kaiser"])} AS d_k,
+         {_lag_dot(_SHAPE_W["parzen"])} AS d_p,
+         {_lag_dot(_SHAPE_W["bohman"])} AS d_b,
+         {_lag_dot(_SHAPE_W["blackmanharris"])} AS d_bh
   FROM lineitem
+  WINDOW w AS (PARTITION BY l_suppkey
+               ORDER BY l_orderkey, l_linenumber, l_quantity)
 )
-SELECT 'lit3' AS src, a.l_orderkey, a.l_linenumber,
-  CASE WHEN a.rn >= 3 THEN ROUND(SUM(b.l_quantity *
-    CASE a.rn - b.rn WHEN 2 THEN 0.2 WHEN 1 THEN 0.3 WHEN 0 THEN 0.5 END) / 1.0, 6) END AS wmean
-FROM r a JOIN r b
-  ON b.l_suppkey = a.l_suppkey AND b.rn BETWEEN a.rn - 2 AND a.rn
-GROUP BY a.l_suppkey, a.l_orderkey, a.l_linenumber, a.rn
+SELECT 'lit3' AS src, l_orderkey, l_linenumber,
+  CASE WHEN rn >= 3 THEN ROUND(d_lit3 / {float(sum(_LIT3_W))!r}, 6) END AS wmean
+FROM r
 UNION ALL BY NAME
-SELECT 'gauss5' AS src, a.l_orderkey, a.l_linenumber,
-  CASE WHEN a.rn >= 5 THEN ROUND(SUM(b.l_quantity *
-    CASE a.rn - b.rn {_GAUSS_CASE} END) / {_GAUSS_WSUM!r}, 6) END AS wmean
-FROM r a JOIN r b
-  ON b.l_suppkey = a.l_suppkey AND b.rn BETWEEN a.rn - 4 AND a.rn
-GROUP BY a.l_suppkey, a.l_orderkey, a.l_linenumber, a.rn
+SELECT 'gauss5' AS src, l_orderkey, l_linenumber,
+  CASE WHEN rn >= 5 THEN ROUND(d_g / {_GAUSS_WSUM!r}, 6) END AS wmean
+FROM r
 UNION ALL BY NAME
 SELECT 'gauss5var' AS src, l_orderkey, l_linenumber,
-  ROUND((s2 - s1*s1/{_GAUSS_WSUM!r}) * {_GAUSS_WSUM!r}
-        / ({_GAUSS_WSUM!r}*{_GAUSS_WSUM!r} - {_GAUSS_W2SUM!r}), 6) AS wvar,
-  ROUND(SQRT((s2 - s1*s1/{_GAUSS_WSUM!r}) * {_GAUSS_WSUM!r}
-        / ({_GAUSS_WSUM!r}*{_GAUSS_WSUM!r} - {_GAUSS_W2SUM!r})), 6) AS wstd
-FROM (
-  SELECT a.l_orderkey, a.l_linenumber, a.rn,
-    SUM(b.l_quantity * CASE a.rn - b.rn {_GAUSS_CASE} END) AS s1,
-    SUM(b.l_quantity * CASE a.rn - b.rn {_GAUSS_CASE} END * b.l_quantity) AS s2
-  FROM r a JOIN r b
-    ON b.l_suppkey = a.l_suppkey AND b.rn BETWEEN a.rn - 4 AND a.rn
-  GROUP BY a.l_suppkey, a.l_orderkey, a.l_linenumber, a.rn
-) WHERE rn >= 5
+  ROUND(v_g, 6) AS wvar, ROUND(SQRT(v_g), 6) AS wstd
+FROM r WHERE rn >= 5
 UNION ALL BY NAME
-SELECT 'shapes4' AS src, a.l_orderkey, a.l_linenumber,
-  CASE WHEN a.rn >= 5 THEN ROUND(SUM(b.l_quantity *
-    CASE a.rn - b.rn {_shape_case(_SHAPE_W["kaiser"])} END)
-    / {float(sum(_SHAPE_W["kaiser"]))!r}, 6) END AS kmean,
-  CASE WHEN a.rn >= 5 THEN ROUND(SUM(b.l_quantity *
-    CASE a.rn - b.rn {_shape_case(_SHAPE_W["parzen"])} END)
-    / {float(sum(_SHAPE_W["parzen"]))!r}, 6) END AS pmean,
-  CASE WHEN a.rn >= 5 THEN ROUND(SUM(b.l_quantity *
-    CASE a.rn - b.rn {_shape_case(_SHAPE_W["bohman"])} END)
-    / {float(sum(_SHAPE_W["bohman"]))!r}, 6) END AS bmean,
-  CASE WHEN a.rn >= 5 THEN ROUND(SUM(b.l_quantity *
-    CASE a.rn - b.rn {_shape_case(_SHAPE_W["blackmanharris"])} END)
-    / {float(sum(_SHAPE_W["blackmanharris"]))!r}, 6) END AS bhmean
-FROM r a JOIN r b
-  ON b.l_suppkey = a.l_suppkey AND b.rn BETWEEN a.rn - 4 AND a.rn
-GROUP BY a.l_suppkey, a.l_orderkey, a.l_linenumber, a.rn
+SELECT 'shapes4' AS src, l_orderkey, l_linenumber,
+  CASE WHEN rn >= 5 THEN ROUND(d_k / {float(sum(_SHAPE_W["kaiser"]))!r}, 6) END AS kmean,
+  CASE WHEN rn >= 5 THEN ROUND(d_p / {float(sum(_SHAPE_W["parzen"]))!r}, 6) END AS pmean,
+  CASE WHEN rn >= 5 THEN ROUND(d_b / {float(sum(_SHAPE_W["bohman"]))!r}, 6) END AS bmean,
+  CASE WHEN rn >= 5 THEN ROUND(d_bh / {float(sum(_SHAPE_W["blackmanharris"]))!r}, 6) END AS bhmean
+FROM r
 """,
 )
 def weighted_rolling_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3195,7 +3201,7 @@ def weighted_rolling_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         li,
         "l_quantity",
         3,
-        [0.2, 0.3, 0.5],
+        _LIT3_W,
         _LI_ORD,
         ["l_suppkey"],
         func="mean",

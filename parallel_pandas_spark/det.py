@@ -214,6 +214,25 @@ def cross_sum_sql(a: str, b: str, scale: int = 6, wide: bool = False) -> str:
 # exact to 1e38.
 
 
+def dyadic(values, bits: int = 38) -> list[float]:
+    """Round each value to the nearest multiple of 2^-bits (a DYADIC
+    rational, exactly representable in binary64).
+
+    Purpose: weighted dot products over integer-valued data. With
+    weights on a 2^-38 grid and |x| < 2^k integers, every product
+    w·x (k+38 bits) and every ≤2^m-term partial sum (k+m+38 bits ≤ 53)
+    is EXACT — so the accumulated dot product is one specific double on
+    every engine, even where a C++ engine contracts multiply+add into
+    FMA (fma of exactly-representable operands whose result fits is the
+    same value as round-after-multiply-then-add). Found necessary by the
+    r7 sf1 sweep: full-precision gaussian weights left the weighted-var
+    chain 1 ulp apart between Spark (strict JVM FP) and DuckDB on ~1 row
+    in 6M, exactly on a ROUND .5 boundary. The ≤2^-38 (~4e-12) weight
+    perturbation is orders below every published tolerance."""
+    scale = float(1 << bits)
+    return [round(float(v) * scale) / scale for v in values]
+
+
 def lsum(col, scale: int = 6) -> Column:
     """Exact scaled-long sum of an expression.
 

@@ -952,8 +952,21 @@ def weighted_window(
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
-        wsum2 = F.lit(float(sum(x * x for x in weights)))
-        var = (dot2 - dot * dot / wsum) * wsum / (wsum * wsum - wsum2)
+        # debias factor Σw/((Σw)²−Σw²) precomputed in PYTHON and embedded
+        # as ONE literal: leaving `wsum*wsum - wsum2` to the engine lets a
+        # C++ engine contract it into FMA (1-ulp constant drift vs the
+        # JVM's strict separate ops — r7 sf1 sweep finding); a single
+        # plan-time double is the same bits everywhere
+        ws = float(sum(weights))
+        den = ws * ws - float(sum(x * x for x in weights))
+        if den == 0.0:
+            # (Σw)² == Σw² ⇒ effectively one observation ⇒ ddof=1
+            # variance undefined — pandas yields NaN; NULL is this
+            # engine's NaN encoding (previously reached lazily via the
+            # non-ANSI x/0→NULL division)
+            var = F.lit(None).cast("double")
+        else:
+            var = (dot2 - dot * dot / wsum) * F.lit(ws / den)
         expr = F.sqrt(var) if func == "std" else var
     elif func == "mean":
         expr = dot / wsum

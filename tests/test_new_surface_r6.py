@@ -395,8 +395,15 @@ def test_rolling_expanding_agg_spec_vs_pandas(spark):
     _assert_series_match(got, pdf["i"], exp["v"].median(), "v_exp_median", "em")
     _assert_series_match(got, pdf["i"], exp["v"].var(), "v_exp_var", "ev")
 
+    # r7: bare-list specs are legal (pandas Rolling.agg(["mean"]) applies
+    # to every numeric value column) — order keys excluded like the index
+    r = ParallelFrame(df).rolling(4, ["i"]).p_agg(["mean"])
+    got = {row["i"]: row.asDict() for row in r.collect()}
+    _assert_series_match(got, pdf["i"], roll["v"].mean(), "v_roll_mean", "lv")
+    _assert_series_match(got, pdf["i"], roll["u"].mean(), "u_roll_mean", "lu")
+
     with pytest.raises(TypeError):
-        ParallelFrame(df).rolling(4, ["i"]).p_agg(["mean"])
+        ParallelFrame(df).rolling(4, ["i"]).p_agg(42)
 
 
 def test_expanding_full_op_set_vs_pandas(spark):
