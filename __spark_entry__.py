@@ -4709,22 +4709,182 @@ def bm25_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.bm25_topk(d, "doc_id", "text", _BM25_TERMS, k=10)
 
 
+_REP_ORACLE = r"""
+WITH t AS (
+  SELECT doc_id,
+         regexp_split_to_array(TRIM(LOWER(text)), '\s+') AS toks,
+         CAST(LENGTH(TRIM(regexp_replace(LOWER(text), '\s+', ' ', 'g'))) AS DOUBLE) AS n_chars
+  FROM documents WHERE LENGTH(TRIM(text)) > 0
+),
+base AS (
+  SELECT doc_id, n_chars,
+         CAST(len(toks) AS DOUBLE) AS n,
+         CAST(len(list_distinct(toks)) AS DOUBLE) AS nd,
+         CAST(list_sum(list_transform(toks, x -> LENGTH(x))) AS DOUBLE) AS tc,
+         CAST(list_sum(list_transform(list_distinct(toks), x -> LENGTH(x))) AS DOUBLE) AS dc
+  FROM t
+),
+g2 AS (
+  SELECT doc_id, gram, COUNT(*) AS cnt,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY COUNT(*) DESC, gram ASC) AS rk
+  FROM (
+    SELECT doc_id,
+           UNNEST(list_transform(range(1, len(toks)),
+                                 i -> toks[i] || ' ' || toks[i+1])) AS gram
+    FROM t WHERE len(toks) >= 2
+  ) GROUP BY doc_id, gram
+),
+g3 AS (
+  SELECT doc_id, gram, COUNT(*) AS cnt,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY COUNT(*) DESC, gram ASC) AS rk
+  FROM (
+    SELECT doc_id,
+           UNNEST(list_transform(range(1, len(toks) - 1),
+                                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS gram
+    FROM t WHERE len(toks) >= 3
+  ) GROUP BY doc_id, gram
+)
+SELECT b.doc_id,
+  ROUND((n - nd) / n, 6) AS dup_word_frac,
+  ROUND((tc - dc) / tc, 6) AS dup_word_char_frac,
+  g2.gram AS top_bigram,
+  COALESCE(ROUND(g2.cnt * LENGTH(g2.gram) / b.n_chars, 6), 0.0) AS top_bigram_char_frac,
+  COALESCE(ROUND(g3.cnt * LENGTH(g3.gram) / b.n_chars, 6), 0.0) AS top_trigram_char_frac,
+  (COALESCE(ROUND(g2.cnt * LENGTH(g2.gram) / b.n_chars, 6), 0.0) <= 0.20
+   AND COALESCE(ROUND(g3.cnt * LENGTH(g3.gram) / b.n_chars, 6), 0.0) <= 0.18
+   AND ROUND((n - nd) / n, 6) <= 0.80) AS passes_gopher
+FROM base b
+LEFT JOIN g2 ON b.doc_id = g2.doc_id AND g2.rk = 1
+LEFT JOIN g3 ON b.doc_id = g3.doc_id AND g3.rk = 1
+"""
+
+
+@_q("repetition_gopher", _REP_ORACLE)
+def repetition_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition-removal signals (text.repetition_profile):
+    dup-word fractions, most-frequent 2/3-gram char coverage, and the
+    composite keep/drop flag. Spark computes the per-doc n-gram mode with
+    an array_sort+fold INSIDE the row (zero shuffles, one scan); the
+    oracle computes the same mode the relational way (unnest → group →
+    row_number) — two genuinely different algorithms, one answer."""
+    d = load_table(spark, sf_dir, "documents")
+    return text.repetition_profile(d, "doc_id", "text")
+
+
+# synthetic contact line derived deterministically from customer columns —
+# both engines BUILD the same string, then each COUNTS/REDACTS with its
+# own regex engine (Java vs RE2); ' | ' separators keep patterns from
+# straddling fields in either dialect
+_PII_CONTACT_SQL = """CONCAT_WS(' | ', c_name,
+  CASE WHEN c_custkey % 3 = 0
+       THEN 'user' || CAST(c_custkey AS VARCHAR) || '@example.org'
+       ELSE 'mail none' END,
+  CASE WHEN c_custkey % 2 = 0
+       THEN '+1-555-' || CAST(c_custkey % 900 + 100 AS VARCHAR)
+            || '-' || CAST(c_custkey % 9000 + 1000 AS VARCHAR)
+       ELSE 'tel none' END,
+  '10.' || CAST(c_custkey % 256 AS VARCHAR) || '.0.'
+        || CAST(c_nationkey % 256 AS VARCHAR),
+  CASE WHEN c_custkey % 5 = 0
+       THEN CAST(c_custkey % 900 + 100 AS VARCHAR) || '-'
+            || CAST(c_custkey % 90 + 10 AS VARCHAR) || '-'
+            || CAST(c_custkey % 9000 + 1000 AS VARCHAR)
+       ELSE 'sid none' END)"""
+
+_PII_RED_SQL = "contact"
+for _n in sorted(text.PII_PATTERNS):
+    _PII_RED_SQL = (
+        f"regexp_replace({_PII_RED_SQL}, '{text.PII_PATTERNS[_n]}',"
+        f" '<{_n.upper()}>', 'g')"
+    )
+
+_PII_ORACLE = f"""
+WITH c AS (
+  SELECT c_mktsegment, {_PII_CONTACT_SQL} AS contact FROM customer
+),
+r AS (
+  SELECT c_mktsegment,
+    len(regexp_extract_all(contact, '{text.PII_PATTERNS["email"]}')) AS ne,
+    len(regexp_extract_all(contact, '{text.PII_PATTERNS["phone"]}')) AS np,
+    len(regexp_extract_all(contact, '{text.PII_PATTERNS["ipv4"]}')) AS ni,
+    len(regexp_extract_all(contact, '{text.PII_PATTERNS["ssn"]}')) AS ns,
+    md5('s0:' || {_PII_RED_SQL}) AS rh
+  FROM c
+)
+SELECT c_mktsegment, COUNT(*) AS n_rows,
+  CAST(SUM(ne) AS BIGINT) AS n_email,
+  CAST(SUM(np) AS BIGINT) AS n_phone,
+  CAST(SUM(ni) AS BIGINT) AS n_ipv4,
+  CAST(SUM(ns) AS BIGINT) AS n_ssn,
+  CAST(SUM(({_hexfold_sql("rh")}) % 1000003) AS BIGINT) AS redact_checksum
+FROM r GROUP BY c_mktsegment
+"""
+
+
+@_q("pii_scan", _PII_ORACLE)
+def pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction (text.pii_counts / text.pii_redact) over
+    a contact line built deterministically from customer columns (the
+    synthetic corpus has no organic PII): per-segment match counts for
+    email/phone/ipv4/ssn patterns plus an order-insensitive md5 checksum
+    of the REDACTED text — so the oracle proves both the counts and the
+    redacted bytes. One scan, JVM regex only, one segment-keyed shuffle
+    of 5 aggregate rows."""
+    ck = F.col("c_custkey")
+
+    def s(x):
+        return x.cast("string")
+
+    email = F.when(
+        ck % 3 == 0, F.concat(F.lit("user"), s(ck), F.lit("@example.org"))
+    ).otherwise(F.lit("mail none"))
+    phone = F.when(
+        ck % 2 == 0,
+        F.concat(F.lit("+1-555-"), s(ck % 900 + 100), F.lit("-"), s(ck % 9000 + 1000)),
+    ).otherwise(F.lit("tel none"))
+    ip = F.concat(
+        F.lit("10."), s(ck % 256), F.lit(".0."), s(F.col("c_nationkey") % 256)
+    )
+    ssn = F.when(
+        ck % 5 == 0,
+        F.concat(s(ck % 900 + 100), F.lit("-"), s(ck % 90 + 10), F.lit("-"),
+                 s(ck % 9000 + 1000)),
+    ).otherwise(F.lit("sid none"))
+    cust = load_table(spark, sf_dir, "customer").withColumn(
+        "contact", F.concat_ws(" | ", F.col("c_name"), email, phone, ip, ssn)
+    )
+    counts = text.pii_counts("contact")
+    checksum = dedup.md5_long(text.pii_redact("contact")) % 1000003
+    return cust.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(counts["email"]).cast("long").alias("n_email"),
+        F.sum(counts["phone"]).cast("long").alias("n_phone"),
+        F.sum(counts["ipv4"]).cast("long").alias("n_ipv4"),
+        F.sum(counts["ssn"]).cast("long").alias("n_ssn"),
+        F.sum(checksum).cast("long").alias("redact_checksum"),
+    )
+
+
 _bfn, _bsql = _compose_union(
     [
         ("profile", "text_profile"),
         ("fingerprint", "doc_fingerprints"),
         ("vocab", "corpus_vocab_topk"),
         ("bm25", "bm25_ranking"),
+        ("repetition", "repetition_gopher"),
+        ("pii", "pii_scan"),
     ]
 )
 _bfn.__doc__ = """Text analysis (pipeline ops): single-scan profile
 (lang-ID, quality score, token counts), md5/rolling-hash fingerprints,
 (r6) the top-k corpus vocabulary with term + document frequencies
-(BPE-vocab seeding / IDF statistics), and (r6) Okapi BM25 lexical
-retrieval scoring for quality-targeted subcorpus selection."""
+(BPE-vocab seeding / IDF statistics), (r6) Okapi BM25 lexical retrieval
+scoring for quality-targeted subcorpus selection, (r7) Gopher
+repetition-removal signals with the published keep/drop thresholds, and
+(r7) PII detect + redact with a value-checked redaction checksum."""
 _q("text_doc_battery", _bsql)(_bfn)
 _retire("text_profile", "doc_fingerprints", "corpus_vocab_topk",
-        "bm25_ranking")
+        "bm25_ranking", "repetition_gopher", "pii_scan")
 
 _bfn, _bsql = _compose_union(
     [("decode", "multimodal_decode"), ("frames", "video_frame_sample")]

@@ -209,6 +209,139 @@ def vocab_topk(
     return agg.orderBy(F.col("tf").desc(), F.col("token").asc()).limit(k)
 
 
+def _top_run(sorted_arr: Column) -> Column:
+    """(value, count) of the most frequent element of a SORTED string
+    array, as a struct — computed by a single JVM fold (no explode, no
+    shuffle): walk the array counting runs; strict ``>`` keeps the FIRST
+    (= lexicographically smallest) value on count ties, matching a
+    ``count DESC, value ASC`` SQL argmax."""
+    init = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("best_run"),
+        F.lit("").alias("best"),
+    )
+
+    def step(acc, x):
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1).cast("long"))
+        better = run > acc["best_run"]
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.when(better, run).otherwise(acc["best_run"]).alias("best_run"),
+            F.when(better, x).otherwise(acc["best"]).alias("best"),
+        )
+
+    return F.aggregate(
+        sorted_arr,
+        init,
+        step,
+        lambda acc: F.struct(acc["best"].alias("value"), acc["best_run"].alias("count")),
+    )
+
+
+def repetition_profile(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Gopher-style repetition signals per document (Rae et al. 2021,
+    "Scaling Language Models", table A1 — the repetition-removal rules a
+    training-data pipeline applies before dedup):
+
+    - ``dup_word_frac``    — fraction of token occurrences that repeat an
+      earlier token: (n_tokens − n_distinct_tokens) / n_tokens.
+    - ``dup_word_char_frac`` — same, weighted by token length (the
+      character mass carried by repeated occurrences).
+    - ``top_bigram`` / ``top_bigram_char_frac`` — the most frequent word
+      2-gram and the fraction of characters it covers
+      (count × len(gram) / n_chars, Gopher's definition — may exceed 1
+      for degenerate texts because occurrences overlap).
+    - ``top_trigram_char_frac`` — same for 3-grams.
+    - ``passes_gopher`` — the composite keep/drop flag with Gopher's
+      published thresholds (top-2-gram ≤ 0.20, top-3-gram ≤ 0.18), plus a
+      dup-word bound standing in for the line-level rules (this corpus
+      has no newlines).
+
+    100 TB shape: ONE scan, zero shuffles — every signal is a JVM array
+    expression (array_sort + fold for the per-doc n-gram mode instead of
+    an explode/groupBy, so corpus-sized gram lists never hit a shuffle);
+    flags compare ROUNDED values so the cut is reproducible cross-engine.
+    """
+    c = F.col(text_col)
+    toks = tokens(F.lower(c))
+    n_tok = token_count(F.lower(c)).cast("double")
+    n_dis = F.size(F.array_distinct(toks)).cast("double")
+    tok_chars = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda a, x: a + F.length(x)
+    ).cast("double")
+    dis_chars = F.aggregate(
+        F.array_distinct(toks), F.lit(0).cast("long"), lambda a, x: a + F.length(x)
+    ).cast("double")
+    n_chars = F.length(normalize_text(c)).cast("double")
+
+    top2 = _top_run(F.array_sort(word_ngrams(F.lower(c), 2)))
+    top3 = _top_run(F.array_sort(word_ngrams(F.lower(c), 3)))
+
+    dup_word_frac = F.round((n_tok - n_dis) / n_tok, 6)
+    dup_char_frac = F.round((tok_chars - dis_chars) / tok_chars, 6)
+    big_frac = F.round(
+        F.when(
+            n_tok >= 2,
+            top2["count"].cast("double") * F.length(top2["value"]) / n_chars,
+        ).otherwise(F.lit(0.0)),
+        6,
+    )
+    tri_frac = F.round(
+        F.when(
+            n_tok >= 3,
+            top3["count"].cast("double") * F.length(top3["value"]) / n_chars,
+        ).otherwise(F.lit(0.0)),
+        6,
+    )
+    out = df.where(F.length(F.trim(c)) > 0).select(
+        F.col(id_col),
+        dup_word_frac.alias("dup_word_frac"),
+        dup_char_frac.alias("dup_word_char_frac"),
+        F.when(n_tok >= 2, top2["value"]).alias("top_bigram"),
+        big_frac.alias("top_bigram_char_frac"),
+        tri_frac.alias("top_trigram_char_frac"),
+    )
+    return out.withColumn(
+        "passes_gopher",
+        (F.col("top_bigram_char_frac") <= 0.20)
+        & (F.col("top_trigram_char_frac") <= 0.18)
+        & (F.col("dup_word_frac") <= 0.80),
+    )
+
+
+#: cross-engine PII patterns — a dialect subset that parses and matches
+#: identically under Java regex (Spark) and RE2-ish (DuckDB): literal
+#: classes, bounded repetition, no lookaround/backrefs.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+?[0-9]{1,3}[- ][0-9]{3}[- ][0-9]{3,4}[- ][0-9]{4}",
+    "ipv4": r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}",
+    "ssn": r"[0-9]{3}-[0-9]{2}-[0-9]{4}",
+}
+
+
+def pii_counts(col: Column | str, patterns: dict[str, str] | None = None) -> dict[str, Column]:
+    """Per-row match counts for each PII pattern — ``regexp_count`` is a
+    JVM expression, one scan, no Python."""
+    c = F.col(col) if isinstance(col, str) else col
+    pats = patterns or PII_PATTERNS
+    return {name: F.regexp_count(c, F.lit(p)) for name, p in pats.items()}
+
+
+def pii_redact(col: Column | str, patterns: dict[str, str] | None = None) -> Column:
+    """Replace every PII match with ``<NAME>`` tags, applied in sorted
+    pattern-name order (deterministic composition — e.g. ssn would also
+    match inside phone-shaped strings, so application order is part of
+    the contract)."""
+    c = F.col(col) if isinstance(col, str) else col
+    pats = patterns or PII_PATTERNS
+    for name in sorted(pats):
+        c = F.regexp_replace(c, pats[name], f"<{name.upper()}>")
+    return c
+
+
 def text_profile(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """One row per document: token stats + quality + language guess +
     fingerprint. Single scan."""

@@ -1,0 +1,182 @@
+"""Round-7 surface: Gopher repetition signals, PII detect/redact, the
+dyadic weight quantizer, and the DECIMAL(38,0) scaled-sum accumulator —
+each twinned against an independent Python/pandas computation.
+
+Reference scope note: the repetition/PII operators extend the engine
+beyond the reference (training-data pipeline ops); the repetition
+definitions follow Rae et al. 2021 (Gopher) appendix A1.
+"""
+
+import math
+import re
+from collections import Counter
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from parallel_pandas_spark import det
+from parallel_pandas_spark.operators import text
+
+
+# ------------------------------------------------------- repetition_profile
+def _py_repetition(doc_id, s):
+    """Straight-line Python twin of text.repetition_profile."""
+    toks = s.strip().lower().split()
+    n, nd = len(toks), len(set(toks))
+    tc = sum(len(t) for t in toks)
+    dc = sum(len(t) for t in set(toks))
+    n_chars = len(" ".join(s.lower().split()))
+    row = {
+        "doc_id": doc_id,
+        "dup_word_frac": round((n - nd) / n, 6),
+        "dup_word_char_frac": round((tc - dc) / tc, 6),
+    }
+    for nn, col in ((2, "top_bigram_char_frac"), (3, "top_trigram_char_frac")):
+        if n >= nn:
+            grams = [" ".join(toks[i : i + nn]) for i in range(n - nn + 1)]
+            cnt = Counter(grams)
+            best = max(cnt, key=lambda g: (cnt[g], [-ord(c) for c in g]))
+            row[col] = round(cnt[best] * len(best) / n_chars, 6)
+            if nn == 2:
+                row["top_bigram"] = best
+        else:
+            row[col] = 0.0
+            if nn == 2:
+                row["top_bigram"] = None
+    row["passes_gopher"] = (
+        row["top_bigram_char_frac"] <= 0.20
+        and row["top_trigram_char_frac"] <= 0.18
+        and row["dup_word_frac"] <= 0.80
+    )
+    return row
+
+
+REP_DOCS = [
+    (0, "the cat sat on the mat the cat sat again"),
+    (1, "a a a a a a a a"),                      # degenerate repetition
+    (2, "unique words only here today friend"),  # no repetition
+    (3, "single"),                               # 1 token: no n-grams
+    (4, "two tokens"),                           # bigram only
+    (5, "x y x y x y x y z"),                    # tied-ish runs
+    (6, "alpha beta alpha beta gamma alpha beta"),
+]
+
+
+def test_repetition_profile_vs_python(spark):
+    sdf = spark.createDataFrame(
+        [(i, s) for i, s in REP_DOCS], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in text.repetition_profile(sdf, "doc_id", "text").collect()
+    }
+    for i, s in REP_DOCS:
+        want = _py_repetition(i, s)
+        g = got[i]
+        assert set(g) == set(want)
+        for k, wv in want.items():
+            if isinstance(wv, float):
+                assert g[k] == pytest.approx(wv, abs=1e-12), (i, k, g[k], wv)
+            else:
+                assert g[k] == wv, (i, k, g[k], wv)
+
+
+def test_repetition_profile_tie_is_lexicographic(spark):
+    # 'b b' and 'a a' both occur twice; smallest gram must win in the fold
+    sdf = spark.createDataFrame(
+        [(0, "b b b a a a")], "doc_id long, text string"
+    )
+    row = text.repetition_profile(sdf, "doc_id", "text").collect()[0]
+    assert row["top_bigram"] == "a a"
+
+
+# ------------------------------------------------------------- PII ops
+PII_SAMPLES = [
+    "contact jane.doe+spam@mail.example.co or 10.0.0.1",
+    "call +1-555-123-4567 | ssn 123-45-6789 end",
+    "no pii here at all",
+    "two mails: a@b.io c.d@e-f.org and ip 192.168.001.255",
+    "edge 999-99-9999 and 1-234-567-8901",
+]
+
+
+def test_pii_counts_vs_python_re(spark):
+    sdf = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(PII_SAMPLES)], "i long, t string"
+    )
+    counts = text.pii_counts("t")
+    got = {
+        r["i"]: r.asDict()
+        for r in sdf.select(
+            "i", *[c.alias(n) for n, c in counts.items()]
+        ).collect()
+    }
+    for i, s in enumerate(PII_SAMPLES):
+        for name, pat in text.PII_PATTERNS.items():
+            want = len(re.findall(pat, s))
+            assert got[i][name] == want, (i, name, got[i][name], want, s)
+
+
+def test_pii_redact_vs_python_re(spark):
+    sdf = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(PII_SAMPLES)], "i long, t string"
+    )
+    got = {
+        r["i"]: r["red"]
+        for r in sdf.select("i", text.pii_redact("t").alias("red")).collect()
+    }
+    for i, s in enumerate(PII_SAMPLES):
+        want = s
+        for name in sorted(text.PII_PATTERNS):
+            want = re.sub(text.PII_PATTERNS[name], f"<{name.upper()}>", want)
+        assert got[i] == want, (i, got[i], want)
+        assert "@" not in got[i].replace("<EMAIL>", "")
+
+
+# ------------------------------------------------------------- det.dyadic
+def test_dyadic_values_are_exact_doubles():
+    vals = [0.2, 0.3, 0.5, 1 / 3, math.pi / 10, 1e-9, 0.0, 1.0]
+    q = det.dyadic(vals)
+    for v, d in zip(vals, q):
+        # exactly representable: scaling by 2^38 yields an integer
+        assert (d * (1 << 38)) == int(d * (1 << 38))
+        assert abs(v - d) <= 2.0 ** -39  # nearest-grid rounding bound
+
+
+def test_dyadic_dot_products_fold_exactly():
+    # with 6-bit integer data and dyadic weights, the fold is exact: any
+    # association order gives the same double
+    w = det.dyadic([0.12345, 0.54321, 0.33333])
+    xs = [17.0, 50.0, 3.0]
+    terms = [wi * xi for wi, xi in zip(w, xs)]
+    left = (terms[0] + terms[1]) + terms[2]
+    right = terms[0] + (terms[1] + terms[2])
+    assert left == right
+    # and matches an exact-arithmetic evaluation
+    from fractions import Fraction
+
+    exact = sum(Fraction(wi) * Fraction(xi) for wi, xi in zip(w, xs))
+    assert Fraction(left) == exact
+
+
+# -------------------------------------------------- lsum decimal accumulator
+def test_lsum_does_not_wrap_past_2_63(spark):
+    # 2000 values of 9e12: scaled by 1e6 -> 9e18 each partial step crosses
+    # 2^63 ~ 9.22e18 almost immediately; a LONG accumulator wraps negative
+    n, v = 2000, 9.0e12
+    sdf = spark.range(n).select(F.lit(v).alias("x"))
+    out = sdf.agg(det.lsum("x").alias("s")).collect()[0]["s"]
+    assert int(out) == n * int(v * 1e6)
+    assert int(out) > 2**63  # the point: the true sum exceeds LONG range
+
+
+def test_fsum_matches_exact_sum_at_scale(spark):
+    # per-VALUE magnitudes stay inside lsum's caller contract
+    # (|x|*10^6 < 2^62) while the ACCUMULATED scaled sum crosses 2^63
+    n, step = 1500, 4.000001e9
+    sdf = spark.range(n).select((F.col("id").cast("double") * step).alias("x"))
+    got = sdf.agg(det.fsum("x").alias("s")).collect()[0]["s"]
+    want = sum(i * step for i in range(n))
+    assert sum(int(i * step * 1e6) for i in range(n)) > 2**63
+    assert got == pytest.approx(want, rel=1e-12)

@@ -98,6 +98,9 @@ def digest_compare(name: str, spdf: pd.DataFrame, ddf: pd.DataFrame) -> list[str
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "localdata/sf1"
     out_path = sys.argv[2] if len(sys.argv) > 2 else None
+    # optional: re-check only the named queries, merging into out_path's
+    # existing results (for re-verifying fixes without a full 50-query pass)
+    only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
 
     import duckdb
 
@@ -118,7 +121,12 @@ def main() -> None:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
     results: dict[str, dict] = {}
+    if only and out_path and os.path.exists(out_path):
+        with open(out_path) as f:
+            results = json.load(f).get("results", {})
     for name, fn in qs.items():
+        if only and name not in only:
+            continue
         t0 = time.perf_counter()
         if name not in oracles:
             try:
