@@ -206,3 +206,26 @@ def test_query_compiles_to_pushdown(spark):
     pushed = explain.pushed_filters(df)
     assert any("o_totalprice" in p for p in pushed), pushed
     assert any("o_orderstatus" in p for p in pushed), pushed
+
+
+def test_repetition_profile_zero_shuffle(spark):
+    """The per-doc n-gram mode is an array fold INSIDE the row — the
+    corpus-sized gram lists must never reach an Exchange (the relational
+    alternative shuffles ~|corpus tokens| grams)."""
+    from parallel_pandas_spark.operators import text
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    txt = _txt(text.repetition_profile(d, "doc_id", "text"))
+    assert "Exchange" not in txt, txt
+
+
+def test_pii_scan_single_shuffle_partial_agg(spark):
+    """regex count/redact are row-local JVM expressions; the only shuffle
+    is the 5-row segment aggregation (partial map-side first).
+    (pii_scan is retired into text_doc_battery; the module-level function
+    stays importable for plan checks.)"""
+    df = em.pii_scan(spark, SF)
+    txt = _txt(df)
+    assert txt.count("Exchange (") == 1, txt
+    assert "Exchange SinglePartition" not in txt
+    assert "BatchEvalPython" not in txt and "ArrowEvalPython" not in txt
