@@ -5654,7 +5654,10 @@ WITH q AS (
         * 4, 1.0) * 0.2 AS qs
   FROM documents
 ),
-flt AS (SELECT doc_id, lang, n_chars, md5({_NORM_SQL}) AS fp FROM q WHERE qs >= 0.45),
+rep AS ({_REP_ORACLE}),
+flt AS (SELECT q.doc_id, lang, n_chars, md5({_NORM_SQL}) AS fp
+        FROM q JOIN rep ON q.doc_id = rep.doc_id
+        WHERE qs >= 0.45 AND rep.passes_gopher),
 ddp AS (
   SELECT doc_id, lang, n_chars FROM (
     SELECT *, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn FROM flt
@@ -5685,17 +5688,21 @@ FROM sp WHERE split = 'test' GROUP BY split
 @_q("corpus_build_pipeline", _corpus_build_oracle())
 def corpus_build_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end training-corpus build — the showcase that the pipeline
-    operators COMPOSE: quality-score filter (text.py) → exact content
-    dedup keeping the lowest id per fingerprint → stratified downsample
-    (cap 'en' at 50%) → deterministic 10% test holdout → token-budget
-    packing of the train split (packing.py). Every stage is the shipped
-    operator, the whole chain is replayed by one oracle CTE, and only two
-    exchanges move full data (dedup window, pack bucket — the pack-level
-    aggregation reuses the bucket partitioning); the remaining two
-    shuffle only final per-group counters. Filter/sample/split stages are
-    narrow."""
+    operators COMPOSE: (r7) Gopher repetition filter (zero-shuffle inline
+    via repetition_profile keep_cols) → quality-score filter (text.py) →
+    exact content dedup keeping the lowest id per fingerprint →
+    stratified downsample (cap 'en' at 50%) → deterministic 10% test
+    holdout → token-budget packing of the train split (packing.py).
+    Every stage is the shipped operator, the whole chain is replayed by
+    one oracle CTE, and only two exchanges move full data (dedup window,
+    pack bucket — the pack-level aggregation reuses the bucket
+    partitioning); the remaining two shuffle only final per-group
+    counters. Filter/sample/split stages are narrow."""
     docs = load_table(spark, sf_dir, "documents")
-    q = docs.select(
+    rep = text.repetition_profile(
+        docs, "doc_id", "text", keep_cols=("lang", "n_chars", "text")
+    ).where(F.col("passes_gopher"))
+    q = rep.select(
         "doc_id", "lang", "n_chars",
         text.quality_score(F.col("text")).alias("qs"),
         text.fingerprint_md5("text").alias("fp"),

@@ -253,7 +253,9 @@ def _top_run(sorted_arr: Column) -> Column:
     )
 
 
-def repetition_profile(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def repetition_profile(
+    df: DataFrame, id_col: str, text_col: str, keep_cols: "Sequence[str]" = ()
+) -> DataFrame:
     """Gopher-style repetition signals per document (Rae et al. 2021,
     "Scaling Language Models", table A1 — the repetition-removal rules a
     training-data pipeline applies before dedup):
@@ -281,18 +283,25 @@ def repetition_profile(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     CollapseProject inlines only cheap or once-used expressions, and
     higher-order functions run interpreted, so an inline reference is a
     re-execution (measured 16 s -> 1 s on the sf0.1 battery arm).
+
+    ``keep_cols`` carries extra source columns through the staged
+    projections, so a pipeline can filter on ``passes_gopher`` inline —
+    one narrow scan, no join back to the source.
     """
+    keep = [k for k in keep_cols if k != id_col]
     c = F.col(text_col)
     toks, dis = F.col("__toks"), F.col("__dis")
     staged = (
         df.where(F.length(F.trim(c)) > 0)
         .select(
             F.col(id_col),
+            *keep,
             tokens(F.lower(c)).alias("__toks"),
             F.length(normalize_text(c)).cast("double").alias("__nchars"),
         )
         .select(
             id_col,
+            *keep,
             "__nchars",
             "__toks",
             F.array_distinct(toks).alias("__dis"),
@@ -301,6 +310,7 @@ def repetition_profile(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         )
         .select(
             id_col,
+            *keep,
             "__nchars",
             "__t2",
             "__t3",
@@ -318,6 +328,7 @@ def repetition_profile(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     top2, top3 = F.col("__t2"), F.col("__t3")
     out = staged.select(
         F.col(id_col),
+        *keep,
         F.round((n_tok - F.col("__nd")) / n_tok, 6).alias("dup_word_frac"),
         F.round((F.col("__tc") - F.col("__dc")) / F.col("__tc"), 6).alias(
             "dup_word_char_frac"

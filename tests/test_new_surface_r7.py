@@ -180,3 +180,29 @@ def test_fsum_matches_exact_sum_at_scale(spark):
     want = sum(i * step for i in range(n))
     assert sum(int(i * step * 1e6) for i in range(n)) > 2**63
     assert got == pytest.approx(want, rel=1e-12)
+
+
+def test_repetition_profile_fuzz_vs_python(spark):
+    """Randomized word-soup docs over a tiny alphabet (forces repeats,
+    gram ties, and short docs) vs the straight-line Python twin."""
+    import random
+
+    rng = random.Random(707)
+    vocab = ["a", "bb", "ccc", "dd", "e"]
+    docs = []
+    for i in range(60):
+        n = rng.choice([1, 2, 3, 4, 7, 15, 40])
+        docs.append((i, " ".join(rng.choice(vocab) for _ in range(n))))
+    sdf = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in text.repetition_profile(sdf, "doc_id", "text").collect()
+    }
+    for i, s in docs:
+        want = _py_repetition(i, s)
+        for k, wv in want.items():
+            gv = got[i][k]
+            if isinstance(wv, float):
+                assert gv == pytest.approx(wv, abs=1e-12), (i, k, gv, wv, s)
+            else:
+                assert gv == wv, (i, k, gv, wv, s)
