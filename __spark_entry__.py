@@ -4865,6 +4865,39 @@ def pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CHUNK_ORACLE = r"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(TRIM(text), '\s+') AS toks
+  FROM documents WHERE LENGTH(TRIM(text)) > 0
+),
+s AS (
+  SELECT doc_id, toks,
+         UNNEST(range(0, GREATEST(len(toks) - 4, 1), 12)) AS st
+  FROM t
+)
+SELECT doc_id,
+  CAST(st / 12 AS BIGINT) AS chunk_id,
+  CAST(len(toks[st + 1 : st + 16]) AS BIGINT) AS n_chunk_tokens,
+  md5(array_to_string(toks[st + 1 : st + 16], ' ')) AS chunk_fp
+FROM s
+"""
+
+
+@_q("doc_chunking", _CHUNK_ORACLE)
+def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking (text.chunk_tokens): 16-token windows with
+    4-token overlap (stride 12), one row per chunk with an md5 of the
+    chunk text so the oracle value-checks every chunk's exact content and
+    boundaries. Narrow plan: tokenize -> in-row start sequence ->
+    posexplode, zero shuffles."""
+    d = load_table(spark, sf_dir, "documents")
+    ch = text.chunk_tokens(d, "doc_id", "text", max_tokens=16, overlap=4)
+    return ch.select(
+        "doc_id", "chunk_id", "n_chunk_tokens",
+        F.md5("chunk_text").alias("chunk_fp"),
+    )
+
+
 _bfn, _bsql = _compose_union(
     [
         ("profile", "text_profile"),
@@ -4873,6 +4906,7 @@ _bfn, _bsql = _compose_union(
         ("bm25", "bm25_ranking"),
         ("repetition", "repetition_gopher"),
         ("pii", "pii_scan"),
+        ("chunks", "doc_chunking"),
     ]
 )
 _bfn.__doc__ = """Text analysis (pipeline ops): single-scan profile
@@ -4880,11 +4914,12 @@ _bfn.__doc__ = """Text analysis (pipeline ops): single-scan profile
 (r6) the top-k corpus vocabulary with term + document frequencies
 (BPE-vocab seeding / IDF statistics), (r6) Okapi BM25 lexical retrieval
 scoring for quality-targeted subcorpus selection, (r7) Gopher
-repetition-removal signals with the published keep/drop thresholds, and
-(r7) PII detect + redact with a value-checked redaction checksum."""
+repetition-removal signals with the published keep/drop thresholds,
+(r7) PII detect + redact with a value-checked redaction checksum, and
+(r7) context-window chunking with per-chunk content fingerprints."""
 _q("text_doc_battery", _bsql)(_bfn)
 _retire("text_profile", "doc_fingerprints", "corpus_vocab_topk",
-        "bm25_ranking", "repetition_gopher", "pii_scan")
+        "bm25_ranking", "repetition_gopher", "pii_scan", "doc_chunking")
 
 _bfn, _bsql = _compose_union(
     [("decode", "multimodal_decode"), ("frames", "video_frame_sample")]

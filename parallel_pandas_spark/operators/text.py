@@ -187,6 +187,49 @@ def char_ngrams(col: Column | str, n: int = 5) -> Column:
     )
 
 
+def chunk_tokens(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_tokens: int = 16,
+    overlap: int = 4,
+) -> DataFrame:
+    """Split each document into overlapping token-window chunks — the
+    context-window segmentation step of a training/RAG pipeline
+    (HF-tokenizer ``return_overflowing_tokens``-style: fixed stride =
+    max_tokens − overlap, last chunk may be short, a doc shorter than one
+    window is one chunk).
+
+    Output: one row per (doc, chunk): ``chunk_id`` (0-based),
+    ``n_chunk_tokens``, ``chunk_text``.
+
+    100 TB shape: tokenize once, generate chunk starts as an in-row
+    sequence, ``posexplode`` — all narrow (zero shuffles); chunk count
+    per row is ceil((n−overlap)/stride), bounded by doc length, so task
+    memory stays a constant factor of input rows."""
+    if not 0 <= overlap < max_tokens:
+        raise ValueError("need 0 <= overlap < max_tokens")
+    stride = max_tokens - overlap
+    c = F.col(text_col)
+    base = df.where(F.length(F.trim(c)) > 0).select(
+        F.col(id_col), tokens(c).alias("__toks")
+    )
+    n = F.size("__toks")
+    starts = F.sequence(
+        F.lit(0), F.greatest(n - overlap - 1, F.lit(0)), F.lit(stride)
+    )
+    ex = base.select(
+        id_col, "__toks", F.posexplode(starts).alias("chunk_id", "__start")
+    )
+    chunk = F.slice("__toks", F.col("__start") + 1, max_tokens)
+    return ex.select(
+        F.col(id_col),
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.size(chunk).cast("long").alias("n_chunk_tokens"),
+        F.concat_ws(" ", chunk).alias("chunk_text"),
+    )
+
+
 def vocab_topk(
     df: DataFrame,
     id_col: str,

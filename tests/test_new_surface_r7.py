@@ -206,3 +206,43 @@ def test_repetition_profile_fuzz_vs_python(spark):
                 assert gv == pytest.approx(wv, abs=1e-12), (i, k, gv, wv, s)
             else:
                 assert gv == wv, (i, k, gv, wv, s)
+
+
+# ------------------------------------------------------------- chunk_tokens
+def _py_chunks(s, max_tokens, overlap):
+    toks = s.strip().split()
+    stride = max_tokens - overlap
+    starts = list(range(0, max(len(toks) - overlap, 1), stride))
+    return [
+        (ci, toks[st : st + max_tokens]) for ci, st in enumerate(starts)
+    ]
+
+
+@pytest.mark.parametrize("max_tokens,overlap", [(16, 4), (8, 0), (5, 4)])
+def test_chunk_tokens_vs_python(spark, max_tokens, overlap):
+    docs = [
+        (0, "one"),                                   # shorter than window
+        (1, " ".join(f"w{i}" for i in range(16))),    # exactly one window
+        (2, " ".join(f"w{i}" for i in range(17))),    # one token past
+        (3, " ".join(f"w{i}" for i in range(100))),   # many chunks
+        (4, " ".join(f"w{i}" for i in range(20))),    # tail shorter than overlap
+    ]
+    sdf = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {}
+    rows = text.chunk_tokens(
+        sdf, "doc_id", "text", max_tokens=max_tokens, overlap=overlap
+    ).collect()
+    for r in rows:
+        got[(r["doc_id"], r["chunk_id"])] = (r["n_chunk_tokens"], r["chunk_text"])
+    want_total = 0
+    for i, s in docs:
+        for ci, chunk in _py_chunks(s, max_tokens, overlap):
+            want_total += 1
+            assert got[(i, ci)] == (len(chunk), " ".join(chunk)), (i, ci)
+    assert len(rows) == want_total
+
+
+def test_chunk_tokens_rejects_bad_overlap(spark):
+    sdf = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        text.chunk_tokens(sdf, "doc_id", "text", max_tokens=4, overlap=4)
