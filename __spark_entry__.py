@@ -4921,13 +4921,82 @@ _q("text_doc_battery", _bsql)(_bfn)
 _retire("text_profile", "doc_fingerprints", "corpus_vocab_topk",
         "bm25_ranking", "repetition_gopher", "pii_scan", "doc_chunking")
 
-_bfn, _bsql = _compose_union(
-    [("decode", "multimodal_decode"), ("frames", "video_frame_sample")]
+_MEDIA_ORACLE = """
+WITH d AS (SELECT doc_id, n_chars FROM documents),
+bmp AS (
+  SELECT doc_id, 4 + doc_id % 8 AS w, 3 + n_chars % 5 AS h
+  FROM d WHERE doc_id % 2 = 0
+),
+bpix AS (
+  SELECT doc_id, w, h, x, y, c, (doc_id + 11*x + 7*y + 3*c) % 256 AS v
+  FROM bmp, UNNEST(range(0, w)) AS tx(x), UNNEST(range(0, h)) AS ty(y),
+       UNNEST(range(0, 3)) AS tc(c)
+),
+wav AS (
+  SELECT doc_id, CAST(8000 + (doc_id % 4) * 4000 AS INT) AS sample_rate,
+         50 + n_chars % 100 AS n
+  FROM d WHERE doc_id % 2 = 1
+),
+wsamp AS (
+  SELECT doc_id, sample_rate, n, i, ((doc_id*31 + 7*i) % 1000) - 500 AS s
+  FROM wav, UNNEST(range(0, n)) AS ti(i)
 )
-_bfn.__doc__ = """Multimodal binary columns: decode-to-metadata/features and
-1->N video frame sampling, both iterator mapInPandas over opaque blobs."""
+SELECT doc_id, 'bmp' AS kind,
+  CAST(54 + MAX(h) * ((3 * MAX(w) + 3) // 4 * 4) AS BIGINT) AS n_bytes,
+  CAST(MAX(w) AS INT) AS width, CAST(MAX(h) AS INT) AS height,
+  CAST(NULL AS INT) AS sample_rate, CAST(NULL AS BIGINT) AS n_samples,
+  ROUND(CAST(SUM(v) AS DOUBLE) / COUNT(*), 6) AS mean,
+  CAST(NULL AS DOUBLE) AS rms,
+  CAST(SUM(v * (1 + x + 2*y + 5*c)) AS BIGINT) AS wsum
+FROM bpix GROUP BY doc_id
+UNION ALL BY NAME
+SELECT doc_id, 'wav' AS kind,
+  CAST(44 + 2 * MAX(n) AS BIGINT) AS n_bytes,
+  CAST(NULL AS INT) AS width, CAST(NULL AS INT) AS height,
+  MAX(sample_rate) AS sample_rate, CAST(MAX(n) AS BIGINT) AS n_samples,
+  ROUND(CAST(SUM(s) AS DOUBLE) / COUNT(*), 6) AS mean,
+  ROUND(SQRT(CAST(SUM(s*s) AS DOUBLE) / COUNT(*)), 6) AS rms,
+  CAST(SUM(s * (1 + i)) AS BIGINT) AS wsum
+FROM wsamp GROUP BY doc_id
+"""
+
+
+@_q("media_decode_real", _MEDIA_ORACLE)
+def media_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL format decoding (multimodal.decode_media): deterministic BMP /
+    WAV payloads are ENCODED from two table columns (even ids a 24-bit
+    BMP, odd ids a PCM WAV — closed-form pixels/samples), then parsed back
+    with struct+numpy — header fields, bottom-up row flip, stride padding,
+    chunk walk — inside iterator mapInPandas. The oracle recomputes every
+    stat from the closed forms WITHOUT seeing the bytes, so a decoder bug
+    (orientation, padding, byte order, chunk offsets) breaks the
+    orientation-weighted checksums. All sums are exact integers; the one
+    division (+sqrt for rms) is identically rounded in both engines."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    blobs = multimodal.synth_media_blobs(d, "doc_id", "n_chars")
+    m = multimodal.decode_media(blobs, "doc_id", "blob")
+    return m.select(
+        "doc_id", "kind", "n_bytes", "width", "height", "sample_rate",
+        "n_samples",
+        F.round("mean", 6).alias("mean"),
+        F.round("rms", 6).alias("rms"),
+        "wsum",
+    )
+
+
+_bfn, _bsql = _compose_union(
+    [
+        ("decode", "multimodal_decode"),
+        ("frames", "video_frame_sample"),
+        ("realdecode", "media_decode_real"),
+    ]
+)
+_bfn.__doc__ = """Multimodal binary columns: decode-to-metadata/features,
+1->N video frame sampling, and (r7) REAL BMP/WAV parsing (struct+numpy,
+no media library) of deterministically-encoded payloads — all iterator
+mapInPandas over opaque blobs."""
 _q("multimodal_battery", _bsql)(_bfn)
-_retire("multimodal_decode", "video_frame_sample")
+_retire("multimodal_decode", "video_frame_sample", "media_decode_real")
 
 @_q(
     "numeric_elementwise",

@@ -246,3 +246,46 @@ def test_chunk_tokens_rejects_bad_overlap(spark):
     sdf = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
     with pytest.raises(ValueError):
         text.chunk_tokens(sdf, "doc_id", "text", max_tokens=4, overlap=4)
+
+
+# ----------------------------------------------------- real BMP/WAV decode
+def test_bmp_roundtrip_exact():
+    from parallel_pandas_spark.operators import multimodal as mm
+
+    for i, w, h in [(0, 4, 3), (6, 10, 7), (2, 11, 4)]:  # odd strides too
+        blob = mm.encode_bmp(w, h, lambda x, y, c: (i + 11*x + 7*y + 3*c) % 256)
+        d = mm.decode_bmp(blob)
+        vals = [
+            ((i + 11*x + 7*y + 3*c) % 256, x, y, c)
+            for x in range(w) for y in range(h) for c in range(3)
+        ]
+        assert (d["width"], d["height"]) == (w, h)
+        assert d["n_bytes"] == 54 + ((3*w + 3)//4*4) * h == len(blob)
+        assert d["mean"] == sum(v for v, *_ in vals) / (w*h*3)
+        assert d["wsum"] == sum(v * (1 + x + 2*y + 5*c) for v, x, y, c in vals)
+
+
+def test_wav_roundtrip_exact():
+    import math
+
+    from parallel_pandas_spark.operators import multimodal as mm
+
+    samples = [((7*31 + 7*k) % 1000) - 500 for k in range(83)]
+    d = mm.decode_wav(mm.encode_wav(20000, samples))
+    assert (d["sample_rate"], d["n_samples"]) == (20000, 83)
+    assert d["mean"] == sum(samples) / 83
+    assert d["rms"] == math.sqrt(sum(s*s for s in samples) / 83)
+    assert d["wsum"] == sum(s * (1 + k) for k, s in enumerate(samples))
+
+
+def test_decoders_reject_garbage():
+    from parallel_pandas_spark.operators import multimodal as mm
+
+    with pytest.raises(ValueError):
+        mm.decode_bmp(b"not a bitmap at all....")
+    with pytest.raises(ValueError):
+        mm.decode_wav(b"RIFFxxxxNOPE")
+    # truncated-but-valid-magic BMP must not silently decode
+    good = mm.encode_bmp(4, 3, lambda x, y, c: 0)
+    with pytest.raises(Exception):
+        mm.decode_bmp(good[:30])
