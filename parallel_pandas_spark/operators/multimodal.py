@@ -187,12 +187,8 @@ def encode_wav(sample_rate: int, samples) -> bytes:
     return bytes(out)
 
 
-def decode_bmp(data: bytes) -> dict:
-    """Parse header + pixel array: width/height from BITMAPINFOHEADER,
-    bottom-up rows un-flipped, padding stripped. Stats over the pixel
-    bytes: mean, and an orientation/channel-sensitive weighted checksum
-    Σ v·(1 + x + 2y + 5c) — a mean survives a flipped decoder, the
-    checksum does not."""
+def _bmp_pixels(data: bytes) -> "np.ndarray":
+    """Pixel array (height, width, 3) in logical TOP-DOWN row order."""
     magic, _size, _, _, off = struct.unpack_from("<2sIHHI", data, 0)
     if magic != b"BM":
         raise ValueError("not a BMP")
@@ -201,7 +197,35 @@ def decode_bmp(data: bytes) -> dict:
         raise ValueError("unsupported BMP variant")
     stride = (3 * w + 3) // 4 * 4
     arr = np.frombuffer(data, np.uint8, count=stride * h, offset=off)
-    px = arr.reshape(h, stride)[:, : 3 * w].reshape(h, w, 3)[::-1]  # top-down
+    return arr.reshape(h, stride)[:, : 3 * w].reshape(h, w, 3)[::-1]
+
+
+def resize_bmp(data: bytes, factor: int) -> bytes:
+    """REAL downscale for BMP: ``factor``×``factor`` mean pooling (integer
+    mean, floor — deterministic on any platform), re-encoded as BMP. The
+    image is cropped to a multiple of ``factor`` first (standard pooling
+    contract). Raises on images smaller than one block."""
+    px = _bmp_pixels(data).astype(np.int64)
+    h, w, _ = px.shape
+    oh, ow = h // factor, w // factor
+    if oh == 0 or ow == 0:
+        raise ValueError(f"image {w}x{h} smaller than pooling factor {factor}")
+    cropped = px[: oh * factor, : ow * factor]
+    pooled = (
+        cropped.reshape(oh, factor, ow, factor, 3).sum(axis=(1, 3))
+        // (factor * factor)
+    ).astype(np.uint8)
+    return encode_bmp(ow, oh, lambda x, y, c: int(pooled[y, x, c]))
+
+
+def decode_bmp(data: bytes) -> dict:
+    """Parse header + pixel array: width/height from BITMAPINFOHEADER,
+    bottom-up rows un-flipped, padding stripped. Stats over the pixel
+    bytes: mean, and an orientation/channel-sensitive weighted checksum
+    Σ v·(1 + x + 2y + 5c) — a mean survives a flipped decoder, the
+    checksum does not."""
+    px = _bmp_pixels(data)
+    h, w = px.shape[0], px.shape[1]
     v = px.astype(np.int64)
     y_w = 2 * np.arange(h, dtype=np.int64)[:, None, None]
     x_w = np.arange(w, dtype=np.int64)[None, :, None]
@@ -268,6 +292,26 @@ def decode_media(df: DataFrame, id_col: str, blob_col: str) -> DataFrame:
             yield pd.DataFrame(rows, columns=cols)
 
     return df.select(id_col, blob_col).mapInPandas(_decode, schema=MEDIA_META_SCHEMA)
+
+
+def resize_media(df: DataFrame, id_col: str, blob_col: str, factor: int = 2) -> DataFrame:
+    """Distributed REAL resize for BMP blobs (resize_bmp inside iterator
+    mapInPandas) — blob in, smaller blob out, same 1:1 row shape as the
+    library-format resize stub. Non-BMP payloads raise (route them to a
+    codec-specific resizer)."""
+    out_schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("resized", T.BinaryType())]
+    )
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                (int(doc_id), resize_bmp(bytes(blob), factor))
+                for doc_id, blob in zip(pdf[id_col], pdf[blob_col])
+            ]
+            yield pd.DataFrame(rows, columns=["doc_id", "resized"])
+
+    return df.select(id_col, blob_col).mapInPandas(_resize, schema=out_schema)
 
 
 def synth_media_blobs(df: DataFrame, id_col: str, len_col: str) -> DataFrame:

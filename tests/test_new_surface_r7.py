@@ -289,3 +289,37 @@ def test_decoders_reject_garbage():
     good = mm.encode_bmp(4, 3, lambda x, y, c: 0)
     with pytest.raises(Exception):
         mm.decode_bmp(good[:30])
+
+
+def test_resize_bmp_mean_pool_exact():
+    import numpy as np
+
+    from parallel_pandas_spark.operators import multimodal as mm
+
+    i, w, h = 4, 10, 7  # crops to 10x6 at factor 2
+    blob = mm.encode_bmp(w, h, lambda x, y, c: (i + 11*x + 7*y + 3*c) % 256)
+    out = mm.resize_bmp(blob, 2)
+    px = mm._bmp_pixels(out)
+    assert px.shape == (3, 5, 3)
+    src = np.array(
+        [[[(i + 11*x + 7*y + 3*c) % 256 for c in range(3)]
+          for x in range(w)] for y in range(h)], dtype=np.int64
+    )
+    want = src[:6, :10].reshape(3, 2, 5, 2, 3).sum(axis=(1, 3)) // 4
+    assert (px.astype(np.int64) == want).all()
+    with pytest.raises(ValueError):
+        mm.resize_bmp(mm.encode_bmp(3, 3, lambda x, y, c: 0), 4)
+
+
+def test_resize_media_distributed(spark):
+    from parallel_pandas_spark.operators import multimodal as mm
+
+    blobs = [(i, mm.encode_bmp(8, 6, lambda x, y, c, i=i: (i + x + y + c) % 256))
+             for i in range(6)]
+    sdf = spark.createDataFrame(blobs, "doc_id long, blob binary")
+    got = {r["doc_id"]: bytes(r["resized"])
+           for r in mm.resize_media(sdf, "doc_id", "blob", factor=2).collect()}
+    for i, blob in blobs:
+        assert got[i] == mm.resize_bmp(blob, 2), i
+        d = mm.decode_bmp(got[i])
+        assert (d["width"], d["height"]) == (4, 3)
