@@ -1662,6 +1662,68 @@ def cosine_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_topk(emb, queries, "vec_id", "embedding", k=5)
 
 
+_QUANT_SQL = """
+WITH base AS (
+  SELECT vec_id, embedding,
+         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS s
+  FROM embeddings
+),
+qz AS (
+  SELECT vec_id,
+         CASE WHEN s = 0 THEN list_transform(embedding, x -> CAST(0 AS INT))
+              ELSE list_transform(embedding,
+                     x -> CAST(ROUND(CAST(x AS DOUBLE) / s * 127.0, 0) AS INT))
+         END AS codes
+  FROM base
+),
+q AS (SELECT vec_id AS query_id, codes AS qc FROM qz WHERE vec_id < 10),
+c AS (SELECT vec_id AS neighbor_id, codes AS cc FROM qz),
+sc AS (
+  SELECT query_id, neighbor_id,
+    ROUND(
+      CAST(list_sum(list_transform(range(1, 65),
+             i -> CAST(qc[i] AS BIGINT) * cc[i])) AS DOUBLE)
+      / (SQRT(CAST(list_sum(list_transform(qc, x -> CAST(x AS BIGINT) * x)) AS DOUBLE))
+         * SQRT(CAST(list_sum(list_transform(cc, x -> CAST(x AS BIGINT) * x)) AS DOUBLE))),
+      6) AS qcosine
+  FROM c, q WHERE query_id <> neighbor_id
+),
+r AS (
+  SELECT query_id, neighbor_id, qcosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY qcosine DESC, neighbor_id ASC) AS rank
+  FROM sc
+)
+SELECT query_id, neighbor_id, qcosine, rank FROM r WHERE rank <= 5
+"""
+
+
+@_q("cosine_quant_topk", _QUANT_SQL)
+def cosine_quant_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8-quantized cosine top-k (similarity.quantize_embeddings /
+    quantized_cosine_topk): symmetric per-vector scalar quantization (4x
+    smaller embedding store), with the scales cancelling in the cosine so
+    the score is pure integer dot products — exact on any engine — plus
+    one correctly-rounded divide/sqrt. The oracle replays the
+    quantization and the integer ranking end to end."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    return similarity.quantized_cosine_topk(
+        emb, queries, "vec_id", "embedding", k=5
+    )
+
+
+_bfn, _bsql = _compose_union(
+    [("exact", "cosine_topk"), ("quant", "cosine_quant_topk")]
+)
+_bfn.__doc__ = """Brute-force cosine top-k: exact float path and (r7) the
+int8 scalar-quantized path (4x smaller store; scales cancel, so the
+quantized score is integer-exact on any engine). Both broadcast the
+query side over one corpus scan."""
+_q("cosine_topk", _bsql)(_bfn)
+_retire("cosine_quant_topk")
+
+
 def _neardup_oracle(num_planes: int = 4, threshold: float = 0.35, dim: int = 64) -> str:
     import numpy as np
 

@@ -323,3 +323,43 @@ def test_resize_media_distributed(spark):
         assert got[i] == mm.resize_bmp(blob, 2), i
         d = mm.decode_bmp(got[i])
         assert (d["width"], d["height"]) == (4, 3)
+
+
+# ---------------------------------------------------- embedding quantization
+def test_quantize_embeddings_roundtrip_error_bound(spark):
+    import numpy as np
+
+    from parallel_pandas_spark.operators import similarity
+
+    rng = np.random.default_rng(9)
+    vecs = [(i, [float(x) for x in rng.normal(0, 1, 16)]) for i in range(20)]
+    vecs.append((20, [0.0] * 16))  # zero vector: scale 0, codes 0
+    sdf = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    rows = similarity.quantize_embeddings(sdf, "vec_id", "embedding").collect()
+    by_id = {r["vec_id"]: r for r in rows}
+    for i, v in vecs:
+        r = by_id[i]
+        s = max(abs(x) for x in v)
+        assert r["scale"] == pytest.approx(s, abs=0)
+        for x, code in zip(v, r["codes"]):
+            assert abs(code) <= 127
+            if s:
+                # dequantization error bounded by half a quantization step
+                assert abs(code * s / 127.0 - x) <= s / 127.0 / 2 + 1e-12
+            else:
+                assert code == 0
+
+
+def test_quantized_topk_recall_vs_exact(spark, sf_small):
+    from parallel_pandas_spark.operators import similarity
+    from parallel_pandas_spark.sources import load_table
+
+    emb = load_table(spark, sf_small, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    exact = similarity.cosine_topk(emb, queries, "vec_id", "embedding", k=5)
+    quant = similarity.quantized_cosine_topk(emb, queries, "vec_id", "embedding", k=5)
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    q = {(r["query_id"], r["neighbor_id"]) for r in quant.collect()}
+    recall = len(e & q) / len(e)
+    # int8 quantization is near-lossless for top-k ranking
+    assert recall >= 0.9, recall
