@@ -363,3 +363,44 @@ def test_quantized_topk_recall_vs_exact(spark, sf_small):
     recall = len(e & q) / len(e)
     # int8 quantization is near-lossless for top-k ranking
     assert recall >= 0.9, recall
+
+
+def test_pii_patterns_three_way_dialect_fuzz(spark):
+    """The pii oracle assumes Java regex (Spark), RE2 (DuckDB), and
+    Python re agree on PII_PATTERNS. Fuzz that assumption directly:
+    random strings over a PII-shaped alphabet, counts compared across
+    all three engines."""
+    import random
+
+    import duckdb
+
+    rng = random.Random(4242)
+    alphabet = list("ab9@.-+ 0127|x")
+    frags = ["a@b.co", "1-23", "10.0.0.1", "123-45-6789", "+1-555-123-4567",
+             "@", "..", "--", " "]
+    docs = []
+    for i in range(120):
+        parts = [
+            "".join(rng.choice(alphabet) for _ in range(rng.randrange(1, 9)))
+            if rng.random() < 0.6 else rng.choice(frags)
+            for _ in range(rng.randrange(1, 8))
+        ]
+        docs.append((i, rng.choice(["", " "]).join(parts)))
+
+    sdf = spark.createDataFrame(docs, "i long, t string")
+    counts = text.pii_counts("t")
+    got_spark = {
+        r["i"]: r.asDict()
+        for r in sdf.select("i", *[c.alias(n) for n, c in counts.items()]).collect()
+    }
+    con = duckdb.connect()
+    pdf = pd.DataFrame(docs, columns=["i", "t"])
+    con.register("df", pdf)
+    for name, pat in text.PII_PATTERNS.items():
+        duck = dict(con.execute(
+            "SELECT i, len(regexp_extract_all(t, ?)) FROM df", [pat]
+        ).fetchall())
+        for i, s in docs:
+            py = len(re.findall(pat, s))
+            assert got_spark[i][name] == py == duck[i], (name, i, s,
+                                                         got_spark[i][name], py, duck[i])
