@@ -77,7 +77,9 @@ def test_window_queries_are_partitioned_single_shuffle(spark, qs, name):
     [
         ("zscore_normalize", 2),  # moments agg + broadcast-back
         ("stats_mad", 3),  # means agg + broadcast + final agg
-        ("cosine_topk", 2),  # broadcast queries + per-id top-k
+        # r7: two arms (exact float + int8-quantized), each broadcast
+        # queries + per-id top-k window — 2 exchanges per arm
+        ("cosine_topk", 4),
     ],
 )
 def test_shuffle_budget(spark, qs, name, max_exchanges):
