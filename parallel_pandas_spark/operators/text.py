@@ -400,6 +400,28 @@ def repetition_profile(
     )
 
 
+def gopher_filter(
+    df: DataFrame, id_col: str, text_col: str, keep_cols: "Sequence[str]" = ()
+) -> DataFrame:
+    """Keep only rows passing the Gopher repetition thresholds
+    (repetition_profile's ``passes_gopher``), returning ``id_col`` +
+    ``keep_cols``.
+
+    The filter predicate also references a nondeterministic fence column
+    (``monotonically_increasing_id() >= 0``, always true): without it,
+    Catalyst's predicate pushdown SUBSTITUTES the flag's whole expression
+    tree through every staged projection into a pre-projection Filter —
+    re-executing the gram sorts and folds (measured 0.99 s → 4.6 s on the
+    sf0.1 corpus; fenced: 1.25 s). The fence must be referenced by the
+    predicate, or column pruning deletes it and the pushdown returns."""
+    rp = repetition_profile(df, id_col, text_col, keep_cols=keep_cols)
+    kept = (
+        rp.withColumn("__fence", F.monotonically_increasing_id())
+        .where(F.col("passes_gopher") & (F.col("__fence") >= 0))
+    )
+    return kept.select(id_col, *[k for k in keep_cols if k != id_col])
+
+
 #: cross-engine PII patterns — a dialect subset that parses and matches
 #: identically under Java regex (Spark) and RE2-ish (DuckDB): literal
 #: classes, bounded repetition, no lookaround/backrefs.

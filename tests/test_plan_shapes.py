@@ -231,3 +231,27 @@ def test_pii_scan_single_shuffle_partial_agg(spark):
     assert txt.count("Exchange (") == 1, txt
     assert "Exchange SinglePartition" not in txt
     assert "BatchEvalPython" not in txt and "ArrowEvalPython" not in txt
+
+
+def test_gopher_filter_no_fold_duplication(spark):
+    """The gopher filter's fence must keep predicate pushdown from
+    substituting the repetition folds into a pre-projection Filter: the
+    optimized plan carries exactly the two staged gram sorts (r7
+    regression: 2 -> 6 array_sorts, 1 s -> 4.6 s at sf0.1). (Asserted on
+    the operator, not the full pipeline — its localCheckpoint truncates
+    the inspectable plan.)"""
+    from pyspark.sql import functions as F
+
+    from parallel_pandas_spark.operators import text
+
+    docs = em.load_table(spark, SF, "documents")
+    flt = text.gopher_filter(docs, "doc_id", "text", keep_cols=("lang",))
+    plan = flt._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("array_sort(") == 2, plan.count("array_sort(")
+    # control: the naive filter (no fence) DOES duplicate — if Spark ever
+    # stops substituting, the fence can be retired
+    naive = text.repetition_profile(docs, "doc_id", "text").where(
+        F.col("passes_gopher")
+    )
+    nplan = naive._jdf.queryExecution().optimizedPlan().toString()
+    assert nplan.count("array_sort(") >= 2
