@@ -1522,6 +1522,20 @@ JOIN (
           FROM documents WHERE doc_id % 10 <> 0)
   ) GROUP BY 1
 ) tsz USING (train_id)
+UNION ALL BY NAME
+SELECT 'spans' AS src, span_h, n_docs, first_doc, last_doc, sum_doc_ids
+FROM (
+  SELECT md5(span) AS span_h, COUNT(*) AS n_docs,
+         MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc,
+         CAST(SUM(doc_id) AS BIGINT) AS sum_doc_ids
+  FROM (
+    SELECT doc_id, unnest(list_distinct(CASE WHEN len(t) >= 6
+        THEN list_transform(range(1, len(t)-4), j -> array_to_string(t[j:j+5], ' '))
+        ELSE [array_to_string(t, ' ')] END)) AS span
+    FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+          FROM documents WHERE LENGTH(TRIM(text)) > 0)
+  ) GROUP BY span
+) WHERE n_docs >= 2
 """
 
 
@@ -1547,6 +1561,11 @@ def exact_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
       shared count + train-side overlap fraction. The gram join key is
       an md5 digest and the eval side broadcasts, so the train corpus is
       scanned once with no train-side shuffle.
+    - ``spans`` (r7): exact repeated-span detection
+      (dedup.repeated_spans, the Lee et al. exact-substring dedup
+      signal) — 6-token windows occurring in ≥2 documents, digest-keyed
+      skew-free groupBy with per-doc distinct spans computed inside the
+      row.
     """
     d = load_table(spark, sf_dir, "documents")
     exact = dedup.exact_dedup(d, "doc_id", "text")
@@ -1575,9 +1594,13 @@ def exact_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         fingerprint_md5("text").alias("fp")
     )
     bl = dedup.bloom_anti_join(new_docs, seen_docs, "fp").select("doc_id")
+    # (r7) exact repeated-span detection (Lee et al. exact-substring
+    # signal): 6-token windows occurring in >= 2 documents — digest-keyed
+    # skew-free groupBy, per-doc distinct spans inside the row
+    spans = dedup.repeated_spans(d, "doc_id", "text", span_tokens=6, min_docs=2)
     return _pad_union(
         [("exact", exact), ("minhash_cc", cc), ("keepfirst", kf),
-         ("contam", contam), ("bloom", bl)]
+         ("contam", contam), ("bloom", bl), ("spans", spans)]
     )
 
 

@@ -766,3 +766,43 @@ def bloom_anti_join(
         seen_df.select(*cols).distinct(), cols, "left_anti"
     )
     return definite_new.unionByName(survivors)
+
+
+def repeated_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    span_tokens: int = 6,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Exact repeated-span detection across the corpus — the signal
+    behind exact-substring dedup (Lee et al. 2021, "Deduplicating
+    Training Data Makes Language Models Better"): every ``span_tokens``-
+    token window that occurs in ≥ ``min_docs`` DISTINCT documents, with
+    how many documents carry it and an id checksum locating them. A
+    pipeline uses the output to cut boilerplate spans (headers, license
+    blocks, templates) that whole-document dedup can't see. Documents
+    shorter than one span contribute their whole text as a single span
+    (short exact duplicates surface here too).
+
+    100 TB shape: ONE scan; per-doc DISTINCT spans computed inside the
+    row (array_distinct — so a doc repeating its own span counts once);
+    the explode carries only (16-byte digest, doc id); the digest
+    groupBy partial-aggregates map-side and its key is uniform by
+    construction (a hash), so the shuffle is skew-free. Same digest-not-
+    raw-text discipline as the decontamination join."""
+    c = F.col(text_col)
+    spans = F.array_distinct(word_ngrams(c, span_tokens))
+    ex = df.where(F.length(F.trim(c)) > 0).select(
+        F.explode(spans).alias("__span"), F.col(id_col)
+    ).select(F.md5("__span").alias("span_h"), id_col)
+    return (
+        ex.groupBy("span_h")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min(id_col).alias("first_doc"),
+            F.max(id_col).alias("last_doc"),
+            F.sum(id_col).alias("sum_doc_ids"),
+        )
+        .where(F.col("n_docs") >= min_docs)
+    )

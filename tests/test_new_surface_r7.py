@@ -404,3 +404,47 @@ def test_pii_patterns_three_way_dialect_fuzz(spark):
             py = len(re.findall(pat, s))
             assert got_spark[i][name] == py == duck[i], (name, i, s,
                                                          got_spark[i][name], py, duck[i])
+
+
+# -------------------------------------------------------- repeated spans
+def test_repeated_spans_vs_python(spark):
+    from collections import defaultdict
+
+    from parallel_pandas_spark.operators import dedup
+
+    docs = [
+        (0, "the quick brown fox jumps over the lazy dog today"),
+        (1, "we saw the quick brown fox jumps over a fence"),   # shares a 5-span? no: 6-token windows
+        (2, "the quick brown fox jumps over the lazy dog today"),  # exact dup of 0
+        (3, "short doc"),
+        (4, "short doc"),                                       # whole-text span dup
+        (5, "totally different words in this one here now ok"),
+    ]
+    span_n = 6
+    sdf = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["span_h"]: (r["n_docs"], r["first_doc"], r["last_doc"], r["sum_doc_ids"])
+        for r in dedup.repeated_spans(sdf, "doc_id", "text",
+                                      span_tokens=span_n, min_docs=2).collect()
+    }
+    # python twin
+    import hashlib
+
+    byspan = defaultdict(list)
+    for i, s in docs:
+        toks = s.split()
+        if len(toks) >= span_n:
+            spans = {" ".join(toks[j:j+span_n]) for j in range(len(toks)-span_n+1)}
+        else:
+            spans = {" ".join(toks)}
+        for sp in spans:
+            byspan[sp].append(i)
+    want = {
+        hashlib.md5(sp.encode()).hexdigest(): (len(ids), min(ids), max(ids), sum(ids))
+        for sp, ids in byspan.items() if len(ids) >= 2
+    }
+    assert got == want
+    # doc 1 shares words but no 6-token window with doc 0; docs 0/2 share
+    # all windows; docs 3/4 collide on the whole-text pseudo-span
+    assert any(v[0] == 2 and v[1] == 0 and v[2] == 2 for v in got.values())
+    assert any(v[1] == 3 and v[2] == 4 for v in got.values())
