@@ -193,17 +193,26 @@ def run_stream_to_memory(
         .start()
     )
     deadline = time.time() + timeout_secs
-    last, stable = None, 0
+    quiet = 0
     while q.isActive and time.time() < deadline:
         p = q.lastProgress
         if p is not None:
             if p["batchId"] > 0 and p["numInputRows"] == 0:
                 break  # an empty batch ran — the finite source is drained
-            key = (p["batchId"], p["numInputRows"])
-            stable = stable + 1 if key == last else 0
-            last = key
-            if stable >= idle_polls:
-                break
+            # slow path: the query's own readiness flags. "Progress
+            # stopped changing for N polls" (the pre-r7 heuristic) races
+            # under machine load — a queued batch can take longer than
+            # the stability window to start, and stopping then drops
+            # files. isDataAvailable=False AND isTriggerActive=False,
+            # held for idle_polls consecutive polls, means the source is
+            # drained and nothing is mid-flight.
+            st = q.status
+            if not st["isDataAvailable"] and not st["isTriggerActive"]:
+                quiet += 1
+                if quiet >= idle_polls:
+                    break
+            else:
+                quiet = 0
         time.sleep(poll_secs)
     if q.isActive:
         q.stop()
