@@ -1527,7 +1527,7 @@ SELECT 'spans' AS src, span_h, n_docs, first_doc, last_doc, sum_doc_ids
 FROM (
   SELECT md5(span) AS span_h, COUNT(*) AS n_docs,
          MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc,
-         CAST(SUM(doc_id) AS BIGINT) AS sum_doc_ids
+         CAST(SUM(CAST(doc_id AS DECIMAL(38,0))) AS DOUBLE) AS sum_doc_ids
   FROM (
     SELECT doc_id, unnest(list_distinct(CASE WHEN len(t) >= 6
         THEN list_transform(range(1, len(t)-4), j -> array_to_string(t[j:j+5], ' '))
@@ -3375,7 +3375,7 @@ def rolling_apply_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 SELECT 'files' AS src, n_regionkey,
   COUNT(*) AS n,
-  CAST(SUM(n_nationkey) AS BIGINT) AS key_sum,
+  CAST(SUM(CAST(n_nationkey AS DECIMAL(38,0))) AS DOUBLE) AS key_sum,
   MIN(n_name) AS first_name, MAX(n_name) AS last_name
 FROM (SELECT * FROM nation UNION ALL SELECT * FROM nation
       UNION ALL SELECT * FROM nation)
@@ -3386,14 +3386,15 @@ FROM (SELECT k, k % 5 AS g, (k*k) % 97 AS v FROM range(200) t(k))
 GROUP BY g
 UNION ALL BY NAME
 SELECT 'bucketed' AS src, s_nationkey,
-  COUNT(*) AS n, CAST(SUM(s_suppkey) AS BIGINT) AS key_sum
+  COUNT(*) AS n,
+  CAST(SUM(CAST(s_suppkey AS DECIMAL(38,0))) AS DOUBLE) AS key_sum
 FROM supplier GROUP BY s_nationkey
 UNION ALL BY NAME
-SELECT 'progress' AS src, COUNT(*) AS n, CAST(COUNT(*) AS BIGINT) AS key_sum
+SELECT 'progress' AS src, COUNT(*) AS n, CAST(COUNT(*) AS DOUBLE) AS key_sum
 FROM nation
 UNION ALL BY NAME
 SELECT 'shards' AS src, doc_id % 8 AS shard, COUNT(*) AS n,
-  CAST(SUM(doc_id) AS BIGINT) AS key_sum,
+  CAST(SUM(CAST(doc_id AS DECIMAL(38,0))) AS DOUBLE) AS key_sum,
   CAST(MIN(doc_id) AS BIGINT) AS id_min, CAST(MAX(doc_id) AS BIGINT) AS id_max,
   CAST(CEIL(COUNT(*)/40.0) AS BIGINT) AS n_files
 FROM documents GROUP BY doc_id % 8
@@ -3443,7 +3444,7 @@ def csv_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     f_agg = back.groupBy("n_regionkey").agg(
         F.count("*").alias("n"),
-        F.sum("n_nationkey").cast("long").alias("key_sum"),
+        det.idsum("n_nationkey").alias("key_sum"),
         F.min("n_name").alias("first_name"),
         F.max("n_name").alias("last_name"),
     )
@@ -3462,7 +3463,7 @@ def csv_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     b_agg = spark.table("pps_supplier_bucketed").groupBy("s_nationkey").agg(
         F.count("*").alias("n"),
-        F.sum("s_suppkey").cast("long").alias("key_sum"),
+        det.idsum("s_suppkey").alias("key_sum"),
     )
 
     from parallel_pandas_spark.progress import ProgressTracker, count_rows
@@ -3471,7 +3472,7 @@ def csv_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     with ProgressTracker(spark):
         n_rows = count_rows(n.select("n_nationkey"), acc).count()
     p_row = spark.createDataFrame(
-        [(int(n_rows), int(acc.value))], "n long, key_sum long"
+        [(int(n_rows), float(acc.value))], "n long, key_sum double"
     )
 
     from parallel_pandas_spark.sources import shard_manifest, write_shards
@@ -5703,8 +5704,8 @@ sp AS (
   FROM s
 )
 SELECT 'gated' AS src, lang, split, COUNT(*) AS n_docs,
-       CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
-       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+       CAST(SUM(CAST(doc_id AS DECIMAL(38,0))) AS DOUBLE) AS sum_ids,
+       CAST(SUM(CAST(n_chars AS DECIMAL(38,0))) AS DOUBLE) AS sum_chars
 FROM sp GROUP BY lang, split
 UNION ALL BY NAME
 (SELECT 'exactn' AS src, doc_id FROM documents
@@ -5736,8 +5737,8 @@ def stratified_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     gated = sp.groupBy("lang", "split").agg(
         F.count("*").alias("n_docs"),
-        F.sum("doc_id").alias("sum_ids"),
-        F.sum("n_chars").alias("sum_chars"),
+        det.idsum("doc_id").alias("sum_ids"),
+        det.idsum("n_chars").alias("sum_chars"),
     )
     # (r6) deterministic EXACT-count samples: global n (TakeOrdered heap,
     # O(n) driver memory) and per-stratum n (WindowGroupLimit) — both
@@ -5757,8 +5758,9 @@ def _resample_oracle() -> str:
     return f"""
 SELECT lang, COUNT(*) AS n_rows,
        COUNT(DISTINCT doc_id) AS n_docs,
-       CAST(SUM(doc_id * copy_id) AS BIGINT) AS copy_checksum,
-       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+       CAST(SUM(CAST(doc_id AS DECIMAL(18,0)) * CAST(copy_id AS DECIMAL(18,0)))
+            AS DOUBLE) AS copy_checksum,
+       CAST(SUM(CAST(n_chars AS DECIMAL(38,0))) AS DOUBLE) AS sum_chars
 FROM ({inner})
 GROUP BY lang
 """
@@ -5779,8 +5781,13 @@ def resample_by_weight_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return r.groupBy("lang").agg(
         F.count("*").alias("n_rows"),
         F.countDistinct("doc_id").alias("n_docs"),
-        F.sum(F.col("doc_id") * F.col("copy_id")).alias("copy_checksum"),
-        F.sum("n_chars").alias("sum_chars"),
+        # per-row product must ALSO be decimal: 1e12-scale ids times a
+        # copy_id wrap a BIGINT before the sum even starts
+        F.sum(
+            F.col("doc_id").cast("decimal(18,0)")
+            * F.col("copy_id").cast("decimal(18,0)")
+        ).cast("double").alias("copy_checksum"),
+        det.idsum("n_chars").alias("sum_chars"),
     )
 
 
@@ -5791,9 +5798,9 @@ def _packing_oracle() -> str:
     ).replace("__SRC__", "(SELECT doc_id, n_chars FROM documents)")
     return f"""
 SELECT pack_bucket, pack_id, COUNT(*) AS n_docs,
-       CAST(SUM(n_chars) AS BIGINT) AS pack_chars,
-       CAST(SUM(pack_offset) AS BIGINT) AS sum_offsets,
-       CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+       CAST(SUM(CAST(n_chars AS DECIMAL(38,0))) AS DOUBLE) AS pack_chars,
+       CAST(SUM(CAST(pack_offset AS DECIMAL(38,0))) AS DOUBLE) AS sum_offsets,
+       CAST(SUM(CAST(doc_id AS DECIMAL(38,0))) AS DOUBLE) AS sum_ids
 FROM ({inner})
 GROUP BY pack_bucket, pack_id
 """
@@ -5812,9 +5819,9 @@ def pack_sequences_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return p.groupBy("pack_bucket", "pack_id").agg(
         F.count("*").alias("n_docs"),
-        F.sum("n_chars").alias("pack_chars"),
-        F.sum("pack_offset").alias("sum_offsets"),
-        F.sum("doc_id").alias("sum_ids"),
+        det.idsum("n_chars").alias("pack_chars"),
+        det.idsum("pack_offset").alias("sum_offsets"),
+        det.idsum("doc_id").alias("sum_ids"),
     )
 
 
@@ -5862,14 +5869,14 @@ sp AS (
 ),
 packed AS ({pack})
 SELECT 'train' AS split, pack_bucket, pack_id, COUNT(*) AS n_docs,
-       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
-       CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+       CAST(SUM(CAST(n_chars AS DECIMAL(38,0))) AS DOUBLE) AS sum_chars,
+       CAST(SUM(CAST(doc_id AS DECIMAL(38,0))) AS DOUBLE) AS sum_ids
 FROM packed GROUP BY pack_bucket, pack_id
 UNION ALL
 SELECT split, CAST(-1 AS BIGINT) AS pack_bucket, CAST(-1 AS BIGINT) AS pack_id,
        COUNT(*) AS n_docs,
-       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
-       CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+       CAST(SUM(CAST(n_chars AS DECIMAL(38,0))) AS DOUBLE) AS sum_chars,
+       CAST(SUM(CAST(doc_id AS DECIMAL(38,0))) AS DOUBLE) AS sum_ids
 FROM sp WHERE split = 'test' GROUP BY split
 """
 
@@ -5921,16 +5928,16 @@ def corpus_build_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     train_agg = packed.groupBy("pack_bucket", "pack_id").agg(
         F.count("*").alias("n_docs"),
-        F.sum("n_chars").alias("sum_chars"),
-        F.sum("doc_id").alias("sum_ids"),
+        det.idsum("n_chars").alias("sum_chars"),
+        det.idsum("doc_id").alias("sum_ids"),
     ).select(
         F.lit("train").alias("split"), "pack_bucket", "pack_id",
         "n_docs", "sum_chars", "sum_ids",
     )
     test_agg = sp.where(F.col("split") == "test").groupBy("split").agg(
         F.count("*").alias("n_docs"),
-        F.sum("n_chars").alias("sum_chars"),
-        F.sum("doc_id").alias("sum_ids"),
+        det.idsum("n_chars").alias("sum_chars"),
+        det.idsum("doc_id").alias("sum_ids"),
     ).select(
         "split", F.lit(-1).cast("long").alias("pack_bucket"),
         F.lit(-1).cast("long").alias("pack_id"),

@@ -250,10 +250,35 @@ def lsum(col, scale: int = 6) -> Column:
 
 
 def lsum_sql(expr: str, scale: int = 6) -> str:
+    # DECIMAL(38,0) accumulator for symmetry with :func:`lsum` — a BIGINT
+    # accumulator happened to be safe here only because DuckDB promotes
+    # SUM(BIGINT) to HUGEINT; emitting decimal keeps the twin honest on
+    # any ANSI engine that (like non-ANSI Spark) would wrap instead.
     return (
         f"SUM(CAST(CASE WHEN isnan(CAST({expr} AS DOUBLE)) THEN NULL ELSE "
-        f"FLOOR(CAST({expr} AS DOUBLE)*{float(10**scale)!r} + 0.5) END AS BIGINT))"
+        f"FLOOR(CAST({expr} AS DOUBLE)*{float(10**scale)!r} + 0.5) END AS DECIMAL(38,0)))"
     )
+
+
+# --- id checksums ------------------------------------------------------------
+
+
+def idsum(col) -> Column:
+    """Order-insensitive integer checksum of an id column, safe at any
+    row count: accumulate as DECIMAL(38,0) (exact to 1e38 — ~1e26 rows of
+    1e12-scale ids), surface as DOUBLE (correctly-rounded from the exact
+    decimal in both Spark and DuckDB, so the twins stay bit-identical).
+
+    Raw ``SUM(BIGINT)`` is NOT a valid checksum: non-ANSI Spark silently
+    wraps past 2^63 while DuckDB promotes to HUGEINT — the corr_spearman
+    bug class found by the r7 sf1 sweep, which realistic 1e12-scale doc
+    ids reproduce in any popular-group checksum."""
+    return F.sum(_c(col).cast("decimal(38,0)")).cast("double")
+
+
+def idsum_sql(expr: str) -> str:
+    """SQL twin of :func:`idsum` (ANSI; DuckDB SUM(DECIMAL(38,0)) is exact)."""
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(38,0))) AS DOUBLE)"
 
 
 def fsum(col, scale: int = 6) -> Column:

@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..det import idsum
 from .text import char_ngrams, fingerprint_md5, normalize_text, tokens, word_ngrams
 
 
@@ -802,7 +803,7 @@ def repeated_spans(
             F.count(F.lit(1)).alias("n_docs"),
             F.min(id_col).alias("first_doc"),
             F.max(id_col).alias("last_doc"),
-            F.sum(id_col).alias("sum_doc_ids"),
+            idsum(id_col).alias("sum_doc_ids"),
         )
         .where(F.col("n_docs") >= min_docs)
     )

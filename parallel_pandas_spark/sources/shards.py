@@ -70,7 +70,10 @@ def shard_manifest(spark: SparkSession, path: str, id_col: str) -> DataFrame:
     d = spark.read.parquet(path).withColumn("__file", F.input_file_name())
     return d.groupBy("shard").agg(
         F.count("*").alias("n_rows"),
-        F.sum(id_col).cast("long").alias("id_sum"),
+        # DECIMAL(38,0) accumulator, DOUBLE surface: a shard of a 100 TB
+        # corpus holds ~1e10 rows of up-to-1e12 ids — a raw SUM(BIGINT)
+        # checksum wraps exactly when the manifest matters most
+        F.sum(F.col(id_col).cast("decimal(38,0)")).cast("double").alias("id_sum"),
         F.min(id_col).cast("long").alias("id_min"),
         F.max(id_col).cast("long").alias("id_max"),
         F.countDistinct("__file").alias("n_files"),
