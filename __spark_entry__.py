@@ -47,6 +47,26 @@ from parallel_pandas_spark.streaming import events as streaming_events
 
 SF0001 = "/root/testdata/sf0.001"
 
+
+def _rows_bound(sf_dir: str) -> float | None:
+    """Conservative fact-table row bound for the det.* compact-LONG
+    accumulator opt-in (det._long_ok): parsed from the fixture dir name
+    (``sf{X}`` → lineitem ≈ 6.1M·X rows, tripled for margin). Unknown
+    layouts return None — every det sum then keeps the always-safe
+    DECIMAL(38,0) accumulator; the opt-in NEVER rests on a guessed bound.
+    The assertion is guarded end-to-end: the sf1 oracle sweep re-checks
+    every query at the largest fixture, and a hypothesis test pins the
+    long and decimal paths bit-identical below the bound."""
+    import re as _re
+
+    m = _re.search(r"sf([0-9.]+)$", sf_dir.rstrip("/"))
+    if not m:
+        return None
+    try:
+        return 3.0 * 6_100_000 * float(m.group(1))
+    except ValueError:
+        return None
+
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 _ORACLES: dict[str, str] = {}
 
@@ -166,16 +186,21 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
+    # xmax from the TPC-H column domains (qty<=100, price<=2e5,
+    # charge<=price*1.21), nmax from the fixture dir: together they let
+    # each det sum elect the plain-LONG accumulator where it provably
+    # cannot wrap (det._long_ok) instead of paying the BigDecimal add
+    nb = _rows_bound(sf_dir)
     return grouped.groupby_agg(
         li.where(F.col("l_shipdate") <= "1998-09-02"),
         ["l_returnflag", "l_linestatus"],
         [
-            det.dsum("l_quantity").alias("sum_qty"),
-            det.dsum("l_extendedprice").alias("sum_base_price"),
-            det.qsum(disc_price, 6).alias("sum_disc_price"),
-            det.qsum(charge, 6).alias("sum_charge"),
-            det.dmean("l_quantity").alias("avg_qty"),
-            det.dmean("l_extendedprice").alias("avg_price"),
+            det.dsum("l_quantity", xmax=100.0, nmax=nb).alias("sum_qty"),
+            det.dsum("l_extendedprice", xmax=2e5, nmax=nb).alias("sum_base_price"),
+            det.qsum(disc_price, 6, xmax=2e5, nmax=nb).alias("sum_disc_price"),
+            det.qsum(charge, 6, xmax=2.42e5, nmax=nb).alias("sum_charge"),
+            det.dmean("l_quantity", xmax=100.0, nmax=nb).alias("avg_qty"),
+            det.dmean("l_extendedprice", xmax=2e5, nmax=nb).alias("avg_price"),
             F.count("*").alias("count_order"),
         ],
         sort=False,
@@ -460,6 +485,12 @@ _CORR_SCALES = {
     "l_discount": 9,
     "l_tax": 9,
 }
+_CORR_XMAX = {
+    "l_quantity": 100.0,
+    "l_extendedprice": 2e5,
+    "l_discount": 1.0,
+    "l_tax": 1.0,
+}
 _CORR_PAIRS = [
     ("l_quantity", "l_extendedprice", 4),
     ("l_quantity", "l_discount", 8),
@@ -501,16 +532,19 @@ def corr_pearson(spark: SparkSession, sf_dir: str) -> DataFrame:
     scalar projection of the single-row result — vs. recomputing 4 sums
     per pair (~36 buffers) when each pair builds its own dcorr."""
     li = load_table(spark, sf_dir, "lineitem")
+    nb = _rows_bound(sf_dir)
     aggs = [F.count(F.col(next(iter(_CORR_SCALES)))).cast("double").alias("n")]
     for c, s in _CORR_SCALES.items():
         x = F.col(c).cast("double")
-        aggs.append(det.fsum(x, s).alias(f"s1_{c}"))
-        aggs.append(det.fsum(x * x, max(s - 2, 0)).alias(f"s2_{c}"))
+        xm = _CORR_XMAX[c]
+        aggs.append(det.fsum(x, s, xmax=xm, nmax=nb).alias(f"s1_{c}"))
+        aggs.append(det.fsum(x * x, max(s - 2, 0), xmax=xm * xm, nmax=nb).alias(f"s2_{c}"))
     for a, b, s in _CORR_PAIRS:
         aggs.append(
-            det.fsum(F.col(a).cast("double") * F.col(b).cast("double"), s).alias(
-                f"sab_{a}__{b}"
-            )
+            det.fsum(
+                F.col(a).cast("double") * F.col(b).cast("double"), s,
+                xmax=_CORR_XMAX[a] * _CORR_XMAX[b], nmax=nb,
+            ).alias(f"sab_{a}__{b}")
         )
     sums = li.agg(*aggs)
 
@@ -582,13 +616,17 @@ def corr_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
         r = ordered.global_avg_rank(r, c, out_col=alias)
     r = r.select(*[(F.col(a) * 2).alias(a) for a in ["r_q", "r_p", "r_d"]])
 
+    nb = _rows_bound(sf_dir)
+    rmax = None if nb is None else 4.0 * nb  # doubled rank <= 2*(n + ties)
     aggs = [F.count("r_q").cast("double").alias("n")]
     for a in ["r_q", "r_p", "r_d"]:
         x = F.col(a)
-        aggs.append(det.fsum(x, 0).alias(f"s1_{a}"))
-        aggs.append(det.fsum(x * x, 0).alias(f"s2_{a}"))
+        aggs.append(det.fsum(x, 0, xmax=rmax, nmax=nb).alias(f"s1_{a}"))
+        # rank^2 sums are the r7 wrap site: 2.9e20 at sf1 — _long_ok
+        # rejects them and they stay on the decimal accumulator
+        aggs.append(det.fsum(x * x, 0, xmax=None if rmax is None else rmax * rmax, nmax=nb).alias(f"s2_{a}"))
     for _, _, x, y in _SPEAR_PAIRS:
-        aggs.append(det.fsum(F.col(x) * F.col(y), 0).alias(f"sab_{x}_{y}"))
+        aggs.append(det.fsum(F.col(x) * F.col(y), 0, xmax=None if rmax is None else rmax * rmax, nmax=nb).alias(f"sab_{x}_{y}"))
     sums = r.agg(*aggs)
 
     exprs = []
@@ -719,8 +757,10 @@ FROM lineitem, m
 )
 def zscore_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
+    nb = _rows_bound(sf_dir)
     m = li.agg(
-        det.dmean("l_extendedprice").alias("m"), det.dstd("l_extendedprice", 6, 4).alias("s")
+        det.dmean("l_extendedprice", xmax=2e5, nmax=nb).alias("m"),
+        det.dstd("l_extendedprice", 6, 4, xmax=2e5, nmax=nb).alias("s"),
     )
     return (
         li.crossJoin(F.broadcast(m))
@@ -3789,33 +3829,38 @@ def _stats_battery_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
     the difference between 5 reads of the fact table and 8."""
     li = load_table(spark, sf_dir, "lineitem")
     qty_small = F.when(F.col("l_quantity") <= 10, F.col("l_quantity"))
+    # nmax lets each power sum elect the LONG accumulator where the
+    # declared |x|^p*10^s*rows bound provably fits 2^62 (det._long_ok);
+    # the high powers (qty^3, price^2, discount at scale 12) fail the
+    # bound and keep DECIMAL(38,0) automatically
+    nb = _rows_bound(sf_dir)
     core = li.agg(
         # --- stats_central ---
         F.min("l_quantity").alias("l_quantity_min"),
         F.max("l_quantity").alias("l_quantity_max"),
-        det.dmean("l_quantity").alias("l_quantity_mean"),
+        det.dmean("l_quantity", xmax=100.0, nmax=nb).alias("l_quantity_mean"),
         F.count("l_quantity").alias("l_quantity_count"),
         F.min("l_extendedprice").alias("l_extendedprice_min"),
         F.max("l_extendedprice").alias("l_extendedprice_max"),
-        det.dmean("l_extendedprice").alias("l_extendedprice_mean"),
+        det.dmean("l_extendedprice", xmax=2e5, nmax=nb).alias("l_extendedprice_mean"),
         F.min("l_discount").alias("l_discount_min"),
         F.max("l_discount").alias("l_discount_max"),
-        det.dmean("l_discount", scale=9).alias("l_discount_mean"),
+        det.dmean("l_discount", scale=9, xmax=1.0, nmax=nb).alias("l_discount_mean"),
         # --- stats_dispersion ---
-        det.dvar("l_quantity", 6, 6, xmax=100.0).alias("l_quantity_var"),
-        det.dstd("l_quantity", 6, 6, xmax=100.0).alias("l_quantity_std"),
-        det.dsem("l_quantity", 6, 6, xmax=100.0).alias("l_quantity_sem"),
-        det.dvar("l_extendedprice", 6, 4, xmax=2e5).alias("l_extendedprice_var"),
-        det.dstd("l_extendedprice", 6, 4, xmax=2e5).alias("l_extendedprice_std"),
-        det.dvar("l_discount", 9, 9, xmax=1.0).alias("l_discount_var"),
-        det.dstd("l_discount", 9, 9, xmax=1.0).alias("l_discount_std"),
+        det.dvar("l_quantity", 6, 6, xmax=100.0, nmax=nb).alias("l_quantity_var"),
+        det.dstd("l_quantity", 6, 6, xmax=100.0, nmax=nb).alias("l_quantity_std"),
+        det.dsem("l_quantity", 6, 6, xmax=100.0, nmax=nb).alias("l_quantity_sem"),
+        det.dvar("l_extendedprice", 6, 4, xmax=2e5, nmax=nb).alias("l_extendedprice_var"),
+        det.dstd("l_extendedprice", 6, 4, xmax=2e5, nmax=nb).alias("l_extendedprice_std"),
+        det.dvar("l_discount", 9, 9, xmax=1.0, nmax=nb).alias("l_discount_var"),
+        det.dstd("l_discount", 9, 9, xmax=1.0, nmax=nb).alias("l_discount_std"),
         # --- stats_skew_kurt ---
-        det.dskew("l_quantity", 6, xmax=100.0).alias("l_quantity_skew"),
-        det.dkurt("l_quantity", 6, xmax=100.0).alias("l_quantity_kurt"),
-        det.dskew("l_discount", 12, xmax=1.0).alias("l_discount_skew"),
-        det.dkurt("l_discount", 12, xmax=1.0).alias("l_discount_kurt"),
-        det.dskew("l_tax", 12, xmax=1.0).alias("l_tax_skew"),
-        det.dkurt("l_tax", 12, xmax=1.0).alias("l_tax_kurt"),
+        det.dskew("l_quantity", 6, xmax=100.0, nmax=nb).alias("l_quantity_skew"),
+        det.dkurt("l_quantity", 6, xmax=100.0, nmax=nb).alias("l_quantity_kurt"),
+        det.dskew("l_discount", 12, xmax=1.0, nmax=nb).alias("l_discount_skew"),
+        det.dkurt("l_discount", 12, xmax=1.0, nmax=nb).alias("l_discount_kurt"),
+        det.dskew("l_tax", 12, xmax=1.0, nmax=nb).alias("l_tax_skew"),
+        det.dkurt("l_tax", 12, xmax=1.0, nmax=nb).alias("l_tax_kurt"),
         # --- stats_sum_prod_min_count (filter folded into the aggregate) ---
         reductions.sum_min_count(qty_small, 100_000).alias("qty_sum_mc_high"),
         reductions.sum_min_count(qty_small, 3).alias("qty_sum_mc_low"),
@@ -3835,11 +3880,13 @@ def _stats_battery_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.crossJoin(F.broadcast(core.select("l_quantity_mean", "l_discount_mean")))
         .agg(
             (
-                det.qsum(F.abs(F.col("l_quantity") - F.col("l_quantity_mean")), 6)
+                det.qsum(F.abs(F.col("l_quantity") - F.col("l_quantity_mean")), 6,
+                         xmax=200.0, nmax=nb)
                 / F.count("l_quantity")
             ).alias("l_quantity_mad"),
             (
-                det.qsum(F.abs(F.col("l_discount") - F.col("l_discount_mean")), 9)
+                det.qsum(F.abs(F.col("l_discount") - F.col("l_discount_mean")), 9,
+                         xmax=2.0, nmax=nb)
                 / F.count("l_discount")
             ).alias("l_discount_mad"),
         )

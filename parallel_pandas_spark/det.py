@@ -82,6 +82,23 @@ def _nobs_sql(col: str) -> str:
 _W = 4294967296.0  # 2^32
 
 
+def _long_ok(xmax: float | None, power: int, scale: int, nmax: float | None) -> bool:
+    """True when a plain-LONG accumulator provably cannot wrap: the caller
+    declares both a value bound (``|x|``max) and a ROW-COUNT bound
+    (``nmax``), and ``|x|^power · 10^scale · nmax < 2^62``.
+
+    This is the opt-in that recovers the DECIMAL(38,0) exactness tax
+    (measured +60% per sum, r7): below the bound the long and decimal
+    accumulators hold the same exact integer, so the result is
+    bit-identical — guarded by a hypothesis test (test_det_properties) and
+    the sf1 oracle sweep. Either bound omitted → False (decimal path);
+    correctness never rests on an undeclared bound. Same contract as the
+    window kernels' ``compact_sums=True`` precedent (windows.py)."""
+    if xmax is None or nmax is None:
+        return False
+    return (abs(xmax) ** power) * (10 ** scale) * nmax < float(2 ** 62)
+
+
 def _floor_d(v: Column) -> Column:
     """Exact floor of a double at any magnitude (fmod is IEEE-exact).
 
@@ -129,7 +146,10 @@ def _qsplit_sql(x: str, scale: int) -> tuple[str, str]:
     return f"CAST({h} AS BIGINT)", f"CAST({lo} AS BIGINT)"
 
 
-def qsum(x: Column, scale: int, wide: bool = False) -> Column:
+def qsum(
+    x: Column, scale: int, wide: bool = False,
+    xmax: float | None = None, nmax: float | None = None,
+) -> Column:
     """Engine-exact sum of round(x·10^s)/10^s over rows, as DOUBLE.
 
     Use for any *computed* expression (products, differences, powers) —
@@ -146,6 +166,11 @@ def qsum(x: Column, scale: int, wide: bool = False) -> Column:
     to *plan* a 3-column skew/kurt agg on the wide path.) Pass
     ``wide=True`` for magnitudes up to 2^90, where the quantized value
     itself exceeds LONG range and is split into exact hi/lo 32-bit words.
+
+    ``xmax``/``nmax``: declaring BOTH a value bound and a row-count bound
+    with ``|x|·10^s·nmax < 2^62`` selects a plain-LONG accumulator — the
+    same exact integer as the decimal path below the bound, without the
+    per-row BigDecimal add (see :func:`_long_ok`).
     """
     if wide:
         hi, lo = _qsplit(x, scale)
@@ -153,6 +178,8 @@ def qsum(x: Column, scale: int, wide: bool = False) -> Column:
         slo = F.sum(lo.cast("decimal(38,0)")).cast("double")
         return (shi * F.lit(_W) + slo) / F.lit(float(10**scale))
     q = F.floor(x * F.lit(float(10**scale)) + F.lit(0.5))  # exact; LONG
+    if _long_ok(xmax, 1, scale, nmax):
+        return F.sum(q).cast("double") / F.lit(float(10**scale))
     return F.sum(q.cast("decimal(38,0)")).cast("double") / F.lit(float(10**scale))
 
 
@@ -168,32 +195,55 @@ def qsum_sql(x: str, scale: int, wide: bool = False) -> str:
     return f"(CAST(SUM({q}) AS DOUBLE) / {ten})"
 
 
-def psum(col, power: int = 1, scale: int = 6, wide: bool = False) -> Column:
+def psum(
+    col, power: int = 1, scale: int = 6, wide: bool = False,
+    xmax: float | None = None, nmax: float | None = None,
+) -> Column:
     """Exact order-independent sum of x^power, returned as DOUBLE.
 
     Compact-path bound (default): ``max|x|^power · 10^scale < 2^62`` — the
     callers pick ``scale`` from known column ranges already, so they own
     the assertion; pass ``wide=True`` when the bound cannot be promised.
+    ``xmax``+``nmax`` additionally select the LONG accumulator per power
+    when ``|x|^power·10^s·nmax < 2^62`` (see :func:`_long_ok`).
     """
     c = _c(col).cast("double")
     x = c
     for _ in range(power - 1):
         x = x * c
-    return qsum(x, scale, wide=wide)
+    exmax = None if xmax is None else abs(xmax) ** power
+    return qsum(x, scale, wide=wide, xmax=exmax, nmax=nmax)
 
 
-def psum_sql(col: str, power: int = 1, scale: int = 6, wide: bool = False) -> str:
+def psum_sql(
+    col: str, power: int = 1, scale: int = 6, wide: bool = False,
+    xmax: float | None = None, nmax: float | None = None,
+) -> str:
+    # xmax/nmax accepted for signature symmetry with psum and IGNORED:
+    # DuckDB promotes SUM(BIGINT) to HUGEINT, so below the caller's bound
+    # the emitted accumulator equals both Spark paths exactly.
     c = f"CAST({col} AS DOUBLE)"
     x = c if power == 1 else "(" + "*".join([c] * power) + ")"
     return qsum_sql(x, scale, wide=wide)
 
 
-def cross_sum(a, b, scale: int = 6, wide: bool = False) -> Column:
-    """Exact order-independent sum of a*b (for covariances/correlations)."""
-    return qsum(_c(a).cast("double") * _c(b).cast("double"), scale, wide=wide)
+def cross_sum(
+    a, b, scale: int = 6, wide: bool = False,
+    abmax: float | None = None, nmax: float | None = None,
+) -> Column:
+    """Exact order-independent sum of a*b (for covariances/correlations).
+
+    ``abmax`` declares max|a·b| for the LONG-accumulator opt-in."""
+    return qsum(
+        _c(a).cast("double") * _c(b).cast("double"), scale, wide=wide,
+        xmax=abmax, nmax=nmax,
+    )
 
 
-def cross_sum_sql(a: str, b: str, scale: int = 6, wide: bool = False) -> str:
+def cross_sum_sql(
+    a: str, b: str, scale: int = 6, wide: bool = False,
+    abmax: float | None = None, nmax: float | None = None,
+) -> str:
     return qsum_sql(f"(CAST({a} AS DOUBLE)*CAST({b} AS DOUBLE))", scale, wide=wide)
 
 
@@ -233,7 +283,7 @@ def dyadic(values, bits: int = 38) -> list[float]:
     return [round(float(v) * scale) / scale for v in values]
 
 
-def lsum(col, scale: int = 6) -> Column:
+def lsum(col, scale: int = 6, xmax: float | None = None, nmax: float | None = None) -> Column:
     """Exact scaled-long sum of an expression.
 
     The per-VALUE bound is the caller's contract (|x|·10^s < 2^62); the
@@ -243,13 +293,19 @@ def lsum(col, scale: int = 6) -> Column:
     data gets big (found by the r7 sf1 oracle sweep: Σ(2·rank)² over 6M
     rows ≈ 2.9e20 went negative). DECIMAL(38,0) holds sums to 1e38 —
     ~1e17 rows at the per-value bound — and stays exact integer
-    arithmetic on both engines."""
+    arithmetic on both engines. Declaring ``xmax``+``nmax`` with
+    ``|x|·10^s·nmax < 2^62`` opts in to a LONG accumulator (same exact
+    integer below the bound, no BigDecimal per-row add); the long path
+    returns LONG, the decimal path DECIMAL(38,0) — descale via
+    :func:`fsum` for a type-stable DOUBLE."""
     c = _c(col).cast("double")
     q = F.floor(c * F.lit(float(10**scale)) + F.lit(0.5)).cast("long")
+    if _long_ok(xmax, 1, scale, nmax):
+        return F.sum(q)
     return F.sum(q.cast("decimal(38,0)"))
 
 
-def lsum_sql(expr: str, scale: int = 6) -> str:
+def lsum_sql(expr: str, scale: int = 6, xmax: float | None = None, nmax: float | None = None) -> str:
     # DECIMAL(38,0) accumulator for symmetry with :func:`lsum` — a BIGINT
     # accumulator happened to be safe here only because DuckDB promotes
     # SUM(BIGINT) to HUGEINT; emitting decimal keeps the twin honest on
@@ -281,31 +337,31 @@ def idsum_sql(expr: str) -> str:
     return f"CAST(SUM(CAST({expr} AS DECIMAL(38,0))) AS DOUBLE)"
 
 
-def fsum(col, scale: int = 6) -> Column:
+def fsum(col, scale: int = 6, xmax: float | None = None, nmax: float | None = None) -> Column:
     """Exact order-independent sum via scaled longs, descaled to DOUBLE."""
-    return lsum(col, scale).cast("double") / F.lit(float(10**scale))
+    return lsum(col, scale, xmax=xmax, nmax=nmax).cast("double") / F.lit(float(10**scale))
 
 
-def fsum_sql(expr: str, scale: int = 6) -> str:
+def fsum_sql(expr: str, scale: int = 6, xmax: float | None = None, nmax: float | None = None) -> str:
     return f"CAST({lsum_sql(expr, scale)} AS DOUBLE)/{float(10**scale)!r}"
 
 
 # --- first/second moments --------------------------------------------------
 
 
-def dsum(col, scale: int = 6) -> Column:
-    return psum(col, 1, scale)
+def dsum(col, scale: int = 6, xmax: float | None = None, nmax: float | None = None) -> Column:
+    return psum(col, 1, scale, xmax=xmax, nmax=nmax)
 
 
-def dsum_sql(col: str, scale: int = 6) -> str:
+def dsum_sql(col: str, scale: int = 6, xmax: float | None = None, nmax: float | None = None) -> str:
     return psum_sql(col, 1, scale)
 
 
-def dmean(col, scale: int = 6) -> Column:
-    return psum(col, 1, scale) / _nobs(col)
+def dmean(col, scale: int = 6, xmax: float | None = None, nmax: float | None = None) -> Column:
+    return psum(col, 1, scale, xmax=xmax, nmax=nmax) / _nobs(col)
 
 
-def dmean_sql(col: str, scale: int = 6) -> str:
+def dmean_sql(col: str, scale: int = 6, xmax: float | None = None, nmax: float | None = None) -> str:
     return f"{psum_sql(col, 1, scale)} / {_nobs_sql(col)}"
 
 
@@ -319,52 +375,74 @@ def _wide_for(xmax: float | None, power: int, scale: int) -> bool:
     return (abs(xmax) ** power) * (10**scale) >= float(2**62)
 
 
-def dvar(col, scale: int = 6, sq_scale: int = 4, ddof: int = 1, xmax: float | None = None) -> Column:
+def dvar(
+    col, scale: int = 6, sq_scale: int = 4, ddof: int = 1,
+    xmax: float | None = None, nmax: float | None = None,
+) -> Column:
     """Sample variance from exact power sums: (S2 - S1^2/n) / (n - ddof).
 
     ``xmax`` declares max|x| so each power sum can take the compact
     scaled-long path (see :func:`qsum`); omit it for the always-safe wide
-    path."""
+    path. ``nmax`` additionally declares a row-count bound selecting the
+    LONG accumulator per power sum where it provably cannot wrap."""
     n = _nobs(col).cast("double")
-    s1 = psum(col, 1, scale, wide=_wide_for(xmax, 1, scale))
-    s2 = psum(col, 2, sq_scale, wide=_wide_for(xmax, 2, sq_scale))
+    s1 = psum(col, 1, scale, wide=_wide_for(xmax, 1, scale), xmax=xmax, nmax=nmax)
+    s2 = psum(col, 2, sq_scale, wide=_wide_for(xmax, 2, sq_scale), xmax=xmax, nmax=nmax)
     return (s2 - s1 * s1 / n) / (n - ddof)
 
 
-def dvar_sql(col: str, scale: int = 6, sq_scale: int = 4, ddof: int = 1, xmax: float | None = None) -> str:
+def dvar_sql(
+    col: str, scale: int = 6, sq_scale: int = 4, ddof: int = 1,
+    xmax: float | None = None, nmax: float | None = None,
+) -> str:
     s1 = psum_sql(col, 1, scale, wide=_wide_for(xmax, 1, scale))
     s2 = psum_sql(col, 2, sq_scale, wide=_wide_for(xmax, 2, sq_scale))
     n = f"CAST({_nobs_sql(col)} AS DOUBLE)"
     return f"(({s2}) - ({s1})*({s1})/({n})) / (({n}) - {ddof})"
 
 
-def dstd(col, scale: int = 6, sq_scale: int = 4, ddof: int = 1, xmax: float | None = None) -> Column:
-    return F.sqrt(dvar(col, scale, sq_scale, ddof, xmax))
+def dstd(
+    col, scale: int = 6, sq_scale: int = 4, ddof: int = 1,
+    xmax: float | None = None, nmax: float | None = None,
+) -> Column:
+    return F.sqrt(dvar(col, scale, sq_scale, ddof, xmax, nmax=nmax))
 
 
-def dstd_sql(col: str, scale: int = 6, sq_scale: int = 4, ddof: int = 1, xmax: float | None = None) -> str:
+def dstd_sql(
+    col: str, scale: int = 6, sq_scale: int = 4, ddof: int = 1,
+    xmax: float | None = None, nmax: float | None = None,
+) -> str:
     return f"SQRT({dvar_sql(col, scale, sq_scale, ddof, xmax)})"
 
 
-def dsem(col, scale: int = 6, sq_scale: int = 4, xmax: float | None = None) -> Column:
+def dsem(
+    col, scale: int = 6, sq_scale: int = 4,
+    xmax: float | None = None, nmax: float | None = None,
+) -> Column:
     """Standard error of the mean, ddof=1 (pandas default)."""
-    return F.sqrt(dvar(col, scale, sq_scale, 1, xmax) / _nobs(col))
+    return F.sqrt(dvar(col, scale, sq_scale, 1, xmax, nmax=nmax) / _nobs(col))
 
 
-def dsem_sql(col: str, scale: int = 6, sq_scale: int = 4, xmax: float | None = None) -> str:
+def dsem_sql(
+    col: str, scale: int = 6, sq_scale: int = 4,
+    xmax: float | None = None, nmax: float | None = None,
+) -> str:
     return f"SQRT(({dvar_sql(col, scale, sq_scale, 1, xmax)}) / {_nobs_sql(col)})"
 
 
 # --- skew / kurt (pandas G1/G2 sample estimators) ---------------------------
 
 
-def dskew(col, scale: int = 6, xmax: float | None = None) -> Column:
+def dskew(col, scale: int = 6, xmax: float | None = None, nmax: float | None = None) -> Column:
     # NOTE: no POW anywhere — pow(x, 1.5) is not correctly-rounded and
     # JVM Math.pow vs DuckDB libm drift by an ulp value-dependently.
     # x^1.5 = x*sqrt(x): multiply and sqrt ARE exactly rounded (IEEE754),
     # so the twins are bit-identical across engines.
     n = _nobs(col).cast("double")
-    s1, s2, s3 = (psum(col, p, scale, wide=_wide_for(xmax, p, scale)) for p in (1, 2, 3))
+    s1, s2, s3 = (
+        psum(col, p, scale, wide=_wide_for(xmax, p, scale), xmax=xmax, nmax=nmax)
+        for p in (1, 2, 3)
+    )
     m = s1 / n
     m2 = s2 / n - m * m
     m3 = s3 / n - 3 * m * s2 / n + 2 * m * m * m
@@ -372,7 +450,7 @@ def dskew(col, scale: int = 6, xmax: float | None = None) -> Column:
     return g1 * F.sqrt(n * (n - 1)) / (n - 2)
 
 
-def dskew_sql(col: str, scale: int = 6, xmax: float | None = None) -> str:
+def dskew_sql(col: str, scale: int = 6, xmax: float | None = None, nmax: float | None = None) -> str:
     s1, s2, s3 = (psum_sql(col, p, scale, wide=_wide_for(xmax, p, scale)) for p in (1, 2, 3))
     n = f"CAST({_nobs_sql(col)} AS DOUBLE)"
     m = f"(({s1})/({n}))"
@@ -382,9 +460,12 @@ def dskew_sql(col: str, scale: int = 6, xmax: float | None = None) -> str:
     return f"{g1} * SQRT(({n})*(({n})-1)) / (({n})-2)"
 
 
-def dkurt(col, scale: int = 6, xmax: float | None = None) -> Column:
+def dkurt(col, scale: int = 6, xmax: float | None = None, nmax: float | None = None) -> Column:
     n = _nobs(col).cast("double")
-    s1, s2, s3, s4 = (psum(col, p, scale, wide=_wide_for(xmax, p, scale)) for p in (1, 2, 3, 4))
+    s1, s2, s3, s4 = (
+        psum(col, p, scale, wide=_wide_for(xmax, p, scale), xmax=xmax, nmax=nmax)
+        for p in (1, 2, 3, 4)
+    )
     m = s1 / n
     m2 = s2 / n - m * m
     # m^4 via explicit left-assoc multiplication (exactly rounded; POW is not)
@@ -393,7 +474,7 @@ def dkurt(col, scale: int = 6, xmax: float | None = None) -> Column:
     return ((n + 1) * g2 + 6) * (n - 1) / ((n - 2) * (n - 3))
 
 
-def dkurt_sql(col: str, scale: int = 6, xmax: float | None = None) -> str:
+def dkurt_sql(col: str, scale: int = 6, xmax: float | None = None, nmax: float | None = None) -> str:
     s1, s2, s3, s4 = (psum_sql(col, p, scale, wide=_wide_for(xmax, p, scale)) for p in (1, 2, 3, 4))
     n = f"CAST({_nobs_sql(col)} AS DOUBLE)"
     m = f"(({s1})/({n}))"
@@ -410,16 +491,17 @@ def dkurt_sql(col: str, scale: int = 6, xmax: float | None = None) -> str:
 def dcorr(
     a, b, scale_a: int = 6, scale_b: int = 6, scale_ab: int = 6,
     amax: float | None = None, bmax: float | None = None,
+    nmax: float | None = None,
 ) -> Column:
     """Pearson correlation from exact sums:
     (n·Sab − Sa·Sb) / sqrt((n·Saa − Sa²)(n·Sbb − Sb²))."""
     n = _nobs(a).cast("double")
     abmax = None if (amax is None or bmax is None) else abs(amax) * abs(bmax)
-    sa = psum(a, 1, scale_a, wide=_wide_for(amax, 1, scale_a))
-    sb = psum(b, 1, scale_b, wide=_wide_for(bmax, 1, scale_b))
-    saa = psum(a, 2, max(scale_a - 2, 0), wide=_wide_for(amax, 2, max(scale_a - 2, 0)))
-    sbb = psum(b, 2, max(scale_b - 2, 0), wide=_wide_for(bmax, 2, max(scale_b - 2, 0)))
-    sab = cross_sum(a, b, scale_ab, wide=_wide_for(abmax, 1, scale_ab))
+    sa = psum(a, 1, scale_a, wide=_wide_for(amax, 1, scale_a), xmax=amax, nmax=nmax)
+    sb = psum(b, 1, scale_b, wide=_wide_for(bmax, 1, scale_b), xmax=bmax, nmax=nmax)
+    saa = psum(a, 2, max(scale_a - 2, 0), wide=_wide_for(amax, 2, max(scale_a - 2, 0)), xmax=amax, nmax=nmax)
+    sbb = psum(b, 2, max(scale_b - 2, 0), wide=_wide_for(bmax, 2, max(scale_b - 2, 0)), xmax=bmax, nmax=nmax)
+    sab = cross_sum(a, b, scale_ab, wide=_wide_for(abmax, 1, scale_ab), abmax=abmax, nmax=nmax)
     num = n * sab - sa * sb
     den = F.sqrt((n * saa - sa * sa) * (n * sbb - sb * sb))
     return num / den
@@ -428,6 +510,7 @@ def dcorr(
 def dcorr_sql(
     a: str, b: str, scale_a: int = 6, scale_b: int = 6, scale_ab: int = 6,
     amax: float | None = None, bmax: float | None = None,
+    nmax: float | None = None,
 ) -> str:
     n = f"CAST({_nobs_sql(a)} AS DOUBLE)"
     abmax = None if (amax is None or bmax is None) else abs(amax) * abs(bmax)

@@ -109,6 +109,44 @@ def test_skew_twin_bit_exact(spark, xs):
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
+@given(_vals)
+def test_compact_long_path_bit_identical(spark, xs):
+    """The nmax opt-in (det._long_ok): below the caller-declared bound the
+    plain-LONG accumulator must produce the BIT-IDENTICAL double to the
+    DECIMAL(38,0) accumulator — this is the contract that makes the perf
+    opt-in safe to apply in the entry queries."""
+    pdf = pd.DataFrame({"x": xs})
+    sdf = from_pandas(spark, pdf)
+    xmax, nmax = 1e5, 1e6  # 1e5*10^2*1e6 = 1e13 < 2^62: long path elected
+    assert det._long_ok(xmax, 1, 2, nmax)
+    got = sdf.agg(
+        det.fsum("x", 2).alias("dec_fs"),
+        det.fsum("x", 2, xmax=xmax, nmax=nmax).alias("lng_fs"),
+        det.dvar("x", 2, 0, xmax=xmax).alias("dec_dv"),
+        det.dvar("x", 2, 0, xmax=xmax, nmax=nmax).alias("lng_dv"),
+        det.dskew("x", 2, xmax=xmax).alias("dec_sk"),
+        det.dskew("x", 2, xmax=xmax, nmax=nmax).alias("lng_sk"),
+    ).collect()[0]
+    for a, b in [("dec_fs", "lng_fs"), ("dec_dv", "lng_dv"), ("dec_sk", "lng_sk")]:
+        ga, gb = got[a], got[b]
+        assert ga == gb or (ga != ga and gb != gb), (a, ga, b, gb)
+
+
+def test_long_ok_bound_rejects(spark):
+    """_long_ok must refuse exactly the configurations that can wrap."""
+    assert not det._long_ok(None, 1, 6, 1e6)        # no value bound
+    assert not det._long_ok(100.0, 1, 6, None)      # no row bound
+    assert not det._long_ok(1e6, 2, 6, 1e7)         # 1e12*1e6*1e7 >= 2^62
+    assert det._long_ok(100.0, 1, 6, 1e7)           # 1e8*1e7 = 1e15 < 2^62
+    # the r7 corr_spearman wrap shape: rank^2 sums at sf1 must be rejected
+    assert not det._long_ok(2.44e7, 2, 0, 6.1e6)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
 @given(
     st.lists(
         st.integers(min_value=-(2**40), max_value=2**40),
