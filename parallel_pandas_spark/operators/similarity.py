@@ -314,21 +314,31 @@ def quantize_embeddings(
     all-zero codes with scale 0 (no 0/0). Output: (id, scale, codes).
 
     One narrow scan, two folds per row (max, then the code transform) —
-    no shuffle, no UDF."""
+    no shuffle, no UDF. The scale is STAGED into its own projection
+    before the code transform references it: higher-order functions run
+    interpreted with no invariant hoisting, so an inline ``array_max``
+    subtree inside the per-element lambda is re-evaluated for EVERY
+    element — O(d²) per row (the same inline-HOF re-execution
+    repetition_profile stages away; found by the r7 advice pass). As a
+    staged column the lambda reads a bound attribute instead."""
     qmax = float((1 << (bits - 1)) - 1)
     v = F.col(vec_col)
-    s = F.array_max(F.transform(v, lambda x: F.abs(x.cast("double"))))
+    staged = df.select(
+        F.col(id_col),
+        v.alias("__v"),
+        F.array_max(F.transform(v, lambda x: F.abs(x.cast("double")))).alias("scale"),
+    )
+    sc = F.col("scale")
     codes = F.when(
-        s == 0.0,
-        F.transform(v, lambda x: F.lit(0).cast("int")),
+        sc == 0.0,
+        F.transform(F.col("__v"), lambda x: F.lit(0).cast("int")),
     ).otherwise(
         F.transform(
-            v, lambda x: F.round(x.cast("double") / s * F.lit(qmax), 0).cast("int")
+            F.col("__v"),
+            lambda x: F.round(x.cast("double") / sc * F.lit(qmax), 0).cast("int"),
         )
     )
-    return df.select(
-        F.col(id_col), s.alias("scale"), codes.alias("codes")
-    )
+    return staged.select(F.col(id_col), sc, codes.alias("codes"))
 
 
 def quantized_cosine_topk(
@@ -339,6 +349,7 @@ def quantized_cosine_topk(
     k: int = 5,
     bits: int = 8,
     round_to: int = 6,
+    vectorized: bool = True,
 ) -> DataFrame:
     """Exact top-k over int8-quantized embeddings. The per-vector scales
     CANCEL in the cosine — cos(deq(a), deq(b)) = Σ qa·qb /
@@ -346,7 +357,18 @@ def quantized_cosine_topk(
     on any engine) plus one correctly-rounded divide/sqrt: the quantized
     path is MORE engine-reproducible than the float one, on top of being
     4x smaller to store. Same broadcast-queries × one-corpus-scan plan as
-    cosine_topk."""
+    cosine_topk.
+
+    ``vectorized=True`` (default) computes the pairwise integer dots as
+    ONE int64 matrix multiply per Arrow batch (``mapInPandas`` against
+    the collected query code matrix — a query-sized driver collect, same
+    bound as the broadcast) instead of an interpreted zip_with fold per
+    pair. Integer matmul is exact, so the scores are bit-identical to the
+    fold path (hypothesis-pinned in tests); at sf0.1 this turns the one
+    HOF-interpreted per-pair fold the plan had left into BLAS. The
+    divide/sqrt/round stay Spark-side so rounding semantics match the
+    fold path exactly. ``vectorized=False`` keeps the pure-JVM fold —
+    zero Python in the plan, for pipelines that need it."""
     q = quantize_embeddings(queries, id_col, vec_col, bits=bits).select(
         F.col(id_col).alias("query_id"),
         F.col("codes").alias("qc"),
@@ -357,22 +379,25 @@ def quantized_cosine_topk(
         F.col("codes").alias("cc"),
         _int_norm(F.col("codes")).alias("cn"),
     )
-    joined = c.crossJoin(F.broadcast(q)).where(
-        F.col("query_id") != F.col("neighbor_id")
-    )
-    idot = F.aggregate(
-        F.zip_with(F.col("qc"), F.col("cc"), lambda a, b: (a * b).cast("long")),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    scored = joined.select(
-        "query_id",
-        "neighbor_id",
-        F.round(
-            idot.cast("double") / (F.sqrt(F.col("qn")) * F.sqrt(F.col("cn"))),
-            round_to,
-        ).alias("qcosine"),
-    )
+    if vectorized:
+        scored = _quantized_scores_arrow(c, q, round_to)
+    else:
+        joined = c.crossJoin(F.broadcast(q)).where(
+            F.col("query_id") != F.col("neighbor_id")
+        )
+        idot = F.aggregate(
+            F.zip_with(F.col("qc"), F.col("cc"), lambda a, b: (a * b).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        scored = joined.select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                idot.cast("double") / (F.sqrt(F.col("qn")) * F.sqrt(F.col("cn"))),
+                round_to,
+            ).alias("qcosine"),
+        )
     w = Window.partitionBy("query_id").orderBy(
         F.col("qcosine").desc(), F.col("neighbor_id").asc()
     )
@@ -380,6 +405,54 @@ def quantized_cosine_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "qcosine", "rank")
+    )
+
+
+def _quantized_scores_arrow(c: DataFrame, q: DataFrame, round_to: int) -> DataFrame:
+    """(neighbor, query, qcosine) via one int64 matmul per Arrow batch.
+
+    The query side collects to the driver (same query-sized bound as the
+    broadcast in the fold path) and ships in the UDF closure; the corpus
+    streams through ``mapInPandas`` in constant memory. Only the integer
+    dot runs in numpy — exact, engine-independent — while the
+    divide/sqrt/round happen in Spark expressions identical to the fold
+    path, so both paths produce the same bits."""
+    import numpy as np
+    import pandas as pd
+
+    qrows = q.select("query_id", "qc", "qn").collect()  # query-sized
+    qids = np.array([r["query_id"] for r in qrows])  # id dtype preserved
+    qmat = np.array([list(r["qc"]) for r in qrows], dtype=np.int64)  # m×d
+    id_t = c.schema["neighbor_id"].dataType.simpleString()
+
+    def gen(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            cmat = np.array([list(v) for v in pdf["cc"]], dtype=np.int64)  # n×d
+            dots = cmat @ qmat.T  # n×m, exact int64 (|code|<=127, d bounded)
+            n = len(pdf)
+            m = len(qids)
+            yield pd.DataFrame(
+                {
+                    "neighbor_id": np.repeat(pdf["neighbor_id"].to_numpy(), m),
+                    "cn": np.repeat(pdf["cn"].to_numpy(), m),
+                    "query_id": np.tile(qids, n),
+                    "idot": dots.reshape(-1),
+                }
+            )
+
+    pairs = c.mapInPandas(
+        gen, f"neighbor_id {id_t}, cn double, query_id {id_t}, idot long"
+    ).where(F.col("query_id") != F.col("neighbor_id"))
+    qn = q.select("query_id", "qn")
+    return pairs.join(F.broadcast(qn), "query_id").select(
+        "query_id",
+        "neighbor_id",
+        F.round(
+            F.col("idot").cast("double") / (F.sqrt(F.col("qn")) * F.sqrt(F.col("cn"))),
+            round_to,
+        ).alias("qcosine"),
     )
 
 

@@ -365,6 +365,45 @@ def test_quantized_topk_recall_vs_exact(spark, sf_small):
     assert recall >= 0.9, recall
 
 
+def test_quantized_topk_vectorized_matches_fold(spark, sf_small):
+    """The Arrow-matmul score path (r8) must be BIT-identical to the
+    JVM zip_with fold path: both compute the same exact int64 dots, and
+    divide/sqrt/round run in the same Spark expressions."""
+    from parallel_pandas_spark.operators import similarity
+    from parallel_pandas_spark.sources import load_table
+
+    emb = load_table(spark, sf_small, "embeddings")
+    queries = emb.where(F.col("vec_id") < 8)
+    vec = similarity.quantized_cosine_topk(
+        emb, queries, "vec_id", "embedding", k=5, vectorized=True
+    )
+    fold = similarity.quantized_cosine_topk(
+        emb, queries, "vec_id", "embedding", k=5, vectorized=False
+    )
+    v = {(r["query_id"], r["rank"]): (r["neighbor_id"], r["qcosine"])
+         for r in vec.collect()}
+    f = {(r["query_id"], r["rank"]): (r["neighbor_id"], r["qcosine"])
+         for r in fold.collect()}
+    assert v == f
+
+
+def test_quantize_embeddings_scale_staged_once(spark):
+    """The scale (array_max fold) must appear ONCE in the optimized plan:
+    inlined into the per-element code lambda it would be re-evaluated per
+    element — O(d^2) per row (the repetition_profile staging lesson).
+    Control: if Catalyst's CollapseProject ever starts substituting the
+    staged column back into the lambda, this count rises and the staging
+    needs a fence."""
+    from parallel_pandas_spark.operators import similarity
+
+    sdf = spark.createDataFrame(
+        [(1, [1.0, -2.0, 3.0])], "vec_id long, embedding array<double>"
+    )
+    out = similarity.quantize_embeddings(sdf, "vec_id", "embedding")
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("array_max") == 1, plan
+
+
 def test_pii_patterns_three_way_dialect_fuzz(spark):
     """The pii oracle assumes Java regex (Spark), RE2 (DuckDB), and
     Python re agree on PII_PATTERNS. Fuzz that assumption directly:
