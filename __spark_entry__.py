@@ -3247,6 +3247,17 @@ _SHAPE_W = {
     "bohman": det.dyadic(windows.win_type_weights("bohman", 5)),
     "blackmanharris": det.dyadic(windows.win_type_weights("blackmanharris", 5)),
 }
+# r8: the REST of the scipy catalog (verdict #6) — with these the
+# reference's get_window name set is fully covered in closed form
+_TAIL_W = {
+    "nuttall": det.dyadic(windows.win_type_weights("nuttall", 5)),
+    "flattop": det.dyadic(windows.win_type_weights("flattop", 5)),
+    "tukey": det.dyadic(windows.win_type_weights("tukey", 5, alpha=0.5)),
+    "cosine": det.dyadic(windows.win_type_weights("cosine", 5)),
+    "exponential": det.dyadic(windows.win_type_weights("exponential", 5, tau=2.0)),
+    "barthann": det.dyadic(windows.win_type_weights("barthann", 5)),
+    "boxcar": det.dyadic(windows.win_type_weights("boxcar", 5)),
+}
 _LIT3_W = det.dyadic([0.2, 0.3, 0.5])
 
 
@@ -3284,7 +3295,14 @@ WITH r AS (
          {_lag_dot(_SHAPE_W["kaiser"])} AS d_k,
          {_lag_dot(_SHAPE_W["parzen"])} AS d_p,
          {_lag_dot(_SHAPE_W["bohman"])} AS d_b,
-         {_lag_dot(_SHAPE_W["blackmanharris"])} AS d_bh
+         {_lag_dot(_SHAPE_W["blackmanharris"])} AS d_bh,
+         {_lag_dot(_TAIL_W["nuttall"])} AS d_nut,
+         {_lag_dot(_TAIL_W["flattop"])} AS d_ft,
+         {_lag_dot(_TAIL_W["tukey"])} AS d_tk,
+         {_lag_dot(_TAIL_W["cosine"])} AS d_cos,
+         {_lag_dot(_TAIL_W["exponential"])} AS d_exp,
+         {_lag_dot(_TAIL_W["barthann"])} AS d_bhn,
+         {_lag_dot(_TAIL_W["boxcar"])} AS d_box
   FROM lineitem
   WINDOW w AS (PARTITION BY l_suppkey
                ORDER BY l_orderkey, l_linenumber, l_quantity)
@@ -3307,6 +3325,16 @@ SELECT 'shapes4' AS src, l_orderkey, l_linenumber,
   CASE WHEN rn >= 5 THEN ROUND(d_b / {float(sum(_SHAPE_W["bohman"]))!r}, 6) END AS bmean,
   CASE WHEN rn >= 5 THEN ROUND(d_bh / {float(sum(_SHAPE_W["blackmanharris"]))!r}, 6) END AS bhmean
 FROM r
+UNION ALL BY NAME
+SELECT 'shapes_tail' AS src, l_orderkey, l_linenumber,
+  CASE WHEN rn >= 5 THEN ROUND(d_nut / {float(sum(_TAIL_W["nuttall"]))!r}, 6) END AS nutmean,
+  CASE WHEN rn >= 5 THEN ROUND(d_ft / {float(sum(_TAIL_W["flattop"]))!r}, 6) END AS ftmean,
+  CASE WHEN rn >= 5 THEN ROUND(d_tk / {float(sum(_TAIL_W["tukey"]))!r}, 6) END AS tkmean,
+  CASE WHEN rn >= 5 THEN ROUND(d_cos / {float(sum(_TAIL_W["cosine"]))!r}, 6) END AS cosmean,
+  CASE WHEN rn >= 5 THEN ROUND(d_exp / {float(sum(_TAIL_W["exponential"]))!r}, 6) END AS expmean,
+  CASE WHEN rn >= 5 THEN ROUND(d_bhn / {float(sum(_TAIL_W["barthann"]))!r}, 6) END AS bhnmean,
+  CASE WHEN rn >= 5 THEN ROUND(d_box / {float(sum(_TAIL_W["boxcar"]))!r}, 6) END AS boxmean
+FROM r
 """,
 )
 def weighted_rolling_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3320,7 +3348,10 @@ def weighted_rolling_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg set (mean/sum/var/std) is driver-value-checked; ``shapes4``
     (r7) = the win_type tail (kaiser β=6 / parzen / bohman /
     blackmanharris closed forms, the shapes the reference reaches via
-    scipy.signal.get_window)."""
+    scipy.signal.get_window); ``shapes_tail`` (r8) = the REST of the
+    scipy catalog (nuttall / flattop / tukey α=0.5 / cosine /
+    exponential τ=2 / barthann / boxcar) — full get_window name
+    coverage in closed form."""
     li = load_table(spark, sf_dir, "lineitem")
     lit3 = windows.weighted_window(
         li,
@@ -3368,9 +3399,22 @@ def weighted_rolling_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey", "l_linenumber",
         *[F.round(f"__{oc}", 6).alias(oc) for oc in outs.values()],
     )
+    tl = li
+    tail_outs = {"nuttall": "nutmean", "flattop": "ftmean", "tukey": "tkmean",
+                 "cosine": "cosmean", "exponential": "expmean",
+                 "barthann": "bhnmean", "boxcar": "boxmean"}
+    for wt, oc in tail_outs.items():
+        tl = windows.weighted_window(
+            tl, "l_quantity", 5, _TAIL_W[wt], _LI_ORD, ["l_suppkey"],
+            func="mean", out_col=f"__{oc}",
+        )
+    shapes_tail = tl.select(
+        "l_orderkey", "l_linenumber",
+        *[F.round(f"__{oc}", 6).alias(oc) for oc in tail_outs.values()],
+    )
     return _pad_union([
         ("lit3", lit3), ("gauss5", gauss), ("gauss5var", gvar),
-        ("shapes4", shapes4),
+        ("shapes4", shapes4), ("shapes_tail", shapes_tail),
     ])
 
 

@@ -822,17 +822,22 @@ def win_type_weights(win_type: str, window: int, **params) -> list[float]:
     :func:`weighted_window`.
 
     Supported: gaussian (requires ``std=``), triang, bartlett, hamming,
-    hann, blackman, blackmanharris, bohman, parzen, kaiser (requires
-    ``beta=``) — the shapes scipy's symmetric-window catalog defines in
-    closed form (scipy.signal.windows source; kaiser's I0 Bessel factor
-    is evaluated by its power series, the same definition numpy.kaiser
-    uses, so no scipy dependency).
+    hann, blackman, blackmanharris, nuttall, flattop, bohman, parzen,
+    kaiser (requires ``beta=``), boxcar, cosine, barthann, tukey
+    (``alpha=``, default 0.5), exponential (``tau=``, default 1.0;
+    symmetric center) — the full scipy symmetric-window catalog of
+    closed-form shapes (scipy.signal.windows source; kaiser's I0 Bessel
+    factor is evaluated by its power series, the same definition
+    numpy.kaiser uses, so no scipy dependency). Unknown names raise
+    ValueError naming the supported set.
     """
     import math
 
     M = int(window)
     if M < 1:
         raise ValueError("window must be >= 1")
+    if win_type == "boxcar":
+        return [1.0] * M
     if M == 1:
         return [1.0]
     if win_type == "gaussian":
@@ -845,6 +850,9 @@ def win_type_weights(win_type: str, window: int, **params) -> list[float]:
         "hann": (0.5, 0.5),
         "blackman": (0.42, 0.5, 0.08),
         "blackmanharris": (0.35875, 0.48829, 0.14128, 0.01168),
+        "nuttall": (0.3635819, 0.4891775, 0.1365995, 0.0106411),
+        "flattop": (0.21557895, 0.41663158, 0.277263158, 0.083578947,
+                    0.006947368),
     }
     if win_type in _COS_TERMS:
         coefs = _COS_TERMS[win_type]
@@ -884,6 +892,51 @@ def win_type_weights(win_type: str, window: int, **params) -> list[float]:
             else:
                 out.append(2.0 * (1.0 - x) ** 3)
         return out
+    if win_type == "barthann":
+        # modified Bartlett-Hann: 0.62 − 0.48·fac + 0.38·cos(2πfac),
+        # fac = |i/(M−1) − 0.5|
+        out = []
+        for i in range(M):
+            fac = abs(i / (M - 1) - 0.5)
+            out.append(0.62 - 0.48 * fac + 0.38 * math.cos(2.0 * math.pi * fac))
+        return out
+    if win_type == "cosine":
+        # half-period sine: sin(π(i + 0.5)/M)
+        return [math.sin(math.pi / M * (i + 0.5)) for i in range(M)]
+    if win_type == "tukey":
+        # tapered cosine: flat middle, cosine-lobe edges of total width
+        # alpha·(M−1); alpha<=0 degenerates to boxcar, >=1 to hann
+        alpha = float(params.get("alpha", 0.5))
+        if alpha <= 0:
+            return [1.0] * M
+        if alpha >= 1.0:
+            return [
+                0.5 * (1.0 - math.cos(2.0 * math.pi * i / (M - 1)))
+                for i in range(M)
+            ]
+        width = int(alpha * (M - 1) / 2.0)
+        out = []
+        for i in range(M):
+            if i <= width:
+                out.append(
+                    0.5 * (1.0 + math.cos(math.pi * (-1.0 + 2.0 * i / alpha / (M - 1))))
+                )
+            elif i < M - width - 1:
+                out.append(1.0)
+            else:
+                out.append(
+                    0.5
+                    * (1.0 + math.cos(math.pi * (-2.0 / alpha + 1.0 + 2.0 * i / alpha / (M - 1))))
+                )
+        return out
+    if win_type == "exponential":
+        # symmetric Poisson window: exp(−|i − (M−1)/2| / tau); scipy
+        # allows an explicit center only with sym=False, which pandas
+        # never uses — the symmetric center is fixed here for the same
+        # reason
+        tau = float(params.get("tau", 1.0))
+        c = (M - 1) / 2.0
+        return [math.exp(-abs(i - c) / tau) for i in range(M)]
     if win_type == "kaiser":
         beta = float(params["beta"])
 
@@ -905,7 +958,12 @@ def win_type_weights(win_type: str, window: int, **params) -> list[float]:
             / denom
             for i in range(M)
         ]
-    raise ValueError(f"unsupported win_type {win_type!r}")
+    raise ValueError(
+        f"unsupported win_type {win_type!r}; supported: boxcar, triang, "
+        "bartlett, barthann, hamming, hann, blackman, blackmanharris, "
+        "nuttall, flattop, bohman, parzen, cosine, tukey, exponential, "
+        "gaussian(std=), kaiser(beta=)"
+    )
 
 
 def weighted_window(

@@ -56,10 +56,10 @@ def test_win_type_shapes_match_scipy_values(name, M, expected):
 
 def test_win_type_window_one_and_errors():
     assert windows.win_type_weights("hamming", 1) == [1.0]
-    # parzen graduated to a supported closed form in r7; 'exponential'
-    # (needs scipy's tau parameterization) is still an explicit raise
-    with pytest.raises(ValueError):
-        windows.win_type_weights("exponential", 5)
+    # the full scipy catalog is closed-form as of r8; unknown names raise
+    # with the supported set spelled out
+    with pytest.raises(ValueError, match="supported"):
+        windows.win_type_weights("no_such_window", 5)
 
 
 def test_weighted_window_gaussian_matches_pandas_dot(spark):

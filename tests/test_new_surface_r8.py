@@ -1,0 +1,115 @@
+"""Round-8 surface: the scipy win_type tail (boxcar, nuttall, flattop,
+tukey, cosine, exponential, barthann), the PNG stdlib decode, and the
+multimodal decode error hardening.
+
+Expected window values are scipy.signal.get_window(name, M, fftbins=False)
+semantics, hand-derived from the published closed forms so the suite has
+no scipy dependency (same convention as test_new_surface_r4)."""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from parallel_pandas_spark.operators import windows  # noqa: E402
+
+w = windows.win_type_weights
+
+
+def test_boxcar():
+    assert w("boxcar", 4) == [1.0, 1.0, 1.0, 1.0]
+    assert w("boxcar", 1) == [1.0]
+
+
+def test_nuttall_closed_form():
+    a = (0.3635819, 0.4891775, 0.1365995, 0.0106411)
+    # edge: alternating sum; center (M odd): plain sum = 1.0
+    e0 = a[0] - a[1] + a[2] - a[3]
+    e1 = a[0] - a[2]  # cos(πk/2) kills odd k at i=1, M=5
+    got = w("nuttall", 5)
+    assert got == pytest.approx([e0, e1, a[0] + a[1] + a[2] + a[3], e1, e0], abs=1e-12)
+
+
+def test_flattop_closed_form():
+    a = (0.21557895, 0.41663158, 0.277263158, 0.083578947, 0.006947368)
+    e0 = a[0] - a[1] + a[2] - a[3] + a[4]
+    e1 = a[0] - a[2] + a[4]
+    ctr = sum(a)
+    got = w("flattop", 5)
+    assert got == pytest.approx([e0, e1, ctr, e1, e0], abs=1e-12)
+    assert got[0] < 0  # flattop's signature negative edge lobes
+
+
+def test_barthann_closed_form():
+    # fac = |i/(M−1) − 0.5|: published shape hits exactly [0, .5, 1, .5, 0]
+    assert w("barthann", 5) == pytest.approx([0.0, 0.5, 1.0, 0.5, 0.0], abs=1e-12)
+
+
+def test_cosine_closed_form():
+    got = w("cosine", 5)
+    exp = [math.sin(math.pi * (i + 0.5) / 5) for i in range(5)]
+    assert got == pytest.approx(exp, abs=0)
+    assert got[2] == 1.0
+
+
+def test_tukey_closed_form():
+    # alpha=0.5, M=9: width=2 → [0, .5, 1, 1, 1, 1, 1, .5, 0]
+    assert w("tukey", 9, alpha=0.5) == pytest.approx(
+        [0.0, 0.5, 1.0, 1.0, 1.0, 1.0, 1.0, 0.5, 0.0], abs=1e-12
+    )
+    # degenerate ends of the alpha range
+    assert w("tukey", 5, alpha=0.0) == [1.0] * 5
+    assert w("tukey", 5, alpha=1.0) == pytest.approx(w("hann", 5), abs=1e-12)
+
+
+def test_exponential_closed_form():
+    got = w("exponential", 5, tau=2.0)
+    e = [math.exp(-abs(i - 2.0) / 2.0) for i in range(5)]
+    assert got == pytest.approx(e, abs=0)
+    # default tau=1.0
+    assert w("exponential", 3) == pytest.approx(
+        [math.exp(-1.0), 1.0, math.exp(-1.0)], abs=0
+    )
+
+
+def test_all_shapes_symmetric_peak_center():
+    shapes = [
+        ("boxcar", {}), ("nuttall", {}), ("flattop", {}), ("barthann", {}),
+        ("cosine", {}), ("tukey", {"alpha": 0.5}), ("exponential", {"tau": 3.0}),
+    ]
+    for name, kw in shapes:
+        ws = w(name, 9, **kw)
+        assert len(ws) == 9
+        assert np.allclose(ws, ws[::-1]), name
+        assert max(ws) == pytest.approx(ws[4], abs=1e-12), name
+
+
+def test_weighted_window_accepts_new_shapes(spark):
+    """End-to-end: the new shapes feed weighted_window and match a pandas
+    rolling dot product."""
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {"g": ["a"] * 20, "i": range(20),
+         "v": [float((x * 7) % 11) for x in range(20)]}
+    )
+    sdf = spark.createDataFrame(pdf)
+    for name, kw in (("nuttall", {}), ("tukey", {"alpha": 0.5}), ("cosine", {})):
+        wts = w(name, 5, **kw)
+        out = windows.weighted_window(
+            sdf, "v", 5, wts, ["i"], ["g"], func="mean", out_col="wm"
+        ).orderBy("i").toPandas()
+        ref = (
+            pdf["v"].rolling(5).apply(lambda a: np.dot(a, wts) / sum(wts), raw=True)
+        )
+        got = out["wm"]
+        assert np.allclose(
+            got[4:], ref[4:], rtol=1e-12, atol=1e-12, equal_nan=True
+        ), name
+        assert got[:4].isna().all()
