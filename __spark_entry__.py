@@ -5161,19 +5161,62 @@ def media_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PNG_ORACLE = """
+WITH d AS (SELECT doc_id, n_chars FROM documents),
+png AS (
+  SELECT doc_id, 4 + doc_id % 6 AS w, 3 + n_chars % 4 AS h,
+         CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 4 END AS ch
+  FROM d
+),
+ppix AS (
+  SELECT doc_id, w, h, x, y, c, (doc_id + 13*x + 5*y + 9*c) % 256 AS v
+  FROM png, UNNEST(range(0, w)) AS tx(x), UNNEST(range(0, h)) AS ty(y),
+       UNNEST(range(0, ch)) AS tc(c)
+)
+SELECT doc_id, 'png' AS kind,
+  CAST(MAX(w) AS INT) AS width, CAST(MAX(h) AS INT) AS height,
+  ROUND(CAST(SUM(v) AS DOUBLE) / COUNT(*), 6) AS mean,
+  CAST(SUM(v * (1 + x + 2*y + 5*c)) AS BIGINT) AS wsum
+FROM ppix GROUP BY doc_id
+"""
+
+
+@_q("png_decode_real", _PNG_ORACLE)
+def png_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PNG decoding with stdlib zlib (multimodal.decode_png — r8,
+    closing the last non-codec stub): deterministic non-interlaced 8-bit
+    RGB/RGBA payloads whose per-row FILTER TYPE cycles through all five
+    PNG filters ((id+y) mod 5), encoded with synth_png_blobs, inflated
+    and un-filtered back inside iterator mapInPandas. The oracle
+    recomputes every stat from the closed-form pixel definition without
+    seeing the bytes — a chunk-walk, inflate, or sub/up/average/paeth
+    un-filtering bug breaks the orientation-weighted checksum.
+    (n_bytes is excluded: the zlib stream length is not closed-form.)"""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    blobs = multimodal.synth_png_blobs(d, "doc_id", "n_chars")
+    m = multimodal.decode_media(blobs, "doc_id", "blob")
+    return m.select(
+        "doc_id", "kind", "width", "height",
+        F.round("mean", 6).alias("mean"), "wsum",
+    )
+
+
 _bfn, _bsql = _compose_union(
     [
         ("decode", "multimodal_decode"),
         ("frames", "video_frame_sample"),
         ("realdecode", "media_decode_real"),
+        ("png", "png_decode_real"),
     ]
 )
 _bfn.__doc__ = """Multimodal binary columns: decode-to-metadata/features,
-1->N video frame sampling, and (r7) REAL BMP/WAV parsing (struct+numpy,
-no media library) of deterministically-encoded payloads — all iterator
+1->N video frame sampling, (r7) REAL BMP/WAV parsing (struct+numpy,
+no media library) of deterministically-encoded payloads, and (r8) REAL
+PNG parsing (stdlib zlib inflate + full un-filtering) — all iterator
 mapInPandas over opaque blobs."""
 _q("multimodal_battery", _bsql)(_bfn)
-_retire("multimodal_decode", "video_frame_sample", "media_decode_real")
+_retire("multimodal_decode", "video_frame_sample", "media_decode_real",
+        "png_decode_real")
 
 @_q(
     "numeric_elementwise",
@@ -5975,25 +6018,34 @@ FROM sp WHERE split = 'test' GROUP BY split
 @_q("corpus_build_pipeline", _corpus_build_oracle())
 def corpus_build_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end training-corpus build — the showcase that the pipeline
-    operators COMPOSE: (r7) Gopher repetition filter (zero-shuffle inline
-    via repetition_profile keep_cols) → quality-score filter (text.py) →
-    exact content dedup keeping the lowest id per fingerprint →
-    stratified downsample (cap 'en' at 50%) → deterministic 10% test
-    holdout → token-budget packing of the train split (packing.py).
-    Every stage is the shipped operator, the whole chain is replayed by
-    one oracle CTE, and only two exchanges move full data (dedup window,
-    pack bucket — the pack-level aggregation reuses the bucket
-    partitioning); the remaining two shuffle only final per-group
-    counters. Filter/sample/split stages are narrow."""
+    operators COMPOSE: quality-score filter (text.py) → (r7) Gopher
+    repetition filter (zero-shuffle inline via repetition_profile
+    keep_cols) → exact content dedup keeping the lowest id per
+    fingerprint → stratified downsample (cap 'en' at 50%) →
+    deterministic 10% test holdout → token-budget packing of the train
+    split (packing.py). Every stage is the shipped operator, the whole
+    chain is replayed by one oracle CTE, and only two exchanges move
+    full data (dedup window, pack bucket — the pack-level aggregation
+    reuses the bucket partitioning); the remaining two shuffle only
+    final per-group counters. Filter/sample/split stages are narrow.
+
+    Stage ORDER (r8, advice): the quality filter runs BEFORE the gopher
+    stage — gopher_filter's pushdown fence is a barrier no later
+    predicate can cross toward the scan, and the expensive gram folds
+    then run only on quality-surviving rows. Filter intersection is
+    order-independent, so the result (and the oracle) is unchanged."""
     docs = load_table(spark, sf_dir, "documents")
+    q0 = docs.select(
+        "doc_id", "lang", "n_chars", "text",
+        text.quality_score(F.col("text")).alias("qs"),
+    ).where(F.col("qs") >= 0.45)
     rep = text.gopher_filter(
-        docs, "doc_id", "text", keep_cols=("lang", "n_chars", "text")
+        q0, "doc_id", "text", keep_cols=("lang", "n_chars", "text")
     )
     q = rep.select(
         "doc_id", "lang", "n_chars",
-        text.quality_score(F.col("text")).alias("qs"),
         text.fingerprint_md5("text").alias("fp"),
-    ).where(F.col("qs") >= 0.45)
+    )
     w = Window.partitionBy("fp").orderBy("doc_id")
     ddp = (
         q.withColumn("rn", F.row_number().over(w))

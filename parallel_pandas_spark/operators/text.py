@@ -413,7 +413,18 @@ def gopher_filter(
     tree through every staged projection into a pre-projection Filter —
     re-executing the gram sorts and folds (measured 0.99 s → 4.6 s on the
     sf0.1 corpus; fenced: 1.25 s). The fence must be referenced by the
-    predicate, or column pruning deletes it and the pushdown returns."""
+    predicate, or column pruning deletes it and the pushdown returns.
+
+    CALLER WARNING — the fence is a pushdown BARRIER for everything
+    downstream: a nondeterministic predicate stops Catalyst from moving
+    ANY later filter below this point, so a cheap scan-pushable predicate
+    (lang == 'en', length bounds, quality gates) composed AFTER
+    gopher_filter will NOT reach the parquet scan as a PushedFilter.
+    Order caller-pushable predicates BEFORE the gopher stage — which is
+    also cheaper outright, since the gram folds then run only on
+    surviving rows (corpus_build_pipeline does this). A plan test
+    (tests/test_plan_shapes.py) watches for the Catalyst behavior change
+    that would retire the fence."""
     rp = repetition_profile(df, id_col, text_col, keep_cols=keep_cols)
     kept = (
         rp.withColumn("__fence", F.monotonically_increasing_id())
