@@ -6,8 +6,10 @@ Two decode paths:
 - REAL (r7): BMP (24-bit BI_RGB) and WAV (16-bit PCM mono) are fully
   parsed with struct + numpy — header fields, bottom-up row flip, stride
   padding, chunk walking — no media library required (``decode_bmp`` /
-  ``decode_wav`` / ``decode_media``).
-- STUBBED: library-dependent formats (jpeg/png/mp4) — ``_fake_decode``
+  ``decode_wav`` / ``decode_media``). (r8): non-interlaced 8-bit
+  RGB/RGBA PNG joins them — IHDR/IDAT walk, stdlib zlib inflate, full
+  sub/up/average/paeth un-filtering (``decode_png``).
+- STUBBED: codec-dependent formats (jpeg/mp4) — ``_fake_decode``
   derives deterministic pseudo-metadata, and ``decode_image_real``
   raises ``NotImplementedError`` where a real pipeline would call
   Pillow/libav. Everything Spark-side — schemas, batch iteration,
@@ -192,8 +194,11 @@ def _bmp_pixels(data: bytes) -> "np.ndarray":
     magic, _size, _, _, off = struct.unpack_from("<2sIHHI", data, 0)
     if magic != b"BM":
         raise ValueError("not a BMP")
-    hdr, w, h, _planes, bpp = struct.unpack_from("<IiiHH", data, 14)
-    if hdr != 40 or bpp != 24 or h <= 0:
+    hdr, w, h, _planes, bpp, compression = struct.unpack_from("<IiiHHI", data, 14)
+    # compression must be 0 (BI_RGB): a 24-bit BI_BITFIELDS or RLE BMP
+    # has the same bpp but a different pixel layout — mis-parsing it as
+    # raw rows would return garbage stats instead of raising
+    if hdr != 40 or bpp != 24 or h <= 0 or compression != 0:
         raise ValueError("unsupported BMP variant")
     stride = (3 * w + 3) // 4 * 4
     arr = np.frombuffer(data, np.uint8, count=stride * h, offset=off)
@@ -274,6 +279,167 @@ def decode_wav(data: bytes) -> dict:
     }
 
 
+PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    import zlib
+
+    return (
+        struct.pack(">I", len(body)) + tag + body
+        + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(width: int, height: int, pixel, channels: int = 3, filters=0) -> bytes:
+    """Minimal non-interlaced 8-bit PNG (color type 2 RGB / 6 RGBA) with
+    stdlib zlib. ``pixel(x, y, c)`` gives the byte for top-down row ``y``
+    channel ``c``; ``filters`` is one PNG filter type (0-4) or a per-row
+    list — encoding with every filter type lets tests prove the decoder's
+    un-filtering, not just the chunk walk."""
+    import zlib
+
+    if channels not in (3, 4):
+        raise ValueError("channels must be 3 (RGB) or 4 (RGBA)")
+    ftypes = list(filters) if isinstance(filters, (list, tuple)) else [filters] * height
+    if len(ftypes) != height:
+        raise ValueError("len(filters) must equal height")
+    stride = width * channels
+    raw = np.empty((height, stride), dtype=np.int32)
+    for y in range(height):
+        for x in range(width):
+            for c in range(channels):
+                raw[y, x * channels + c] = pixel(x, y, c) & 0xFF
+    scan = bytearray()
+    prev = np.zeros(stride, dtype=np.int32)
+    for y, ft in enumerate(ftypes):
+        cur = raw[y]
+        if ft == 0:
+            enc = cur
+        elif ft == 2:
+            enc = (cur - prev) & 0xFF
+        else:
+            a = np.concatenate([np.zeros(channels, np.int32), cur[:-channels]])
+            if ft == 1:
+                enc = (cur - a) & 0xFF
+            elif ft == 3:
+                enc = (cur - ((a + prev) >> 1)) & 0xFF
+            elif ft == 4:
+                c_ = np.concatenate([np.zeros(channels, np.int32), prev[:-channels]])
+                p = a + prev - c_
+                pa, pb, pc = np.abs(p - a), np.abs(p - prev), np.abs(p - c_)
+                pred = np.where(
+                    (pa <= pb) & (pa <= pc), a, np.where(pb <= pc, prev, c_)
+                )
+                enc = (cur - pred) & 0xFF
+            else:
+                raise ValueError(f"bad PNG filter type {ft}")
+        scan.append(ft)
+        scan += enc.astype(np.uint8).tobytes()
+        prev = cur
+    color_type = 2 if channels == 3 else 6
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    return (
+        PNG_MAGIC
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(scan)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _png_pixels(data: bytes) -> "np.ndarray":
+    """Pixel array (height, width, channels) from a non-interlaced 8-bit
+    RGB/RGBA PNG: IHDR/IDAT chunk walk, zlib inflate, and full
+    sub/up/average/paeth un-filtering — stdlib + numpy only (the verdict's
+    point: 'no media lib' never blocked PNG)."""
+    import zlib
+
+    if data[:8] != PNG_MAGIC:
+        raise ValueError("not a PNG")
+    pos = 8
+    w = h = channels = None
+    idat = bytearray()
+    while pos + 8 <= len(data):
+        (ln,) = struct.unpack_from(">I", data, pos)
+        tag = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + ln]
+        if tag == b"IHDR":
+            w, h, depth, color_type, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+            if depth != 8 or color_type not in (2, 6) or comp or filt or interlace:
+                raise ValueError(
+                    "unsupported PNG variant (need non-interlaced 8-bit RGB/RGBA)"
+                )
+            channels = 3 if color_type == 2 else 4
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+        pos += 12 + ln
+    if w is None or not idat:
+        raise ValueError("missing IHDR/IDAT chunk")
+    raw = zlib.decompress(bytes(idat))
+    stride = w * channels
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG scanline data size mismatch")
+    out = np.empty((h, stride), dtype=np.int32)
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        ft = raw[y * (stride + 1)]
+        cur = np.frombuffer(
+            raw, np.uint8, count=stride, offset=y * (stride + 1) + 1
+        ).astype(np.int32)
+        if ft == 0:
+            rec = cur
+        elif ft == 2:
+            rec = (cur + prev) & 0xFF
+        elif ft in (1, 3, 4):
+            # left-dependent filters are sequential per pixel; vectorize
+            # across the channel axis per step
+            rec = np.empty(stride, dtype=np.int32)
+            for i in range(0, stride, channels):
+                a = rec[i - channels : i] if i else np.zeros(channels, np.int32)
+                b = prev[i : i + channels]
+                if ft == 1:
+                    rec[i : i + channels] = (cur[i : i + channels] + a) & 0xFF
+                elif ft == 3:
+                    rec[i : i + channels] = (cur[i : i + channels] + ((a + b) >> 1)) & 0xFF
+                else:
+                    c_ = prev[i - channels : i] if i else np.zeros(channels, np.int32)
+                    p = a + b - c_
+                    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c_)
+                    pred = np.where(
+                        (pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c_)
+                    )
+                    rec[i : i + channels] = (cur[i : i + channels] + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {ft}")
+        out[y] = rec
+        prev = rec
+    return out.astype(np.uint8).reshape(h, w, channels)
+
+
+def decode_png(data: bytes) -> dict:
+    """Header + pixels + the same orientation/channel-weighted stats as
+    the BMP decoder: mean and Σ v·(1 + x + 2y + 5c) — an un-filtering or
+    row-order bug shifts the checksum even when the mean survives."""
+    px = _png_pixels(data)
+    h, w, ch = px.shape
+    v = px.astype(np.int64)
+    y_w = 2 * np.arange(h, dtype=np.int64)[:, None, None]
+    x_w = np.arange(w, dtype=np.int64)[None, :, None]
+    c_w = 5 * np.arange(ch, dtype=np.int64)[None, None, :]
+    return {
+        "kind": "png",
+        "n_bytes": len(data),
+        "width": int(w),
+        "height": int(h),
+        "mean": float(v.sum()) / (w * h * ch),
+        "wsum": int((v * (1 + x_w + y_w + c_w)).sum()),
+    }
+
+
 def decode_media(df: DataFrame, id_col: str, blob_col: str) -> DataFrame:
     """Sniff the magic bytes and REALLY decode BMP/WAV payloads (struct +
     numpy, no media library); anything else raises — a corrupt blob in a
@@ -286,7 +452,19 @@ def decode_media(df: DataFrame, id_col: str, blob_col: str) -> DataFrame:
             rows = []
             for doc_id, blob in zip(pdf[id_col], pdf[blob_col]):
                 data = bytes(blob) if blob is not None else b""
-                meta = decode_bmp(data) if data[:2] == b"BM" else decode_wav(data)
+                # sniff each container's own magic; an empty or foreign
+                # blob gets ITS error, not a misleading "not a WAV"
+                if data[:2] == b"BM":
+                    meta = decode_bmp(data)
+                elif data[:4] == b"RIFF":
+                    meta = decode_wav(data)
+                elif data[:8] == PNG_MAGIC:
+                    meta = decode_png(data)
+                else:
+                    raise ValueError(
+                        f"doc {doc_id}: empty or unrecognized media blob "
+                        f"(first bytes {data[:8]!r})"
+                    )
                 meta["doc_id"] = int(doc_id)
                 rows.append(tuple(meta.get(c) for c in cols))
             yield pd.DataFrame(rows, columns=cols)
@@ -337,6 +515,35 @@ def synth_media_blobs(df: DataFrame, id_col: str, len_col: str) -> DataFrame:
                         8000 + (i % 4) * 4000,
                         [((i * 31 + 7 * k) % 1000) - 500 for k in range(n)],
                     )
+                rows.append((i, blob))
+            yield pd.DataFrame(rows, columns=["doc_id", "blob"])
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("blob", T.BinaryType())]
+    )
+    return df.select(id_col, len_col).mapInPandas(_encode, schema=schema)
+
+
+def synth_png_blobs(df: DataFrame, id_col: str, len_col: str) -> DataFrame:
+    """Deterministic REAL PNG payloads: pixel bytes (id + 13x + 5y + 9c)
+    mod 256, alternating RGB/RGBA, and — the decoding workout — filter
+    type (id + y) mod 5 per row, so every blob exercises all five PNG
+    filters through zlib. Closed-form pixels an oracle recomputes without
+    seeing the bytes."""
+
+    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, ln in zip(pdf[id_col], pdf[len_col]):
+                i, ln = int(doc_id), int(ln)
+                w, h = 4 + i % 6, 3 + ln % 4
+                ch = 3 if i % 2 == 0 else 4
+                blob = encode_png(
+                    w, h,
+                    lambda x, y, c: (i + 13 * x + 5 * y + 9 * c) % 256,
+                    channels=ch,
+                    filters=[(i + y) % 5 for y in range(h)],
+                )
                 rows.append((i, blob))
             yield pd.DataFrame(rows, columns=["doc_id", "blob"])
 

@@ -113,3 +113,84 @@ def test_weighted_window_accepts_new_shapes(spark):
             got[4:], ref[4:], rtol=1e-12, atol=1e-12, equal_nan=True
         ), name
         assert got[:4].isna().all()
+
+
+# ------------------------------------------------------------------ PNG codec
+def test_png_roundtrip_all_filters():
+    """encode→decode identity for every PNG filter type (0-4), mixed
+    per-row filters, RGB and RGBA — proves the sub/up/average/paeth
+    un-filtering, not just the chunk walk."""
+    from parallel_pandas_spark.operators import multimodal as mm
+
+    for ch in (3, 4):
+        for base in (0, 7, 200):
+            w, h = 7, 9
+
+            def pix(x, y, c, base=base):
+                return (base + 13 * x + 5 * y + 9 * c) % 256
+
+            want = np.array(
+                [[[pix(x, y, c) for c in range(ch)] for x in range(w)]
+                 for y in range(h)],
+                dtype=np.uint8,
+            )
+            for filters in (0, 1, 2, 3, 4, [(base + y) % 5 for y in range(h)]):
+                blob = mm.encode_png(w, h, pix, channels=ch, filters=filters)
+                assert blob[:8] == mm.PNG_MAGIC
+                assert (mm._png_pixels(blob) == want).all(), (ch, base, filters)
+
+            meta = mm.decode_png(mm.encode_png(w, h, pix, channels=ch, filters=4))
+            v = want.astype(np.int64)
+            yw = 2 * np.arange(h)[:, None, None]
+            xw = np.arange(w)[None, :, None]
+            cw = 5 * np.arange(ch)[None, None, :]
+            assert (meta["width"], meta["height"]) == (w, h)
+            assert meta["wsum"] == int((v * (1 + xw + yw + cw)).sum())
+            assert meta["mean"] == pytest.approx(v.sum() / (w * h * ch), abs=1e-12)
+
+
+def test_png_rejects_unsupported_variants():
+    from parallel_pandas_spark.operators import multimodal as mm
+
+    with pytest.raises(ValueError, match="not a PNG"):
+        mm._png_pixels(b"\x00" * 32)
+    with pytest.raises(ValueError, match="missing IHDR"):
+        mm._png_pixels(mm.PNG_MAGIC + b"\x00\x00\x00\x00IEND\x00\x00\x00\x00")
+    # 16-bit depth / palette / interlaced must raise, not mis-parse
+    import struct as st
+
+    for depth, ctype, interlace in ((16, 2, 0), (8, 3, 0), (8, 2, 1)):
+        ihdr = st.pack(">IIBBBBB", 4, 3, depth, ctype, 0, 0, interlace)
+        blob = mm.PNG_MAGIC + mm._png_chunk(b"IHDR", ihdr)
+        with pytest.raises(ValueError, match="unsupported PNG variant"):
+            mm._png_pixels(blob + mm._png_chunk(b"IDAT", b"x"))
+
+
+def test_decode_media_error_paths(spark):
+    """ADVICE r7: an empty/foreign blob must get a DISTINCT error (not
+    'not a WAV'), and a compressed BMP must raise instead of mis-parsing
+    as BI_RGB."""
+    import struct as st
+
+    from parallel_pandas_spark.operators import multimodal as mm
+
+    sdf = spark.createDataFrame([(1, bytearray(b""))], "doc_id long, blob binary")
+    with pytest.raises(Exception, match="empty or unrecognized"):
+        mm.decode_media(sdf, "doc_id", "blob").collect()
+
+    # BI_BITFIELDS (compression=3) 24-bit BMP: same bpp, different layout
+    bmp = bytearray(mm.encode_bmp(2, 2, lambda x, y, c: 10))
+    st.pack_into("<I", bmp, 30, 3)
+    with pytest.raises(ValueError, match="unsupported BMP variant"):
+        mm._bmp_pixels(bytes(bmp))
+
+
+def test_decode_media_dispatches_png(spark):
+    from parallel_pandas_spark.operators import multimodal as mm
+
+    blob = mm.encode_png(4, 3, lambda x, y, c: (x + y + c) % 256)
+    sdf = spark.createDataFrame([(7, bytearray(blob))], "doc_id long, blob binary")
+    row = mm.decode_media(sdf, "doc_id", "blob").collect()[0]
+    assert row["kind"] == "png"
+    assert (row["width"], row["height"]) == (4, 3)
+    assert row["sample_rate"] is None
