@@ -148,3 +148,47 @@ def test_stream_dedup_across_microbatches(spark, tmp_path):
     }
     assert len(got) == len(set(got)), "a key was emitted more than once"
     assert set(got) == want
+
+
+def test_stream_quiescence_under_slow_batches(spark, tmp_path):
+    """Stress the r7 status-flag quiescence fix (run_stream_to_memory):
+    each of six micro-batches is artificially slowed by a sleep inside a
+    mapInPandas stage, so the gap between batch STARTS far exceeds the
+    poll interval. The retired progress-stability heuristic declared
+    quiescence in exactly this shape (progress static while a batch is
+    queued) and dropped files; the status flags
+    (isDataAvailable/isTriggerActive) must keep the harness alive until
+    the source is truly drained — asserted by live == batch equivalence
+    over ALL six files."""
+    import time
+
+    ev = load_table(spark, SF, "events")
+    d = str(tmp_path / "ev_slow_parts")
+    ev.withColumn("__b", F.pmod(F.col("event_id"), F.lit(6))).repartition(
+        6, "__b"
+    ).drop("__b").write.mode("overwrite").parquet(d)
+
+    stream = se.stream_events(spark, d, max_files=1)
+
+    def slow(batches):
+        first = True
+        for pdf in batches:
+            if first:
+                time.sleep(1.2)  # >2x the harness poll interval (0.5 s)
+                first = False
+            yield pdf
+
+    slowed = stream.repartition(1).mapInPandas(slow, stream.schema)
+    agg = se.stream_tumbling_counts(slowed, "1 day", "2 days")
+    live = se.run_stream_to_memory(spark, agg, "t_slow_eq", mode="complete")
+    got = {
+        (r["window"]["start"], r["event_type"]): (r["n_events"], round(r["sum_value"], 6))
+        for r in live.collect()
+    }
+    want = {
+        (r["window"]["start"], r["event_type"]): (r["n_events"], round(r["sum_value"], 6))
+        for r in ev.groupBy(F.window("ts", "1 day").alias("window"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("sum_value"))
+        .collect()
+    }
+    assert got == want and len(got) > 0
