@@ -194,9 +194,22 @@ def run_stream_to_memory(
     )
     deadline = time.time() + timeout_secs
     quiet = 0
+    last_data_batch = -1
+    last_dur_secs = 0.0
     while q.isActive and time.time() < deadline:
         p = q.lastProgress
         if p is not None:
+            if p["numInputRows"] > 0 and p["batchId"] > last_data_batch:
+                # a data-carrying batch landed — whatever quiet streak was
+                # accumulating was premature (r8: under heavy machine load
+                # a starved trigger thread can surface a stale flag
+                # reading; the batch id advancing with data is ground
+                # truth that the source was NOT drained)
+                last_data_batch = p["batchId"]
+                last_dur_secs = (
+                    float(p.get("durationMs", {}).get("triggerExecution", 0)) / 1000.0
+                )
+                quiet = 0
             if p["batchId"] > 0 and p["numInputRows"] == 0:
                 break  # an empty batch ran — the finite source is drained
             # slow path: the query's own readiness flags. "Progress
@@ -204,12 +217,16 @@ def run_stream_to_memory(
             # under machine load — a queued batch can take longer than
             # the stability window to start, and stopping then drops
             # files. isDataAvailable=False AND isTriggerActive=False,
-            # held for idle_polls consecutive polls, means the source is
-            # drained and nothing is mid-flight.
+            # held for a full idle window, means the source is drained
+            # and nothing is mid-flight. The window is LOAD-ADAPTIVE
+            # (r8): at least idle_polls polls AND 2x the last observed
+            # batch duration, so a box where batches take seconds to
+            # schedule gets a proportionally longer quiet requirement.
             st = q.status
             if not st["isDataAvailable"] and not st["isTriggerActive"]:
                 quiet += 1
-                if quiet >= idle_polls:
+                need = max(idle_polls, int(2.0 * last_dur_secs / poll_secs) + 1)
+                if quiet >= need:
                     break
             else:
                 quiet = 0
