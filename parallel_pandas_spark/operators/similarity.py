@@ -427,7 +427,10 @@ def _quantized_scores_arrow(c: DataFrame, q: DataFrame, round_to: int) -> DataFr
 
     def gen(batches):
         for pdf in batches:
-            if len(pdf) == 0:
+            if len(pdf) == 0 or len(qids) == 0:
+                # no corpus rows in the batch / no queries at all: an
+                # empty query matrix has shape (0,), which would break
+                # the matmul — there are simply no pairs to emit
                 continue
             cmat = np.array([list(v) for v in pdf["cc"]], dtype=np.int64)  # n×d
             dots = cmat @ qmat.T  # n×m, exact int64 (|code|<=127, d bounded)
