@@ -121,11 +121,31 @@ def main() -> None:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
     results: dict[str, dict] = {}
-    if only and out_path and os.path.exists(out_path):
+    if out_path and os.path.exists(out_path):
         with open(out_path) as f:
             results = json.load(f).get("results", {})
+        if only is None:
+            # default invocation is RESUMABLE: names already green in the
+            # on-disk (possibly partial) file are skipped; pass an explicit
+            # `only` list to force re-running them
+            done = {
+                n for n, r in results.items()
+                if r.get("status") in ("pass", "no_oracle_rows_only")
+            }
+            if done:
+                print(f"resuming: {len(done)} queries already green, skipping",
+                      flush=True)
+                only_skip = done
+            else:
+                only_skip = set()
+        else:
+            only_skip = set()
+    else:
+        only_skip = set()
     for name, fn in qs.items():
         if only and name not in only:
+            continue
+        if only is None and name in only_skip:
             continue
         t0 = time.perf_counter()
         if name not in oracles:
@@ -154,6 +174,13 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001
             results[name] = {"status": "error", "error": str(e)[:300]}
         print(name, results[name], flush=True)
+        # write-through after EVERY query: a 50-query sf1 pass is an hour+
+        # of compute, and an end-only write loses all of it to a timeout;
+        # with the partial file on disk, a rerun passes `only=` with just
+        # the missing names and merges
+        if out_path:
+            with open(out_path, "w") as f:
+                f.write(json.dumps({"partial": True, "results": results}))
 
     n_pass = sum(1 for r in results.values() if r["status"] == "pass")
     summary = {
