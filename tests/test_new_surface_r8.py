@@ -194,3 +194,40 @@ def test_decode_media_dispatches_png(spark):
     assert row["kind"] == "png"
     assert (row["width"], row["height"]) == (4, 3)
     assert row["sample_rate"] is None
+
+
+def test_png_roundtrip_hypothesis_fuzz():
+    """Property fuzz: encode→decode identity over random dims, channels,
+    per-row filter assignments, and pixel content (including the
+    all-equal and max-value planes where average/paeth carries differ)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from parallel_pandas_spark.operators import multimodal as mm
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        st.integers(min_value=1, max_value=12),       # width
+        st.integers(min_value=1, max_value=10),       # height
+        st.sampled_from([3, 4]),                      # channels
+        st.integers(min_value=0, max_value=2**31 - 1),  # pixel seed
+        st.data(),
+    )
+    def check(w, h, ch, seed, data):
+        filters = data.draw(
+            st.lists(st.integers(min_value=0, max_value=4),
+                     min_size=h, max_size=h)
+        )
+
+        def pix(x, y, c):
+            return (seed + 31 * x + 17 * y + 7 * c) % 256
+
+        blob = mm.encode_png(w, h, pix, channels=ch, filters=filters)
+        px = mm._png_pixels(blob)
+        assert px.shape == (h, w, ch)
+        for y in range(h):
+            for x in range(w):
+                for c in range(ch):
+                    assert px[y, x, c] == pix(x, y, c), (x, y, c, filters)
+
+    check()
