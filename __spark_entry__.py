@@ -3477,6 +3477,11 @@ UNION ALL BY NAME
 SELECT 'progress' AS src, COUNT(*) AS n, CAST(COUNT(*) AS DOUBLE) AS key_sum
 FROM nation
 UNION ALL BY NAME
+SELECT 'hive' AS src, l_linestatus, COUNT(*) AS n,
+  CAST(SUM(CAST(l_orderkey AS DECIMAL(38,0))) AS DOUBLE) AS key_sum
+FROM lineitem WHERE l_returnflag = 'A'
+GROUP BY l_linestatus
+UNION ALL BY NAME
 SELECT 'shards' AS src, doc_id % 8 AS shard, COUNT(*) AS n,
   CAST(SUM(CAST(doc_id AS DECIMAL(38,0))) AS DOUBLE) AS key_sum,
   CAST(MIN(doc_id) AS BIGINT) AS id_min, CAST(MAX(doc_id) AS BIGINT) AS id_max,
@@ -3503,6 +3508,11 @@ def csv_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
       progress_imap.py:174-195) under a live ProgressTracker poll; the
       value under check is the accumulator total — exactly the rows that
       flowed through the instrumented stage.
+    - ``hive`` (r8): hive-layout partitioned sink + partition-PRUNED
+      read-back (sources.write_partitioned/read_partitioned) — the
+      predicate on the partition column prunes at plan time
+      (PartitionFilters, plan-test-asserted); the oracle recomputes the
+      aggregate from the base table.
     - ``shards`` (r6): the sharded training-data sink
       (sources/shards.py) — deterministic ``doc_id % 8`` membership,
       ``maxRecordsPerFile=40`` bounded files, manifest computed by
@@ -3559,7 +3569,30 @@ def csv_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(int(n_rows), float(acc.value))], "n long, key_sum double"
     )
 
-    from parallel_pandas_spark.sources import shard_manifest, write_shards
+    from parallel_pandas_spark.sources import (
+        read_partitioned,
+        shard_manifest,
+        write_partitioned,
+        write_shards,
+    )
+
+    # hive-layout partitioned sink + PRUNED read-back (r8): the filter on
+    # the partition column becomes PartitionFilters (plan-test-asserted in
+    # test_plan_shapes) — non-matching directories are never opened; the
+    # oracle recomputes the same aggregate from the base table, proving
+    # the layout lost nothing and the pruned read sees exactly the
+    # partition's rows
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linestatus", "l_returnflag"
+    )
+    hive_path = base + "/li_hive"
+    write_partitioned(li, hive_path, "l_returnflag")
+    h_agg = (
+        read_partitioned(spark, hive_path)
+        .where(F.col("l_returnflag") == "A")
+        .groupBy("l_linestatus")
+        .agg(F.count("*").alias("n"), det.idsum("l_orderkey").alias("key_sum"))
+    )
 
     docs = load_table(spark, sf_dir, "documents")
     shard_path = base + "/doc_shards"
@@ -3576,7 +3609,7 @@ def csv_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return _pad_union(
         [("files", f_agg), ("inmem", m_agg), ("bucketed", b_agg),
-         ("progress", p_row), ("shards", s_agg)]
+         ("progress", p_row), ("hive", h_agg), ("shards", s_agg)]
     )
 
 

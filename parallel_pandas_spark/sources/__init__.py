@@ -6,6 +6,8 @@ from .loaders import (  # noqa: F401
     read_csv,
     read_json,
     read_orc,
+    read_partitioned,
     register_views,
+    write_partitioned,
 )
 from .shards import shard_manifest, write_shards  # noqa: F401

@@ -101,3 +101,34 @@ def read_orc(spark: SparkSession, path: str, schema=None, **options) -> DataFram
     if schema is not None:
         reader = reader.schema(schema)
     return reader.orc(path)
+
+
+def write_partitioned(
+    df: DataFrame, path: str, partition_cols, max_records_per_file: int | None = None
+) -> None:
+    """Hive-layout partitioned parquet sink (``path/col=value/part-*``).
+
+    THE scan-reduction lever at 100 TB: a reader filtering on a partition
+    column never opens the other directories — Catalyst turns the
+    predicate into ``PartitionFilters`` at plan time (dynamic partition
+    pruning handles join-derived predicates), so a day's query over a
+    years-deep corpus reads one directory, not the corpus. Partition
+    columns should be LOW-cardinality derivations (date, not timestamp;
+    bucket, not id): each distinct value is a directory, and millions of
+    tiny directories destroy both the driver's file listing and HDFS/S3
+    metadata. Plan-test-asserted (tests/test_plan_shapes.py): the pruned
+    scan's PartitionFilters carries the predicate and non-matching files
+    are never listed in the scan.
+    """
+    cols = [partition_cols] if isinstance(partition_cols, str) else list(partition_cols)
+    writer = df.write.mode("overwrite").partitionBy(*cols)
+    if max_records_per_file is not None:
+        writer = writer.option("maxRecordsPerFile", str(max_records_per_file))
+    writer.parquet(path)
+
+
+def read_partitioned(spark: SparkSession, path: str) -> DataFrame:
+    """Read a hive-layout directory back; partition columns come from the
+    directory names. Filters on them prune at PLAN time (PartitionFilters)
+    — pair with :func:`write_partitioned`."""
+    return spark.read.parquet(path)

@@ -255,3 +255,47 @@ def test_gopher_filter_no_fold_duplication(spark):
     )
     nplan = naive._jdf.queryExecution().optimizedPlan().toString()
     assert nplan.count("array_sort(") >= 2
+
+
+def test_partitioned_write_prunes_at_plan_time(spark, tmp_path):
+    """Hive-layout partition pruning (sources.write_partitioned): a filter
+    on the partition column must become PartitionFilters on the scan, and
+    the executed scan must read ONLY the matching directory's files — the
+    100 TB lever where a day's query reads one directory, not the corpus."""
+    from pyspark.sql import functions as F
+
+    from parallel_pandas_spark.sources import (
+        load_table,
+        read_partitioned,
+        write_partitioned,
+    )
+
+    li = load_table(spark, SF, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_returnflag"
+    )
+    path = str(tmp_path / "li_by_flag")
+    write_partitioned(li, path, "l_returnflag")
+
+    back = read_partitioned(spark, path)
+    q = back.where(F.col("l_returnflag") == "A").select("l_orderkey", "l_quantity")
+    plan = _txt(q)
+    # the predicate reaches the scan as a partition filter, not a row filter
+    assert "PartitionFilters" in plan and "l_returnflag" in plan.split(
+        "PartitionFilters", 1
+    )[1].split("]", 1)[0], plan
+    # values survive the roundtrip + pruning
+    want = li.where(F.col("l_returnflag") == "A").count()
+    assert q.count() == want > 0
+    # behavioral proof the other directories are never OPENED (inputFiles()
+    # lists the unpruned FileIndex, so it can't show this): corrupt every
+    # non-matching partition's data; the pruned query still runs, a full
+    # scan fails
+    import glob
+    import os
+
+    for f in glob.glob(os.path.join(path, "l_returnflag=N", "*.parquet")):
+        with open(f, "wb") as fh:
+            fh.write(b"not parquet at all")
+    assert q.count() == want
+    with pytest.raises(Exception):
+        read_partitioned(spark, path).select(F.sum("l_quantity")).collect()
