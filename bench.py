@@ -131,8 +131,10 @@ def main() -> None:
             t0 = time.perf_counter()
             _run(name)  # force full execution
             runs[name].append(round(time.perf_counter() - t0, 4))
+    import statistics
+
     timings: dict[str, float] = {
-        n: round(sorted(ts)[len(ts) // 2], 4) for n, ts in runs.items()
+        n: round(statistics.median(ts), 4) for n, ts in runs.items()
     }
     total = round(sum(timings.values()), 4)
 
@@ -183,7 +185,9 @@ def main() -> None:
                 "r6_comparable_note": (
                     "total minus post-r6 arms (text repetition/pii/chunks, "
                     "cosine quant); corpus_build_pipeline's fused gopher "
-                    "stage is not a separable arm and remains included"
+                    "stage is not a separable arm and remains included; "
+                    "arm times are SINGLE-RUN (the subtraction carries "
+                    "their noise) - compare medians-total first"
                 ),
                 "sf": sf,
             }

@@ -423,6 +423,10 @@ def _quantized_scores_arrow(c: DataFrame, q: DataFrame, round_to: int) -> DataFr
     qrows = q.select("query_id", "qc", "qn").collect()  # query-sized
     qids = np.array([r["query_id"] for r in qrows])  # id dtype preserved
     qmat = np.array([list(r["qc"]) for r in qrows], dtype=np.int64)  # m×d
+    # qn ships in the closure and is tiled into the output alongside cn —
+    # re-deriving it with a broadcast join would quantize the query side
+    # a second time at execution (review finding)
+    qns = np.array([r["qn"] for r in qrows], dtype=np.float64)
     id_t = c.schema["neighbor_id"].dataType.simpleString()
 
     def gen(batches):
@@ -441,15 +445,15 @@ def _quantized_scores_arrow(c: DataFrame, q: DataFrame, round_to: int) -> DataFr
                     "neighbor_id": np.repeat(pdf["neighbor_id"].to_numpy(), m),
                     "cn": np.repeat(pdf["cn"].to_numpy(), m),
                     "query_id": np.tile(qids, n),
+                    "qn": np.tile(qns, n),
                     "idot": dots.reshape(-1),
                 }
             )
 
     pairs = c.mapInPandas(
-        gen, f"neighbor_id {id_t}, cn double, query_id {id_t}, idot long"
+        gen, f"neighbor_id {id_t}, cn double, query_id {id_t}, qn double, idot long"
     ).where(F.col("query_id") != F.col("neighbor_id"))
-    qn = q.select("query_id", "qn")
-    return pairs.join(F.broadcast(qn), "query_id").select(
+    return pairs.select(
         "query_id",
         "neighbor_id",
         F.round(

@@ -95,6 +95,19 @@ def digest_compare(name: str, spdf: pd.DataFrame, ddf: pd.DataFrame) -> list[str
     return problems
 
 
+def _write_partial(out_path: str | None, sf_dir: str, results: dict) -> None:
+    """Write-through after EVERY query (incl. rows-only ones): a 50-query
+    sf1 pass is an hour+ of compute and an end-only write loses all of it
+    to a timeout. Atomic temp+rename so the kill this guards against
+    cannot leave a half-written file behind."""
+    if not out_path:
+        return
+    tmp = out_path + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(json.dumps({"partial": True, "sf_dir": sf_dir, "results": results}))
+    os.replace(tmp, out_path)
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "localdata/sf1"
     out_path = sys.argv[2] if len(sys.argv) > 2 else None
@@ -122,8 +135,17 @@ def main() -> None:
 
     results: dict[str, dict] = {}
     if out_path and os.path.exists(out_path):
-        with open(out_path) as f:
-            results = json.load(f).get("results", {})
+        try:
+            with open(out_path) as f:
+                prior = json.load(f)
+        except (json.JSONDecodeError, OSError):
+            prior = {}  # half-written file from a killed run: start fresh
+        # a partial file from a DIFFERENT sf_dir must not satisfy this
+        # sweep (review finding: resuming sf1 from an sf0.001 file would
+        # silently skip the at-scale checks this tool exists to run);
+        # legacy files without the key are accepted for one transition
+        if prior.get("sf_dir", sf_dir) == sf_dir:
+            results = prior.get("results", {})
         if only is None:
             # default invocation is RESUMABLE: names already green in the
             # on-disk (possibly partial) file are skipped; pass an explicit
@@ -155,6 +177,7 @@ def main() -> None:
             except Exception as e:  # noqa: BLE001
                 results[name] = {"status": "error", "error": str(e)[:300]}
             print(name, results[name]["status"], flush=True)
+            _write_partial(out_path, sf_dir, results)
             continue
         try:
             spdf = fn(spark, sf_dir).toPandas()
@@ -174,13 +197,7 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001
             results[name] = {"status": "error", "error": str(e)[:300]}
         print(name, results[name], flush=True)
-        # write-through after EVERY query: a 50-query sf1 pass is an hour+
-        # of compute, and an end-only write loses all of it to a timeout;
-        # with the partial file on disk, a rerun passes `only=` with just
-        # the missing names and merges
-        if out_path:
-            with open(out_path, "w") as f:
-                f.write(json.dumps({"partial": True, "results": results}))
+        _write_partial(out_path, sf_dir, results)
 
     n_pass = sum(1 for r in results.values() if r["status"] == "pass")
     summary = {
