@@ -1429,7 +1429,54 @@ def stream_tumbling_live_query(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(True).alias("values_match"),
         )
     )
-    return tumbling_rows.unionByName(stateful_rows).unionByName(dedup_rows)
+    # --- stream-stream interval-join arm (r9): two watermarked streams
+    # of the same events, inner-joined on user_id with r.ts within
+    # [l.ts, l.ts + 2h] (streaming/events.py interval_self_join — the
+    # time-range predicate is what lets Spark EVICT buffered join state,
+    # the 100 TB requirement). Self-verified: the live append-mode pair
+    # set must equal the identical join on the static frame, with no
+    # double emissions, else all __ivjoin__ rows drop.
+    jls = streaming_events.stream_events(spark, f"{sf_dir}/events.parquet")
+    jrs = streaming_events.stream_events(spark, f"{sf_dir}/events.parquet")
+    jlive = streaming_events.run_stream_to_memory(
+        spark,
+        streaming_events.interval_self_join(jls, jrs, interval="2 hours"),
+        table="stream_ivjoin_live",
+        mode="append",
+    ).select("user_id", "l_event_id", "r_event_id")
+    jbatch = streaming_events.interval_self_join(
+        load_table(spark, sf_dir, "events"),
+        load_table(spark, sf_dir, "events"),
+        interval="2 hours",
+    ).select("user_id", "l_event_id", "r_event_id")
+    j_extra = jlive.join(
+        jbatch, ["user_id", "l_event_id", "r_event_id"], "left_anti"
+    ).count()
+    j_missing = jbatch.join(
+        jlive, ["user_id", "l_event_id", "r_event_id"], "left_anti"
+    ).count()
+    j_dups = jlive.count() - jlive.distinct().count()
+    ivjoin_ok = j_extra == 0 and j_missing == 0 and j_dups == 0
+    ivjoin_rows = (
+        jlive.join(jbatch, ["user_id", "l_event_id", "r_event_id"], "inner")
+        .where(F.lit(ivjoin_ok))
+        .select(
+            F.lit("__ivjoin__").alias("window_start"),
+            F.concat_ws(
+                "/",
+                F.col("user_id").cast("string"),
+                F.col("l_event_id").cast("string"),
+                F.col("r_event_id").cast("string"),
+            ).alias("event_type"),
+            F.lit(1).cast("long").alias("n_events"),
+            F.lit(True).alias("values_match"),
+        )
+    )
+    return (
+        tumbling_rows.unionByName(stateful_rows)
+        .unionByName(dedup_rows)
+        .unionByName(ivjoin_rows)
+    )
 
 
 # =========================================================================

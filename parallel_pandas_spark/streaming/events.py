@@ -131,6 +131,50 @@ def stream_dedup(
     )
 
 
+def interval_self_join(
+    left: DataFrame,
+    right: DataFrame,
+    interval: str = "1 hour",
+    watermark: str = "2 days",
+) -> DataFrame:
+    """Stream-stream INNER equi-join on ``user_id`` with an event-time
+    interval condition: pair (l, r) survives iff they share a user and
+    ``r.ts ∈ [l.ts, l.ts + interval]`` with ``l.event_id < r.event_id``
+    (directed pairs; no self-pair, no mirror duplicate).
+
+    Works identically on static frames (the batch-equivalence check) and
+    on two watermarked streams: Spark's stream-stream join uses the
+    watermark + the time-range predicate to EVICT buffered rows once no
+    future match is possible — bounded join state on unbounded streams,
+    which is the 100 TB-scale requirement (an uncondition
+    stream-stream join buffers both sides forever). Inner-join matches
+    emit as soon as both rows have arrived; the watermark bounds state,
+    not emission."""
+    l = left.withWatermark("ts", watermark) if left.isStreaming else left
+    l = l.select(
+        F.col("user_id"),
+        F.col("event_id").alias("l_event_id"),
+        F.col("ts").alias("l_ts"),
+        F.col("event_type").alias("l_type"),
+    )
+    r = right.withWatermark("ts", watermark) if right.isStreaming else right
+    r = r.select(
+        F.col("user_id").alias("r_user_id"),
+        F.col("event_id").alias("r_event_id"),
+        F.col("ts").alias("r_ts"),
+        F.col("event_type").alias("r_type"),
+    )
+    cond = (
+        (F.col("user_id") == F.col("r_user_id"))
+        & (F.col("r_ts") >= F.col("l_ts"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {interval}"))
+        & (F.col("l_event_id") < F.col("r_event_id"))
+    )
+    return l.join(r, cond, "inner").select(
+        "user_id", "l_event_id", "r_event_id", "l_type", "r_type"
+    )
+
+
 def user_running_totals_stateful(stream: DataFrame):
     """Custom stateful operator via ``applyInPandasWithState``: per-user
     running event count + value total, state times out after 1h idle
@@ -165,25 +209,72 @@ def user_running_totals_stateful(stream: DataFrame):
     )
 
 
+def _uses_pandas_state(stream_df: DataFrame) -> bool:
+    """True iff the plan contains ``applyInPandasWithState`` — the one
+    operator whose processing-time state timers keep an ``availableNow``
+    run alive forever on this Spark build (timers schedule state-cleanup
+    batches indefinitely, so the 'all available data processed' latch
+    never terminates the query — reproduced on pyspark 4.1.2)."""
+    return "FlatMapGroupsInPandasWithState" in (
+        stream_df._jdf.queryExecution().analyzed().toString()
+    )
+
+
 def run_stream_to_memory(
     spark: SparkSession,
     stream_df: DataFrame,
     table: str,
     mode: str = "update",
-    idle_polls: int = 8,
-    poll_secs: float = 0.5,
+    poll_secs: float = 0.25,
     timeout_secs: float = 180.0,
+    stateful: "bool | None" = None,
 ):
     """Drive a streaming query to a memory sink until the finite source is
     drained, then stop (test/debug harness; production writes a real sink).
 
-    Quiescence is detected by POLLING lastProgress, not by
-    ``processAllAvailable``/``availableNow`` + ``awaitTermination``: for
-    ``applyInPandasWithState`` queries both of those block indefinitely
-    (pending state timers keep the query alive, and processAllAvailable's
-    no-new-data latch never fires for the stateful commit path observed on
-    this Spark build)."""
+    Drain is PROVEN, never inferred from flag-quiet heuristics (the r7/r8
+    polling windows raced under machine load — a queued batch could take
+    longer to *start* than any stability window sized from observed batch
+    durations, and stopping then dropped files):
+
+    - **Non-stateful path** (default): ``Trigger.AvailableNow`` +
+      ``awaitTermination`` — the engine itself terminates the query after
+      processing exactly the data available at start. Deterministic under
+      arbitrary scheduling delay; works for windowed aggs AND
+      ``dropDuplicatesWithinWatermark`` (verified: both terminate).
+    - **``applyInPandasWithState`` path** (auto-detected from the analyzed
+      plan, or forced via ``stateful=``): processing-time timers keep an
+      AvailableNow run alive forever, so this path polls — but the stop
+      condition is a SOURCE-OFFSET PROOF read from ``recentProgress``
+      (completed batches, not sampled status flags): a completed batch
+      with ``numInputRows == 0`` whose every source has
+      ``startOffset == endOffset`` means the engine itself listed the
+      source at trigger time and found nothing new — ground truth that
+      cannot be raced by scheduling latency. (The file source reports no
+      ``latestOffset``, so equality of committed offsets on an empty
+      completed batch is the available proof.)
+    """
     import time
+
+    if stateful is None:
+        stateful = _uses_pandas_state(stream_df)
+
+    if not stateful:
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(table)
+            .outputMode(mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(timeout_secs):
+            q.stop()
+            q.awaitTermination()
+            raise TimeoutError(
+                f"availableNow stream '{table}' did not terminate "
+                f"within {timeout_secs}s"
+            )
+        return spark.table(table)
 
     q = (
         stream_df.writeStream.format("memory")
@@ -193,45 +284,36 @@ def run_stream_to_memory(
         .start()
     )
     deadline = time.time() + timeout_secs
-    quiet = 0
-    last_data_batch = -1
-    last_dur_secs = 0.0
+
+    def _drained() -> bool:
+        # recentProgress holds COMPLETED batches (no sampling misses, no
+        # stale flags). batch 0 always runs start=None -> first offset, so
+        # start==end on an empty batch implies batchId > 0 as well.
+        for p in q.recentProgress:
+            if p["numInputRows"] != 0:
+                continue
+            srcs = p.get("sources") or []
+            if srcs and all(
+                s.get("startOffset") is not None
+                and s.get("startOffset") == s.get("endOffset")
+                for s in srcs
+            ):
+                return True
+        return False
+
+    drained = False
     while q.isActive and time.time() < deadline:
-        p = q.lastProgress
-        if p is not None:
-            if p["numInputRows"] > 0 and p["batchId"] > last_data_batch:
-                # a data-carrying batch landed — whatever quiet streak was
-                # accumulating was premature (r8: under heavy machine load
-                # a starved trigger thread can surface a stale flag
-                # reading; the batch id advancing with data is ground
-                # truth that the source was NOT drained)
-                last_data_batch = p["batchId"]
-                last_dur_secs = (
-                    float(p.get("durationMs", {}).get("triggerExecution", 0)) / 1000.0
-                )
-                quiet = 0
-            if p["batchId"] > 0 and p["numInputRows"] == 0:
-                break  # an empty batch ran — the finite source is drained
-            # slow path: the query's own readiness flags. "Progress
-            # stopped changing for N polls" (the pre-r7 heuristic) races
-            # under machine load — a queued batch can take longer than
-            # the stability window to start, and stopping then drops
-            # files. isDataAvailable=False AND isTriggerActive=False,
-            # held for a full idle window, means the source is drained
-            # and nothing is mid-flight. The window is LOAD-ADAPTIVE
-            # (r8): at least idle_polls polls AND 2x the last observed
-            # batch duration, so a box where batches take seconds to
-            # schedule gets a proportionally longer quiet requirement.
-            st = q.status
-            if not st["isDataAvailable"] and not st["isTriggerActive"]:
-                quiet += 1
-                need = max(idle_polls, int(2.0 * last_dur_secs / poll_secs) + 1)
-                if quiet >= need:
-                    break
-            else:
-                quiet = 0
+        if _drained():
+            drained = True
+            break
         time.sleep(poll_secs)
     if q.isActive:
         q.stop()
-    q.awaitTermination()
+    q.awaitTermination()  # surfaces the stream's own exception if it failed
+    if not drained:
+        raise TimeoutError(
+            f"stateful stream '{table}' was not proven drained within "
+            f"{timeout_secs}s (no completed empty batch with "
+            f"startOffset == endOffset)"
+        )
     return spark.table(table)

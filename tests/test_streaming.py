@@ -151,15 +151,17 @@ def test_stream_dedup_across_microbatches(spark, tmp_path):
 
 
 def test_stream_quiescence_under_slow_batches(spark, tmp_path):
-    """Stress the r7 status-flag quiescence fix (run_stream_to_memory):
+    """Stress drain determinism under scheduling delay (run_stream_to_memory):
     each of six micro-batches is artificially slowed by a sleep inside a
-    mapInPandas stage, so the gap between batch STARTS far exceeds the
-    poll interval. The retired progress-stability heuristic declared
-    quiescence in exactly this shape (progress static while a batch is
-    queued) and dropped files; the status flags
-    (isDataAvailable/isTriggerActive) must keep the harness alive until
-    the source is truly drained — asserted by live == batch equivalence
-    over ALL six files."""
+    mapInPandas stage, so the gap between batch STARTS far exceeds any
+    poll interval. Both retired heuristics (progress-stability, then the
+    r8 load-adaptive status-flag window) declared quiescence in exactly
+    this shape and dropped files — the r8 stress run failed under
+    full-suite load. r9: the non-stateful path routes through
+    ``Trigger.AvailableNow`` + ``awaitTermination`` — the ENGINE
+    terminates after processing exactly the files present at start, so
+    no wall-clock heuristic exists to race. Asserted by live == batch
+    equivalence over ALL six files."""
     import time
 
     ev = load_table(spark, SF, "events")
@@ -189,6 +191,85 @@ def test_stream_quiescence_under_slow_batches(spark, tmp_path):
         (r["window"]["start"], r["event_type"]): (r["n_events"], round(r["sum_value"], 6))
         for r in ev.groupBy(F.window("ts", "1 day").alias("window"), "event_type")
         .agg(F.count("*").alias("n_events"), F.sum("value").alias("sum_value"))
+        .collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_stream_interval_join_equivalence(spark, tmp_path):
+    """Stream-stream interval self-join (events.py interval_self_join):
+    two watermarked file streams of the SAME events split across three
+    micro-batch files each, joined on user_id with r.ts in
+    [l.ts, l.ts + 2h] — matches must pair rows across DIFFERENT
+    micro-batches (the buffered-state path), and the live append-mode
+    output must equal the identical join on the static frame."""
+    ev = load_table(spark, SF, "events")
+    d = str(tmp_path / "ev_join_parts")
+    ev.withColumn("__b", F.pmod(F.col("event_id"), F.lit(3))).repartition(
+        3, "__b"
+    ).drop("__b").write.mode("overwrite").parquet(d)
+
+    ls = se.stream_events(spark, d, max_files=1)
+    rs = se.stream_events(spark, d, max_files=1)
+    joined = se.interval_self_join(ls, rs, interval="2 hours", watermark="30 days")
+    live = se.run_stream_to_memory(spark, joined, "t_ivjoin", mode="append")
+    got = {
+        (r["user_id"], r["l_event_id"], r["r_event_id"]) for r in live.collect()
+    }
+    n_live = live.count()
+    assert n_live == len(got), "a pair was emitted more than once"
+
+    want = {
+        (r["user_id"], r["l_event_id"], r["r_event_id"])
+        for r in se.interval_self_join(ev, ev, interval="2 hours").collect()
+    }
+    assert got == want and len(got) > 0
+    # cross-batch evidence: at least one pair spans two different input
+    # slices (event_id mod 3 differs)
+    assert any(l % 3 != r % 3 for (_, l, r) in got)
+
+
+def test_stateful_drain_proof_under_slow_batches(spark, tmp_path):
+    """The ``applyInPandasWithState`` path cannot use AvailableNow (its
+    processing-time timers keep the query alive forever), so
+    run_stream_to_memory proves drain from SOURCE OFFSETS in completed
+    ``recentProgress`` entries: an empty batch whose startOffset equals
+    endOffset means the engine itself listed the source and found
+    nothing new. Stress it the same way the non-stateful path was: four
+    micro-batches each slowed past the poll interval by a mapInPandas
+    sleep; the final per-user running totals (max per user — the count
+    is monotone) must equal the batch groupBy over ALL four files."""
+    import time
+
+    ev = load_table(spark, SF, "events")
+    d = str(tmp_path / "ev_slow_state")
+    ev.withColumn("__b", F.pmod(F.col("event_id"), F.lit(4))).repartition(
+        4, "__b"
+    ).drop("__b").write.mode("overwrite").parquet(d)
+
+    stream = se.stream_events(spark, d, max_files=1)
+
+    def slow(batches):
+        first = True
+        for pdf in batches:
+            if first:
+                time.sleep(1.2)
+                first = False
+            yield pdf
+
+    slowed = stream.repartition(1).mapInPandas(slow, stream.schema)
+    out = se.user_running_totals_stateful(slowed)
+    live = se.run_stream_to_memory(spark, out, "t_slow_state", mode="update")
+    got = {
+        r["user_id"]: (r["m"]["n_events"], round(r["m"]["total_value"], 6))
+        for r in live.groupBy("user_id")
+        .agg(F.max(F.struct("n_events", "total_value")).alias("m"))
+        .collect()
+    }
+    want = {
+        r["user_id"]: (r["n"], round(r["t"], 6))
+        for r in ev.groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum(F.coalesce("value", F.lit(0.0))).alias("t"))
         .collect()
     }
     assert got == want and len(got) > 0
