@@ -10,6 +10,7 @@ across engines and cluster layouts.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -48,24 +49,51 @@ from parallel_pandas_spark.streaming import events as streaming_events
 SF0001 = "/root/testdata/sf0.001"
 
 
+_ROWS_BOUND_CACHE: dict[str, float | None] = {}
+
+
 def _rows_bound(sf_dir: str) -> float | None:
     """Conservative fact-table row bound for the det.* compact-LONG
-    accumulator opt-in (det._long_ok): parsed from the fixture dir name
-    (``sf{X}`` → lineitem ≈ 6.1M·X rows, tripled for margin). Unknown
-    layouts return None — every det sum then keeps the always-safe
+    accumulator opt-in (det._long_ok): 3x the LARGEST table in the
+    fixture directory, where "largest" is MEASURED from parquet footer
+    metadata (plan-time cheap — no Spark job, no data read) rather than
+    trusted from the ``sf{X}`` directory name (r8 ADVICE: a mis-named or
+    denser-than-TPC-H directory could otherwise elect the LONG
+    accumulator past its true bound and wrap silently). The name-parsed
+    claim (lineitem ≈ 6.1M·X rows) is kept as a floor so the bound never
+    SHRINKS for sparser-than-expected fixtures — a larger nmax only makes
+    the LONG election more conservative. Directories with no readable
+    parquet return None — every det sum then keeps the always-safe
     DECIMAL(38,0) accumulator; the opt-in NEVER rests on a guessed bound.
-    The assertion is guarded end-to-end: the sf1 oracle sweep re-checks
-    every query at the largest fixture, and a hypothesis test pins the
-    long and decimal paths bit-identical below the bound."""
+    Guarded end-to-end: the sf1 oracle sweep re-checks every query at the
+    largest fixture, and a hypothesis test pins the long and decimal
+    paths bit-identical below the bound."""
+    import glob as _glob
     import re as _re
 
-    m = _re.search(r"sf([0-9.]+)$", sf_dir.rstrip("/"))
-    if not m:
-        return None
+    if sf_dir in _ROWS_BOUND_CACHE:
+        return _ROWS_BOUND_CACHE[sf_dir]
+
+    biggest = 0
     try:
-        return 3.0 * 6_100_000 * float(m.group(1))
-    except ValueError:
-        return None
+        import pyarrow.parquet as _pq
+
+        for f in _glob.glob(os.path.join(sf_dir, "*.parquet")):
+            biggest = max(biggest, _pq.ParquetFile(f).metadata.num_rows)
+    except Exception:
+        biggest = 0
+
+    claimed = 0.0
+    m = _re.search(r"sf([0-9.]+)$", sf_dir.rstrip("/"))
+    if m:
+        try:
+            claimed = 6_100_000 * float(m.group(1))
+        except ValueError:
+            claimed = 0.0
+
+    out = 3.0 * max(biggest, claimed) if (biggest or claimed) else None
+    _ROWS_BOUND_CACHE[sf_dir] = out
+    return out
 
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 _ORACLES: dict[str, str] = {}

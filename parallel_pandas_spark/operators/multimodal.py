@@ -441,10 +441,11 @@ def decode_png(data: bytes) -> dict:
 
 
 def decode_media(df: DataFrame, id_col: str, blob_col: str) -> DataFrame:
-    """Sniff the magic bytes and REALLY decode BMP/WAV payloads (struct +
-    numpy, no media library); anything else raises — a corrupt blob in a
-    100 TB run should surface, not silently pass through. Same
-    iterator-of-batches mapInPandas shape as decode_images."""
+    """Sniff the magic bytes and REALLY decode BMP/WAV/PNG payloads
+    (struct + numpy + stdlib zlib, no media library); anything else
+    raises — a corrupt blob in a 100 TB run should surface, not silently
+    pass through. Same iterator-of-batches mapInPandas shape as
+    decode_images."""
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = [f.name for f in MEDIA_META_SCHEMA.fields]

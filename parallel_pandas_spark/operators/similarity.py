@@ -363,7 +363,11 @@ def quantized_cosine_topk(
     ONE int64 matrix multiply per Arrow batch (``mapInPandas`` against
     the collected query code matrix — a query-sized driver collect, same
     bound as the broadcast) instead of an interpreted zip_with fold per
-    pair. Integer matmul is exact, so the scores are bit-identical to the
+    pair. NOTE: that collect runs EAGERLY — building this DataFrame with
+    ``vectorized=True`` triggers a Spark job on the query side before
+    the caller executes anything (a deliberate departure from lazy-plan
+    semantics; use ``vectorized=False`` for speculative plan building).
+    Integer matmul is exact, so the scores are bit-identical to the
     fold path (hypothesis-pinned in tests); at sf0.1 this turns the one
     HOF-interpreted per-pair fold the plan had left into BLAS. The
     divide/sqrt/round stay Spark-side so rounding semantics match the
@@ -411,22 +415,46 @@ def quantized_cosine_topk(
 def _quantized_scores_arrow(c: DataFrame, q: DataFrame, round_to: int) -> DataFrame:
     """(neighbor, query, qcosine) via one int64 matmul per Arrow batch.
 
-    The query side collects to the driver (same query-sized bound as the
-    broadcast in the fold path) and ships in the UDF closure; the corpus
-    streams through ``mapInPandas`` in constant memory. Only the integer
-    dot runs in numpy — exact, engine-independent — while the
-    divide/sqrt/round happen in Spark expressions identical to the fold
-    path, so both paths produce the same bits."""
+    The query side collects to the driver EAGERLY — at DataFrame-
+    construction time, before the caller runs any action (same
+    query-sized bound as the broadcast in the fold path) — and ships in
+    the UDF closure; the corpus streams through ``mapInPandas`` in
+    constant memory. Only the integer dot runs in numpy — exact,
+    engine-independent — while the divide/sqrt/round happen in Spark
+    expressions identical to the fold path, so both paths produce the
+    same bits.
+
+    Dirty-corpus semantics match the fold path (r8 ADVICE): a null or
+    ragged (wrong-dimension) corpus vector yields a NULL idot → NULL
+    qcosine for its pairs, never a TypeError from the matmul."""
     import numpy as np
     import pandas as pd
 
     qrows = q.select("query_id", "qc", "qn").collect()  # query-sized
     qids = np.array([r["query_id"] for r in qrows])  # id dtype preserved
-    qmat = np.array([list(r["qc"]) for r in qrows], dtype=np.int64)  # m×d
     # qn ships in the closure and is tiled into the output alongside cn —
     # re-deriving it with a broadcast join would quantize the query side
     # a second time at execution (review finding)
-    qns = np.array([r["qn"] for r in qrows], dtype=np.float64)
+    qns = np.array(
+        [r["qn"] if r["qn"] is not None else np.nan for r in qrows],
+        dtype=np.float64,
+    )
+    # null-vector queries can't enter the matmul; like a null corpus
+    # vector they produce NULL idots for all their pairs (fold parity)
+    qok = np.array([r["qc"] is not None for r in qrows], dtype=bool)
+    qdims = {len(r["qc"]) for r in qrows if r["qc"] is not None}
+    if len(qdims) > 1:
+        raise ValueError(
+            "quantized_cosine_topk(vectorized=True) needs a fixed query "
+            f"embedding dimension, got lengths {sorted(qdims)}; use "
+            "vectorized=False for ragged query vectors"
+        )
+    d = qdims.pop() if qdims else 0
+    qmat = (
+        np.array([list(r["qc"]) for r in qrows if r["qc"] is not None], dtype=np.int64)
+        if d
+        else np.empty((0, 0), dtype=np.int64)
+    )  # m_ok×d
     id_t = c.schema["neighbor_id"].dataType.simpleString()
 
     def gen(batches):
@@ -436,17 +464,32 @@ def _quantized_scores_arrow(c: DataFrame, q: DataFrame, round_to: int) -> DataFr
                 # empty query matrix has shape (0,), which would break
                 # the matmul — there are simply no pairs to emit
                 continue
-            cmat = np.array([list(v) for v in pdf["cc"]], dtype=np.int64)  # n×d
-            dots = cmat @ qmat.T  # n×m, exact int64 (|code|<=127, d bounded)
+            # null / ragged corpus vectors can't enter the matmul; their
+            # pairs get a NULL idot (the zip_with fold path's semantics —
+            # a null or length-mismatched array folds to null)
+            cok = pdf["cc"].map(
+                lambda v: v is not None and len(v) == d
+            ).to_numpy(dtype=bool)
             n = len(pdf)
             m = len(qids)
+            if cok.any() and qok.any():
+                cmat = np.array(
+                    [list(v) for v in pdf["cc"][cok]], dtype=np.int64
+                )  # n_ok×d
+                good = cmat @ qmat.T  # exact int64 (|code|<=127, d bounded)
+            else:
+                good = np.empty((int(cok.sum()), int(qok.sum())), dtype=np.int64)
+            idot = pd.array(np.zeros(n * m, dtype=np.int64), dtype="Int64")
+            pair_ok = np.repeat(cok, m) & np.tile(qok, n)
+            idot[~pair_ok] = pd.NA
+            idot[pair_ok] = good.reshape(-1)
             yield pd.DataFrame(
                 {
                     "neighbor_id": np.repeat(pdf["neighbor_id"].to_numpy(), m),
                     "cn": np.repeat(pdf["cn"].to_numpy(), m),
                     "query_id": np.tile(qids, n),
                     "qn": np.tile(qns, n),
-                    "idot": dots.reshape(-1),
+                    "idot": idot,
                 }
             )
 

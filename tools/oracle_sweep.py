@@ -145,7 +145,12 @@ def main() -> None:
         # silently skip the at-scale checks this tool exists to run);
         # legacy files without the key are accepted for one transition
         if prior.get("sf_dir", sf_dir) == sf_dir:
-            results = prior.get("results", {})
+            # drop entries for queries no longer in the registry — a
+            # retired or renamed query's stale 'pass' must not persist
+            # into the summary of a sweep that never ran it (r8 ADVICE)
+            results = {
+                n: r for n, r in prior.get("results", {}).items() if n in qs
+            }
         if only is None:
             # default invocation is RESUMABLE: names already green in the
             # on-disk (possibly partial) file are skipped; pass an explicit
@@ -181,16 +186,25 @@ def main() -> None:
             continue
         try:
             spdf = fn(spark, sf_dir).toPandas()
+            t_spark = time.perf_counter()
             ddf = con.execute(oracles[name]).df()
+            t_oracle = time.perf_counter()
             problems = digest_compare(name, spdf, ddf)
             if not problems and len(spdf) <= 200_000:
                 # exact slow-path cross-check of the digest at small sizes
                 if canonicalize(spdf) != canonicalize(ddf):
                     problems = [f"{name}: exact-path mismatch (digest passed!)"]
+            # engine/oracle/compare wall split (r8 verdict): at sf1 the
+            # big battery entries are dominated by single-machine DuckDB
+            # window twins + result hashing, not the Spark side — record
+            # the split so the summary never reads as an engine red flag
             results[name] = {
                 "status": "pass" if not problems else "FAIL",
                 "rows": len(spdf),
                 "sec": round(time.perf_counter() - t0, 1),
+                "spark_sec": round(t_spark - t0, 1),
+                "oracle_sec": round(t_oracle - t_spark, 1),
+                "compare_sec": round(time.perf_counter() - t_oracle, 1),
             }
             if problems:
                 results[name]["problems"] = problems[:6]
