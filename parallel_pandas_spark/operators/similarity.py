@@ -303,6 +303,85 @@ def lsh_topk(
     )
 
 
+def _quantize_arrow(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    bits: int = 8,
+    with_norm: bool = False,
+) -> DataFrame:
+    """Arrow-vectorized twin of :func:`quantize_embeddings`: one numpy
+    pass per batch instead of an interpreted HOF transform per row —
+    BIT-IDENTICAL output (pinned in tests):
+
+    - the per-element value is computed as ``(x / s) * qmax`` in float64,
+      the same IEEE ops in the same order as the Spark expression;
+    - Spark's ``F.round(_, 0)`` is HALF_UP (ties away from zero), which
+      ``trunc(r + copysign(0.5, r))`` reproduces EXACTLY for |r| < 128:
+      a double of magnitude < 128 spans at most bits 2^6..2^-46, so
+      adding 0.5 (2^-1) stays within 53 significant bits and the sum is
+      exact — no boundary can be crossed by addition rounding;
+    - NaN elements cast to 0 like Spark's non-ANSI double→int cast;
+    - a NULL vector yields (scale NULL, codes NULL), an empty vector
+      (scale NULL, codes []) — the HOF path's null algebra.
+
+    ``with_norm=True`` appends ``norm`` = Σ code² as an exact
+    integer-valued double (the :func:`_int_norm` fold), saving a second
+    pass when the caller needs both."""
+    import numpy as np
+    import pandas as pd
+
+    qmax = float((1 << (bits - 1)) - 1)
+    id_t = df.schema[id_col].dataType.simpleString()
+    schema = f"{id_col} {id_t}, scale double, codes array<int>"
+    if with_norm:
+        schema += ", norm double"
+
+    def gen(batches):
+        for pdf in batches:
+            n = len(pdf)
+            # object columns keep the NULL/NaN distinction: a NULL vector
+            # gives a NULL scale while a NaN element gives a NaN scale,
+            # exactly like the HOF expressions (a Float64 masked array
+            # would silently coerce NaN to NA)
+            scale: list = [None] * n
+            codes: list = [None] * n
+            norm: list = [None] * n
+            lengths = pdf[vec_col].map(lambda v: -1 if v is None else len(v))
+            for length in lengths.unique():
+                idx = np.nonzero((lengths == length).to_numpy())[0]
+                if length == -1:
+                    continue  # NULL vector -> all-NULL row
+                if length == 0:
+                    for i in idx:
+                        codes[i] = []
+                        norm[i] = 0.0
+                    continue
+                mat = np.array(
+                    [list(v) for v in pdf[vec_col].iloc[idx]], dtype=np.float64
+                )
+                s = np.abs(mat).max(axis=1)
+                z = s == 0.0
+                r = np.zeros_like(mat)
+                np.divide(mat, s[:, None], out=r, where=~z[:, None])
+                r *= qmax
+                rounded = np.trunc(r + np.copysign(0.5, r))
+                rounded[np.isnan(rounded)] = 0.0
+                cmat = rounded.astype(np.int32)
+                cmat[z] = 0
+                nrm = (cmat.astype(np.int64) ** 2).sum(axis=1).astype(np.float64)
+                for j, i in enumerate(idx):
+                    scale[i] = float(s[j])
+                    codes[i] = cmat[j].tolist()
+                    norm[i] = float(nrm[j])
+            out = {id_col: pdf[id_col], "scale": scale, "codes": codes}
+            if with_norm:
+                out["norm"] = norm
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, vec_col).mapInPandas(gen, schema)
+
+
 def quantize_embeddings(
     df: DataFrame, id_col: str, vec_col: str, bits: int = 8
 ) -> DataFrame:
@@ -373,19 +452,37 @@ def quantized_cosine_topk(
     divide/sqrt/round stay Spark-side so rounding semantics match the
     fold path exactly. ``vectorized=False`` keeps the pure-JVM fold —
     zero Python in the plan, for pipelines that need it."""
-    q = quantize_embeddings(queries, id_col, vec_col, bits=bits).select(
-        F.col(id_col).alias("query_id"),
-        F.col("codes").alias("qc"),
-        _int_norm(F.col("codes")).alias("qn"),
-    )
-    c = quantize_embeddings(corpus, id_col, vec_col, bits=bits).select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col("codes").alias("cc"),
-        _int_norm(F.col("codes")).alias("cn"),
-    )
     if vectorized:
+        # the Arrow quantizer fuses the code transform and the Σcode²
+        # norm into the same numpy pass (bit-identical to the HOF path —
+        # see _quantize_arrow), so the whole quantize+score pipeline is
+        # two vectorized stages instead of interpreted per-element folds
+        q = _quantize_arrow(
+            queries, id_col, vec_col, bits=bits, with_norm=True
+        ).select(
+            F.col(id_col).alias("query_id"),
+            F.col("codes").alias("qc"),
+            F.col("norm").alias("qn"),
+        )
+        c = _quantize_arrow(
+            corpus, id_col, vec_col, bits=bits, with_norm=True
+        ).select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col("codes").alias("cc"),
+            F.col("norm").alias("cn"),
+        )
         scored = _quantized_scores_arrow(c, q, round_to)
     else:
+        q = quantize_embeddings(queries, id_col, vec_col, bits=bits).select(
+            F.col(id_col).alias("query_id"),
+            F.col("codes").alias("qc"),
+            _int_norm(F.col("codes")).alias("qn"),
+        )
+        c = quantize_embeddings(corpus, id_col, vec_col, bits=bits).select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col("codes").alias("cc"),
+            _int_norm(F.col("codes")).alias("cn"),
+        )
         joined = c.crossJoin(F.broadcast(q)).where(
             F.col("query_id") != F.col("neighbor_id")
         )

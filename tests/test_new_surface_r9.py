@@ -72,6 +72,57 @@ def test_quantized_vectorized_null_query_matches_fold(spark):
     assert sorted(map(tuple, vec.collect())) == sorted(map(tuple, fold.collect()))
 
 
+def test_quantize_arrow_bit_parity_fixture(spark, sf_small):
+    """The Arrow quantizer must be BIT-identical to the HOF expression
+    path on real fixture embeddings: same scale doubles, same int codes,
+    and the fused norm equal to the _int_norm fold."""
+    from parallel_pandas_spark.operators import similarity
+    from parallel_pandas_spark.sources import load_table
+
+    emb = load_table(spark, sf_small, "embeddings")
+    hof = similarity.quantize_embeddings(emb, "vec_id", "embedding")
+    hof = hof.select(
+        "vec_id", "scale", "codes",
+        similarity._int_norm(F.col("codes")).alias("norm"),
+    )
+    arrow = similarity._quantize_arrow(emb, "vec_id", "embedding", with_norm=True)
+    h = {r["vec_id"]: (r["scale"], list(r["codes"]), r["norm"]) for r in hof.collect()}
+    a = {r["vec_id"]: (r["scale"], list(r["codes"]), r["norm"]) for r in arrow.collect()}
+    assert h == a and len(h) > 0
+
+
+def test_quantize_arrow_bit_parity_edges(spark):
+    """Null vector, empty vector, zero vector, negative-tie values (the
+    HALF_UP boundary: -2.5/5*127 = -63.5 must round AWAY from zero),
+    and ragged lengths — all bit-equal to the HOF path."""
+    from parallel_pandas_spark.operators import similarity
+
+    rows = [
+        (0, [1.0, -2.5, 5.0, 0.5]),
+        (1, None),
+        (2, []),
+        (3, [0.0, 0.0]),
+        (4, [-1.0, 1.0, 1.0]),
+        (5, [63.5, -63.5, 127.0, -127.0, 1e-30]),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        T.StructType(
+            [
+                T.StructField("vec_id", T.LongType()),
+                T.StructField("embedding", T.ArrayType(T.DoubleType())),
+            ]
+        ),
+    )
+    hof = similarity.quantize_embeddings(df, "vec_id", "embedding")
+    arrow = similarity._quantize_arrow(df, "vec_id", "embedding")
+    h = {r["vec_id"]: (r["scale"], None if r["codes"] is None else list(r["codes"]))
+         for r in hof.collect()}
+    a = {r["vec_id"]: (r["scale"], None if r["codes"] is None else list(r["codes"]))
+         for r in arrow.collect()}
+    assert h == a
+
+
 def test_quantized_vectorized_ragged_queries_raise(spark):
     """Mixed query dimensions can't form one matmul — a clear ValueError
     pointing at vectorized=False, not a shape error mid-job."""
