@@ -3334,6 +3334,25 @@ _TAIL_W = {
     "boxcar": det.dyadic(windows.win_type_weights("boxcar", 5)),
 }
 _LIT3_W = det.dyadic([0.2, 0.3, 0.5])
+# r9: the exotic get_window tail — Dolph-Chebyshev and Taylor (the two
+# non-trivial constructions), lanczos sinc, and the parameterized
+# general_* family scipy defines the named shapes through. With these,
+# every scipy get_window name except dpss (eigensolve — named
+# NotImplementedError) has a closed-form weights path.
+_R9_W = {
+    "chebwin": det.dyadic(windows.win_type_weights("chebwin", 5, at=60.0)),
+    "taylor": det.dyadic(windows.win_type_weights("taylor", 5, nbar=4, sll=30.0)),
+    "lanczos": det.dyadic(windows.win_type_weights("lanczos", 5)),
+    "general_hamming": det.dyadic(
+        windows.win_type_weights("general_hamming", 5, alpha=0.6)
+    ),
+    "general_gaussian": det.dyadic(
+        windows.win_type_weights("general_gaussian", 5, p=1.5, sig=2.0)
+    ),
+    "general_cosine": det.dyadic(
+        windows.win_type_weights("general_cosine", 5, a=[0.5, 0.4, 0.1])
+    ),
+}
 
 
 def _lag_dot(ws: list[float], squared: bool = False, over: str = "w") -> str:
@@ -3377,7 +3396,13 @@ WITH r AS (
          {_lag_dot(_TAIL_W["cosine"])} AS d_cos,
          {_lag_dot(_TAIL_W["exponential"])} AS d_exp,
          {_lag_dot(_TAIL_W["barthann"])} AS d_bhn,
-         {_lag_dot(_TAIL_W["boxcar"])} AS d_box
+         {_lag_dot(_TAIL_W["boxcar"])} AS d_box,
+         {_lag_dot(_R9_W["chebwin"])} AS d_cw,
+         {_lag_dot(_R9_W["taylor"])} AS d_ty,
+         {_lag_dot(_R9_W["lanczos"])} AS d_lz,
+         {_lag_dot(_R9_W["general_hamming"])} AS d_gh,
+         {_lag_dot(_R9_W["general_gaussian"])} AS d_gg,
+         {_lag_dot(_R9_W["general_cosine"])} AS d_gc
   FROM lineitem
   WINDOW w AS (PARTITION BY l_suppkey
                ORDER BY l_orderkey, l_linenumber, l_quantity)
@@ -3410,6 +3435,15 @@ SELECT 'shapes_tail' AS src, l_orderkey, l_linenumber,
   CASE WHEN rn >= 5 THEN ROUND(d_bhn / {float(sum(_TAIL_W["barthann"]))!r}, 6) END AS bhnmean,
   CASE WHEN rn >= 5 THEN ROUND(d_box / {float(sum(_TAIL_W["boxcar"]))!r}, 6) END AS boxmean
 FROM r
+UNION ALL BY NAME
+SELECT 'shapes_r9' AS src, l_orderkey, l_linenumber,
+  CASE WHEN rn >= 5 THEN ROUND(d_cw / {float(sum(_R9_W["chebwin"]))!r}, 6) END AS cwmean,
+  CASE WHEN rn >= 5 THEN ROUND(d_ty / {float(sum(_R9_W["taylor"]))!r}, 6) END AS tymean,
+  CASE WHEN rn >= 5 THEN ROUND(d_lz / {float(sum(_R9_W["lanczos"]))!r}, 6) END AS lzmean,
+  CASE WHEN rn >= 5 THEN ROUND(d_gh / {float(sum(_R9_W["general_hamming"]))!r}, 6) END AS ghmean,
+  CASE WHEN rn >= 5 THEN ROUND(d_gg / {float(sum(_R9_W["general_gaussian"]))!r}, 6) END AS ggmean,
+  CASE WHEN rn >= 5 THEN ROUND(d_gc / {float(sum(_R9_W["general_cosine"]))!r}, 6) END AS gcmean
+FROM r
 """,
 )
 def weighted_rolling_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3425,8 +3459,11 @@ def weighted_rolling_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     blackmanharris closed forms, the shapes the reference reaches via
     scipy.signal.get_window); ``shapes_tail`` (r8) = the REST of the
     scipy catalog (nuttall / flattop / tukey α=0.5 / cosine /
-    exponential τ=2 / barthann / boxcar) — full get_window name
-    coverage in closed form."""
+    exponential τ=2 / barthann / boxcar); ``shapes_r9`` (r9) = the
+    exotic tail (chebwin at=60 / taylor nbar=4 sll=30 / lanczos /
+    general_hamming α=0.6 / general_gaussian p=1.5 σ=2 /
+    general_cosine a=[.5,.4,.1]) — every get_window name except dpss
+    (named NotImplementedError: eigensolve) in closed form."""
     li = load_table(spark, sf_dir, "lineitem")
     lit3 = windows.weighted_window(
         li,
@@ -3487,9 +3524,23 @@ def weighted_rolling_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey", "l_linenumber",
         *[F.round(f"__{oc}", 6).alias(oc) for oc in tail_outs.values()],
     )
+    r9 = li
+    r9_outs = {"chebwin": "cwmean", "taylor": "tymean", "lanczos": "lzmean",
+               "general_hamming": "ghmean", "general_gaussian": "ggmean",
+               "general_cosine": "gcmean"}
+    for wt, oc in r9_outs.items():
+        r9 = windows.weighted_window(
+            r9, "l_quantity", 5, _R9_W[wt], _LI_ORD, ["l_suppkey"],
+            func="mean", out_col=f"__{oc}",
+        )
+    shapes_r9 = r9.select(
+        "l_orderkey", "l_linenumber",
+        *[F.round(f"__{oc}", 6).alias(oc) for oc in r9_outs.values()],
+    )
     return _pad_union([
         ("lit3", lit3), ("gauss5", gauss), ("gauss5var", gvar),
         ("shapes4", shapes4), ("shapes_tail", shapes_tail),
+        ("shapes_r9", shapes_r9),
     ])
 
 

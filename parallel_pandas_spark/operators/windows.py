@@ -854,8 +854,18 @@ def win_type_weights(win_type: str, window: int, **params) -> list[float]:
         "flattop": (0.21557895, 0.41663158, 0.277263158, 0.083578947,
                     0.006947368),
     }
-    if win_type in _COS_TERMS:
-        coefs = _COS_TERMS[win_type]
+    coefs = _COS_TERMS.get(win_type)
+    if win_type == "general_cosine":
+        # scipy's general_cosine(M, a) evaluates Σ a_k cos(k·fac) over
+        # fac = linspace(−π, π, M); cos(k(−π + 2πi/(M−1))) =
+        # (−1)^k cos(2πki/(M−1)), i.e. the same alternating form with
+        # the caller's coefficients
+        coefs = [float(x) for x in params["a"]]
+    elif win_type == "general_hamming":
+        # general_hamming(M, alpha) = general_cosine(M, [alpha, 1−alpha])
+        alpha = float(params["alpha"])
+        coefs = (alpha, 1.0 - alpha)
+    if coefs is not None:
         return [
             sum(
                 (-1.0) ** k * a * math.cos(2.0 * math.pi * k * i / (M - 1))
@@ -863,6 +873,18 @@ def win_type_weights(win_type: str, window: int, **params) -> list[float]:
             )
             for i in range(M)
         ]
+    if win_type == "general_gaussian":
+        # w(n) = exp(−0.5·|n/sig|^(2p)), n centered; p=1 is gaussian
+        p = float(params["p"])
+        sig = float(params["sig"])
+        c = (M - 1) / 2.0
+        return [math.exp(-0.5 * abs((i - c) / sig) ** (2.0 * p)) for i in range(M)]
+    if win_type == "lanczos":
+        # w(n) = sinc(2n/(M−1) − 1), sinc(x) = sin(πx)/(πx), sinc(0)=1
+        def _sinc(x: float) -> float:
+            return 1.0 if x == 0.0 else math.sin(math.pi * x) / (math.pi * x)
+
+        return [_sinc(2.0 * i / (M - 1) - 1.0) for i in range(M)]
     if win_type == "bartlett":
         c = (M - 1) / 2.0
         return [1.0 - abs(i - c) / c for i in range(M)]
@@ -958,11 +980,84 @@ def win_type_weights(win_type: str, window: int, **params) -> list[float]:
             / denom
             for i in range(M)
         ]
+    if win_type == "chebwin":
+        # Dolph-Chebyshev (equiripple sidelobes at −at dB): sample the
+        # order-(M−1) Chebyshev polynomial at beta·cos(πk/M) in the
+        # frequency domain, inverse-transform (one real FFT — the
+        # textbook construction), then normalize to max 1. All sidelobes
+        # of the result's DTFT sit at EXACTLY −at dB — the defining
+        # property, asserted independently in tests.
+        import numpy as np
+
+        at = float(params.get("at", 100.0))
+        order = M - 1
+        beta = math.cosh(math.acosh(10.0 ** (at / 20.0)) / order)
+
+        def _cheb(x: float) -> float:
+            if x > 1.0:
+                return math.cosh(order * math.acosh(x))
+            if x < -1.0:
+                return (-1.0) ** (order % 2) * math.cosh(order * math.acosh(-x))
+            return math.cos(order * math.acos(x))
+
+        p = np.array([_cheb(beta * math.cos(math.pi * k / M)) for k in range(M)])
+        if M % 2:
+            w_ = np.real(np.fft.fft(p))
+            half = (M + 1) // 2
+            w_ = w_[:half]
+            w_ = np.concatenate((w_[half - 1 : 0 : -1], w_))
+        else:
+            p = p * np.exp(1.0j * math.pi / M * np.arange(M))
+            w_ = np.real(np.fft.fft(p))
+            half = M // 2 + 1
+            w_ = np.concatenate((w_[half - 1 : 0 : -1], w_[1:half]))
+        return (w_ / w_.max()).tolist()
+    if win_type == "taylor":
+        # Taylor window (nbar near-constant sidelobes at −sll dB): the
+        # classic Fm cosine-series construction; norm=True scales the
+        # center sample to exactly 1
+        nbar = int(params.get("nbar", 4))
+        sll = float(params.get("sll", 30.0))
+        norm = bool(params.get("norm", True))
+        B = 10.0 ** (sll / 20.0)
+        A = math.acosh(B) / math.pi
+        s2 = nbar * nbar / (A * A + (nbar - 0.5) ** 2)
+        ma = list(range(1, nbar))
+        Fm = []
+        for mi, m in enumerate(ma):
+            numer = (-1.0) ** mi
+            for j in ma:
+                numer *= 1.0 - m * m / s2 / (A * A + (j - 0.5) ** 2)
+            denom = 2.0
+            for j in ma:
+                if j != m:
+                    denom *= 1.0 - (m * m) / (j * j)
+            Fm.append(numer / denom)
+
+        def _W(n: float) -> float:
+            return 1.0 + 2.0 * sum(
+                f * math.cos(2.0 * math.pi * m * (n - M / 2.0 + 0.5) / M)
+                for f, m in zip(Fm, ma)
+            )
+
+        out = [_W(i) for i in range(M)]
+        if norm:
+            scale = 1.0 / _W((M - 1) / 2.0)
+            out = [v * scale for v in out]
+        return out
+    if win_type == "dpss":
+        raise NotImplementedError(
+            "win_type='dpss' (Slepian) needs the eigenvectors of a "
+            "symmetric tridiagonal matrix — an eigensolve, not a closed "
+            "form; pass explicit weights to weighted_window instead"
+        )
     raise ValueError(
         f"unsupported win_type {win_type!r}; supported: boxcar, triang, "
         "bartlett, barthann, hamming, hann, blackman, blackmanharris, "
         "nuttall, flattop, bohman, parzen, cosine, tukey, exponential, "
-        "gaussian(std=), kaiser(beta=)"
+        "lanczos, chebwin(at=), taylor(nbar=, sll=, norm=), gaussian(std=), "
+        "kaiser(beta=), general_cosine(a=), general_hamming(alpha=), "
+        "general_gaussian(p=, sig=)"
     )
 
 

@@ -123,6 +123,122 @@ def test_quantize_arrow_bit_parity_edges(spark):
     assert h == a
 
 
+w = None  # set lazily to avoid importing pyspark modules at collection
+
+
+def _w(*a, **k):
+    from parallel_pandas_spark.operators import windows
+
+    return windows.win_type_weights(*a, **k)
+
+
+def test_lanczos_closed_form():
+    """sinc(2i/(M−1) − 1) at M=5: x = −1, −1/2, 0, 1/2, 1 →
+    [0, 2/π, 1, 2/π, 0] exactly."""
+    import math
+
+    got = _w("lanczos", 5)
+    assert got == pytest.approx([0.0, 2 / math.pi, 1.0, 2 / math.pi, 0.0], abs=1e-15)
+
+
+def test_general_cosine_twins_named_shapes():
+    """general_cosine with a named shape's published coefficients must be
+    bit-equal to that shape (scipy defines the named windows THROUGH
+    general_cosine)."""
+    assert _w("general_cosine", 7, a=[0.54, 0.46]) == _w("hamming", 7)
+    assert _w("general_cosine", 8, a=[0.42, 0.5, 0.08]) == _w("blackman", 8)
+
+
+def test_general_hamming_twin():
+    # approx, not bit-equal: general_hamming computes 1−alpha at runtime
+    # (0.45999999999999996) while the named table stores the 0.46
+    # literal — the same last-ulp difference scipy itself has
+    assert _w("general_hamming", 9, alpha=0.54) == pytest.approx(
+        _w("hamming", 9), abs=1e-15
+    )
+    # alpha=0.5 is hann
+    assert _w("general_hamming", 6, alpha=0.5) == pytest.approx(_w("hann", 6), abs=0)
+
+
+def test_general_gaussian_twin():
+    """p=1 degenerates to the plain gaussian."""
+    assert _w("general_gaussian", 7, p=1.0, sig=2.0) == pytest.approx(
+        _w("gaussian", 7, std=2.0), abs=1e-15
+    )
+    # p=0.5 is the Poisson/exponential shape family: exp(−0.5|n/sig|)
+    import math
+
+    got = _w("general_gaussian", 5, p=0.5, sig=2.0)
+    exp = [math.exp(-0.5 * abs((i - 2.0) / 2.0)) for i in range(5)]
+    assert got == pytest.approx(exp, abs=1e-15)
+
+
+def _dtft_mag(weights, n_freq=4096):
+    import numpy as np
+
+    w_ = np.asarray(weights)
+    n = np.arange(len(w_))
+    om = np.linspace(0, np.pi, n_freq)
+    return np.abs(np.exp(-1j * np.outer(om, n)) @ w_)
+
+
+def test_chebwin_equiripple_property():
+    """The DEFINING Dolph-Chebyshev property, checked independently of
+    the FFT construction: every sidelobe of the DTFT sits at exactly
+    −at dB relative to the mainlobe (equiripple), and the window is
+    symmetric with max 1."""
+    import numpy as np
+
+    for M, at in [(11, 40.0), (12, 60.0), (21, 50.0)]:
+        got = _w("chebwin", M, at=at)
+        assert len(got) == M
+        assert got == pytest.approx(got[::-1], abs=1e-9), "not symmetric"
+        assert max(got) == pytest.approx(1.0, abs=0)
+        mag = _dtft_mag(got)
+        main = mag[0]
+        # find local maxima beyond the main lobe
+        lobes = [
+            mag[i]
+            for i in range(2, len(mag) - 1)
+            if mag[i] >= mag[i - 1] and mag[i] >= mag[i + 1]
+        ]
+        assert lobes, "no sidelobes found"
+        want = main * 10.0 ** (-at / 20.0)
+        for lv in lobes:
+            # sampled maxima sit AT or just below the true lobe peak
+            # (grid resolution), never above the equiripple level
+            assert lv <= want * (1 + 1e-9)
+            assert lv >= want * (1 - 1e-3)
+
+
+def test_taylor_properties():
+    """norm=True pins the center sample of an odd window to exactly 1;
+    the first nbar−1 sidelobes sit near −sll dB (the design target) and
+    the window is symmetric."""
+    got = _w("taylor", 21, nbar=4, sll=30.0)
+    assert got == pytest.approx(got[::-1], abs=1e-12)
+    assert got[10] == pytest.approx(1.0, abs=1e-12)
+    mag = _dtft_mag(got)
+    main = mag[0]
+    lobes = [
+        mag[i]
+        for i in range(2, len(mag) - 1)
+        if mag[i] >= mag[i - 1] and mag[i] >= mag[i + 1]
+    ]
+    import math
+
+    first = 20.0 * math.log10(lobes[0] / main)
+    assert first == pytest.approx(-30.0, abs=1.5), first
+    # unnormalized form scales by W(center)
+    raw = _w("taylor", 21, nbar=4, sll=30.0, norm=False)
+    assert raw[10] / got[10] == pytest.approx(raw[10], rel=1e-12)
+
+
+def test_dpss_named_raise():
+    with pytest.raises(NotImplementedError, match="eigensolve|tridiagonal"):
+        _w("dpss", 7)
+
+
 def test_quantized_vectorized_ragged_queries_raise(spark):
     """Mixed query dimensions can't form one matmul — a clear ValueError
     pointing at vectorized=False, not a shape error mid-job."""
