@@ -1851,15 +1851,115 @@ def cosine_quant_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pq_oracle(
+    m: int = 8, dsub: int = 8, ks: int = 16, pool: int = 50, k: int = 5, dim: int = 64
+) -> str:
+    """Replays the ENTIRE pq_topk pipeline (similarity.pq_codebooks /
+    pq_encode / ADC / exact re-rank) with iters=0: the codebook is the
+    md5-smallest ks corpus vectors sliced per subspace (the same
+    deterministic sample as the IVF oracle), the encode argmin uses the
+    identical −2·dot+cc rank expression and (dist, cid) tiebreak, ADC
+    sums fold in subspace order (list_sum over an ORDER BY s list — the
+    Spark side adds LUT values left-to-right in the same order), and the
+    pool orders by the RAW adc/√rn2 (query-norm divisor dropped: it is
+    constant per query, so no rounding is needed for order parity)."""
+    sub_dot = (
+        "list_sum(list_transform(range(1, {n}), "
+        "i -> CAST({e}[{s}*{d} + i] AS DOUBLE) * CAST(c.cs[i] AS DOUBLE)))"
+    )
+    enc_dot = sub_dot.format(n=dsub + 1, e="e.embedding", s="c.s", d=dsub)
+    q_dot = sub_dot.format(n=dsub + 1, e="q.embedding", s="c.s", d=dsub)
+    return f"""
+WITH cents AS (
+  SELECT cid, cv FROM (
+    SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS cid,
+           embedding AS cv
+    FROM embeddings
+  ) WHERE cid < {ks}
+),
+csub AS (
+  SELECT t.s, cid,
+         list_slice(cv, t.s*{dsub} + 1, t.s*{dsub} + {dsub}) AS cs,
+         list_sum(list_transform(list_slice(cv, t.s*{dsub} + 1, t.s*{dsub} + {dsub}),
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS cc
+  FROM cents, range({m}) t(s)
+),
+codes AS (
+  SELECT vec_id, s, cid AS code, cc FROM (
+    SELECT e.vec_id, c.s, c.cid, c.cc,
+      ROW_NUMBER() OVER (PARTITION BY e.vec_id, c.s
+        ORDER BY -2.0 * ({enc_dot}) + c.cc, c.cid) AS rn
+    FROM embeddings e CROSS JOIN csub c
+  ) WHERE rn = 1
+),
+ql AS (
+  SELECT q.vec_id AS query_id, c.s, c.cid, {q_dot} AS lv
+  FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10) q
+       CROSS JOIN csub c
+),
+adcs AS (
+  SELECT ql.query_id, co.vec_id AS neighbor_id,
+         list_sum(list(ql.lv ORDER BY co.s)) AS adc,
+         list_sum(list(co.cc ORDER BY co.s)) AS rn2
+  FROM codes co JOIN ql ON ql.s = co.s AND ql.cid = co.code
+  GROUP BY ql.query_id, co.vec_id
+),
+pool AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+      ROW_NUMBER() OVER (PARTITION BY query_id
+                         ORDER BY adc / SQRT(rn2) DESC, neighbor_id ASC) AS rn
+    FROM adcs WHERE query_id <> neighbor_id
+  ) WHERE rn <= {pool}
+),
+s2 AS (
+  SELECT p.query_id, p.neighbor_id,
+    ROUND({_DOT_SQL.format(d=dim, a="qv.embedding", b="cv.embedding")}
+      / (SQRT({_DOT_SQL.format(d=dim, a="qv.embedding", b="qv.embedding")})
+         * SQRT({_DOT_SQL.format(d=dim, a="cv.embedding", b="cv.embedding")})), 6) AS cosine
+  FROM pool p
+  JOIN embeddings cv ON cv.vec_id = p.neighbor_id
+  JOIN embeddings qv ON qv.vec_id = p.query_id
+),
+r AS (SELECT query_id, neighbor_id, cosine,
+        ROW_NUMBER() OVER (PARTITION BY query_id
+                           ORDER BY cosine DESC, neighbor_id ASC) AS rank
+      FROM s2)
+SELECT query_id, neighbor_id, cosine, rank FROM r WHERE rank <= {k}
+"""
+
+
+@_q("cosine_pq_topk", _pq_oracle())
+def cosine_pq_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN with ADC scoring + exact re-rank
+    (similarity.pq_topk): 8 subspaces × 16 centroids (codes are 8 small
+    ints — a 32x smaller store than 64 floats), per-query ADC lookup
+    tables applied per Arrow batch, top-50 pool by raw ADC cosine, then
+    the pool re-ranked by the EXACT rounded cosine. iters=0 keeps the
+    codebook the deterministic md5 sample so the oracle replays the
+    whole pipeline; the Lloyd-refined path (iters>0) is recall-tested in
+    tests/test_new_surface_r9.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    return similarity.pq_topk(
+        emb, queries, "vec_id", "embedding", k=5, pool=50, iters=0
+    )
+
+
 _bfn, _bsql = _compose_union(
-    [("exact", "cosine_topk"), ("quant", "cosine_quant_topk")]
+    [
+        ("exact", "cosine_topk"),
+        ("quant", "cosine_quant_topk"),
+        ("pq", "cosine_pq_topk"),
+    ]
 )
-_bfn.__doc__ = """Brute-force cosine top-k: exact float path and (r7) the
+_bfn.__doc__ = """Brute-force cosine top-k: exact float path, (r7) the
 int8 scalar-quantized path (4x smaller store; scales cancel, so the
-quantized score is integer-exact on any engine). Both broadcast the
-query side over one corpus scan."""
+quantized score is integer-exact on any engine), and (r9) the
+product-quantization ADC path (32x smaller store) with exact re-rank of
+its candidate pool. All broadcast the query side over one corpus scan."""
 _q("cosine_topk", _bsql)(_bfn)
-_retire("cosine_quant_topk")
+_retire("cosine_quant_topk", "cosine_pq_topk")
 
 
 def _neardup_oracle(num_planes: int = 4, threshold: float = 0.35, dim: int = 64) -> str:

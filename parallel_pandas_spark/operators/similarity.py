@@ -303,6 +303,229 @@ def lsh_topk(
     )
 
 
+def pq_codebooks(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    ks: int = 16,
+    dim: int = 64,
+    iters: int = 0,
+    sample: int = 2048,
+) -> list:
+    """Product-quantization codebooks: ``m`` subspaces × ``ks`` centroids
+    of ``dim/m`` dims each (≤ m·ks vectors driver-side — the same bounded
+    collect as :func:`ivf_centroids`).
+
+    ``iters=0`` (default): the ks md5-smallest corpus vectors sliced into
+    subvectors — a deterministic seeded sample ANY engine can replay
+    (the SQL oracle re-derives it); ``iters>0``: Lloyd k-means refinement
+    per subspace on an md5-bounded sample of ``sample`` vectors
+    (deterministic init + fixed iteration count + numpy float64, so the
+    result is reproducible — but not SQL-expressible; use it where
+    recall matters more than oracle replay). Empty clusters keep their
+    previous centroid."""
+    import numpy as np
+
+    rows = (
+        corpus.select(id_col, vec_col)
+        .orderBy(F.md5(F.col(id_col).cast("string")))
+        .limit(ks)
+        .collect()
+    )
+    base = np.array([[float(x) for x in r[vec_col]] for r in rows])
+    dsub = dim // m
+    books = [base[:, s * dsub : (s + 1) * dsub].copy() for s in range(m)]
+    if iters > 0:
+        srows = (
+            corpus.select(id_col, vec_col)
+            .orderBy(F.md5(F.col(id_col).cast("string")))
+            .limit(sample)
+            .collect()
+        )
+        X = np.array([[float(x) for x in r[vec_col]] for r in srows])
+        for s in range(m):
+            Xs = X[:, s * dsub : (s + 1) * dsub]
+            C = books[s]
+            for _ in range(iters):
+                d2 = ((Xs[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+                assign = d2.argmin(1)
+                for cid in range(ks):
+                    pts = Xs[assign == cid]
+                    if len(pts):
+                        C[cid] = pts.mean(0)
+            books[s] = C
+    return books
+
+
+def pq_encode(
+    corpus: DataFrame,
+    books: list,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_prefix: str = "c",
+) -> DataFrame:
+    """Encode each vector into ``m`` sub-codes (argmin centroid per
+    subspace) — ONE corpus scan, zero shuffles, pure JVM expressions:
+    per subspace the rank-equivalent distance −2·x_sub·c + ‖c‖² over the
+    sliced array (the :func:`ivf_assign` construction, so DuckDB's
+    ``ROW_NUMBER() OVER (ORDER BY dist, cid)`` replays the selection
+    bit-for-bit; ties break to the lowest cid in both engines). At
+    dim=64/m=8/int codes this is the 100 TB store-side lever: 8 small
+    ints per vector instead of 64 floats."""
+    m = len(books)
+    dsub = books[0].shape[1]
+    cols = [F.col(id_col).alias("neighbor_id")]
+    for s in range(m):
+        sl = F.slice(F.col(vec_col), s * dsub + 1, dsub)
+        structs = [
+            F.struct(
+                _cent_dist(sl, [float(x) for x in books[s][cid]]).alias("d"),
+                F.lit(cid).alias("cid"),
+            )
+            for cid in range(len(books[s]))
+        ]
+        cols.append(F.least(*structs).getField("cid").alias(f"{out_prefix}{s}"))
+    return corpus.select(*cols)
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    m: int = 8,
+    ks: int = 16,
+    dim: int = 64,
+    pool: int = 50,
+    iters: int = 0,
+    round_to: int = 6,
+) -> DataFrame:
+    """PQ/ADC approximate top-k with EXACT re-rank — the
+    product-quantization scale path beside IVF and LSH:
+
+    1. fit codebooks (:func:`pq_codebooks`; bounded driver collect);
+    2. encode the corpus (:func:`pq_encode`; one scan, no shuffle);
+    3. ADC score: per query a lookup table LUT[s][code] = q_sub·c_sub is
+       built ONCE driver-side with strict left-to-right sums (so DuckDB's
+       ordered ``list_sum`` fold reproduces every double bit-for-bit) and
+       shipped in a ``mapInPandas`` closure — scoring a corpus row is m
+       table lookups + m−1 adds per query (vectorized numpy fancy
+       indexing per Arrow batch) instead of a dim-length dot: the codes
+       scan moves 8 ints/row where the exact arm moves 64 floats;
+    4. keep the ``pool`` best candidates per query ordered by the RAW
+       ADC cosine adc/√‖x̂‖² (the query-norm divisor is constant per
+       query and cannot change the order, so no rounding is needed —
+       both engines order bit-identical doubles);
+    5. exact re-rank: join the pool pairs back to the full vectors and
+       compute the same rounded cosine as :func:`cosine_topk` — output
+       values are EXACT cosines, only the candidate set is approximate.
+
+    NOTE: builds the codebooks and LUTs eagerly (bounded driver
+    collects) at DataFrame-construction time, like the vectorized
+    quantized scorer."""
+    import numpy as np
+    import pandas as pd
+
+    books = pq_codebooks(
+        corpus, id_col, vec_col, m=m, ks=ks, dim=dim, iters=iters
+    )
+    dsub = dim // m
+    codes = pq_encode(corpus, books, id_col, vec_col)
+
+    # centroid norm² per (subspace, code): strict sequential sums
+    cn2 = [[0.0] * len(books[s]) for s in range(m)]
+    for s in range(m):
+        for cid in range(len(books[s])):
+            acc = 0.0
+            for x in books[s][cid]:
+                acc = acc + float(x) * float(x)
+            cn2[s][cid] = acc
+    cn2v = [np.array(row) for row in cn2]
+
+    qrows = queries.select(id_col, vec_col).collect()  # query-sized
+    qids = [r[id_col] for r in qrows]
+    luts = []
+    for r in qrows:
+        qv = [float(x) for x in r[vec_col]]
+        lut = np.zeros((m, max(len(b) for b in books)))
+        for s in range(m):
+            for cid in range(len(books[s])):
+                acc = 0.0
+                for j in range(dsub):
+                    acc = acc + qv[s * dsub + j] * float(books[s][cid][j])
+                lut[s][cid] = acc
+        luts.append(lut)
+    id_t = corpus.schema[id_col].dataType.simpleString()
+
+    def adc_gen(batches):
+        for pdf in batches:
+            if len(pdf) == 0 or not qids:
+                continue
+            cmat = [pdf[f"c{s}"].to_numpy() for s in range(m)]
+            rn2 = cn2v[0][cmat[0]]
+            for s in range(1, m):
+                rn2 = rn2 + cn2v[s][cmat[s]]
+            n = len(pdf)
+            for qi, qid in enumerate(qids):
+                adc = luts[qi][0][cmat[0]]
+                for s in range(1, m):
+                    adc = adc + luts[qi][s][cmat[s]]
+                yield pd.DataFrame(
+                    {
+                        "neighbor_id": pdf["neighbor_id"],
+                        "query_id": np.full(n, qid),
+                        "adc": adc,
+                        "rn2": rn2,
+                    }
+                )
+
+    pairs = codes.mapInPandas(
+        adc_gen,
+        f"neighbor_id {id_t}, query_id {id_t}, adc double, rn2 double",
+    ).where(F.col("query_id") != F.col("neighbor_id"))
+    wp = Window.partitionBy("query_id").orderBy(
+        (F.col("adc") / F.sqrt(F.col("rn2"))).desc(), F.col("neighbor_id").asc()
+    )
+    cand = (
+        pairs.withColumn("prank", F.row_number().over(wp))
+        .where(F.col("prank") <= pool)
+        .select("query_id", "neighbor_id")
+    )
+    # exact re-rank of the pool: same expressions as cosine_topk
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        l2_norm(F.col(vec_col)).alias("cn"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        l2_norm(F.col(vec_col)).alias("qn"),
+    )
+    scored = (
+        cand.join(c, "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")),
+                round_to,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 def _quantize_arrow(
     df: DataFrame,
     id_col: str,

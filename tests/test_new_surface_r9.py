@@ -239,6 +239,56 @@ def test_dpss_named_raise():
         _w("dpss", 7)
 
 
+def test_pq_topk_recall_and_exact_values(spark, sf_small):
+    """PQ/ADC + exact re-rank: (1) recall@5 vs the exact arm clears a
+    floor at iters=0 and does not degrade with Lloyd refinement (the
+    fixture is deterministic, so both numbers are stable); (2) every
+    returned cosine is the EXACT rounded cosine — the approximation may
+    only affect WHICH pairs are returned, never their values."""
+    from parallel_pandas_spark.operators import similarity
+    from parallel_pandas_spark.sources import load_table
+
+    emb = load_table(spark, sf_small, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    exact_all = similarity.cosine_topk(
+        emb, queries, "vec_id", "embedding", k=1_000_000, include_self=False
+    )
+    truth = {
+        (r["query_id"], r["neighbor_id"]): r["cosine"] for r in exact_all.collect()
+    }
+    top5 = similarity.cosine_topk(emb, queries, "vec_id", "embedding", k=5)
+    e = {(r["query_id"], r["neighbor_id"]) for r in top5.collect()}
+
+    recalls = {}
+    for iters in (0, 2):
+        pq = similarity.pq_topk(
+            emb, queries, "vec_id", "embedding", k=5, pool=50, iters=iters
+        )
+        rows = pq.collect()
+        p = {(r["query_id"], r["neighbor_id"]) for r in rows}
+        recalls[iters] = len(e & p) / len(e)
+        for r in rows:  # exactness of values
+            assert truth[(r["query_id"], r["neighbor_id"])] == r["cosine"]
+    assert recalls[0] >= 0.3, recalls
+    assert recalls[2] >= recalls[0], recalls
+
+
+def test_pq_encode_code_range(spark, sf_small):
+    """Codes are in [0, ks) for every subspace — one scan, no shuffle."""
+    from parallel_pandas_spark.operators import similarity
+    from parallel_pandas_spark.sources import load_table
+
+    emb = load_table(spark, sf_small, "embeddings")
+    books = similarity.pq_codebooks(emb, "vec_id", "embedding", m=8, ks=16)
+    codes = similarity.pq_encode(emb, books, "vec_id", "embedding")
+    agg = codes.agg(
+        *[F.min(f"c{s}").alias(f"lo{s}") for s in range(8)],
+        *[F.max(f"c{s}").alias(f"hi{s}") for s in range(8)],
+    ).collect()[0]
+    for s in range(8):
+        assert 0 <= agg[f"lo{s}"] and agg[f"hi{s}"] <= 15
+
+
 def test_quantized_vectorized_ragged_queries_raise(spark):
     """Mixed query dimensions can't form one matmul — a clear ValueError
     pointing at vectorized=False, not a shape error mid-job."""
