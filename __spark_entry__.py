@@ -5460,22 +5460,74 @@ def png_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_JPEG_ORACLE = """
+WITH d AS (SELECT doc_id, n_chars FROM documents WHERE doc_id % 4 = 0),
+jp AS (
+  SELECT doc_id, 16*(1 + doc_id % 2) AS w, 16*(1 + n_chars % 2) AS h FROM d
+),
+jpix AS (
+  SELECT doc_id, w, h, x, y, c,
+    CASE c
+      WHEN 0 THEN (doc_id + 7*(x//8) + 11*(y//8)) % 256
+      WHEN 1 THEN (doc_id + 3*(x//16) + 5*(y//16)) % 256
+      ELSE (2*doc_id + (x//16) + 7*(y//16)) % 256
+    END AS v
+  FROM jp, UNNEST(range(0, w)) AS tx(x), UNNEST(range(0, h)) AS ty(y),
+       UNNEST(range(0, 3)) AS tc(c)
+)
+SELECT doc_id, 'jpeg' AS kind,
+  CAST(MAX(w) AS INT) AS width, CAST(MAX(h) AS INT) AS height,
+  ROUND(CAST(SUM(v) AS DOUBLE) / COUNT(*), 6) AS mean,
+  CAST(SUM(v * (1 + x + 2*y + 5*c)) AS BIGINT) AS wsum
+FROM jpix GROUP BY doc_id
+"""
+
+
+@_q("jpeg_decode_real", _JPEG_ORACLE)
+def jpeg_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline JPEG decoding with stdlib + numpy (multimodal
+    decode_jpeg — r9, the verdict's 'baseline JPEG is feasible the same
+    way PNG was'): marker walk, DHT canonical Huffman entropy decode
+    with byte unstuffing, dequant, zigzag, float IDCT, 4:2:0 chroma
+    upsampling. The fixtures decode LOSSLESSLY by construction (DC-only
+    blocks: luma constant per 8×8 block, chroma constant per MCU,
+    q[0,0]=8), so the oracle recomputes the plane stats from the closed
+    forms without seeing the bytes — an entropy, predictor-chain,
+    dequant, IDCT or upsampling-layout bug breaks the orientation- and
+    channel-weighted checksum. Docs restricted to doc_id%4=0 to bound
+    the oracle-side UNNEST at sf1. (n_bytes excluded: the entropy stream
+    length is not closed-form.)"""
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "n_chars")
+        .where(F.col("doc_id") % 4 == 0)
+    )
+    blobs = multimodal.synth_jpeg_blobs(d, "doc_id", "n_chars")
+    m = multimodal.decode_media(blobs, "doc_id", "blob")
+    return m.select(
+        "doc_id", "kind", "width", "height",
+        F.round("mean", 6).alias("mean"), "wsum",
+    )
+
+
 _bfn, _bsql = _compose_union(
     [
         ("decode", "multimodal_decode"),
         ("frames", "video_frame_sample"),
         ("realdecode", "media_decode_real"),
         ("png", "png_decode_real"),
+        ("jpeg", "jpeg_decode_real"),
     ]
 )
 _bfn.__doc__ = """Multimodal binary columns: decode-to-metadata/features,
 1->N video frame sampling, (r7) REAL BMP/WAV parsing (struct+numpy,
-no media library) of deterministically-encoded payloads, and (r8) REAL
-PNG parsing (stdlib zlib inflate + full un-filtering) — all iterator
+no media library) of deterministically-encoded payloads, (r8) REAL
+PNG parsing (stdlib zlib inflate + full un-filtering), and (r9) REAL
+baseline-JPEG parsing (canonical Huffman + IDCT + 4:2:0) — all iterator
 mapInPandas over opaque blobs."""
 _q("multimodal_battery", _bsql)(_bfn)
 _retire("multimodal_decode", "video_frame_sample", "media_decode_real",
-        "png_decode_real")
+        "png_decode_real", "jpeg_decode_real")
 
 @_q(
     "numeric_elementwise",

@@ -289,6 +289,189 @@ def test_pq_encode_code_range(spark, sf_small):
         assert 0 <= agg[f"lo{s}"] and agg[f"hi{s}"] <= 15
 
 
+# --- baseline JPEG codec -------------------------------------------------
+
+
+def _mm():
+    from parallel_pandas_spark.operators import multimodal
+
+    return multimodal
+
+
+def test_jpeg_dc_only_lossless_roundtrip():
+    """The fixture construction is lossless BY DESIGN: DC-only blocks
+    with q[0,0]=8 survive quantize→huffman→decode bit-for-bit, including
+    the 4:2:0 chroma upsampling layout."""
+    import numpy as np
+
+    mm = _mm()
+    for i, ln in [(0, 0), (3, 1), (4, 3), (7, 2)]:
+        w, h = 16 * (1 + i % 2), 16 * (1 + ln % 2)
+
+        def dcb(v):
+            b = [[0] * 8 for _ in range(8)]
+            b[0][0] = v - 128
+            return b
+
+        yb = {(by, bx): dcb((i + 7 * bx + 11 * by) % 256)
+              for by in range(h // 8) for bx in range(w // 8)}
+        cb = {(my, mx): dcb((i + 3 * mx + 5 * my) % 256)
+              for my in range(h // 16) for mx in range(w // 16)}
+        cr = {(my, mx): dcb((2 * i + mx + 7 * my) % 256)
+              for my in range(h // 16) for mx in range(w // 16)}
+        planes, W, H = mm._jpeg_planes(mm.encode_jpeg_coeffs(w, h, yb, cb, cr))
+        assert (W, H) == (w, h)
+        exp_y = np.array([[(i + 7 * (x // 8) + 11 * (y // 8)) % 256
+                           for x in range(w)] for y in range(h)])
+        exp_cb = np.array([[(i + 3 * (x // 16) + 5 * (y // 16)) % 256
+                            for x in range(w)] for y in range(h)])
+        exp_cr = np.array([[(2 * i + (x // 16) + 7 * (y // 16)) % 256
+                            for x in range(w)] for y in range(h)])
+        assert np.array_equal(planes[0], exp_y)
+        assert np.array_equal(planes[1], exp_cb)
+        assert np.array_equal(planes[2], exp_cr)
+
+
+def test_jpeg_idct_basis_closed_form():
+    """A single AC basis coefficient IDCTs to the published cosine
+    pattern — checked against an independent direct evaluation, so the
+    matrix construction can't self-confirm a transposed basis."""
+    import math
+
+    import numpy as np
+
+    mm = _mm()
+    for (u, v) in [(0, 1), (1, 0), (2, 3), (7, 7)]:
+        coef = np.zeros((8, 8))
+        coef[u, v] = 64.0
+        got = mm._idct2(coef)
+        cu = (1 / math.sqrt(2)) if u == 0 else 1.0
+        cv = (1 / math.sqrt(2)) if v == 0 else 1.0
+        exp = np.array([
+            [64.0 * 0.25 * cu * cv
+             * math.cos((2 * y + 1) * u * math.pi / 16)
+             * math.cos((2 * x + 1) * v * math.pi / 16)
+             for x in range(8)] for y in range(8)
+        ])
+        assert np.allclose(got, exp, atol=1e-12)
+
+
+def test_jpeg_general_coeffs_roundtrip_fuzz():
+    """Hypothesis fuzz of the GENERAL entropy path (runs, ZRL, EOB, sign
+    extension, predictor chain): random quantized coefficient blocks and
+    quant tables roundtrip to exactly the reference dequant+IDCT+clamp
+    pixels — grayscale and 4:2:0 color."""
+    import numpy as np
+    from hypothesis import given, settings, strategies as st
+
+    mm = _mm()
+
+    @settings(max_examples=25, deadline=None)
+    @given(st.data())
+    def run(data):
+        rng_seed = data.draw(st.integers(0, 2**31 - 1))
+        rng = np.random.default_rng(rng_seed)
+        color = data.draw(st.booleans())
+        mcu = 16 if color else 8
+        w = mcu * data.draw(st.integers(1, 2))
+        h = mcu * data.draw(st.integers(1, 2))
+        qt = rng.integers(1, 33, size=(8, 8)).tolist()
+
+        def rblock():
+            b = np.zeros((8, 8), dtype=np.int64)
+            nnz = rng.integers(0, 12)
+            for _ in range(int(nnz)):
+                b[rng.integers(0, 8), rng.integers(0, 8)] = rng.integers(-500, 500)
+            return b
+
+        yb = {(by, bx): rblock().tolist()
+              for by in range(h // 8) for bx in range(w // 8)}
+        if color:
+            cbb = {(my, mx): rblock().tolist()
+                   for my in range(h // 16) for mx in range(w // 16)}
+            crb = {(my, mx): rblock().tolist()
+                   for my in range(h // 16) for mx in range(w // 16)}
+            blob = mm.encode_jpeg_coeffs(w, h, yb, cbb, crb, qt_luma=qt, qt_chroma=qt)
+        else:
+            blob = mm.encode_jpeg_coeffs(w, h, yb, qt_luma=qt)
+        planes, W, H = mm._jpeg_planes(blob)
+        assert (W, H) == (w, h)
+        qtn = np.array(qt)
+
+        def ref_plane(blocks, bw, bh):
+            p = np.zeros((bh * 8, bw * 8))
+            for (by, bx), c in blocks.items():
+                px = np.clip(
+                    np.round(mm._idct2(np.array(c, dtype=float) * qtn) + 128.0),
+                    0, 255,
+                )
+                p[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] = px
+            return p.astype(np.uint8)
+
+        assert np.array_equal(planes[0], ref_plane(yb, w // 8, h // 8))
+        if color:
+            up = lambda p: np.repeat(np.repeat(p, 2, axis=0), 2, axis=1)
+            assert np.array_equal(planes[1], up(ref_plane(cbb, w // 16, h // 16)))
+            assert np.array_equal(planes[2], up(ref_plane(crb, w // 16, h // 16)))
+
+    run()
+
+
+def test_jpeg_error_paths():
+    """Named raises: non-baseline SOF, restart intervals, foreign bytes,
+    truncated entropy stream."""
+    mm = _mm()
+
+    def dcb(v):
+        b = [[0] * 8 for _ in range(8)]
+        b[0][0] = v
+        return b
+
+    blob = bytearray(mm.encode_jpeg_coeffs(8, 8, {(0, 0): dcb(10)}))
+    # flip SOF0 (0xC0) to SOF2 (progressive)
+    i = blob.find(b"\xff\xc0")
+    prog = bytes(blob[:i + 1]) + b"\xc2" + bytes(blob[i + 2:])
+    with pytest.raises(ValueError, match="SOF0"):
+        mm._jpeg_planes(prog)
+    with pytest.raises(ValueError, match="not a JPEG"):
+        mm._jpeg_planes(b"\x00\x01\x02")
+    with pytest.raises(ValueError, match="truncated|marker"):
+        mm._jpeg_planes(bytes(blob[:-8]))
+
+
+def test_ycbcr_to_rgb_known_values():
+    """Pure-gray (Cb=Cr=128) maps to R=G=B=Y; full-red chroma matches the
+    published BT.601 coefficients with half-away rounding."""
+    import numpy as np
+
+    mm = _mm()
+    y = np.full((2, 2), 77, dtype=np.uint8)
+    n = np.full((2, 2), 128, dtype=np.uint8)
+    rgb = mm.ycbcr_to_rgb(y, n, n)
+    assert (rgb == 77).all()
+    cr = np.full((2, 2), 255, dtype=np.uint8)
+    rgb2 = mm.ycbcr_to_rgb(y, n, cr)
+    assert int(rgb2[0, 0, 0]) == min(255, round(77 + 1.402 * 127))
+
+
+def test_decode_media_dispatches_jpeg(spark):
+    """decode_media sniffs the SOI marker and routes to the JPEG decoder
+    inside mapInPandas."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    mm = _mm()
+    df = spark.range(4).select(
+        F.col("id").alias("doc_id"), (F.col("id") * 3).alias("n_chars")
+    )
+    blobs = mm.synth_jpeg_blobs(df, "doc_id", "n_chars")
+    out = mm.decode_media(blobs, "doc_id", "blob")
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert len(rows) == 4
+    for i, r in rows.items():
+        assert r["kind"] == "jpeg"
+        assert r["width"] == 16 * (1 + i % 2)
+
+
 def test_quantized_vectorized_ragged_queries_raise(spark):
     """Mixed query dimensions can't form one matmul — a clear ValueError
     pointing at vectorized=False, not a shape error mid-job."""
