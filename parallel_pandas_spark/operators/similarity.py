@@ -432,7 +432,7 @@ def pq_topk(
         corpus, id_col, vec_col, m=m, ks=ks, dim=dim, iters=iters
     )
     dsub = dim // m
-    codes = pq_encode(corpus, books, id_col, vec_col)
+    books_np = [np.asarray(b, dtype=np.float64) for b in books]
 
     # centroid norm² per (subspace, code): strict sequential sums
     cn2 = [[0.0] * len(books[s]) for s in range(m)]
@@ -460,28 +460,54 @@ def pq_topk(
     id_t = corpus.schema[id_col].dataType.simpleString()
 
     def adc_gen(batches):
+        # encode + ADC fused in ONE Arrow pass (the JVM per-subspace
+        # argmin was 128 interpreted HOF folds per row — found by the r9
+        # bench). Bit-parity with the pq_encode expressions is kept by
+        # accumulating the centroid dot SEQUENTIALLY over the dsub dims
+        # (vectorized across rows, ordered over j — the same
+        # ((0+t0)+t1)+… association as the F.aggregate fold and DuckDB's
+        # list_sum), then dist = −2·acc + cc with the same op order;
+        # np.argmin's first-minimum tiebreak is the (dist, cid) order.
         for pdf in batches:
-            if len(pdf) == 0 or not qids:
-                continue
-            cmat = [pdf[f"c{s}"].to_numpy() for s in range(m)]
-            rn2 = cn2v[0][cmat[0]]
-            for s in range(1, m):
-                rn2 = rn2 + cn2v[s][cmat[s]]
             n = len(pdf)
+            if n == 0 or not qids:
+                continue
+            # null / wrong-dimension vectors can't be encoded — drop them
+            # (an ANN store skips undecodable vectors; the exact arm is
+            # the place for strict null algebra)
+            okm = pdf[vec_col].map(
+                lambda v: v is not None and len(v) == dim
+            ).to_numpy(dtype=bool)
+            if not okm.any():
+                continue
+            sub = pdf[okm]
+            n = len(sub)
+            mat = np.array([list(v) for v in sub[vec_col]], dtype=np.float64)
+            codes_list = []
+            rn2 = np.zeros(n)
+            for s in range(m):
+                xs = mat[:, s * dsub : (s + 1) * dsub]
+                acc = np.zeros((n, len(books_np[s])))
+                for j in range(dsub):
+                    acc += xs[:, j : j + 1] * books_np[s][:, j][None, :]
+                dist = -2.0 * acc + cn2v[s][None, :]
+                code = dist.argmin(1)
+                codes_list.append(code)
+                rn2 = rn2 + cn2v[s][code]
             for qi, qid in enumerate(qids):
-                adc = luts[qi][0][cmat[0]]
+                adc = luts[qi][0][codes_list[0]]
                 for s in range(1, m):
-                    adc = adc + luts[qi][s][cmat[s]]
+                    adc = adc + luts[qi][s][codes_list[s]]
                 yield pd.DataFrame(
                     {
-                        "neighbor_id": pdf["neighbor_id"],
+                        "neighbor_id": sub[id_col],
                         "query_id": np.full(n, qid),
                         "adc": adc,
                         "rn2": rn2,
                     }
                 )
 
-    pairs = codes.mapInPandas(
+    pairs = corpus.select(id_col, vec_col).mapInPandas(
         adc_gen,
         f"neighbor_id {id_t}, query_id {id_t}, adc double, rn2 double",
     ).where(F.col("query_id") != F.col("neighbor_id"))
@@ -524,6 +550,24 @@ def pq_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def _np_quantize(mat: "np.ndarray", qmax: float):
+    """(scale, int32 codes) for a uniform-length float64 matrix — the
+    numpy core shared by :func:`_quantize_arrow` and the fused scorer;
+    bit-parity contract documented on _quantize_arrow."""
+    import numpy as np
+
+    s = np.abs(mat).max(axis=1)
+    z = s == 0.0
+    r = np.zeros_like(mat)
+    np.divide(mat, s[:, None], out=r, where=~z[:, None])
+    r *= qmax
+    rounded = np.trunc(r + np.copysign(0.5, r))
+    rounded[np.isnan(rounded)] = 0.0
+    cmat = rounded.astype(np.int32)
+    cmat[z] = 0
+    return s, cmat
 
 
 def _quantize_arrow(
@@ -583,15 +627,7 @@ def _quantize_arrow(
                 mat = np.array(
                     [list(v) for v in pdf[vec_col].iloc[idx]], dtype=np.float64
                 )
-                s = np.abs(mat).max(axis=1)
-                z = s == 0.0
-                r = np.zeros_like(mat)
-                np.divide(mat, s[:, None], out=r, where=~z[:, None])
-                r *= qmax
-                rounded = np.trunc(r + np.copysign(0.5, r))
-                rounded[np.isnan(rounded)] = 0.0
-                cmat = rounded.astype(np.int32)
-                cmat[z] = 0
+                s, cmat = _np_quantize(mat, qmax)
                 nrm = (cmat.astype(np.int64) ** 2).sum(axis=1).astype(np.float64)
                 for j, i in enumerate(idx):
                     scale[i] = float(s[j])
@@ -676,10 +712,10 @@ def quantized_cosine_topk(
     fold path exactly. ``vectorized=False`` keeps the pure-JVM fold —
     zero Python in the plan, for pipelines that need it."""
     if vectorized:
-        # the Arrow quantizer fuses the code transform and the Σcode²
-        # norm into the same numpy pass (bit-identical to the HOF path —
-        # see _quantize_arrow), so the whole quantize+score pipeline is
-        # two vectorized stages instead of interpreted per-element folds
+        # quantize + score FUSED into one Arrow pass over the raw corpus
+        # (bit-identical to the HOF expressions — see _quantize_arrow /
+        # _np_quantize); only the query side is quantized as its own
+        # (query-sized) stage before the driver collect
         q = _quantize_arrow(
             queries, id_col, vec_col, bits=bits, with_norm=True
         ).select(
@@ -687,14 +723,10 @@ def quantized_cosine_topk(
             F.col("codes").alias("qc"),
             F.col("norm").alias("qn"),
         )
-        c = _quantize_arrow(
-            corpus, id_col, vec_col, bits=bits, with_norm=True
-        ).select(
-            F.col(id_col).alias("neighbor_id"),
-            F.col("codes").alias("cc"),
-            F.col("norm").alias("cn"),
+        c = corpus.select(F.col(id_col).alias("neighbor_id"), vec_col)
+        scored = _quantized_scores_arrow(
+            c, q, round_to, bits=bits, vec_col=vec_col
         )
-        scored = _quantized_scores_arrow(c, q, round_to)
     else:
         q = quantize_embeddings(queries, id_col, vec_col, bits=bits).select(
             F.col(id_col).alias("query_id"),
@@ -732,17 +764,28 @@ def quantized_cosine_topk(
     )
 
 
-def _quantized_scores_arrow(c: DataFrame, q: DataFrame, round_to: int) -> DataFrame:
-    """(neighbor, query, qcosine) via one int64 matmul per Arrow batch.
+def _quantized_scores_arrow(
+    c: DataFrame,
+    q: DataFrame,
+    round_to: int,
+    bits: int = 8,
+    vec_col: str | None = None,
+) -> DataFrame:
+    """(neighbor, query, qcosine): quantize + int64 matmul FUSED in one
+    Arrow pass per corpus batch (r9 — the two-stage quantize-then-score
+    pipeline paid a second Arrow roundtrip that kept the quant arm above
+    the exact arm in the bench).
 
-    The query side collects to the driver EAGERLY — at DataFrame-
-    construction time, before the caller runs any action (same
+    ``c`` carries the RAW corpus (neighbor_id, ``vec_col``); each batch
+    is quantized with the same numpy core as :func:`_quantize_arrow`
+    (bit-parity with the HOF expressions pinned in tests) and scored
+    immediately. The query side collects to the driver EAGERLY — at
+    DataFrame-construction time, before the caller runs any action (same
     query-sized bound as the broadcast in the fold path) — and ships in
-    the UDF closure; the corpus streams through ``mapInPandas`` in
-    constant memory. Only the integer dot runs in numpy — exact,
-    engine-independent — while the divide/sqrt/round happen in Spark
-    expressions identical to the fold path, so both paths produce the
-    same bits.
+    the UDF closure already quantized. Only integer math runs in numpy —
+    exact, engine-independent — while the divide/sqrt/round happen in
+    Spark expressions identical to the fold path, so both paths produce
+    the same bits.
 
     Dirty-corpus semantics match the fold path (r8 ADVICE): a null or
     ragged (wrong-dimension) corpus vector yields a NULL idot → NULL
@@ -750,6 +793,7 @@ def _quantized_scores_arrow(c: DataFrame, q: DataFrame, round_to: int) -> DataFr
     import numpy as np
     import pandas as pd
 
+    qmax = float((1 << (bits - 1)) - 1)
     qrows = q.select("query_id", "qc", "qn").collect()  # query-sized
     qids = np.array([r["query_id"] for r in qrows])  # id dtype preserved
     # qn ships in the closure and is tiled into the output alongside cn —
@@ -787,16 +831,20 @@ def _quantized_scores_arrow(c: DataFrame, q: DataFrame, round_to: int) -> DataFr
             # null / ragged corpus vectors can't enter the matmul; their
             # pairs get a NULL idot (the zip_with fold path's semantics —
             # a null or length-mismatched array folds to null)
-            cok = pdf["cc"].map(
+            cok = pdf[vec_col].map(
                 lambda v: v is not None and len(v) == d
             ).to_numpy(dtype=bool)
             n = len(pdf)
             m = len(qids)
+            cn = np.full(n, np.nan)
             if cok.any() and qok.any():
-                cmat = np.array(
-                    [list(v) for v in pdf["cc"][cok]], dtype=np.int64
+                mat = np.array(
+                    [list(v) for v in pdf[vec_col][cok]], dtype=np.float64
                 )  # n_ok×d
-                good = cmat @ qmat.T  # exact int64 (|code|<=127, d bounded)
+                _, cmat = _np_quantize(mat, qmax)
+                cmat64 = cmat.astype(np.int64)
+                cn[cok] = (cmat64**2).sum(axis=1).astype(np.float64)
+                good = cmat64 @ qmat.T  # exact int64 (|code|<=127, d bounded)
             else:
                 good = np.empty((int(cok.sum()), int(qok.sum())), dtype=np.int64)
             idot = pd.array(np.zeros(n * m, dtype=np.int64), dtype="Int64")
@@ -806,7 +854,7 @@ def _quantized_scores_arrow(c: DataFrame, q: DataFrame, round_to: int) -> DataFr
             yield pd.DataFrame(
                 {
                     "neighbor_id": np.repeat(pdf["neighbor_id"].to_numpy(), m),
-                    "cn": np.repeat(pdf["cn"].to_numpy(), m),
+                    "cn": np.repeat(cn, m),
                     "query_id": np.tile(qids, n),
                     "qn": np.tile(qns, n),
                     "idot": idot,
