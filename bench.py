@@ -145,18 +145,27 @@ def main() -> None:
     # The arm sum roughly re-runs the battery once, so SPARK_GRAFT_ARMS=0
     # skips this for quick iteration; the headline metric is identical
     # either way.
+    # r9: arms are median-of-3 like the headline (interleaved sweeps) —
+    # single-run arm times made quant-vs-exact comparisons noise-bound
     arms: dict[str, dict[str, float]] = {}
     if os.environ.get("SPARK_GRAFT_ARMS", "1") not in ("", "0"):
-        for name in names:
-            parts = getattr(qs[name], "__arms__", None)
-            if not parts:
-                continue
-            per: dict[str, float] = {}
-            for tag, fn in parts:
-                t0 = time.perf_counter()
-                _force(fn(spark, SF_DIR))
-                per[tag] = round(time.perf_counter() - t0, 4)
-            arms[name] = per
+        arm_runs: dict[str, dict[str, list[float]]] = {}
+        for _ in range(reps):
+            for name in names:
+                parts = getattr(qs[name], "__arms__", None)
+                if not parts:
+                    continue
+                per = arm_runs.setdefault(name, {})
+                for tag, fn in parts:
+                    t0 = time.perf_counter()
+                    _force(fn(spark, SF_DIR))
+                    per.setdefault(tag, []).append(
+                        round(time.perf_counter() - t0, 4)
+                    )
+        arms = {
+            name: {tag: round(statistics.median(ts), 4) for tag, ts in per.items()}
+            for name, per in arm_runs.items()
+        }
     try:
         sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1])
     except ValueError:
@@ -165,7 +174,7 @@ def main() -> None:
     # did not exist at round 6, measured in THIS run's arm pass
     post_r6_arms = {
         "text_doc_battery": ["repetition", "pii", "chunks"],
-        "cosine_topk": ["quant"],
+        "cosine_topk": ["quant", "pq"],
     }
     new_arm_cost = sum(
         arms.get(q, {}).get(a, 0.0) for q, al in post_r6_arms.items() for a in al
@@ -184,10 +193,9 @@ def main() -> None:
                 "r6_comparable": r6_comparable,
                 "r6_comparable_note": (
                     "total minus post-r6 arms (text repetition/pii/chunks, "
-                    "cosine quant); corpus_build_pipeline's fused gopher "
+                    "cosine quant+pq); corpus_build_pipeline's fused gopher "
                     "stage is not a separable arm and remains included; "
-                    "arm times are SINGLE-RUN (the subtraction carries "
-                    "their noise) - compare medians-total first"
+                    "arm times are median-of-" + str(reps) + " (r9)"
                 ),
                 "sf": sf,
             }

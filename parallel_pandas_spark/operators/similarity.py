@@ -494,16 +494,27 @@ def pq_topk(
                 code = dist.argmin(1)
                 codes_list.append(code)
                 rn2 = rn2 + cn2v[s][code]
+            nid_arr = sub[id_col].to_numpy()
+            sq_rn2 = np.sqrt(rn2)
             for qi, qid in enumerate(qids):
                 adc = luts[qi][0][codes_list[0]]
                 for s in range(1, m):
                     adc = adc + luts[qi][s][codes_list[s]]
+                # lossless map-side top-pool: the pool window orders by
+                # adc/√rn2 on exactly these doubles (same IEEE div/sqrt
+                # both sides), so keeping each batch's top `pool` rows by
+                # (score desc, id asc) — row_number's own order — cannot
+                # change the global pool
+                score = adc / sq_rn2
+                score = np.where(np.isnan(score), np.inf, score)
+                valid = np.nonzero(nid_arr != qid)[0]  # self-pairs out first
+                order = valid[np.lexsort((nid_arr[valid], -score[valid]))[:pool]]
                 yield pd.DataFrame(
                     {
-                        "neighbor_id": sub[id_col],
-                        "query_id": np.full(n, qid),
-                        "adc": adc,
-                        "rn2": rn2,
+                        "neighbor_id": nid_arr[order],
+                        "query_id": np.full(len(order), qid),
+                        "adc": adc[order],
+                        "rn2": rn2[order],
                     }
                 )
 
@@ -725,7 +736,7 @@ def quantized_cosine_topk(
         )
         c = corpus.select(F.col(id_col).alias("neighbor_id"), vec_col)
         scored = _quantized_scores_arrow(
-            c, q, round_to, bits=bits, vec_col=vec_col
+            c, q, round_to, bits=bits, vec_col=vec_col, prune_k=k
         )
     else:
         q = quantize_embeddings(queries, id_col, vec_col, bits=bits).select(
@@ -770,6 +781,7 @@ def _quantized_scores_arrow(
     round_to: int,
     bits: int = 8,
     vec_col: str | None = None,
+    prune_k: int | None = None,
 ) -> DataFrame:
     """(neighbor, query, qcosine): quantize + int64 matmul FUSED in one
     Arrow pass per corpus batch (r9 — the two-stage quantize-then-score
@@ -789,7 +801,18 @@ def _quantized_scores_arrow(
 
     Dirty-corpus semantics match the fold path (r8 ADVICE): a null or
     ragged (wrong-dimension) corpus vector yields a NULL idot → NULL
-    qcosine for its pairs, never a TypeError from the matmul."""
+    qcosine for its pairs, never a TypeError from the matmul.
+
+    ``prune_k``: LOSSLESS map-side top-k (r9 — the 100 TB lever: the
+    shuffle then moves ≈k rows per query per batch instead of the full
+    n×m pair expansion). Per batch and query, keep every row whose RAW
+    score is within one rounding quantum (10^−round_to, plus fp slack)
+    of the batch's k-th best — after rounding, a dropped row can neither
+    exceed nor TIE a kept k-th row, so the global top-k over the kept
+    union equals the top-k over all pairs, including neighbor-id
+    tiebreaks. NULL-score pairs (dirty vectors / null queries) keep
+    their k smallest neighbor ids per batch, preserving the
+    nulls-last-by-id tail when fewer than k real candidates exist."""
     import numpy as np
     import pandas as pd
 
@@ -821,6 +844,8 @@ def _quantized_scores_arrow(
     )  # m_ok×d
     id_t = c.schema["neighbor_id"].dataType.simpleString()
 
+    band = 10.0 ** (-round_to) + 1e-12
+
     def gen(batches):
         for pdf in batches:
             if len(pdf) == 0 or len(qids) == 0:
@@ -847,16 +872,90 @@ def _quantized_scores_arrow(
                 good = cmat64 @ qmat.T  # exact int64 (|code|<=127, d bounded)
             else:
                 good = np.empty((int(cok.sum()), int(qok.sum())), dtype=np.int64)
-            idot = pd.array(np.zeros(n * m, dtype=np.int64), dtype="Int64")
-            pair_ok = np.repeat(cok, m) & np.tile(qok, n)
-            idot[~pair_ok] = pd.NA
-            idot[pair_ok] = good.reshape(-1)
+            nids = pdf["neighbor_id"].to_numpy()
+            if prune_k is None:
+                idot = pd.array(np.zeros(n * m, dtype=np.int64), dtype="Int64")
+                pair_ok = np.repeat(cok, m) & np.tile(qok, n)
+                idot[~pair_ok] = pd.NA
+                idot[pair_ok] = good.reshape(-1)
+                yield pd.DataFrame(
+                    {
+                        "neighbor_id": np.repeat(nids, m),
+                        "cn": np.repeat(cn, m),
+                        "query_id": np.tile(qids, n),
+                        "qn": np.tile(qns, n),
+                        "idot": idot,
+                    }
+                )
+                continue
+            # --- lossless map-side top-k (see docstring) --------------
+            kk = prune_k
+            nid_ok = nids[cok]
+            cn_ok = cn[cok]
+            denom_c = np.sqrt(cn_ok)
+            bad_idx = np.nonzero(~cok)[0]
+            if len(bad_idx) > kk:
+                order = np.argsort(nids[bad_idx], kind="stable")[:kk]
+                bad_keep = bad_idx[order]
+            else:
+                bad_keep = bad_idx
+            qcol = np.cumsum(qok) - 1
+            p_nid, p_cn, p_qid, p_qn = [], [], [], []
+            p_ival, p_imask = [], []
+            for qi in range(m):
+                qid = qids[qi]
+                if qok[qi] and len(nid_ok):
+                    ivals = good[:, qcol[qi]]
+                    raw = ivals.astype(np.float64) / (np.sqrt(qns[qi]) * denom_c)
+                    # NaN scores (0/0 from zero vectors) sort GREATEST in
+                    # Spark — treat as +inf so they are always kept
+                    raw = np.where(np.isnan(raw), np.inf, raw)
+                    self_mask = nid_ok == qid
+                    raw[self_mask] = -np.inf
+                    if raw.size > kk:
+                        th = np.partition(raw, raw.size - kk)[raw.size - kk]
+                        keep = (raw >= th - band) & ~self_mask
+                    else:
+                        keep = ~self_mask
+                    idx = np.nonzero(keep)[0]
+                    p_nid.append(nid_ok[idx])
+                    p_cn.append(cn_ok[idx])
+                    p_qid.append(np.full(len(idx), qid))
+                    p_qn.append(np.full(len(idx), qns[qi]))
+                    p_ival.append(ivals[idx])
+                    p_imask.append(np.zeros(len(idx), dtype=bool))
+                    # NULL-score tail: the k smallest bad neighbor ids
+                    if len(bad_keep):
+                        p_nid.append(nids[bad_keep])
+                        p_cn.append(cn[bad_keep])
+                        p_qid.append(np.full(len(bad_keep), qid))
+                        p_qn.append(np.full(len(bad_keep), qns[qi]))
+                        p_ival.append(np.zeros(len(bad_keep), dtype=np.int64))
+                        p_imask.append(np.ones(len(bad_keep), dtype=bool))
+                else:
+                    # null query (or no clean corpus rows): every pair is
+                    # NULL — keep the k smallest non-self neighbor ids
+                    non_self = nids[nids != qid]
+                    keep_ids = np.sort(non_self, kind="stable")[:kk]
+                    sel = np.nonzero(np.isin(nids, keep_ids) & (nids != qid))[0]
+                    p_nid.append(nids[sel])
+                    p_cn.append(cn[sel])
+                    p_qid.append(np.full(len(sel), qid))
+                    p_qn.append(np.full(len(sel), qns[qi]))
+                    p_ival.append(np.zeros(len(sel), dtype=np.int64))
+                    p_imask.append(np.ones(len(sel), dtype=bool))
+            if not p_nid:
+                continue
+            idot = pd.arrays.IntegerArray(
+                np.concatenate(p_ival).astype(np.int64),
+                np.concatenate(p_imask),
+            )
             yield pd.DataFrame(
                 {
-                    "neighbor_id": np.repeat(pdf["neighbor_id"].to_numpy(), m),
-                    "cn": np.repeat(cn, m),
-                    "query_id": np.tile(qids, n),
-                    "qn": np.tile(qns, n),
+                    "neighbor_id": np.concatenate(p_nid),
+                    "cn": np.concatenate(p_cn),
+                    "query_id": np.concatenate(p_qid),
+                    "qn": np.concatenate(p_qn),
                     "idot": idot,
                 }
             )

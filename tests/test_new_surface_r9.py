@@ -289,6 +289,43 @@ def test_pq_encode_code_range(spark, sf_small):
         assert 0 <= agg[f"lo{s}"] and agg[f"hi{s}"] <= 15
 
 
+def test_quantized_prune_lossless_multipartition(spark):
+    """The map-side top-k prune (r9) must be LOSSLESS across partitions:
+    random vectors engineered with many near-ties (values quantized to a
+    coarse grid so rounded-score ties + id tiebreaks actually occur),
+    spread over 8 partitions so every batch prunes independently — the
+    pruned vectorized result must equal the unpruned fold path exactly."""
+    import random
+
+    rnd = random.Random(421)
+    rows = []
+    for i in range(300):
+        # coarse grid → frequent exact ties in the rounded cosine
+        rows.append((i, [float(rnd.choice([-2, -1, 0, 1, 2])) for _ in range(8)]))
+    rows.append((900, None))  # dirty row exercises the NULL tail
+    df = spark.createDataFrame(
+        rows,
+        T.StructType(
+            [
+                T.StructField("vec_id", T.LongType()),
+                T.StructField("embedding", T.ArrayType(T.DoubleType())),
+            ]
+        ),
+    ).repartition(8)
+    from parallel_pandas_spark.operators import similarity
+
+    queries = df.where(F.col("vec_id") < 6)
+    vec = similarity.quantized_cosine_topk(
+        df, queries, "vec_id", "embedding", k=7, vectorized=True
+    )
+    fold = similarity.quantized_cosine_topk(
+        df, queries, "vec_id", "embedding", k=7, vectorized=False
+    )
+    v = sorted(map(tuple, vec.collect()))
+    f = sorted(map(tuple, fold.collect()))
+    assert v == f and len(v) > 0
+
+
 # --- baseline JPEG codec -------------------------------------------------
 
 
