@@ -28,8 +28,15 @@ SFS = [
 ]
 
 
-def run_bench(sf_dir: str) -> dict:
-    env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir)
+def run_bench(sf_dir: str, reps: int) -> dict:
+    # arms are skipped: slopes fit the headline medians, and the arm
+    # pass would triple the sf1 leg for numbers the fit never reads
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_SF_DIR=sf_dir,
+        SPARK_GRAFT_REPS=str(reps),
+        SPARK_GRAFT_ARMS="0",
+    )
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
         env=env, capture_output=True, text=True, cwd=REPO, check=True,
@@ -50,13 +57,19 @@ def fit_slope(xs: list[float], ys: list[float]) -> float:
 
 def main() -> None:
     out_path = sys.argv[1] if len(sys.argv) > 1 else os.path.join(REPO, "BENCH_SCALING.json")
+    # r9 (verdict #6): legs are median-of-3 like the headline bench —
+    # per-leg reps recorded in each leg's "reps"/"queries_runs". The sf1
+    # leg defaults to 3 too; SPARK_GRAFT_SF1_REPS=1 trades noise
+    # rejection for wall time when cost demands (the output says which).
+    sf1_reps = max(1, int(os.environ.get("SPARK_GRAFT_SF1_REPS", "3")))
     runs = {}
     for sf, d in SFS:
         if not os.path.isdir(d):
             print(f"skip sf{sf}: {d} missing (generate with tools/gen_sf.py)")
             continue
-        print(f"running bench at sf{sf} ...", flush=True)
-        runs[str(sf)] = run_bench(d)
+        reps = sf1_reps if sf >= 1.0 else 3
+        print(f"running bench at sf{sf} (reps={reps}) ...", flush=True)
+        runs[str(sf)] = run_bench(d, reps)
         print(f"  total {runs[str(sf)]['value']} s")
 
     sfs = sorted(float(s) for s in runs)
