@@ -3435,10 +3435,10 @@ _TAIL_W = {
 }
 _LIT3_W = det.dyadic([0.2, 0.3, 0.5])
 # r9: the exotic get_window tail — Dolph-Chebyshev and Taylor (the two
-# non-trivial constructions), lanczos sinc, and the parameterized
-# general_* family scipy defines the named shapes through. With these,
-# every scipy get_window name except dpss (eigensolve — named
-# NotImplementedError) has a closed-form weights path.
+# non-trivial constructions), lanczos sinc, the parameterized general_*
+# family scipy defines the named shapes through, and dpss (Slepian via
+# numpy eigh on the tridiagonal concentration matrix). With these the
+# COMPLETE scipy get_window name set has a weights path.
 _R9_W = {
     "chebwin": det.dyadic(windows.win_type_weights("chebwin", 5, at=60.0)),
     "taylor": det.dyadic(windows.win_type_weights("taylor", 5, nbar=4, sll=30.0)),
@@ -3452,6 +3452,7 @@ _R9_W = {
     "general_cosine": det.dyadic(
         windows.win_type_weights("general_cosine", 5, a=[0.5, 0.4, 0.1])
     ),
+    "dpss": det.dyadic(windows.win_type_weights("dpss", 5, NW=1.5)),
 }
 
 
@@ -3502,7 +3503,8 @@ WITH r AS (
          {_lag_dot(_R9_W["lanczos"])} AS d_lz,
          {_lag_dot(_R9_W["general_hamming"])} AS d_gh,
          {_lag_dot(_R9_W["general_gaussian"])} AS d_gg,
-         {_lag_dot(_R9_W["general_cosine"])} AS d_gc
+         {_lag_dot(_R9_W["general_cosine"])} AS d_gc,
+         {_lag_dot(_R9_W["dpss"])} AS d_dp
   FROM lineitem
   WINDOW w AS (PARTITION BY l_suppkey
                ORDER BY l_orderkey, l_linenumber, l_quantity)
@@ -3542,7 +3544,8 @@ SELECT 'shapes_r9' AS src, l_orderkey, l_linenumber,
   CASE WHEN rn >= 5 THEN ROUND(d_lz / {float(sum(_R9_W["lanczos"]))!r}, 6) END AS lzmean,
   CASE WHEN rn >= 5 THEN ROUND(d_gh / {float(sum(_R9_W["general_hamming"]))!r}, 6) END AS ghmean,
   CASE WHEN rn >= 5 THEN ROUND(d_gg / {float(sum(_R9_W["general_gaussian"]))!r}, 6) END AS ggmean,
-  CASE WHEN rn >= 5 THEN ROUND(d_gc / {float(sum(_R9_W["general_cosine"]))!r}, 6) END AS gcmean
+  CASE WHEN rn >= 5 THEN ROUND(d_gc / {float(sum(_R9_W["general_cosine"]))!r}, 6) END AS gcmean,
+  CASE WHEN rn >= 5 THEN ROUND(d_dp / {float(sum(_R9_W["dpss"]))!r}, 6) END AS dpmean
 FROM r
 """,
 )
@@ -3562,8 +3565,9 @@ def weighted_rolling_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     exponential τ=2 / barthann / boxcar); ``shapes_r9`` (r9) = the
     exotic tail (chebwin at=60 / taylor nbar=4 sll=30 / lanczos /
     general_hamming α=0.6 / general_gaussian p=1.5 σ=2 /
-    general_cosine a=[.5,.4,.1]) — every get_window name except dpss
-    (named NotImplementedError: eigensolve) in closed form."""
+    general_cosine a=[.5,.4,.1] / dpss NW=1.5, Slepian via numpy eigh
+    with concentration-optimality asserted in tests) — the COMPLETE
+    get_window name set."""
     li = load_table(spark, sf_dir, "lineitem")
     lit3 = windows.weighted_window(
         li,
@@ -3627,7 +3631,7 @@ def weighted_rolling_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     r9 = li
     r9_outs = {"chebwin": "cwmean", "taylor": "tymean", "lanczos": "lzmean",
                "general_hamming": "ghmean", "general_gaussian": "ggmean",
-               "general_cosine": "gcmean"}
+               "general_cosine": "gcmean", "dpss": "dpmean"}
     for wt, oc in r9_outs.items():
         r9 = windows.weighted_window(
             r9, "l_quantity", 5, _R9_W[wt], _LI_ORD, ["l_suppkey"],

@@ -1046,18 +1046,38 @@ def win_type_weights(win_type: str, window: int, **params) -> list[float]:
             out = [v * scale for v in out]
         return out
     if win_type == "dpss":
-        raise NotImplementedError(
-            "win_type='dpss' (Slepian) needs the eigenvectors of a "
-            "symmetric tridiagonal matrix — an eigensolve, not a closed "
-            "form; pass explicit weights to weighted_window instead"
-        )
+        # Slepian window: the first discrete prolate spheroidal sequence
+        # — the eigenvector of the symmetric tridiagonal concentration
+        # matrix (Percival & Walden eq. 378: diag ((M−1−2i)/2)²·cos(2πW),
+        # off-diag i(M−i)/2) for the LARGEST eigenvalue; it maximizes
+        # spectral energy concentration in [−W, W] over all length-M
+        # sequences (the defining property, asserted in tests against
+        # every other catalog shape). numpy's eigh handles the dense
+        # solve — window lengths are tiny. Normalized to max 1 like the
+        # other shapes (scipy's Kmax=None 'approximate' subsample-shift
+        # correction is intentionally NOT applied; it rescales by a
+        # constant ~1 and exists for spectrum estimation, not weighting —
+        # documented divergence).
+        import numpy as np
+
+        NW = float(params["NW"])
+        W = NW / M
+        i = np.arange(M)
+        diag = ((M - 1 - 2.0 * i) / 2.0) ** 2 * math.cos(2.0 * math.pi * W)
+        off = i[1:] * (M - i[1:]) / 2.0
+        T = np.diag(diag) + np.diag(off, 1) + np.diag(off, -1)
+        vals, vecs = np.linalg.eigh(T)
+        w_ = vecs[:, -1]  # eigenvector of the largest eigenvalue
+        if w_.sum() < 0:
+            w_ = -w_  # sign convention: positive lobe
+        return (w_ / w_.max()).tolist()
     raise ValueError(
         f"unsupported win_type {win_type!r}; supported: boxcar, triang, "
         "bartlett, barthann, hamming, hann, blackman, blackmanharris, "
         "nuttall, flattop, bohman, parzen, cosine, tukey, exponential, "
         "lanczos, chebwin(at=), taylor(nbar=, sll=, norm=), gaussian(std=), "
         "kaiser(beta=), general_cosine(a=), general_hamming(alpha=), "
-        "general_gaussian(p=, sig=)"
+        "general_gaussian(p=, sig=), dpss(NW=)"
     )
 
 

@@ -234,9 +234,57 @@ def test_taylor_properties():
     assert raw[10] / got[10] == pytest.approx(raw[10], rel=1e-12)
 
 
-def test_dpss_named_raise():
-    with pytest.raises(NotImplementedError, match="eigensolve|tridiagonal"):
-        _w("dpss", 7)
+def test_dpss_concentration_optimality():
+    """The DEFINING Slepian property, independent of the eigensolve: the
+    dpss window maximizes spectral energy concentration in [−W, W] among
+    ALL length-M sequences — so its concentration ratio must beat every
+    other shape in the catalog at the same M, and it must satisfy its
+    own eigen-equation."""
+    import numpy as np
+
+    M, NW = 21, 2.5
+    W = NW / M
+    got = np.array(_w("dpss", M, NW=NW))
+    assert got.max() == pytest.approx(1.0, abs=0)
+    assert got == pytest.approx(got[::-1], abs=1e-9), "not symmetric"
+
+    def concentration(w):
+        w = np.asarray(w, dtype=float)
+        n = np.arange(M)
+        # lambda = (wᵀ A w)/(wᵀ w) with A[i,j] = sin(2πW(i−j))/(π(i−j))
+        diffs = n[:, None] - n[None, :]
+        with np.errstate(invalid="ignore", divide="ignore"):
+            A = np.where(
+                diffs == 0, 2.0 * W, np.sin(2 * np.pi * W * diffs) / (np.pi * diffs)
+            )
+        return float(w @ A @ w) / float(w @ w)
+
+    lam = concentration(got)
+    assert lam > 0.99  # NW=2.5 concentrates essentially all energy
+    others = {
+        "hann": _w("hann", M),
+        "hamming": _w("hamming", M),
+        "blackman": _w("blackman", M),
+        "kaiser": _w("kaiser", M, beta=8.0),
+        "gaussian": _w("gaussian", M, std=3.0),
+        "chebwin": _w("chebwin", M, at=60.0),
+        "taylor": _w("taylor", M),
+        "boxcar": _w("boxcar", M),
+    }
+    for name, w in others.items():
+        assert lam >= concentration(w) - 1e-12, name
+
+    # eigen-residual: T v = λ v for the tridiagonal concentration matrix
+    i = np.arange(M)
+    import math
+
+    diag = ((M - 1 - 2.0 * i) / 2.0) ** 2 * math.cos(2.0 * math.pi * W)
+    off = i[1:] * (M - i[1:]) / 2.0
+    T = np.diag(diag) + np.diag(off, 1) + np.diag(off, -1)
+    v = got / np.linalg.norm(got)
+    tv = T @ v
+    ray = float(v @ tv)
+    assert np.allclose(tv, ray * v, atol=1e-8)
 
 
 def test_pq_topk_recall_and_exact_values(spark, sf_small):
