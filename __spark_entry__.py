@@ -5514,6 +5514,57 @@ def jpeg_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MP4_ORACLE = """
+WITH d AS (SELECT doc_id FROM documents),
+sm AS (
+  SELECT doc_id, 4 + doc_id % 5 AS n, s
+  FROM d, UNNEST(range(0, 4 + doc_id % 5)) t(s)
+),
+b AS (
+  SELECT doc_id, n, s, j, (doc_id + 5*s + 3*j) % 256 AS v
+  FROM sm, UNNEST(range(0, 7 + (doc_id + s) % 9)) tj(j)
+)
+SELECT doc_id, 'mp4' AS kind,
+  CAST(1000 AS INT) AS sample_rate,
+  CAST(MAX(n) AS BIGINT) AS n_samples,
+  ROUND(CAST(COUNT(*) AS DOUBLE) / MAX(n), 6) AS mean,
+  CAST(SUM(v * (1 + j + 7*s)) AS BIGINT) AS wsum
+FROM b GROUP BY doc_id
+UNION ALL BY NAME
+SELECT doc_id, 'mp4frame' AS kind,
+  CAST(s AS INT) AS frame_index,
+  CAST(COUNT(*) AS INT) AS frame_bytes,
+  CAST(SUM(v * (1 + j)) AS BIGINT) AS checksum
+FROM b WHERE s % 2 = 0 GROUP BY doc_id, s
+"""
+
+
+@_q("mp4_decode_real", _MP4_ORACLE)
+def mp4_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL ISO BMFF (mp4) CONTAINER parsing (multimodal.mp4_sample_table
+    / decode_mp4 / sample_mp4_frames — r9): box-tree walk (incl. 64-bit
+    largesize and size-0 boxes), mdhd timescale/duration, general
+    stsz/stsc/stco sample-range resolution, and per-frame mdat slicing —
+    what a 100 TB video pipeline's data plane does before handing codec
+    payloads to a decoder (the codec itself stays out of scope; the
+    payloads are synthetic). Two tagged parts: 'mp4' = per-doc metadata
+    with a frame-content checksum proving the offset math; 'mp4frame' =
+    1->N extraction of every 2nd sample with per-frame checksums. The
+    oracle recomputes everything from the closed-form sample definition
+    without seeing the bytes."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    blobs = multimodal.synth_mp4_blobs(d, "doc_id", "n_chars")
+    meta = multimodal.decode_media(blobs, "doc_id", "blob").select(
+        "doc_id", "kind", "sample_rate", "n_samples",
+        F.round("mean", 6).alias("mean"), "wsum",
+    )
+    frames = multimodal.sample_mp4_frames(blobs, "doc_id", "blob", every_k=2).select(
+        "doc_id", F.lit("mp4frame").alias("kind"),
+        "frame_index", "frame_bytes", "checksum",
+    )
+    return meta.unionByName(frames, allowMissingColumns=True)
+
+
 _bfn, _bsql = _compose_union(
     [
         ("decode", "multimodal_decode"),
@@ -5521,17 +5572,20 @@ _bfn, _bsql = _compose_union(
         ("realdecode", "media_decode_real"),
         ("png", "png_decode_real"),
         ("jpeg", "jpeg_decode_real"),
+        ("mp4", "mp4_decode_real"),
     ]
 )
 _bfn.__doc__ = """Multimodal binary columns: decode-to-metadata/features,
 1->N video frame sampling, (r7) REAL BMP/WAV parsing (struct+numpy,
 no media library) of deterministically-encoded payloads, (r8) REAL
 PNG parsing (stdlib zlib inflate + full un-filtering), and (r9) REAL
-baseline-JPEG parsing (canonical Huffman + IDCT + 4:2:0) — all iterator
-mapInPandas over opaque blobs."""
+baseline-JPEG parsing (canonical Huffman + IDCT + 4:2:0) plus REAL mp4
+CONTAINER parsing (box tree + sample tables + mdat frame slicing; the
+codec payload stays opaque) — all iterator mapInPandas over opaque
+blobs."""
 _q("multimodal_battery", _bsql)(_bfn)
 _retire("multimodal_decode", "video_frame_sample", "media_decode_real",
-        "png_decode_real", "jpeg_decode_real")
+        "png_decode_real", "jpeg_decode_real", "mp4_decode_real")
 
 @_q(
     "numeric_elementwise",

@@ -524,6 +524,99 @@ def test_jpeg_error_paths():
         mm._jpeg_planes(bytes(blob[:-8]))
 
 
+def test_mp4_container_roundtrip_closed_form():
+    """encode_mp4 → mp4_sample_table resolves every sample's (offset,
+    size) back to exactly the closed-form payload; decode_mp4's weighted
+    checksum matches the independent recomputation."""
+    mm = _mm()
+    for i in (0, 3, 4, 8):
+        n = 4 + i % 5
+        sizes = [7 + (i + s) % 9 for s in range(n)]
+
+        def mk(s, i=i, sizes=sizes):
+            return bytes((i + 5 * s + 3 * j) % 256 for j in range(sizes[s]))
+
+        blob = mm.encode_mp4(sizes, mk)
+        st = mm.mp4_sample_table(blob)
+        assert st["n_samples"] == n and st["sizes"] == sizes
+        assert st["timescale"] == 1000 and st["duration"] == 40 * n
+        for s in range(n):
+            off, sz = st["offsets"][s], st["sizes"][s]
+            assert blob[off : off + sz] == mk(s)
+        d = mm.decode_mp4(blob)
+        want = sum(
+            ((i + 5 * s + 3 * j) % 256) * (1 + j + 7 * s)
+            for s in range(n)
+            for j in range(sizes[s])
+        )
+        assert d["wsum"] == want and d["kind"] == "mp4"
+
+
+def test_mp4_multi_chunk_stsc_resolution():
+    """The stsc expansion must handle MULTI-chunk layouts (the fixture
+    writes one chunk; real files don't): hand-build a two-chunk file by
+    patching stco/stsc and check the resolved ranges."""
+    import struct
+
+    mm = _mm()
+    sizes = [4, 4, 4, 4, 4]
+    payload = b"".join(bytes([s]) * 4 for s in range(5))
+
+    def box(tag, body):
+        return struct.pack(">I", len(body) + 8) + tag + body
+
+    ftyp = box(b"ftyp", b"isom\x00\x00\x02\x00")
+    # mdat: chunk 1 (samples 0-2) right at the body start, 10 junk bytes,
+    # then chunk 2 (samples 3-4) — non-adjacent chunks exercise the math
+    c1_off = len(ftyp) + 8
+    c2_off = c1_off + 12 + 10
+    mdat = box(b"mdat", payload[:12] + b"\xee" * 10 + payload[12:])
+    mdhd = box(b"mdhd", struct.pack(">B3x", 0) + struct.pack(">IIII", 0, 0, 90000, 123)
+               + struct.pack(">HH", 0x55C4, 0))
+    stsz = box(b"stsz", struct.pack(">B3xII", 0, 0, 5)
+               + b"".join(struct.pack(">I", s) for s in sizes))
+    stsc = box(b"stsc", struct.pack(">B3xI", 0, 2)
+               + struct.pack(">III", 1, 3, 1) + struct.pack(">III", 2, 2, 1))
+    stco = box(b"stco", struct.pack(">B3xI", 0, 2) + struct.pack(">II", c1_off, c2_off))
+    stbl = box(b"stbl", stsz + stsc + stco)
+    moov = box(b"moov", box(b"trak", box(b"mdia", mdhd + box(b"minf", stbl))))
+    blob = ftyp + mdat + moov
+    st = mm.mp4_sample_table(blob)
+    assert st["offsets"] == [c1_off, c1_off + 4, c1_off + 8, c2_off, c2_off + 4]
+    assert st["timescale"] == 90000 and st["duration"] == 123
+    for s in range(5):
+        off = st["offsets"][s]
+        assert blob[off : off + 4] == bytes([s]) * 4
+
+
+def test_mp4_frame_sampling_spark(spark):
+    """sample_mp4_frames extracts every 2nd sample with the closed-form
+    checksum, 1->N rows through iterator mapInPandas."""
+    mm = _mm()
+    df = spark.range(6).select(
+        F.col("id").alias("doc_id"), (F.col("id") * 2).alias("n_chars")
+    )
+    blobs = mm.synth_mp4_blobs(df, "doc_id", "n_chars")
+    out = mm.sample_mp4_frames(blobs, "doc_id", "blob", every_k=2)
+    rows = {(r["doc_id"], r["frame_index"]): (r["frame_bytes"], r["checksum"])
+            for r in out.collect()}
+    for i in range(6):
+        n = 4 + i % 5
+        for s in range(0, n, 2):
+            sz = 7 + (i + s) % 9
+            ck = sum(((i + 5 * s + 3 * j) % 256) * (1 + j) for j in range(sz))
+            assert rows[(i, s)] == (sz, ck)
+    assert len(rows) == sum(len(range(0, 4 + i % 5, 2)) for i in range(6))
+
+
+def test_mp4_error_paths():
+    mm = _mm()
+    with pytest.raises(ValueError, match="not an ISO BMFF"):
+        mm.mp4_sample_table(b"\x00\x01\x02\x03")
+    with pytest.raises(ValueError, match="missing required box"):
+        mm.mp4_sample_table(b"\x00\x00\x00\x10ftypisom\x00\x00\x02\x00")
+
+
 def test_ycbcr_to_rgb_known_values():
     """Pure-gray (Cb=Cr=128) maps to R=G=B=Y; full-red chroma matches the
     published BT.601 coefficients with half-away rounding."""
