@@ -4375,29 +4375,24 @@ sp AS (
 def stats_quantile_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """p_quantile(interpolation=) — the four non-linear numpy modes
     (lower/higher/nearest/midpoint; reference p_quantile forwards every
-    pandas kwarg, parallel_dataframe.py:598-622). Each mode re-expresses
-    the chosen data-point index as a literal probability so the same
-    single-scan percentile aggregate serves it (reductions.quantile);
-    the oracle selects the identical index from a ROW_NUMBER CTE."""
+    pandas kwarg, parallel_dataframe.py:598-622). All four modes pick
+    data points from the SAME sorted order, so ONE count scan + ONE
+    percentile scan serves every mode
+    (reductions.quantile_interp_multi — r9; previously one
+    quantile() call per mode made this arm the engine-heavy outlier in
+    the sf1 sweep's wall split). The oracle selects the identical
+    indices from a ROW_NUMBER CTE."""
     li = load_table(spark, sf_dir, "lineitem")
-    parts = []
-    for mode in ("lower", "higher", "nearest", "midpoint"):
-        d = reductions.quantile(
-            li, ["l_quantity", "l_extendedprice"], list(_INTERP_QS),
-            interpolation=mode,
-        )
-        parts.append(
-            d.select(
-                F.lit(mode).alias("mode"),
-                "q",
-                F.round("l_quantity", 6).alias("l_quantity"),
-                F.round("l_extendedprice", 6).alias("l_extendedprice"),
-            )
-        )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    d = reductions.quantile_interp_multi(
+        li, ["l_quantity", "l_extendedprice"], list(_INTERP_QS),
+        ("lower", "higher", "nearest", "midpoint"),
+    )
+    return d.select(
+        "mode",
+        "q",
+        F.round("l_quantity", 6).alias("l_quantity"),
+        F.round("l_extendedprice", 6).alias("l_extendedprice"),
+    )
 
 
 _bfn, _bsql = _compose_union(

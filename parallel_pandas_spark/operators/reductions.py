@@ -270,6 +270,80 @@ def quantile(
 _DESCRIBE_CATS = {"number", "object", "string", "datetime", "bool", "all"}
 
 
+def quantile_interp_multi(
+    df: DataFrame,
+    cols: Sequence[str],
+    qs: Sequence[float],
+    modes: Sequence[str],
+) -> DataFrame:
+    """Every non-linear interpolation mode in ONE count scan + ONE
+    percentile scan (r9 — the interp battery arm previously called
+    :func:`quantile` once per mode: 4 count aggs + 4 exact-percentile
+    sorts of the same columns, the single engine-heavy outlier in the
+    sf1 sweep's wall split). All modes pick data points (or a midpoint)
+    from the SAME sorted order, so their index-derived probabilities
+    concatenate into one ``percentile(col, array(...))`` aggregate;
+    values are bit-identical to the per-mode calls (same expressions,
+    same literals). Output: (mode, q, *cols), one row per mode × q."""
+    for m in modes:
+        if m not in _QUANTILE_INTERP or m == "linear":
+            raise ValueError(f"quantile_interp_multi: non-linear modes only, got {m!r}")
+    counts = df.agg(*[F.count(nan_safe(df, c)).alias(c) for c in cols]).first()
+    # slot layout depends only on (modes, qs): per mode, per q, one slot —
+    # except midpoint which takes two
+    sel_exprs = []
+    for c in cols:
+        n = counts[c]
+        if n == 0:
+            sel_exprs.append(
+                F.array(
+                    *[F.lit(None).cast("double") for m in modes for _ in qs]
+                ).alias(c)
+            )
+            continue
+        probs: list[float] = []
+        for m in modes:
+            for q in qs:
+                h = (n - 1) * float(q)
+                lo, hi = math.floor(h), math.ceil(h)
+                if m == "lower":
+                    idxs = [lo]
+                elif m == "higher":
+                    idxs = [hi]
+                elif m == "nearest":
+                    idxs = [_round_half_even(h)]
+                else:  # midpoint
+                    idxs = [lo, hi]
+                probs += [(k / (n - 1)) if n > 1 else 0.0 for k in idxs]
+        parr = F.array(*[F.lit(p) for p in probs])
+        picked = F.percentile(nan_safe(df, c), parr)
+        vals = []
+        pos = 1  # element_at is 1-based
+        for m in modes:
+            for _ in qs:
+                if m == "midpoint":
+                    vals.append(
+                        (F.element_at(picked, pos) + F.element_at(picked, pos + 1))
+                        / F.lit(2.0)
+                    )
+                    pos += 2
+                else:
+                    vals.append(F.element_at(picked, pos))
+                    pos += 1
+        sel_exprs.append(F.array(*vals).alias(c))
+    wide = df.agg(*sel_exprs)
+    zipped = F.arrays_zip(
+        F.array(*[F.lit(m) for m in modes for _ in qs]).alias("mode"),
+        F.array(*[F.lit(float(q)) for _ in modes for q in qs]).alias("q"),
+        *[F.col(c) for c in cols],
+    )
+    return wide.select(F.explode(zipped).alias("z")).select(
+        F.col("z.mode").alias("mode"),
+        F.col("z.q").alias("q"),
+        *[F.col(f"z.{c}").alias(c) for c in cols],
+    )
+
+
 def _describe_category(dtype: str) -> str:
     if dtype in ("string",) or dtype.startswith("varchar") or dtype.startswith("char"):
         return "object"
