@@ -62,9 +62,11 @@ def _rows_bound(sf_dir: str) -> float | None:
     accumulator past its true bound and wrap silently). The name-parsed
     claim (lineitem ≈ 6.1M·X rows) is kept as a floor so the bound never
     SHRINKS for sparser-than-expected fixtures — a larger nmax only makes
-    the LONG election more conservative. Directories with no readable
-    parquet return None — every det sum then keeps the always-safe
-    DECIMAL(38,0) accumulator; the opt-in NEVER rests on a guessed bound.
+    the LONG election more conservative. Directories with no parquet —
+    or with ANY unreadable file (unknown rows; the measurement must not
+    silently revert to the name) — return None: every det sum then keeps
+    the always-safe DECIMAL(38,0) accumulator; the opt-in NEVER rests on
+    a guessed bound.
     Guarded end-to-end: the sf1 oracle sweep re-checks every query at the
     largest fixture, and a hypothesis test pins the long and decimal
     paths bit-identical below the bound."""
@@ -75,13 +77,26 @@ def _rows_bound(sf_dir: str) -> float | None:
         return _ROWS_BOUND_CACHE[sf_dir]
 
     biggest = 0
+    unreadable = False
     try:
         import pyarrow.parquet as _pq
 
-        for f in _glob.glob(os.path.join(sf_dir, "*.parquet")):
-            biggest = max(biggest, _pq.ParquetFile(f).metadata.num_rows)
+        files = _glob.glob(os.path.join(sf_dir, "*.parquet"))
     except Exception:
-        biggest = 0
+        files, unreadable = [], True
+    for f in files:
+        try:
+            biggest = max(biggest, _pq.ParquetFile(f).metadata.num_rows)
+        except Exception:
+            # an unreadable file means UNKNOWN rows — the measured bound
+            # cannot be trusted and the name-parsed claim must not stand
+            # in (review finding: a single bad file would otherwise
+            # silently revert to the guessed bound the measurement
+            # exists to replace)
+            unreadable = True
+    if unreadable or biggest == 0:
+        _ROWS_BOUND_CACHE[sf_dir] = None
+        return None
 
     claimed = 0.0
     m = _re.search(r"sf([0-9.]+)$", sf_dir.rstrip("/"))
@@ -91,7 +106,7 @@ def _rows_bound(sf_dir: str) -> float | None:
         except ValueError:
             claimed = 0.0
 
-    out = 3.0 * max(biggest, claimed) if (biggest or claimed) else None
+    out = 3.0 * max(biggest, claimed)
     _ROWS_BOUND_CACHE[sf_dir] = out
     return out
 

@@ -1082,10 +1082,11 @@ def encode_mp4(sample_sizes, sample_bytes, timescale: int = 1000, delta: int = 4
     real stts/stsc/stsz/stco tables — one chunk holding every sample.
     ``sample_bytes(i) -> bytes`` of length ``sample_sizes[i]``."""
     n = len(sample_sizes)
-    payload = b"".join(sample_bytes(i) for i in range(n))
-    for i in range(n):
-        if len(sample_bytes(i)) != sample_sizes[i]:
+    parts = [sample_bytes(i) for i in range(n)]  # generate each ONCE
+    for i, p in enumerate(parts):
+        if len(p) != sample_sizes[i]:
             raise ValueError(f"sample {i} size mismatch")
+    payload = b"".join(parts)
     ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2mp41")
     # mdat follows ftyp; stco needs the absolute payload offset
     mdat_off = len(ftyp) + 8
@@ -1139,14 +1140,21 @@ def _walk_boxes(data: bytes, start: int, end: int, out: dict, path: str = "") ->
         (size,) = struct.unpack_from(">I", data, pos)
         tag = data[pos + 4 : pos + 8]
         if size == 1:  # 64-bit largesize
+            if pos + 16 > end:
+                raise ValueError(
+                    f"malformed BMFF box {tag!r} at {pos}: truncated largesize"
+                )
             (size,) = struct.unpack_from(">Q", data, pos + 8)
             body0 = pos + 16
+            min_size = 16  # a largesize box's size includes its 16-byte header
         elif size == 0:  # to end of enclosing box
             size = end - pos
             body0 = pos + 8
+            min_size = 8
         else:
             body0 = pos + 8
-        if size < 8 or pos + size > end:
+            min_size = 8
+        if size < min_size or pos + size > end:
             raise ValueError(f"malformed BMFF box {tag!r} at {pos}")
         key = f"{path}/{tag.decode('latin1')}"
         if tag in _BMFF_CONTAINERS:
@@ -1235,8 +1243,8 @@ def decode_mp4(data: bytes) -> dict:
         if len(frame) != sz:
             raise ValueError(f"mp4 sample {i} range outside file")
         total += sz
-        for j, b in enumerate(frame):
-            wsum += b * (1 + j + 7 * i)
+        a = np.frombuffer(frame, np.uint8).astype(np.int64)
+        wsum += int(a @ (1 + np.arange(sz, dtype=np.int64) + 7 * i))
     return {
         "kind": "mp4",
         "n_bytes": len(data),
@@ -1266,10 +1274,8 @@ def sample_mp4_frames(
                 data = bytes(blob)
                 for i in range(0, st["n_samples"], every_k):
                     off, sz = st["offsets"][i], st["sizes"][i]
-                    frame = data[off : off + sz]
-                    ck = 0
-                    for j, b in enumerate(frame):
-                        ck += b * (1 + j)
+                    a = np.frombuffer(data[off : off + sz], np.uint8).astype(np.int64)
+                    ck = int(a @ (1 + np.arange(sz, dtype=np.int64)))
                     rows.append((int(doc_id), i, sz, ck))
             yield pd.DataFrame(
                 rows, columns=["doc_id", "frame_index", "frame_bytes", "checksum"]

@@ -174,6 +174,21 @@ def _round_half_even(h: float) -> int:
     return int(round(h))
 
 
+def _mode_indices(mode: str, h: float) -> list[int]:
+    """Sorted-data indices a non-linear interpolation mode selects for
+    position ``h = (n-1)*q`` — midpoint returns its two neighbors.
+    Shared by :func:`quantile` and :func:`quantile_interp_multi` so the
+    mode dispatch cannot drift between them."""
+    lo, hi = math.floor(h), math.ceil(h)
+    if mode == "lower":
+        return [lo]
+    if mode == "higher":
+        return [hi]
+    if mode == "nearest":
+        return [_round_half_even(h)]
+    return [lo, hi]  # midpoint
+
+
 def quantile(
     df: DataFrame,
     cols: Sequence[str],
@@ -231,16 +246,7 @@ def quantile(
                 continue
             probs: list[float] = []  # flat; midpoint uses two per q
             for q in qs:
-                h = (n - 1) * float(q)
-                lo, hi = math.floor(h), math.ceil(h)
-                if interpolation == "lower":
-                    idxs = [lo]
-                elif interpolation == "higher":
-                    idxs = [hi]
-                elif interpolation == "nearest":
-                    idxs = [_round_half_even(h)]
-                else:  # midpoint
-                    idxs = [lo, hi]
+                idxs = _mode_indices(interpolation, (n - 1) * float(q))
                 probs += [(k / (n - 1)) if n > 1 else 0.0 for k in idxs]
             parr = F.array(*[F.lit(p) for p in probs])
             picked = F.percentile(nan_safe(df, c), parr)
@@ -304,16 +310,7 @@ def quantile_interp_multi(
         probs: list[float] = []
         for m in modes:
             for q in qs:
-                h = (n - 1) * float(q)
-                lo, hi = math.floor(h), math.ceil(h)
-                if m == "lower":
-                    idxs = [lo]
-                elif m == "higher":
-                    idxs = [hi]
-                elif m == "nearest":
-                    idxs = [_round_half_even(h)]
-                else:  # midpoint
-                    idxs = [lo, hi]
+                idxs = _mode_indices(m, (n - 1) * float(q))
                 probs += [(k / (n - 1)) if n > 1 else 0.0 for k in idxs]
         parr = F.array(*[F.lit(p) for p in probs])
         picked = F.percentile(nan_safe(df, c), parr)

@@ -327,18 +327,29 @@ def pq_codebooks(
     previous centroid."""
     import numpy as np
 
+    # undecodable vectors (null / wrong-dimension / null-element) cannot
+    # seed a codebook — filter BEFORE the md5 order so the sample is
+    # well-defined. JVM-side, SQL-expressible predicates; the arm
+    # fixtures are clean, so the SQL oracle's unfiltered sample matches.
+    clean = corpus.where(
+        F.col(vec_col).isNotNull()
+        & (F.size(vec_col) == dim)
+        & ~F.exists(F.col(vec_col), lambda x: x.isNull())
+    )
     rows = (
-        corpus.select(id_col, vec_col)
+        clean.select(id_col, vec_col)
         .orderBy(F.md5(F.col(id_col).cast("string")))
         .limit(ks)
         .collect()
     )
+    if not rows:
+        raise ValueError("pq_codebooks: no decodable vectors in the corpus")
     base = np.array([[float(x) for x in r[vec_col]] for r in rows])
     dsub = dim // m
     books = [base[:, s * dsub : (s + 1) * dsub].copy() for s in range(m)]
     if iters > 0:
         srows = (
-            corpus.select(id_col, vec_col)
+            clean.select(id_col, vec_col)
             .orderBy(F.md5(F.col(id_col).cast("string")))
             .limit(sample)
             .collect()
@@ -444,7 +455,16 @@ def pq_topk(
             cn2[s][cid] = acc
     cn2v = [np.array(row) for row in cn2]
 
-    qrows = queries.select(id_col, vec_col).collect()  # query-sized
+    # undecodable queries (null / wrong-dimension / null-element) are
+    # DROPPED, matching the corpus-side policy — never a TypeError at
+    # plan-construction time (review finding)
+    qrows = [
+        r
+        for r in queries.select(id_col, vec_col).collect()  # query-sized
+        if r[vec_col] is not None
+        and len(r[vec_col]) == dim
+        and not any(x is None for x in r[vec_col])
+    ]
     qids = [r[id_col] for r in qrows]
     luts = []
     for r in qrows:
@@ -472,12 +492,14 @@ def pq_topk(
             n = len(pdf)
             if n == 0 or not qids:
                 continue
-            # null / wrong-dimension vectors can't be encoded — drop them
-            # (an ANN store skips undecodable vectors; the exact arm is
-            # the place for strict null algebra)
+            # null / wrong-dimension / null-element vectors can't be
+            # encoded — drop them (an ANN store skips undecodable
+            # vectors; the exact arm is the place for strict null
+            # algebra). Null elements flatten to NaN on the Arrow
+            # transfer, hence the JVM __hasnull flag.
             okm = pdf[vec_col].map(
                 lambda v: v is not None and len(v) == dim
-            ).to_numpy(dtype=bool)
+            ).to_numpy(dtype=bool) & ~pdf["__hasnull"].to_numpy(dtype=bool)
             if not okm.any():
                 continue
             sub = pdf[okm]
@@ -518,7 +540,11 @@ def pq_topk(
                     }
                 )
 
-    pairs = corpus.select(id_col, vec_col).mapInPandas(
+    pairs = corpus.select(
+        id_col,
+        vec_col,
+        F.exists(F.col(vec_col), lambda x: x.isNull()).alias("__hasnull"),
+    ).mapInPandas(
         adc_gen,
         f"neighbor_id {id_t}, query_id {id_t}, adc double, rn2 double",
     ).where(F.col("query_id") != F.col("neighbor_id"))
@@ -725,18 +751,12 @@ def quantized_cosine_topk(
     if vectorized:
         # quantize + score FUSED into one Arrow pass over the raw corpus
         # (bit-identical to the HOF expressions — see _quantize_arrow /
-        # _np_quantize); only the query side is quantized as its own
-        # (query-sized) stage before the driver collect
-        q = _quantize_arrow(
-            queries, id_col, vec_col, bits=bits, with_norm=True
-        ).select(
-            F.col(id_col).alias("query_id"),
-            F.col("codes").alias("qc"),
-            F.col("norm").alias("qn"),
-        )
-        c = corpus.select(F.col(id_col).alias("neighbor_id"), vec_col)
+        # _np_quantize); the query side collects RAW (a plain collect
+        # preserves null ELEMENTS that Arrow would flatten to NaN) and
+        # quantizes driver-side with the same numpy core
         scored = _quantized_scores_arrow(
-            c, q, round_to, bits=bits, vec_col=vec_col, prune_k=k
+            corpus, queries, round_to, bits=bits,
+            id_col=id_col, vec_col=vec_col, prune_k=k,
         )
     else:
         q = quantize_embeddings(queries, id_col, vec_col, bits=bits).select(
@@ -776,11 +796,12 @@ def quantized_cosine_topk(
 
 
 def _quantized_scores_arrow(
-    c: DataFrame,
-    q: DataFrame,
+    corpus: DataFrame,
+    queries: DataFrame,
     round_to: int,
     bits: int = 8,
-    vec_col: str | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
     prune_k: int | None = None,
 ) -> DataFrame:
     """(neighbor, query, qcosine): quantize + int64 matmul FUSED in one
@@ -817,19 +838,11 @@ def _quantized_scores_arrow(
     import pandas as pd
 
     qmax = float((1 << (bits - 1)) - 1)
-    qrows = q.select("query_id", "qc", "qn").collect()  # query-sized
+    qrows = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    ).collect()  # query-sized; a plain collect preserves null ELEMENTS
     qids = np.array([r["query_id"] for r in qrows])  # id dtype preserved
-    # qn ships in the closure and is tiled into the output alongside cn —
-    # re-deriving it with a broadcast join would quantize the query side
-    # a second time at execution (review finding)
-    qns = np.array(
-        [r["qn"] if r["qn"] is not None else np.nan for r in qrows],
-        dtype=np.float64,
-    )
-    # null-vector queries can't enter the matmul; like a null corpus
-    # vector they produce NULL idots for all their pairs (fold parity)
-    qok = np.array([r["qc"] is not None for r in qrows], dtype=bool)
-    qdims = {len(r["qc"]) for r in qrows if r["qc"] is not None}
+    qdims = {len(r["qv"]) for r in qrows if r["qv"] is not None}
     if len(qdims) > 1:
         raise ValueError(
             "quantized_cosine_topk(vectorized=True) needs a fixed query "
@@ -837,12 +850,42 @@ def _quantized_scores_arrow(
             "vectorized=False for ragged query vectors"
         )
     d = qdims.pop() if qdims else 0
-    qmat = (
-        np.array([list(r["qc"]) for r in qrows if r["qc"] is not None], dtype=np.int64)
-        if d
-        else np.empty((0, 0), dtype=np.int64)
-    )  # m_ok×d
-    id_t = c.schema["neighbor_id"].dataType.simpleString()
+    # null-vector queries — and queries with a null ELEMENT, which the
+    # fold path also scores NULL (a null code survives the zip_with) —
+    # can't enter the matmul; they produce NULL idots for all pairs
+    qok = np.array(
+        [
+            r["qv"] is not None and not any(x is None for x in r["qv"])
+            for r in qrows
+        ],
+        dtype=bool,
+    )
+    if qok.any():
+        qmat_f = np.array(
+            [[float(x) for x in r["qv"]] for r, ok in zip(qrows, qok) if ok],
+            dtype=np.float64,
+        )
+        _, qcodes = _np_quantize(qmat_f, qmax)
+        qmat = qcodes.astype(np.int64)  # m_ok×d
+        qn_ok = (qmat**2).sum(axis=1).astype(np.float64)
+    else:
+        qmat = np.empty((0, 0), dtype=np.int64)
+        qn_ok = np.empty(0)
+    # qn ships in the closure and is tiled into the output alongside cn —
+    # re-deriving it with a broadcast join would quantize the query side
+    # a second time at execution (review finding)
+    qns = np.full(len(qrows), np.nan)
+    qns[qok] = qn_ok
+    id_t = corpus.schema[id_col].dataType.simpleString()
+    # null ELEMENTS inside corpus vectors flatten to NaN on the Arrow
+    # transfer (indistinguishable from a real NaN in the UDF), so the
+    # fold path's NULL-vs-NaN distinction is recovered with a JVM flag
+    # computed BEFORE the transfer
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        vec_col,
+        F.exists(F.col(vec_col), lambda x: x.isNull()).alias("__hasnull"),
+    )
 
     band = 10.0 ** (-round_to) + 1e-12
 
@@ -853,12 +896,14 @@ def _quantized_scores_arrow(
                 # empty query matrix has shape (0,), which would break
                 # the matmul — there are simply no pairs to emit
                 continue
-            # null / ragged corpus vectors can't enter the matmul; their
-            # pairs get a NULL idot (the zip_with fold path's semantics —
-            # a null or length-mismatched array folds to null)
+            # null / ragged / null-element corpus vectors can't enter the
+            # matmul; their pairs get a NULL idot (the zip_with fold
+            # path's semantics — a null, length-mismatched, or
+            # null-element array folds to null). The null-element case
+            # rides the JVM __hasnull flag (see above).
             cok = pdf[vec_col].map(
                 lambda v: v is not None and len(v) == d
-            ).to_numpy(dtype=bool)
+            ).to_numpy(dtype=bool) & ~pdf["__hasnull"].to_numpy(dtype=bool)
             n = len(pdf)
             m = len(qids)
             cn = np.full(n, np.nan)

@@ -54,6 +54,75 @@ def test_quantized_vectorized_dirty_corpus_matches_fold(spark):
     assert v == f and len(v) > 0
 
 
+def test_quantized_vectorized_null_element_matches_fold(spark):
+    """r9 review finding: a NULL ELEMENT inside a correct-length vector
+    flattens to NaN on the Arrow transfer, so the vectorized path used
+    to score it NaN (sorts FIRST) where the fold path scores it NULL
+    (sorts last) — the dirty row surfaced as rank 1. The JVM __hasnull
+    flag restores fold parity; asserted for null elements on BOTH the
+    corpus and the query side, plus a genuine-NaN element which must
+    keep its (distinct) NaN semantics in both paths."""
+    rows = [(i, [float(i + j) for j in range(4)]) for i in range(6)]
+    rows.append((50, [1.0, None, 3.0, 4.0]))  # null element, right length
+    rows.append((51, [float("nan"), 1.0, 2.0, 3.0]))  # true NaN element
+    df = spark.createDataFrame(
+        rows,
+        T.StructType(
+            [
+                T.StructField("vec_id", T.LongType()),
+                T.StructField("embedding", T.ArrayType(T.DoubleType())),
+            ]
+        ),
+    )
+    from parallel_pandas_spark.operators import similarity
+
+    queries = df.where((F.col("vec_id") < 2) | (F.col("vec_id") == 50))
+    vec = similarity.quantized_cosine_topk(
+        df, queries, "vec_id", "embedding", k=8, vectorized=True
+    )
+    fold = similarity.quantized_cosine_topk(
+        df, queries, "vec_id", "embedding", k=8, vectorized=False
+    )
+
+    def canon(rows_):
+        # NaN != NaN breaks tuple equality; compare via repr
+        return sorted(
+            (r["query_id"], r["rank"], r["neighbor_id"], repr(r["qcosine"]))
+            for r in rows_
+        )
+
+    v, f = canon(vec.collect()), canon(fold.collect())
+    assert v == f and len(v) > 0
+
+
+def test_pq_topk_dirty_inputs_no_crash(spark):
+    """r9 review finding: null/ragged/null-element QUERY vectors made
+    pq_topk throw at DataFrame-construction time, and a dirty corpus
+    vector in the md5 sample broke pq_codebooks. Both now follow the
+    documented drop policy."""
+    rows = [(i, [float(i + j) for j in range(8)]) for i in range(30)]
+    rows += [(100, None), (101, [1.0] * 3), (102, [1.0, None] + [2.0] * 6)]
+    df = spark.createDataFrame(
+        rows,
+        T.StructType(
+            [
+                T.StructField("vec_id", T.LongType()),
+                T.StructField("embedding", T.ArrayType(T.DoubleType())),
+            ]
+        ),
+    )
+    from parallel_pandas_spark.operators import similarity
+
+    queries = df.where((F.col("vec_id") < 2) | (F.col("vec_id") >= 100))
+    out = similarity.pq_topk(
+        df, queries, "vec_id", "embedding", k=3, m=4, ks=8, dim=8, pool=10
+    )
+    got = out.collect()
+    qids = {r["query_id"] for r in got}
+    assert qids == {0, 1}, qids  # dirty queries dropped, clean ones served
+    assert all(r["neighbor_id"] < 100 for r in got)  # dirty corpus dropped
+
+
 def test_quantized_vectorized_null_query_matches_fold(spark):
     """A NULL query vector produces NULL qcosine pairs in both paths
     (never a driver-side TypeError building the query matrix)."""
@@ -229,9 +298,11 @@ def test_taylor_properties():
 
     first = 20.0 * math.log10(lobes[0] / main)
     assert first == pytest.approx(-30.0, abs=1.5), first
-    # unnormalized form scales by W(center)
+    # unnormalized form is exactly the normalized one scaled by its own
+    # center value W((M-1)/2) — element-wise, not just at the center
     raw = _w("taylor", 21, nbar=4, sll=30.0, norm=False)
-    assert raw[10] / got[10] == pytest.approx(raw[10], rel=1e-12)
+    assert raw[10] > 1.0  # W(center) > 1 for sll=30/nbar=4
+    assert raw == pytest.approx([v * raw[10] for v in got], rel=1e-12)
 
 
 def test_dpss_concentration_optimality():
