@@ -629,6 +629,13 @@ def _quantize_arrow(
     - a NULL vector yields (scale NULL, codes NULL), an empty vector
       (scale NULL, codes []) — the HOF path's null algebra.
 
+    CAVEAT — null ELEMENTS inside a vector: Arrow flattens them to NaN
+    before this function can see them, so they get the NaN treatment
+    (code 0) where the HOF path keeps a NULL code. The scorer paths
+    recover the distinction with a JVM ``exists(isNull)`` flag computed
+    before the transfer (see _quantized_scores_arrow); callers that need
+    exact null-element codes should use :func:`quantize_embeddings`.
+
     ``with_norm=True`` appends ``norm`` = Σ code² as an exact
     integer-valued double (the :func:`_int_norm` fold), saving a second
     pass when the caller needs both."""
