@@ -84,9 +84,15 @@ def _rows_bound(sf_dir: str) -> float | None:
         files = _glob.glob(os.path.join(sf_dir, "*.parquet"))
     except Exception:
         files, unreadable = [], True
+    # SUM rows per table stem (lineitem_0.parquet + lineitem_1.parquet is
+    # ONE table), then take the largest stem: a per-file max undercounts a
+    # table split into part files — the exact silent-wrap risk this
+    # measurement exists to prevent (r9 ADVICE). Stem = name minus a
+    # trailing _<digits> part suffix.
+    per_stem: dict[str, int] = {}
     for f in files:
         try:
-            biggest = max(biggest, _pq.ParquetFile(f).metadata.num_rows)
+            n = _pq.ParquetFile(f).metadata.num_rows
         except Exception:
             # an unreadable file means UNKNOWN rows — the measured bound
             # cannot be trusted and the name-parsed claim must not stand
@@ -94,6 +100,11 @@ def _rows_bound(sf_dir: str) -> float | None:
             # silently revert to the guessed bound the measurement
             # exists to replace)
             unreadable = True
+            continue
+        stem = _re.sub(r"(_\d+)?\.parquet$", "", os.path.basename(f))
+        per_stem[stem] = per_stem.get(stem, 0) + n
+    if per_stem:
+        biggest = max(per_stem.values())
     if unreadable or biggest == 0:
         _ROWS_BOUND_CACHE[sf_dir] = None
         return None

@@ -383,9 +383,21 @@ def pq_encode(
     ``ROW_NUMBER() OVER (ORDER BY dist, cid)`` replays the selection
     bit-for-bit; ties break to the lowest cid in both engines). At
     dim=64/m=8/int codes this is the 100 TB store-side lever: 8 small
-    ints per vector instead of 64 floats."""
+    ints per vector instead of 64 floats.
+
+    Undecodable vectors (NULL / wrong-dimension / null-element) encode
+    to NULL codes: every struct's dist field is NULL for them, and
+    ``F.least`` over structs with NULL fields would otherwise pick an
+    arbitrary-looking but valid cid — silently fabricating codes for
+    vectors the documented dirty-input policy says to drop (r9 ADVICE)."""
     m = len(books)
     dsub = books[0].shape[1]
+    dim = m * dsub
+    undecodable = (
+        F.col(vec_col).isNull()
+        | (F.size(vec_col) != F.lit(dim))
+        | F.exists(F.col(vec_col), lambda x: x.isNull())
+    )
     cols = [F.col(id_col).alias("neighbor_id")]
     for s in range(m):
         sl = F.slice(F.col(vec_col), s * dsub + 1, dsub)
@@ -396,7 +408,12 @@ def pq_encode(
             )
             for cid in range(len(books[s]))
         ]
-        cols.append(F.least(*structs).getField("cid").alias(f"{out_prefix}{s}"))
+        code = F.least(*structs).getField("cid")
+        cols.append(
+            F.when(undecodable, F.lit(None).cast("int"))
+            .otherwise(code)
+            .alias(f"{out_prefix}{s}")
+        )
     return corpus.select(*cols)
 
 
@@ -839,8 +856,13 @@ def _quantized_scores_arrow(
     exceed nor TIE a kept k-th row, so the global top-k over the kept
     union equals the top-k over all pairs, including neighbor-id
     tiebreaks. NULL-score pairs (dirty vectors / null queries) keep
-    their k smallest neighbor ids per batch, preserving the
-    nulls-last-by-id tail when fewer than k real candidates exist."""
+    their k+1 smallest neighbor ids per batch — k+1, not k, because the
+    self-pair filter runs AFTER this truncation: when a query's own
+    corpus vector is dirty and among the k smallest bad ids, one kept
+    row is the self-pair (dropped downstream), and the k-th smallest
+    non-self bad id must still be in the kept set (r9 ADVICE, medium) —
+    preserving the nulls-last-by-id tail when fewer than k real
+    candidates exist."""
     import numpy as np
     import pandas as pd
 
@@ -946,8 +968,14 @@ def _quantized_scores_arrow(
             cn_ok = cn[cok]
             denom_c = np.sqrt(cn_ok)
             bad_idx = np.nonzero(~cok)[0]
-            if len(bad_idx) > kk:
-                order = np.argsort(nids[bad_idx], kind="stable")[:kk]
+            # kk+1, NOT kk: the shared tail is built once for all queries
+            # and the self-pair filter runs after truncation — if a
+            # query's own (dirty) row is among the kk smallest bad ids,
+            # the non-self tail would otherwise lose its kk-th id and the
+            # vectorized path would diverge from the fold path whenever
+            # the global top-k dips into the NULL tail (r9 ADVICE)
+            if len(bad_idx) > kk + 1:
+                order = np.argsort(nids[bad_idx], kind="stable")[: kk + 1]
                 bad_keep = bad_idx[order]
             else:
                 bad_keep = bad_idx

@@ -288,15 +288,23 @@ def run_stream_to_memory(
     def _drained() -> bool:
         # recentProgress holds COMPLETED batches (no sampling misses, no
         # stale flags). batch 0 always runs start=None -> first offset, so
-        # start==end on an empty batch implies batchId > 0 as well.
+        # start==end (both non-None) on an empty batch implies batchId > 0.
+        # startOffset == endOffset == None is ALSO proof — a stream that is
+        # empty from the start never produces a non-None offset, so the
+        # engine's own no-data progress event (committed trigger, zero
+        # rows, no offset movement) is the only drain evidence an empty
+        # source can ever emit; without accepting it, a valid empty stream
+        # burns the full timeout (r9 ADVICE). The helper's contract keeps
+        # this sound: the finite source's files must exist at start — a
+        # source fed concurrently with the query is outside the "drive to
+        # drain" use case. A batch 0 in flight reports startOffset None
+        # with a NON-None endOffset, so it can never match.
         for p in q.recentProgress:
             if p["numInputRows"] != 0:
                 continue
             srcs = p.get("sources") or []
             if srcs and all(
-                s.get("startOffset") is not None
-                and s.get("startOffset") == s.get("endOffset")
-                for s in srcs
+                s.get("startOffset") == s.get("endOffset") for s in srcs
             ):
                 return True
         return False
