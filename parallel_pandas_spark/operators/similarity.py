@@ -584,8 +584,13 @@ def pq_topk(
         F.col(vec_col).alias("qv"),
         l2_norm(F.col(vec_col)).alias("qn"),
     )
+    # BROADCAST the candidate set: it is ≤ queries × pool rows by
+    # construction, while ``c`` is the full corpus — without the hint a
+    # planner with stale stats could elect a full corpus shuffle against
+    # ~400 rows at 100× scale (r9 VERDICT #3; plan-fenced in
+    # tests/test_plan_shapes.py)
     scored = (
-        cand.join(c, "neighbor_id")
+        F.broadcast(cand).join(c, "neighbor_id")
         .join(F.broadcast(q), "query_id")
         .select(
             "query_id",

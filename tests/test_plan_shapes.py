@@ -93,6 +93,20 @@ def test_shuffle_budget(spark, qs, name, max_exchanges):
     assert txt.count("Exchange (") <= max_exchanges, txt
 
 
+def test_pq_rerank_joins_are_broadcast(spark, qs):
+    """r9 VERDICT #3: pq_topk's exact re-rank joins a ~queries×pool
+    candidate set back to the full corpus — the candidate and query
+    sides carry explicit broadcast hints so a planner with stale stats
+    can never elect a full corpus exchange against ~400 rows. Fence:
+    the pq arm's plan must contain ONLY broadcast joins."""
+    arms = dict(getattr(qs["cosine_topk"], "__arms__"))
+    df = arms["pq"](spark, SF)
+    txt = _txt(df)
+    assert "BroadcastHashJoin" in txt
+    assert "SortMergeJoin" not in txt, txt
+    assert "ShuffledHashJoin" not in txt, txt
+
+
 def test_projection_prunes_scan(spark, qs):
     # rank_methods projects 3 working columns + order key; the parquet scan
     # must not read all 16 lineitem columns
