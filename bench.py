@@ -174,12 +174,65 @@ def main() -> None:
     # did not exist at round 6, measured in THIS run's arm pass
     post_r6_arms = {
         "text_doc_battery": ["repetition", "pii", "chunks"],
-        "cosine_topk": ["quant", "pq"],
+        "cosine_topk": ["quant", "quantstore", "pq"],
     }
     new_arm_cost = sum(
         arms.get(q, {}).get(a, 0.0) for q, al in post_r6_arms.items() for a in al
     )
     r6_comparable = round(total - new_arm_cost, 4) if arms else None
+
+    # r10: the vector-store economics, measured SEPARATELY — build-store
+    # (one-time ingest cost: quantize + hive-partitioned write) vs
+    # score-from-store (the steady state a resident store serves). The
+    # quantstore arm above measures score time too (warm store); this
+    # block forces a COLD build so the one-time cost is on record, then
+    # re-times the store read alongside the exact arm for the
+    # quant<=exact criterion at equal candidates.
+    vec_metrics: dict[str, float] = {}
+    if os.environ.get("SPARK_GRAFT_ARMS", "1") not in ("", "0"):
+        import shutil
+        import statistics as _st
+
+        store_dir = entrymod._ensure_quant_store(spark, SF_DIR)
+        shutil.rmtree(store_dir, ignore_errors=True)
+        t0 = time.perf_counter()
+        entrymod._ensure_quant_store(spark, SF_DIR)
+        vec_metrics["build_sec"] = round(time.perf_counter() - t0, 4)
+        score_runs, exact_runs = [], []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            _force(entrymod.cosine_quantstore_topk_query(spark, SF_DIR))
+            score_runs.append(time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            _force(entrymod.cosine_topk_query(spark, SF_DIR))
+            exact_runs.append(time.perf_counter() - t0)
+        vec_metrics["score_from_store_sec"] = round(_st.median(score_runs), 4)
+        vec_metrics["exact_sec"] = round(_st.median(exact_runs), 4)
+
+    # r10 (r9 VERDICT #2): stamp the measured tree so a bench artifact can
+    # never silently claim numbers for code it did not run
+    import subprocess
+
+    try:
+        git_head = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, cwd=os.path.dirname(__file__) or ".",
+        ).stdout.strip()
+        git_dirty = bool(
+            subprocess.run(
+                ["git", "status", "--porcelain"],
+                capture_output=True, text=True,
+                cwd=os.path.dirname(__file__) or ".",
+            ).stdout.strip()
+        )
+    except Exception:
+        git_head, git_dirty = None, None
+    if git_dirty:
+        print(
+            "WARNING: bench ran on a DIRTY tree — numbers may not match "
+            f"commit {git_head}",
+            file=sys.stderr,
+        )
     print(
         json.dumps(
             {
@@ -193,10 +246,13 @@ def main() -> None:
                 "r6_comparable": r6_comparable,
                 "r6_comparable_note": (
                     "total minus post-r6 arms (text repetition/pii/chunks, "
-                    "cosine quant+pq); corpus_build_pipeline's fused gopher "
-                    "stage is not a separable arm and remains included; "
-                    "arm times are median-of-" + str(reps) + " (r9)"
+                    "cosine quant+quantstore+pq); corpus_build_pipeline's "
+                    "fused gopher stage is not a separable arm and remains "
+                    "included; arm times are median-of-" + str(reps) + " (r9)"
                 ),
+                "vecstore": vec_metrics,
+                "git_head": git_head,
+                "git_dirty": git_dirty,
                 "sf": sf,
             }
         )

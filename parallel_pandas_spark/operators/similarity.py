@@ -461,50 +461,16 @@ def pq_topk(
     )
     dsub = dim // m
     books_np = [np.asarray(b, dtype=np.float64) for b in books]
+    cn2v = _pq_cn2(books)
 
-    # centroid norm² per (subspace, code): strict sequential sums
-    cn2 = [[0.0] * len(books[s]) for s in range(m)]
-    for s in range(m):
-        for cid in range(len(books[s])):
-            acc = 0.0
-            for x in books[s][cid]:
-                acc = acc + float(x) * float(x)
-            cn2[s][cid] = acc
-    cn2v = [np.array(row) for row in cn2]
-
-    # undecodable queries (null / wrong-dimension / null-element) are
-    # DROPPED, matching the corpus-side policy — never a TypeError at
-    # plan-construction time (review finding)
-    qrows = [
-        r
-        for r in queries.select(id_col, vec_col).collect()  # query-sized
-        if r[vec_col] is not None
-        and len(r[vec_col]) == dim
-        and not any(x is None for x in r[vec_col])
-    ]
-    qids = [r[id_col] for r in qrows]
-    luts = []
-    for r in qrows:
-        qv = [float(x) for x in r[vec_col]]
-        lut = np.zeros((m, max(len(b) for b in books)))
-        for s in range(m):
-            for cid in range(len(books[s])):
-                acc = 0.0
-                for j in range(dsub):
-                    acc = acc + qv[s * dsub + j] * float(books[s][cid][j])
-                lut[s][cid] = acc
-        luts.append(lut)
+    qids, luts = _pq_luts(queries, books, id_col, vec_col, dim)
     id_t = corpus.schema[id_col].dataType.simpleString()
 
     def adc_gen(batches):
         # encode + ADC fused in ONE Arrow pass (the JVM per-subspace
         # argmin was 128 interpreted HOF folds per row — found by the r9
         # bench). Bit-parity with the pq_encode expressions is kept by
-        # accumulating the centroid dot SEQUENTIALLY over the dsub dims
-        # (vectorized across rows, ordered over j — the same
-        # ((0+t0)+t1)+… association as the F.aggregate fold and DuckDB's
-        # list_sum), then dist = −2·acc + cc with the same op order;
-        # np.argmin's first-minimum tiebreak is the (dist, cid) order.
+        # _pq_encode_batch (see its docstring).
         for pdf in batches:
             n = len(pdf)
             if n == 0 or not qids:
@@ -520,42 +486,13 @@ def pq_topk(
             if not okm.any():
                 continue
             sub = pdf[okm]
-            n = len(sub)
             mat = np.array([list(v) for v in sub[vec_col]], dtype=np.float64)
-            codes_list = []
-            rn2 = np.zeros(n)
-            for s in range(m):
-                xs = mat[:, s * dsub : (s + 1) * dsub]
-                acc = np.zeros((n, len(books_np[s])))
-                for j in range(dsub):
-                    acc += xs[:, j : j + 1] * books_np[s][:, j][None, :]
-                dist = -2.0 * acc + cn2v[s][None, :]
-                code = dist.argmin(1)
-                codes_list.append(code)
-                rn2 = rn2 + cn2v[s][code]
+            codes_list, rn2 = _pq_encode_batch(mat, books_np, cn2v)
             nid_arr = sub[id_col].to_numpy()
-            sq_rn2 = np.sqrt(rn2)
-            for qi, qid in enumerate(qids):
-                adc = luts[qi][0][codes_list[0]]
-                for s in range(1, m):
-                    adc = adc + luts[qi][s][codes_list[s]]
-                # lossless map-side top-pool: the pool window orders by
-                # adc/√rn2 on exactly these doubles (same IEEE div/sqrt
-                # both sides), so keeping each batch's top `pool` rows by
-                # (score desc, id asc) — row_number's own order — cannot
-                # change the global pool
-                score = adc / sq_rn2
-                score = np.where(np.isnan(score), np.inf, score)
-                valid = np.nonzero(nid_arr != qid)[0]  # self-pairs out first
-                order = valid[np.lexsort((nid_arr[valid], -score[valid]))[:pool]]
-                yield pd.DataFrame(
-                    {
-                        "neighbor_id": nid_arr[order],
-                        "query_id": np.full(len(order), qid),
-                        "adc": adc[order],
-                        "rn2": rn2[order],
-                    }
-                )
+            for frame in _pq_adc_pool_frames(
+                nid_arr, codes_list, rn2, qids, luts, m, pool
+            ):
+                yield frame
 
     pairs = corpus.select(
         id_col,
@@ -609,6 +546,114 @@ def pq_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def _pq_cn2(books: list) -> list:
+    """Centroid norm² per (subspace, code) with STRICT sequential sums —
+    the same ((0+t0)+t1)+… association as the SQL oracle's list_sum, so
+    every rn2 double is engine-reproducible."""
+    import numpy as np
+
+    m = len(books)
+    cn2 = [[0.0] * len(books[s]) for s in range(m)]
+    for s in range(m):
+        for cid in range(len(books[s])):
+            acc = 0.0
+            for x in books[s][cid]:
+                acc = acc + float(x) * float(x)
+            cn2[s][cid] = acc
+    return [np.array(row) for row in cn2]
+
+
+def _pq_luts(queries: DataFrame, books: list, id_col: str, vec_col: str, dim: int):
+    """Per-query ADC lookup tables LUT[s][code] = q_sub·c_sub, built
+    driver-side with strict left-to-right sums (DuckDB's ordered
+    list_sum fold reproduces every double). Undecodable queries
+    (null / wrong-dimension / null-element) are DROPPED, matching the
+    corpus-side policy — never a TypeError at plan-construction time.
+    Returns (qids, luts)."""
+    import numpy as np
+
+    m = len(books)
+    dsub = books[0].shape[1]
+    qrows = [
+        r
+        for r in queries.select(id_col, vec_col).collect()  # query-sized
+        if r[vec_col] is not None
+        and len(r[vec_col]) == dim
+        and not any(x is None for x in r[vec_col])
+    ]
+    qids = [r[id_col] for r in qrows]
+    luts = []
+    for r in qrows:
+        qv = [float(x) for x in r[vec_col]]
+        lut = np.zeros((m, max(len(b) for b in books)))
+        for s in range(m):
+            for cid in range(len(books[s])):
+                acc = 0.0
+                for j in range(dsub):
+                    acc = acc + qv[s * dsub + j] * float(books[s][cid][j])
+                lut[s][cid] = acc
+        luts.append(lut)
+    return qids, luts
+
+
+def _pq_encode_batch(mat: "np.ndarray", books_np: list, cn2v: list):
+    """Encode one batch of clean vectors: per-subspace argmin codes +
+    reconstructed norm² rn2. Bit-parity with the pq_encode expressions
+    is kept by accumulating the centroid dot SEQUENTIALLY over the dsub
+    dims (vectorized across rows, ordered over j — the same
+    ((0+t0)+t1)+… association as the F.aggregate fold and DuckDB's
+    list_sum), then dist = −2·acc + cc with the same op order;
+    np.argmin's first-minimum tiebreak is the (dist, cid) order.
+    Returns (codes_list [m arrays of n codes], rn2 [n doubles])."""
+    import numpy as np
+
+    m = len(books_np)
+    dsub = books_np[0].shape[1]
+    n = mat.shape[0]
+    codes_list = []
+    rn2 = np.zeros(n)
+    for s in range(m):
+        xs = mat[:, s * dsub : (s + 1) * dsub]
+        acc = np.zeros((n, len(books_np[s])))
+        for j in range(dsub):
+            acc += xs[:, j : j + 1] * books_np[s][:, j][None, :]
+        dist = -2.0 * acc + cn2v[s][None, :]
+        code = dist.argmin(1)
+        codes_list.append(code)
+        rn2 = rn2 + cn2v[s][code]
+    return codes_list, rn2
+
+
+def _pq_adc_pool_frames(nid_arr, codes_list, rn2, qids, luts, m, pool):
+    """ADC-score one encoded batch against every query LUT and emit the
+    per-(batch, query) lossless top-pool frames. The pool window orders
+    by adc/√rn2 on exactly these doubles (same IEEE div/sqrt both
+    sides), so keeping each batch's top ``pool`` rows by
+    (score desc, id asc) — row_number's own order — cannot change the
+    global pool. Shared by the fused scorer and the store-reading
+    scorer (operators/vecstore.py)."""
+    import numpy as np
+    import pandas as pd
+
+    sq_rn2 = np.sqrt(rn2)
+    for qi, qid in enumerate(qids):
+        adc = luts[qi][0][codes_list[0]]
+        for s in range(1, m):
+            adc = adc + luts[qi][s][codes_list[s]]
+        score = adc / sq_rn2
+        score = np.where(np.isnan(score), np.inf, score)
+        valid = np.nonzero(nid_arr != qid)[0]  # self-pairs out first
+        order = valid[np.lexsort((nid_arr[valid], -score[valid]))[:pool]]
+        yield pd.DataFrame(
+            {
+                "neighbor_id": nid_arr[order],
+                "query_id": np.full(len(order), qid),
+                "adc": adc[order],
+                "rn2": rn2[order],
+            }
+        )
 
 
 def _np_quantize(mat: "np.ndarray", qmax: float):
@@ -872,44 +917,9 @@ def _quantized_scores_arrow(
     import pandas as pd
 
     qmax = float((1 << (bits - 1)) - 1)
-    qrows = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
-    ).collect()  # query-sized; a plain collect preserves null ELEMENTS
-    qids = np.array([r["query_id"] for r in qrows])  # id dtype preserved
-    qdims = {len(r["qv"]) for r in qrows if r["qv"] is not None}
-    if len(qdims) > 1:
-        raise ValueError(
-            "quantized_cosine_topk(vectorized=True) needs a fixed query "
-            f"embedding dimension, got lengths {sorted(qdims)}; use "
-            "vectorized=False for ragged query vectors"
-        )
-    d = qdims.pop() if qdims else 0
-    # null-vector queries — and queries with a null ELEMENT, which the
-    # fold path also scores NULL (a null code survives the zip_with) —
-    # can't enter the matmul; they produce NULL idots for all pairs
-    qok = np.array(
-        [
-            r["qv"] is not None and not any(x is None for x in r["qv"])
-            for r in qrows
-        ],
-        dtype=bool,
+    qids, qmat, qns, qok, d = _collect_quantized_queries(
+        queries, id_col, vec_col, qmax
     )
-    if qok.any():
-        qmat_f = np.array(
-            [[float(x) for x in r["qv"]] for r, ok in zip(qrows, qok) if ok],
-            dtype=np.float64,
-        )
-        _, qcodes = _np_quantize(qmat_f, qmax)
-        qmat = qcodes.astype(np.int64)  # m_ok×d
-        qn_ok = (qmat**2).sum(axis=1).astype(np.float64)
-    else:
-        qmat = np.empty((0, 0), dtype=np.int64)
-        qn_ok = np.empty(0)
-    # qn ships in the closure and is tiled into the output alongside cn —
-    # re-deriving it with a broadcast join would quantize the query side
-    # a second time at execution (review finding)
-    qns = np.full(len(qrows), np.nan)
-    qns[qok] = qn_ok
     id_t = corpus.schema[id_col].dataType.simpleString()
     # null ELEMENTS inside corpus vectors flatten to NaN on the Arrow
     # transfer (indistinguishable from a real NaN in the UDF), so the
@@ -952,98 +962,11 @@ def _quantized_scores_arrow(
             else:
                 good = np.empty((int(cok.sum()), int(qok.sum())), dtype=np.int64)
             nids = pdf["neighbor_id"].to_numpy()
-            if prune_k is None:
-                idot = pd.array(np.zeros(n * m, dtype=np.int64), dtype="Int64")
-                pair_ok = np.repeat(cok, m) & np.tile(qok, n)
-                idot[~pair_ok] = pd.NA
-                idot[pair_ok] = good.reshape(-1)
-                yield pd.DataFrame(
-                    {
-                        "neighbor_id": np.repeat(nids, m),
-                        "cn": np.repeat(cn, m),
-                        "query_id": np.tile(qids, n),
-                        "qn": np.tile(qns, n),
-                        "idot": idot,
-                    }
-                )
-                continue
-            # --- lossless map-side top-k (see docstring) --------------
-            kk = prune_k
-            nid_ok = nids[cok]
-            cn_ok = cn[cok]
-            denom_c = np.sqrt(cn_ok)
-            bad_idx = np.nonzero(~cok)[0]
-            # kk+1, NOT kk: the shared tail is built once for all queries
-            # and the self-pair filter runs after truncation — if a
-            # query's own (dirty) row is among the kk smallest bad ids,
-            # the non-self tail would otherwise lose its kk-th id and the
-            # vectorized path would diverge from the fold path whenever
-            # the global top-k dips into the NULL tail (r9 ADVICE)
-            if len(bad_idx) > kk + 1:
-                order = np.argsort(nids[bad_idx], kind="stable")[: kk + 1]
-                bad_keep = bad_idx[order]
-            else:
-                bad_keep = bad_idx
-            qcol = np.cumsum(qok) - 1
-            p_nid, p_cn, p_qid, p_qn = [], [], [], []
-            p_ival, p_imask = [], []
-            for qi in range(m):
-                qid = qids[qi]
-                if qok[qi] and len(nid_ok):
-                    ivals = good[:, qcol[qi]]
-                    raw = ivals.astype(np.float64) / (np.sqrt(qns[qi]) * denom_c)
-                    # NaN scores (0/0 from zero vectors) sort GREATEST in
-                    # Spark — treat as +inf so they are always kept
-                    raw = np.where(np.isnan(raw), np.inf, raw)
-                    self_mask = nid_ok == qid
-                    raw[self_mask] = -np.inf
-                    if raw.size > kk:
-                        th = np.partition(raw, raw.size - kk)[raw.size - kk]
-                        keep = (raw >= th - band) & ~self_mask
-                    else:
-                        keep = ~self_mask
-                    idx = np.nonzero(keep)[0]
-                    p_nid.append(nid_ok[idx])
-                    p_cn.append(cn_ok[idx])
-                    p_qid.append(np.full(len(idx), qid))
-                    p_qn.append(np.full(len(idx), qns[qi]))
-                    p_ival.append(ivals[idx])
-                    p_imask.append(np.zeros(len(idx), dtype=bool))
-                    # NULL-score tail: the k smallest bad neighbor ids
-                    if len(bad_keep):
-                        p_nid.append(nids[bad_keep])
-                        p_cn.append(cn[bad_keep])
-                        p_qid.append(np.full(len(bad_keep), qid))
-                        p_qn.append(np.full(len(bad_keep), qns[qi]))
-                        p_ival.append(np.zeros(len(bad_keep), dtype=np.int64))
-                        p_imask.append(np.ones(len(bad_keep), dtype=bool))
-                else:
-                    # null query (or no clean corpus rows): every pair is
-                    # NULL — keep the k smallest non-self neighbor ids
-                    non_self = nids[nids != qid]
-                    keep_ids = np.sort(non_self, kind="stable")[:kk]
-                    sel = np.nonzero(np.isin(nids, keep_ids) & (nids != qid))[0]
-                    p_nid.append(nids[sel])
-                    p_cn.append(cn[sel])
-                    p_qid.append(np.full(len(sel), qid))
-                    p_qn.append(np.full(len(sel), qns[qi]))
-                    p_ival.append(np.zeros(len(sel), dtype=np.int64))
-                    p_imask.append(np.ones(len(sel), dtype=bool))
-            if not p_nid:
-                continue
-            idot = pd.arrays.IntegerArray(
-                np.concatenate(p_ival).astype(np.int64),
-                np.concatenate(p_imask),
+            frame = _pairs_frame(
+                nids, cn, cok, good, qids, qns, qok, prune_k, band
             )
-            yield pd.DataFrame(
-                {
-                    "neighbor_id": np.concatenate(p_nid),
-                    "cn": np.concatenate(p_cn),
-                    "query_id": np.concatenate(p_qid),
-                    "qn": np.concatenate(p_qn),
-                    "idot": idot,
-                }
-            )
+            if frame is not None:
+                yield frame
 
     pairs = c.mapInPandas(
         gen, f"neighbor_id {id_t}, cn double, query_id {id_t}, qn double, idot long"
@@ -1055,6 +978,163 @@ def _quantized_scores_arrow(
             F.col("idot").cast("double") / (F.sqrt(F.col("qn")) * F.sqrt(F.col("cn"))),
             round_to,
         ).alias("qcosine"),
+    )
+
+
+def _collect_quantized_queries(
+    queries: DataFrame, id_col: str, vec_col: str, qmax: float
+):
+    """Driver-side query collection + quantization shared by the fused
+    scorer and the store-reading scorer (operators/vecstore.py) — one
+    implementation so both paths are bit-identical by construction.
+    Returns (qids, qmat int64 m_ok×d, qns, qok, d). The collect is
+    query-sized (the same bound as the broadcast in the fold path) and
+    EAGER — it runs at DataFrame-construction time."""
+    import numpy as np
+
+    qrows = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    ).collect()  # query-sized; a plain collect preserves null ELEMENTS
+    qids = np.array([r["query_id"] for r in qrows])  # id dtype preserved
+    qdims = {len(r["qv"]) for r in qrows if r["qv"] is not None}
+    if len(qdims) > 1:
+        raise ValueError(
+            "quantized top-k (vectorized) needs a fixed query "
+            f"embedding dimension, got lengths {sorted(qdims)}; use "
+            "vectorized=False for ragged query vectors"
+        )
+    d = qdims.pop() if qdims else 0
+    # null-vector queries — and queries with a null ELEMENT, which the
+    # fold path also scores NULL (a null code survives the zip_with) —
+    # can't enter the matmul; they produce NULL idots for all pairs
+    qok = np.array(
+        [
+            r["qv"] is not None and not any(x is None for x in r["qv"])
+            for r in qrows
+        ],
+        dtype=bool,
+    )
+    if qok.any():
+        qmat_f = np.array(
+            [[float(x) for x in r["qv"]] for r, ok in zip(qrows, qok) if ok],
+            dtype=np.float64,
+        )
+        _, qcodes = _np_quantize(qmat_f, qmax)
+        qmat = qcodes.astype(np.int64)  # m_ok×d
+        qn_ok = (qmat**2).sum(axis=1).astype(np.float64)
+    else:
+        qmat = np.empty((0, 0), dtype=np.int64)
+        qn_ok = np.empty(0)
+    # qn ships in the closure and is tiled into the output alongside cn —
+    # re-deriving it with a broadcast join would quantize the query side
+    # a second time at execution (review finding)
+    qns = np.full(len(qrows), np.nan)
+    qns[qok] = qn_ok
+    return qids, qmat, qns, qok, d
+
+
+def _pairs_frame(nids, cn, cok, good, qids, qns, qok, prune_k, band):
+    """One Arrow batch's scored (neighbor, query, idot) pairs as a pandas
+    frame — the emission half of the fused scorer, shared verbatim with
+    the store-reading scorer so the lossless map-side prune and the
+    NULL-tail semantics are single-sourced. ``good`` is the exact int64
+    dot matrix over the CLEAN rows (cok) × CLEAN queries (qok); see
+    :func:`_quantized_scores_arrow` for the prune-losslessness proof.
+    Returns None when the batch contributes no pairs."""
+    import numpy as np
+    import pandas as pd
+
+    n, m = len(nids), len(qids)
+    if prune_k is None:
+        idot = pd.array(np.zeros(n * m, dtype=np.int64), dtype="Int64")
+        pair_ok = np.repeat(cok, m) & np.tile(qok, n)
+        idot[~pair_ok] = pd.NA
+        idot[pair_ok] = good.reshape(-1)
+        return pd.DataFrame(
+            {
+                "neighbor_id": np.repeat(nids, m),
+                "cn": np.repeat(cn, m),
+                "query_id": np.tile(qids, n),
+                "qn": np.tile(qns, n),
+                "idot": idot,
+            }
+        )
+    # --- lossless map-side top-k (see _quantized_scores_arrow) ----------
+    kk = prune_k
+    nid_ok = nids[cok]
+    cn_ok = cn[cok]
+    denom_c = np.sqrt(cn_ok)
+    bad_idx = np.nonzero(~cok)[0]
+    # kk+1, NOT kk: the shared tail is built once for all queries
+    # and the self-pair filter runs after truncation — if a
+    # query's own (dirty) row is among the kk smallest bad ids,
+    # the non-self tail would otherwise lose its kk-th id and the
+    # vectorized path would diverge from the fold path whenever
+    # the global top-k dips into the NULL tail (r9 ADVICE)
+    if len(bad_idx) > kk + 1:
+        order = np.argsort(nids[bad_idx], kind="stable")[: kk + 1]
+        bad_keep = bad_idx[order]
+    else:
+        bad_keep = bad_idx
+    qcol = np.cumsum(qok) - 1
+    p_nid, p_cn, p_qid, p_qn = [], [], [], []
+    p_ival, p_imask = [], []
+    for qi in range(m):
+        qid = qids[qi]
+        if qok[qi] and len(nid_ok):
+            ivals = good[:, qcol[qi]]
+            raw = ivals.astype(np.float64) / (np.sqrt(qns[qi]) * denom_c)
+            # NaN scores (0/0 from zero vectors) sort GREATEST in
+            # Spark — treat as +inf so they are always kept
+            raw = np.where(np.isnan(raw), np.inf, raw)
+            self_mask = nid_ok == qid
+            raw[self_mask] = -np.inf
+            if raw.size > kk:
+                th = np.partition(raw, raw.size - kk)[raw.size - kk]
+                keep = (raw >= th - band) & ~self_mask
+            else:
+                keep = ~self_mask
+            idx = np.nonzero(keep)[0]
+            p_nid.append(nid_ok[idx])
+            p_cn.append(cn_ok[idx])
+            p_qid.append(np.full(len(idx), qid))
+            p_qn.append(np.full(len(idx), qns[qi]))
+            p_ival.append(ivals[idx])
+            p_imask.append(np.zeros(len(idx), dtype=bool))
+            # NULL-score tail: the k+1 smallest bad neighbor ids
+            if len(bad_keep):
+                p_nid.append(nids[bad_keep])
+                p_cn.append(cn[bad_keep])
+                p_qid.append(np.full(len(bad_keep), qid))
+                p_qn.append(np.full(len(bad_keep), qns[qi]))
+                p_ival.append(np.zeros(len(bad_keep), dtype=np.int64))
+                p_imask.append(np.ones(len(bad_keep), dtype=bool))
+        else:
+            # null query (or no clean corpus rows): every pair is
+            # NULL — keep the k smallest non-self neighbor ids
+            non_self = nids[nids != qid]
+            keep_ids = np.sort(non_self, kind="stable")[:kk]
+            sel = np.nonzero(np.isin(nids, keep_ids) & (nids != qid))[0]
+            p_nid.append(nids[sel])
+            p_cn.append(cn[sel])
+            p_qid.append(np.full(len(sel), qid))
+            p_qn.append(np.full(len(sel), qns[qi]))
+            p_ival.append(np.zeros(len(sel), dtype=np.int64))
+            p_imask.append(np.ones(len(sel), dtype=bool))
+    if not p_nid:
+        return None
+    idot = pd.arrays.IntegerArray(
+        np.concatenate(p_ival).astype(np.int64),
+        np.concatenate(p_imask),
+    )
+    return pd.DataFrame(
+        {
+            "neighbor_id": np.concatenate(p_nid),
+            "cn": np.concatenate(p_cn),
+            "query_id": np.concatenate(p_qid),
+            "qn": np.concatenate(p_qn),
+            "idot": idot,
+        }
     )
 
 

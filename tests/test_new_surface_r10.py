@@ -169,3 +169,99 @@ def test_drain_proof_still_rejects_inflight_batch0_shape():
     assert not drained([batch0, moving])
     assert drained([empty])
     assert drained([moving, settled])
+
+
+# --- persisted vector store (r10: the store-reading scorers) -------------
+
+
+def test_quantized_store_bit_parity_fixture(spark, sf_small, tmp_path):
+    """Store-read top-k must be BIT-identical to both in-flight paths on
+    real fixture embeddings — the store is a pure materialization of the
+    same quantization."""
+    from parallel_pandas_spark.operators import similarity, vecstore
+    from parallel_pandas_spark.sources import load_table
+
+    emb = load_table(spark, sf_small, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    store = str(tmp_path / "vs")
+    vecstore.write_vector_store(emb, store, "vec_id", "embedding", dim=64)
+    got = vecstore.quantized_topk_from_store(
+        spark, store, queries, "vec_id", "embedding", k=5
+    )
+    vec = similarity.quantized_cosine_topk(
+        emb, queries, "vec_id", "embedding", k=5, vectorized=True
+    )
+    fold = similarity.quantized_cosine_topk(
+        emb, queries, "vec_id", "embedding", k=5, vectorized=False
+    )
+    g = sorted(map(tuple, got.collect()))
+    assert g == sorted(map(tuple, vec.collect()))
+    assert g == sorted(map(tuple, fold.collect()))
+    assert len(g) == 50
+
+
+def test_quantized_store_dirty_vectors_null_tail(spark, tmp_path):
+    """NULL / ragged / null-element vectors persist as NULL-code rows so
+    the store scorer reproduces the in-flight NULL-tail semantics."""
+    from parallel_pandas_spark.operators import similarity, vecstore
+
+    rows = [(i, [float(i + j) for j in range(4)]) for i in range(4)]
+    rows += [(100, None), (101, [1.0, 2.0]), (102, [1.0, None, 2.0, 3.0])]
+    df = spark.createDataFrame(rows, _EMB_SCHEMA)
+    queries = df.where(F.col("vec_id") < 2)
+    store = str(tmp_path / "vs_dirty")
+    vecstore.write_vector_store(df, store, "vec_id", "embedding", dim=4)
+    got = vecstore.quantized_topk_from_store(
+        spark, store, queries, "vec_id", "embedding", k=6
+    )
+    fold = similarity.quantized_cosine_topk(
+        df, queries, "vec_id", "embedding", k=6, vectorized=False
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, fold.collect()))
+
+
+def test_vector_store_is_compact_and_pruned(spark, sf_small, tmp_path):
+    """The store's codes column is d bytes per vector (the 4x/8x storage
+    lever vs float32/float64), and a shard filter prunes partitions at
+    plan time (hive sink contract)."""
+    import glob
+
+    from parallel_pandas_spark.operators import vecstore
+    from parallel_pandas_spark.plans import explain
+    from parallel_pandas_spark.sources import load_table
+
+    emb = load_table(spark, sf_small, "embeddings")
+    store = str(tmp_path / "vs_sz")
+    vecstore.write_vector_store(emb, store, "vec_id", "embedding", dim=64)
+    st = spark.read.parquet(store)
+    lens = st.select(F.length("codes").alias("l")).distinct().collect()
+    assert [r["l"] for r in lens] == [64]
+    assert len(glob.glob(f"{store}/shard=*")) == 8
+    pruned = st.where(F.col("shard") == 3)
+    txt = explain.explain_str(pruned)
+    assert "PartitionFilters" in txt and "shard" in txt.split("PartitionFilters")[1][:200]
+
+
+def test_pq_store_bit_parity_fixture(spark, sf_small, tmp_path):
+    """pq_topk_from_store == pq_topk (same deterministic codebooks, same
+    ADC doubles, same exact re-rank) on fixture embeddings."""
+    from parallel_pandas_spark.operators import similarity, vecstore
+    from parallel_pandas_spark.sources import load_table
+
+    emb = load_table(spark, sf_small, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    store = str(tmp_path / "pqs")
+    vecstore.write_pq_store(emb, store, "vec_id", "embedding", m=8, ks=16, dim=64)
+    got = vecstore.pq_topk_from_store(
+        spark, store, emb, queries, "vec_id", "embedding", k=5, pool=50
+    )
+    ref = similarity.pq_topk(
+        emb, queries, "vec_id", "embedding", k=5, m=8, ks=16, dim=64, pool=50
+    )
+    g = sorted(map(tuple, got.collect()))
+    assert g == sorted(map(tuple, ref.collect()))
+    assert len(g) == 50
+    # the code store is m=8 bytes per vector
+    st = spark.read.parquet(f"{store}/codes")
+    lens = st.select(F.length("codes").alias("l")).distinct().collect()
+    assert [r["l"] for r in lens] == [8]

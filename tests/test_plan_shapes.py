@@ -77,14 +77,15 @@ def test_window_queries_are_partitioned_single_shuffle(spark, qs, name):
     [
         ("zscore_normalize", 2),  # moments agg + broadcast-back
         ("stats_mad", 3),  # means agg + broadcast + final agg
-        # r9: three arms. exact = broadcast queries + top-k window (2);
+        # r9: exact = broadcast queries + top-k window (2);
         # quant = top-k window only (the vectorized LUT ships in the UDF
         # closure, no broadcast); pq = pool window + broadcast cand/query
         # re-rank joins + a pool-sized re-rank window exchange (4) —
         # every join broadcast; the only full-corpus shuffles are the
-        # three per-arm top-k windows, everything else moves query- or
-        # pool-sized rows
-        ("cosine_topk", 7),
+        # per-arm top-k windows, everything else moves query- or
+        # pool-sized rows. r10: +1 for the quantstore arm's top-k window
+        # (the store scan itself is shuffle-free)
+        ("cosine_topk", 8),
     ],
 )
 def test_shuffle_budget(spark, qs, name, max_exchanges):
