@@ -2092,6 +2092,71 @@ def embedding_neardup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _semantic_cluster_oracle(
+    num_centroids: int = 16, threshold: float = 0.35, dim: int = 64
+) -> str:
+    """Replays semantic_cluster_pairs end-to-end: the md5-sampled
+    centroids, the (dist, cid) argmin assignment (same rank-equivalent
+    −2·v·c + ‖c‖² expression as the IVF oracle), and the within-cluster
+    exact-cosine pair filter."""
+    dot_ec = _DOT_SQL.format(d=dim, a="e.embedding", b="c.cvec")
+    pair_dot = _DOT_SQL.format(d=dim, a="a.v", b="b.v")
+    norm = (
+        f"SQRT(list_sum(list_transform(range(1, {dim}+1), "
+        "i -> CAST(v[i] AS DOUBLE) * CAST(v[i] AS DOUBLE))))"
+    )
+    return f"""
+WITH cents AS (
+  SELECT vec_id AS cid, embedding AS cvec,
+         {_DOT_SQL.format(d=dim, a="embedding", b="embedding")} AS cc
+  FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT {num_centroids}
+),
+cl AS (
+  SELECT vec_id AS id, embedding AS v, cid AS cluster FROM (
+    SELECT e.vec_id, e.embedding, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY -2.0 * ({dot_ec}) + c.cc, c.cid) AS rn
+    FROM embeddings e CROSS JOIN cents c
+  ) WHERE rn = 1
+),
+vv AS (SELECT id, v, cluster, {norm} AS norm FROM cl)
+SELECT a.id AS id_a, b.id AS id_b,
+       ROUND({pair_dot} / (a.norm * b.norm), 6) AS cosine
+FROM vv a JOIN vv b ON a.cluster = b.cluster AND a.id < b.id
+WHERE {pair_dot} / (a.norm * b.norm) >= {threshold}
+"""
+
+
+@_q("semantic_cluster_pairs", _semantic_cluster_oracle())
+def semantic_cluster_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-then-threshold semantic dedup (dedup.semantic_cluster_pairs,
+    r10): assign every embedding to its nearest coarse centroid (the
+    deterministic IVF quantizer — SemDeDup-style data-adaptive candidate
+    sets), then exact-cosine pairs >= threshold WITHIN each cluster only.
+    Clusters are disjoint, so nothing goes all-pairs; the oracle replays
+    centroid sampling, argmin assignment, and the pair filter exactly."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return dedup.semantic_cluster_pairs(
+        emb, "vec_id", "embedding", threshold=0.35, num_centroids=16
+    )
+
+
+_bfn, _bsql = _compose_union(
+    [
+        ("lsh", "embedding_neardup_pairs"),
+        ("cluster", "semantic_cluster_pairs"),
+    ]
+)
+_bfn.__doc__ = """Embedding near-duplicate pairs, two candidate
+generators over the same exact-cosine verify: random-hyperplane LSH
+buckets (projection-random candidates) and (r10) nearest-centroid
+clusters (data-adaptive SemDeDup-style candidates). Both are disjoint
+partitions of the corpus — per-bucket/per-cluster self-joins, never
+all-pairs."""
+_q("embedding_neardup_pairs", _bsql)(_bfn)
+_retire("semantic_cluster_pairs")
+
+
 def _ivf_oracle(num_centroids: int = 16, nprobe: int = 4, k: int = 5, dim: int = 64) -> str:
     dot_ec = _DOT_SQL.format(d=dim, a="e.embedding", b="c.cvec")
     dot_qc = _DOT_SQL.format(d=dim, a="q.qv", b="c.cvec")

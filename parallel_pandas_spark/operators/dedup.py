@@ -807,3 +807,62 @@ def repeated_spans(
         )
         .where(F.col("n_docs") >= min_docs)
     )
+
+
+def semantic_cluster_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.35,
+    num_centroids: int = 16,
+    round_to: int = 6,
+) -> DataFrame:
+    """Cluster-then-threshold SEMANTIC dedup — the standard LLM-corpus
+    companion to hyperplane-LSH near-dup (:func:`embedding_neardup_pairs`,
+    whose buckets are random projections): assign every vector to its
+    nearest coarse centroid (the deterministic md5-sampled IVF quantizer,
+    ``similarity.ivf_centroids`` — a trained k-means slots in unchanged),
+    then emit exact-cosine pairs >= ``threshold`` WITHIN each cluster.
+    SemDeDup-style semantics: near-duplicates are sought among
+    semantically close documents, so the candidate set is data-adaptive
+    rather than projection-random.
+
+    Scale shape (plan-tested): clusters are disjoint, the pair join's key
+    is the cluster id, so nothing goes all-pairs — per-cluster cost is
+    (n/num_centroids)² instead of n², and num_centroids grows with the
+    corpus. One scan computes assignment + norm per side; products in
+    double so any engine replays the values (the centroid argmin uses the
+    same rank-equivalent −2·v·c + ‖c‖² expression and (dist, cid)
+    tiebreak as the IVF oracle)."""
+    from .similarity import ivf_assign, ivf_centroids, l2_norm
+
+    cents = ivf_centroids(df, id_col, vec_col, num_centroids)
+    vecs = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        ivf_assign(F.col(vec_col), cents).alias("cluster"),
+        l2_norm(F.col(vec_col)).alias("norm"),
+    ).repartition(F.col("id"))  # barrier: assignment/norms computed once
+    a = vecs.alias("a")
+    b = vecs.alias("b")
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("a.v"), F.col("b.v"), lambda x, y: x.cast("double") * y.cast("double")
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.cluster") == F.col("b.cluster"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .withColumn("cosine", dot / (F.col("a.norm") * F.col("b.norm")))
+        .where(F.col("cosine") >= threshold)
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round("cosine", round_to).alias("cosine"),
+        )
+    )

@@ -265,3 +265,68 @@ def test_pq_store_bit_parity_fixture(spark, sf_small, tmp_path):
     st = spark.read.parquet(f"{store}/codes")
     lens = st.select(F.length("codes").alias("l")).distinct().collect()
     assert [r["l"] for r in lens] == [8]
+
+
+# --- semantic cluster dedup (r10) ----------------------------------------
+
+
+def test_semantic_cluster_pairs_bruteforce_replay(spark, sf_small):
+    """semantic_cluster_pairs == a numpy replay: md5-sampled centroids,
+    argmin assignment with (dist, cid) tiebreak, all intra-cluster pairs
+    with exact cosine >= threshold."""
+    import hashlib
+
+    import numpy as np
+
+    from parallel_pandas_spark.operators import dedup
+    from parallel_pandas_spark.sources import load_table
+
+    emb = load_table(spark, sf_small, "embeddings")
+    got = sorted(
+        map(
+            tuple,
+            dedup.semantic_cluster_pairs(
+                emb, "vec_id", "embedding", threshold=0.3, num_centroids=8
+            ).collect(),
+        )
+    )
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = [r["vec_id"] for r in rows]
+    V = {r["vec_id"]: np.array([float(x) for x in r["embedding"]]) for r in rows}
+    cents = sorted(ids, key=lambda i: hashlib.md5(str(i).encode()).hexdigest())[:8]
+    def assign(v):
+        best = None
+        for cid in sorted(cents):
+            c = V[cid]
+            d = -2.0 * float(v @ c) + float(c @ c)
+            if best is None or d < best[0] or (d == best[0] and cid < best[1]):
+                best = (d, cid)
+        return best[1]
+    cl = {i: assign(V[i]) for i in ids}
+    exp = []
+    for a in ids:
+        for b in ids:
+            if a < b and cl[a] == cl[b]:
+                cos = float(V[a] @ V[b]) / (
+                    float(np.sqrt(V[a] @ V[a])) * float(np.sqrt(V[b] @ V[b]))
+                )
+                if cos >= 0.3:
+                    exp.append((a, b, round(cos, 6)))
+    assert len(got) == len(exp) > 0
+    for (ga, gb, gc), (ea, eb, ec) in zip(got, sorted(exp)):
+        assert (ga, gb) == (ea, eb)
+        assert abs(gc - ec) <= 1e-9  # same doubles up to the final round
+
+
+def test_semantic_cluster_pairs_no_cartesian(spark, sf_small):
+    """The pair join's key is the cluster id — the plan must never fall
+    back to a cartesian/nested-loop product of the corpus."""
+    from parallel_pandas_spark.operators import dedup
+    from parallel_pandas_spark.plans import explain
+    from parallel_pandas_spark.sources import load_table
+
+    emb = load_table(spark, sf_small, "embeddings")
+    df = dedup.semantic_cluster_pairs(emb, "vec_id", "embedding")
+    txt = explain.explain_str(df)
+    assert "CartesianProduct" not in txt, txt
+    assert "BroadcastNestedLoopJoin" not in txt, txt
