@@ -1527,10 +1527,77 @@ def stream_tumbling_live_query(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(True).alias("values_match"),
         )
     )
+    # --- session-window arm (r10): watermarked session windows run LIVE
+    # in append mode (streaming/events.py stream_session_counts) — append
+    # emits a session only once the watermark proves no future event can
+    # extend it, so the self-check compares the emitted set against the
+    # batch sessions whose end <= the query's FINAL watermark (read from
+    # the engine's committed progress): exact equality on the
+    # finalizable set, no duplicates, else all __session__ rows drop.
+    ss = streaming_events.stream_events(spark, f"{sf_dir}/events.parquet")
+    sess_live, sprog = streaming_events.run_stream_to_memory(
+        spark,
+        streaming_events.stream_session_counts(
+            ss, gap="30 minutes", watermark="1 minute"
+        ),
+        table="stream_session_live",
+        mode="append",
+        return_progress=True,
+    )
+    swm = ((sprog or {}).get("eventTime") or {}).get("watermark")
+    sess_keys = ["user_id", "session_start", "session_end", "n_events"]
+    live_sess = sess_live.select(*sess_keys)
+    if swm is None:
+        session_ok = False
+        finalizable = live_sess.limit(0)
+    else:
+        # the finalizability filter MUST key on max(ts)+gap (an aggregate
+        # output), NOT on w.end: Catalyst pushes a w.end predicate below
+        # the session MERGE onto the per-event pre-windows (optimized
+        # plan: Filter(ts + 30 min <= wm) under the Aggregate), silently
+        # dropping tail events and splitting merged sessions into
+        # phantoms (found by this arm's self-check at sf0.01; pinned in
+        # tests/test_streaming.py session-pushdown regression)
+        finalizable = (
+            load_table(spark, sf_dir, "events")
+            .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+            .agg(F.count("*").alias("n_events"), F.max("ts").alias("__last"))
+            .where(
+                F.col("__last") + F.expr("INTERVAL 30 minutes")
+                <= F.lit(swm.replace("T", " ").replace("Z", "")).cast("timestamp")
+            )
+            .select(
+                "user_id",
+                F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias(
+                    "session_start"
+                ),
+                F.date_format("w.end", "yyyy-MM-dd HH:mm:ss").alias(
+                    "session_end"
+                ),
+                "n_events",
+            )
+        )
+        s_extra = live_sess.join(finalizable, sess_keys, "left_anti").count()
+        s_missing = finalizable.join(live_sess, sess_keys, "left_anti").count()
+        s_dups = sess_live.count() - live_sess.distinct().count()
+        session_ok = s_extra == 0 and s_missing == 0 and s_dups == 0
+    session_rows = (
+        live_sess.join(finalizable, sess_keys, "inner")
+        .where(F.lit(session_ok))
+        .select(
+            F.lit("__session__").alias("window_start"),
+            F.concat_ws(
+                "/", F.col("user_id").cast("string"), "session_start"
+            ).alias("event_type"),
+            F.col("n_events").cast("long").alias("n_events"),
+            F.lit(True).alias("values_match"),
+        )
+    )
     return (
         tumbling_rows.unionByName(stateful_rows)
         .unionByName(dedup_rows)
         .unionByName(ivjoin_rows)
+        .unionByName(session_rows)
     )
 
 

@@ -175,6 +175,33 @@ def interval_self_join(
     )
 
 
+def stream_session_counts(
+    stream: DataFrame, gap: str = "30 minutes", watermark: str = "1 minute"
+) -> DataFrame:
+    """Streaming SESSION windows per user (the live form of
+    :func:`session_window_agg`): sessions close after ``gap`` inactivity;
+    the watermark both drops late rows and lets append mode EMIT a
+    session once no future event can extend it (session_end <=
+    watermark) — merging/extending session state is bounded the same
+    way window state is. Finite-source caveat: sessions within
+    ``gap + watermark`` of the stream's last event never finalize
+    (the watermark stops advancing), so a drain-and-compare harness
+    checks the emitted set against the batch sessions that END at or
+    before the final watermark — exact on that set, silent on the
+    unfinalizable tail."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format("w.end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
 def user_running_totals_stateful(stream: DataFrame):
     """Custom stateful operator via ``applyInPandasWithState``: per-user
     running event count + value total, state times out after 1h idle
@@ -220,6 +247,24 @@ def _uses_pandas_state(stream_df: DataFrame) -> bool:
     )
 
 
+def _offsets_drained(q) -> bool:
+    """Source-offset drain proof over a query's COMPLETED progress
+    entries (see :func:`run_stream_to_memory` for the full rationale):
+    an empty committed batch whose every source shows no offset movement
+    — startOffset == endOffset, including the both-None shape an
+    empty-from-the-start source emits — means the engine itself listed
+    the source at trigger time and found nothing new."""
+    for p in q.recentProgress:
+        if p["numInputRows"] != 0:
+            continue
+        srcs = p.get("sources") or []
+        if srcs and all(
+            s.get("startOffset") == s.get("endOffset") for s in srcs
+        ):
+            return True
+    return False
+
+
 def run_stream_to_memory(
     spark: SparkSession,
     stream_df: DataFrame,
@@ -228,6 +273,7 @@ def run_stream_to_memory(
     poll_secs: float = 0.25,
     timeout_secs: float = 180.0,
     stateful: "bool | None" = None,
+    return_progress: bool = False,
 ):
     """Drive a streaming query to a memory sink until the finite source is
     drained, then stop (test/debug harness; production writes a real sink).
@@ -253,6 +299,11 @@ def run_stream_to_memory(
       cannot be raced by scheduling latency. (The file source reports no
       ``latestOffset``, so equality of committed offsets on an empty
       completed batch is the available proof.)
+
+    ``return_progress=True`` returns ``(table_df, last_progress)`` — the
+    final committed progress dict carries the query's last event-time
+    watermark, which a session-window harness needs to know WHICH
+    sessions were finalizable (see :func:`stream_session_counts`).
     """
     import time
 
@@ -274,7 +325,8 @@ def run_stream_to_memory(
                 f"availableNow stream '{table}' did not terminate "
                 f"within {timeout_secs}s"
             )
-        return spark.table(table)
+        out = spark.table(table)
+        return (out, q.lastProgress) if return_progress else out
 
     q = (
         stream_df.writeStream.format("memory")
@@ -285,33 +337,23 @@ def run_stream_to_memory(
     )
     deadline = time.time() + timeout_secs
 
-    def _drained() -> bool:
-        # recentProgress holds COMPLETED batches (no sampling misses, no
-        # stale flags). batch 0 always runs start=None -> first offset, so
-        # start==end (both non-None) on an empty batch implies batchId > 0.
-        # startOffset == endOffset == None is ALSO proof — a stream that is
-        # empty from the start never produces a non-None offset, so the
-        # engine's own no-data progress event (committed trigger, zero
-        # rows, no offset movement) is the only drain evidence an empty
-        # source can ever emit; without accepting it, a valid empty stream
-        # burns the full timeout (r9 ADVICE). The helper's contract keeps
-        # this sound: the finite source's files must exist at start — a
-        # source fed concurrently with the query is outside the "drive to
-        # drain" use case. A batch 0 in flight reports startOffset None
-        # with a NON-None endOffset, so it can never match.
-        for p in q.recentProgress:
-            if p["numInputRows"] != 0:
-                continue
-            srcs = p.get("sources") or []
-            if srcs and all(
-                s.get("startOffset") == s.get("endOffset") for s in srcs
-            ):
-                return True
-        return False
-
+    # recentProgress holds COMPLETED batches (no sampling misses, no
+    # stale flags). batch 0 always runs start=None -> first offset, so
+    # start==end (both non-None) on an empty batch implies batchId > 0.
+    # startOffset == endOffset == None is ALSO proof — a stream that is
+    # empty from the start never produces a non-None offset, so the
+    # engine's own no-data progress event (committed trigger, zero
+    # rows, no offset movement) is the only drain evidence an empty
+    # source can ever emit; without accepting it, a valid empty stream
+    # burns the full timeout (r9 ADVICE). The helper's contract keeps
+    # this sound: the finite source's files must exist at start — a
+    # source fed concurrently with the query is outside the "drive to
+    # drain" use case. A batch 0 in flight reports startOffset None
+    # with a NON-None endOffset, so it can never match. (Predicate shared
+    # as _offsets_drained with the restart-recovery runner.)
     drained = False
     while q.isActive and time.time() < deadline:
-        if _drained():
+        if _offsets_drained(q):
             drained = True
             break
         time.sleep(poll_secs)
@@ -324,4 +366,78 @@ def run_stream_to_memory(
             f"{timeout_secs}s (no completed empty batch with "
             f"startOffset == endOffset)"
         )
-    return spark.table(table)
+    out = spark.table(table)
+    return (out, q.lastProgress) if return_progress else out
+
+
+def run_stateful_to_parquet(
+    spark: SparkSession,
+    make_stream: "callable",
+    out_dir: str,
+    checkpoint_dir: str,
+    stop_after_batches: "int | None" = None,
+    poll_secs: float = 0.25,
+    timeout_secs: float = 180.0,
+):
+    """Checkpointed FAULT-TOLERANT runner for a stateful streaming query —
+    the restart-recovery proof harness (r9 VERDICT #5). The query writes
+    every micro-batch through ``foreachBatch`` into ``out_dir/b<batchId>``
+    with overwrite mode: replayed batch ids land in the same directory,
+    so the OBSERVABLE output is idempotent (exactly-once) even though
+    foreachBatch itself is at-least-once. State and source offsets live
+    in ``checkpoint_dir`` — a restart resumes from the last committed
+    batch with its per-key state intact, which is the production fault
+    story for ``applyInPandasWithState``.
+
+    ``make_stream()`` builds the streaming DataFrame fresh per start (a
+    streaming plan cannot be restarted from the same object).
+    ``stop_after_batches=N`` stops the query after N batches have
+    committed data (simulating a crash mid-stream); ``None`` runs to the
+    source-offset drain proof. Returns the number of data batches
+    committed in THIS run."""
+    import time
+
+    def write_batch(batch_df, batch_id: int) -> None:
+        # overwrite by batch id => replays after a restart are idempotent
+        batch_df.write.mode("overwrite").parquet(f"{out_dir}/b{batch_id:05d}")
+
+    q = (
+        make_stream()
+        .writeStream.foreachBatch(write_batch)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    deadline = time.time() + timeout_secs
+
+    def data_batches() -> int:
+        return sum(1 for p in q.recentProgress if p["numInputRows"] > 0)
+
+    try:
+        if stop_after_batches is not None:
+            while q.isActive and time.time() < deadline:
+                if data_batches() >= stop_after_batches:
+                    break
+                time.sleep(poll_secs)
+            if data_batches() < stop_after_batches:
+                raise TimeoutError(
+                    f"only {data_batches()} data batches committed within "
+                    f"{timeout_secs}s (wanted {stop_after_batches})"
+                )
+        else:
+            drained = False
+            while q.isActive and time.time() < deadline:
+                if _offsets_drained(q):
+                    drained = True
+                    break
+                time.sleep(poll_secs)
+            if not drained:
+                raise TimeoutError(
+                    f"stream not proven drained within {timeout_secs}s"
+                )
+    finally:
+        if q.isActive:
+            q.stop()
+        q.awaitTermination()
+    return data_batches()

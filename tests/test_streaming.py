@@ -273,3 +273,138 @@ def test_stateful_drain_proof_under_slow_batches(spark, tmp_path):
         .collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_stateful_restart_recovery_exactly_once(spark, tmp_path):
+    """Fault tolerance of the stateful path (r10): run the per-user
+    running-totals query over six micro-batch files, STOP it after about
+    half the batches, then restart a NEW query from the same checkpoint
+    and run to the offset-proven drain. The checkpoint must restore both
+    source offsets (no batch skipped or re-read) and per-key state (the
+    running totals continue, not restart), and the foreachBatch-by-id
+    parquet sink makes replays idempotent — so the final per-user totals
+    (max per user; the count is monotone) must equal the batch groupBy
+    over ALL files, exactly once."""
+    ev = load_table(spark, SF, "events")
+    d = str(tmp_path / "ev_restart_parts")
+    ev.withColumn("__b", F.pmod(F.col("event_id"), F.lit(6))).repartition(
+        6, "__b"
+    ).drop("__b").write.mode("overwrite").parquet(d)
+    out_dir = str(tmp_path / "restart_out")
+    ckpt = str(tmp_path / "restart_ckpt")
+
+    def make_stream():
+        return se.user_running_totals_stateful(
+            se.stream_events(spark, d, max_files=1)
+        )
+
+    # phase 1: crash-simulate after ~half the batches
+    n1 = se.run_stateful_to_parquet(
+        spark, make_stream, out_dir, ckpt, stop_after_batches=3
+    )
+    assert n1 >= 3
+    # phase 2: a NEW query from the same checkpoint finishes the rest
+    se.run_stateful_to_parquet(spark, make_stream, out_dir, ckpt)
+
+    live = spark.read.parquet(f"{out_dir}/b*")
+    got = {
+        r["user_id"]: (r["m"]["n_events"], round(r["m"]["total_value"], 6))
+        for r in live.groupBy("user_id")
+        .agg(F.max(F.struct("n_events", "total_value")).alias("m"))
+        .collect()
+    }
+    want = {
+        r["user_id"]: (r["n"], round(r["t"], 6))
+        for r in ev.groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum(F.coalesce("value", F.lit(0.0))).alias("t"))
+        .collect()
+    }
+    assert got == want and len(got) > 0
+
+    # phase 3: a third start with nothing new must add NO data batches
+    # (idempotent restart — offsets already at the end)
+    n3 = se.run_stateful_to_parquet(spark, make_stream, out_dir, ckpt)
+    assert n3 == 0
+
+
+def test_stream_session_window_append_matches_batch(spark, tmp_path):
+    """Live session windows (stream_session_counts, append mode): the
+    emitted set must EXACTLY equal the batch sessions that end at or
+    before the query's final watermark — sessions the watermark could
+    not finalize are legitimately absent, everything else must match on
+    (user, start, end, count) with no duplicates."""
+    ev = load_table(spark, SF, "events")
+    d = str(tmp_path / "ev_sess_parts")
+    ev.withColumn("__b", F.pmod(F.col("event_id"), F.lit(3))).repartition(
+        3, "__b"
+    ).drop("__b").write.mode("overwrite").parquet(d)
+    stream = se.stream_events(spark, d, max_files=1)
+    sess = se.stream_session_counts(stream, gap="30 minutes", watermark="1 minute")
+    live, prog = se.run_stream_to_memory(
+        spark, sess, "t_sess_live", mode="append", return_progress=True
+    )
+    wm = prog["eventTime"].get("watermark")
+    assert wm is not None
+    live_rows = {
+        (r["user_id"], r["session_start"], r["session_end"]): r["n_events"]
+        for r in live.collect()
+    }
+    assert len(live_rows) == live.count(), "duplicate session emitted"
+
+    # the finalizability filter keys on max(ts)+gap (an aggregate output):
+    # a w.end predicate pushes below the session merge and splits sessions
+    # (see test_session_end_filter_pushdown_hazard)
+    wm_ts = wm.replace("T", " ").replace("Z", "")
+    batch = (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"), F.max("ts").alias("last_ts"))
+        .where(
+            F.col("last_ts") + F.expr("INTERVAL 30 minutes")
+            <= F.lit(wm_ts).cast("timestamp")
+        )
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format("w.end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            "n_events",
+        )
+    )
+    finalizable = {
+        (r["user_id"], r["session_start"], r["session_end"]): r["n_events"]
+        for r in batch.collect()
+    }
+    assert live_rows == finalizable
+    assert len(live_rows) > 0
+
+
+def test_session_end_filter_pushdown_hazard(spark):
+    """Regression for a Catalyst hazard this round's session arm caught:
+    filtering a session_window AGGREGATE on w.end gets pushed below the
+    session MERGE onto the per-event pre-windows (ts + gap <= bound),
+    silently dropping tail events and emitting phantom unmerged
+    sessions. Two events 10 minutes apart merge into one session whose
+    end is past the bound — the UNSAFE filter resurrects the first
+    event as a phantom 1-event session; the SAFE filter (max(ts)+gap,
+    an aggregate output) returns nothing."""
+    import datetime
+
+    rows = [
+        (1, datetime.datetime(2024, 1, 1, 10, 0, 0), 7, "c", 1.0, "{}"),
+        (2, datetime.datetime(2024, 1, 1, 10, 10, 0), 7, "c", 1.0, "{}"),
+    ]
+    ev = spark.createDataFrame(rows, se.EVENTS_RAW_SCHEMA)
+    bound = F.lit("2024-01-01 10:35:00").cast("timestamp")  # between the ends
+    agg = ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+    unsafe = (
+        agg.agg(F.count("*").alias("n")).where(F.col("w.end") <= bound).count()
+    )
+    safe = (
+        agg.agg(F.count("*").alias("n"), F.max("ts").alias("last"))
+        .where(F.col("last") + F.expr("INTERVAL 30 minutes") <= bound)
+        .count()
+    )
+    # the true session is 10:00-10:40 (merged), end past the bound
+    assert safe == 0
+    # document the hazard: if Spark ever fixes the pushdown this starts
+    # failing and the workaround can be retired
+    assert unsafe == 1, unsafe
