@@ -653,9 +653,10 @@ def embedding_neardup_pairs(
 ) -> DataFrame:
     """Embedding near-duplicates: cosine >= threshold, candidates bucketed
     by random-hyperplane LSH (sign bits of ``num_planes`` projections) so
-    the self-join is per-bucket, not all-pairs. Exact cosine verification
-    on candidates. All products computed in double (a float32*float32
-    product would round twice and diverge from any double-side replay).
+    pair scoring is per-bucket, not all-pairs (one grouped Arrow task per
+    bucket — see :func:`_exact_pairs_within`). All products computed in
+    double (a float32*float32 product would round twice and diverge from
+    any double-side replay).
 
     Pass ``dim`` explicitly when known — inferring it costs an extra job
     and an empty corpus would otherwise raise instead of returning empty.
@@ -690,33 +691,85 @@ def embedding_neardup_pairs(
     vecs = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
-        bucket_expr(F.col(vec_col)).alias("bucket"),
-        F.sqrt(
-            F.aggregate(
-                F.transform(F.col(vec_col), lambda x: x.cast("double") * x.cast("double")),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-        ).alias("norm"),
-    ).repartition(F.col("id"))  # barrier: buckets/norms computed once per side
-    a = vecs.alias("a")
-    b = vecs.alias("b")
-    dot = F.aggregate(
-        F.zip_with(
-            F.col("a.v"), F.col("b.v"), lambda x, y: x.cast("double") * y.cast("double")
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+        bucket_expr(F.col(vec_col)).alias("grp"),
+        F.exists(F.col(vec_col), lambda x: x.isNull()).alias("__hasnull"),
     )
-    return (
-        a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")))
-        .withColumn("cosine", dot / (F.col("a.norm") * F.col("b.norm")))
-        .where(F.col("cosine") >= threshold)
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.round("cosine", 6).alias("cosine"),
+    return _exact_pairs_within(vecs, threshold)
+
+
+def _exact_pairs_within(
+    vecs: DataFrame, threshold: float, round_to: int = 6
+) -> DataFrame:
+    """Exact-cosine pairs >= ``threshold`` WITHIN each ``grp`` — the
+    shared verify kernel of :func:`embedding_neardup_pairs` (LSH buckets)
+    and :func:`semantic_cluster_pairs` (centroid clusters). ``vecs`` is
+    (id, v, grp, __hasnull).
+
+    r10 rewrite, found by the sf1 sweep wall split: the former
+    per-bucket SELF-JOIN materialized every candidate pair row carrying
+    BOTH full vectors (~1 KB/pair — 12 GB of exchange at sf1's 12.5M
+    candidates) and scored each with an interpreted HOF fold. Now ONE
+    shuffle groups each bucket/cluster into an ``applyInPandas`` task
+    that scores all its pairs as d vectorized outer-product
+    accumulations. BIT-parity with the fold expressions is preserved the
+    same way as the PQ/quantized scorers: the dot accumulates
+    SEQUENTIALLY over dims (vectorized across pairs, ordered over j —
+    the identical ((0+t0)+t1)+… IEEE association as F.aggregate and
+    DuckDB's list_sum), norms fold the same way before sqrt, and the
+    divide is acc/(na*nb) in the same op order — so the SQL oracles
+    replay unchanged. The threshold filter mirrors Spark comparison
+    semantics (NaN compares GREATEST, so a NaN cosine passes); rounding
+    stays in the same Spark F.round expression as before.
+
+    Memory contract: one group (bucket/cluster) lives in one task —
+    size num_planes/num_centroids so groups fit executor memory, the
+    same knob the join form needed for its per-bucket quadratic
+    candidate count (the SemDeDup contract: candidate sets are bounded
+    by construction)."""
+    import numpy as np
+    import pandas as pd
+
+    id_t = vecs.schema["id"].dataType.simpleString()
+
+    def pairs_fn(pdf):
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+        # undecodable vectors (NULL / ragged / null-element) score NULL
+        # in the fold path and NULL never passes >= — drop them here
+        # (null elements flatten to NaN on Arrow, hence the JVM flag)
+        lens = pdf["v"].map(lambda x: -1 if x is None else len(x))
+        pos = lens[lens > 0]
+        if pos.empty:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+        d = int(pos.value_counts().idxmax())  # modal length = the corpus dim
+        ok = (lens == d).to_numpy() & ~pdf["__hasnull"].to_numpy(dtype=bool)
+        sub = pdf[ok]
+        n = len(sub)
+        if n < 2 or d <= 0:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+        mat = np.array([list(x) for x in sub["v"]], dtype=np.float64)
+        ids = sub["id"].to_numpy()
+        # sequential-over-dims accumulation == the F.aggregate fold bits
+        acc = np.zeros((n, n))
+        nrm = np.zeros(n)
+        for j in range(d):
+            cj = mat[:, j]
+            acc += cj[:, None] * cj[None, :]
+            nrm += cj * cj
+        na = np.sqrt(nrm)
+        raw = acc / (na[:, None] * na[None, :])
+        ia, ib = np.nonzero(
+            (np.isnan(raw) | (raw >= threshold)) & (ids[:, None] < ids[None, :])
         )
+        return pd.DataFrame(
+            {"id_a": ids[ia], "id_b": ids[ib], "cosine": raw[ia, ib]}
+        )
+
+    return (
+        vecs.groupBy("grp")
+        .applyInPandas(pairs_fn, f"id_a {id_t}, id_b {id_t}, cosine double")
+        .select("id_a", "id_b", F.round("cosine", round_to).alias("cosine"))
     )
 
 
@@ -827,42 +880,21 @@ def semantic_cluster_pairs(
     semantically close documents, so the candidate set is data-adaptive
     rather than projection-random.
 
-    Scale shape (plan-tested): clusters are disjoint, the pair join's key
-    is the cluster id, so nothing goes all-pairs — per-cluster cost is
-    (n/num_centroids)² instead of n², and num_centroids grows with the
-    corpus. One scan computes assignment + norm per side; products in
-    double so any engine replays the values (the centroid argmin uses the
-    same rank-equivalent −2·v·c + ‖c‖² expression and (dist, cid)
-    tiebreak as the IVF oracle)."""
-    from .similarity import ivf_assign, ivf_centroids, l2_norm
+    Scale shape (plan-tested): clusters are disjoint and pair scoring is
+    grouped BY cluster (one shuffle, one Arrow task per cluster — see
+    :func:`_exact_pairs_within`), so nothing goes all-pairs — per-cluster
+    cost is (n/num_centroids)² instead of n², and num_centroids grows
+    with the corpus. The centroid argmin uses the same rank-equivalent
+    −2·v·c + ‖c‖² expression and (dist, cid) tiebreak as the IVF oracle,
+    and the pair kernel keeps fold bit-parity, so the SQL oracle replays
+    every value."""
+    from .similarity import ivf_assign, ivf_centroids
 
     cents = ivf_centroids(df, id_col, vec_col, num_centroids)
     vecs = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
-        ivf_assign(F.col(vec_col), cents).alias("cluster"),
-        l2_norm(F.col(vec_col)).alias("norm"),
-    ).repartition(F.col("id"))  # barrier: assignment/norms computed once
-    a = vecs.alias("a")
-    b = vecs.alias("b")
-    dot = F.aggregate(
-        F.zip_with(
-            F.col("a.v"), F.col("b.v"), lambda x, y: x.cast("double") * y.cast("double")
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+        ivf_assign(F.col(vec_col), cents).alias("grp"),
+        F.exists(F.col(vec_col), lambda x: x.isNull()).alias("__hasnull"),
     )
-    return (
-        a.join(
-            b,
-            (F.col("a.cluster") == F.col("b.cluster"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .withColumn("cosine", dot / (F.col("a.norm") * F.col("b.norm")))
-        .where(F.col("cosine") >= threshold)
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.round("cosine", round_to).alias("cosine"),
-        )
-    )
+    return _exact_pairs_within(vecs, threshold, round_to)
