@@ -21,6 +21,7 @@ from parallel_pandas_spark import det
 from parallel_pandas_spark.functions import datetimes as dtf
 from parallel_pandas_spark.functions import strings as sf
 from parallel_pandas_spark.operators import (
+    cdc,
     dedup,
     elementwise,
     grouped,
@@ -4795,22 +4796,128 @@ def pandas_verbs_arm(spark: SparkSession, sf_dir: str) -> DataFrame:
     ], tag_col="vkind")
 
 
+_CDC_ORACLE = """
+WITH cdclog AS (
+  SELECT event_id, ts, user_id, event_type, value,
+         CASE WHEN event_id % 17 = 0 THEN 'D' ELSE 'U' END AS op
+  FROM events),
+comp AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                 ORDER BY ts DESC, event_id DESC) AS rn
+    FROM cdclog) WHERE rn = 1 AND op <> 'D'),
+tbase AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                 ORDER BY ts DESC, event_id DESC) AS rn
+    FROM cdclog WHERE event_id % 2 = 0) WHERE rn = 1 AND op <> 'D'),
+sfeed AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                 ORDER BY ts DESC, event_id DESC) AS rn
+    FROM cdclog WHERE event_id % 2 = 1) WHERE rn = 1),
+merged AS (
+  SELECT COALESCE(s.user_id, t.user_id) AS user_id,
+         CASE WHEN s.op IS NOT NULL THEN s.value ELSE t.value END AS value,
+         CASE WHEN s.op IS NOT NULL THEN s.event_type
+              ELSE t.event_type END AS event_type,
+         CASE WHEN s.op IS NOT NULL THEN s.ts ELSE t.ts END AS ts,
+         CASE WHEN s.op IS NOT NULL AND t.user_id IS NULL THEN 'insert'
+              WHEN s.op IS NOT NULL THEN 'update'
+              ELSE 'keep' END AS action
+  FROM tbase t FULL OUTER JOIN sfeed s ON t.user_id = s.user_id
+  WHERE NOT (s.op IS NOT NULL AND s.op = 'D')),
+scd AS (
+  SELECT user_id, value,
+         ts AS valid_from,
+         LEAD(ts) OVER (PARTITION BY user_id
+                        ORDER BY ts ASC, event_id ASC) AS valid_to,
+         CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                                 ORDER BY ts ASC, event_id ASC) AS BIGINT)
+             AS version,
+         LEAD(ts) OVER (PARTITION BY user_id
+                        ORDER BY ts ASC, event_id ASC) IS NULL AS is_current
+  FROM cdclog)
+SELECT 'compact' AS cdckind, user_id, value AS last_value,
+       event_type AS last_type, ts AS last_ts FROM comp
+UNION ALL BY NAME
+SELECT 'upsert' AS cdckind, * FROM merged
+UNION ALL BY NAME
+SELECT 'scd2' AS cdckind, * FROM scd
+"""
+
+
+@_q("cdc_arm", _CDC_ORACLE)
+def cdc_arm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC / lakehouse verbs (extension tier — the reference has no
+    storage or change-feed layer, SURVEY.md §1.1), each through its
+    library operator over a deterministic change log derived from the
+    events table (op = 'D' when event_id % 17 = 0, else 'U'; per-key
+    order = (ts, event_id) so compaction is total):
+
+    - ``compact``: cdc.cdc_compact — latest live row per user, tombstone
+      wins; ONE hash exchange on the key, one window pass.
+    - ``upsert``: cdc.merge_upsert — MERGE INTO semantics applying the
+      compacted odd-id change feed onto the even-id base snapshot
+      (update matched / insert new / delete tombstoned / keep
+      untouched), action column asserted row-by-row; one full-outer
+      join on the key (broadcast-able via broadcast_source when a
+      day's feed is small against the corpus).
+    - ``scd2``: cdc.scd2_build — validity intervals with lead() in the
+      SAME window pass as the version row_number (no self-join).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    log = ev.select(
+        "event_id", "ts", "user_id", "event_type", "value",
+        F.when(F.pmod(F.col("event_id"), F.lit(17)) == 0, F.lit("D"))
+        .otherwise(F.lit("U")).alias("op"),
+    )
+
+    comp = cdc.cdc_compact(log, ["user_id"], ["ts", "event_id"]).select(
+        "user_id",
+        F.col("value").alias("last_value"),
+        F.col("event_type").alias("last_type"),
+        F.col("ts").alias("last_ts"),
+    )
+
+    target = cdc.cdc_compact(
+        log.where(F.pmod(F.col("event_id"), F.lit(2)) == 0),
+        ["user_id"], ["ts", "event_id"],
+    ).select("user_id", "value", "event_type", "ts")
+    feed = cdc.cdc_compact(
+        log.where(F.pmod(F.col("event_id"), F.lit(2)) == 1),
+        ["user_id"], ["ts", "event_id"], drop_deleted=False,
+    ).select("user_id", "value", "event_type", "ts", "op")
+    merged = cdc.merge_upsert(target, feed, ["user_id"])
+
+    scd = cdc.scd2_build(
+        log, ["user_id"], "ts", order=["ts", "event_id"]
+    ).select("user_id", "value", "valid_from", "valid_to", "version",
+             "is_current")
+
+    return _pad_union([
+        ("compact", comp), ("upsert", merged), ("scd2", scd),
+    ], tag_col="cdckind")
+
+
 _bfn, _bsql = _compose_union(
     [
         ("inner", "merge_inner"),
         ("outer", "merge_outer_suffix_indicator"),
         ("semi_anti", "semi_anti_customers"),
         ("verbs", "pandas_verbs_arm"),
+        ("cdc", "cdc_arm"),
     ]
 )
 _bfn.__doc__ = """pandas merge surface (op #25): how='inner' broadcast join,
 how='outer' with suffixes + indicator, and semi/anti joins — plus the
 (r6d) pandas-verbs arm (non-agg pivot, duplicated marker, idxmax(axis=1),
-combine_first, query() expression compiler). One tagged union, every row
-value-checked."""
+combine_first, query() expression compiler) and the (r10) CDC arm
+(log compaction, MERGE-style upsert, SCD-2 intervals — operators/cdc.py).
+One tagged union, every row value-checked."""
 _q("merge_battery", _bsql)(_bfn)
 _retire("merge_inner", "merge_outer_suffix_indicator", "semi_anti_customers",
-        "pandas_verbs_arm")
+        "pandas_verbs_arm", "cdc_arm")
 
 @_q(
     "pct_change_fill",

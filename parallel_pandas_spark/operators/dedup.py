@@ -732,39 +732,47 @@ def _exact_pairs_within(
     id_t = vecs.schema["id"].dataType.simpleString()
 
     def pairs_fn(pdf):
-        n = len(pdf)
-        if n < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
-        # undecodable vectors (NULL / ragged / null-element) score NULL
-        # in the fold path and NULL never passes >= — drop them here
-        # (null elements flatten to NaN on Arrow, hence the JVM flag)
+        empty = pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+        if len(pdf) < 2:
+            return empty
+        # undecodable vectors (NULL / null-element) score NULL in the
+        # fold path and NULL never passes >= — drop them here (null
+        # elements flatten to NaN on Arrow, hence the JVM flag). A pair
+        # of UNEQUAL lengths also scores NULL under zip_with (the pad
+        # side is NULL), but two vectors of the SAME non-modal length
+        # score normally — so cohort by length instead of electing one
+        # modal dim (self-review r10: the modal election silently
+        # dropped equal-length minority cohorts the fold would score).
         lens = pdf["v"].map(lambda x: -1 if x is None else len(x))
-        pos = lens[lens > 0]
-        if pos.empty:
-            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
-        d = int(pos.value_counts().idxmax())  # modal length = the corpus dim
-        ok = (lens == d).to_numpy() & ~pdf["__hasnull"].to_numpy(dtype=bool)
-        sub = pdf[ok]
-        n = len(sub)
-        if n < 2 or d <= 0:
-            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
-        mat = np.array([list(x) for x in sub["v"]], dtype=np.float64)
-        ids = sub["id"].to_numpy()
-        # sequential-over-dims accumulation == the F.aggregate fold bits
-        acc = np.zeros((n, n))
-        nrm = np.zeros(n)
-        for j in range(d):
-            cj = mat[:, j]
-            acc += cj[:, None] * cj[None, :]
-            nrm += cj * cj
-        na = np.sqrt(nrm)
-        raw = acc / (na[:, None] * na[None, :])
-        ia, ib = np.nonzero(
-            (np.isnan(raw) | (raw >= threshold)) & (ids[:, None] < ids[None, :])
-        )
-        return pd.DataFrame(
-            {"id_a": ids[ia], "id_b": ids[ib], "cosine": raw[ia, ib]}
-        )
+        clean = ~pdf["__hasnull"].to_numpy(dtype=bool)
+        frames = []
+        for d in sorted(set(lens[lens > 0])):
+            ok = (lens == d).to_numpy() & clean
+            if int(ok.sum()) < 2:
+                continue
+            sub = pdf[ok]
+            n = len(sub)
+            mat = np.array([list(x) for x in sub["v"]], dtype=np.float64)
+            ids = sub["id"].to_numpy()
+            # sequential-over-dims accumulation == the F.aggregate fold
+            acc = np.zeros((n, n))
+            nrm = np.zeros(n)
+            for j in range(int(d)):
+                cj = mat[:, j]
+                acc += cj[:, None] * cj[None, :]
+                nrm += cj * cj
+            na = np.sqrt(nrm)
+            raw = acc / (na[:, None] * na[None, :])
+            ia, ib = np.nonzero(
+                (np.isnan(raw) | (raw >= threshold))
+                & (ids[:, None] < ids[None, :])
+            )
+            frames.append(pd.DataFrame(
+                {"id_a": ids[ia], "id_b": ids[ib], "cosine": raw[ia, ib]}
+            ))
+        if not frames:
+            return empty
+        return pd.concat(frames, ignore_index=True)
 
     return (
         vecs.groupBy("grp")

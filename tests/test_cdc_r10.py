@@ -1,0 +1,108 @@
+"""Round-10 CDC operators (operators/cdc.py): log compaction, MERGE
+upsert, SCD-2 intervals — unit semantics on engineered logs plus the
+driver-style oracle replay of the merge_battery cdc arm."""
+
+from __future__ import annotations
+
+import datetime
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from parallel_pandas_spark.operators import cdc  # noqa: E402
+
+_LOG_SCHEMA = "k long, ts timestamp, v double, op string"
+
+
+def _ts(s: int):
+    return datetime.datetime(2026, 1, 1) + datetime.timedelta(seconds=s)
+
+
+def _log(spark, rows):
+    return spark.createDataFrame(rows, _LOG_SCHEMA)
+
+
+def test_cdc_compact_tombstone_wins_and_ties_break_on_order(spark):
+    log = _log(spark, [
+        (1, _ts(0), 1.0, "U"),
+        (1, _ts(5), 2.0, "U"),          # latest for k=1 -> kept
+        (2, _ts(0), 3.0, "U"),
+        (2, _ts(9), 4.0, "D"),          # tombstone latest -> key dropped
+        (3, _ts(7), 5.0, "D"),
+        (3, _ts(7), 6.0, "U"),          # ts tie: needs a tiebreaker
+    ])
+    # tiebreak on v: (ts, v) makes the 6.0/'U' row the latest for k=3
+    out = cdc.cdc_compact(log, ["k"], ["ts", "v"]).orderBy("k").collect()
+    assert [(r.k, r.v, r.op) for r in out] == [(1, 2.0, "U"), (3, 6.0, "U")]
+    # drop_deleted=False keeps the k=2 tombstone row (a MERGE feed)
+    feed = cdc.cdc_compact(log, ["k"], ["ts", "v"], drop_deleted=False)
+    assert {(r.k, r.op) for r in feed.collect()} == {
+        (1, "U"), (2, "D"), (3, "U")}
+
+
+def test_merge_upsert_four_action_quadrants(spark):
+    target = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 30.0)], "k long, v double")
+    source = spark.createDataFrame(
+        [(2, 21.0, "U"),     # matched + U -> update
+         (3, None, "D"),     # matched + D -> removed
+         (4, 40.0, "U"),     # new key     -> insert
+         (5, None, "D")],    # delete of an absent key -> no row
+        "k long, v double, op string")
+    out = {(r.k, r.v, r.action)
+           for r in cdc.merge_upsert(target, source, ["k"]).collect()}
+    assert out == {(1, 10.0, "keep"), (2, 21.0, "update"),
+                   (4, 40.0, "insert")}
+
+
+def test_merge_upsert_broadcast_source_plan_and_parity(spark):
+    target = spark.createDataFrame(
+        [(i, float(i)) for i in range(50)], "k long, v double")
+    source = spark.createDataFrame(
+        [(5, 55.0, "U"), (99, 9.9, "U"), (7, None, "D")],
+        "k long, v double, op string")
+    plain = cdc.merge_upsert(target, source, ["k"])
+    bcast = cdc.merge_upsert(target, source, ["k"], broadcast_source=True)
+    # Spark can't broadcast a full-outer join, so the broadcast form is a
+    # decomposition into broadcast anti/semi legs: the snapshot side must
+    # appear only under BroadcastHashJoins, never a shuffled join
+    txt = bcast._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in txt, txt
+    assert "SortMergeJoin" not in txt, txt
+    assert sorted(map(tuple, plain.collect())) == sorted(
+        map(tuple, bcast.collect()))
+
+
+def test_scd2_build_intervals_chain_and_current_flag(spark):
+    log = _log(spark, [
+        (1, _ts(0), 1.0, "U"),
+        (1, _ts(10), 2.0, "U"),
+        (1, _ts(20), 3.0, "U"),
+        (2, _ts(5), 9.0, "U"),
+    ])
+    out = cdc.scd2_build(log, ["k"], "ts", order=["ts", "v"]) \
+        .orderBy("k", "version").collect()
+    k1 = [r for r in out if r.k == 1]
+    # intervals chain: valid_to[i] == valid_from[i+1]; last row open
+    assert [r.version for r in k1] == [1, 2, 3]
+    assert k1[0].valid_to == k1[1].valid_from
+    assert k1[1].valid_to == k1[2].valid_from
+    assert k1[2].valid_to is None and k1[2].is_current
+    assert not k1[0].is_current and not k1[1].is_current
+    k2 = [r for r in out if r.k == 2]
+    assert len(k2) == 1 and k2[0].is_current and k2[0].version == 1
+
+
+def test_cdc_arm_matches_duckdb_oracle(spark, sf_med):
+    """Driver-style replay: the cdc arm's Spark output value-matches the
+    exact SQL embedded in the merge_battery oracle."""
+    import __spark_entry__ as entry
+    from tests.oracle_harness import compare, duck_connection
+
+    con = duck_connection(sf_med)
+    errs = compare("cdc_arm", entry.cdc_arm(spark, sf_med), con,
+                   entry._CDC_ORACLE)
+    assert not errs, errs

@@ -330,3 +330,37 @@ def test_semantic_cluster_pairs_no_cartesian(spark, sf_small):
     txt = explain.explain_str(df)
     assert "CartesianProduct" not in txt, txt
     assert "BroadcastNestedLoopJoin" not in txt, txt
+
+
+def test_exact_pairs_within_length_cohorts(spark):
+    """Self-review r10: the grouped Arrow kernel must score EVERY
+    equal-length pair the zip_with fold would score — including a
+    minority-length cohort sharing a bucket with a larger cohort (the
+    first kernel cut elected one modal dim and silently dropped the
+    minority pairs). Unequal-length and dirty pairs still emit nothing
+    (they score NULL in the fold)."""
+    from parallel_pandas_spark.operators.dedup import _exact_pairs_within
+
+    rows = [
+        # majority cohort: three 4-d vectors, two of them near-parallel
+        (1, [1.0, 0.0, 0.0, 0.0], 0, False),
+        (2, [1.0, 0.01, 0.0, 0.0], 0, False),
+        (3, [0.0, 1.0, 0.0, 0.0], 0, False),
+        # minority cohort: two parallel 2-d vectors in the SAME bucket
+        (4, [3.0, 4.0], 0, False),
+        (5, [6.0, 8.0], 0, False),
+        # dirty rows: NULL vector / null element
+        (6, None, 0, False),
+        (7, [1.0, 1.0], 0, True),
+    ]
+    vecs = spark.createDataFrame(
+        rows, "id long, v array<double>, grp int, __hasnull boolean")
+    got = {(r.id_a, r.id_b): r.cosine
+           for r in _exact_pairs_within(vecs, 0.99).collect()}
+    assert (1, 2) in got and (4, 5) in got, got
+    assert got[(4, 5)] == 1.0
+    assert not any(6 in p or 7 in p for p in got)
+    # cross-length pair (1,4) never emits even at threshold -inf:
+    got_all = {(r.id_a, r.id_b)
+               for r in _exact_pairs_within(vecs, -10.0).collect()}
+    assert (1, 4) not in got_all and (3, 4) not in got_all
