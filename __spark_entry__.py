@@ -33,6 +33,7 @@ from parallel_pandas_spark.operators import (
     reductions,
     resample,
     reshape,
+    rollup,
     sampling,
     similarity,
     text,
@@ -4669,18 +4670,84 @@ def value_counts_arms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _rollup_grain_sql(group_cols: list[str], tag: str) -> str:
+    """Direct-recompute oracle for one rollup grain, built from det's
+    ``*_sql`` twins — the merged-state finalize must equal a from-raw
+    deterministic aggregation bit-for-bit."""
+    specs = {"l_quantity": (6, 4), "l_extendedprice": (2, 2)}
+    cols_sql = []
+    for c, (s, s2) in specs.items():
+        nn = det._nobs_sql(c)
+        cols_sql.append(f"{nn} AS count_{c}")
+        cols_sql.append(f"{det.dsum_sql(c, s)} AS sum_{c}")
+        cols_sql.append(f"{det.dmean_sql(c, s)} AS mean_{c}")
+        nan_safe = (
+            f"CASE WHEN NOT isnan(CAST({c} AS DOUBLE)) "
+            f"THEN CAST({c} AS DOUBLE) END"
+        )
+        cols_sql.append(f"MIN({nan_safe}) AS min_{c}")
+        cols_sql.append(f"MAX({nan_safe}) AS max_{c}")
+        cols_sql.append(f"{det.dvar_sql(c, s, s2)} AS var_{c}")
+        cols_sql.append(f"{det.dstd_sql(c, s, s2)} AS std_{c}")
+    gb = ", ".join(group_cols)
+    return (
+        f"SELECT '{tag}' AS grain, {gb}, " + ", ".join(cols_sql)
+        + f" FROM lineitem GROUP BY {gb}"
+    )
+
+
+_ROLLUP_ORACLE = (
+    _rollup_grain_sql(["l_returnflag", "l_linestatus"], "flagstatus")
+    + "\nUNION ALL BY NAME\n"
+    + _rollup_grain_sql(["l_returnflag"], "flag")
+)
+
+
+@_q("rollup_merge_arm", _ROLLUP_ORACLE)
+def rollup_merge_arm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental rollup maintenance (operators/rollup.py — extension
+    tier, like vecstore/cdc): mergeable det-style fixed-point state is
+    built ONCE at a fine grain (returnflag, linestatus, linenumber), then
+    re-aggregated twice WITHOUT touching the raw table — first to
+    (returnflag, linestatus), then that merged state merges again to
+    (returnflag) — and finalize() yields count/sum/mean/min/max/var/std
+    at both grains. The oracle recomputes both grains directly from the
+    raw rows with det's SQL twins: integer state addition is associative,
+    so the chained merges are bit-identical to the from-raw recompute —
+    the property that lets a 100 TB pipeline maintain rollups by scanning
+    only new partitions and merging state."""
+    specs = {"l_quantity": (6, 4), "l_extendedprice": (2, 2)}
+    li = load_table(spark, sf_dir, "lineitem")
+    fine = rollup.agg_state(
+        li, ["l_returnflag", "l_linestatus", "l_linenumber"], specs
+    )
+    mid = rollup.merge_state(
+        fine, ["l_returnflag", "l_linestatus"], list(specs)
+    )
+    top = rollup.merge_state(mid, ["l_returnflag"], list(specs))
+    out_mid = rollup.finalize(mid, ["l_returnflag", "l_linestatus"], specs)
+    out_top = rollup.finalize(top, ["l_returnflag"], specs)
+    return _pad_union(
+        [("flagstatus", out_mid), ("flag", out_top)], tag_col="grain"
+    )
+
+
 _bfn, _bsql = _compose_union(
     [
         ("salted", "salted_groupby_agg"),
         ("dropna", "groupby_dropna_keys"),
         ("vcounts", "value_counts_arms"),
+        ("rollup", "rollup_merge_arm"),
     ]
 )
 _bfn.__doc__ = """Grouped-aggregation edge cases: skew-safe two-stage salted
 plan (equal to the unsalted result by construction), pandas dropna=True
-NULL-key semantics, and (r6) value_counts with normalize/ascending."""
+NULL-key semantics, (r6) value_counts with normalize/ascending, and (r10)
+incremental rollup maintenance — chained merges of persisted det-style
+aggregate state equal a from-raw recompute bit-for-bit."""
 _q("groupby_edge_battery", _bsql)(_bfn)
-_retire("salted_groupby_agg", "groupby_dropna_keys", "value_counts_arms")
+_retire("salted_groupby_agg", "groupby_dropna_keys", "value_counts_arms",
+        "rollup_merge_arm")
 
 _VERBS_ORACLE = """
 WITH ag AS (

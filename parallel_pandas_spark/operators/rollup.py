@@ -1,0 +1,138 @@
+"""Incremental rollup maintenance: mergeable aggregate STATE that can be
+persisted at a fine grain and re-aggregated to any coarser grain without
+rescanning the raw data — the pattern a 100 TB pipeline uses to keep
+daily/monthly/total rollups current (only new partitions are scanned to
+produce new state; old state merges by pure integer addition).
+
+Why this is exact (not approximately-equal-to-recompute): the state
+holds det.py-style fixed-point power sums — each row quantizes with pure
+IEEE double ops (``floor(x·10^s + 0.5)``, bit-identical in any engine)
+and accumulates as DECIMAL(38,0) integers. Integer addition is
+associative, so ANY merge tree over partial states produces the same
+total integer as a single-pass aggregation — finalize() then computes
+count/sum/mean/min/max/var/std as the SAME closed-form scalar
+expressions det.py uses, giving doubles that are bit-identical to a
+direct deterministic aggregation of the raw rows AND to the DuckDB
+oracle built from det's ``*_sql`` twins. A float-sum state offers none
+of this: its merge order changes the last ulp, so an incrementally
+maintained rollup would silently drift from a recompute.
+
+min/max merge exactly by construction. NaN rows drop out of sums and
+counts together (det._nobs semantics = pandas skipna).
+
+The reference (dubovikmaster/parallel-pandas) has no incremental or
+storage layer — this module is extension-tier scale infrastructure,
+like vecstore.py and cdc.py.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from parallel_pandas_spark.det import _nobs
+
+
+def _qint(col: str, scale: int):
+    """Per-row exact quantization to an integer grid — the identical
+    expression shape as det.lsum's per-row term (floor of one IEEE
+    multiply; NaN floors to NULL so sums and _nobs counts skip the same
+    rows), accumulated as DECIMAL(38,0) so state merges never wrap."""
+    c = F.col(col).cast("double")
+    return (
+        F.floor(c * F.lit(float(10**scale)) + F.lit(0.5))
+        .cast("long")
+        .cast("decimal(38,0)")
+    )
+
+
+def _state_cols(col: str, scale: int, sq_scale: int) -> list:
+    c = F.col(col).cast("double")
+    # nanvl(c, NULL) maps NaN -> NULL so min/max skip NaN like the sums
+    # and counts do (pandas skipna; Spark's bare min/max rank NaN
+    # GREATEST, which would poison every rollup containing one NaN row)
+    cs = F.nanvl(c, F.lit(None).cast("double"))
+    return [
+        _nobs(col).alias(f"n_{col}"),
+        F.sum(_qint(col, scale)).alias(f"s1_{col}"),
+        F.sum(
+            F.floor(c * c * F.lit(float(10**sq_scale)) + F.lit(0.5))
+            .cast("long")
+            .cast("decimal(38,0)")
+        ).alias(f"s2_{col}"),
+        F.min(cs).alias(f"mn_{col}"),
+        F.max(cs).alias(f"mx_{col}"),
+    ]
+
+
+def agg_state(
+    df: DataFrame,
+    keys: Sequence[str],
+    cols: dict[str, tuple[int, int]],
+) -> DataFrame:
+    """Build mergeable aggregate state at grain ``keys``.
+
+    ``cols`` maps value column -> (scale, sq_scale) with the det.py
+    contract ``max|x|·10^scale < 2^62`` and ``max|x|²·10^sq_scale <
+    2^62`` (the per-ROW bound; the accumulator is DECIMAL(38,0) and
+    never wraps). State columns per value column c: ``n_c`` (long count,
+    NaN-skipping), ``s1_c``/``s2_c`` (exact integer power sums,
+    DECIMAL(38,0)), ``mn_c``/``mx_c`` (double). One shuffle on the fine
+    keys with map-side partial aggregation — at 100 TB only the state
+    (|distinct fine keys| rows) ever leaves the scan stage."""
+    aggs = []
+    for col, (scale, sq_scale) in cols.items():
+        aggs.extend(_state_cols(col, scale, sq_scale))
+    return df.groupBy(*keys).agg(*aggs)
+
+
+def merge_state(
+    state: DataFrame, keys: Sequence[str], cols: Sequence[str]
+) -> DataFrame:
+    """Re-aggregate persisted state to the coarser grain ``keys``
+    (a subset of the state's grain). Pure integer/extremum merges —
+    exactly the total a single-pass aggregation of the raw rows would
+    produce, for any merge tree. The input is state-sized, so this never
+    touches the raw corpus."""
+    aggs = []
+    for col in cols:
+        aggs.extend([
+            F.sum(F.col(f"n_{col}")).alias(f"n_{col}"),
+            F.sum(F.col(f"s1_{col}")).alias(f"s1_{col}"),
+            F.sum(F.col(f"s2_{col}")).alias(f"s2_{col}"),
+            F.min(F.col(f"mn_{col}")).alias(f"mn_{col}"),
+            F.max(F.col(f"mx_{col}")).alias(f"mx_{col}"),
+        ])
+    return state.groupBy(*keys).agg(*aggs)
+
+
+def finalize(
+    state: DataFrame,
+    keys: Sequence[str],
+    cols: dict[str, tuple[int, int]],
+    ddof: int = 1,
+) -> DataFrame:
+    """Scalar statistics from state — the same closed forms as det.dsum/
+    dmean/dvar/dstd evaluated on the (exact) merged power sums, so the
+    doubles are bit-identical to a direct deterministic aggregation of
+    the raw rows: sum = S1/10^s, mean = sum/n, var = (S2/10^s2 −
+    sum²/n)/(n−ddof), std = sqrt(var)."""
+    out: list = [F.col(k) for k in keys]
+    for col, (scale, sq_scale) in cols.items():
+        n = F.col(f"n_{col}")
+        nd = n.cast("double")
+        s1 = F.col(f"s1_{col}").cast("double") / F.lit(float(10**scale))
+        s2 = F.col(f"s2_{col}").cast("double") / F.lit(float(10**sq_scale))
+        var = (s2 - s1 * s1 / nd) / (nd - F.lit(float(ddof)))
+        out.extend([
+            n.alias(f"count_{col}"),
+            s1.alias(f"sum_{col}"),
+            (s1 / nd).alias(f"mean_{col}"),
+            F.col(f"mn_{col}").alias(f"min_{col}"),
+            F.col(f"mx_{col}").alias(f"max_{col}"),
+            var.alias(f"var_{col}"),
+            F.sqrt(var).alias(f"std_{col}"),
+        ])
+    return state.select(*out)

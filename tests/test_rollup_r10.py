@@ -1,0 +1,93 @@
+"""Round-10 incremental rollup (operators/rollup.py): mergeable
+fixed-point aggregate state whose chained merges are bit-identical to a
+from-raw recompute."""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from parallel_pandas_spark.operators import rollup  # noqa: E402
+
+SPECS = {"x": (6, 4)}
+
+
+def _rows(spark):
+    data = []
+    for g in range(3):
+        for s in range(4):
+            for i in range(25):
+                data.append((g, s, float((g * 131 + s * 17 + i * 7) % 97) / 3.0))
+    return spark.createDataFrame(data, "g int, s int, x double")
+
+
+def test_merge_path_bit_equals_direct_state(spark):
+    """finalize(merge(fine state)) must equal finalize(state built
+    directly at the coarse grain) — integer state addition is
+    associative, so the doubles match BIT-for-bit, not approximately."""
+    df = _rows(spark)
+    fine = rollup.agg_state(df, ["g", "s"], SPECS)
+    merged = rollup.merge_state(fine, ["g"], ["x"])
+    direct = rollup.agg_state(df, ["g"], SPECS)
+    a = sorted(map(tuple, rollup.finalize(merged, ["g"], SPECS).collect()))
+    b = sorted(map(tuple, rollup.finalize(direct, ["g"], SPECS).collect()))
+    assert a == b  # exact equality, including every float bit
+
+
+def test_merge_tree_shape_does_not_matter(spark):
+    """Two different merge trees (fine->g directly vs fine->(g,s%2)->g)
+    produce identical state."""
+    df = _rows(spark)
+    fine = rollup.agg_state(df, ["g", "s"], SPECS)
+    one_step = rollup.merge_state(fine, ["g"], ["x"])
+    from pyspark.sql import functions as F
+    mid = rollup.merge_state(
+        fine.withColumn("s2", F.pmod("s", F.lit(2))), ["g", "s2"], ["x"]
+    )
+    two_step = rollup.merge_state(mid, ["g"], ["x"])
+    a = sorted(map(tuple, rollup.finalize(one_step, ["g"], SPECS).collect()))
+    b = sorted(map(tuple, rollup.finalize(two_step, ["g"], SPECS).collect()))
+    assert a == b
+
+
+def test_finalize_values_match_pandas(spark):
+    """The finalized statistics are the actual count/sum/mean/min/max/
+    var/std of the data (sample ddof=1), to quantization precision."""
+    import pandas as pd
+
+    df = _rows(spark)
+    pdf = df.toPandas()
+    out = rollup.finalize(
+        rollup.agg_state(df, ["g"], SPECS), ["g"], SPECS
+    ).toPandas().set_index("g").sort_index()
+    ref = pdf.groupby("g")["x"]
+    for g in out.index:
+        assert out.loc[g, "count_x"] == ref.count()[g]
+        assert abs(out.loc[g, "sum_x"] - ref.sum()[g]) < 1e-5
+        assert abs(out.loc[g, "mean_x"] - ref.mean()[g]) < 1e-7
+        assert out.loc[g, "min_x"] == ref.min()[g]
+        assert out.loc[g, "max_x"] == ref.max()[g]
+        assert abs(out.loc[g, "var_x"] - ref.var(ddof=1)[g]) < 1e-4
+        assert abs(out.loc[g, "std_x"] - ref.std(ddof=1)[g]) < 1e-4
+
+
+def test_nan_rows_drop_from_sums_and_counts_together(spark):
+    """NaN skipna semantics: a NaN row contributes to neither n nor the
+    power sums (det._nobs contract), so mean/var stay finite and match
+    the clean-subset recompute."""
+    rows = [(0, 1.0), (0, 2.0), (0, float("nan")), (0, 3.0)]
+    df = spark.createDataFrame(rows, "g int, x double")
+    out = rollup.finalize(
+        rollup.agg_state(df, ["g"], SPECS), ["g"], SPECS
+    ).collect()[0]
+    assert out["count_x"] == 3
+    assert abs(out["sum_x"] - 6.0) < 1e-9
+    assert abs(out["mean_x"] - 2.0) < 1e-9
+    assert abs(out["var_x"] - 1.0) < 1e-6
+    assert not math.isnan(out["std_x"])
+    # min/max skip NaN too (pandas skipna), instead of Spark's bare
+    # min/max where NaN ranks greatest and poisons the max
+    assert out["min_x"] == 1.0 and out["max_x"] == 3.0
