@@ -71,6 +71,8 @@ def agg_state(
     df: DataFrame,
     keys: Sequence[str],
     cols: dict[str, tuple[int, int]],
+    distinct_cols: Sequence[str] = (),
+    hll_lg_k: int = 12,
 ) -> DataFrame:
     """Build mergeable aggregate state at grain ``keys``.
 
@@ -81,21 +83,44 @@ def agg_state(
     NaN-skipping), ``s1_c``/``s2_c`` (exact integer power sums,
     DECIMAL(38,0)), ``mn_c``/``mx_c`` (double). One shuffle on the fine
     keys with map-side partial aggregation — at 100 TB only the state
-    (|distinct fine keys| rows) ever leaves the scan stage."""
+    (|distinct fine keys| rows) ever leaves the scan stage.
+
+    ``distinct_cols`` adds a mergeable Apache-DataSketches HLL sketch
+    per listed column (``hll_<col>`` binary, Spark's hll_sketch_agg):
+    sketch union is associative and idempotent, so approximate distinct
+    counts survive any merge tree — the one statistic an exact integer
+    state cannot carry incrementally (a distinct count is not a sum).
+    Estimate precision is set by ``hll_lg_k`` (2^lg_k registers)."""
     aggs = []
     for col, (scale, sq_scale) in cols.items():
         aggs.extend(_state_cols(col, scale, sq_scale))
+    for col in distinct_cols:
+        # hll_sketch_agg accepts int/bigint/string/binary only — other
+        # types hash via their canonical string form (injective for the
+        # distinct-count purpose; NULLs are skipped by the sketch)
+        c = F.col(col)
+        if df.schema[col].dataType.simpleString() not in (
+            "int", "bigint", "string", "binary"
+        ):
+            c = c.cast("string")
+        aggs.append(
+            F.hll_sketch_agg(c, F.lit(hll_lg_k)).alias(f"hll_{col}")
+        )
     return df.groupBy(*keys).agg(*aggs)
 
 
 def merge_state(
-    state: DataFrame, keys: Sequence[str], cols: Sequence[str]
+    state: DataFrame,
+    keys: Sequence[str],
+    cols: Sequence[str],
+    distinct_cols: Sequence[str] = (),
 ) -> DataFrame:
     """Re-aggregate persisted state to the coarser grain ``keys``
     (a subset of the state's grain). Pure integer/extremum merges —
     exactly the total a single-pass aggregation of the raw rows would
-    produce, for any merge tree. The input is state-sized, so this never
-    touches the raw corpus."""
+    produce, for any merge tree; HLL sketches union (associative and
+    idempotent). The input is state-sized, so this never touches the
+    raw corpus."""
     aggs = []
     for col in cols:
         aggs.extend([
@@ -105,7 +130,19 @@ def merge_state(
             F.min(F.col(f"mn_{col}")).alias(f"mn_{col}"),
             F.max(F.col(f"mx_{col}")).alias(f"mx_{col}"),
         ])
+    for col in distinct_cols:
+        aggs.append(
+            F.hll_union_agg(F.col(f"hll_{col}")).alias(f"hll_{col}")
+        )
     return state.groupBy(*keys).agg(*aggs)
+
+
+def distinct_estimate(state: DataFrame, col: str) -> DataFrame:
+    """Read the approximate distinct count out of a state's HLL sketch
+    column as ``nunique_<col>`` (long)."""
+    return state.withColumn(
+        f"nunique_{col}", F.hll_sketch_estimate(F.col(f"hll_{col}"))
+    )
 
 
 def finalize(

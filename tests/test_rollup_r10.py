@@ -91,3 +91,27 @@ def test_nan_rows_drop_from_sums_and_counts_together(spark):
     # min/max skip NaN too (pandas skipna), instead of Spark's bare
     # min/max where NaN ranks greatest and poisons the max
     assert out["min_x"] == 1.0 and out["max_x"] == 3.0
+
+
+def test_hll_distinct_state_merges_like_a_recompute(spark):
+    """The HLL sketch state must union across merges: the merged
+    estimate equals the estimate of a sketch built directly at the
+    coarse grain (same registers either way), and both are near the
+    exact distinct count."""
+    from parallel_pandas_spark.operators.rollup import distinct_estimate
+
+    df = _rows(spark)
+    fine = rollup.agg_state(df, ["g", "s"], SPECS, distinct_cols=["x"])
+    merged = rollup.merge_state(fine, ["g"], ["x"], distinct_cols=["x"])
+    direct = rollup.agg_state(df, ["g"], SPECS, distinct_cols=["x"])
+    got = {r["g"]: r["nunique_x"]
+           for r in distinct_estimate(merged, "x").collect()}
+    ref = {r["g"]: r["nunique_x"]
+           for r in distinct_estimate(direct, "x").collect()}
+    assert got == ref  # same sketch registers -> same estimate
+    exact = {r["g"]: r["n"] for r in
+             df.groupBy("g").agg(
+                 __import__("pyspark.sql.functions", fromlist=["F"])
+                 .countDistinct("x").alias("n")).collect()}
+    for g, est in got.items():
+        assert abs(est - exact[g]) <= max(2, 0.05 * exact[g])
