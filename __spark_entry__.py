@@ -1945,7 +1945,19 @@ def _ensure_quant_store(spark: SparkSession, sf_dir: str) -> str:
     import tempfile
 
     src = os.path.join(sf_dir, "embeddings.parquet")
-    mt = repr(os.path.getmtime(src))
+    # shard count follows the MEASURED corpus size (parquet footer, no
+    # job): ~1M vectors per shard. A fixture-sized corpus gets ONE shard
+    # — a production store would not fan 5k rows over 8 directories
+    # either, and per-directory listing overhead at that scale costs
+    # more than the scoring job (SCALE.md, vector-store economics).
+    try:
+        import pyarrow.parquet as _pq
+
+        rows = _pq.ParquetFile(src).metadata.num_rows
+    except Exception:
+        rows = 0
+    shards = max(1, -(-rows // 1_000_000))
+    mt = f"{os.path.getmtime(src)!r} shards={shards}"
     key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
     path = os.path.join(tempfile.gettempdir(), f"pps_vecstore_{key}")
     marker = os.path.join(path, "_SRC_MTIME")
@@ -1956,7 +1968,9 @@ def _ensure_quant_store(spark: SparkSession, sf_dir: str) -> str:
     except OSError:
         pass
     emb = load_table(spark, sf_dir, "embeddings")
-    vecstore.write_vector_store(emb, path, "vec_id", "embedding", dim=64)
+    vecstore.write_vector_store(
+        emb, path, "vec_id", "embedding", dim=64, shards=shards
+    )
     with open(marker, "w") as fh:
         fh.write(mt)
     return path

@@ -199,7 +199,10 @@ def main() -> None:
         entrymod._ensure_quant_store(spark, SF_DIR)
         vec_metrics["build_sec"] = round(time.perf_counter() - t0, 4)
         score_runs, exact_runs = [], []
-        for _ in range(reps):
+        # the two arms sit ~0.45 s apart by <10% at sf0.1 — median-of-3
+        # is noise-bound for THIS comparison specifically (r9 verdict
+        # relitigated parity twice); 7 interleaved reps tighten it
+        for _ in range(max(reps, 7)):
             t0 = time.perf_counter()
             _force(entrymod.cosine_quantstore_topk_query(spark, SF_DIR))
             score_runs.append(time.perf_counter() - t0)
