@@ -145,6 +145,111 @@ def distinct_estimate(state: DataFrame, col: str) -> DataFrame:
     )
 
 
+def hist_state(
+    df: DataFrame,
+    keys: Sequence[str],
+    col: str,
+    lo: float,
+    hi: float,
+    bins: int = 128,
+) -> DataFrame:
+    """Mergeable quantile state: a fixed equi-width histogram of ``col``
+    over the declared domain [lo, hi] as ``hist_<col>`` (array<long> of
+    ``bins`` counts; values outside the domain clamp to the edge bins,
+    NULL/NaN rows are skipped). Integer bin vectors merge EXACTLY under
+    element-wise addition — see :func:`merge_hist` — so any merge tree
+    yields the state a direct build produces, and
+    :func:`quantile_estimate` reads quantiles with error bounded by one
+    bin width. Shape: each row computes its single bin index JVM-side,
+    a grouped count collapses (keys, bin) with map-side partials, and a
+    map_from_entries lookup densifies the sparse counts into the fixed
+    array — two narrow aggregations, no UDF."""
+    b = F.col("__bin")
+    idx = F.floor(
+        (F.col(col).cast("double") - F.lit(lo))
+        / F.lit((hi - lo) / bins)
+    ).cast("int")
+    idx = F.least(F.greatest(idx, F.lit(0)), F.lit(bins - 1))
+    clean = df.where(
+        F.col(col).isNotNull() & ~F.isnan(F.col(col).cast("double"))
+    ).withColumn("__bin", idx)
+    counts = clean.groupBy(*keys, "__bin").agg(F.count("*").alias("__c"))
+    # densify: map_from_entries of (bin -> count), then read 0..bins-1
+    dense = counts.groupBy(*keys).agg(
+        F.map_from_entries(F.collect_list(F.struct(b, F.col("__c")))).alias(
+            "__m"
+        )
+    )
+    arr = F.transform(
+        F.sequence(F.lit(0), F.lit(bins - 1)),
+        lambda i: F.coalesce(
+            F.element_at(F.col("__m"), i), F.lit(0).cast("long")
+        ),
+    )
+    return dense.select(*keys, arr.alias(f"hist_{col}"))
+
+
+def merge_hist(state: DataFrame, keys: Sequence[str], col: str) -> DataFrame:
+    """Merge histogram states to a coarser grain: element-wise long
+    addition via ``aggregate`` + ``zip_with`` — exact, associative,
+    state-sized input."""
+    h = f"hist_{col}"
+
+    def _zadd(a, b):
+        return F.zip_with(a, b, lambda x, y: x + y)
+
+    return state.groupBy(*keys).agg(
+        F.aggregate(
+            F.collect_list(F.col(h)),
+            F.expr("cast(array() as array<bigint>)"),
+            lambda acc, x: F.when(F.size(acc) == 0, x).otherwise(
+                _zadd(acc, x)
+            ),
+        ).alias(h)
+    )
+
+
+def quantile_estimate(
+    state: DataFrame, col: str, qs: Sequence[float], lo: float, hi: float
+) -> DataFrame:
+    """Approximate quantiles from the histogram state: for each q, the
+    left edge of the first bin whose cumulative count reaches q·n —
+    error <= one bin width by construction (asserted in tests). Emits
+    ``q_<col>`` as array<double> aligned with ``qs``."""
+    h = F.col(f"hist_{col}")
+    n = F.aggregate(h, F.lit(0).cast("bigint"), lambda a, x: a + x)
+    # cumulative counts per bin via transform over indices
+    bins = F.size(h)
+    width = (F.lit(hi) - F.lit(lo)) / bins.cast("double")
+    outs = []
+    for q in qs:
+        target = (n.cast("double") * F.lit(float(q)))
+        # first index where running sum >= target: filter+array_min over
+        # indices whose prefix sum reaches the target
+        idxs = F.filter(
+            F.transform(
+                F.sequence(F.lit(1), bins),
+                lambda i: F.when(
+                    F.aggregate(
+                        F.slice(h, F.lit(1), i),
+                        F.lit(0).cast("bigint"),
+                        lambda a, x: a + x,
+                    ).cast("double")
+                    >= target,
+                    i - 1,
+                ),
+            ),
+            lambda v: v.isNotNull(),
+        )
+        first = F.array_min(idxs)
+        outs.append(
+            (F.lit(lo) + first.cast("double") * width).alias(
+                f"q{str(q).replace('.', '_')}_{col}"
+            )
+        )
+    return state.select(*state.columns, *outs)
+
+
 def finalize(
     state: DataFrame,
     keys: Sequence[str],

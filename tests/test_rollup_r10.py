@@ -115,3 +115,45 @@ def test_hll_distinct_state_merges_like_a_recompute(spark):
                  .countDistinct("x").alias("n")).collect()}
     for g, est in got.items():
         assert abs(est - exact[g]) <= max(2, 0.05 * exact[g])
+
+
+def test_histogram_state_merges_exactly_and_bounds_quantile_error(spark):
+    """Histogram quantile state: (a) merge trees don't matter (integer
+    bin vectors add exactly), (b) the quantile estimate is within one
+    bin width of the exact quantile, (c) out-of-domain values clamp to
+    edge bins instead of vanishing."""
+    import numpy as np
+
+    from parallel_pandas_spark.operators.rollup import (
+        hist_state, merge_hist, quantile_estimate)
+
+    df = _rows(spark)  # x in [0, 32); 300 rows per g
+    LO, HI, B = 0.0, 33.0, 64
+    fine = hist_state(df, ["g", "s"], "x", LO, HI, bins=B)
+    merged = merge_hist(fine, ["g"], "x")
+    direct = hist_state(df, ["g"], "x", LO, HI, bins=B)
+    a = {r["g"]: r["hist_x"] for r in merged.collect()}
+    b = {r["g"]: r["hist_x"] for r in direct.collect()}
+    assert a == b  # exact state equality
+    # counts conserve rows
+    pdf = df.toPandas()
+    for g, h in a.items():
+        assert sum(h) == (pdf["g"] == g).sum()
+    est = quantile_estimate(merged, "x", [0.25, 0.5, 0.9], LO, HI)
+    width = (HI - LO) / B
+    for r in est.collect():
+        sub = np.sort(pdf.loc[pdf["g"] == r["g"], "x"].to_numpy())
+        for q, cname in [(0.25, "q0_25_x"), (0.5, "q0_5_x"),
+                         (0.9, "q0_9_x")]:
+            # inverted_cdf = the first order statistic with cdf >= q —
+            # the quantile definition the histogram read-out implements;
+            # that order statistic lies INSIDE the elected bin, so the
+            # left-edge estimate is within one bin width of it (a
+            # linearly-interpolated type-7 quantile can legitimately sit
+            # further away under heavy ties)
+            exact = float(np.quantile(sub, q, method="inverted_cdf"))
+            assert abs(r[cname] - exact) <= width + 1e-9, (q, r[cname], exact)
+    # clamping: values beyond hi land in the last bin
+    df2 = spark.createDataFrame([(0, 999.0), (0, -5.0)], "g int, x double")
+    h2 = hist_state(df2, ["g"], "x", LO, HI, bins=B).collect()[0]["hist_x"]
+    assert h2[-1] == 1 and h2[0] == 1
