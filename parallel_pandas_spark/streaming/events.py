@@ -188,7 +188,13 @@ def stream_session_counts(
     (the watermark stops advancing), so a drain-and-compare harness
     checks the emitted set against the batch sessions that END at or
     before the final watermark — exact on that set, silent on the
-    unfinalizable tail."""
+    unfinalizable tail. Exact-equality harnesses must ALSO feed
+    micro-batches in ascending event time: events later than the
+    watermark drop (correct streaming semantics, but they split
+    sessions relative to a batch replay), and the FILE source orders
+    files by MODIFICATION time — concurrently-written part files race
+    on that order (pinned in
+    tests/test_streaming.py::test_stream_session_window_append_matches_batch)."""
     return (
         stream.withWatermark("ts", watermark)
         .groupBy(F.session_window("ts", gap).alias("w"), "user_id")

@@ -332,12 +332,40 @@ def test_stream_session_window_append_matches_batch(spark, tmp_path):
     emitted set must EXACTLY equal the batch sessions that end at or
     before the query's final watermark — sessions the watermark could
     not finalize are legitimately absent, everything else must match on
-    (user, start, end, count) with no duplicates."""
+    (user, start, end, count) with no duplicates.
+
+    Source contract: micro-batches must arrive in ASCENDING event time.
+    The file source orders files by MODIFICATION time, so the three
+    slices are cut by ts rank and written sequentially with forced
+    ascending mtimes — a pmod(event_id) split written by concurrent
+    tasks raced on mtime order, and a later-time file landing first
+    jumps the watermark so subsequent batches drop events as late and
+    emit split phantom sessions (the exact-equality check is only sound
+    when nothing is late beyond the watermark; flaked in a full-suite
+    run under load before this was pinned)."""
+    import os as _os
+    import pathlib
+
     ev = load_table(spark, SF, "events")
     d = str(tmp_path / "ev_sess_parts")
-    ev.withColumn("__b", F.pmod(F.col("event_id"), F.lit(3))).repartition(
-        3, "__b"
-    ).drop("__b").write.mode("overwrite").parquet(d)
+    from pyspark.sql import Window as _W
+
+    sliced = ev.withColumn(
+        "__slice",
+        F.ntile(3).over(_W.orderBy(F.col("ts").asc(), F.col("event_id").asc())),
+    )
+    seen: set = set()
+    for k in (1, 2, 3):  # sequential single-file writes: ascending slices
+        (
+            sliced.where(F.col("__slice") == k).drop("__slice")
+            .coalesce(1).write.mode("append").parquet(d)
+        )
+        # stamp THE file this write produced with mtime == its slice
+        # rank (FileStreamSource sorts by mtime; same-ms writes tie)
+        now = set(pathlib.Path(d).glob("part-*.parquet")) - seen
+        assert len(now) == 1, now
+        _os.utime(now.pop(), (1700000000 + k, 1700000000 + k))
+        seen = set(pathlib.Path(d).glob("part-*.parquet"))
     stream = se.stream_events(spark, d, max_files=1)
     sess = se.stream_session_counts(stream, gap="30 minutes", watermark="1 minute")
     live, prog = se.run_stream_to_memory(
