@@ -106,3 +106,46 @@ def test_cdc_arm_matches_duckdb_oracle(spark, sf_med):
     errs = compare("cdc_arm", entry.cdc_arm(spark, sf_med), con,
                    entry._CDC_ORACLE)
     assert not errs, errs
+
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+# a random change feed: (key, value, op) with repeated keys and a mix of
+# updates, deletes, and keys absent from the target
+_feed = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=12),
+        st.integers(min_value=-1000, max_value=1000).map(lambda v: v / 10.0),
+        st.sampled_from(["U", "D"]),
+    ),
+    min_size=0,
+    max_size=20,
+).map(lambda rows: list({k: (k, v, o) for k, v, o in rows}.values()))
+# dict-dedup keeps ONE row per key: merge_upsert's contract is an
+# already-compacted source feed
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(_feed, st.sets(st.integers(min_value=0, max_value=9), max_size=8))
+def test_merge_upsert_broadcast_decomposition_equals_full_outer(
+    spark, feed, target_keys
+):
+    """The broadcast anti/semi decomposition and the full-outer plan are
+    two physical strategies for ONE semantics — property-pinned equal on
+    random compacted feeds against random target snapshots."""
+    target = spark.createDataFrame(
+        [(k, float(k) * 2.0) for k in sorted(target_keys)] or [(None, None)],
+        "k long, v double",
+    ).where(F.col("k").isNotNull())
+    source = spark.createDataFrame(
+        feed or [(None, None, None)], "k long, v double, op string"
+    ).where(F.col("k").isNotNull())
+    plain = sorted(map(tuple, cdc.merge_upsert(target, source, ["k"]).collect()))
+    bcast = sorted(map(tuple, cdc.merge_upsert(
+        target, source, ["k"], broadcast_source=True).collect()))
+    assert plain == bcast
