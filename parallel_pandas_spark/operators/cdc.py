@@ -97,38 +97,62 @@ def merge_upsert(
     (<= |source|, found by target LEFT SEMI broadcast(source)) splits
     the live source rows into 'update' (semi) and 'insert' (anti); the
     three legs union narrowly. Outputs are row-identical to the
-    full-outer plan (pinned in tests).
+    full-outer plan (pinned in tests, incl. NULL keys) — both plans
+    match keys NULL-SAFELY (NULL == NULL matches, as a MERGE ON clause
+    with <=> does), and row existence is probed through injected marker
+    columns so neither key NULLs nor data NULLs can masquerade as a
+    missing side.
     """
     data_cols = [c for c in target.columns if c not in keys]
     key_list = list(keys)
+
+    def _nullsafe(la: str, ra: str):
+        cond = None
+        for k in key_list:
+            c = F.col(f"{la}.{k}").eqNullSafe(F.col(f"{ra}.{k}"))
+            cond = c if cond is None else cond & c
+        return cond
+
     if broadcast_source:
         live = source.where(F.col(op_col) != F.lit(delete_op))
-        keep = target.join(
-            F.broadcast(source.select(*key_list)), key_list, "left_anti"
-        ).select(*key_list, *data_cols, F.lit("keep").alias(action_col))
-        matched = target.select(*key_list).join(
-            F.broadcast(live.select(*key_list)), key_list, "left_semi"
+        keep = (
+            target.alias("t")
+            .join(
+                F.broadcast(source.select(*key_list).alias("s")),
+                _nullsafe("t", "s"),
+                "left_anti",
+            )
+            .select(*key_list, *data_cols, F.lit("keep").alias(action_col))
         )
-        upd = live.join(F.broadcast(matched), key_list, "left_semi").select(
-            *key_list, *data_cols, F.lit("update").alias(action_col)
+        matched = (
+            target.select(*key_list).alias("t")
+            .join(
+                F.broadcast(live.select(*key_list).alias("s")),
+                _nullsafe("t", "s"),
+                "left_semi",
+            )
+            .alias("m")
         )
-        ins = live.join(F.broadcast(matched), key_list, "left_anti").select(
-            *key_list, *data_cols, F.lit("insert").alias(action_col)
+        upd = (
+            live.alias("l")
+            .join(F.broadcast(matched), _nullsafe("l", "m"), "left_semi")
+            .select(*key_list, *data_cols, F.lit("update").alias(action_col))
+        )
+        ins = (
+            live.alias("l")
+            .join(F.broadcast(matched), _nullsafe("l", "m"), "left_anti")
+            .select(*key_list, *data_cols, F.lit("insert").alias(action_col))
         )
         return keep.unionByName(upd).unionByName(ins)
-    t = target.alias("t")
-    s = source.alias("s")
-    cond = None
-    for k in keys:
-        c = F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}"))
-        cond = c if cond is None else cond & c
-    joined = t.join(s, cond, "full_outer")
-    # a source row exists iff its op is non-null (op is NOT NULL in a
-    # change feed; key columns can't distinguish existence under NULL keys)
-    s_exists = F.col(f"s.{op_col}").isNotNull()
-    # target existence: probe a key column via the t-side alias — target
-    # snapshots carry non-null keys (they are group identities)
-    t_exists = F.col(f"t.{keys[0]}").isNotNull()
+    # injected markers: key columns can be NULL and data columns can be
+    # NULL, so neither is a sound existence probe after a full outer join
+    # (self-review r10: the old probes made the two plans diverge on
+    # NULL-key rows)
+    t = target.withColumn("__t_marker", F.lit(1)).alias("t")
+    s = source.withColumn("__s_marker", F.lit(1)).alias("s")
+    joined = t.join(s, _nullsafe("t", "s"), "full_outer")
+    s_exists = F.col("s.__s_marker").isNotNull()
+    t_exists = F.col("t.__t_marker").isNotNull()
     action = (
         F.when(s_exists & ~t_exists, F.lit("insert"))
         .when(s_exists & t_exists, F.lit("update"))
@@ -141,8 +165,13 @@ def merge_upsert(
         F.when(s_exists, F.col(f"s.{c}")).otherwise(F.col(f"t.{c}")).alias(c)
         for c in data_cols
     ]
+    # coalesce: a (contract-violating) NULL op must not null the whole
+    # predicate and silently drop the row — treat it as a non-delete
+    is_delete = F.coalesce(
+        s_exists & (F.col(f"s.{op_col}") == F.lit(delete_op)), F.lit(False)
+    )
     return (
-        joined.where(~(s_exists & (F.col(f"s.{op_col}") == F.lit(delete_op))))
+        joined.where(~is_delete)
         .select(*out_key, *out_data, action.alias(action_col))
     )
 

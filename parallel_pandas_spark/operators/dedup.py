@@ -762,9 +762,18 @@ def _exact_pairs_within(
                 acc += cj[:, None] * cj[None, :]
                 nrm += cj * cj
             na = np.sqrt(nrm)
-            raw = acc / (na[:, None] * na[None, :])
+            den = na[:, None] * na[None, :]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                raw = acc / den
+            # engine parity for the keep-filter: Spark/DuckDB division
+            # by ZERO yields NULL (dropped by >=), while NaN INPUTS
+            # propagate to a NaN cosine that compares GREATEST and
+            # passes — numpy's 0/0=NaN and x/0=inf must not be kept
+            # (self-review r10: an all-zero embedding otherwise emits
+            # phantom pairs the fold path and the oracle both drop)
             ia, ib = np.nonzero(
-                (np.isnan(raw) | (raw >= threshold))
+                (den != 0)
+                & (np.isnan(raw) | (raw >= threshold))
                 & (ids[:, None] < ids[None, :])
             )
             frames.append(pd.DataFrame(

@@ -65,13 +65,19 @@ def zvalue(
         raise ValueError(f"{k} cols x {bits} bits > 63 — shrink bits")
     aggs = []
     for c in cols:
-        aggs.append(F.min(F.col(c).cast("double")).alias(f"__mn_{c}"))
-        aggs.append(F.max(F.col(c).cast("double")).alias(f"__mx_{c}"))
+        # nanvl: one NaN row would otherwise make max() return NaN
+        # (Spark ranks NaN greatest), poisoning span for EVERY row and
+        # silently collapsing the dimension to one grid cell; NaN rows
+        # themselves pin to cell 0 like NULLs (self-review r10)
+        cs = F.nanvl(F.col(c).cast("double"), F.lit(None).cast("double"))
+        aggs.append(F.min(cs).alias(f"__mn_{c}"))
+        aggs.append(F.max(cs).alias(f"__mx_{c}"))
     bounds = df.agg(*aggs)  # 1 row
     out = df.crossJoin(F.broadcast(bounds))
     z = F.lit(0).cast("long")
     for j, c in enumerate(cols):
-        g = _grid(F.col(c), F.col(f"__mn_{c}"), F.col(f"__mx_{c}"), bits)
+        cv = F.nanvl(F.col(c).cast("double"), F.lit(None).cast("double"))
+        g = _grid(cv, F.col(f"__mn_{c}"), F.col(f"__mx_{c}"), bits)
         for i in range(bits):
             z = z.bitwiseOR(
                 F.shiftleft(

@@ -165,11 +165,17 @@ def hist_state(
     map_from_entries lookup densifies the sparse counts into the fixed
     array — two narrow aggregations, no UDF."""
     b = F.col("__bin")
+    # clamp as LONG BEFORE narrowing to int: a far-out-of-domain value
+    # (or +inf) floors past 2^31 and an early int cast would wrap it
+    # into an arbitrary low bin instead of the top edge bin the clamp
+    # contract promises (self-review r10)
     idx = F.floor(
         (F.col(col).cast("double") - F.lit(lo))
         / F.lit((hi - lo) / bins)
+    )
+    idx = F.least(
+        F.greatest(idx, F.lit(0).cast("long")), F.lit(bins - 1).cast("long")
     ).cast("int")
-    idx = F.least(F.greatest(idx, F.lit(0)), F.lit(bins - 1))
     clean = df.where(
         F.col(col).isNotNull() & ~F.isnan(F.col(col).cast("double"))
     ).withColumn("__bin", idx)
@@ -218,30 +224,36 @@ def quantile_estimate(
     ``q_<col>`` as array<double> aligned with ``qs``."""
     h = F.col(f"hist_{col}")
     n = F.aggregate(h, F.lit(0).cast("bigint"), lambda a, x: a + x)
-    # cumulative counts per bin via transform over indices
     bins = F.size(h)
     width = (F.lit(hi) - F.lit(lo)) / bins.cast("double")
     outs = []
     for q in qs:
         target = (n.cast("double") * F.lit(float(q)))
-        # first index where running sum >= target: filter+array_min over
-        # indices whose prefix sum reaches the target
-        idxs = F.filter(
-            F.transform(
-                F.sequence(F.lit(1), bins),
-                lambda i: F.when(
-                    F.aggregate(
-                        F.slice(h, F.lit(1), i),
-                        F.lit(0).cast("bigint"),
-                        lambda a, x: a + x,
-                    ).cast("double")
-                    >= target,
-                    i - 1,
-                ),
-            ),
-            lambda v: v.isNotNull(),
+        # single O(bins) fold: carry (next bin index, running sum,
+        # first index whose prefix sum reached the target) — a
+        # per-index slice+re-sum would be O(bins²) per row per q
+        # (self-review r10)
+        acc0 = F.struct(
+            F.lit(0).alias("i"),
+            F.lit(0).cast("bigint").alias("cum"),
+            F.lit(-1).alias("found"),
         )
-        first = F.array_min(idxs)
+        fold = F.aggregate(
+            h,
+            acc0,
+            lambda a, x: F.struct(
+                (a.getField("i") + 1).alias("i"),
+                (a.getField("cum") + x).alias("cum"),
+                F.when(a.getField("found") >= 0, a.getField("found"))
+                .when(
+                    (a.getField("cum") + x).cast("double") >= target,
+                    a.getField("i"),
+                )
+                .otherwise(F.lit(-1))
+                .alias("found"),
+            ),
+        )
+        first = fold.getField("found")
         outs.append(
             (F.lit(lo) + first.cast("double") * width).alias(
                 f"q{str(q).replace('.', '_')}_{col}"

@@ -237,11 +237,13 @@ def write_pq_store(
     import numpy as np
     import pandas as pd
 
+    if ks > 256:
+        # check the cheap argument bound BEFORE the codebook fit — the
+        # fit runs a corpus sample collect plus optional Lloyd passes
+        raise ValueError(f"ks={ks}: uint8-packed codes need ks <= 256")
     books = similarity.pq_codebooks(
         corpus, id_col, vec_col, m=m, ks=ks, dim=dim, iters=iters
     )
-    if ks > 256:
-        raise ValueError(f"ks={ks}: uint8-packed codes need ks <= 256")
     books_np = [np.asarray(b, dtype=np.float64) for b in books]
     cn2v = _pq_cn2(books)
     id_t = corpus.schema[id_col].dataType.simpleString()

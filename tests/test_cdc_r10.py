@@ -131,21 +131,43 @@ _feed = st.lists(
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
-@given(_feed, st.sets(st.integers(min_value=0, max_value=9), max_size=8))
+@given(
+    _feed,
+    st.sets(st.integers(min_value=0, max_value=9), max_size=8),
+    st.booleans(),
+    st.booleans(),
+)
 def test_merge_upsert_broadcast_decomposition_equals_full_outer(
-    spark, feed, target_keys
+    spark, feed, target_keys, null_in_target, null_in_source
 ):
     """The broadcast anti/semi decomposition and the full-outer plan are
     two physical strategies for ONE semantics — property-pinned equal on
-    random compacted feeds against random target snapshots."""
+    random compacted feeds against random target snapshots, INCLUDING a
+    NULL key on either or both sides (both plans match keys null-safely,
+    like a MERGE ON clause with <=>)."""
+    trows = [(k, float(k) * 2.0) for k in sorted(target_keys)]
+    if null_in_target:
+        trows.append((None, -1.0))
+    srows = list(feed)
+    if null_in_source:
+        srows.append((None, -2.0, "U"))
     target = spark.createDataFrame(
-        [(k, float(k) * 2.0) for k in sorted(target_keys)] or [(None, None)],
-        "k long, v double",
-    ).where(F.col("k").isNotNull())
+        trows or [(0, 0.0)], "k long, v double"
+    )
     source = spark.createDataFrame(
-        feed or [(None, None, None)], "k long, v double, op string"
-    ).where(F.col("k").isNotNull())
-    plain = sorted(map(tuple, cdc.merge_upsert(target, source, ["k"]).collect()))
-    bcast = sorted(map(tuple, cdc.merge_upsert(
-        target, source, ["k"], broadcast_source=True).collect()))
+        srows or [(99, 9.9, "U")], "k long, v double, op string"
+    )
+    plain = sorted(
+        map(tuple, cdc.merge_upsert(target, source, ["k"]).collect()),
+        key=repr,
+    )
+    bcast = sorted(
+        map(tuple, cdc.merge_upsert(
+            target, source, ["k"], broadcast_source=True).collect()),
+        key=repr,
+    )
     assert plain == bcast
+    if null_in_target and null_in_source:
+        # null-safe match: ONE row for the NULL key, updated from source
+        nulls = [r for r in plain if r[0] is None]
+        assert nulls == [(None, -2.0, "update")]

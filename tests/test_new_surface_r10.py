@@ -364,3 +364,69 @@ def test_exact_pairs_within_length_cohorts(spark):
     got_all = {(r.id_a, r.id_b)
                for r in _exact_pairs_within(vecs, -10.0).collect()}
     assert (1, 4) not in got_all and (3, 4) not in got_all
+
+
+def test_exact_pairs_within_zero_norm_matches_engine_null(spark):
+    """Self-review r10 (code review): Spark/DuckDB division by zero
+    yields NULL (dropped by >=), so a zero-norm vector must emit NO
+    pairs from the Arrow kernel — numpy's 0/0=NaN would otherwise pass
+    the NaN keep-filter and fabricate phantom near-duplicates. NaN
+    INPUT vectors still emit (NaN cosine ranks greatest in both
+    engines)."""
+    from parallel_pandas_spark.operators.dedup import _exact_pairs_within
+
+    rows = [
+        (1, [0.0, 0.0, 0.0], 0, False),   # zero norm
+        (2, [0.0, 0.0, 0.0], 0, False),   # zero norm
+        (3, [1.0, 2.0, 2.0], 0, False),
+        (4, [2.0, 4.0, 4.0], 0, False),   # parallel to 3
+        (5, [float("nan"), 1.0, 1.0], 0, False),  # NaN INPUT
+    ]
+    vecs = spark.createDataFrame(
+        rows, "id long, v array<double>, grp int, __hasnull boolean")
+    got = {(r.id_a, r.id_b) for r in _exact_pairs_within(vecs, 0.9).collect()}
+    assert (3, 4) in got
+    # exactly-zero denominators (zero x zero, zero x clean) are NULL in
+    # both engines and must be absent
+    assert not ({(1, 2), (1, 3), (1, 4), (2, 3), (2, 4)} & got), got
+    # NaN input propagates to a NaN cosine which passes >= in both
+    # engines — including against a zero vector (0 * NaN = NaN
+    # denominator, NOT the divide-by-zero NULL case)
+    assert (3, 5) in got and (4, 5) in got
+    assert (1, 5) in got and (2, 5) in got
+
+
+def test_hist_state_far_out_of_domain_clamps_not_wraps(spark):
+    """Self-review r10 (code review): a value whose bin index floors
+    past 2^31 (or +inf) must clamp to the TOP edge bin — an early int
+    cast wrapped it into an arbitrary low bin."""
+    from parallel_pandas_spark.operators.rollup import hist_state
+
+    df = spark.createDataFrame(
+        [(0, 1.0e12), (0, float("inf")), (0, -1.0e12), (0, 0.5)],
+        "g int, x double",
+    )
+    h = hist_state(df, ["g"], "x", 0.0, 1.0, bins=128).collect()[0]["hist_x"]
+    assert h[127] == 2      # 1e12 and +inf both clamp high
+    assert h[0] == 1        # -1e12 clamps low
+    assert h[64] == 1       # 0.5 in the middle
+    assert sum(h) == 4
+
+
+def test_zvalue_nan_rows_do_not_poison_bounds(spark):
+    """Self-review r10 (code review): one NaN row must not make the
+    max() bound NaN (which collapsed the whole dimension to one grid
+    cell); NaN rows pin to cell 0 like NULLs."""
+    from parallel_pandas_spark.operators import layout
+
+    df = spark.createDataFrame(
+        [(float("nan"), 0), (0.0, 0), (15.0, 0)] + [(float(x), 0) for x in range(16)],
+        "x double, y int",
+    )
+    rows = {r.x: r["__z"] for r in layout.zvalue(df, ["x", "y"], bits=4).collect()
+            if r.x == r.x or True}
+    import math
+    nan_z = [z for x, z in rows.items() if isinstance(x, float) and math.isnan(x)]
+    assert nan_z == [0]
+    # clean values still spread over the grid (bounds not poisoned)
+    assert rows[15.0] > rows[0.0]
