@@ -3962,6 +3962,12 @@ SELECT 'shards' AS src, doc_id % 8 AS shard, COUNT(*) AS n,
   CAST(MIN(doc_id) AS BIGINT) AS id_min, CAST(MAX(doc_id) AS BIGINT) AS id_max,
   CAST(CEIL(COUNT(*)/40.0) AS BIGINT) AS n_files
 FROM documents GROUP BY doc_id % 8
+UNION ALL BY NAME
+SELECT 'zorder' AS src, l_returnflag, COUNT(*) AS n,
+  CAST(SUM(CAST(l_orderkey AS DECIMAL(38,0))) AS DOUBLE) AS key_sum
+FROM lineitem
+WHERE l_partkey <= 1000 AND l_quantity BETWEEN 10 AND 20
+GROUP BY l_returnflag
 """,
 )
 def csv_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4082,9 +4088,34 @@ def csv_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id_min", "id_max", "n_files",
     )
 
+    # z-order clustered sink (r10, operators/layout.py): Morton-curve
+    # layout over (l_partkey, l_quantity), read back through the 2-d box
+    # predicate the layout exists to serve — parquet row-group min/max
+    # stats prune on BOTH dimensions (measured in tests/test_layout_r10);
+    # the oracle recomputes the aggregate from the raw table, proving the
+    # re-layout lost nothing and the pruned read sees exactly the box
+    from parallel_pandas_spark.operators import layout as _layout
+
+    liz = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity", "l_returnflag"
+    )
+    z_path = base + "/li_zorder"
+    _layout.zorder_write(liz, z_path, ["l_partkey", "l_quantity"],
+                         num_files=8, bits=16)
+    z_agg = (
+        spark.read.parquet(z_path)
+        .where(
+            (F.col("l_partkey") <= 1000)
+            & F.col("l_quantity").between(10, 20)
+        )
+        .groupBy("l_returnflag")
+        .agg(F.count("*").alias("n"), det.idsum("l_orderkey").alias("key_sum"))
+    )
+
     return _pad_union(
         [("files", f_agg), ("inmem", m_agg), ("bucketed", b_agg),
-         ("progress", p_row), ("hive", h_agg), ("shards", s_agg)]
+         ("progress", p_row), ("hive", h_agg), ("shards", s_agg),
+         ("zorder", z_agg)]
     )
 
 
