@@ -163,7 +163,9 @@ def hist_state(
     bin width. Shape: each row computes its single bin index JVM-side,
     a grouped count collapses (keys, bin) with map-side partials, and a
     map_from_entries lookup densifies the sparse counts into the fixed
-    array — two narrow aggregations, no UDF."""
+    array — two narrow aggregations, no UDF. A key group with NO clean
+    rows (all NULL/NaN) emits no state row at all, matching how such a
+    group contributes nothing mergeable."""
     b = F.col("__bin")
     # clamp as LONG BEFORE narrowing to int: a far-out-of-domain value
     # (or +inf) floors past 2^31 and an early int cast would wrap it
