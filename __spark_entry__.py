@@ -4720,8 +4720,15 @@ def _rollup_grain_sql(group_cols: list[str], tag: str) -> str:
     ``*_sql`` twins — the merged-state finalize must equal a from-raw
     deterministic aggregation bit-for-bit."""
     specs = {"l_quantity": (6, 4), "l_extendedprice": (2, 2)}
+    # xmax selects the COMPACT var/std SQL twin (one rounding: RN of the
+    # single DECIMAL(38,0) sum), matching rollup.finalize's rounding
+    # structure exactly at ANY row count. Without it _wide_for picks the
+    # hi/lo twin whose second rounding diverges once a group's lo-word
+    # sum passes 2^53 (~4M rows/group) — spurious sweep reds at large sf.
+    xmaxes = {"l_quantity": 100.0, "l_extendedprice": 2e5}
     cols_sql = []
     for c, (s, s2) in specs.items():
+        xm = xmaxes[c]
         nn = det._nobs_sql(c)
         cols_sql.append(f"{nn} AS count_{c}")
         cols_sql.append(f"{det.dsum_sql(c, s)} AS sum_{c}")
@@ -4732,8 +4739,8 @@ def _rollup_grain_sql(group_cols: list[str], tag: str) -> str:
         )
         cols_sql.append(f"MIN({nan_safe}) AS min_{c}")
         cols_sql.append(f"MAX({nan_safe}) AS max_{c}")
-        cols_sql.append(f"{det.dvar_sql(c, s, s2)} AS var_{c}")
-        cols_sql.append(f"{det.dstd_sql(c, s, s2)} AS std_{c}")
+        cols_sql.append(f"{det.dvar_sql(c, s, s2, xmax=xm)} AS var_{c}")
+        cols_sql.append(f"{det.dstd_sql(c, s, s2, xmax=xm)} AS std_{c}")
     gb = ", ".join(group_cols)
     return (
         f"SELECT '{tag}' AS grain, {gb}, " + ", ".join(cols_sql)

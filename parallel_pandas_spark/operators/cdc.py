@@ -47,6 +47,7 @@ def cdc_compact(
     op_col: str = "op",
     delete_op: str = "D",
     drop_deleted: bool = True,
+    salt_buckets: int | None = None,
 ) -> DataFrame:
     """Latest live row per key from a change log.
 
@@ -57,7 +58,31 @@ def cdc_compact(
     Single hash-partitioned window pass — the 100 TB plan is one
     exchange on the key, and AQE's skew split handles a hot key the
     same way it does for the grouped aggregations.
+
+    ``salt_buckets``: a window over one WHALE key (one key holding a
+    large share of the log) is the one shape AQE cannot split — the
+    whole key's rows land on one task. Passing ``salt_buckets=N``
+    decomposes the compaction into two passes that BOTH split: latest
+    row per (key, salt) — salt = deterministic hash of the order tuple
+    mod N, so a hot key fans out over N tasks — then latest-of-latest
+    per key over the <=N survivors. The result is identical because the
+    global per-key max of the order tuple is the max over the per-salt
+    maxima (``order`` ends in a unique tiebreaker, so the argmax row is
+    unique). Measured crossover in SCALE.md (tools/skew_study.py shape
+    #3): worth it only when one key dominates; the default single pass
+    wins on uniform keys.
     """
+    if salt_buckets is not None and salt_buckets > 1:
+        salt = F.pmod(F.hash(*[F.col(c) for c in order]), F.lit(salt_buckets))
+        w1 = Window.partitionBy(*keys, "__salt").orderBy(
+            *[F.col(c).desc() for c in order]
+        )
+        log = (
+            log.withColumn("__salt", salt)
+            .withColumn("__rn", F.row_number().over(w1))
+            .where(F.col("__rn") == 1)
+            .drop("__rn", "__salt")
+        )
     w = _latest_window(keys, order)
     out = (
         log.withColumn("__rn", F.row_number().over(w))
@@ -65,7 +90,9 @@ def cdc_compact(
         .drop("__rn")
     )
     if drop_deleted:
-        out = out.where(F.col(op_col) != F.lit(delete_op))
+        # null-safe: a contract-violating NULL op is a non-delete (same
+        # decision merge_upsert documents), not a silently-dropped row
+        out = out.where(~F.col(op_col).eqNullSafe(F.lit(delete_op)))
     return out
 
 
@@ -114,7 +141,11 @@ def merge_upsert(
         return cond
 
     if broadcast_source:
-        live = source.where(F.col(op_col) != F.lit(delete_op))
+        # null-safe: the full-outer plan coalesces a NULL op to non-delete
+        # (line ~170); filtering live with plain != would drop NULL-op rows
+        # from the update/insert legs while their keys still suppressed the
+        # 'keep' leg — the key would vanish and the plans would diverge
+        live = source.where(~F.col(op_col).eqNullSafe(F.lit(delete_op)))
         keep = (
             target.alias("t")
             .join(

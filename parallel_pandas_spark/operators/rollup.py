@@ -166,6 +166,12 @@ def hist_state(
     array — two narrow aggregations, no UDF. A key group with NO clean
     rows (all NULL/NaN) emits no state row at all, matching how such a
     group contributes nothing mergeable."""
+    if not lo < hi:
+        raise ValueError(
+            f"hist_state requires lo < hi, got lo={lo!r} hi={hi!r}"
+        )
+    if bins < 1:
+        raise ValueError(f"hist_state requires bins >= 1, got {bins!r}")
     b = F.col("__bin")
     # clamp as LONG BEFORE narrowing to int: a far-out-of-domain value
     # (or +inf) floors past 2^31 and an early int cast would wrap it

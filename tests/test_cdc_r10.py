@@ -43,6 +43,46 @@ def test_cdc_compact_tombstone_wins_and_ties_break_on_order(spark):
         (1, "U"), (2, "D"), (3, "U")}
 
 
+def test_cdc_compact_null_op_is_non_delete(spark):
+    """A contract-violating NULL op on the latest row is treated as a
+    non-delete (same decision merge_upsert documents), not silently
+    dropped by a NULL predicate (ADVICE r10)."""
+    log = _log(spark, [
+        (1, _ts(0), 1.0, "U"),
+        (1, _ts(5), 2.0, None),   # latest has NULL op -> kept
+        (2, _ts(0), 3.0, "D"),    # latest is a real tombstone -> dropped
+    ])
+    out = cdc.cdc_compact(log, ["k"], ["ts", "v"]).collect()
+    assert [(r.k, r.v, r.op) for r in out] == [(1, 2.0, None)]
+
+
+def test_cdc_compact_salted_equals_unsalted_on_whale_key(spark):
+    """salt_buckets decomposes the one-window-per-key pass into two
+    passes that both split; result identical because the per-key argmax
+    of a UNIQUE order tuple is the max over per-salt maxima."""
+    rows = []
+    # whale key 1 holds ~60% of the log; keys 2..5 share the rest
+    for i in range(300):
+        rows.append((1, _ts(i), float(i), "D" if i == 37 else "U"))
+    for k in range(2, 6):
+        for i in range(50):
+            rows.append((k, _ts(i), float(k * 1000 + i), "U"))
+    rows.append((6, _ts(99), 9.0, "D"))  # tombstone-latest key vanishes
+    log = _log(spark, rows).repartition(8)
+    plain = sorted(map(tuple, cdc.cdc_compact(log, ["k"], ["ts", "v"]).collect()))
+    for nb in (2, 7):
+        salted = sorted(map(tuple, cdc.cdc_compact(
+            log, ["k"], ["ts", "v"], salt_buckets=nb).collect()))
+        assert salted == plain
+    # feed mode (keep tombstones) must agree too
+    plain_feed = sorted(map(tuple, cdc.cdc_compact(
+        log, ["k"], ["ts", "v"], drop_deleted=False).collect()))
+    salted_feed = sorted(map(tuple, cdc.cdc_compact(
+        log, ["k"], ["ts", "v"], drop_deleted=False, salt_buckets=4
+    ).collect()))
+    assert salted_feed == plain_feed
+
+
 def test_merge_upsert_four_action_quadrants(spark):
     target = spark.createDataFrame(
         [(1, 10.0), (2, 20.0), (3, 30.0)], "k long, v double")
@@ -117,7 +157,10 @@ _feed = st.lists(
     st.tuples(
         st.integers(min_value=0, max_value=12),
         st.integers(min_value=-1000, max_value=1000).map(lambda v: v / 10.0),
-        st.sampled_from(["U", "D"]),
+        # None = a contract-violating NULL op: both plans must treat it
+        # as a non-delete (ADVICE r10 — the broadcast plan used to drop
+        # the key entirely while full-outer emitted update/insert)
+        st.sampled_from(["U", "D", None]),
     ),
     min_size=0,
     max_size=20,

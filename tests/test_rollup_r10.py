@@ -157,3 +157,19 @@ def test_histogram_state_merges_exactly_and_bounds_quantile_error(spark):
     df2 = spark.createDataFrame([(0, 999.0), (0, -5.0)], "g int, x double")
     h2 = hist_state(df2, ["g"], "x", LO, HI, bins=B).collect()[0]["hist_x"]
     assert h2[-1] == 1 and h2[0] == 1
+
+
+def test_hist_state_rejects_degenerate_domain(spark):
+    """lo >= hi or bins < 1 raise a named ValueError at call time, not a
+    ZeroDivisionError buried in expression build (ADVICE r10)."""
+    import pytest
+
+    from parallel_pandas_spark.operators.rollup import hist_state
+
+    df = _rows(spark)
+    with pytest.raises(ValueError, match="lo < hi"):
+        hist_state(df, ["g"], "x", 5.0, 5.0, bins=8)
+    with pytest.raises(ValueError, match="lo < hi"):
+        hist_state(df, ["g"], "x", 9.0, 1.0, bins=8)
+    with pytest.raises(ValueError, match="bins >= 1"):
+        hist_state(df, ["g"], "x", 0.0, 1.0, bins=0)
