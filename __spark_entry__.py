@@ -25,6 +25,7 @@ from parallel_pandas_spark.operators import (
     dedup,
     elementwise,
     grouped,
+    incremental,
     joins,
     kendall,
     multimodal,
@@ -6834,7 +6835,7 @@ FROM sp WHERE split = 'test' GROUP BY split
 """
 
 
-@_q("corpus_build_pipeline", _corpus_build_oracle())
+@_q("corpus_build_fullarm", _corpus_build_oracle())
 def corpus_build_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end training-corpus build — the showcase that the pipeline
     operators COMPOSE: quality-score filter (text.py) → (r7) Gopher
@@ -6906,6 +6907,183 @@ def corpus_build_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_docs", "sum_chars", "sum_ids",
     )
     return train_agg.unionByName(test_agg)
+
+
+# --- incremental corpus maintenance (r11) -------------------------------
+
+_INC_GATE = 64           # corpus admission gate: n_chars >= gate
+_INC_UPD = 90            # updates shrink n_chars by this (some fall below)
+_INC_OFF = 10_000_000    # synthetic duplicate-copy id offset
+_INC_SPEC = {"n_chars": (0, 0)}  # integer column: scale 0 is exact
+
+
+def _inc_feed(base: DataFrame) -> DataFrame:
+    """Deterministic day-sized CDC feed derived from the documents table
+    (both engines construct it identically): superseded tombstones (the
+    later 'U' must win compaction), new-doc ingests, deletes of standing
+    docs, value updates (some falling below the admission gate =
+    effective deletes), and duplicate-content copies at HIGHER ids (the
+    standing keeper must suppress them) and LOWER ids (they must REPLACE
+    the standing keeper) — every dedup/CDC interaction the incremental
+    theorem has to get right. (ts) is unique per key by construction."""
+    standing = base.where(F.col("doc_id") % 7 != 0)
+
+    def _leg(df, ts, op, doc_id=None, n_chars=None):
+        return df.select(
+            (doc_id if doc_id is not None else F.col("doc_id")).alias("doc_id"),
+            "text", "lang",
+            (n_chars if n_chars is not None else F.col("n_chars")).alias("n_chars"),
+            F.lit(ts).alias("ts"), F.lit(op).alias("op"),
+        )
+
+    did, nch = F.col("doc_id"), F.col("n_chars")
+    legs = [
+        _leg(base.where(did % 14 == 0), 0, "D"),
+        _leg(base.where(did % 7 == 0), 1, "U"),
+        _leg(standing.where(did % 11 == 2), 1, "D"),
+        _leg(standing.where(did % 13 == 1), 2, "U", n_chars=nch - _INC_UPD),
+        _leg(standing.where(did % 19 == 4), 1, "U", doc_id=did + _INC_OFF),
+        _leg(standing.where(did % 19 == 6), 1, "U", doc_id=did - _INC_OFF),
+    ]
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out
+
+
+def _inc_standing(base: DataFrame):
+    """Yesterday's build: the standing (docindex, corpus, rollup state)
+    artifacts a production pipeline would read from storage. Checkpointed
+    so the incremental section neither re-executes nor fuses with the
+    build plan — the local analogue of the parquet boundary."""
+    standing = base.where(F.col("doc_id") % 7 != 0)
+    docindex = standing.where(F.col("n_chars") >= _INC_GATE).select(
+        "doc_id", "lang", "n_chars",
+        text.fingerprint_md5("text").alias("fp"),
+    ).localCheckpoint(eager=False)
+    corpus = incremental.keepers(docindex).localCheckpoint(eager=False)
+    state = rollup.agg_state(corpus, ["lang"], _INC_SPEC).localCheckpoint(
+        eager=False
+    )
+    return docindex, corpus, state
+
+
+def _inc_oracle() -> str:
+    nobs = det._nobs_sql("n_chars")
+    return f"""
+WITH base AS (SELECT doc_id, text, lang, n_chars FROM documents),
+standing AS (SELECT * FROM base WHERE doc_id % 7 <> 0),
+feed AS (
+  SELECT doc_id, text, lang, n_chars, 0 AS ts, 'D' AS op FROM base WHERE doc_id % 14 = 0
+  UNION ALL SELECT doc_id, text, lang, n_chars, 1, 'U' FROM base WHERE doc_id % 7 = 0
+  UNION ALL SELECT doc_id, text, lang, n_chars, 1, 'D' FROM standing WHERE doc_id % 11 = 2
+  UNION ALL SELECT doc_id, text, lang, n_chars - {_INC_UPD}, 2, 'U' FROM standing WHERE doc_id % 13 = 1
+  UNION ALL SELECT doc_id + {_INC_OFF}, text, lang, n_chars, 1, 'U' FROM standing WHERE doc_id % 19 = 4
+  UNION ALL SELECT doc_id - {_INC_OFF}, text, lang, n_chars, 1, 'U' FROM standing WHERE doc_id % 19 = 6
+),
+compacted AS (
+  SELECT doc_id, text, lang, n_chars, op FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY ts DESC) AS rn
+    FROM feed
+  ) WHERE rn = 1
+),
+effective AS (
+  SELECT s.doc_id, s.text, s.lang, s.n_chars FROM standing s
+   WHERE s.doc_id NOT IN (SELECT doc_id FROM compacted)
+  UNION ALL
+  SELECT doc_id, text, lang, n_chars FROM compacted WHERE op <> 'D'
+),
+live AS (
+  SELECT doc_id, lang, n_chars, md5({_NORM_SQL}) AS fp
+  FROM effective WHERE n_chars >= {_INC_GATE}
+),
+keep AS (
+  SELECT doc_id, lang, n_chars FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+    FROM live
+  ) WHERE rn = 1
+)
+SELECT lang, COUNT(*) AS n_docs,
+  CAST(SUM(CAST(doc_id AS DECIMAL(38,0))) AS DOUBLE) AS sum_ids,
+  {nobs} AS count_n_chars,
+  {det.dsum_sql("n_chars", 0)} AS sum_n_chars,
+  {det.dmean_sql("n_chars", 0)} AS mean_n_chars,
+  {det.dvar_sql("n_chars", 0, 0, xmax=1e5)} AS var_n_chars,
+  {det.dstd_sql("n_chars", 0, 0, xmax=1e5)} AS std_n_chars
+FROM keep GROUP BY lang
+"""
+
+
+@_q("corpus_incremental_arm", _inc_oracle())
+def corpus_incremental_arm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental corpus maintenance end-to-end (operators/
+    incremental.py): a compacted CDC feed (cdc.cdc_compact) is applied to
+    the standing deduplicated corpus via merge_upsert's broadcast
+    decomposition, keepers are recomputed ONLY for affected fingerprints,
+    and the per-language rollup refreshes by exact integer RETRACTION
+    (rollup.negate_state) — the snapshot is scanned but never shuffled,
+    and nothing rescans the corpus to refresh the stats. The oracle is
+    the FROM-SCRATCH rebuild on the changed input, so a green hash IS the
+    incremental-maintenance theorem, value-checked: membership (count +
+    id checksum per lang) and count/sum/mean/var/std of n_chars all
+    bit-match a rebuild."""
+    base = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "n_chars"
+    )
+    docindex, corpus, state = _inc_standing(base)
+    compacted = cdc.cdc_compact(
+        _inc_feed(base), ["doc_id"], ["ts"], drop_deleted=False
+    )
+    # gate + fingerprint the feed; a live row failing the admission gate
+    # becomes a delete (membership is gate-conditional)
+    src = compacted.select(
+        "doc_id", "lang", "n_chars",
+        text.fingerprint_md5("text").alias("fp"),
+        F.when(
+            F.col("op").eqNullSafe(F.lit("D"))
+            | (F.col("n_chars") < _INC_GATE),
+            F.lit("D"),
+        ).otherwise(F.lit("U")).alias("op"),
+    ).localCheckpoint(eager=False)
+    _, corpus2, added, removed = incremental.refresh_corpus(
+        docindex, corpus, src
+    )
+    state2 = rollup.merge_state(
+        state.unionByName(rollup.agg_state(added, ["lang"], _INC_SPEC))
+        .unionByName(
+            rollup.negate_state(
+                rollup.agg_state(removed, ["lang"], _INC_SPEC), ["n_chars"]
+            )
+        ),
+        ["lang"],
+        ["n_chars"],
+    )
+    stats = rollup.finalize(
+        state2, ["lang"], _INC_SPEC, extrema=False
+    ).where(F.col("count_n_chars") > 0)
+    members = corpus2.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col("doc_id").cast("decimal(38,0)"))
+        .cast("double")
+        .alias("sum_ids"),
+    )
+    return members.join(F.broadcast(stats), "lang")
+
+
+_cbfn, _cbsql = _compose_union(
+    [
+        ("build", "corpus_build_fullarm"),
+        ("incremental", "corpus_incremental_arm"),
+    ]
+)
+_cbfn.__doc__ = """Corpus lifecycle battery: the from-scratch five-stage
+build (quality -> gopher -> dedup -> sample/split -> pack) plus (r11) the
+INCREMENTAL maintenance path — CDC compaction, broadcast merge into the
+standing doc index, affected-fingerprint keeper recomputation, and exact
+retraction-based rollup refresh — oracled against the from-scratch
+rebuild it must equal."""
+_q("corpus_build_pipeline", _cbsql)(_cbfn)
+_retire("corpus_build_fullarm", "corpus_incremental_arm")
 
 
 #: Registration order of the first 50 entries — the driver's correctness

@@ -137,6 +137,32 @@ def merge_state(
     return state.groupBy(*keys).agg(*aggs)
 
 
+def negate_state(state: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """Retraction: negate a state's count and power sums so merging it
+    SUBTRACTS those rows — exact, because the state is integers (negation
+    and addition of DECIMAL(38,0) are exact for any magnitude the state
+    can hold), so ``merge(state, negate(state(removed)))`` is
+    bit-identical to a state built without the removed rows. Extrema are
+    NULLed: min/max do not retract (removing the max invalidates it) and
+    F.min/F.max skip NULLs, so a later merge silently keeps the STALE
+    extremum — finalize(extrema=False) is the honest read-out after any
+    retraction (asserted here only by documentation; the incremental
+    arm's oracle would catch a stale-extremum read-out immediately).
+    HLL sketches do not retract either and are not carried through."""
+    out = [F.col(c) for c in state.columns if not any(
+        c.startswith(p) for p in ("n_", "s1_", "s2_", "mn_", "mx_", "hll_")
+    )]
+    for col in cols:
+        out.extend([
+            (-F.col(f"n_{col}")).alias(f"n_{col}"),
+            (-F.col(f"s1_{col}")).alias(f"s1_{col}"),
+            (-F.col(f"s2_{col}")).alias(f"s2_{col}"),
+            F.lit(None).cast("double").alias(f"mn_{col}"),
+            F.lit(None).cast("double").alias(f"mx_{col}"),
+        ])
+    return state.select(*out)
+
+
 def distinct_estimate(state: DataFrame, col: str) -> DataFrame:
     """Read the approximate distinct count out of a state's HLL sketch
     column as ``nunique_<col>`` (long)."""
@@ -275,12 +301,15 @@ def finalize(
     keys: Sequence[str],
     cols: dict[str, tuple[int, int]],
     ddof: int = 1,
+    extrema: bool = True,
 ) -> DataFrame:
     """Scalar statistics from state — the same closed forms as det.dsum/
     dmean/dvar/dstd evaluated on the (exact) merged power sums, so the
     doubles are bit-identical to a direct deterministic aggregation of
     the raw rows: sum = S1/10^s, mean = sum/n, var = (S2/10^s2 −
-    sum²/n)/(n−ddof), std = sqrt(var)."""
+    sum²/n)/(n−ddof), std = sqrt(var). ``extrema=False`` omits min/max —
+    required after any :func:`negate_state` retraction merge, where the
+    merged extrema may be stale."""
     out: list = [F.col(k) for k in keys]
     for col, (scale, sq_scale) in cols.items():
         n = F.col(f"n_{col}")
@@ -292,8 +321,13 @@ def finalize(
             n.alias(f"count_{col}"),
             s1.alias(f"sum_{col}"),
             (s1 / nd).alias(f"mean_{col}"),
-            F.col(f"mn_{col}").alias(f"min_{col}"),
-            F.col(f"mx_{col}").alias(f"max_{col}"),
+        ])
+        if extrema:
+            out.extend([
+                F.col(f"mn_{col}").alias(f"min_{col}"),
+                F.col(f"mx_{col}").alias(f"max_{col}"),
+            ])
+        out.extend([
             var.alias(f"var_{col}"),
             F.sqrt(var).alias(f"std_{col}"),
         ])

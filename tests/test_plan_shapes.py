@@ -159,8 +159,11 @@ def test_packing_single_exchange(spark, qs):
 def test_corpus_pipeline_shuffle_budget(spark, qs):
     """Five-stage pipeline: only the dedup window and the pack bucket move
     full data; the two result aggregations shuffle final counters. Any
-    fifth exchange means a narrow stage (filter/sample/split) regressed."""
-    df = qs["corpus_build_pipeline"](spark, SF)
+    fifth exchange means a narrow stage (filter/sample/split) regressed.
+    (r11: the registered query is now a battery; the budget applies to
+    the from-scratch build arm.)"""
+    build = dict(qs["corpus_build_pipeline"].__arms__)["build"]
+    df = build(spark, SF)
     txt = _txt(df)
     assert "Exchange SinglePartition" not in txt, txt
     assert txt.count("Exchange (") <= 4, txt
