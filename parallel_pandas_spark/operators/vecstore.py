@@ -59,24 +59,11 @@ from parallel_pandas_spark.operators.similarity import (
 )
 
 
-def write_vector_store(
-    corpus: DataFrame,
-    path: str,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    dim: int = 64,
-    bits: int = 8,
-    shards: int = 8,
-) -> None:
-    """Materialize the int8 quantized store (see module docstring).
-
-    One Arrow pass over the corpus — quantize (bit-identical to the HOF
-    expressions via the shared numpy core), pack to d-byte binary, fold
-    the exact Σcode² norm — then one shuffle into ``shards`` hive
-    partitions. Undecodable vectors keep their row with NULL
-    codes/scale/norm: the store is a full mirror of the corpus ids, so
-    store-side top-k reproduces the in-flight NULL-tail semantics
-    exactly."""
+def _int8_encode(corpus: DataFrame, id_col: str, vec_col: str, dim: int, bits: int) -> DataFrame:
+    """One Arrow encode pass shared by the initial write and APPEND: per
+    row quantization is independent of every other row, so codes written
+    at ingest, at append, or by a full rebuild are bit-identical — the
+    property the lifecycle tests pin."""
     import numpy as np
     import pandas as pd
 
@@ -117,10 +104,229 @@ def write_vector_store(
                  "codes": codes}
             )
 
-    store = src.mapInPandas(
+    return src.mapInPandas(
         gen, f"{id_col} {id_t}, scale double, norm double, codes binary"
+    )
+
+
+def write_vector_store(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    bits: int = 8,
+    shards: int = 8,
+) -> None:
+    """Materialize the int8 quantized store (see module docstring).
+
+    One Arrow pass over the corpus — quantize (bit-identical to the HOF
+    expressions via the shared numpy core), pack to d-byte binary, fold
+    the exact Σcode² norm — then one shuffle into ``shards`` hive
+    partitions. Undecodable vectors keep their row with NULL
+    codes/scale/norm: the store is a full mirror of the corpus ids, so
+    store-side top-k reproduces the in-flight NULL-tail semantics
+    exactly."""
+    store = _with_seq(
+        _int8_encode(corpus, id_col, vec_col, dim, bits), 0
     ).withColumn("shard", F.pmod(F.xxhash64(F.col(id_col)), F.lit(shards)))
     write_partitioned(store, path, "shard")
+
+
+# --- lifecycle: append / delete / load ------------------------------------
+# A real dedup/retrieval pipeline ingests new documents and removes old
+# ones daily; a write-once store would force a full re-quantization pass
+# per day. The lifecycle contract (pinned in tests): after any sequence
+# of appends and deletes, scoring from the store is BIT-IDENTICAL to
+# scoring from a store rebuilt from the surviving corpus — appends
+# re-encode only the new rows with the shared per-row encoder, and
+# deletes are id tombstones filtered out BEFORE top-k selection (so k is
+# never starved by deleted neighbors).
+
+_TOMBSTONES = ".tombstones"
+
+
+def _tomb_path(path: str) -> str:
+    """Tombstones live in a SIBLING directory (``<store>.tombstones``):
+    Spark's file index silently ignores underscore/dot-prefixed entries
+    inside a read path, and a plainly-named subdirectory would be picked
+    up as store data — a sibling is the only layout that is both
+    readable directly and invisible to the store scan."""
+    return path.rstrip("/") + _TOMBSTONES
+
+
+def store_shard_count(path: str) -> int:
+    """Shard count of an existing store, from its hive directory names
+    (plan-time cheap: a directory listing, no data read)."""
+    import glob
+    import os
+
+    dirs = glob.glob(os.path.join(path, "shard=*"))
+    if not dirs:
+        raise ValueError(f"no shard=* directories under {path!r}")
+    return max(int(d.rsplit("=", 1)[1]) for d in dirs) + 1
+
+
+def _store_rows(path: str) -> int:
+    """Measured row count from parquet footers (no Spark job)."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    return sum(
+        pq.ParquetFile(f).metadata.num_rows
+        for f in glob.glob(os.path.join(path, "shard=*", "*.parquet"))
+    )
+
+
+def _max_seq(path: str) -> int:
+    """Largest ``seq`` in the store, read from parquet FOOTER column
+    statistics (no data pages touched, no Spark job). A store written
+    before the lifecycle layer has no seq column — it reads as epoch 0,
+    which is exactly how :func:`load_vector_store` treats it."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    best = 0
+    for f in glob.glob(os.path.join(path, "shard=*", "*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        if "seq" not in idx:
+            continue
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx["seq"]).statistics
+            if st is not None and st.max is not None:
+                best = max(best, int(st.max))
+    return best
+
+
+def _with_seq(df: DataFrame, seq: int) -> DataFrame:
+    return df.withColumn("seq", F.lit(int(seq)).cast("long"))
+
+
+def append_vector_store(
+    new_vectors: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    bits: int = 8,
+    rows_per_shard: int = 1_000_000,
+) -> int:
+    """Shard-aligned append: encode ONLY the new vectors (one Arrow pass
+    over the feed, never the standing store) and land each row in its
+    hashed shard directory — the same ``pmod(xxhash64(id), shards)`` the
+    initial write used, so readers' shard pruning stays valid. Appended
+    rows carry the next sequence EPOCH (max stored seq + 1, from parquet
+    footer stats), which makes delete-then-append the store's upsert:
+    the old row stays shadowed by its tombstone, the new row outlives it
+    (LSM semantics — see :func:`delete_from_vector_store`).
+
+    Re-sharding: when the MEASURED post-append rows/shard crosses
+    ``rows_per_shard`` (parquet footers + a feed-sized count — the
+    vecstore sizing rule), the store is rewritten from its own CODES
+    (no re-quantization) at the derived shard count. The rewrite stages
+    to a sibling directory and swaps — the local analogue of publishing
+    a new store version directory; seqs and tombstones survive it
+    unchanged. Returns the store's shard count.
+
+    Contract: an id must not be appended while LIVE (delete first to
+    upsert); appending a live id duplicates its row.
+    """
+    import os
+    import shutil
+
+    spark = new_vectors.sparkSession
+    shards = store_shard_count(path)
+    n_new = new_vectors.count()
+    total = _store_rows(path) + n_new
+    seq = _max_seq(path) + 1
+    enc = _with_seq(_int8_encode(new_vectors, id_col, vec_col, dim, bits), seq)
+    if total > rows_per_shard * shards:
+        new_shards = max(shards + 1, -(-total // rows_per_shard))
+        base = spark.read.parquet(path).drop("shard")
+        if "seq" not in base.columns:  # pre-lifecycle store: epoch 0
+            base = _with_seq(base, 0)
+        merged = base.unionByName(enc).withColumn(
+            "shard", F.pmod(F.xxhash64(F.col(id_col)), F.lit(new_shards))
+        )
+        tmp = path.rstrip("/") + ".reshard.tmp"
+        write_partitioned(merged, tmp, "shard")
+        # swap: keep non-shard sidecars (tombstones, markers) in place
+        for d in os.listdir(path):
+            if d.startswith("shard="):
+                shutil.rmtree(os.path.join(path, d))
+        for d in os.listdir(tmp):
+            if d.startswith("shard="):
+                os.rename(os.path.join(tmp, d), os.path.join(path, d))
+        shutil.rmtree(tmp)
+        return new_shards
+    out = enc.withColumn(
+        "shard", F.pmod(F.xxhash64(F.col(id_col)), F.lit(shards))
+    )
+    # appending to a pre-lifecycle store would mix seq-less and seq-ful
+    # files; promote the schema by rewriting nothing — readers coalesce a
+    # missing seq to 0 via mergeSchema at load
+    out.write.mode("append").partitionBy("shard").parquet(path)
+    return shards
+
+
+def delete_from_vector_store(
+    spark: SparkSession, path: str, ids, id_col: str = "vec_id"
+) -> None:
+    """Tombstone the given ids (list or single-column DataFrame): an
+    id-sized append to ``<path>.tombstones`` — the store's data files
+    are immutable. Each tombstone records the store's CURRENT max seq:
+    it shadows every row of that id at or below that epoch, while a
+    LATER append of the same id (higher seq) outlives it — LSM
+    semantics, so no tombstone ever needs editing. Readers
+    (:func:`load_vector_store`) apply tombstones with a broadcast join
+    BEFORE any scoring, so deleted vectors can neither rank nor starve
+    k. Physical reclamation of heavily-tombstoned shards is the same
+    move as the re-shard rewrite and left to store maintenance."""
+    seq = _max_seq(path)
+    if isinstance(ids, DataFrame):
+        df = ids.select(id_col)
+    else:
+        id_t = "bigint" if all(isinstance(i, int) for i in ids) else "string"
+        df = spark.createDataFrame([(i,) for i in ids], f"{id_col} {id_t}")
+    _with_seq(df, seq).coalesce(1).write.mode("append").parquet(
+        _tomb_path(path)
+    )
+
+
+def load_vector_store(
+    spark: SparkSession, path: str, id_col: str = "vec_id"
+) -> DataFrame:
+    """The store's LIVE rows: the hive-partitioned codes minus rows
+    shadowed by a tombstone of equal-or-higher epoch (broadcast join —
+    the tombstone side is id-sized). This is what the scorers should
+    read after any lifecycle operation; :func:`quantized_topk_from_store`
+    calls it automatically when given a path. The ``seq`` bookkeeping
+    column is dropped from the result."""
+    import os
+
+    tpath = _tomb_path(path)
+    has_tombs = os.path.isdir(tpath)
+    # mergeSchema: an appended store can mix pre-lifecycle (seq-less)
+    # and current files; missing seq reads as NULL -> epoch 0
+    base = spark.read.option("mergeSchema", "true").parquet(path)
+    if "seq" not in base.columns:
+        base = _with_seq(base, 0)
+    base = base.withColumn("seq", F.coalesce(F.col("seq"), F.lit(0).cast("long")))
+    if has_tombs:
+        tombs = spark.read.parquet(tpath).groupBy(id_col).agg(
+            F.max("seq").alias("__tseq")
+        )
+        base = (
+            base.join(F.broadcast(tombs), on=id_col, how="left")
+            .where(F.col("__tseq").isNull() | (F.col("seq") > F.col("__tseq")))
+            .drop("__tseq")
+        )
+    return base.drop("seq")
 
 
 def quantized_topk_from_store(
@@ -146,7 +352,10 @@ def quantized_topk_from_store(
     DataFrame: a resident session (or a catalog table) holds the file
     index once instead of re-listing the partition directories on every
     query — at a 2k-row fixture the re-listing costs more than the whole
-    scoring job."""
+    scoring job. A path string loads via :func:`load_vector_store`, so
+    tombstoned ids are excluded BEFORE the top-k (k never starved); a
+    DataFrame is the caller's responsibility (pass
+    ``load_vector_store(...)`` after lifecycle operations)."""
     import numpy as np
 
     qmax = float((1 << (bits - 1)) - 1)
@@ -156,7 +365,7 @@ def quantized_topk_from_store(
     base = (
         store_path
         if isinstance(store_path, DataFrame)
-        else spark.read.parquet(store_path)
+        else load_vector_store(spark, store_path, id_col)
     )
     store = base.select(id_col, "norm", "codes")
     id_t = store.schema[id_col].dataType.simpleString()
@@ -274,8 +483,8 @@ def write_pq_store(
                 }
             )
 
-    store = src.mapInPandas(
-        gen, f"{id_col} {id_t}, codes binary, rn2 double"
+    store = _with_seq(
+        src.mapInPandas(gen, f"{id_col} {id_t}, codes binary, rn2 double"), 0
     ).withColumn("shard", F.pmod(F.xxhash64(F.col(id_col)), F.lit(shards)))
     write_partitioned(store, f"{path}/codes", "shard")
     # codebooks: m·ks tiny rows — one flat parquet beside the codes
@@ -328,7 +537,7 @@ def pq_topk_from_store(
     dsub = books[0].shape[1]
     dim = m * dsub
     qids, luts = _pq_luts(queries, books, id_col, vec_col, dim)
-    store = spark.read.parquet(f"{store_path}/codes").select(
+    store = load_vector_store(spark, f"{store_path}/codes", id_col).select(
         id_col, "codes", "rn2"
     )
     id_t = store.schema[id_col].dataType.simpleString()
