@@ -4101,8 +4101,10 @@ def csv_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey", "l_partkey", "l_quantity", "l_returnflag"
     )
     z_path = base + "/li_zorder"
-    _layout.zorder_write(liz, z_path, ["l_partkey", "l_quantity"],
-                         num_files=8, bits=16)
+    # num_files derives from the MEASURED input bytes (r11,
+    # layout.derived_file_count): fixture-sized input lands in few files,
+    # a grown table splits at the 128 MB target — no static count
+    _layout.zorder_write(liz, z_path, ["l_partkey", "l_quantity"], bits=16)
     z_agg = (
         spark.read.parquet(z_path)
         .where(

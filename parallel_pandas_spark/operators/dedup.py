@@ -879,12 +879,28 @@ def repeated_spans(
     )
 
 
+#: target mean cluster population for the derived centroid count: the
+#: per-cluster Arrow kernel scores (docs/cluster)² candidate pairs, so
+#: ~4k docs/cluster keeps each task at ~16M dot products (sub-second at
+#: 64-d) while leaving clusters big enough to be semantically coherent.
+_SEM_DOCS_PER_CLUSTER = 4096
+
+
+def semantic_centroid_count(rows: int) -> int:
+    """Derived coarse-quantizer size from MEASURED corpus rows (the
+    vecstore shard-sizing rule applied to clustering): ceil(rows / 4096),
+    floored at 16 so tiny corpora keep multi-cluster behavior. At 100 TB
+    this is what actually keeps the (n/K)² per-cluster cost bounded — a
+    static K silently degrades toward all-pairs as the corpus grows."""
+    return max(16, -(-int(rows) // _SEM_DOCS_PER_CLUSTER))
+
+
 def semantic_cluster_pairs(
     df: DataFrame,
     id_col: str,
     vec_col: str,
     threshold: float = 0.35,
-    num_centroids: int = 16,
+    num_centroids: int | None = None,
     round_to: int = 6,
 ) -> DataFrame:
     """Cluster-then-threshold SEMANTIC dedup — the standard LLM-corpus
@@ -901,12 +917,18 @@ def semantic_cluster_pairs(
     grouped BY cluster (one shuffle, one Arrow task per cluster — see
     :func:`_exact_pairs_within`), so nothing goes all-pairs — per-cluster
     cost is (n/num_centroids)² instead of n², and num_centroids grows
-    with the corpus. The centroid argmin uses the same rank-equivalent
-    −2·v·c + ‖c‖² expression and (dist, cid) tiebreak as the IVF oracle,
-    and the pair kernel keeps fold bit-parity, so the SQL oracle replays
-    every value."""
+    with the corpus: the default (``num_centroids=None``) derives K from
+    the MEASURED corpus row count via :func:`semantic_centroid_count`
+    (~4k docs per cluster — the vecstore measured-sizing rule); pass an
+    explicit K for oracle comparability or a tuned quantizer. The
+    centroid argmin uses the same rank-equivalent −2·v·c + ‖c‖²
+    expression and (dist, cid) tiebreak as the IVF oracle, and the pair
+    kernel keeps fold bit-parity, so the SQL oracle replays every
+    value."""
     from .similarity import ivf_assign, ivf_centroids
 
+    if num_centroids is None:
+        num_centroids = semantic_centroid_count(df.count())
     cents = ivf_centroids(df, id_col, vec_col, num_centroids)
     vecs = df.select(
         F.col(id_col).alias("id"),

@@ -89,18 +89,41 @@ def zvalue(
     )
 
 
+def derived_file_count(
+    df: DataFrame, target_file_bytes: int = 128 << 20
+) -> int:
+    """Output file count from the MEASURED input size (the shards/
+    vecstore sizing rule applied to layout): Catalyst's plan statistics
+    for a file-backed frame are the summed file sizes from the scan's
+    file index — plan-time cheap, no job. ceil(bytes / target) with a
+    floor of 1; when the plan cannot provide a real size (non-file
+    sources report a conservative huge sentinel) fall back to 8 files
+    rather than exploding the partition count."""
+    size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    if size <= 0 or size >= 1 << 60:  # unknown / sentinel stats
+        return 8
+    return max(1, -(-size // int(target_file_bytes)))
+
+
 def zorder_write(
     df: DataFrame,
     path: str,
     cols: Sequence[str],
-    num_files: int = 8,
+    num_files: int | None = None,
     bits: int = 16,
+    target_file_bytes: int = 128 << 20,
 ) -> None:
     """Write ``df`` to parquet clustered by the Morton curve over
     ``cols``: range-partition on the z-value (contiguous curve segments
     per file) and sort within each file, then drop the helper column.
     One range exchange; every later scan filtering on ANY of ``cols``
-    prunes files and row groups by min/max stats."""
+    prunes files and row groups by min/max stats. ``num_files`` defaults
+    to the MEASURED input bytes / ``target_file_bytes``
+    (:func:`derived_file_count`) — a static count either under-splits a
+    grown table into unprunable monoliths or sprays a small one into
+    tiny files; pass an explicit count to override."""
+    if num_files is None:
+        num_files = derived_file_count(df, target_file_bytes)
     zdf = zvalue(df, cols, bits)
     (
         zdf.repartitionByRange(num_files, F.col("__z"))

@@ -384,6 +384,7 @@ def run_stateful_to_parquet(
     stop_after_batches: "int | None" = None,
     poll_secs: float = 0.25,
     timeout_secs: float = 180.0,
+    batch_transform: "callable | None" = None,
 ):
     """Checkpointed FAULT-TOLERANT runner for a stateful streaming query —
     the restart-recovery proof harness (r9 VERDICT #5). The query writes
@@ -404,8 +405,17 @@ def run_stateful_to_parquet(
     import time
 
     def write_batch(batch_df, batch_id: int) -> None:
-        # overwrite by batch id => replays after a restart are idempotent
-        batch_df.write.mode("overwrite").parquet(f"{out_dir}/b{batch_id:05d}")
+        # overwrite by batch id => replays after a restart are idempotent.
+        # batch_transform turns raw micro-batch rows into a derived
+        # per-batch artifact before the write — e.g. a MERGEABLE rollup
+        # state (rollup.agg_state): determinism of the transform makes
+        # the replay-idempotence argument carry over unchanged, and a
+        # state reader then merges the b* directories into rollups that
+        # are bit-identical to a from-raw recompute (rollup merge
+        # theorem) — streaming ingest keeping warehouse rollups current
+        # with exactly-once observable semantics.
+        out = batch_df if batch_transform is None else batch_transform(batch_df)
+        out.write.mode("overwrite").parquet(f"{out_dir}/b{batch_id:05d}")
 
     q = (
         make_stream()

@@ -112,3 +112,27 @@ def test_zvalue_nulls_and_constant_columns(spark):
     assert by_x[None] == 0  # NULL pins to cell 0
     # constant y contributes zero bits; z is monotone in x alone
     assert by_x[3] < by_x[9]
+
+
+def test_derived_file_count_measures_input_bytes(spark, tmp_path):
+    """r11: the default output file count derives from the measured scan
+    bytes (ceil(bytes/target)) — small inputs collapse to few files,
+    larger inputs split at the target, unknown stats fall back safely."""
+    df = spark.range(3000).selectExpr(
+        "id AS x", "id % 97 AS y", "repeat('p', 64) AS pad")
+    p = str(tmp_path / "src")
+    df.write.mode("overwrite").parquet(p)
+    src = spark.read.parquet(p)
+    import glob
+    import os
+    nbytes = sum(os.path.getsize(f) for f in glob.glob(f"{p}/*.parquet"))
+    got = layout.derived_file_count(src, target_file_bytes=nbytes // 3)
+    assert 3 <= got <= 5  # ceil of measured/size-third, footer overhead slack
+    assert layout.derived_file_count(src) == 1  # far below 128 MB target
+    # zorder_write with the derived default still preserves the multiset
+    zp = str(tmp_path / "z")
+    layout.zorder_write(src.select("x", "y"), zp, ["x", "y"], bits=8)
+    assert len(glob.glob(f"{zp}/part-*.parquet")) == 1
+    a = sorted(map(tuple, spark.read.parquet(zp).collect()))
+    b = sorted(map(tuple, src.select("x", "y").collect()))
+    assert a == b

@@ -320,7 +320,10 @@ def test_semantic_cluster_pairs_bruteforce_replay(spark, sf_small):
 
 def test_semantic_cluster_pairs_no_cartesian(spark, sf_small):
     """The pair join's key is the cluster id — the plan must never fall
-    back to a cartesian/nested-loop product of the corpus."""
+    back to a cartesian/nested-loop product of the corpus. (r11) The
+    default K now DERIVES from the measured corpus rows (the vecstore
+    sizing rule): ceil(rows/4096) floored at 16, which bounds the
+    per-cluster candidate population the grouped kernel squares."""
     from parallel_pandas_spark.operators import dedup
     from parallel_pandas_spark.plans import explain
     from parallel_pandas_spark.sources import load_table
@@ -330,6 +333,16 @@ def test_semantic_cluster_pairs_no_cartesian(spark, sf_small):
     txt = explain.explain_str(df)
     assert "CartesianProduct" not in txt, txt
     assert "BroadcastNestedLoopJoin" not in txt, txt
+    # derived-K rule: floor of 16 at fixture scale, and it GROWS with
+    # the corpus so mean docs/cluster never exceeds the kernel target
+    n = emb.count()
+    k = dedup.semantic_centroid_count(n)
+    assert k == max(16, -(-n // dedup._SEM_DOCS_PER_CLUSTER))
+    for rows in (1, 4096 * 16, 4096 * 16 + 1, 10_000_000, 10**9):
+        kk = dedup.semantic_centroid_count(rows)
+        assert rows / kk <= dedup._SEM_DOCS_PER_CLUSTER or kk == 16
+        assert kk >= 16
+    assert dedup.semantic_centroid_count(10**9) == -(-10**9 // 4096)
 
 
 def test_exact_pairs_within_length_cohorts(spark):

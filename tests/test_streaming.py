@@ -436,3 +436,61 @@ def test_session_end_filter_pushdown_hazard(spark):
     # document the hazard: if Spark ever fixes the pushdown this starts
     # failing and the workaround can be retired
     assert unsafe == 1, unsafe
+
+
+def test_stream_rollup_state_restart_exactly_once(spark, tmp_path):
+    """Streaming -> incremental rollup integration (r11): foreachBatch
+    writes a MERGEABLE rollup state (rollup.agg_state) per micro-batch to
+    b<id> directories, the query is stopped after ~half the batches and
+    restarted from the same checkpoint, and the merged batch states must
+    finalize BIT-IDENTICAL to a from-raw deterministic recompute over all
+    events — the rollup merge theorem composed with the checkpointed
+    exactly-once sink: restart replays overwrite their own directory, any
+    merge tree over exact integer states equals a single-pass build, so
+    stop/restart is invisible in the rollup."""
+    from parallel_pandas_spark.operators import rollup
+
+    spec = {"value": (6, 4)}
+    ev = load_table(spark, SF, "events")
+    d = str(tmp_path / "ev_rollup_parts")
+    ev.withColumn("__b", F.pmod(F.col("event_id"), F.lit(6))).repartition(
+        6, "__b"
+    ).drop("__b").write.mode("overwrite").parquet(d)
+    out_dir = str(tmp_path / "rollup_state_out")
+    ckpt = str(tmp_path / "rollup_state_ckpt")
+
+    def make_stream():
+        return se.stream_events(spark, d, max_files=1)
+
+    def to_state(batch_df):
+        return rollup.agg_state(batch_df, ["user_id"], spec)
+
+    n1 = se.run_stateful_to_parquet(
+        spark, make_stream, out_dir, ckpt, stop_after_batches=3,
+        batch_transform=to_state,
+    )
+    assert n1 >= 3
+    se.run_stateful_to_parquet(
+        spark, make_stream, out_dir, ckpt, batch_transform=to_state
+    )
+    states = spark.read.parquet(f"{out_dir}/b*")
+    merged = rollup.merge_state(states, ["user_id"], ["value"])
+    inc = rollup.finalize(merged, ["user_id"], spec)
+    ref = rollup.finalize(
+        rollup.agg_state(ev, ["user_id"], spec), ["user_id"], spec
+    )
+    a = {r["user_id"]: tuple(r)[1:] for r in inc.collect()}
+    b = {r["user_id"]: tuple(r)[1:] for r in ref.collect()}
+    assert a == b and len(a) > 0  # bit-identical doubles incl. var/std
+    # a third start with nothing new adds no batches and changes nothing
+    n3 = se.run_stateful_to_parquet(
+        spark, make_stream, out_dir, ckpt, batch_transform=to_state
+    )
+    assert n3 == 0
+    again = rollup.finalize(
+        rollup.merge_state(
+            spark.read.parquet(f"{out_dir}/b*"), ["user_id"], ["value"]
+        ),
+        ["user_id"], spec,
+    )
+    assert {r["user_id"]: tuple(r)[1:] for r in again.collect()} == b
