@@ -59,18 +59,19 @@ def cdc_compact(
     exchange on the key, and AQE's skew split handles a hot key the
     same way it does for the grouped aggregations.
 
-    ``salt_buckets``: a window over one WHALE key (one key holding a
-    large share of the log) is the one shape AQE cannot split — the
-    whole key's rows land on one task. Passing ``salt_buckets=N``
-    decomposes the compaction into two passes that BOTH split: latest
-    row per (key, salt) — salt = deterministic hash of the order tuple
-    mod N, so a hot key fans out over N tasks — then latest-of-latest
-    per key over the <=N survivors. The result is identical because the
-    global per-key max of the order tuple is the max over the per-salt
-    maxima (``order`` ends in a unique tiebreaker, so the argmax row is
-    unique). Measured crossover in SCALE.md (tools/skew_study.py shape
-    #3): worth it only when one key dominates; the default single pass
-    wins on uniform keys.
+    ``salt_buckets``: escape hatch for the whale-key shape on engines
+    that execute the rn=1 filter as a full per-key window. MEASURED
+    (tools/skew_study.py #4, SCALE.md): Spark 4.x needs no salt here —
+    Catalyst rewrites ``row_number()==1`` into a PARTIAL
+    WindowGroupLimit BEFORE the exchange (each map task forwards at most
+    one row per key, the same map-side collapse grouped aggregation
+    gets), so plain compact ran a 35 %-whale log FASTER than any salted
+    variant (0.68 s vs 1.0-1.2 s on 8M rows) and is skew-immune by plan
+    shape. Passing ``salt_buckets=N`` decomposes into two passes —
+    latest per (key, salt = hash(order tuple) mod N), then
+    latest-of-latest per key — identical by the argmax-of-maxima
+    identity (``order`` ends in a unique tiebreaker), both passes
+    splittable even without the group-limit rewrite.
     """
     if salt_buckets is not None and salt_buckets > 1:
         salt = F.pmod(F.hash(*[F.col(c) for c in order]), F.lit(salt_buckets))

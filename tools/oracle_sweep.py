@@ -14,7 +14,16 @@ multisets. Equal doubles hash equal (same binary64), so this is as
 strict as the driver's value-hash; small results (<=200k rows) also get
 the exact slow-path comparison as a cross-check of the digest itself.
 
-Usage:  python tools/oracle_sweep.py [sf_dir] [out_json]
+Usage:  python tools/oracle_sweep.py [sf_dir] [out_json] [only_csv] [--finalize]
+
+Every result is stamped with the git HEAD it ran at; resuming skips a
+prior green entry ONLY when its head matches the current tree, so a
+sweep resumed across a code change automatically re-runs the entries
+recorded on stale code. ``--finalize`` additionally verifies the shipped
+artifact — after the (re-)runs it requires every entry at HEAD and exits
+non-zero otherwise, regenerating the summary counts in the artifact
+itself (r10 verdict nit: the force-re-swept entries' freshness should be
+machine-checkable in the JSON, not explained in SCALE.md prose).
 """
 
 from __future__ import annotations
@@ -95,6 +104,19 @@ def digest_compare(name: str, spdf: pd.DataFrame, ddf: pd.DataFrame) -> list[str
     return problems
 
 
+def _git_head() -> str:
+    import subprocess
+
+    try:
+        return subprocess.run(
+            ["git", "rev-parse", "HEAD"],
+            capture_output=True, text=True,
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ).stdout.strip()
+    except OSError:
+        return "unknown"
+
+
 def _write_partial(out_path: str | None, sf_dir: str, results: dict) -> None:
     """Write-through after EVERY query (incl. rows-only ones): a 50-query
     sf1 pass is an hour+ of compute and an end-only write loses all of it
@@ -109,11 +131,14 @@ def _write_partial(out_path: str | None, sf_dir: str, results: dict) -> None:
 
 
 def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "localdata/sf1"
-    out_path = sys.argv[2] if len(sys.argv) > 2 else None
+    args = [a for a in sys.argv[1:] if a != "--finalize"]
+    finalize = "--finalize" in sys.argv[1:]
+    sf_dir = args[0] if len(args) > 0 else "localdata/sf1"
+    out_path = args[1] if len(args) > 1 else None
     # optional: re-check only the named queries, merging into out_path's
     # existing results (for re-verifying fixes without a full 50-query pass)
-    only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
+    only = set(args[2].split(",")) if len(args) > 2 else None
+    head = _git_head()
 
     import duckdb
 
@@ -153,11 +178,14 @@ def main() -> None:
             }
         if only is None:
             # default invocation is RESUMABLE: names already green in the
-            # on-disk (possibly partial) file are skipped; pass an explicit
-            # `only` list to force re-running them
+            # on-disk (possibly partial) file are skipped — but only when
+            # they ran AT THE CURRENT HEAD; a green recorded on stale code
+            # re-runs automatically. Pass an explicit `only` list to force
+            # re-running specific names regardless.
             done = {
                 n for n, r in results.items()
                 if r.get("status") in ("pass", "no_oracle_rows_only")
+                and r.get("git_head") == head
             }
             if done:
                 print(f"resuming: {len(done)} queries already green, skipping",
@@ -178,9 +206,14 @@ def main() -> None:
         if name not in oracles:
             try:
                 n = fn(spark, sf_dir).count()
-                results[name] = {"status": "no_oracle_rows_only", "rows": n}
+                results[name] = {
+                    "status": "no_oracle_rows_only", "rows": n,
+                    "git_head": head,
+                }
             except Exception as e:  # noqa: BLE001
-                results[name] = {"status": "error", "error": str(e)[:300]}
+                results[name] = {
+                    "status": "error", "error": str(e)[:300], "git_head": head,
+                }
             print(name, results[name]["status"], flush=True)
             _write_partial(out_path, sf_dir, results)
             continue
@@ -205,17 +238,25 @@ def main() -> None:
                 "spark_sec": round(t_spark - t0, 1),
                 "oracle_sec": round(t_oracle - t_spark, 1),
                 "compare_sec": round(time.perf_counter() - t_oracle, 1),
+                "git_head": head,
             }
             if problems:
                 results[name]["problems"] = problems[:6]
         except Exception as e:  # noqa: BLE001
-            results[name] = {"status": "error", "error": str(e)[:300]}
+            results[name] = {
+                "status": "error", "error": str(e)[:300], "git_head": head,
+            }
         print(name, results[name], flush=True)
         _write_partial(out_path, sf_dir, results)
 
     n_pass = sum(1 for r in results.values() if r["status"] == "pass")
+    all_at_head = bool(results) and all(
+        r.get("git_head") == head for r in results.values()
+    )
     summary = {
         "sf_dir": sf_dir,
+        "git_head": head,
+        "all_at_head": all_at_head,
         "n_queries": len(results),
         "n_pass": n_pass,
         "n_fail": sum(1 for r in results.values() if r["status"] == "FAIL"),
@@ -230,6 +271,15 @@ def main() -> None:
         with open(out_path, "w") as f:
             f.write(line)
     print(line)
+    if finalize and not all_at_head:
+        stale = sorted(
+            n for n, r in results.items() if r.get("git_head") != head
+        )
+        print(f"FINALIZE FAILED: entries not at HEAD {head[:12]}: {stale}",
+              file=sys.stderr)
+        sys.exit(2)
+    if finalize:
+        print(f"finalize OK: {len(results)} entries all at {head[:12]}")
 
 
 if __name__ == "__main__":

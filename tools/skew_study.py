@@ -148,6 +148,26 @@ def main() -> None:
     force(rnk2)  # warm
     out["window_composite_key_sec"] = force(rnk2)
 
+    # 4. (r11) CDC log compaction with a whale key — latest-per-key is
+    # exactly shape #3 (row_number window, unsplittable by AQE), but
+    # UNLIKE a rank the argmax admits a two-pass decomposition: latest
+    # per (key, salt) then latest-of-latest (cdc_compact salt_buckets=).
+    # Both passes split the hot key across tasks; measure the crossover.
+    from parallel_pandas_spark.operators import cdc
+
+    comp = cdc.cdc_compact(
+        ev, ["user_id"], ["ep_us", "value"], drop_deleted=False
+    )
+    force(comp)  # warm
+    out["cdc_compact_plain_sec"] = force(comp)
+    for nb in (8, 32):
+        comp_s = cdc.cdc_compact(
+            ev, ["user_id"], ["ep_us", "value"],
+            drop_deleted=False, salt_buckets=nb,
+        )
+        force(comp_s)  # warm
+        out[f"cdc_compact_salted{nb}_sec"] = force(comp_s)
+
     print(json.dumps(out))
 
 
