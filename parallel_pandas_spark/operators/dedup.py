@@ -405,22 +405,11 @@ def minhash_signatures_arrow(
     )
 
 
-def minhash_lsh_candidates(
-    sigs: DataFrame, bands: int = 8, rows_per_band: int = 4
-) -> DataFrame:
-    """LSH banding: split the signature into ``bands`` chunks of
-    ``rows_per_band`` hashes; docs agreeing on any whole band become a
-    candidate pair. Join key is (band_index, band_hash) — uniformly
-    distributed, so the self-join is skew-free by construction."""
-    width = bands * rows_per_band
-    # Materialization barrier: without it Catalyst collapses projections
-    # and inlines the whole signature expression into EVERY sig[i]
-    # extraction on BOTH sides of the self-join (higher-order exprs run
-    # interpreted — observed 40x slowdown). The exchange carries only
-    # (id, k longs) and is reused by both join branches, so signatures
-    # are computed exactly once.
-    sigs = sigs.repartition(F.col("id"))
-    banded = sigs.select(
+def _banded_keys(sigs: DataFrame, bands: int, rows_per_band: int) -> DataFrame:
+    """(id, band, bucket) LSH band keys from a signature frame — the
+    shape shared by the self-join candidates, the persisted standing
+    band index, and the incremental feed-vs-standing probe."""
+    return sigs.select(
         "id",
         F.explode(
             F.array(
@@ -442,6 +431,24 @@ def minhash_lsh_candidates(
             )
         ).alias("bb"),
     ).select("id", "bb.band", "bb.bucket")
+
+
+def minhash_lsh_candidates(
+    sigs: DataFrame, bands: int = 8, rows_per_band: int = 4
+) -> DataFrame:
+    """LSH banding: split the signature into ``bands`` chunks of
+    ``rows_per_band`` hashes; docs agreeing on any whole band become a
+    candidate pair. Join key is (band_index, band_hash) — uniformly
+    distributed, so the self-join is skew-free by construction."""
+    width = bands * rows_per_band
+    # Materialization barrier: without it Catalyst collapses projections
+    # and inlines the whole signature expression into EVERY sig[i]
+    # extraction on BOTH sides of the self-join (higher-order exprs run
+    # interpreted — observed 40x slowdown). The exchange carries only
+    # (id, k longs) and is reused by both join branches, so signatures
+    # are computed exactly once.
+    sigs = sigs.repartition(F.col("id"))
+    banded = _banded_keys(sigs, bands, rows_per_band)
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -505,6 +512,123 @@ def minhash_dedup_pairs(
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )
     return verified
+
+
+def minhash_band_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+) -> DataFrame:
+    """The persistable standing BAND INDEX — (id, band, bucket), bands
+    rows per document — that makes near-dup screening INCREMENTAL: a
+    daily feed probes this index instead of re-signing the corpus. Build
+    it once with the corpus, append the feed's own band keys after each
+    ingest (same function over the feed); the index is corpus×bands rows
+    of three small columns, the standard companion artifact to the
+    deduplicated corpus."""
+    rows_per_band = num_hashes // bands
+    df = ensure_parallel(df)
+    sigs = minhash_signatures_arrow(df, id_col, text_col, num_hashes, n)
+    return _banded_keys(sigs, bands, rows_per_band)
+
+
+def minhash_neardup_against_standing(
+    standing: DataFrame,
+    feed: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+    standing_index: DataFrame | None = None,
+) -> DataFrame:
+    """Incremental near-dup screening: all MinHash near-duplicate pairs
+    that involve at least one FEED document — (feed × standing) and
+    (feed × feed) — without ever re-signing or shuffling the standing
+    corpus. Equals :func:`minhash_dedup_pairs` over ``standing ∪ feed``
+    restricted to pairs touching the feed (pinned in tests): signatures
+    are per-document, so cohort membership cannot change any value.
+
+    Plan shape (fenced in tests): the feed's band keys BROADCAST against
+    the standing index (index scanned, never shuffled — pass
+    ``standing_index`` read from storage; it is computed from
+    ``standing`` when omitted); feed×feed candidates self-join the
+    feed's own keys (feed-sized); exact-Jaccard verification re-shingles
+    only candidate documents, extracted from each side with broadcast
+    semi-joins, and the verify joins broadcast the candidate-sized gram
+    frames. Contract: feed ids are NEW documents (route re-ingests
+    through CDC delete+insert upstream)."""
+    rows_per_band = num_hashes // bands
+    feed = ensure_parallel(feed)
+    fsigs = minhash_signatures_arrow(
+        feed, id_col, text_col, num_hashes, n
+    ).repartition(F.col("id"))  # barrier: feed signatures computed once
+    fband = _banded_keys(fsigs, bands, rows_per_band)
+    if standing_index is None:
+        standing_index = minhash_band_index(
+            standing, id_col, text_col, n, num_hashes, bands
+        )
+    cross = (
+        standing_index.alias("s")
+        .join(
+            F.broadcast(fband.alias("f")),
+            (F.col("s.band") == F.col("f.band"))
+            & (F.col("s.bucket") == F.col("f.bucket"))
+            & (F.col("s.id") != F.col("f.id")),
+        )
+        .select(
+            F.least("s.id", "f.id").alias("id_a"),
+            F.greatest("s.id", "f.id").alias("id_b"),
+        )
+    )
+    a = fband.alias("a")
+    b = fband.alias("b")
+    ff = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+    )
+    cands = cross.unionByName(ff).distinct()
+    cand_ids = (
+        cands.select(F.col("id_a").alias("__cid"))
+        .union(cands.select(F.col("id_b").alias("__cid")))
+        .distinct()
+    )
+
+    def _grams(docs: DataFrame) -> DataFrame:
+        needed = docs.join(
+            F.broadcast(cand_ids), F.col(id_col) == F.col("__cid"), "left_semi"
+        )
+        return needed.select(
+            F.col(id_col).alias("id"),
+            F.array_distinct(word_ngrams(text_col, n)).alias("grams"),
+        )
+
+    grams = _grams(standing).unionByName(_grams(feed)).repartition(
+        F.col("id")
+    )  # barrier: candidate shingles computed once
+    ga = grams.withColumnsRenamed({"id": "id_a", "grams": "grams_a"})
+    gb = grams.withColumnsRenamed({"id": "id_b", "grams": "grams_b"})
+    return (
+        cands.join(F.broadcast(ga), "id_a")
+        .join(F.broadcast(gb), "id_b")
+        .withColumn("inter", F.size(F.array_intersect("grams_a", "grams_b")))
+        .withColumn(
+            "jaccard",
+            F.col("inter")
+            / (F.size("grams_a") + F.size("grams_b") - F.col("inter")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
 
 
 def simhash(col: Column, bits: int = 60) -> Column:

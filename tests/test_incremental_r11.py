@@ -209,3 +209,53 @@ def test_incremental_arm_matches_duckdb_oracle(spark, sf_med):
         con, entry._inc_oracle(),
     )
     assert not errs, errs
+
+
+def test_minhash_neardup_against_standing_equals_full_rebuild(spark, sf_med):
+    """Incremental near-dup screening == the full minhash pipeline over
+    standing ∪ feed, restricted to pairs touching the feed — signatures
+    are per-document, so incremental and from-scratch must agree on
+    every (id_a, id_b, jaccard) value exactly."""
+    from parallel_pandas_spark.operators import dedup
+    from parallel_pandas_spark.sources import load_table
+
+    docs = load_table(spark, sf_med, "documents").select("doc_id", "text")
+    standing = docs.where(F.col("doc_id") % 4 != 0)
+    feed = docs.where(F.col("doc_id") % 4 == 0)
+    inc = sorted(map(tuple, dedup.minhash_neardup_against_standing(
+        standing, feed, "doc_id", "text", threshold=0.4).collect()))
+    full = dedup.minhash_dedup_pairs(docs, "doc_id", "text", threshold=0.4)
+    feed_ids = {r.doc_id for r in feed.select("doc_id").collect()}
+    want = sorted(
+        t for t in map(tuple, full.collect())
+        if t[0] in feed_ids or t[1] in feed_ids
+    )
+    assert inc == want and len(want) > 0
+
+
+def test_minhash_standing_index_is_never_shuffled(spark, sf_med, tmp_path):
+    """Production shape: the standing band index and corpus read from
+    parquet, a feed-sized probe broadcast against them — no shuffled
+    join anywhere in the incremental screen."""
+    from parallel_pandas_spark.operators import dedup
+    from parallel_pandas_spark.sources import load_table
+
+    docs = load_table(spark, sf_med, "documents").select("doc_id", "text")
+    standing = docs.where(F.col("doc_id") % 4 != 0)
+    idx_p = str(tmp_path / "band_index")
+    st_p = str(tmp_path / "standing_docs")
+    dedup.minhash_band_index(standing, "doc_id", "text").write.parquet(idx_p)
+    standing.write.parquet(st_p)
+    feed = docs.where(F.col("doc_id") % 4 == 0)
+    out = dedup.minhash_neardup_against_standing(
+        spark.read.parquet(st_p), feed, "doc_id", "text",
+        standing_index=spark.read.parquet(idx_p), threshold=0.4)
+    txt = out._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in txt, txt
+    assert "ShuffledHashJoin" not in txt, txt
+    assert "BroadcastHashJoin" in txt, txt
+    # and the persisted index screens identically to an in-flight one
+    a = sorted(map(tuple, out.collect()))
+    b = sorted(map(tuple, dedup.minhash_neardup_against_standing(
+        standing, feed, "doc_id", "text", threshold=0.4).collect()))
+    assert a == b
