@@ -229,6 +229,16 @@ def hist_state(
     return dense.select(*keys, arr.alias(f"hist_{col}"))
 
 
+def negate_hist(state: DataFrame, col: str) -> DataFrame:
+    """Retraction for histogram state: negate every bin count — exact
+    integer vectors, so ``merge_hist(state ∪ negate_hist(state(removed)))``
+    is bit-identical to a histogram built without the removed rows. The
+    quantile read-out needs no caveat (unlike extrema): the retracted
+    histogram IS the histogram of the surviving rows."""
+    h = f"hist_{col}"
+    return state.withColumn(h, F.transform(F.col(h), lambda x: -x))
+
+
 def merge_hist(state: DataFrame, keys: Sequence[str], col: str) -> DataFrame:
     """Merge histogram states to a coarser grain: element-wise long
     addition via ``aggregate`` + ``zip_with`` — exact, associative,

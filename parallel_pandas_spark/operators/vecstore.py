@@ -298,6 +298,40 @@ def delete_from_vector_store(
     )
 
 
+def compact_vector_store(spark: SparkSession, path: str, id_col: str = "vec_id") -> int:
+    """Physical reclamation: rewrite the store keeping only LIVE rows
+    (tombstone shadowing resolved once, seqs reset to epoch 0) and drop
+    the tombstone set — the LSM compaction that bounds read-side
+    tombstone work. Same stage-to-sibling-and-swap as the re-shard
+    rewrite; shard count and assignment are preserved (rows keep their
+    hashed shard), so reader pruning is unaffected. Returns the live
+    row count. Scoring before vs after is identical by construction
+    (pinned in tests): compaction changes bytes on disk, not the live
+    row multiset."""
+    import os
+    import shutil
+
+    live = _with_seq(load_vector_store(spark, path, id_col), 0)
+    shards = store_shard_count(path)
+    merged = live.withColumn(
+        "shard", F.pmod(F.xxhash64(F.col(id_col)), F.lit(shards))
+    )
+    tmp = path.rstrip("/") + ".compact.tmp"
+    write_partitioned(merged, tmp, "shard")
+    n = _store_rows(tmp)
+    for d in os.listdir(path):
+        if d.startswith("shard="):
+            shutil.rmtree(os.path.join(path, d))
+    for d in os.listdir(tmp):
+        if d.startswith("shard="):
+            os.rename(os.path.join(tmp, d), os.path.join(path, d))
+    shutil.rmtree(tmp)
+    tpath = _tomb_path(path)
+    if os.path.isdir(tpath):
+        shutil.rmtree(tpath)
+    return n
+
+
 def load_vector_store(
     spark: SparkSession, path: str, id_col: str = "vec_id"
 ) -> DataFrame:
@@ -424,35 +458,17 @@ def quantized_topk_from_store(
     )
 
 
-def write_pq_store(
-    corpus: DataFrame,
-    path: str,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    m: int = 8,
-    ks: int = 16,
-    dim: int = 64,
-    iters: int = 0,
-    shards: int = 8,
-) -> None:
-    """Materialize the PQ code store: fit codebooks once
-    (``similarity.pq_codebooks`` — deterministic md5 sample, optional
-    Lloyd refinement), encode the corpus in one Arrow pass with the
-    shared batch encoder (bit-parity with the fused scorer), pack the m
-    sub-codes into m uint8 bytes, and persist the codebooks beside the
-    codes at ``<path>/_books`` so scoring sessions never refit.
+def _pq_encode_df(
+    corpus: DataFrame, books: list, id_col: str, vec_col: str, dim: int
+) -> DataFrame:
+    """One Arrow PQ-encode pass with FIXED codebooks — shared by the
+    initial store write and :func:`append_pq_store`, so appended codes
+    are bit-identical to what a rebuild with the same books would write.
     Undecodable vectors are DROPPED (the fused scorer's documented ANN
     store policy)."""
     import numpy as np
     import pandas as pd
 
-    if ks > 256:
-        # check the cheap argument bound BEFORE the codebook fit — the
-        # fit runs a corpus sample collect plus optional Lloyd passes
-        raise ValueError(f"ks={ks}: uint8-packed codes need ks <= 256")
-    books = similarity.pq_codebooks(
-        corpus, id_col, vec_col, m=m, ks=ks, dim=dim, iters=iters
-    )
     books_np = [np.asarray(b, dtype=np.float64) for b in books]
     cn2v = _pq_cn2(books)
     id_t = corpus.schema[id_col].dataType.simpleString()
@@ -483,8 +499,40 @@ def write_pq_store(
                 }
             )
 
+    return src.mapInPandas(gen, f"{id_col} {id_t}, codes binary, rn2 double")
+
+
+def write_pq_store(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    ks: int = 16,
+    dim: int = 64,
+    iters: int = 0,
+    shards: int = 8,
+) -> None:
+    """Materialize the PQ code store: fit codebooks once
+    (``similarity.pq_codebooks`` — deterministic md5 sample, optional
+    Lloyd refinement), encode the corpus in one Arrow pass with the
+    shared batch encoder (bit-parity with the fused scorer), pack the m
+    sub-codes into m uint8 bytes, and persist the codebooks beside the
+    codes at ``<path>/_books`` so scoring sessions never refit.
+    Undecodable vectors are DROPPED (the fused scorer's documented ANN
+    store policy)."""
+    import numpy as np
+    import pandas as pd
+
+    if ks > 256:
+        # check the cheap argument bound BEFORE the codebook fit — the
+        # fit runs a corpus sample collect plus optional Lloyd passes
+        raise ValueError(f"ks={ks}: uint8-packed codes need ks <= 256")
+    books = similarity.pq_codebooks(
+        corpus, id_col, vec_col, m=m, ks=ks, dim=dim, iters=iters
+    )
     store = _with_seq(
-        src.mapInPandas(gen, f"{id_col} {id_t}, codes binary, rn2 double"), 0
+        _pq_encode_df(corpus, books, id_col, vec_col, dim), 0
     ).withColumn("shard", F.pmod(F.xxhash64(F.col(id_col)), F.lit(shards)))
     write_partitioned(store, f"{path}/codes", "shard")
     # codebooks: m·ks tiny rows — one flat parquet beside the codes
@@ -496,6 +544,30 @@ def write_pq_store(
     corpus.sparkSession.createDataFrame(
         brows, "s int, cid int, centroid array<double>"
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/_books")
+
+
+def append_pq_store(
+    new_vectors: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Shard-aligned PQ append: encode ONLY the new vectors with the
+    PERSISTED codebooks (standard IVF/PQ practice — the quantizer is
+    fixed at fit time; refit = rebuild) and land them in their hashed
+    shards at the next epoch, so delete-then-append upserts work exactly
+    as in the int8 store. The standing codes are never read or
+    shuffled."""
+    spark = new_vectors.sparkSession
+    books = read_pq_books(spark, path)
+    dim = len(books) * books[0].shape[1]
+    codes = f"{path}/codes"
+    shards = store_shard_count(codes)
+    seq = _max_seq(codes) + 1
+    enc = _with_seq(
+        _pq_encode_df(new_vectors, books, id_col, vec_col, dim), seq
+    ).withColumn("shard", F.pmod(F.xxhash64(F.col(id_col)), F.lit(shards)))
+    enc.write.mode("append").partitionBy("shard").parquet(codes)
 
 
 def read_pq_books(spark: SparkSession, path: str) -> list:

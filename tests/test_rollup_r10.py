@@ -173,3 +173,26 @@ def test_hist_state_rejects_degenerate_domain(spark):
         hist_state(df, ["g"], "x", 9.0, 1.0, bins=8)
     with pytest.raises(ValueError, match="bins >= 1"):
         hist_state(df, ["g"], "x", 0.0, 1.0, bins=0)
+
+
+def test_negate_hist_retraction_equals_rebuild(spark):
+    """r11: histogram retraction — merge(state, negate(state(removed)))
+    bit-equals a histogram built from the surviving rows, and the
+    quantile read-out agrees exactly."""
+    from parallel_pandas_spark.operators.rollup import (
+        hist_state, merge_hist, negate_hist, quantile_estimate)
+
+    df = _rows(spark)
+    LO, HI, B = 0.0, 33.0, 64
+    removed = df.where("x < 8")
+    surviving = df.where("x >= 8")
+    full = hist_state(df, ["g"], "x", LO, HI, bins=B)
+    neg = negate_hist(hist_state(removed, ["g"], "x", LO, HI, bins=B), "x")
+    retracted = merge_hist(full.unionByName(neg), ["g"], "x")
+    direct = hist_state(surviving, ["g"], "x", LO, HI, bins=B)
+    a = {r["g"]: list(r["hist_x"]) for r in retracted.collect()}
+    b = {r["g"]: list(r["hist_x"]) for r in direct.collect()}
+    assert a == b
+    qa = quantile_estimate(retracted, "x", [0.5, 0.9], LO, HI)
+    qb = quantile_estimate(direct, "x", [0.5, 0.9], LO, HI)
+    assert sorted(map(tuple, qa.collect())) == sorted(map(tuple, qb.collect()))

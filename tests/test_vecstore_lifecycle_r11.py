@@ -130,3 +130,51 @@ def test_pq_store_tombstones_filter_before_pool(spark, sf_small, tmp_path):
     ).collect()
     assert len(got) == 4 * _K
     assert not {r.neighbor_id for r in got} & set(dead)
+
+
+def test_compact_reclaims_tombstones_without_changing_results(spark, tmp_path):
+    rows = [(i, [float((i * 5 + j) % 17) for j in range(8)]) for i in range(50)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    store = str(tmp_path / "vs")
+    vecstore.write_vector_store(emb, store, "vec_id", "embedding", dim=8, shards=2)
+    vecstore.delete_from_vector_store(spark, store, [3, 11, 19], "vec_id")
+    upd = spark.createDataFrame(
+        [(11, [7.0] * 8)], "vec_id long, embedding array<double>")
+    vecstore.append_vector_store(upd, store, "vec_id", "embedding", dim=8)
+    queries = emb.where(F.col("vec_id") < 3)
+    before = _topk(spark, store, queries)
+    n_live = vecstore.compact_vector_store(spark, store, "vec_id")
+    # 50 - 3 deleted + 1 re-appended = 48 physical live rows
+    assert n_live == 48
+    assert vecstore._store_rows(store) == 48
+    assert not os.path.isdir(vecstore._tomb_path(store))
+    assert _topk(spark, store, queries) == before
+
+
+def test_pq_append_uses_persisted_books_and_upserts(spark, sf_small, tmp_path):
+    emb = load_table(spark, sf_small, "embeddings")
+    old = emb.where(F.col("vec_id") % 5 != 0)
+    new = emb.where(F.col("vec_id") % 5 == 0)
+    queries = emb.where(F.col("vec_id") < 4)
+    store = str(tmp_path / "pqs")
+    vecstore.write_pq_store(old, store, "vec_id", "embedding", m=8, ks=16, dim=64)
+    vecstore.append_pq_store(new, store, "vec_id", "embedding")
+    got = sorted(map(tuple, vecstore.pq_topk_from_store(
+        spark, store, emb, queries, "vec_id", "embedding", k=_K, pool=50
+    ).collect()))
+    # a rebuild with the SAME books: re-encode the full corpus through
+    # the shared encoder into a fresh store carrying the same _books
+    import shutil
+    ref = str(tmp_path / "pqs_ref")
+    os.makedirs(ref)
+    shutil.copytree(f"{store}/_books", f"{ref}/_books")
+    books = vecstore.read_pq_books(spark, store)
+    enc = vecstore._with_seq(
+        vecstore._pq_encode_df(emb, books, "vec_id", "embedding", 64), 0
+    ).withColumn("shard", F.pmod(F.xxhash64(F.col("vec_id")), F.lit(8)))
+    from parallel_pandas_spark.sources.loaders import write_partitioned
+    write_partitioned(enc, f"{ref}/codes", "shard")
+    want = sorted(map(tuple, vecstore.pq_topk_from_store(
+        spark, ref, emb, queries, "vec_id", "embedding", k=_K, pool=50
+    ).collect()))
+    assert got == want and len(got) == 4 * _K
