@@ -211,6 +211,44 @@ def main() -> None:
             exact_runs.append(time.perf_counter() - t0)
         vec_metrics["score_from_store_sec"] = round(_st.median(score_runs), 4)
         vec_metrics["exact_sec"] = round(_st.median(exact_runs), 4)
+        # r11: lifecycle economics — a day-sized ingest (5% of the
+        # corpus appended, feed-only encode) plus a tombstone delete,
+        # then score-through-tombstones; the append must stay feed-sized
+        # (far below build_sec) and the tombstone filter must not move
+        # the scoring time
+        import tempfile
+
+        from pyspark.sql import functions as _F
+
+        from parallel_pandas_spark.operators import vecstore as _vs
+        from parallel_pandas_spark.sources import load_table as _lt
+
+        emb = _lt(spark, SF_DIR, "embeddings")
+        lc_dir = os.path.join(tempfile.gettempdir(), "pps_vecstore_lc_bench")
+        shutil.rmtree(lc_dir, ignore_errors=True)
+        _vs.write_vector_store(
+            emb.where(_F.col("vec_id") % 20 != 0), lc_dir, "vec_id",
+            "embedding", dim=64, shards=1,
+        )
+        feed = emb.where(_F.col("vec_id") % 20 == 0)
+        t0 = time.perf_counter()
+        _vs.append_vector_store(feed, lc_dir, "vec_id", "embedding", dim=64)
+        vec_metrics["append_5pct_sec"] = round(time.perf_counter() - t0, 4)
+        t0 = time.perf_counter()
+        _vs.delete_from_vector_store(
+            spark, lc_dir, list(range(0, 400, 7)), "vec_id")
+        vec_metrics["delete_sec"] = round(time.perf_counter() - t0, 4)
+        queries = emb.where(_F.col("vec_id") < 10)
+        lc_runs = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            _force(_vs.quantized_topk_from_store(
+                spark, lc_dir, queries, "vec_id", "embedding", k=5))
+            lc_runs.append(time.perf_counter() - t0)
+        vec_metrics["score_with_tombstones_sec"] = round(
+            _st.median(lc_runs), 4)
+        shutil.rmtree(lc_dir, ignore_errors=True)
+        shutil.rmtree(_vs._tomb_path(lc_dir), ignore_errors=True)
 
     # r10 (r9 VERDICT #2): stamp the measured tree so a bench artifact can
     # never silently claim numbers for code it did not run

@@ -286,16 +286,30 @@ def delete_from_vector_store(
     (:func:`load_vector_store`) apply tombstones with a broadcast join
     BEFORE any scoring, so deleted vectors can neither rank nor starve
     k. Physical reclamation of heavily-tombstoned shards is the same
-    move as the re-shard rewrite and left to store maintenance."""
+    move as the re-shard rewrite and left to store maintenance.
+
+    The tombstone file is written DRIVER-SIDE with pyarrow: the id set
+    is driver-sized by contract (it's a delete list), and a Spark job
+    for a 60-row parquet costs ~2 s of commit-protocol overhead versus
+    ~10 ms here — measured in bench.py's lifecycle block."""
+    import os
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
     seq = _max_seq(path)
     if isinstance(ids, DataFrame):
-        df = ids.select(id_col)
+        vals = [r[0] for r in ids.select(id_col).collect()]
     else:
-        id_t = "bigint" if all(isinstance(i, int) for i in ids) else "string"
-        df = spark.createDataFrame([(i,) for i in ids], f"{id_col} {id_t}")
-    _with_seq(df, seq).coalesce(1).write.mode("append").parquet(
-        _tomb_path(path)
-    )
+        vals = list(ids)
+    tbl = pa.table({
+        id_col: pa.array(vals),
+        "seq": pa.array([seq] * len(vals), type=pa.int64()),
+    })
+    tpath = _tomb_path(path)
+    os.makedirs(tpath, exist_ok=True)
+    pq.write_table(tbl, os.path.join(tpath, f"tomb-{uuid.uuid4().hex}.parquet"))
 
 
 def compact_vector_store(spark: SparkSession, path: str, id_col: str = "vec_id") -> int:
