@@ -96,7 +96,13 @@ def refresh_corpus(
     touched_fps = docindex.join(
         F.broadcast(changes.select(id_col)), on=id_col, how="left_semi"
     ).select(fp_col)
-    aff_fps = live_fps.unionByName(touched_fps).distinct()
+    # checkpoint: aff_fps feeds THREE broadcast joins below, and without
+    # a barrier each one would recompute it — including touched_fps's
+    # full docindex scan, i.e. two extra corpus scans at 100 TB. The
+    # materialized set is feed-sized.
+    aff_fps = live_fps.unionByName(touched_fps).distinct().localCheckpoint(
+        eager=False
+    )
     # recompute keepers ONLY within affected fingerprints (feed-sized)
     aff_docs = docindex2.join(F.broadcast(aff_fps), on=fp_col, how="left_semi")
     new_keep = keepers(aff_docs, fp_col, id_col)
