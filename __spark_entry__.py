@@ -1596,11 +1596,67 @@ def stream_tumbling_live_query(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(True).alias("values_match"),
         )
     )
+    # --- streaming rollup-state arm (r11): the streaming -> warehouse
+    # integration run LIVE with a mid-stream restart. The event table is
+    # cut into six micro-batch files; a checkpointed foreachBatch query
+    # writes a MERGEABLE rollup state (rollup.agg_state) per batch to
+    # b<id> directories, is STOPPED after two data batches, and a new
+    # query resumes from the checkpoint to the offset-proven drain. The
+    # merged states finalize must be BIT-identical (null-safe equality,
+    # no tolerance — the rollup merge theorem) to a from-raw recompute,
+    # else every __rollupstate__ row drops.
+    import tempfile as _tf
+
+    rbase = _tf.mkdtemp(prefix="pps_stream_rollup_")
+    rparts, rout, rck = f"{rbase}/parts", f"{rbase}/state", f"{rbase}/ckpt"
+    rev = load_table(spark, sf_dir, "events")
+    rev.withColumn("__b", F.pmod(F.col("event_id"), F.lit(6))).repartition(
+        6, "__b"
+    ).drop("__b").write.mode("overwrite").parquet(rparts)
+    rspec = {"value": (6, 4)}
+
+    def _mk_rollup_stream():
+        return streaming_events.stream_events(spark, rparts, max_files=1)
+
+    def _to_state(bdf):
+        return rollup.agg_state(bdf, ["user_id"], rspec)
+
+    streaming_events.run_stateful_to_parquet(
+        spark, _mk_rollup_stream, rout, rck, stop_after_batches=2,
+        batch_transform=_to_state,
+    )
+    streaming_events.run_stateful_to_parquet(
+        spark, _mk_rollup_stream, rout, rck, batch_transform=_to_state
+    )
+    r_inc = rollup.finalize(
+        rollup.merge_state(
+            spark.read.parquet(f"{rout}/b*"), ["user_id"], ["value"]
+        ),
+        ["user_id"], rspec,
+    )
+    r_ref = rollup.finalize(
+        rollup.agg_state(rev, ["user_id"], rspec), ["user_id"], rspec
+    )
+    r_cond = None
+    for c in r_inc.columns:
+        e = F.col(f"i.{c}").eqNullSafe(F.col(f"r.{c}"))
+        r_cond = e if r_cond is None else r_cond & e
+    r_joined = r_inc.alias("i").join(r_ref.alias("r"), r_cond, "inner")
+    rollup_ok = (
+        r_inc.count() == r_ref.count() == r_joined.count()
+    )
+    rollup_rows = r_joined.where(F.lit(rollup_ok)).select(
+        F.lit("__rollupstate__").alias("window_start"),
+        F.col("i.user_id").cast("string").alias("event_type"),
+        F.col("i.count_value").cast("long").alias("n_events"),
+        F.lit(True).alias("values_match"),
+    )
     return (
         tumbling_rows.unionByName(stateful_rows)
         .unionByName(dedup_rows)
         .unionByName(ivjoin_rows)
         .unionByName(session_rows)
+        .unionByName(rollup_rows)
     )
 
 
