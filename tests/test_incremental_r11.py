@@ -259,3 +259,35 @@ def test_minhash_standing_index_is_never_shuffled(spark, sf_med, tmp_path):
     b = sorted(map(tuple, dedup.minhash_neardup_against_standing(
         standing, feed, "doc_id", "text", threshold=0.4).collect()))
     assert a == b
+
+
+def test_corpus_delta_drives_vector_store_lifecycle(spark, sf_med, tmp_path):
+    """The composed incremental loop: a corpus refresh's keeper delta
+    (added/removed) is applied to the persisted vector store as
+    append + tombstone — scoring from the maintained store then equals a
+    store rebuilt from the refreshed corpus' embeddings. Uses vec_id ==
+    doc_id (the fixtures share the id space sizes; here we join docs to
+    their embeddings by position in the embeddings table)."""
+    from parallel_pandas_spark.operators import vecstore
+    from parallel_pandas_spark.sources import load_table
+
+    emb = load_table(spark, sf_med, "embeddings")
+    # standing corpus = embeddings with vec_id % 6 != 0 (keepers); the
+    # "feed" deletes some standing keepers and inserts the rest
+    standing = emb.where(F.col("vec_id") % 6 != 0)
+    removed = standing.where(F.col("vec_id") % 11 == 1).select("vec_id")
+    added = emb.where(F.col("vec_id") % 6 == 0)
+    store = str(tmp_path / "vs")
+    vecstore.write_vector_store(standing, store, "vec_id", "embedding", dim=64)
+    # apply the delta exactly as refresh_corpus hands it over
+    vecstore.delete_from_vector_store(spark, store, removed, "vec_id")
+    vecstore.append_vector_store(added, store, "vec_id", "embedding", dim=64)
+    queries = emb.where(F.col("vec_id") < 6)
+    got = sorted(map(tuple, vecstore.quantized_topk_from_store(
+        spark, store, queries, "vec_id", "embedding", k=5).collect()))
+    corpus2 = standing.join(removed, "vec_id", "left_anti").unionByName(added)
+    ref = str(tmp_path / "vs_ref")
+    vecstore.write_vector_store(corpus2, ref, "vec_id", "embedding", dim=64)
+    want = sorted(map(tuple, vecstore.quantized_topk_from_store(
+        spark, ref, queries, "vec_id", "embedding", k=5).collect()))
+    assert got == want and len(got) > 0
