@@ -226,6 +226,9 @@ def main() -> None:
         emb = _lt(spark, SF_DIR, "embeddings")
         lc_dir = os.path.join(tempfile.gettempdir(), "pps_vecstore_lc_bench")
         shutil.rmtree(lc_dir, ignore_errors=True)
+        # the tombstone SIBLING must go too: a crashed prior run's stale
+        # tombstones would silently shadow rows of the fresh store
+        shutil.rmtree(_vs._tomb_path(lc_dir), ignore_errors=True)
         _vs.write_vector_store(
             emb.where(_F.col("vec_id") % 20 != 0), lc_dir, "vec_id",
             "embedding", dim=64, shards=1,

@@ -148,7 +148,10 @@ def negate_state(state: DataFrame, cols: Sequence[str]) -> DataFrame:
     extremum — finalize(extrema=False) is the honest read-out after any
     retraction (asserted here only by documentation; the incremental
     arm's oracle would catch a stale-extremum read-out immediately).
-    HLL sketches do not retract either and are not carried through."""
+    HLL sketches do not retract either and are not carried through.
+    State columns of value columns NOT listed in ``cols`` are dropped —
+    a later unionByName with the standing state then fails loudly
+    instead of silently merging an un-negated column."""
     out = [F.col(c) for c in state.columns if not any(
         c.startswith(p) for p in ("n_", "s1_", "s2_", "mn_", "mx_", "hll_")
     )]

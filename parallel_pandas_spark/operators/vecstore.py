@@ -327,6 +327,12 @@ def compact_vector_store(spark: SparkSession, path: str, id_col: str = "vec_id")
 
     live = _with_seq(load_vector_store(spark, path, id_col), 0)
     shards = store_shard_count(path)
+    if live.limit(1).count() == 0:
+        raise ValueError(
+            f"compact_vector_store: no live rows under {path!r} — a "
+            "fully-tombstoned store has no shard layout to preserve; "
+            "delete the store directory instead"
+        )
     merged = live.withColumn(
         "shard", F.pmod(F.xxhash64(F.col(id_col)), F.lit(shards))
     )
