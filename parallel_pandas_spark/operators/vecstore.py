@@ -167,7 +167,7 @@ def store_shard_count(path: str) -> int:
     return max(int(d.rsplit("=", 1)[1]) for d in dirs) + 1
 
 
-def _store_rows(path: str) -> int:
+def _store_rows(path: str, part: str = "shard") -> int:
     """Measured row count from parquet footers (no Spark job)."""
     import glob
     import os
@@ -176,11 +176,11 @@ def _store_rows(path: str) -> int:
 
     return sum(
         pq.ParquetFile(f).metadata.num_rows
-        for f in glob.glob(os.path.join(path, "shard=*", "*.parquet"))
+        for f in glob.glob(os.path.join(path, f"{part}=*", "*.parquet"))
     )
 
 
-def _max_seq(path: str) -> int:
+def _max_seq(path: str, part: str = "shard") -> int:
     """Largest ``seq`` in the store, read from parquet FOOTER column
     statistics (no data pages touched, no Spark job). A store written
     before the lifecycle layer has no seq column — it reads as epoch 0,
@@ -191,7 +191,7 @@ def _max_seq(path: str) -> int:
     import pyarrow.parquet as pq
 
     best = 0
-    for f in glob.glob(os.path.join(path, "shard=*", "*.parquet")):
+    for f in glob.glob(os.path.join(path, f"{part}=*", "*.parquet")):
         md = pq.ParquetFile(f).metadata
         idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
         if "seq" not in idx:
@@ -310,6 +310,177 @@ def delete_from_vector_store(
     tpath = _tomb_path(path)
     os.makedirs(tpath, exist_ok=True)
     pq.write_table(tbl, os.path.join(tpath, f"tomb-{uuid.uuid4().hex}.parquet"))
+
+
+# --- IVF-partitioned store: probe-limited scanning ------------------------
+# The hash-sharded stores above scan EVERY shard per query batch (the
+# scorer is exhaustive). Partitioning by the IVF coarse cell instead
+# makes the layout itself the index: a query reads only its nprobe
+# cells' directories — at 100 TB that is the difference between a full
+# corpus scan and nprobe/num_centroids of it, enforced by plan-time
+# partition pruning (PartitionFilters on the literal probe-cell set,
+# asserted in tests).
+
+def write_ivf_store(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_centroids: int = 16,
+) -> None:
+    """Materialize the IVF-flat store: raw vectors + their exact l2 norm,
+    hive-partitioned by nearest-centroid cell (the deterministic
+    md5-sampled quantizer — a trained k-means slots in unchanged); the
+    centroids persist driver-side at ``<path>.centroids`` so scoring
+    sessions never refit. Bit-parity contract: scoring from the store
+    equals ``similarity.ivf_topk`` on the same corpus (same centroids,
+    same probe and cosine expressions — float64 parquet roundtrips
+    exactly)."""
+    import os
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from parallel_pandas_spark.operators.similarity import (
+        ivf_assign, ivf_centroids,
+    )
+
+    cents = ivf_centroids(corpus, id_col, vec_col, num_centroids)
+    c = _with_seq(
+        corpus.select(
+            id_col,
+            F.col(vec_col).alias("v"),
+            l2_norm(F.col(vec_col)).alias("cn"),
+            ivf_assign(F.col(vec_col), cents).alias("cell"),
+        ),
+        0,
+    )
+    write_partitioned(c, path, "cell")
+    cpath = path.rstrip("/") + ".centroids"
+    os.makedirs(cpath, exist_ok=True)
+    pq.write_table(
+        pa.table({
+            "cid": pa.array([cid for cid, _ in cents], type=pa.int32()),
+            "centroid": pa.array([list(map(float, v)) for _, v in cents],
+                                 type=pa.list_(pa.float64())),
+        }),
+        os.path.join(cpath, f"cents-{uuid.uuid4().hex}.parquet"),
+    )
+
+
+def read_ivf_centroids(path: str) -> list:
+    """The persisted coarse quantizer, as similarity.ivf_centroids
+    returns it (float64 roundtrips exactly, so assignments and probe
+    distances rebuilt from disk equal the fit-time ones bit-for-bit)."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    files = sorted(glob.glob(os.path.join(path.rstrip("/") + ".centroids",
+                                          "*.parquet")))
+    rows = []
+    for f in files:
+        t = pq.read_table(f)
+        rows.extend(zip(t.column("cid").to_pylist(),
+                        t.column("centroid").to_pylist()))
+    return [(int(cid), [float(x) for x in v]) for cid, v in sorted(rows)]
+
+
+def append_ivf_store(
+    new_vectors: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Cell-aligned append with the PERSISTED quantizer (the quantizer is
+    fixed at fit time; refit = rebuild) at the next seq epoch —
+    delete-then-append upserts exactly as in the hash-sharded stores."""
+    from parallel_pandas_spark.operators.similarity import ivf_assign
+
+    cents = read_ivf_centroids(path)
+    seq = _max_seq(path, part="cell") + 1
+    enc = _with_seq(
+        new_vectors.select(
+            id_col,
+            F.col(vec_col).alias("v"),
+            l2_norm(F.col(vec_col)).alias("cn"),
+            ivf_assign(F.col(vec_col), cents).alias("cell"),
+        ),
+        seq,
+    )
+    enc.write.mode("append").partitionBy("cell").parquet(path)
+
+
+def ivf_topk_from_store(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nprobe: int = 4,
+    round_to: int = 6,
+) -> DataFrame:
+    """IVF top-k scored FROM the cell-partitioned store: each query's
+    ``nprobe`` nearest cells are computed from the persisted centroids,
+    the DISTINCT probe set becomes a LITERAL partition predicate (static
+    PartitionFilters — non-probed cell directories are never listed,
+    plan-asserted in tests), tombstones are shadowed, and the exact
+    cosine re-rank uses the same expressions as ``similarity.ivf_topk``
+    — output bit-identical to the in-flight scorer with the same
+    centroids (pinned in tests)."""
+    from parallel_pandas_spark.operators.similarity import _cent_dist
+
+    cents = read_ivf_centroids(path)
+    probe_structs = F.array(
+        *[
+            F.struct(
+                _cent_dist(F.col(vec_col), cvec).alias("d"),
+                F.lit(cid).alias("cid"),
+            )
+            for cid, cvec in cents
+        ]
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        l2_norm(F.col(vec_col)).alias("qn"),
+        F.explode(F.slice(F.array_sort(probe_structs), 1, nprobe)).alias("p"),
+    ).select("query_id", "qv", "qn", F.col("p.cid").alias("cell"))
+    # queries are small by the ANN contract (they broadcast below); the
+    # distinct probe set is at most num_centroids ids — collect it into
+    # a LITERAL IN filter so the pruning is static, not just dynamic
+    probes = sorted({r["cell"] for r in q.select("cell").distinct().collect()})
+    store = load_vector_store(spark, path, id_col).where(
+        F.col("cell").isin(probes)
+    )
+    c = store.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("v").alias("cv"),
+        "cn",
+        "cell",
+    )
+    joined = c.join(F.broadcast(q), "cell").where(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    scored = joined.select(
+        "query_id",
+        "neighbor_id",
+        F.round(
+            dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")),
+            round_to,
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
 
 
 def compact_vector_store(spark: SparkSession, path: str, id_col: str = "vec_id") -> int:

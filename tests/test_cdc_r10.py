@@ -214,3 +214,85 @@ def test_merge_upsert_broadcast_decomposition_equals_full_outer(
         # null-safe match: ONE row for the NULL key, updated from source
         nulls = [r for r in plain if r[0] is None]
         assert nulls == [(None, -2.0, "update")]
+
+
+def test_scd2_apply_equals_rebuild_on_union(spark):
+    """r11 incremental SCD-2: applying a day's changes to the standing
+    dimension equals a from-scratch build over the whole log — including
+    multiple same-day changes per key, interleaved timestamps, and a
+    brand-new key."""
+    old = [
+        (1, _ts(0), 1.0, "U"), (1, _ts(10), 2.0, "U"),
+        (2, _ts(5), 9.0, "U"),
+        (3, _ts(2), 4.0, "U"),
+    ]
+    new = [
+        (1, _ts(20), 3.0, "U"),          # appends a third version
+        (1, _ts(25), 3.5, "U"),          # two changes in one batch
+        (2, _ts(3), 8.0, "U"),           # EARLIER than 2's history
+        (4, _ts(30), 7.0, "U"),          # brand-new key
+    ]
+    dim = cdc.scd2_build(_log(spark, old), ["k"], "ts", order=["ts", "v"])
+    inc = cdc.scd2_apply(
+        dim, _log(spark, new), ["k"], "ts", order=["ts", "v"])
+    full = cdc.scd2_build(
+        _log(spark, old + new), ["k"], "ts", order=["ts", "v"])
+    assert sorted(map(tuple, inc.collect())) == sorted(
+        map(tuple, full.collect()))
+    # key 3 untouched, key 1 now has 4 chained versions
+    k1 = sorted(
+        (r.version, r.v, r.is_current) for r in inc.collect() if r.k == 1)
+    assert [v for v, _, _ in k1] == [1, 2, 3, 4]
+    assert [c for _, _, c in k1] == [False, False, False, True]
+
+
+def test_scd2_apply_snapshot_never_shuffled(spark, tmp_path):
+    """The standing dimension read from parquet splits by one broadcast
+    semi/anti pair — no shuffled join; the rebuild window touches only
+    the affected keys."""
+    log = _log(spark, [
+        (k, _ts(s), float(k * 10 + s), "U")
+        for k in range(1, 40) for s in (0, 5)
+    ])
+    dim = cdc.scd2_build(log, ["k"], "ts", order=["ts", "v"])
+    p = str(tmp_path / "dim")
+    dim.write.parquet(p)
+    changes = _log(spark, [(3, _ts(9), 99.0, "U"), (41, _ts(1), 1.0, "U")])
+    out = cdc.scd2_apply(
+        spark.read.parquet(p), changes, ["k"], "ts", order=["ts", "v"])
+    txt = out._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in txt, txt
+    assert "ShuffledHashJoin" not in txt, txt
+    assert "BroadcastHashJoin" in txt, txt
+
+
+_scd_log = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=8),               # key
+        st.integers(min_value=0, max_value=50),              # ts seconds
+        st.integers(min_value=-99, max_value=99),            # value
+    ),
+    min_size=1, max_size=30,
+).map(lambda rows: list({(k, s): (k, s, v) for k, s, v in rows}.values()))
+# (key, ts) dedup: scd2's order tuple must be unique per key
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(_scd_log, st.integers(min_value=0, max_value=50))
+def test_scd2_apply_property_random_split(spark, rows, cutoff):
+    """Any split of a random log into (standing, new) — including splits
+    that put LATER rows in standing — rebuilds identically through
+    scd2_apply."""
+    old = [(k, _ts(s), float(v), "U") for k, s, v in rows if s <= cutoff]
+    new = [(k, _ts(s), float(v), "U") for k, s, v in rows if s > cutoff]
+    if not old or not new:
+        return
+    dim = cdc.scd2_build(_log(spark, old), ["k"], "ts", order=["ts"])
+    inc = cdc.scd2_apply(dim, _log(spark, new), ["k"], "ts", order=["ts"])
+    full = cdc.scd2_build(_log(spark, old + new), ["k"], "ts", order=["ts"])
+    assert sorted(map(tuple, inc.collect())) == sorted(
+        map(tuple, full.collect()))

@@ -178,3 +178,63 @@ def test_pq_append_uses_persisted_books_and_upserts(spark, sf_small, tmp_path):
         spark, ref, emb, queries, "vec_id", "embedding", k=_K, pool=50
     ).collect()))
     assert got == want and len(got) == 4 * _K
+
+
+def test_ivf_store_bit_parity_and_partition_pruning(spark, sf_small, tmp_path):
+    """r11 IVF-partitioned store: scoring from the cell-partitioned
+    layout bit-equals similarity.ivf_topk (same persisted centroids,
+    same probe and cosine expressions), and the probe set reaches the
+    scan as a LITERAL PartitionFilter — non-probed cell directories are
+    never read."""
+    from parallel_pandas_spark.operators import similarity
+
+    emb = load_table(spark, sf_small, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    store = str(tmp_path / "ivf")
+    vecstore.write_ivf_store(emb, store, "vec_id", "embedding", num_centroids=16)
+    got = vecstore.ivf_topk_from_store(
+        spark, store, queries, "vec_id", "embedding", k=5, nprobe=4)
+    ref = similarity.ivf_topk(
+        emb, queries, "vec_id", "embedding", k=5, num_centroids=16, nprobe=4)
+    g = sorted(map(tuple, got.collect()))
+    assert g == sorted(map(tuple, ref.collect()))
+    assert len(g) == 50
+    txt = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in txt
+    seg = txt.split("PartitionFilters")[1][:300]
+    assert "cell" in seg and "IN" in seg.upper(), seg
+
+
+def test_ivf_store_append_delete_upsert(spark, sf_small, tmp_path):
+    """Cell-aligned append with the persisted quantizer + LSM tombstones:
+    after delete-then-append, scoring equals a store REBUILT (with the
+    same centroids) from the surviving corpus."""
+    emb = load_table(spark, sf_small, "embeddings")
+    old = emb.where(F.col("vec_id") % 9 != 0)
+    new = emb.where(F.col("vec_id") % 9 == 0)
+    queries = emb.where(F.col("vec_id") < 4)
+    store = str(tmp_path / "ivf")
+    vecstore.write_ivf_store(old, store, "vec_id", "embedding", num_centroids=16)
+    # delete two standing ids, then append the feed (which does NOT
+    # contain them) — and upsert one standing id via delete+append
+    vecstore.delete_from_vector_store(spark, store, [2, 11], "vec_id")
+    # keep the fixture's element type: a changed element type would (by
+    # design) refuse to schema-merge with the standing files
+    vec_t = dict(emb.dtypes)["embedding"]
+    upd = emb.where(F.col("vec_id") == 2).withColumn(
+        "embedding",
+        F.transform("embedding", lambda x: x + F.lit(1.0)).cast(vec_t))
+    vecstore.append_ivf_store(new.unionByName(upd), store, "vec_id", "embedding")
+    got = sorted(map(tuple, vecstore.ivf_topk_from_store(
+        spark, store, queries, "vec_id", "embedding", k=5, nprobe=4).collect()))
+    # rebuild from the surviving corpus, REUSING the persisted centroids
+    # (the quantizer is fixed at fit time): copy the quantizer sidecar,
+    # ingest everything via the cell-aligned append path
+    surv = old.where(~F.col("vec_id").isin(2, 11)).unionByName(new).unionByName(upd)
+    ref = str(tmp_path / "ivf_ref")
+    import shutil
+    shutil.copytree(store + ".centroids", ref + ".centroids")
+    vecstore.append_ivf_store(surv, ref, "vec_id", "embedding")
+    want = sorted(map(tuple, vecstore.ivf_topk_from_store(
+        spark, ref, queries, "vec_id", "embedding", k=5, nprobe=4).collect()))
+    assert got == want and len(got) == 4 * 5
