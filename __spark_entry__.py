@@ -1645,11 +1645,24 @@ def stream_tumbling_live_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     rollup_ok = (
         r_inc.count() == r_ref.count() == r_joined.count()
     )
-    rollup_rows = r_joined.where(F.lit(rollup_ok)).select(
+    # materialize this arm's rows driver-side (user_id-cardinality — tiny)
+    # so the mkdtemp scratch tree (events copy + state + checkpoint) can
+    # be deleted NOW instead of leaking a full events copy per driver
+    # invocation (r11 ADVICE, low); the returned DataFrame must not
+    # depend on the deleted files when the driver later collects it
+    import shutil as _sh
+
+    r_collected = r_joined.where(F.lit(rollup_ok)).select(
         F.lit("__rollupstate__").alias("window_start"),
         F.col("i.user_id").cast("string").alias("event_type"),
         F.col("i.count_value").cast("long").alias("n_events"),
         F.lit(True).alias("values_match"),
+    ).collect()
+    _sh.rmtree(rbase, ignore_errors=True)
+    rollup_rows = spark.createDataFrame(
+        r_collected,
+        "window_start string, event_type string, n_events bigint, "
+        "values_match boolean",
     )
     return (
         tumbling_rows.unionByName(stateful_rows)

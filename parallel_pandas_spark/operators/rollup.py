@@ -137,7 +137,9 @@ def merge_state(
     return state.groupBy(*keys).agg(*aggs)
 
 
-def negate_state(state: DataFrame, cols: Sequence[str]) -> DataFrame:
+def negate_state(
+    state: DataFrame, cols: Sequence[str], keys: Sequence[str] | None = None
+) -> DataFrame:
     """Retraction: negate a state's count and power sums so merging it
     SUBTRACTS those rows — exact, because the state is integers (negation
     and addition of DECIMAL(38,0) are exact for any magnitude the state
@@ -151,10 +153,51 @@ def negate_state(state: DataFrame, cols: Sequence[str]) -> DataFrame:
     HLL sketches do not retract either and are not carried through.
     State columns of value columns NOT listed in ``cols`` are dropped —
     a later unionByName with the standing state then fails loudly
-    instead of silently merging an un-negated column."""
-    out = [F.col(c) for c in state.columns if not any(
-        c.startswith(p) for p in ("n_", "s1_", "s2_", "mn_", "mx_", "hll_")
-    )]
+    instead of silently merging an un-negated column.
+
+    Pass ``keys`` explicitly when any grouping key's NAME starts with a
+    state prefix (``n_``/``s1_``/``s2_``/``mn_``/``mx_``/``hll_`` — e.g.
+    a key named ``n_region``): without it the prefix inference would
+    silently drop that key, so inference RAISES when it detects a
+    prefix-matching column that is not a state column of a known value
+    column (r11 ADVICE, low)."""
+    prefixes = ("n_", "s1_", "s2_", "mn_", "mx_", "hll_")
+    if keys is not None:
+        missing = [k for k in keys if k not in state.columns]
+        if missing:
+            raise ValueError(
+                f"negate_state: keys {missing} not in state columns "
+                f"{state.columns}"
+            )
+        out = [F.col(c) for c in keys]
+    else:
+        # inference path: a column matching a state prefix must decompose
+        # as <prefix><value column> where that value column has the full
+        # n_/s1_/s2_ triple — otherwise it is almost certainly a grouping
+        # key whose name collides with a prefix; dropping it silently
+        # would produce a keyless state and a confusing downstream failure
+        have = set(state.columns)
+        for c in state.columns:
+            p = next((p for p in prefixes if c.startswith(p)), None)
+            if p is None:
+                continue
+            base = c[len(p):]
+            if p == "hll_":
+                # an hll state column is always binary (hll_sketch_agg);
+                # anything else under that prefix is a mis-named key
+                if state.schema[c].dataType.simpleString() == "binary":
+                    continue
+            elif {f"n_{base}", f"s1_{base}", f"s2_{base}"} <= have:
+                continue
+            raise ValueError(
+                f"negate_state: column {c!r} matches state prefix "
+                f"{p!r} but is not a recognizable state column — if it "
+                "is a grouping key, pass keys=[...] explicitly"
+            )
+        out = [
+            F.col(c) for c in state.columns
+            if not any(c.startswith(p) for p in prefixes)
+        ]
     for col in cols:
         out.extend([
             (-F.col(f"n_{col}")).alias(f"n_{col}"),

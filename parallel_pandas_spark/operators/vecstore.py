@@ -155,6 +155,23 @@ def _tomb_path(path: str) -> str:
     return path.rstrip("/") + _TOMBSTONES
 
 
+def _part_col(path: str) -> str:
+    """The store's hive partition column, detected from its directory
+    names: ``shard`` for the hash-sharded int8/PQ layouts, ``cell`` for
+    the IVF layout. Lifecycle verbs that work on any store (delete,
+    compact) must use this instead of assuming ``shard`` — an IVF store
+    has no ``shard=*`` directories, so a shard-assuming footer scan would
+    silently see an empty store (epoch 0) and record tombstones that
+    never shadow appended rows (r11 ADVICE, high)."""
+    import glob
+    import os
+
+    for part in ("shard", "cell"):
+        if glob.glob(os.path.join(path, f"{part}=*")):
+            return part
+    raise ValueError(f"no shard=*/cell=* partition directories under {path!r}")
+
+
 def store_shard_count(path: str) -> int:
     """Shard count of an existing store, from its hive directory names
     (plan-time cheap: a directory listing, no data read)."""
@@ -207,6 +224,38 @@ def _with_seq(df: DataFrame, seq: int) -> DataFrame:
     return df.withColumn("seq", F.lit(int(seq)).cast("long"))
 
 
+def _swap_partition_dirs(path: str, tmp: str, part: str = "shard") -> None:
+    """Publish ``tmp``'s partition directories into ``path`` with a
+    crash-DETECTABLE swap (r11 ADVICE, low): the live directories are
+    first RENAMED aside into ``<path>.preswap`` — same-filesystem renames
+    are atomic per directory — then the new directories move in, then the
+    aside set is removed. A crash at any point leaves either (a) the old
+    store intact, or (b) a ``.preswap`` directory whose existence marks
+    the store as mid-swap WITH the pre-swap data recoverable from it —
+    never a silently-partial store with no marker. Non-partition sidecars
+    (tombstones, centroids, codebooks) stay in place."""
+    import os
+    import shutil
+
+    aside = path.rstrip("/") + ".preswap"
+    if os.path.isdir(aside):
+        raise ValueError(
+            f"{aside!r} exists: a previous store rewrite did not complete —"
+            " recover by moving its directories back into the store (or"
+            " removing them if the new layout is fully present) before"
+            " rewriting again"
+        )
+    os.makedirs(aside)
+    for d in os.listdir(path):
+        if d.startswith(f"{part}="):
+            os.rename(os.path.join(path, d), os.path.join(aside, d))
+    for d in os.listdir(tmp):
+        if d.startswith(f"{part}="):
+            os.rename(os.path.join(tmp, d), os.path.join(path, d))
+    shutil.rmtree(tmp)
+    shutil.rmtree(aside)
+
+
 def append_vector_store(
     new_vectors: DataFrame,
     path: str,
@@ -236,9 +285,6 @@ def append_vector_store(
     Contract: an id must not be appended while LIVE (delete first to
     upsert); appending a live id duplicates its row.
     """
-    import os
-    import shutil
-
     spark = new_vectors.sparkSession
     shards = store_shard_count(path)
     n_new = new_vectors.count()
@@ -247,22 +293,26 @@ def append_vector_store(
     enc = _with_seq(_int8_encode(new_vectors, id_col, vec_col, dim, bits), seq)
     if total > rows_per_shard * shards:
         new_shards = max(shards + 1, -(-total // rows_per_shard))
-        base = spark.read.parquet(path).drop("shard")
+        # mergeSchema (r11 ADVICE, medium): a store mixing pre-lifecycle
+        # (seq-less) and appended (seq-ful) files can otherwise infer a
+        # seq-less schema from one footer, after which resetting every
+        # row to epoch 0 would let standing tombstones (tseq >= 1)
+        # permanently shadow live upserted rows through the rewrite
+        base = spark.read.option("mergeSchema", "true").parquet(path).drop(
+            "shard"
+        )
         if "seq" not in base.columns:  # pre-lifecycle store: epoch 0
             base = _with_seq(base, 0)
+        base = base.withColumn(
+            "seq", F.coalesce(F.col("seq"), F.lit(0).cast("long"))
+        )
         merged = base.unionByName(enc).withColumn(
             "shard", F.pmod(F.xxhash64(F.col(id_col)), F.lit(new_shards))
         )
         tmp = path.rstrip("/") + ".reshard.tmp"
         write_partitioned(merged, tmp, "shard")
-        # swap: keep non-shard sidecars (tombstones, markers) in place
-        for d in os.listdir(path):
-            if d.startswith("shard="):
-                shutil.rmtree(os.path.join(path, d))
-        for d in os.listdir(tmp):
-            if d.startswith("shard="):
-                os.rename(os.path.join(tmp, d), os.path.join(path, d))
-        shutil.rmtree(tmp)
+        # crash-detectable swap; non-shard sidecars (tombstones) stay
+        _swap_partition_dirs(path, tmp, "shard")
         return new_shards
     out = enc.withColumn(
         "shard", F.pmod(F.xxhash64(F.col(id_col)), F.lit(shards))
@@ -291,14 +341,21 @@ def delete_from_vector_store(
     The tombstone file is written DRIVER-SIDE with pyarrow: the id set
     is driver-sized by contract (it's a delete list), and a Spark job
     for a 60-row parquet costs ~2 s of commit-protocol overhead versus
-    ~10 ms here — measured in bench.py's lifecycle block."""
+    ~10 ms here — measured in bench.py's lifecycle block.
+
+    Works on ANY store layout: the partition column (shard vs cell) is
+    detected from the directory names, so the recorded epoch is the true
+    max seq — on an IVF store a shard-assuming scan would record epoch 0
+    and a delete issued after an append would silently never shadow the
+    appended rows (delete-after-append pinned in tests for both
+    layouts)."""
     import os
     import uuid
 
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    seq = _max_seq(path)
+    seq = _max_seq(path, part=_part_col(path))
     if isinstance(ids, DataFrame):
         vals = [r[0] for r in ids.select(id_col).collect()]
     else:
@@ -510,13 +567,9 @@ def compact_vector_store(spark: SparkSession, path: str, id_col: str = "vec_id")
     tmp = path.rstrip("/") + ".compact.tmp"
     write_partitioned(merged, tmp, "shard")
     n = _store_rows(tmp)
-    for d in os.listdir(path):
-        if d.startswith("shard="):
-            shutil.rmtree(os.path.join(path, d))
-    for d in os.listdir(tmp):
-        if d.startswith("shard="):
-            os.rename(os.path.join(tmp, d), os.path.join(path, d))
-    shutil.rmtree(tmp)
+    # crash-detectable swap (tombstones dropped only AFTER the swap
+    # completes — a crash mid-swap leaves them valid for the recovery)
+    _swap_partition_dirs(path, tmp, "shard")
     tpath = _tomb_path(path)
     if os.path.isdir(tpath):
         shutil.rmtree(tpath)
