@@ -1738,6 +1738,46 @@ def minhash_dedup_pairs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "minhash_incremental_pairs",
+    f"""SELECT id_a, id_b, jaccard FROM ({_minhash_oracle()})
+WHERE id_a % 4 = 0 OR id_b % 4 = 0""",
+)
+def minhash_incremental_pairs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup screening against a STANDING band index
+    (dedup.minhash_neardup_against_standing): the feed (doc_id % 4 == 0)
+    probes the standing corpus's persisted band keys via broadcast —
+    the standing side is scanned, never re-signed, never shuffled
+    (plan-fenced in tests/test_incremental_r11.py). Signatures are
+    per-document, so the result equals the FULL pipeline over
+    standing ∪ feed restricted to feed-touching pairs — which is exactly
+    the oracle: the full minhash SQL replay filtered to pairs with a
+    feed member (r11 VERDICT #2: the operator had tests but no driver
+    CORRECTNESS row)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    standing = docs.where(F.col("doc_id") % 4 != 0)
+    feed = docs.where(F.col("doc_id") % 4 == 0)
+    return dedup.minhash_neardup_against_standing(
+        standing, feed, "doc_id", "text",
+        n=3, num_hashes=8, bands=4, threshold=0.3,
+    )
+
+
+_bfn, _bsql = _compose_union(
+    [
+        ("full", "minhash_dedup_pairs"),
+        ("incremental", "minhash_incremental_pairs"),
+    ]
+)
+_bfn.__doc__ = """MinHash near-dup pairs, batch and INCREMENTAL: the
+full signatures → LSH banding → exact-Jaccard pipeline over the whole
+corpus, plus a feed probing the standing corpus's band index without
+re-signing or shuffling it — the daily-ingest screening shape, oracled
+as the full replay restricted to feed-touching pairs."""
+_q("minhash_dedup_pairs", _bsql)(_bfn)
+_retire("minhash_incremental_pairs")
+
+
 def _exact_dedup_oracle() -> str:
     # the clusters arm replays the FULL minhash pair pipeline (threshold
     # 0.3, identical to the minhash_dedup_pairs oracle) and then computes
@@ -2364,6 +2404,76 @@ def ivf_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(
         emb, queries, "vec_id", "embedding", k=5, num_centroids=16, nprobe=4
     )
+
+
+def _ensure_ivf_store(spark: SparkSession, sf_dir: str) -> str:
+    """Build-if-stale cache for the IVF-partitioned vector store
+    (vecstore.write_ivf_store) over a fixture's embeddings — same
+    marker-file pattern as :func:`_ensure_quant_store`. The layout IS
+    the index: rows are hive-partitioned by their nearest-centroid cell,
+    so a query's nprobe cells become literal PartitionFilters and
+    non-probed directories are never listed (the 100 TB pruning story,
+    plan-fenced in tests/test_vecstore_lifecycle_r11.py)."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    mt = f"{os.path.getmtime(src)!r} ncent=16"
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    path = os.path.join(tempfile.gettempdir(), f"pps_ivfstore_{key}")
+    marker = os.path.join(path, "_SRC_MTIME")
+    try:
+        with open(marker) as fh:
+            if fh.read() == mt:
+                return path
+    except OSError:
+        pass
+    # stale rebuild: clear the store AND its quantizer sidecar — a
+    # second write_ivf_store would otherwise append a second centroid
+    # file beside the first
+    for p in (path, path + ".centroids"):
+        shutil.rmtree(p, ignore_errors=True)
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecstore.write_ivf_store(
+        emb, path, "vec_id", "embedding", num_centroids=16
+    )
+    with open(marker, "w") as fh:
+        fh.write(mt)
+    return path
+
+
+@_q("ivf_store_topk", _ivf_oracle())
+def ivf_store_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k scored FROM the cell-partitioned store
+    (vecstore.ivf_topk_from_store): the persisted quantizer assigns the
+    probes, the distinct probe set becomes a LITERAL partition predicate
+    (static PartitionFilters — non-probed cell directories never read),
+    and the exact cosine re-rank reuses similarity.ivf_topk's
+    expressions — bit-identical to the in-flight scorer with the same
+    centroids, so the same SQL oracle replays it (r11 VERDICT #1: the
+    store had tests but no driver CORRECTNESS row)."""
+    path = _ensure_ivf_store(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    return vecstore.ivf_topk_from_store(
+        spark, path, queries, "vec_id", "embedding", k=5, nprobe=4
+    )
+
+
+_bfn, _bsql = _compose_union(
+    [
+        ("inflight", "ivf_topk"),
+        ("store", "ivf_store_topk"),
+    ]
+)
+_bfn.__doc__ = """IVF-flat ANN, in-flight and FROM the cell-partitioned
+store: the same deterministic coarse quantizer, nprobe probing, and
+exact cosine re-rank — the store arm additionally proves the layout-as-
+index read path (probe cells -> literal PartitionFilters) end to end
+against the same SQL replay."""
+_q("ivf_topk", _bsql)(_bfn)
+_retire("ivf_store_topk")
 
 
 def _lsh_topk_oracle(
