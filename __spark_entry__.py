@@ -7189,6 +7189,8 @@ SELECT lang, COUNT(*) AS n_docs,
   {nobs} AS count_n_chars,
   {det.dsum_sql("n_chars", 0)} AS sum_n_chars,
   {det.dmean_sql("n_chars", 0)} AS mean_n_chars,
+  CAST(MIN(n_chars) AS DOUBLE) AS min_n_chars,
+  CAST(MAX(n_chars) AS DOUBLE) AS max_n_chars,
   {det.dvar_sql("n_chars", 0, 0, xmax=1e5)} AS var_n_chars,
   {det.dstd_sql("n_chars", 0, 0, xmax=1e5)} AS std_n_chars
 FROM keep GROUP BY lang
@@ -7239,9 +7241,16 @@ def corpus_incremental_arm(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["lang"],
         ["n_chars"],
     )
-    stats = rollup.finalize(
-        state2, ["lang"], _INC_SPEC, extrema=False
-    ).where(F.col("count_n_chars") > 0)
+    # r12: close the retraction extrema gap — recompute min/max ONLY for
+    # the groups the keeper delta touched (delta-sized broadcast gating
+    # one shuffle-free scan; untouched groups keep stored extrema), so
+    # the read-out is exact INCLUDING extrema, no finalize(extrema=False)
+    state2 = incremental.refresh_extrema(
+        state2, corpus2, added, removed, ["lang"], ["n_chars"]
+    )
+    stats = rollup.finalize(state2, ["lang"], _INC_SPEC).where(
+        F.col("count_n_chars") > 0
+    )
     members = corpus2.groupBy("lang").agg(
         F.count("*").alias("n_docs"),
         F.sum(F.col("doc_id").cast("decimal(38,0)"))

@@ -123,3 +123,71 @@ def refresh_corpus(
     removed = old_keep
     added = new_keep.select(*untouched.columns)
     return docindex2, corpus2, added, removed
+
+
+def refresh_extrema(
+    state: DataFrame,
+    corpus: DataFrame,
+    added: DataFrame,
+    removed: DataFrame,
+    keys,
+    cols,
+    distinct_cols=(),
+    hll_lg_k: int = 12,
+) -> DataFrame:
+    """Close the two honest gaps a retraction merge leaves in a rollup
+    state: min/max (removing the max invalidates it — negate_state NULLs
+    them, and a later merge keeps the STALE extremum) and HLL distinct
+    sketches (sketch union cannot retract). Recompute BOTH, but only for
+    the groups the keeper delta touched, and stitch with untouched
+    groups' stored values — so the read-out after a retraction is exact
+    everywhere and finalize() no longer needs ``extrema=False``.
+
+    Cost shape (the 100 TB argument, plan-fenced in tests): the touched
+    group set is delta-sized and BROADCASTS — the corpus scan it gates
+    never shuffles, and with map-side partial aggregation only
+    |touched groups| rows leave that scan; the stitch joins broadcast
+    the touched/fresh sides against the state (state-sized, itself tiny).
+    Untouched groups — the overwhelming majority on any real day — are
+    never read. Join keys must be non-NULL (standard grouping-key
+    hygiene; a NULL key would silently miss the semi joins).
+
+    ``cols`` is the iterable of value columns whose ``mn_``/``mx_`` to
+    refresh; ``distinct_cols`` the columns whose ``hll_`` to rebuild.
+    Sketch flow: delta states carry no ``hll_`` columns — union them
+    into the standing state with ``allowMissingColumns=True`` so
+    ``merge_state(distinct_cols=...)``'s hll_union_agg passes the STORED
+    sketch through (NULLs are skipped); this function then replaces the
+    (stale) sketch for touched groups only.
+    """
+    from parallel_pandas_spark.operators.rollup import _extrema_aggs, _hll_agg
+
+    keys = list(keys)
+    cols = list(cols)
+    distinct_cols = list(distinct_cols)
+    touched = (
+        added.select(*keys).unionByName(removed.select(*keys)).distinct()
+    )
+    aggs = []
+    for c in cols:
+        aggs.extend(_extrema_aggs(c))
+    for c in distinct_cols:
+        aggs.append(_hll_agg(corpus, c, hll_lg_k))
+    fresh = (
+        corpus.join(F.broadcast(touched), on=keys, how="left_semi")
+        .groupBy(*keys)
+        .agg(*aggs)
+    )
+    drop = [f"{p}{c}" for p in ("mn_", "mx_") for c in cols] + [
+        f"hll_{c}" for c in distinct_cols
+    ]
+    keep = state.join(F.broadcast(touched), on=keys, how="left_anti")
+    # left join: a touched group whose rows were ALL removed has no
+    # fresh row — its extrema are honestly NULL (its count is 0 too)
+    upd = (
+        state.drop(*drop)
+        .join(F.broadcast(touched), on=keys, how="left_semi")
+        .join(F.broadcast(fresh), on=keys, how="left")
+        .select(*state.columns)
+    )
+    return keep.unionByName(upd)

@@ -48,12 +48,21 @@ def _qint(col: str, scale: int):
     )
 
 
+def _extrema_aggs(col: str) -> list:
+    """The state's min/max aggregates — nanvl(c, NULL) maps NaN -> NULL
+    so min/max skip NaN like the sums and counts do (pandas skipna;
+    Spark's bare min/max rank NaN GREATEST, which would poison every
+    rollup containing one NaN row). Shared by :func:`agg_state` and the
+    per-touched-group extrema recompute in incremental.refresh_extrema,
+    so refreshed extrema are bit-identical to built ones."""
+    cs = F.nanvl(
+        F.col(col).cast("double"), F.lit(None).cast("double")
+    )
+    return [F.min(cs).alias(f"mn_{col}"), F.max(cs).alias(f"mx_{col}")]
+
+
 def _state_cols(col: str, scale: int, sq_scale: int) -> list:
     c = F.col(col).cast("double")
-    # nanvl(c, NULL) maps NaN -> NULL so min/max skip NaN like the sums
-    # and counts do (pandas skipna; Spark's bare min/max rank NaN
-    # GREATEST, which would poison every rollup containing one NaN row)
-    cs = F.nanvl(c, F.lit(None).cast("double"))
     return [
         _nobs(col).alias(f"n_{col}"),
         F.sum(_qint(col, scale)).alias(f"s1_{col}"),
@@ -62,8 +71,7 @@ def _state_cols(col: str, scale: int, sq_scale: int) -> list:
             .cast("long")
             .cast("decimal(38,0)")
         ).alias(f"s2_{col}"),
-        F.min(cs).alias(f"mn_{col}"),
-        F.max(cs).alias(f"mx_{col}"),
+        *_extrema_aggs(col),
     ]
 
 
@@ -95,18 +103,22 @@ def agg_state(
     for col, (scale, sq_scale) in cols.items():
         aggs.extend(_state_cols(col, scale, sq_scale))
     for col in distinct_cols:
-        # hll_sketch_agg accepts int/bigint/string/binary only — other
-        # types hash via their canonical string form (injective for the
-        # distinct-count purpose; NULLs are skipped by the sketch)
-        c = F.col(col)
-        if df.schema[col].dataType.simpleString() not in (
-            "int", "bigint", "string", "binary"
-        ):
-            c = c.cast("string")
-        aggs.append(
-            F.hll_sketch_agg(c, F.lit(hll_lg_k)).alias(f"hll_{col}")
-        )
+        aggs.append(_hll_agg(df, col, hll_lg_k))
     return df.groupBy(*keys).agg(*aggs)
+
+
+def _hll_agg(df: DataFrame, col: str, hll_lg_k: int):
+    """hll_sketch_agg accepts int/bigint/string/binary only — other
+    types hash via their canonical string form (injective for the
+    distinct-count purpose; NULLs are skipped by the sketch). Shared by
+    :func:`agg_state` and incremental.refresh_extrema so refreshed
+    sketches match built ones."""
+    c = F.col(col)
+    if df.schema[col].dataType.simpleString() not in (
+        "int", "bigint", "string", "binary"
+    ):
+        c = c.cast("string")
+    return F.hll_sketch_agg(c, F.lit(hll_lg_k)).alias(f"hll_{col}")
 
 
 def merge_state(
