@@ -1,0 +1,186 @@
+"""Live incremental corpus maintenance: a Structured-Streaming CDC feed
+drives :func:`~parallel_pandas_spark.operators.incremental.refresh_corpus`
+per micro-batch, keeping the standing (docindex, corpus, rollup state)
+artifacts current with exactly-once OBSERVABLE semantics across crashes
+and restarts — the composition of the r11 pieces (streaming→rollup state
+and batch CDC→corpus) into one loop.
+
+Exactly-once story (foreachBatch is at-least-once, so every write must be
+idempotent per batch id):
+
+- **Artifacts are versioned by batch id**: applying batch *i* reads the
+  snapshot at the greatest committed version *j < i* (the base artifacts
+  when none) and OVERWRITES version *i*. A replay of batch *i* after a
+  crash re-reads the same *j < i* snapshot — never its own partial
+  output — and rewrites *i* identically. Membership application
+  (merge_upsert + keeper recompute) is deterministic, so replays are
+  bit-identical.
+- **Rollup refresh is delta-based, not in-place**: each batch writes a
+  MERGEABLE delta state (``agg_state(added) ∪ negate_state(state(
+  removed))``) to ``delta/b<i>`` with overwrite — an in-place
+  retract-merge would double-retract on replay; overwritten deltas
+  cannot. The read-out merges base state + all deltas (exact integer
+  merges, any tree) and refreshes extrema per touched group
+  (:func:`~parallel_pandas_spark.operators.incremental.refresh_extrema`),
+  so the final state bit-equals a from-scratch build on the final corpus
+  — pinned in tests/test_streaming_corpus_r12.py with a mid-stream
+  stop/restart.
+
+Ordering contract: the stream must deliver changes in event-ts order
+ACROSS micro-batches per key (the Kafka-per-key-ordered CDC-log
+assumption); within a batch, :func:`cdc.cdc_compact` resolves superseded
+ops by ts. No watermark is involved — foreachBatch applies complete
+micro-batches and there is no event-time aggregation state to bound; a
+"late" change is simply a later CDC record and applies in arrival order.
+
+100 TB shape: every per-batch plan is the refresh_corpus plan — the
+snapshot is scanned but never shuffled (broadcast merge decomposition,
+feed-sized intermediates; plan fence in tests/test_incremental_r11.py).
+Snapshot versioning here rewrites the full artifact per batch for
+byte-level simplicity; a production deployment swaps that single writer
+for a format with native snapshot isolation (Iceberg/Delta) without
+touching the maintenance logic.
+
+The reference (dubovikmaster/parallel-pandas) has no streaming or
+storage layer (SURVEY.md §1.1) — extension-tier scale infrastructure.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from parallel_pandas_spark.operators import cdc, incremental, rollup
+from parallel_pandas_spark.streaming.events import run_foreach_batch
+
+#: CDC change-record schema for the documents corpus: the docindex
+#: columns plus the CDC (ts, op) pair. ``fp`` arrives precomputed — the
+#: content fingerprint is part of the change record a real feed carries.
+DOC_CHANGES_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("lang", T.StringType()),
+    T.StructField("n_chars", T.LongType()),
+    T.StructField("fp", T.StringType()),
+    T.StructField("ts", T.LongType()),
+    T.StructField("op", T.StringType()),
+])
+
+
+def stream_doc_changes(
+    spark: SparkSession, path_dir: str, max_files: int = 1
+) -> DataFrame:
+    """File-source stream of CDC change records (one slice file per
+    micro-batch at ``max_files=1``). NOTE the file source orders part
+    files by MODIFICATION time — slice writers must force ascending
+    mtimes (see tests) or batches arrive out of ts order."""
+    return (
+        spark.readStream.schema(DOC_CHANGES_SCHEMA)
+        .option("maxFilesPerTrigger", max_files)
+        .parquet(path_dir)
+    )
+
+
+def _latest_version(art_dir: str, below: int) -> str | None:
+    """Greatest committed version directory ``b<j>`` with j < below."""
+    best, best_j = None, -1
+    for d in glob.glob(os.path.join(art_dir, "b*")):
+        name = os.path.basename(d)
+        try:
+            j = int(name[1:])
+        except ValueError:
+            continue
+        if best_j < j < below:
+            best, best_j = d, j
+    return best
+
+
+def run_corpus_refresh_stream(
+    spark: SparkSession,
+    make_stream,
+    base_docindex: str,
+    base_corpus: str,
+    work_dir: str,
+    checkpoint_dir: str,
+    spec: dict,
+    keys=("lang",),
+    id_col: str = "doc_id",
+    fp_col: str = "fp",
+    ts_col: str = "ts",
+    stop_after_batches: "int | None" = None,
+    timeout_secs: float = 180.0,
+) -> int:
+    """Drive the live maintenance loop (see module docstring): per
+    micro-batch, compact the batch's changes, apply them to the snapshot
+    at the greatest version below this batch id, and overwrite version
+    ``b<batch_id>`` of ``<work_dir>/{docindex,corpus,delta}``. Returns
+    the number of data batches committed in this run; call again with
+    the same checkpoint to resume after a stop (restart recovery is the
+    point — pinned in tests with a mid-stream stop)."""
+    keys = list(keys)
+    cols = list(spec)
+    di_dir = os.path.join(work_dir, "docindex")
+    co_dir = os.path.join(work_dir, "corpus")
+    de_dir = os.path.join(work_dir, "delta")
+
+    def write_batch(batch_df, batch_id: int) -> None:
+        snap_di = _latest_version(di_dir, batch_id) or base_docindex
+        snap_co = _latest_version(co_dir, batch_id) or base_corpus
+        di = spark.read.parquet(snap_di)
+        co = spark.read.parquet(snap_co)
+        changes = cdc.cdc_compact(
+            batch_df, [id_col], [ts_col], drop_deleted=False
+        ).drop(ts_col)
+        di2, co2, added, removed = incremental.refresh_corpus(
+            di, co, changes, id_col=id_col, fp_col=fp_col
+        )
+        delta = rollup.agg_state(added, keys, spec).unionByName(
+            rollup.negate_state(
+                rollup.agg_state(removed, keys, spec), cols, keys=keys
+            )
+        )
+        tag = f"b{batch_id:05d}"
+        di2.write.mode("overwrite").parquet(os.path.join(di_dir, tag))
+        co2.write.mode("overwrite").parquet(os.path.join(co_dir, tag))
+        delta.write.mode("overwrite").parquet(os.path.join(de_dir, tag))
+
+    return run_foreach_batch(
+        spark, make_stream, write_batch, checkpoint_dir,
+        stop_after_batches=stop_after_batches, timeout_secs=timeout_secs,
+    )
+
+
+def corpus_stream_readout(
+    spark: SparkSession,
+    base_state: DataFrame,
+    work_dir: str,
+    spec: dict,
+    keys=("lang",),
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The loop's final (docindex, corpus, finalized rollup): the latest
+    artifact versions, and the base state merged with every batch delta
+    (exact integer merges — any tree equals a single-pass build) with
+    extrema refreshed for the groups any delta touched. The result must
+    bit-equal a from-scratch rebuild on the final corpus — that equality
+    IS the maintenance theorem, and the test asserts it across a
+    mid-stream restart."""
+    keys = list(keys)
+    cols = list(spec)
+    di = spark.read.parquet(
+        _latest_version(os.path.join(work_dir, "docindex"), 1 << 60)
+    )
+    co = spark.read.parquet(
+        _latest_version(os.path.join(work_dir, "corpus"), 1 << 60)
+    )
+    deltas = spark.read.parquet(os.path.join(work_dir, "delta", "b*"))
+    merged = rollup.merge_state(
+        base_state.unionByName(deltas.select(*base_state.columns)),
+        keys, cols,
+    )
+    touched = deltas.select(*keys)
+    state = incremental.refresh_extrema(
+        merged, co, touched, touched, keys, cols
+    )
+    return di, co, rollup.finalize(state, keys, spec)

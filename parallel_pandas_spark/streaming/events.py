@@ -402,7 +402,6 @@ def run_stateful_to_parquet(
     committed data (simulating a crash mid-stream); ``None`` runs to the
     source-offset drain proof. Returns the number of data batches
     committed in THIS run."""
-    import time
 
     def write_batch(batch_df, batch_id: int) -> None:
         # overwrite by batch id => replays after a restart are idempotent.
@@ -416,6 +415,33 @@ def run_stateful_to_parquet(
         # with exactly-once observable semantics.
         out = batch_df if batch_transform is None else batch_transform(batch_df)
         out.write.mode("overwrite").parquet(f"{out_dir}/b{batch_id:05d}")
+
+    return run_foreach_batch(
+        spark, make_stream, write_batch, checkpoint_dir,
+        stop_after_batches=stop_after_batches, poll_secs=poll_secs,
+        timeout_secs=timeout_secs,
+    )
+
+
+def run_foreach_batch(
+    spark: SparkSession,
+    make_stream: "callable",
+    write_batch: "callable",
+    checkpoint_dir: str,
+    stop_after_batches: "int | None" = None,
+    poll_secs: float = 0.25,
+    timeout_secs: float = 180.0,
+) -> int:
+    """The generic checkpointed foreachBatch driver shared by
+    :func:`run_stateful_to_parquet` and streaming/corpus.py's live
+    corpus-maintenance loop: start the query with ``write_batch`` as the
+    sink, stop after N committed DATA batches (crash simulation) or run
+    to the source-offset drain proof, always stop+await on exit.
+    ``write_batch(batch_df, batch_id)`` owns the exactly-once story —
+    the contract is that it must be IDEMPOTENT per batch id (foreachBatch
+    is at-least-once; overwrite-by-batch-id is the standard move).
+    Returns the number of data batches committed in THIS run."""
+    import time
 
     q = (
         make_stream()

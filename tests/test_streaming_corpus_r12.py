@@ -1,0 +1,134 @@
+"""Round-12: the LIVE incremental corpus loop (streaming/corpus.py) —
+a file-source CDC stream drives refresh_corpus per micro-batch through
+the checkpointed foreachBatch runner, is STOPPED mid-stream and resumed
+from the same checkpoint, and the final (docindex, corpus, rollup
+read-out) must bit-equal a from-scratch batch rebuild on the effective
+document set: the streaming composition of the r11 maintenance theorem."""
+
+from __future__ import annotations
+
+import os
+import pathlib
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from parallel_pandas_spark.operators import incremental, rollup  # noqa: E402
+from parallel_pandas_spark.streaming import corpus as sc  # noqa: E402
+
+_DI_SCHEMA = "doc_id long, lang string, n_chars long, fp string"
+_SPEC = {"n_chars": (0, 0)}
+
+
+def _base(spark):
+    rows = [
+        (i, "en" if i % 2 else "fr", 100 + 7 * i, f"f{i}") for i in range(1, 40)
+    ] + [
+        # suppressed duplicates of f1..f9 (keeper deletes must resurrect)
+        (100 + i, "en" if i % 2 else "fr", 100 + 7 * i, f"f{i}")
+        for i in range(1, 10)
+    ]
+    return spark.createDataFrame(rows, _DI_SCHEMA)
+
+
+def _slices():
+    """Four ts-ordered CDC slices covering the interaction matrix:
+    deletes of keepers (resurrection), superseded ops (within-slice
+    compaction), value updates, lower-id duplicate arrivals (keeper
+    replacement), inserts, and a group whose max is removed."""
+    return [
+        # slice 1: delete keepers 1..3 (dups 101..103 resurrect);
+        # a superseded insert (ts 10 loses to ts 11 within the slice)
+        [(1, None, None, "f1", 10, "D"), (2, None, None, "f2", 10, "D"),
+         (3, None, None, "f3", 10, "D"),
+         (200, "de", 50, "f200", 10, "U"), (200, "de", 60, "f200", 11, "U")],
+        # slice 2: value updates (same keeper id), remove en's max (39)
+        [(5, "en", 9000, "f5", 20, "U"), (39, None, None, "f39", 20, "D"),
+         (6, "fr", 12, "f6", 20, "U")],
+        # slice 3: lower-id duplicates replace standing keepers
+        [(0, "en", 777, "f7", 30, "U"), (-1, "fr", 778, "f8", 30, "U")],
+        # slice 4: brand-new docs + delete of a slice-1 insert
+        [(300, "de", 61, "f300", 40, "U"), (301, "en", 62, "f301", 40, "U"),
+         (200, None, None, "f200", 41, "D")],
+    ]
+
+
+def _write_slices(spark, d):
+    seen: set = set()
+    for k, rows in enumerate(_slices(), start=1):
+        spark.createDataFrame(rows, sc.DOC_CHANGES_SCHEMA).coalesce(1).write \
+            .mode("append").parquet(d)
+        now = set(pathlib.Path(d).glob("part-*.parquet")) - seen
+        assert len(now) == 1, now
+        os.utime(now.pop(), (1700000000 + k, 1700000000 + k))
+        seen = set(pathlib.Path(d).glob("part-*.parquet"))
+
+
+def _rebuild(spark, base_di):
+    """From-scratch truth: apply ALL changes per global ts compaction,
+    then keepers."""
+    allch = [r for s in _slices() for r in s]
+    feed = spark.createDataFrame(allch, sc.DOC_CHANGES_SCHEMA)
+    from parallel_pandas_spark.operators import cdc
+    comp = cdc.cdc_compact(feed, ["doc_id"], ["ts"], drop_deleted=False)
+    effective = base_di.join(
+        comp.select("doc_id"), "doc_id", "left_anti"
+    ).unionByName(
+        comp.where(~F.col("op").eqNullSafe(F.lit("D")))
+        .select("doc_id", "lang", "n_chars", "fp")
+    )
+    return effective, incremental.keepers(effective)
+
+
+def _members(df):
+    return sorted((r.doc_id, r.fp, r.n_chars) for r in df.collect())
+
+
+def test_live_corpus_loop_restart_bit_equals_batch_rebuild(spark, tmp_path):
+    base_di = _base(spark)
+    base_co = incremental.keepers(base_di)
+    di_p, co_p = str(tmp_path / "base_di"), str(tmp_path / "base_co")
+    base_di.write.parquet(di_p)
+    base_co.write.parquet(co_p)
+    base_state = rollup.agg_state(
+        spark.read.parquet(co_p), ["lang"], _SPEC)
+    feed_dir = str(tmp_path / "changes")
+    _write_slices(spark, feed_dir)
+    work = str(tmp_path / "work")
+    ckpt = str(tmp_path / "ckpt")
+
+    def make_stream():
+        return sc.stream_doc_changes(spark, feed_dir, max_files=1)
+
+    def run(stop=None):
+        return sc.run_corpus_refresh_stream(
+            spark, make_stream, di_p, co_p, work, ckpt, _SPEC,
+            stop_after_batches=stop)
+
+    # crash after two data batches, then resume from the checkpoint
+    n1 = run(stop=2)
+    assert n1 >= 2
+    run()
+
+    di, co, final = sc.corpus_stream_readout(
+        spark, base_state, work, _SPEC)
+    eff, keep = _rebuild(spark, base_di)
+    assert _members(di) == _members(eff)
+    assert _members(co) == _members(keep)
+    got = {r["lang"]: tuple(r)[1:] for r in final.collect()}
+    want = {
+        r["lang"]: tuple(r)[1:]
+        for r in rollup.finalize(
+            rollup.agg_state(keep, ["lang"], _SPEC), ["lang"], _SPEC
+        ).collect()
+    }
+    # bit-identical doubles INCLUDING min/max (refresh_extrema closes
+    # the retraction gap) and var/std (exact integer merge theorem)
+    assert got == want and len(got) >= 3
+
+    # a third start with nothing new commits no batch and changes nothing
+    assert run() == 0
+    _, _, again = sc.corpus_stream_readout(spark, base_state, work, _SPEC)
+    assert {r["lang"]: tuple(r)[1:] for r in again.collect()} == want
