@@ -393,12 +393,6 @@ def write_ivf_store(
     equals ``similarity.ivf_topk`` on the same corpus (same centroids,
     same probe and cosine expressions — float64 parquet roundtrips
     exactly)."""
-    import os
-    import uuid
-
-    import pyarrow as pa
-    import pyarrow.parquet as pq
-
     from parallel_pandas_spark.operators.similarity import (
         ivf_assign, ivf_centroids,
     )
@@ -414,8 +408,24 @@ def write_ivf_store(
         0,
     )
     write_partitioned(c, path, "cell")
-    cpath = path.rstrip("/") + ".centroids"
-    os.makedirs(cpath, exist_ok=True)
+    _write_centroids(path, cents)
+
+
+def _write_centroids(path: str, cents: list, suffix: str = ".centroids") -> None:
+    """(Re)write the quantizer sidecar — cleared first, because
+    read_ivf_centroids merges every file it finds and a stale quantizer
+    beside a new one would duplicate cids. ``suffix`` lets the rebalance
+    stage a new quantizer beside the live one before its swap."""
+    import os
+    import shutil
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    cpath = path.rstrip("/") + suffix
+    shutil.rmtree(cpath, ignore_errors=True)
+    os.makedirs(cpath)
     pq.write_table(
         pa.table({
             "cid": pa.array([cid for cid, _ in cents], type=pa.int32()),
@@ -445,15 +455,57 @@ def read_ivf_centroids(path: str) -> list:
     return [(int(cid), [float(x) for x in v]) for cid, v in sorted(rows)]
 
 
+def ivf_cell_rows(path: str) -> dict:
+    """Measured per-cell row counts from parquet footers (directory
+    listing + footer metadata — no Spark job): the store's own drift
+    gauge."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    out: dict = {}
+    for d in glob.glob(os.path.join(path, "cell=*")):
+        cid = int(d.rsplit("=", 1)[1])
+        out[cid] = sum(
+            pq.ParquetFile(f).metadata.num_rows
+            for f in glob.glob(os.path.join(d, "*.parquet"))
+        )
+    return out
+
+
+def ivf_skew_ratio(cells: dict) -> float:
+    """max/median over the non-empty cells — the imbalance measure the
+    rebalance trigger compares against its bound. 1.0 = perfectly even;
+    a whale cell drives it up and degrades probe pruning from
+    nprobe/num_centroids toward scanning everything."""
+    import statistics
+
+    sizes = sorted(v for v in cells.values() if v > 0)
+    if not sizes:
+        return 1.0
+    return max(sizes) / statistics.median(sizes)
+
+
 def append_ivf_store(
     new_vectors: DataFrame,
     path: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-) -> None:
-    """Cell-aligned append with the PERSISTED quantizer (the quantizer is
-    fixed at fit time; refit = rebuild) at the next seq epoch —
-    delete-then-append upserts exactly as in the hash-sharded stores."""
+    rebalance_ratio: "float | None" = None,
+) -> bool:
+    """Cell-aligned append with the PERSISTED quantizer at the next seq
+    epoch — delete-then-append upserts exactly as in the hash-sharded
+    stores.
+
+    Drift guard (r11 VERDICT #5): the quantizer is fixed at fit time, so
+    a long run of appends from a shifted distribution piles rows into a
+    few cells and probe pruning degrades toward a full scan. With
+    ``rebalance_ratio`` set, the MEASURED post-append cell imbalance
+    (parquet footers, :func:`ivf_skew_ratio`) triggers
+    :func:`rebalance_ivf_store` when max/median crosses the bound —
+    mirroring the hash store's measured re-shard. Returns True when a
+    rebalance ran (callers holding a cached file index must re-read)."""
     from parallel_pandas_spark.operators.similarity import ivf_assign
 
     cents = read_ivf_centroids(path)
@@ -468,6 +520,69 @@ def append_ivf_store(
         seq,
     )
     enc.write.mode("append").partitionBy("cell").parquet(path)
+    if rebalance_ratio is not None:
+        if ivf_skew_ratio(ivf_cell_rows(path)) > rebalance_ratio:
+            rebalance_ivf_store(new_vectors.sparkSession, path, id_col)
+            return True
+    return False
+
+
+def rebalance_ivf_store(
+    spark: SparkSession,
+    path: str,
+    id_col: str = "vec_id",
+    num_centroids: "int | None" = None,
+) -> float:
+    """Re-train the coarse quantizer on the store's LIVE vectors and
+    re-partition the store by the new cells — the repair for append
+    drift (frozen centroids never re-learn; the md5 sample here re-draws
+    from the CURRENT id population, so drifted regions get their share
+    of centroids; a trained k-means slots in unchanged, exactly as at
+    fit time). Semantics mirror compaction: live rows only (tombstone
+    shadowing resolved once — deletes stay deleted), seqs reset to epoch
+    0, tombstones dropped, the quantizer sidecar rewritten, and the
+    directory swap is the same crash-detectable ``.preswap`` staging as
+    re-shard/compact. Scoring afterwards bit-equals a store REBUILT from
+    the surviving corpus at the same ``num_centroids`` (pinned in
+    tests), because fit, assignment, and scoring all reuse the
+    write-path expressions. Returns the post-rebalance skew ratio."""
+    import os
+    import shutil
+
+    from parallel_pandas_spark.operators.similarity import (
+        ivf_assign, ivf_centroids,
+    )
+
+    if num_centroids is None:
+        num_centroids = len(read_ivf_centroids(path))
+    live = load_vector_store(spark, path, id_col)
+    corpus = live.select(id_col, F.col("v").alias("__v"), "cn")
+    cents = ivf_centroids(corpus, id_col, "__v", num_centroids)
+    merged = _with_seq(
+        corpus.select(
+            id_col,
+            F.col("__v").alias("v"),
+            "cn",
+            ivf_assign(F.col("__v"), cents).alias("cell"),
+        ),
+        0,
+    )
+    tmp = path.rstrip("/") + ".rebalance.tmp"
+    write_partitioned(merged, tmp, "cell")
+    # stage the new quantizer BEFORE any destructive step; after the
+    # data swap, promoting it is one rmtree+rename — and a crash inside
+    # that window is detectable (a leftover ``.centroids.next`` means
+    # the quantizer promotion did not complete; recover by re-running
+    # the promotion)
+    _write_centroids(path, cents, suffix=".centroids.next")
+    _swap_partition_dirs(path, tmp, "cell")
+    tpath = _tomb_path(path)
+    if os.path.isdir(tpath):
+        shutil.rmtree(tpath)
+    cpath = path.rstrip("/") + ".centroids"
+    shutil.rmtree(cpath, ignore_errors=True)
+    os.rename(cpath + ".next", cpath)
+    return ivf_skew_ratio(ivf_cell_rows(path))
 
 
 def ivf_topk_from_store(
