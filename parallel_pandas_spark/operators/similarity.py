@@ -429,6 +429,7 @@ def pq_topk(
     pool: int = 50,
     iters: int = 0,
     round_to: int = 6,
+    books: "list | None" = None,
 ) -> DataFrame:
     """PQ/ADC approximate top-k with EXACT re-rank — the
     product-quantization scale path beside IVF and LSH:
@@ -452,13 +453,18 @@ def pq_topk(
 
     NOTE: builds the codebooks and LUTs eagerly (bounded driver
     collects) at DataFrame-construction time, like the vectorized
-    quantized scorer."""
+    quantized scorer. Pass ``books`` to score with a FROZEN quantizer
+    (fit elsewhere — e.g. on the full corpus while scoring a probed
+    sub-corpus, the IVF-PQ parity contract) instead of fitting here;
+    ``m``/``ks``/``iters`` are ignored then."""
     import numpy as np
     import pandas as pd
 
-    books = pq_codebooks(
-        corpus, id_col, vec_col, m=m, ks=ks, dim=dim, iters=iters
-    )
+    if books is None:
+        books = pq_codebooks(
+            corpus, id_col, vec_col, m=m, ks=ks, dim=dim, iters=iters
+        )
+    m = len(books)
     dsub = dim // m
     books_np = [np.asarray(b, dtype=np.float64) for b in books]
     cn2v = _pq_cn2(books)
@@ -626,14 +632,18 @@ def _pq_encode_batch(mat: "np.ndarray", books_np: list, cn2v: list):
     return codes_list, rn2
 
 
-def _pq_adc_pool_frames(nid_arr, codes_list, rn2, qids, luts, m, pool):
+def _pq_adc_pool_frames(nid_arr, codes_list, rn2, qids, luts, m, pool,
+                        masks=None):
     """ADC-score one encoded batch against every query LUT and emit the
     per-(batch, query) lossless top-pool frames. The pool window orders
     by adc/√rn2 on exactly these doubles (same IEEE div/sqrt both
     sides), so keeping each batch's top ``pool`` rows by
     (score desc, id asc) — row_number's own order — cannot change the
     global pool. Shared by the fused scorer and the store-reading
-    scorer (operators/vecstore.py)."""
+    scorers (operators/vecstore.py). ``masks[qi]`` (optional bool array
+    per query) restricts which batch rows a query may see — the IVF-PQ
+    per-query probe-cell filter, applied BEFORE pooling so out-of-cell
+    rows can never displace in-cell candidates from a batch pool."""
     import numpy as np
     import pandas as pd
 
@@ -644,7 +654,10 @@ def _pq_adc_pool_frames(nid_arr, codes_list, rn2, qids, luts, m, pool):
             adc = adc + luts[qi][s][codes_list[s]]
         score = adc / sq_rn2
         score = np.where(np.isnan(score), np.inf, score)
-        valid = np.nonzero(nid_arr != qid)[0]  # self-pairs out first
+        sel = nid_arr != qid  # self-pairs out first
+        if masks is not None:
+            sel = sel & masks[qi]
+        valid = np.nonzero(sel)[0]
         order = valid[np.lexsort((nid_arr[valid], -score[valid]))[:pool]]
         yield pd.DataFrame(
             {

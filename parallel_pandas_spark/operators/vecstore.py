@@ -818,24 +818,35 @@ def quantized_topk_from_store(
 
 
 def _pq_encode_df(
-    corpus: DataFrame, books: list, id_col: str, vec_col: str, dim: int
+    corpus: DataFrame, books: list, id_col: str, vec_col: str, dim: int,
+    cents: "list | None" = None,
 ) -> DataFrame:
     """One Arrow PQ-encode pass with FIXED codebooks — shared by the
     initial store write and :func:`append_pq_store`, so appended codes
     are bit-identical to what a rebuild with the same books would write.
     Undecodable vectors are DROPPED (the fused scorer's documented ANN
-    store policy)."""
+    store policy). With ``cents``, each row also carries its IVF coarse
+    cell (``ivf_assign`` — a JVM expression computed BEFORE the Arrow
+    pass and threaded through), the IVF-PQ layout's partition column."""
     import numpy as np
     import pandas as pd
 
     books_np = [np.asarray(b, dtype=np.float64) for b in books]
     cn2v = _pq_cn2(books)
     id_t = corpus.schema[id_col].dataType.simpleString()
-    src = corpus.select(
-        id_col,
-        vec_col,
+    sel = [
+        F.col(id_col),
+        F.col(vec_col),
         F.exists(F.col(vec_col), lambda x: x.isNull()).alias("__hasnull"),
-    )
+    ]
+    if cents is not None:
+        from parallel_pandas_spark.operators.similarity import ivf_assign
+
+        sel.append(ivf_assign(F.col(vec_col), cents).alias("cell"))
+    src = corpus.select(*sel)
+    out_schema = f"{id_col} {id_t}, codes binary, rn2 double"
+    if cents is not None:
+        out_schema += ", cell int"
 
     def gen(batches):
         for pdf in batches:
@@ -850,15 +861,16 @@ def _pq_encode_df(
             mat = np.array([list(v) for v in sub[vec_col]], dtype=np.float64)
             codes_list, rn2 = _pq_encode_batch(mat, books_np, cn2v)
             packed = np.stack(codes_list, axis=1).astype(np.uint8)  # n×m
-            yield pd.DataFrame(
-                {
-                    id_col: sub[id_col],
-                    "codes": [row.tobytes() for row in packed],
-                    "rn2": rn2,
-                }
-            )
+            out = {
+                id_col: sub[id_col],
+                "codes": [row.tobytes() for row in packed],
+                "rn2": rn2,
+            }
+            if cents is not None:
+                out["cell"] = sub["cell"]
+            yield pd.DataFrame(out)
 
-    return src.mapInPandas(gen, f"{id_col} {id_t}, codes binary, rn2 double")
+    return src.mapInPandas(gen, out_schema)
 
 
 def write_pq_store(
@@ -894,13 +906,18 @@ def write_pq_store(
         _pq_encode_df(corpus, books, id_col, vec_col, dim), 0
     ).withColumn("shard", F.pmod(F.xxhash64(F.col(id_col)), F.lit(shards)))
     write_partitioned(store, f"{path}/codes", "shard")
-    # codebooks: m·ks tiny rows — one flat parquet beside the codes
+    _write_books(corpus.sparkSession, path, books)
+
+
+def _write_books(spark: SparkSession, path: str, books: list) -> None:
+    """Codebook sidecar: m·ks tiny rows — one flat parquet beside the
+    codes, shared by the PQ and IVF-PQ store writers."""
     brows = [
         (s, cid, [float(x) for x in books[s][cid]])
         for s in range(len(books))
         for cid in range(len(books[s]))
     ]
-    corpus.sparkSession.createDataFrame(
+    spark.createDataFrame(
         brows, "s int, cid int, centroid array<double>"
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/_books")
 
@@ -993,6 +1010,191 @@ def pq_topk_from_store(
         adc_gen,
         f"neighbor_id {id_t}, query_id {id_t}, adc double, rn2 double",
     ).where(F.col("query_id") != F.col("neighbor_id"))
+    wp = Window.partitionBy("query_id").orderBy(
+        (F.col("adc") / F.sqrt(F.col("rn2"))).desc(), F.col("neighbor_id").asc()
+    )
+    cand = (
+        pairs.withColumn("prank", F.row_number().over(wp))
+        .where(F.col("prank") <= pool)
+        .select("query_id", "neighbor_id")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        l2_norm(F.col(vec_col)).alias("cn"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        l2_norm(F.col(vec_col)).alias("qn"),
+    )
+    scored = (
+        F.broadcast(cand).join(c, "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")),
+                round_to,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+# --- IVF-PQ: probe-limited scanning of 32x-smaller codes -------------------
+# The standard billion-vector layout (Jégou et al., "Product Quantization
+# for Nearest Neighbor Search", IEEE TPAMI 2011 — IVFADC): PQ gives the
+# compact codes (m bytes per vector), IVF gives the probe-limited scan.
+# Composed here as PQ codes hive-partitioned by IVF cell with both
+# quantizers as sidecars: a query reads nprobe cells' directories of
+# 8-byte codes — partition pruning AND 32x byte reduction multiply.
+
+def write_ivfpq_store(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    ks: int = 16,
+    dim: int = 64,
+    iters: int = 0,
+    num_centroids: int = 16,
+) -> None:
+    """Materialize the IVF-PQ store: fit the coarse quantizer
+    (``similarity.ivf_centroids``) and the PQ codebooks
+    (``similarity.pq_codebooks``) on the corpus, encode in ONE Arrow
+    pass carrying each row's cell, and hive-partition the m-byte codes
+    by cell; books persist at ``<path>/_books`` and the coarse quantizer
+    at ``<path>.centroids``. Bit-parity contract (pinned in tests):
+    scoring from the store equals ``similarity.pq_topk`` with the SAME
+    books restricted to each query's probed cells."""
+    from parallel_pandas_spark.operators.similarity import ivf_centroids
+
+    if ks > 256:
+        raise ValueError(f"ks={ks}: uint8-packed codes need ks <= 256")
+    cents = ivf_centroids(corpus, id_col, vec_col, num_centroids)
+    books = similarity.pq_codebooks(
+        corpus, id_col, vec_col, m=m, ks=ks, dim=dim, iters=iters
+    )
+    store = _with_seq(
+        _pq_encode_df(corpus, books, id_col, vec_col, dim, cents=cents), 0
+    )
+    write_partitioned(store, f"{path}/codes", "cell")
+    _write_books(corpus.sparkSession, path, books)
+    _write_centroids(path, cents)
+
+
+def append_ivfpq_store(
+    new_vectors: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Cell-aligned PQ append with BOTH persisted quantizers at the next
+    seq epoch — delete-then-append upserts exactly as in the other
+    stores (tombstones live at ``<path>/codes.tombstones`` and
+    delete_from_vector_store detects the cell partition layout)."""
+    spark = new_vectors.sparkSession
+    books = read_pq_books(spark, path)
+    cents = read_ivf_centroids(path)
+    dim = len(books) * books[0].shape[1]
+    codes = f"{path}/codes"
+    seq = _max_seq(codes, part="cell") + 1
+    enc = _with_seq(
+        _pq_encode_df(new_vectors, books, id_col, vec_col, dim, cents=cents),
+        seq,
+    )
+    enc.write.mode("append").partitionBy("cell").parquet(codes)
+
+
+def ivfpq_topk_from_store(
+    spark: SparkSession,
+    store_path: str,
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    pool: int = 50,
+    nprobe: int = 4,
+    round_to: int = 6,
+) -> DataFrame:
+    """IVF-PQ top-k: each query's ``nprobe`` nearest cells come from the
+    persisted coarse quantizer; the DISTINCT probe set becomes a LITERAL
+    partition predicate (static PartitionFilters — non-probed cell
+    directories never listed, plan-fenced in tests); the ADC scan over
+    the probed cells applies each query's OWN probe mask inside the
+    Arrow kernel BEFORE pooling (an out-of-cell row can never displace
+    an in-cell candidate); the pool is exact-re-ranked against the raw
+    corpus with the same expressions as ``similarity.pq_topk``. Output
+    bit-matches ``pq_topk(books=<stored books>)`` on each query's probed
+    sub-corpus (pinned in tests)."""
+    import numpy as np
+
+    from parallel_pandas_spark.operators.similarity import _cent_dist
+
+    books = read_pq_books(spark, store_path)
+    cents = read_ivf_centroids(store_path)
+    m = len(books)
+    dim = m * books[0].shape[1]
+    qids, luts = _pq_luts(queries, books, id_col, vec_col, dim)
+    probe_structs = F.array(
+        *[
+            F.struct(
+                _cent_dist(F.col(vec_col), cvec).alias("d"),
+                F.lit(cid).alias("cid"),
+            )
+            for cid, cvec in cents
+        ]
+    )
+    qp = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.explode(F.slice(F.array_sort(probe_structs), 1, nprobe)).alias("p"),
+    ).select("query_id", F.col("p.cid").alias("cell")).collect()
+    probe_map: dict = {}
+    for r in qp:
+        probe_map.setdefault(r["query_id"], []).append(r["cell"])
+    probe_map = {q: np.array(sorted(v)) for q, v in probe_map.items()}
+    probes = sorted({int(c) for v in probe_map.values() for c in v})
+    store = (
+        load_vector_store(spark, f"{store_path}/codes", id_col)
+        .where(F.col("cell").isin(probes))
+        .select(id_col, "codes", "rn2", "cell")
+    )
+    id_t = store.schema[id_col].dataType.simpleString()
+    empty = np.zeros(0, dtype=np.int64)
+
+    def adc_gen(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0 or not qids:
+                continue
+            packed = np.frombuffer(
+                b"".join(pdf["codes"]), dtype=np.uint8
+            ).reshape(n, m)
+            codes_list = [packed[:, s].astype(np.int64) for s in range(m)]
+            rn2 = pdf["rn2"].to_numpy(dtype=np.float64)
+            nid_arr = pdf[id_col].to_numpy()
+            cells = pdf["cell"].to_numpy()
+            masks = [np.isin(cells, probe_map.get(q, empty)) for q in qids]
+            for frame in _pq_adc_pool_frames(
+                nid_arr, codes_list, rn2, qids, luts, m, pool, masks=masks
+            ):
+                yield frame
+
+    pairs = store.mapInPandas(
+        adc_gen,
+        f"neighbor_id {id_t}, query_id {id_t}, adc double, rn2 double",
+    )
     wp = Window.partitionBy("query_id").orderBy(
         (F.col("adc") / F.sqrt(F.col("rn2"))).desc(), F.col("neighbor_id").asc()
     )
