@@ -564,10 +564,15 @@ def minhash_neardup_against_standing(
     through CDC delete+insert upstream)."""
     rows_per_band = num_hashes // bands
     feed = ensure_parallel(feed)
-    fsigs = minhash_signatures_arrow(
-        feed, id_col, text_col, num_hashes, n
-    ).repartition(F.col("id"))  # barrier: feed signatures computed once
-    fband = _banded_keys(fsigs, bands, rows_per_band)
+    # localCheckpoint (not a repartition — an exchange does NOT stop
+    # plan-level recompute): fband feeds the standing probe, BOTH sides
+    # of the feed self-join, and transitively every downstream consumer;
+    # without a true barrier each re-derives the Arrow signature pass
+    # (measured 3x the full pipeline at sf0.01 when first driver-armed)
+    fband = _banded_keys(
+        minhash_signatures_arrow(feed, id_col, text_col, num_hashes, n),
+        bands, rows_per_band,
+    ).localCheckpoint(eager=False)
     if standing_index is None:
         standing_index = minhash_band_index(
             standing, id_col, text_col, n, num_hashes, bands
@@ -596,7 +601,9 @@ def minhash_neardup_against_standing(
         )
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
     )
-    cands = cross.unionByName(ff).distinct()
+    # candidate pairs feed cand_ids (twice), both gram semi-joins, and
+    # the final verify join — materialize the (feed-bounded) set once
+    cands = cross.unionByName(ff).distinct().localCheckpoint(eager=False)
     cand_ids = (
         cands.select(F.col("id_a").alias("__cid"))
         .union(cands.select(F.col("id_b").alias("__cid")))
@@ -612,9 +619,11 @@ def minhash_neardup_against_standing(
             F.array_distinct(word_ngrams(text_col, n)).alias("grams"),
         )
 
-    grams = _grams(standing).unionByName(_grams(feed)).repartition(
-        F.col("id")
-    )  # barrier: candidate shingles computed once
+    # true barrier: candidate shingles computed once, reused by both
+    # verify sides (candidate-sized by the broadcast semi-joins above)
+    grams = _grams(standing).unionByName(_grams(feed)).localCheckpoint(
+        eager=False
+    )
     ga = grams.withColumnsRenamed({"id": "id_a", "grams": "grams_a"})
     gb = grams.withColumnsRenamed({"id": "id_b", "grams": "grams_b"})
     return (
