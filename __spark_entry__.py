@@ -1664,12 +1664,112 @@ def stream_tumbling_live_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         "window_start string, event_type string, n_events bigint, "
         "values_match boolean",
     )
+    # --- live corpus-maintenance arm (r12): the streaming CDC loop
+    # (streaming/corpus.py) run LIVE with a mid-stream restart against
+    # THIS fixture's documents table. Standing (docindex, corpus, rollup
+    # state) artifacts are built from doc_id % 3 != 0; a three-slice CDC
+    # feed (deletes of keepers, updates, inserts) streams through the
+    # checkpointed foreachBatch runner, stopped after one data batch and
+    # resumed to the drain. The read-out (corpus membership + finalized
+    # per-lang rollup INCLUDING extrema) must bit-equal a from-scratch
+    # rebuild on the effective docs, else every __corpusloop__ row drops.
+    import pathlib as _pl
+
+    from parallel_pandas_spark.operators import incremental as _inc
+    from parallel_pandas_spark.operators import rollup as _ru
+    from parallel_pandas_spark.operators.text import fingerprint_md5
+    from parallel_pandas_spark.streaming import corpus as _sc
+
+    cbase = _tf.mkdtemp(prefix="pps_stream_corpus_")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars", fingerprint_md5("text").alias("fp")
+    )
+    standing = docs.where(F.col("doc_id") % 3 != 0)
+    base_di_p, base_co_p = f"{cbase}/di", f"{cbase}/co"
+    standing.write.parquet(base_di_p)
+    _inc.keepers(spark.read.parquet(base_di_p)).write.parquet(base_co_p)
+    cspec = {"n_chars": (0, 0)}
+    base_state = _ru.agg_state(
+        spark.read.parquet(base_co_p), ["lang"], cspec
+    ).localCheckpoint(eager=False)
+    # three ts-ordered slices, written sequentially with forced mtimes
+    # (the FILE source orders part files by MODIFICATION time)
+    moved = docs.where(F.col("doc_id") % 3 == 0)
+    slices = [
+        standing.where(F.col("doc_id") % 5 == 1).select(
+            "doc_id", "lang", "n_chars", "fp",
+            F.lit(10).cast("long").alias("ts"), F.lit("D").alias("op")),
+        standing.where(F.col("doc_id") % 5 == 2).select(
+            "doc_id", "lang", (F.col("n_chars") + F.lit(7)).alias("n_chars"),
+            "fp", F.lit(20).cast("long").alias("ts"),
+            F.lit("U").alias("op")),
+        moved.select(
+            "doc_id", "lang", "n_chars", "fp",
+            F.lit(30).cast("long").alias("ts"), F.lit("U").alias("op")),
+    ]
+    cfeed = f"{cbase}/changes"
+    seen: set = set()
+    for si, sl in enumerate(slices, start=1):
+        sl.coalesce(1).write.mode("append").parquet(cfeed)
+        now = set(_pl.Path(cfeed).glob("part-*.parquet")) - seen
+        os.utime(now.pop(), (1700000000 + si, 1700000000 + si))
+        seen = set(_pl.Path(cfeed).glob("part-*.parquet"))
+
+    def _mk_changes():
+        return _sc.stream_doc_changes(spark, cfeed, max_files=1)
+
+    cwork, cck = f"{cbase}/work", f"{cbase}/ckpt"
+    _sc.run_corpus_refresh_stream(
+        spark, _mk_changes, base_di_p, base_co_p, cwork, cck, cspec,
+        stop_after_batches=1,
+    )
+    _sc.run_corpus_refresh_stream(
+        spark, _mk_changes, base_di_p, base_co_p, cwork, cck, cspec
+    )
+    _, co_live, fin_live = _sc.corpus_stream_readout(
+        spark, base_state, cwork, cspec
+    )
+    # from-scratch truth on the effective docs
+    eff = standing.where(
+        (F.col("doc_id") % 5 != 1) & (F.col("doc_id") % 5 != 2)
+    ).unionByName(
+        standing.where(F.col("doc_id") % 5 == 2)
+        .withColumn("n_chars", F.col("n_chars") + F.lit(7))
+    ).unionByName(moved)
+    keep_ref = _inc.keepers(eff)
+    fin_ref = _ru.finalize(_ru.agg_state(keep_ref, ["lang"], cspec),
+                           ["lang"], cspec)
+    c_cond = None
+    for c in fin_live.columns:
+        e = F.col(f"i.{c}").eqNullSafe(F.col(f"r.{c}"))
+        c_cond = e if c_cond is None else c_cond & e
+    c_joined = fin_live.alias("i").join(fin_ref.alias("r"), c_cond, "inner")
+    m_live = co_live.select("doc_id", "fp", "n_chars")
+    m_ref = keep_ref.select("doc_id", "fp", "n_chars")
+    corpus_ok = (
+        fin_live.count() == fin_ref.count() == c_joined.count()
+        and m_live.exceptAll(m_ref).count() == 0
+        and m_ref.exceptAll(m_live).count() == 0
+    )
+    c_collected = c_joined.where(F.lit(corpus_ok)).select(
+        F.lit("__corpusloop__").alias("window_start"),
+        F.col("i.lang").cast("string").alias("event_type"),
+        F.col("i.count_n_chars").cast("long").alias("n_events"),
+        F.lit(True).alias("values_match"),
+    ).collect()
+    _sh.rmtree(cbase, ignore_errors=True)
+    corpus_rows = spark.createDataFrame(
+        c_collected,
+        "window_start string, event_type string, n_events bigint, "
+        "values_match boolean",
+    )
     return (
         tumbling_rows.unionByName(stateful_rows)
         .unionByName(dedup_rows)
         .unionByName(ivjoin_rows)
         .unionByName(session_rows)
         .unionByName(rollup_rows)
+        .unionByName(corpus_rows)
     )
 
 
