@@ -2316,6 +2316,157 @@ SELECT query_id, neighbor_id, cosine, rank FROM r WHERE rank <= {k}
 """
 
 
+def _ivfpq_oracle(
+    m: int = 8, dsub: int = 8, ks: int = 16, pool: int = 50, k: int = 5,
+    dim: int = 64, num_centroids: int = 16, nprobe: int = 4,
+) -> str:
+    """The IVF-PQ composition replayed end to end: the _pq_oracle
+    pipeline (md5-sampled codebooks, argmin encode, ordered ADC folds,
+    raw-ADC pool, exact re-rank) with the _ivf_oracle's cell assignment
+    and per-query probe CTEs restricting which neighbors each query may
+    pool — exactly the probe mask ivfpq_topk_from_store applies inside
+    the Arrow kernel BEFORE pooling."""
+    sub_dot = (
+        "list_sum(list_transform(range(1, {n}), "
+        "i -> CAST({e}[{s}*{d} + i] AS DOUBLE) * CAST(c.cs[i] AS DOUBLE)))"
+    )
+    enc_dot = sub_dot.format(n=dsub + 1, e="e.embedding", s="c.s", d=dsub)
+    q_dot = sub_dot.format(n=dsub + 1, e="q.embedding", s="c.s", d=dsub)
+    dot_ec = _DOT_SQL.format(d=dim, a="e.embedding", b="cv.cvec")
+    dot_qc = _DOT_SQL.format(d=dim, a="q.embedding", b="cv.cvec")
+    return f"""
+WITH icents AS (
+  SELECT vec_id AS icid, embedding AS cvec,
+         {_DOT_SQL.format(d=dim, a="embedding", b="embedding")} AS icc
+  FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT {num_centroids}
+),
+cl AS (
+  SELECT vec_id, icid AS cell FROM (
+    SELECT e.vec_id, cv.icid,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY -2.0 * ({dot_ec}) + cv.icc, cv.icid) AS rn
+    FROM embeddings e CROSS JOIN icents cv
+  ) WHERE rn = 1
+),
+qprobe AS (
+  SELECT query_id, icid AS cell FROM (
+    SELECT q.vec_id AS query_id, cv.icid,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                              ORDER BY -2.0 * ({dot_qc}) + cv.icc, cv.icid) AS rn
+    FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10) q
+         CROSS JOIN icents cv
+  ) WHERE rn <= {nprobe}
+),
+cents AS (
+  SELECT cid, cv FROM (
+    SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS cid,
+           embedding AS cv
+    FROM embeddings
+  ) WHERE cid < {ks}
+),
+csub AS (
+  SELECT t.s, cid,
+         list_slice(cv, t.s*{dsub} + 1, t.s*{dsub} + {dsub}) AS cs,
+         list_sum(list_transform(list_slice(cv, t.s*{dsub} + 1, t.s*{dsub} + {dsub}),
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS cc
+  FROM cents, range({m}) t(s)
+),
+codes AS (
+  SELECT vec_id, s, cid AS code, cc FROM (
+    SELECT e.vec_id, c.s, c.cid, c.cc,
+      ROW_NUMBER() OVER (PARTITION BY e.vec_id, c.s
+        ORDER BY -2.0 * ({enc_dot}) + c.cc, c.cid) AS rn
+    FROM embeddings e CROSS JOIN csub c
+  ) WHERE rn = 1
+),
+ql AS (
+  SELECT q.vec_id AS query_id, c.s, c.cid, {q_dot} AS lv
+  FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10) q
+       CROSS JOIN csub c
+),
+adcs AS (
+  SELECT ql.query_id, co.vec_id AS neighbor_id,
+         list_sum(list(ql.lv ORDER BY co.s)) AS adc,
+         list_sum(list(co.cc ORDER BY co.s)) AS rn2
+  FROM codes co
+  JOIN cl ON cl.vec_id = co.vec_id
+  JOIN ql ON ql.s = co.s AND ql.cid = co.code
+  JOIN qprobe qp ON qp.query_id = ql.query_id AND qp.cell = cl.cell
+  GROUP BY ql.query_id, co.vec_id
+),
+pool AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+      ROW_NUMBER() OVER (PARTITION BY query_id
+                         ORDER BY adc / SQRT(rn2) DESC, neighbor_id ASC) AS rn
+    FROM adcs WHERE query_id <> neighbor_id
+  ) WHERE rn <= {pool}
+),
+s2 AS (
+  SELECT p.query_id, p.neighbor_id,
+    ROUND({_DOT_SQL.format(d=dim, a="qv.embedding", b="cv.embedding")}
+      / (SQRT({_DOT_SQL.format(d=dim, a="qv.embedding", b="qv.embedding")})
+         * SQRT({_DOT_SQL.format(d=dim, a="cv.embedding", b="cv.embedding")})), 6) AS cosine
+  FROM pool p
+  JOIN embeddings cv ON cv.vec_id = p.neighbor_id
+  JOIN embeddings qv ON qv.vec_id = p.query_id
+),
+r AS (SELECT query_id, neighbor_id, cosine,
+        ROW_NUMBER() OVER (PARTITION BY query_id
+                           ORDER BY cosine DESC, neighbor_id ASC) AS rank
+      FROM s2)
+SELECT query_id, neighbor_id, cosine, rank FROM r WHERE rank <= {k}
+"""
+
+
+def _ensure_ivfpq_store(spark: SparkSession, sf_dir: str) -> str:
+    """Build-if-stale cache for the IVF-PQ store (same marker pattern as
+    _ensure_quant_store/_ensure_ivf_store); stale rebuilds clear the
+    store and BOTH quantizer sidecars."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    mt = f"{os.path.getmtime(src)!r} ivfpq m=8 ks=16 ncent=16"
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    path = os.path.join(tempfile.gettempdir(), f"pps_ivfpqstore_{key}")
+    marker = os.path.join(path, "_SRC_MTIME")
+    try:
+        with open(marker) as fh:
+            if fh.read() == mt:
+                return path
+    except OSError:
+        pass
+    for p in (path, path + ".centroids"):
+        shutil.rmtree(p, ignore_errors=True)
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecstore.write_ivfpq_store(
+        emb, path, "vec_id", "embedding", m=8, ks=16, dim=64, iters=0,
+        num_centroids=16,
+    )
+    with open(marker, "w") as fh:
+        fh.write(mt)
+    return path
+
+
+@_q("cosine_ivfpq_topk", _ivfpq_oracle())
+def cosine_ivfpq_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ top-k FROM the unified store (vecstore.ivfpq_topk_from_
+    store, r12): PQ codes hive-partitioned by IVF cell — the probe set
+    becomes a literal PartitionFilter AND each query's own probe mask
+    applies inside the shared ADC kernel before pooling, then the pool
+    is exact-re-ranked. The oracle replays the whole composition: IVF
+    cell/probe CTEs restricting the _pq_oracle pipeline."""
+    path = _ensure_ivfpq_store(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    return vecstore.ivfpq_topk_from_store(
+        spark, path, emb, queries, "vec_id", "embedding",
+        k=5, pool=50, nprobe=4,
+    )
+
+
 @_q("cosine_pq_topk", _pq_oracle())
 def cosine_pq_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN with ADC scoring + exact re-rank
@@ -2339,17 +2490,22 @@ _bfn, _bsql = _compose_union(
         ("quant", "cosine_quant_topk"),
         ("quantstore", "cosine_quantstore_topk"),
         ("pq", "cosine_pq_topk"),
+        ("ivfpq", "cosine_ivfpq_topk"),
     ]
 )
 _bfn.__doc__ = """Brute-force cosine top-k: exact float path, (r7) the
 int8 scalar-quantized path (4x smaller store; scales cancel, so the
 quantized score is integer-exact on any engine), (r10) the same scores
 read from the PERSISTED vector store (quantize once at ingest, score
-from 64 packed code bytes per row), and (r9) the product-quantization
-ADC path (32x smaller store) with exact re-rank of its candidate pool.
-All broadcast the query side over one corpus scan."""
+from 64 packed code bytes per row), (r9) the product-quantization
+ADC path (32x smaller store) with exact re-rank of its candidate pool,
+and (r12) the unified IVF-PQ store — PQ codes partitioned by IVF cell,
+probe pruning and 32x compression multiplying — scored end to end from
+its persisted sidecars. All broadcast the query side over one corpus
+scan (the ivfpq arm scans only probed cells)."""
 _q("cosine_topk", _bsql)(_bfn)
-_retire("cosine_quant_topk", "cosine_quantstore_topk", "cosine_pq_topk")
+_retire("cosine_quant_topk", "cosine_quantstore_topk", "cosine_pq_topk",
+        "cosine_ivfpq_topk")
 
 
 def _neardup_oracle(num_planes: int = 4, threshold: float = 0.35, dim: int = 64) -> str:
