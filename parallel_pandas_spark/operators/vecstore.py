@@ -226,14 +226,25 @@ def _with_seq(df: DataFrame, seq: int) -> DataFrame:
 
 def _swap_partition_dirs(path: str, tmp: str, part: str = "shard") -> None:
     """Publish ``tmp``'s partition directories into ``path`` with a
-    crash-DETECTABLE swap (r11 ADVICE, low): the live directories are
-    first RENAMED aside into ``<path>.preswap`` — same-filesystem renames
-    are atomic per directory — then the new directories move in, then the
-    aside set is removed. A crash at any point leaves either (a) the old
-    store intact, or (b) a ``.preswap`` directory whose existence marks
-    the store as mid-swap WITH the pre-swap data recoverable from it —
-    never a silently-partial store with no marker. Non-partition sidecars
-    (tombstones, centroids, codebooks) stay in place."""
+    crash-RECOVERABLE swap (r11 ADVICE, low; hardened r12): the live
+    directories are first RENAMED aside into ``<path>.preswap`` —
+    same-filesystem renames are atomic per directory — then the new
+    directories move in and the staging tree is removed; the aside
+    tree outlives this call (see below / :func:`_clear_preswap`).
+
+    Every crash point is machine-decidable for :func:`recover_store`:
+    a ``_MANIFEST.json`` written into the aside dir BEFORE any rename
+    records the partition column and staging dir, and a ``_MOVED``
+    marker written AFTER the last live directory moves aside separates
+    the rollback-able prefix (old data still complete across
+    path+aside) from the roll-forward-able suffix (every partition dir
+    in ``path`` is new; the rest are intact in ``tmp``, which is only
+    deleted after all of them moved). Old and new layouts share
+    directory names (``shard=0`` exists in both), so without the
+    marker a dir in ``path`` mid-crash would be undecidable.
+    Non-partition sidecars (tombstones, centroids, codebooks) stay in
+    place."""
+    import json
     import os
     import shutil
 
@@ -241,19 +252,166 @@ def _swap_partition_dirs(path: str, tmp: str, part: str = "shard") -> None:
     if os.path.isdir(aside):
         raise ValueError(
             f"{aside!r} exists: a previous store rewrite did not complete —"
-            " recover by moving its directories back into the store (or"
-            " removing them if the new layout is fully present) before"
+            " run recover_store(path) to roll it back or forward before"
             " rewriting again"
         )
     os.makedirs(aside)
+    with open(os.path.join(aside, "_MANIFEST.json"), "w") as fh:
+        json.dump({"part": part, "tmp": os.path.basename(tmp.rstrip("/"))}, fh)
     for d in os.listdir(path):
         if d.startswith(f"{part}="):
             os.rename(os.path.join(path, d), os.path.join(aside, d))
+    # past this marker the old layout is fully aside: recovery rolls
+    # FORWARD (before it, the swap rolls back — old data is complete)
+    with open(os.path.join(aside, "_MOVED"), "w") as fh:
+        fh.write("1")
     for d in os.listdir(tmp):
         if d.startswith(f"{part}="):
             os.rename(os.path.join(tmp, d), os.path.join(path, d))
     shutil.rmtree(tmp)
-    shutil.rmtree(aside)
+    # the aside dir (and its manifest) survives until the caller's
+    # post-swap sidecar steps (tombstone drop, quantizer promotion)
+    # finish — callers end with _clear_preswap(path), and a crash
+    # before it leaves the manifest for recover_store to replay them
+
+
+def _clear_preswap(path: str) -> None:
+    """Final step of a store rewrite: remove the aside tree with the
+    manifest deleted LAST, so any crash during teardown still leaves a
+    decidable state (manifest present → sidecar steps already done,
+    only teardown remains; manifest absent + no staging → only the
+    empty dir remains)."""
+    import os
+    import shutil
+
+    aside = path.rstrip("/") + ".preswap"
+    if not os.path.isdir(aside):
+        return
+    for d in os.listdir(aside):
+        if d == "_MANIFEST.json":
+            continue
+        p = os.path.join(aside, d)
+        shutil.rmtree(p) if os.path.isdir(p) else os.remove(p)
+    man = os.path.join(aside, "_MANIFEST.json")
+    if os.path.isfile(man):
+        os.remove(man)
+    os.rmdir(aside)
+
+
+def recover_store(path: str) -> str:
+    """Recover a store whose rewrite (re-shard / compact / IVF
+    rebalance) crashed mid-swap, restoring a consistent layout without
+    data loss. Returns the action taken:
+
+    - ``"clean"`` — no interrupted rewrite found (leftover staging with
+      no swap started is discarded: the store was never touched).
+    - ``"rolled_back"`` — the crash hit before the old layout had fully
+      moved aside (no ``_MOVED`` marker): every aside directory moves
+      back in, staging is dropped, and the store is byte-identical to
+      its pre-rewrite state. Re-run the rewrite to retry.
+    - ``"rolled_forward"`` — the old layout was fully aside: any
+      partition directory still in staging moves in (directories
+      already in ``path`` came from staging and are kept), then
+      staging and aside are removed — the store equals a completed
+      rewrite. A staged ``.centroids.next`` quantizer (IVF rebalance)
+      is promoted; tombstones are dropped only for compact/rebalance
+      recoveries (those rewrites resolve shadowing into the staged
+      data) — a re-shard keeps every row AND its tombstones, so they
+      must survive its recovery.
+
+    Decidability argument: ``tmp`` is deleted only after ALL its
+    partition dirs moved, so with ``_MOVED`` present any dir remaining
+    in staging is intact-and-unmoved; without ``_MOVED``, nothing from
+    staging has moved in, so every partition dir in ``path`` or aside
+    is old data. The one undecidable-by-name case (old and new layouts
+    share ``part=N`` names) is exactly what the marker disambiguates.
+    """
+    import json
+    import os
+    import shutil
+
+    base = path.rstrip("/")
+    aside = base + ".preswap"
+    cnext = base + ".centroids.next"
+
+    def _promote_quantizer() -> None:
+        # a staged quantizer with the swap complete: finish promotion
+        # (rebalance_ivf_store crashes inside this window are the same)
+        if os.path.isdir(cnext):
+            cpath = base + ".centroids"
+            shutil.rmtree(cpath, ignore_errors=True)
+            os.rename(cnext, cpath)
+
+    def _drop_staging() -> bool:
+        any_dropped = False
+        for suffix in (".reshard.tmp", ".compact.tmp", ".rebalance.tmp"):
+            if os.path.isdir(base + suffix):
+                shutil.rmtree(base + suffix)
+                any_dropped = True
+        return any_dropped
+
+    if not os.path.isdir(aside):
+        # no swap in flight; drop any fully-staged-but-never-applied
+        # rewrite (the store itself was never touched) and finish a
+        # quantizer promotion the rebalance crashed inside of
+        if _drop_staging():
+            if os.path.isdir(cnext):
+                shutil.rmtree(cnext)  # staged for the dropped rewrite
+        else:
+            _promote_quantizer()
+        return "clean"
+
+    man_path = os.path.join(aside, "_MANIFEST.json")
+    if not os.path.isfile(man_path):
+        if _drop_staging():
+            # crashed between makedirs(aside) and the manifest write:
+            # staging still present, no rename has happened — the
+            # store is intact, discard the empty aside + staging
+            if os.path.isdir(cnext):
+                shutil.rmtree(cnext)
+            shutil.rmtree(aside)
+            return "rolled_back"
+        # no staging: _clear_preswap crashed between removing the
+        # manifest and the final rmdir — every sidecar step already
+        # ran, only the empty aside remains
+        shutil.rmtree(aside)
+        return "rolled_forward"
+
+    with open(man_path) as fh:
+        man = json.load(fh)
+    part = man["part"]
+    tmp = os.path.join(os.path.dirname(base) or ".", man["tmp"])
+
+    if not os.path.isfile(os.path.join(aside, "_MOVED")):
+        # ROLLBACK: old data is complete across path + aside
+        for d in os.listdir(aside):
+            if d.startswith(f"{part}="):
+                os.rename(os.path.join(aside, d), os.path.join(base, d))
+        if os.path.isdir(tmp):
+            shutil.rmtree(tmp)
+        if os.path.isdir(cnext):
+            shutil.rmtree(cnext)
+        shutil.rmtree(aside)
+        return "rolled_back"
+
+    # ROLL FORWARD: everything in path is new; finish moving staging
+    # in, then replay the rewrite's post-swap sidecar steps (they are
+    # idempotent), then tear the aside down manifest-last
+    if os.path.isdir(tmp):
+        for d in os.listdir(tmp):
+            if d.startswith(f"{part}="):
+                os.rename(os.path.join(tmp, d), os.path.join(base, d))
+        shutil.rmtree(tmp)
+    # compact/rebalance drop tombstones AFTER the swap (shadowing was
+    # resolved into the staged data) — but a re-shard rewrites
+    # shadowed rows as-is, so its tombstones must stay
+    if man["tmp"].endswith((".compact.tmp", ".rebalance.tmp")):
+        tpath = _tomb_path(base)
+        if os.path.isdir(tpath):
+            shutil.rmtree(tpath)
+    _promote_quantizer()
+    _clear_preswap(base)
+    return "rolled_forward"
 
 
 def append_vector_store(
@@ -311,8 +469,9 @@ def append_vector_store(
         )
         tmp = path.rstrip("/") + ".reshard.tmp"
         write_partitioned(merged, tmp, "shard")
-        # crash-detectable swap; non-shard sidecars (tombstones) stay
+        # crash-recoverable swap; non-shard sidecars (tombstones) stay
         _swap_partition_dirs(path, tmp, "shard")
+        _clear_preswap(path)
         return new_shards
     out = enc.withColumn(
         "shard", F.pmod(F.xxhash64(F.col(id_col)), F.lit(shards))
@@ -571,9 +730,8 @@ def rebalance_ivf_store(
     write_partitioned(merged, tmp, "cell")
     # stage the new quantizer BEFORE any destructive step; after the
     # data swap, promoting it is one rmtree+rename — and a crash inside
-    # that window is detectable (a leftover ``.centroids.next`` means
-    # the quantizer promotion did not complete; recover by re-running
-    # the promotion)
+    # that window is recoverable (recover_store replays the promotion
+    # from the leftover ``.centroids.next``)
     _write_centroids(path, cents, suffix=".centroids.next")
     _swap_partition_dirs(path, tmp, "cell")
     tpath = _tomb_path(path)
@@ -582,6 +740,7 @@ def rebalance_ivf_store(
     cpath = path.rstrip("/") + ".centroids"
     shutil.rmtree(cpath, ignore_errors=True)
     os.rename(cpath + ".next", cpath)
+    _clear_preswap(path)
     return ivf_skew_ratio(ivf_cell_rows(path))
 
 
@@ -688,6 +847,7 @@ def compact_vector_store(spark: SparkSession, path: str, id_col: str = "vec_id")
     tpath = _tomb_path(path)
     if os.path.isdir(tpath):
         shutil.rmtree(tpath)
+    _clear_preswap(path)
     return n
 
 
