@@ -2142,19 +2142,52 @@ SELECT query_id, neighbor_id, qcosine, rank FROM r WHERE rank <= 5
 """
 
 
-def _ensure_quant_store(spark: SparkSession, sf_dir: str) -> str:
-    """Build-if-stale cache for the persisted int8 vector store over a
-    fixture's embeddings table (operators/vecstore.py): keyed by the
-    absolute sf_dir, invalidated when the source parquet's mtime moves.
-    The store is the DURABLE artifact the quantized path's 4× claim
-    rests on — built once at ingest, scored many times — so the arm
-    measures score-from-store after the first call, exactly the
-    steady state a resident store serves (bench.py reports the one-time
-    build cost separately under "vecstore")."""
+def _ensure_store(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    mt_suffix: str,
+    sidecar_suffixes: tuple,
+    build,
+) -> str:
+    """Shared build-if-stale cache for every persisted vector-store
+    fixture (int8 / IVF / IVF-PQ): keyed by the absolute sf_dir,
+    invalidated when the source embeddings parquet's mtime (or the
+    build parameters baked into ``mt_suffix``) move. Stale rebuilds
+    clear the store AND its quantizer sidecars — a second write would
+    otherwise append beside the first. ``build(emb, path)`` does the
+    actual write."""
     import hashlib
+    import shutil
     import tempfile
 
     src = os.path.join(sf_dir, "embeddings.parquet")
+    mt = f"{os.path.getmtime(src)!r} {mt_suffix}"
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    path = os.path.join(tempfile.gettempdir(), f"pps_{name}_{key}")
+    marker = os.path.join(path, "_SRC_MTIME")
+    try:
+        with open(marker) as fh:
+            if fh.read() == mt:
+                return path
+    except OSError:
+        pass
+    for suffix in ("",) + tuple(sidecar_suffixes):
+        shutil.rmtree(path + suffix, ignore_errors=True)
+    build(load_table(spark, sf_dir, "embeddings"), path)
+    with open(marker, "w") as fh:
+        fh.write(mt)
+    return path
+
+
+def _ensure_quant_store(spark: SparkSession, sf_dir: str) -> str:
+    """Build-if-stale cache for the persisted int8 vector store over a
+    fixture's embeddings table (operators/vecstore.py). The store is
+    the DURABLE artifact the quantized path's 4× claim rests on —
+    built once at ingest, scored many times — so the arm measures
+    score-from-store after the first call, exactly the steady state a
+    resident store serves (bench.py reports the one-time build cost
+    separately under "vecstore")."""
     # shard count follows the MEASURED corpus size (parquet footer, no
     # job): ~1M vectors per shard. A fixture-sized corpus gets ONE shard
     # — a production store would not fan 5k rows over 8 directories
@@ -2163,27 +2196,18 @@ def _ensure_quant_store(spark: SparkSession, sf_dir: str) -> str:
     try:
         import pyarrow.parquet as _pq
 
-        rows = _pq.ParquetFile(src).metadata.num_rows
+        rows = _pq.ParquetFile(
+            os.path.join(sf_dir, "embeddings.parquet")
+        ).metadata.num_rows
     except Exception:
         rows = 0
     shards = max(1, -(-rows // 1_000_000))
-    mt = f"{os.path.getmtime(src)!r} shards={shards}"
-    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
-    path = os.path.join(tempfile.gettempdir(), f"pps_vecstore_{key}")
-    marker = os.path.join(path, "_SRC_MTIME")
-    try:
-        with open(marker) as fh:
-            if fh.read() == mt:
-                return path
-    except OSError:
-        pass
-    emb = load_table(spark, sf_dir, "embeddings")
-    vecstore.write_vector_store(
-        emb, path, "vec_id", "embedding", dim=64, shards=shards
+    return _ensure_store(
+        spark, sf_dir, "vecstore", f"shards={shards}", (),
+        lambda emb, path: vecstore.write_vector_store(
+            emb, path, "vec_id", "embedding", dim=64, shards=shards
+        ),
     )
-    with open(marker, "w") as fh:
-        fh.write(mt)
-    return path
 
 
 _QUANT_STORE_DFS: dict[str, tuple[float, DataFrame]] = {}
@@ -2421,33 +2445,16 @@ SELECT query_id, neighbor_id, cosine, rank FROM r WHERE rank <= {k}
 
 def _ensure_ivfpq_store(spark: SparkSession, sf_dir: str) -> str:
     """Build-if-stale cache for the IVF-PQ store (same marker pattern as
-    _ensure_quant_store/_ensure_ivf_store); stale rebuilds clear the
-    store and BOTH quantizer sidecars."""
-    import hashlib
-    import shutil
-    import tempfile
-
-    src = os.path.join(sf_dir, "embeddings.parquet")
-    mt = f"{os.path.getmtime(src)!r} ivfpq m=8 ks=16 ncent=16"
-    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
-    path = os.path.join(tempfile.gettempdir(), f"pps_ivfpqstore_{key}")
-    marker = os.path.join(path, "_SRC_MTIME")
-    try:
-        with open(marker) as fh:
-            if fh.read() == mt:
-                return path
-    except OSError:
-        pass
-    for p in (path, path + ".centroids"):
-        shutil.rmtree(p, ignore_errors=True)
-    emb = load_table(spark, sf_dir, "embeddings")
-    vecstore.write_ivfpq_store(
-        emb, path, "vec_id", "embedding", m=8, ks=16, dim=64, iters=0,
-        num_centroids=16,
+    _ensure_quant_store/_ensure_ivf_store via _ensure_store); stale
+    rebuilds clear the store and BOTH quantizer sidecars."""
+    return _ensure_store(
+        spark, sf_dir, "ivfpqstore", "ivfpq m=8 ks=16 ncent=16",
+        (".centroids",),
+        lambda emb, path: vecstore.write_ivfpq_store(
+            emb, path, "vec_id", "embedding", m=8, ks=16, dim=64,
+            iters=0, num_centroids=16,
+        ),
     )
-    with open(marker, "w") as fh:
-        fh.write(mt)
-    return path
 
 
 @_q("cosine_ivfpq_topk", _ivfpq_oracle())
@@ -2670,33 +2677,12 @@ def _ensure_ivf_store(spark: SparkSession, sf_dir: str) -> str:
     so a query's nprobe cells become literal PartitionFilters and
     non-probed directories are never listed (the 100 TB pruning story,
     plan-fenced in tests/test_vecstore_lifecycle_r11.py)."""
-    import hashlib
-    import shutil
-    import tempfile
-
-    src = os.path.join(sf_dir, "embeddings.parquet")
-    mt = f"{os.path.getmtime(src)!r} ncent=16"
-    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
-    path = os.path.join(tempfile.gettempdir(), f"pps_ivfstore_{key}")
-    marker = os.path.join(path, "_SRC_MTIME")
-    try:
-        with open(marker) as fh:
-            if fh.read() == mt:
-                return path
-    except OSError:
-        pass
-    # stale rebuild: clear the store AND its quantizer sidecar — a
-    # second write_ivf_store would otherwise append a second centroid
-    # file beside the first
-    for p in (path, path + ".centroids"):
-        shutil.rmtree(p, ignore_errors=True)
-    emb = load_table(spark, sf_dir, "embeddings")
-    vecstore.write_ivf_store(
-        emb, path, "vec_id", "embedding", num_centroids=16
+    return _ensure_store(
+        spark, sf_dir, "ivfstore", "ncent=16", (".centroids",),
+        lambda emb, path: vecstore.write_ivf_store(
+            emb, path, "vec_id", "embedding", num_centroids=16
+        ),
     )
-    with open(marker, "w") as fh:
-        fh.write(mt)
-    return path
 
 
 @_q("ivf_store_topk", _ivf_oracle())

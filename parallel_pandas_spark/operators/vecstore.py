@@ -276,11 +276,15 @@ def _swap_partition_dirs(path: str, tmp: str, part: str = "shard") -> None:
 
 
 def _clear_preswap(path: str) -> None:
-    """Final step of a store rewrite: remove the aside tree with the
-    manifest deleted LAST, so any crash during teardown still leaves a
-    decidable state (manifest present → sidecar steps already done,
-    only teardown remains; manifest absent + no staging → only the
-    empty dir remains)."""
+    """Final step of a store rewrite: remove the aside tree in a FIXED
+    order — old partition dirs, then ``_MOVED``, then the manifest —
+    so any crash during teardown still leaves a decidable state. The
+    order matters: deleting ``_MOVED`` before the old dirs could leave
+    manifest + old dirs + no marker, which recover_store would read as
+    a rollback state and try to rename old dirs onto the NEW layout
+    (ENOTEMPTY, unrecoverable). With this order (and the staging-gone
+    disambiguation in recover_store) every teardown crash reads as
+    roll-forward."""
     import os
     import shutil
 
@@ -288,10 +292,13 @@ def _clear_preswap(path: str) -> None:
     if not os.path.isdir(aside):
         return
     for d in os.listdir(aside):
-        if d == "_MANIFEST.json":
+        if d in ("_MANIFEST.json", "_MOVED"):
             continue
         p = os.path.join(aside, d)
         shutil.rmtree(p) if os.path.isdir(p) else os.remove(p)
+    moved = os.path.join(aside, "_MOVED")
+    if os.path.isfile(moved):
+        os.remove(moved)
     man = os.path.join(aside, "_MANIFEST.json")
     if os.path.isfile(man):
         os.remove(man)
@@ -352,13 +359,15 @@ def recover_store(path: str) -> str:
 
     if not os.path.isdir(aside):
         # no swap in flight; drop any fully-staged-but-never-applied
-        # rewrite (the store itself was never touched) and finish a
-        # quantizer promotion the rebalance crashed inside of
-        if _drop_staging():
-            if os.path.isdir(cnext):
-                shutil.rmtree(cnext)  # staged for the dropped rewrite
-        else:
-            _promote_quantizer()
+        # rewrite (the store itself was never touched). A dangling
+        # ``.centroids.next`` here is always PRE-swap staging (every
+        # post-swap crash leaves the aside dir, handled below, and a
+        # completed promotion renames it away) — promoting it would
+        # pair NEW centroids with the OLD cell layout and silently
+        # mis-probe every query, so it is discarded, never promoted.
+        _drop_staging()
+        if os.path.isdir(cnext):
+            shutil.rmtree(cnext)
         return "clean"
 
     man_path = os.path.join(aside, "_MANIFEST.json")
@@ -381,6 +390,18 @@ def recover_store(path: str) -> str:
         man = json.load(fh)
     part = man["part"]
     tmp = os.path.join(os.path.dirname(base) or ".", man["tmp"])
+
+    if not os.path.isfile(os.path.join(aside, "_MOVED")) and not os.path.isdir(
+        tmp
+    ):
+        # manifest present, no _MOVED, no staging: staging is only
+        # deleted AFTER _MOVED was written, so this can only be a
+        # teardown crash (e.g. an older teardown that removed _MOVED
+        # early) — the swap and sidecar steps completed; finish the
+        # teardown instead of misreading it as a rollback (renaming
+        # aside's old dirs onto the new layout would ENOTEMPTY)
+        shutil.rmtree(aside)
+        return "rolled_forward"
 
     if not os.path.isfile(os.path.join(aside, "_MOVED")):
         # ROLLBACK: old data is complete across path + aside
@@ -617,7 +638,11 @@ def read_ivf_centroids(path: str) -> list:
 def ivf_cell_rows(path: str) -> dict:
     """Measured per-cell row counts from parquet footers (directory
     listing + footer metadata — no Spark job): the store's own drift
-    gauge."""
+    gauge. Deliberately PHYSICAL rows, not live rows: tombstoned and
+    superseded rows are still scanned (then filtered) by every probe,
+    so footer counts are exactly the per-probe scan cost the rebalance
+    bound protects — and the rebalance itself resolves shadowing, so
+    firing on dead-row bloat reclaims that cost too."""
     import glob
     import os
 

@@ -51,6 +51,7 @@ import glob
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from parallel_pandas_spark.operators import cdc, incremental, rollup
@@ -183,4 +184,14 @@ def corpus_stream_readout(
     state = incremental.refresh_extrema(
         merged, co, touched, touched, keys, cols
     )
-    return di, co, rollup.finalize(state, keys, spec)
+    fin = rollup.finalize(state, keys, spec)
+    # a group whose members were ALL retracted cancels to a zero-count
+    # state row (retraction merges never delete rows) — a from-scratch
+    # rebuild has no such group, so drop it or the bit-equality theorem
+    # (and the driver's __corpusloop__ row-count comparison) breaks on
+    # feeds that delete a whole group. Same filter as the batch
+    # incremental arm; exact because the spec columns are non-null
+    # document stats (n_<col> is the group's live row count).
+    counts = [F.col(f"count_{c}") for c in cols]
+    alive = (F.greatest(*counts) if len(counts) > 1 else counts[0]) > 0
+    return di, co, fin.where(alive)

@@ -203,6 +203,73 @@ def test_recover_finishes_interrupted_teardown(spark, tmp_path):
     assert _topk(spark, store, q) == before
 
 
+def test_recover_teardown_crash_with_manifest_is_roll_forward(
+    spark, tmp_path
+):
+    """Manifest present, no _MOVED, no staging: staging is only deleted
+    after _MOVED was written, so this state can only come from a crash
+    inside the aside teardown — recovery must finish the teardown, NOT
+    read it as a rollback (renaming the aside's old dirs onto the new
+    layout would ENOTEMPTY and leave the store permanently blocked)."""
+    import json
+
+    store, emb = _store_with_tombstones(spark, tmp_path)
+    q = emb.where(F.col("vec_id") < 3)
+    vecstore.compact_vector_store(spark, store, "vec_id")
+    after = _topk(spark, store, q)
+    # fabricate the teardown-crash state: an old shard dir still aside,
+    # manifest present, _MOVED already deleted, staging long gone
+    aside = store + ".preswap"
+    os.makedirs(aside + "/shard=0")
+    with open(aside + "/_MANIFEST.json", "w") as fh:
+        json.dump({"part": "shard", "tmp": os.path.basename(store) + ".compact.tmp"}, fh)
+
+    assert vecstore.recover_store(store) == "rolled_forward"
+    assert not os.path.isdir(aside)
+    assert _topk(spark, store, q) == after
+    # and the store accepts the next rewrite
+    assert vecstore.compact_vector_store(spark, store, "vec_id") == 38
+
+
+def test_recover_never_promotes_stale_staged_quantizer(
+    spark, tmp_path, sf_small
+):
+    """A dangling .centroids.next with no aside dir is PRE-swap staging
+    (every post-swap crash leaves the aside in place): promoting it
+    would pair new centroids with the old cell layout and silently
+    mis-probe every query — recovery must discard it."""
+    from parallel_pandas_spark.sources import load_table
+
+    emb = load_table(spark, sf_small, "embeddings")
+    q = emb.where(F.col("vec_id") < 4)
+    store = str(tmp_path / "ivf")
+    vecstore.write_ivf_store(emb, store, "vec_id", "embedding", num_centroids=8)
+    before_cents = vecstore.read_ivf_centroids(store)
+    before = sorted(
+        map(
+            tuple,
+            vecstore.ivf_topk_from_store(
+                spark, store, q, "vec_id", "embedding", k=5, nprobe=8
+            ).collect(),
+        )
+    )
+    # a rebalance that crashed after staging its quantizer (and a prior
+    # recovery pass that already dropped the staging tmp)
+    vecstore._write_centroids(store, [(0, [0.0] * 64)], suffix=".centroids.next")
+    assert vecstore.recover_store(store) == "clean"
+    assert not os.path.isdir(store + ".centroids.next")
+    assert vecstore.read_ivf_centroids(store) == before_cents
+    after = sorted(
+        map(
+            tuple,
+            vecstore.ivf_topk_from_store(
+                spark, store, q, "vec_id", "embedding", k=5, nprobe=8
+            ).collect(),
+        )
+    )
+    assert after == before
+
+
 def test_recover_reshard_preserves_tombstones(spark, tmp_path, monkeypatch):
     """Roll-forward of a RE-SHARD must keep the tombstone set — the
     rewrite carries shadowed rows as-is, so dropping tombstones (as a

@@ -104,12 +104,20 @@ wall = time.perf_counter() - t0
 stop.set()
 
 app = spark.sparkContext.applicationId
-base = f"http://localhost:{port}/api/v1/applications/{{app}}"
-stages = json.load(urllib.request.urlopen(f"{{base}}/stages?status=complete"))
-mem_spill = sum(s.get("memoryBytesSpilled", 0) for s in stages)
-disk_spill = sum(s.get("diskBytesSpilled", 0) for s in stages)
-peak_exec = max((s.get("peakExecutionMemory", 0) for s in stages), default=0)
-peak_heap = 0
+# ask the context for the REAL UI url: spark.port.maxRetries moves the
+# UI off the requested port when it is taken, and a metrics hiccup must
+# not turn a green run into a recorded failure — the query already
+# completed, so metric fetches below are best-effort
+ui = spark.sparkContext.uiWebUrl or f"http://localhost:{port}"
+base = f"{{ui}}/api/v1/applications/{{app}}"
+mem_spill = disk_spill = peak_exec = peak_heap = 0
+try:
+    stages = json.load(urllib.request.urlopen(f"{{base}}/stages?status=complete"))
+    mem_spill = sum(s.get("memoryBytesSpilled", 0) for s in stages)
+    disk_spill = sum(s.get("diskBytesSpilled", 0) for s in stages)
+    peak_exec = max((s.get("peakExecutionMemory", 0) for s in stages), default=0)
+except Exception:
+    pass
 try:
     for e in json.load(urllib.request.urlopen(f"{{base}}/executors")):
         pm = e.get("peakMemoryMetrics") or {{}}
@@ -144,11 +152,13 @@ def run_one(repo: str, query: str, heap: str, sf: str, cpus: int, port: int,
             rec = json.loads(ln[len("MEMREHEARSAL "):])
             rec["status"] = "green"
             return rec
-    tail = (out.stderr or "")[-4000:]
+    # OOM evidence can land on either stream (py4j re-raises JVM errors
+    # into stdout tracebacks); scan both before calling it a plain fail
+    tail = (out.stderr or "")[-4000:] + (out.stdout or "")[-4000:]
     status = "oom" if ("OutOfMemoryError" in tail or "insufficient memory"
                        in tail) else "failed"
     return {"query": query, "heap": heap, "status": status,
-            "err_tail": tail[-600:]}
+            "err_tail": (out.stderr or "")[-600:]}
 
 
 def main() -> None:
