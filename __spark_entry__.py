@@ -1723,6 +1723,11 @@ def stream_tumbling_live_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, _mk_changes, base_di_p, base_co_p, cwork, cck, cspec,
         stop_after_batches=1,
     )
+    # r12: changelog-compact at the restart point — fold the committed
+    # delta into a state snapshot and vacuum superseded versions, so the
+    # final read-out is served from snapshot + post-compaction deltas
+    # (the bounded-state path a long-running loop depends on)
+    _sc.compact_corpus_artifacts(spark, base_state, cwork, cspec)
     _sc.run_corpus_refresh_stream(
         spark, _mk_changes, base_di_p, base_co_p, cwork, cck, cspec
     )

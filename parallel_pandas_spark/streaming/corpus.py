@@ -39,7 +39,11 @@ feed-sized intermediates; plan fence in tests/test_incremental_r11.py).
 Snapshot versioning here rewrites the full artifact per batch for
 byte-level simplicity; a production deployment swaps that single writer
 for a format with native snapshot isolation (Iceberg/Delta) without
-touching the maintenance logic.
+touching the maintenance logic. Loop state is BOUNDED by
+:func:`compact_corpus_artifacts` (changelog compaction): outstanding
+rollup deltas fold into an exact state snapshot and superseded artifact
+versions are vacuumed, so neither the read-out's merge set nor the
+version directories grow with stream lifetime.
 
 The reference (dubovikmaster/parallel-pandas) has no streaming or
 storage layer (SURVEY.md §1.1) — extension-tier scale infrastructure.
@@ -153,6 +157,119 @@ def run_corpus_refresh_stream(
     )
 
 
+def _version_id(d: str) -> int:
+    return int(os.path.basename(d)[1:])
+
+
+def _versions(art_dir: str) -> list:
+    """Committed version directories, ascending by batch id."""
+    out = []
+    for d in glob.glob(os.path.join(art_dir, "b*")):
+        try:
+            _version_id(d)
+        except ValueError:
+            continue
+        out.append(d)
+    return sorted(out, key=_version_id)
+
+
+def compact_corpus_artifacts(
+    spark: SparkSession,
+    base_state: DataFrame,
+    work_dir: str,
+    spec: dict,
+    keys=("lang",),
+    keep_last: int = 2,
+) -> dict:
+    """Bound the loop's state: fold every outstanding rollup delta into
+    a STATE SNAPSHOT at ``<work_dir>/state/b<H>`` (H = newest committed
+    batch) and vacuum superseded artifact versions. Without this the
+    read-out merges a delta set that grows with every micro-batch and
+    the versioned docindex/corpus directories grow without bound — the
+    standard changelog-compaction move, expressed on the loop's own
+    exactly-once artifacts.
+
+    The snapshot is EXACT, not just mergeable: the fold runs the same
+    extrema/sketch refresh as the read-out against the corpus at H, so
+    a group untouched by any later delta never needs its stored
+    extrema revisited (its membership — hence min/max — is unchanged
+    after H by definition). Read-outs then merge only deltas newer
+    than the snapshot; compaction after compaction folds nothing and
+    is a no-op.
+
+    Crash/replay safety (same single-writer assumption as the per-batch
+    artifact writes — run it between stream runs, not concurrently):
+    the snapshot write is an idempotent overwrite of ``state/b<H>``;
+    vacuum deletes only versions older than the ``keep_last`` newest,
+    and ``keep_last >= 2`` keeps the predecessor a restart replay of
+    batch H reads (foreachBatch replays at most the newest batch). A
+    replayed batch may rewrite an already-folded ``delta/b<H>`` after
+    vacuum removed it — harmless, because read-outs ignore deltas at or
+    below the snapshot id. Returns ``{"folded_to", "deltas_folded",
+    "versions_deleted"}``."""
+    import shutil
+
+    if keep_last < 2:
+        raise ValueError(
+            "keep_last must be >= 2: a restart replay of the newest "
+            "batch reads the PREVIOUS artifact version — vacuuming it "
+            "would replay against the wrong snapshot"
+        )
+    keys = list(keys)
+    cols = list(spec)
+    de_dir = os.path.join(work_dir, "delta")
+    st_dir = os.path.join(work_dir, "state")
+    de_dirs = _versions(de_dir)
+    # anchor the fold to the newest DELTA, not the newest corpus: a
+    # batch writes docindex -> corpus -> delta, so a mid-batch crash can
+    # leave the corpus one version ahead — folding "up to" that corpus
+    # would stamp a snapshot id whose delta was never merged, and the
+    # replayed delta would then be ignored forever (silent loss). The
+    # corpus AT the delta horizon always exists (written before it).
+    if not de_dirs:
+        horizon = -1
+    else:
+        horizon = _version_id(de_dirs[-1])
+
+    snap = _latest_version(st_dir, 1 << 60)
+    snap_id = _version_id(snap) if snap else -1
+    state = spark.read.parquet(snap) if snap else base_state
+    fold = [d for d in de_dirs if snap_id < _version_id(d) <= horizon]
+    if fold:
+        deltas = spark.read.parquet(*fold)
+        merged = rollup.merge_state(
+            state.unionByName(deltas.select(*state.columns)), keys, cols
+        )
+        co = spark.read.parquet(
+            os.path.join(work_dir, "corpus", f"b{horizon:05d}")
+        )
+        touched = deltas.select(*keys)
+        folded = incremental.refresh_extrema(
+            merged, co, touched, touched, keys, cols
+        )
+        folded.write.mode("overwrite").parquet(
+            os.path.join(st_dir, f"b{horizon:05d}")
+        )
+    deleted = 0
+    for art in ("docindex", "corpus", "state"):
+        vs = _versions(os.path.join(work_dir, art))
+        for d in vs[:-keep_last]:
+            shutil.rmtree(d)
+            deleted += 1
+    # folded deltas are superseded by the snapshot (read-outs ignore
+    # ids <= snapshot id), so all of them can go
+    new_snap_id = horizon if fold else snap_id
+    for d in _versions(de_dir):
+        if _version_id(d) <= new_snap_id:
+            shutil.rmtree(d)
+            deleted += 1
+    return {
+        "folded_to": new_snap_id if new_snap_id >= 0 else None,
+        "deltas_folded": len(fold),
+        "versions_deleted": deleted,
+    }
+
+
 def corpus_stream_readout(
     spark: SparkSession,
     base_state: DataFrame,
@@ -161,12 +278,14 @@ def corpus_stream_readout(
     keys=("lang",),
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """The loop's final (docindex, corpus, finalized rollup): the latest
-    artifact versions, and the base state merged with every batch delta
-    (exact integer merges — any tree equals a single-pass build) with
-    extrema refreshed for the groups any delta touched. The result must
-    bit-equal a from-scratch rebuild on the final corpus — that equality
-    IS the maintenance theorem, and the test asserts it across a
-    mid-stream restart."""
+    artifact versions, and the newest state snapshot (falling back to
+    ``base_state`` when :func:`compact_corpus_artifacts` has never run)
+    merged with every NEWER batch delta (exact integer merges — any
+    tree equals a single-pass build) with extrema refreshed for the
+    groups those deltas touched. The result must bit-equal a
+    from-scratch rebuild on the final corpus — that equality IS the
+    maintenance theorem, and the tests assert it across a mid-stream
+    restart and across compaction points."""
     keys = list(keys)
     cols = list(spec)
     di = spark.read.parquet(
@@ -175,15 +294,27 @@ def corpus_stream_readout(
     co = spark.read.parquet(
         _latest_version(os.path.join(work_dir, "corpus"), 1 << 60)
     )
-    deltas = spark.read.parquet(os.path.join(work_dir, "delta", "b*"))
-    merged = rollup.merge_state(
-        base_state.unionByName(deltas.select(*base_state.columns)),
-        keys, cols,
-    )
-    touched = deltas.select(*keys)
-    state = incremental.refresh_extrema(
-        merged, co, touched, touched, keys, cols
-    )
+    snap = _latest_version(os.path.join(work_dir, "state"), 1 << 60)
+    snap_id = _version_id(snap) if snap else -1
+    base = spark.read.parquet(snap) if snap else base_state
+    fresh = [
+        d
+        for d in _versions(os.path.join(work_dir, "delta"))
+        if _version_id(d) > snap_id
+    ]
+    if fresh:
+        deltas = spark.read.parquet(*fresh)
+        merged = rollup.merge_state(
+            base.unionByName(deltas.select(*base.columns)), keys, cols
+        )
+        touched = deltas.select(*keys)
+        state = incremental.refresh_extrema(
+            merged, co, touched, touched, keys, cols
+        )
+    else:
+        # every delta is folded into the snapshot, whose extrema the
+        # fold already refreshed against this same corpus version
+        state = base
     fin = rollup.finalize(state, keys, spec)
     # a group whose members were ALL retracted cancels to a zero-count
     # state row (retraction merges never delete rows) — a from-scratch

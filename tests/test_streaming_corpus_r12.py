@@ -132,3 +132,129 @@ def test_live_corpus_loop_restart_bit_equals_batch_rebuild(spark, tmp_path):
     assert run() == 0
     _, _, again = sc.corpus_stream_readout(spark, base_state, work, _SPEC)
     assert {r["lang"]: tuple(r)[1:] for r in again.collect()} == want
+
+
+def _setup_loop(spark, tmp_path):
+    base_di = _base(spark)
+    base_co = incremental.keepers(base_di)
+    di_p, co_p = str(tmp_path / "base_di"), str(tmp_path / "base_co")
+    base_di.write.parquet(di_p)
+    base_co.write.parquet(co_p)
+    base_state = rollup.agg_state(spark.read.parquet(co_p), ["lang"], _SPEC)
+    feed_dir = str(tmp_path / "changes")
+    _write_slices(spark, feed_dir)
+    work = str(tmp_path / "work")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run(stop=None):
+        return sc.run_corpus_refresh_stream(
+            spark,
+            lambda: sc.stream_doc_changes(spark, feed_dir, max_files=1),
+            di_p, co_p, work, ckpt, _SPEC, stop_after_batches=stop)
+
+    return base_di, base_state, work, run
+
+
+def _final_map(spark, base_state, work):
+    _, _, fin = sc.corpus_stream_readout(spark, base_state, work, _SPEC)
+    return {r["lang"]: tuple(r)[1:] for r in fin.collect()}
+
+
+def test_compaction_bounds_state_and_preserves_readout(spark, tmp_path):
+    """Fold + vacuum after the loop completes: the delta set empties,
+    old artifact versions go, and the read-out (now served straight
+    from the snapshot) stays bit-identical — including the min/max the
+    fold refreshed at compaction time."""
+    import glob as g
+
+    base_di, base_state, work, run = _setup_loop(spark, tmp_path)
+    run()
+    before = _final_map(spark, base_state, work)
+    res = sc.compact_corpus_artifacts(spark, base_state, work, _SPEC)
+    assert res["deltas_folded"] == 4 and res["folded_to"] is not None
+    assert not g.glob(work + "/delta/b*")  # all folded
+    for art in ("docindex", "corpus"):  # keep_last=2 newest survive
+        assert len(g.glob(f"{work}/{art}/b*")) == 2
+    assert _final_map(spark, base_state, work) == before
+    # compaction after compaction folds nothing and changes nothing
+    res2 = sc.compact_corpus_artifacts(spark, base_state, work, _SPEC)
+    assert res2["deltas_folded"] == 0
+    assert _final_map(spark, base_state, work) == before
+
+
+def test_compaction_mid_stream_then_restart_bit_equals_rebuild(
+    spark, tmp_path
+):
+    """Compact after two batches, resume the remaining batches from the
+    checkpoint, and the final read-out (snapshot + post-compaction
+    deltas) must still bit-equal the from-scratch batch rebuild — the
+    maintenance theorem across a compaction point, with the replayed
+    batch reading the retained predecessor version."""
+    base_di, base_state, work, run = _setup_loop(spark, tmp_path)
+    assert run(stop=2) >= 2
+    sc.compact_corpus_artifacts(spark, base_state, work, _SPEC)
+    run()  # remaining slices
+    di, co, fin = sc.corpus_stream_readout(spark, base_state, work, _SPEC)
+    eff, keep = _rebuild(spark, base_di)
+    assert _members(di) == _members(eff)
+    assert _members(co) == _members(keep)
+    got = {r["lang"]: tuple(r)[1:] for r in fin.collect()}
+    want = {
+        r["lang"]: tuple(r)[1:]
+        for r in rollup.finalize(
+            rollup.agg_state(keep, ["lang"], _SPEC), ["lang"], _SPEC
+        ).collect()
+    }
+    assert got == want and len(got) >= 3
+
+
+def test_compaction_anchors_to_delta_horizon_on_midbatch_crash(
+    spark, tmp_path
+):
+    """A batch writes docindex -> corpus -> delta; simulate a crash
+    between the corpus and delta writes of the LAST batch. Compaction
+    must fold only up to the newest DELTA (refreshing against the
+    corpus at that same version), so the replayed batch's delta is not
+    silently discarded as already-folded."""
+    import shutil
+
+    base_di, base_state, work, run = _setup_loop(spark, tmp_path)
+    run()
+    import glob as g
+
+    last_delta = sorted(g.glob(work + "/delta/b*"))[-1]
+    shutil.rmtree(last_delta)  # the crash window: corpus ahead of delta
+    res = sc.compact_corpus_artifacts(spark, base_state, work, _SPEC)
+    assert res["deltas_folded"] == 3
+    # snapshot id is the delta horizon, one behind the newest corpus
+    snap = sorted(g.glob(work + "/state/b*"))[-1]
+    newest_co = sorted(g.glob(work + "/corpus/b*"))[-1]
+    assert int(snap.rsplit("b", 1)[1]) == int(newest_co.rsplit("b", 1)[1]) - 1
+    # the replay (here: the runner re-delivering nothing new — rewrite
+    # the delta by hand as a replay would) is still merged by read-outs
+    # simulate the replay: recompute batch 4's delta exactly as the
+    # runner's write_batch does (snapshot below 4 = the retained b3)
+    from parallel_pandas_spark.operators import cdc
+
+    di3 = spark.read.parquet(sorted(g.glob(work + "/docindex/b*"))[-2])
+    co3 = spark.read.parquet(sorted(g.glob(work + "/corpus/b*"))[-2])
+    feed4 = spark.createDataFrame(_slices()[3], sc.DOC_CHANGES_SCHEMA)
+    changes = cdc.cdc_compact(
+        feed4, ["doc_id"], ["ts"], drop_deleted=False).drop("ts")
+    _, _, added, removed = incremental.refresh_corpus(
+        di3, co3, changes, id_col="doc_id", fp_col="fp")
+    delta4 = rollup.agg_state(added, ["lang"], _SPEC).unionByName(
+        rollup.negate_state(
+            rollup.agg_state(removed, ["lang"], _SPEC),
+            ["n_chars"], keys=["lang"]))
+    delta4.write.mode("overwrite").parquet(last_delta)
+
+    eff, keep = _rebuild(spark, base_di)
+    got = _final_map(spark, base_state, work)
+    want = {
+        r["lang"]: tuple(r)[1:]
+        for r in rollup.finalize(
+            rollup.agg_state(keep, ["lang"], _SPEC), ["lang"], _SPEC
+        ).collect()
+    }
+    assert got == want
