@@ -840,35 +840,44 @@ def ivf_topk_from_store(
 
 
 def compact_vector_store(spark: SparkSession, path: str, id_col: str = "vec_id") -> int:
-    """Physical reclamation: rewrite the store keeping only LIVE rows
-    (tombstone shadowing resolved once, seqs reset to epoch 0) and drop
-    the tombstone set — the LSM compaction that bounds read-side
-    tombstone work. Same stage-to-sibling-and-swap as the re-shard
-    rewrite; shard count and assignment are preserved (rows keep their
-    hashed shard), so reader pruning is unaffected. Returns the live
-    row count. Scoring before vs after is identical by construction
-    (pinned in tests): compaction changes bytes on disk, not the live
-    row multiset."""
+    """Physical reclamation for ANY store layout: rewrite the store
+    keeping only LIVE rows (tombstone shadowing resolved once, seqs
+    reset to epoch 0) and drop the tombstone set — the LSM compaction
+    that bounds read-side tombstone work. Same stage-to-sibling-and-
+    swap as the re-shard rewrite. Partition assignment is preserved, so
+    reader pruning is unaffected: hash-sharded layouts (int8/PQ codes)
+    re-derive each row's ``shard`` from the same id hash at the same
+    shard count; cell-partitioned layouts (IVF, and the IVF-PQ store's
+    ``<path>/codes``) keep each row's stored ``cell`` — centroids are
+    NOT retrained (that is :func:`rebalance_ivf_store`'s job), so the
+    quantizer sidecars stay valid as-is. Returns the live row count.
+    Scoring before vs after is identical by construction (pinned in
+    tests): compaction changes bytes on disk, not the live row
+    multiset."""
     import os
     import shutil
 
+    part = _part_col(path)
     live = _with_seq(load_vector_store(spark, path, id_col), 0)
-    shards = store_shard_count(path)
     if live.limit(1).count() == 0:
         raise ValueError(
             f"compact_vector_store: no live rows under {path!r} — a "
-            "fully-tombstoned store has no shard layout to preserve; "
+            "fully-tombstoned store has no partition layout to preserve; "
             "delete the store directory instead"
         )
-    merged = live.withColumn(
-        "shard", F.pmod(F.xxhash64(F.col(id_col)), F.lit(shards))
-    )
+    if part == "shard":
+        merged = live.withColumn(
+            "shard",
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(store_shard_count(path))),
+        )
+    else:
+        merged = live  # rows keep their stored cell assignment
     tmp = path.rstrip("/") + ".compact.tmp"
-    write_partitioned(merged, tmp, "shard")
-    n = _store_rows(tmp)
+    write_partitioned(merged, tmp, part)
+    n = _store_rows(tmp, part=part)
     # crash-detectable swap (tombstones dropped only AFTER the swap
     # completes — a crash mid-swap leaves them valid for the recovery)
-    _swap_partition_dirs(path, tmp, "shard")
+    _swap_partition_dirs(path, tmp, part)
     tpath = _tomb_path(path)
     if os.path.isdir(tpath):
         shutil.rmtree(tpath)
