@@ -55,7 +55,6 @@ import glob
 import os
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from parallel_pandas_spark.operators import cdc, incremental, rollup
@@ -88,18 +87,32 @@ def stream_doc_changes(
     )
 
 
-def _latest_version(art_dir: str, below: int) -> str | None:
-    """Greatest committed version directory ``b<j>`` with j < below."""
-    best, best_j = None, -1
+def _version_id(d: str) -> int:
+    return int(os.path.basename(d)[1:])
+
+
+def _versions(art_dir: str) -> list:
+    """COMMITTED version directories, ascending by batch id. Committed
+    means Spark's ``_SUCCESS`` marker is present: a write killed partway
+    leaves a partial ``b<j>`` without it, and treating that as a real
+    version would serve truncated data (for compaction snapshots it
+    would be permanent — the fold would never re-run and the folded
+    deltas would be vacuumed; see compact_corpus_artifacts)."""
+    out = []
     for d in glob.glob(os.path.join(art_dir, "b*")):
-        name = os.path.basename(d)
         try:
-            j = int(name[1:])
+            _version_id(d)
         except ValueError:
             continue
-        if best_j < j < below:
-            best, best_j = d, j
-    return best
+        if os.path.isfile(os.path.join(d, "_SUCCESS")):
+            out.append(d)
+    return sorted(out, key=_version_id)
+
+
+def _latest_version(art_dir: str, below: int) -> str | None:
+    """Greatest committed version directory ``b<j>`` with j < below."""
+    vs = [d for d in _versions(art_dir) if _version_id(d) < below]
+    return vs[-1] if vs else None
 
 
 def run_corpus_refresh_stream(
@@ -157,20 +170,42 @@ def run_corpus_refresh_stream(
     )
 
 
-def _version_id(d: str) -> int:
-    return int(os.path.basename(d)[1:])
-
-
-def _versions(art_dir: str) -> list:
-    """Committed version directories, ascending by batch id."""
-    out = []
-    for d in glob.glob(os.path.join(art_dir, "b*")):
-        try:
-            _version_id(d)
-        except ValueError:
-            continue
-        out.append(d)
-    return sorted(out, key=_version_id)
+def _fold_state(
+    spark: SparkSession,
+    base_state: DataFrame,
+    work_dir: str,
+    keys: list,
+    cols: list,
+    corpus: DataFrame,
+    upto: int,
+) -> tuple:
+    """The rollup state as of batch ``upto``: the newest committed state
+    snapshot (or ``base_state`` when none), merged with every committed
+    delta newer than it up to ``upto``, extrema-refreshed for the groups
+    those deltas touched against ``corpus``. One implementation serves
+    both the read-out and compaction's fold so the two can never drift.
+    Returns ``(state, snap_id, folded_delta_dirs)``."""
+    snap = _latest_version(os.path.join(work_dir, "state"), 1 << 60)
+    snap_id = _version_id(snap) if snap else -1
+    base = spark.read.parquet(snap) if snap else base_state
+    fold = [
+        d
+        for d in _versions(os.path.join(work_dir, "delta"))
+        if snap_id < _version_id(d) <= upto
+    ]
+    if not fold:
+        # every delta is folded into the snapshot, whose extrema the
+        # fold already refreshed against this same corpus version
+        return base, snap_id, []
+    deltas = spark.read.parquet(*fold)
+    merged = rollup.merge_state(
+        base.unionByName(deltas.select(*base.columns)), keys, cols
+    )
+    touched = deltas.select(*keys)
+    state = incremental.refresh_extrema(
+        merged, corpus, touched, touched, keys, cols
+    )
+    return state, snap_id, fold
 
 
 def compact_corpus_artifacts(
@@ -199,13 +234,17 @@ def compact_corpus_artifacts(
 
     Crash/replay safety (same single-writer assumption as the per-batch
     artifact writes — run it between stream runs, not concurrently):
-    the snapshot write is an idempotent overwrite of ``state/b<H>``;
-    vacuum deletes only versions older than the ``keep_last`` newest,
-    and ``keep_last >= 2`` keeps the predecessor a restart replay of
-    batch H reads (foreachBatch replays at most the newest batch). A
-    replayed batch may rewrite an already-folded ``delta/b<H>`` after
-    vacuum removed it — harmless, because read-outs ignore deltas at or
-    below the snapshot id. Returns ``{"folded_to", "deltas_folded",
+    deltas are deleted only AFTER the snapshot that folds them is fully
+    committed (Spark's ``_SUCCESS`` marker); a crash during the
+    snapshot write leaves a marker-less partial that version resolution
+    ignores and the next compaction purges and re-folds — the fold
+    source is never lost before its result is durable. Vacuum deletes
+    only versions older than the ``keep_last`` newest, and ``keep_last
+    >= 2`` keeps the predecessor a restart replay of batch H reads
+    (foreachBatch replays at most the newest batch). A replayed batch
+    may rewrite an already-folded ``delta/b<H>`` after vacuum removed
+    it — harmless, because read-outs ignore deltas at or below the
+    snapshot id. Returns ``{"folded_to", "deltas_folded",
     "versions_deleted"}``."""
     import shutil
 
@@ -219,6 +258,11 @@ def compact_corpus_artifacts(
     cols = list(spec)
     de_dir = os.path.join(work_dir, "delta")
     st_dir = os.path.join(work_dir, "state")
+    # purge snapshots a crashed fold left uncommitted (no _SUCCESS) so
+    # the fold below re-runs from the still-present deltas
+    for d in glob.glob(os.path.join(st_dir, "b*")):
+        if not os.path.isfile(os.path.join(d, "_SUCCESS")):
+            shutil.rmtree(d)
     de_dirs = _versions(de_dir)
     # anchor the fold to the newest DELTA, not the newest corpus: a
     # batch writes docindex -> corpus -> delta, so a mid-batch crash can
@@ -226,27 +270,18 @@ def compact_corpus_artifacts(
     # would stamp a snapshot id whose delta was never merged, and the
     # replayed delta would then be ignored forever (silent loss). The
     # corpus AT the delta horizon always exists (written before it).
-    if not de_dirs:
-        horizon = -1
-    else:
-        horizon = _version_id(de_dirs[-1])
-
-    snap = _latest_version(st_dir, 1 << 60)
-    snap_id = _version_id(snap) if snap else -1
-    state = spark.read.parquet(snap) if snap else base_state
-    fold = [d for d in de_dirs if snap_id < _version_id(d) <= horizon]
-    if fold:
-        deltas = spark.read.parquet(*fold)
-        merged = rollup.merge_state(
-            state.unionByName(deltas.select(*state.columns)), keys, cols
-        )
-        co = spark.read.parquet(
+    horizon = _version_id(de_dirs[-1]) if de_dirs else -1
+    co = (
+        spark.read.parquet(
             os.path.join(work_dir, "corpus", f"b{horizon:05d}")
         )
-        touched = deltas.select(*keys)
-        folded = incremental.refresh_extrema(
-            merged, co, touched, touched, keys, cols
-        )
+        if horizon >= 0
+        else None
+    )
+    folded, snap_id, fold = _fold_state(
+        spark, base_state, work_dir, keys, cols, co, horizon
+    )
+    if fold:
         folded.write.mode("overwrite").parquet(
             os.path.join(st_dir, f"b{horizon:05d}")
         )
@@ -294,35 +329,16 @@ def corpus_stream_readout(
     co = spark.read.parquet(
         _latest_version(os.path.join(work_dir, "corpus"), 1 << 60)
     )
-    snap = _latest_version(os.path.join(work_dir, "state"), 1 << 60)
-    snap_id = _version_id(snap) if snap else -1
-    base = spark.read.parquet(snap) if snap else base_state
-    fresh = [
-        d
-        for d in _versions(os.path.join(work_dir, "delta"))
-        if _version_id(d) > snap_id
-    ]
-    if fresh:
-        deltas = spark.read.parquet(*fresh)
-        merged = rollup.merge_state(
-            base.unionByName(deltas.select(*base.columns)), keys, cols
-        )
-        touched = deltas.select(*keys)
-        state = incremental.refresh_extrema(
-            merged, co, touched, touched, keys, cols
-        )
-    else:
-        # every delta is folded into the snapshot, whose extrema the
-        # fold already refreshed against this same corpus version
-        state = base
+    state, _, _ = _fold_state(
+        spark, base_state, work_dir, keys, cols, co, 1 << 60
+    )
     fin = rollup.finalize(state, keys, spec)
     # a group whose members were ALL retracted cancels to a zero-count
     # state row (retraction merges never delete rows) — a from-scratch
-    # rebuild has no such group, so drop it or the bit-equality theorem
-    # (and the driver's __corpusloop__ row-count comparison) breaks on
-    # feeds that delete a whole group. Same filter as the batch
-    # incremental arm; exact because the spec columns are non-null
-    # document stats (n_<col> is the group's live row count).
-    counts = [F.col(f"count_{c}") for c in cols]
-    alive = (F.greatest(*counts) if len(counts) > 1 else counts[0]) > 0
-    return di, co, fin.where(alive)
+    # rebuild has no such group. Membership is decided against the
+    # corpus itself (a group exists in a rebuild iff it has >= 1 live
+    # row), not by count_* > 0, which would also drop a legal group
+    # whose live rows are all NULL in every spec column while the
+    # rebuild keeps its n=0 row.
+    alive = co.select(*keys).distinct()
+    return di, co, fin.join(alive, keys, "left_semi")

@@ -258,3 +258,79 @@ def test_compaction_anchors_to_delta_horizon_on_midbatch_crash(
         ).collect()
     }
     assert got == want
+
+
+def test_compaction_purges_uncommitted_snapshot_and_refolds(
+    spark, tmp_path
+):
+    """A fold killed mid-write leaves a state snapshot without Spark's
+    _SUCCESS marker. Version resolution must ignore it and the next
+    compaction must purge it and re-fold from the still-present deltas
+    — treating the partial as committed would skip the fold AND vacuum
+    the only data that could rebuild it (permanent corruption)."""
+    import glob as g
+    import shutil
+
+    base_di, base_state, work, run = _setup_loop(spark, tmp_path)
+    run()
+    before = _final_map(spark, base_state, work)
+    # a real fold, then strip its commit marker to fabricate the crash
+    sc.compact_corpus_artifacts(spark, base_state, work, _SPEC)
+    snap = sorted(g.glob(work + "/state/b*"))[-1]
+    os.remove(os.path.join(snap, "_SUCCESS"))
+    # the partial is invisible: read-outs fall back to base + deltas...
+    # (deltas are gone post-compaction here, so fabricate one more loop)
+    shutil.rmtree(snap)  # reset to pre-compaction for a clean refold
+    # re-run the scenario from scratch with a mid-write crash simulated
+    work2 = str(tmp_path / "work2")
+    ckpt2 = str(tmp_path / "ckpt2")
+    feed_dir = str(tmp_path / "changes")
+    di_p, co_p = str(tmp_path / "base_di"), str(tmp_path / "base_co")
+    sc.run_corpus_refresh_stream(
+        spark,
+        lambda: sc.stream_doc_changes(spark, feed_dir, max_files=1),
+        di_p, co_p, work2, ckpt2, _SPEC)
+    # fabricate the crashed fold: partial snapshot dir, no _SUCCESS
+    horizon = sorted(g.glob(work2 + "/delta/b*"))[-1]
+    partial = os.path.join(work2, "state", os.path.basename(horizon))
+    os.makedirs(partial)
+    with open(os.path.join(partial, "part-00000.parquet"), "wb") as fh:
+        fh.write(b"\x00garbage")
+    # read-out ignores the partial (falls back to base + all deltas)
+    assert _final_map(spark, base_state, work2) == before
+    # compaction purges it, re-folds, and the read-out still matches
+    res = sc.compact_corpus_artifacts(spark, base_state, work2, _SPEC)
+    assert res["deltas_folded"] == 4
+    assert os.path.isfile(
+        os.path.join(work2, "state", os.path.basename(horizon), "_SUCCESS"))
+    assert _final_map(spark, base_state, work2) == before
+
+
+def test_readout_keeps_group_whose_stats_are_all_null(spark, tmp_path):
+    """A group whose live rows are all NULL in every spec column exists
+    in a from-scratch rebuild (an n=0 row); membership must be decided
+    against the corpus, not by count_* > 0 — while a fully-RETRACTED
+    group (no live rows) must still disappear."""
+    base_di, base_state, work, run = _setup_loop(spark, tmp_path)
+    # one extra slice: a new lang whose docs carry NULL n_chars, and a
+    # full deletion of lang "de" (docs 300 live at ts 40; 200 deleted)
+    extra = [(400, "xx", None, "f400", 50, "U"),
+             (401, "xx", None, "f401", 50, "U"),
+             (300, None, None, "f300", 51, "D"),
+             (301, None, None, "f301", 51, "D")]
+    feed_dir = str(tmp_path / "changes")
+    import pathlib
+    spark.createDataFrame(extra, sc.DOC_CHANGES_SCHEMA).coalesce(1).write \
+        .mode("append").parquet(feed_dir)
+    newest = max(pathlib.Path(feed_dir).glob("part-*.parquet"),
+                 key=lambda p: p.stat().st_mtime)
+    os.utime(newest, (1700000010, 1700000010))
+    run()
+    _, co, fin = sc.corpus_stream_readout(spark, base_state, work, _SPEC)
+    langs = {r["lang"]: r for r in fin.collect()}
+    assert "xx" in langs and langs["xx"]["count_n_chars"] == 0
+    assert co.where(F.col("lang") == "xx").count() == 2
+    # "de"'s only live docs (200 deleted at ts41, 300/301 deleted here)
+    # are gone -> the group must NOT appear
+    assert co.where(F.col("lang") == "de").count() == 0
+    assert "de" not in langs

@@ -110,7 +110,10 @@ app = spark.sparkContext.applicationId
 # completed, so metric fetches below are best-effort
 ui = spark.sparkContext.uiWebUrl or f"http://localhost:{port}"
 base = f"{{ui}}/api/v1/applications/{{app}}"
-mem_spill = disk_spill = peak_exec = peak_heap = 0
+# a failed fetch records None, never a fabricated 0: "0 spill" is a
+# MEASUREMENT the SCALE.md evidence table relies on, and a REST hiccup
+# must be distinguishable from a genuinely spill-free run
+mem_spill = disk_spill = peak_exec = peak_heap = None
 try:
     stages = json.load(urllib.request.urlopen(f"{{base}}/stages?status=complete"))
     mem_spill = sum(s.get("memoryBytesSpilled", 0) for s in stages)
@@ -119,18 +122,22 @@ try:
 except Exception:
     pass
 try:
+    peak_heap = 0
     for e in json.load(urllib.request.urlopen(f"{{base}}/executors")):
         pm = e.get("peakMemoryMetrics") or {{}}
         peak_heap = max(peak_heap, pm.get("JVMHeapMemory", 0))
 except Exception:
-    pass
+    peak_heap = None
+def _mb(v):
+    return None if v is None else round(v / 2**20)
 print("MEMREHEARSAL " + json.dumps({{
     "query": {query!r}, "heap": {heap!r}, "wall_s": round(wall, 1),
-    "peak_jvm_heap_mb": round(peak_heap / 2**20),
-    "peak_exec_mem_mb": round(peak_exec / 2**20),
-    "mem_spill_mb": round(mem_spill / 2**20),
-    "disk_spill_mb": round(disk_spill / 2**20),
+    "peak_jvm_heap_mb": _mb(peak_heap),
+    "peak_exec_mem_mb": _mb(peak_exec),
+    "mem_spill_mb": _mb(mem_spill),
+    "disk_spill_mb": _mb(disk_spill),
     "peak_rss_mb": round(peak_rss_kb[0] / 1024),
+    "metrics_unavailable": mem_spill is None or peak_heap is None,
 }}))
 '''
 
