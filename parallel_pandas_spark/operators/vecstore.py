@@ -256,8 +256,16 @@ def _swap_partition_dirs(path: str, tmp: str, part: str = "shard") -> None:
             " rewriting again"
         )
     os.makedirs(aside)
-    with open(os.path.join(aside, "_MANIFEST.json"), "w") as fh:
+    # write-then-rename so a crash mid-write can never leave a
+    # present-but-truncated manifest: recover_store must be able to
+    # classify every crash state without manual repair, and a partial
+    # JSON file would make it raise instead of deciding
+    man_tmp = os.path.join(aside, "_MANIFEST.json.tmp")
+    with open(man_tmp, "w") as fh:
         json.dump({"part": part, "tmp": os.path.basename(tmp.rstrip("/"))}, fh)
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.rename(man_tmp, os.path.join(aside, "_MANIFEST.json"))
     for d in os.listdir(path):
         if d.startswith(f"{part}="):
             os.rename(os.path.join(path, d), os.path.join(aside, d))
@@ -371,7 +379,19 @@ def recover_store(path: str) -> str:
         return "clean"
 
     man_path = os.path.join(aside, "_MANIFEST.json")
-    if not os.path.isfile(man_path):
+    man = None
+    if os.path.isfile(man_path):
+        # the manifest is written via write-then-rename, but stores
+        # created by older versions may hold a truncated one from a
+        # crash mid-write; renames only begin after the manifest write
+        # completes, so an unreadable manifest means staging is still
+        # intact and the missing-manifest rollback logic applies
+        try:
+            with open(man_path) as fh:
+                man = json.load(fh)
+        except (json.JSONDecodeError, ValueError):
+            man = None
+    if man is None:
         if _drop_staging():
             # crashed between makedirs(aside) and the manifest write:
             # staging still present, no rename has happened — the
@@ -386,8 +406,6 @@ def recover_store(path: str) -> str:
         shutil.rmtree(aside)
         return "rolled_forward"
 
-    with open(man_path) as fh:
-        man = json.load(fh)
     part = man["part"]
     tmp = os.path.join(os.path.dirname(base) or ".", man["tmp"])
 

@@ -55,6 +55,7 @@ import glob
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from parallel_pandas_spark.operators import cdc, incremental, rollup
@@ -340,5 +341,15 @@ def corpus_stream_readout(
     # row), not by count_* > 0, which would also drop a legal group
     # whose live rows are all NULL in every spec column while the
     # rebuild keeps its n=0 row.
-    alive = co.select(*keys).distinct()
-    return di, co, fin.join(alive, keys, "left_semi")
+    # null-SAFE membership: a groupBy keeps a NULL-keyed group, so a
+    # rebuild of a corpus holding NULL keys has that group — a plain
+    # equi-semi-join would silently drop it from the read-out. The
+    # distinct key set is group-count-sized, so the eqNullSafe
+    # condition join stays a broadcast.
+    alive = co.select(*keys).distinct().alias("__alive__")
+    f = fin.alias("__fin__")
+    cond = None
+    for k in keys:
+        c = F.col(f"__fin__.{k}").eqNullSafe(F.col(f"__alive__.{k}"))
+        cond = c if cond is None else cond & c
+    return di, co, f.join(F.broadcast(alive), cond, "left_semi")

@@ -159,13 +159,31 @@ def run_one(repo: str, query: str, heap: str, sf: str, cpus: int, port: int,
             rec = json.loads(ln[len("MEMREHEARSAL "):])
             rec["status"] = "green"
             return rec
-    # OOM evidence can land on either stream (py4j re-raises JVM errors
-    # into stdout tracebacks); scan both before calling it a plain fail
-    tail = (out.stderr or "")[-4000:] + (out.stdout or "")[-4000:]
-    status = "oom" if ("OutOfMemoryError" in tail or "insufficient memory"
-                       in tail) else "failed"
+    status, err_tail = classify_failure(out.stdout or "", out.stderr or "")
     return {"query": query, "heap": heap, "status": status,
-            "err_tail": (out.stderr or "")[-600:]}
+            "err_tail": err_tail}
+
+
+def classify_failure(stdout: str, stderr: str) -> tuple:
+    """Classify a non-green child run and pick the diagnostic tail.
+
+    OOM evidence can land on either stream (py4j re-raises JVM errors
+    into stdout tracebacks), so both are scanned; the recorded tail
+    comes from whichever stream actually carries the matched evidence —
+    a stdout-only JVM OOM must not leave an empty err_tail next to an
+    "oom" status.
+    """
+    def _has_evidence(s: str) -> bool:
+        return "OutOfMemoryError" in s or "insufficient memory" in s
+
+    status = ("oom" if _has_evidence(stderr[-4000:]) or
+              _has_evidence(stdout[-4000:]) else "failed")
+    err_tail = stderr[-600:]
+    if status == "oom" and not _has_evidence(stderr[-4000:]):
+        err_tail = stdout[-600:]
+    elif not err_tail.strip():
+        err_tail = stdout[-600:]
+    return status, err_tail
 
 
 def main() -> None:
