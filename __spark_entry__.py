@@ -2618,21 +2618,29 @@ _q("embedding_neardup_pairs", _bsql)(_bfn)
 _retire("semantic_cluster_pairs")
 
 
-def _ivf_oracle(num_centroids: int = 16, nprobe: int = 4, k: int = 5, dim: int = 64) -> str:
+def _ivf_oracle(num_centroids: int = 16, nprobe: int = 4, k: int = 5, dim: int = 64,
+                live_where: "str | None" = None) -> str:
+    """SQL replay of the IVF scorer. With ``live_where`` set, the corpus
+    (centroid sample AND neighbor set) is the LIVE subset of embeddings —
+    replaying a store whose quantizer was retrained on the post-delete
+    population (rebalance_ivf_store); the query set stays the full table's
+    vec_id < 10 rows either way."""
+    corpus = ("embeddings" if live_where is None else
+              f"(SELECT * FROM embeddings WHERE {live_where})")
     dot_ec = _DOT_SQL.format(d=dim, a="e.embedding", b="c.cvec")
     dot_qc = _DOT_SQL.format(d=dim, a="q.qv", b="c.cvec")
     return f"""
 WITH cents AS (
   SELECT vec_id AS cid, embedding AS cvec,
          {_DOT_SQL.format(d=dim, a="embedding", b="embedding")} AS cc
-  FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT {num_centroids}
+  FROM {corpus} _corp ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT {num_centroids}
 ),
 cell AS (
   SELECT vec_id AS neighbor_id, embedding AS cv, cid AS cell FROM (
     SELECT e.vec_id, e.embedding, c.cid,
            ROW_NUMBER() OVER (PARTITION BY e.vec_id
                               ORDER BY -2.0 * ({dot_ec}) + c.cc, c.cid) AS rn
-    FROM embeddings e CROSS JOIN cents c
+    FROM {corpus} e CROSS JOIN cents c
   ) WHERE rn = 1
 ),
 qp AS (
@@ -2708,19 +2716,135 @@ def ivf_store_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Deterministic delete predicate shared by the maintenance arm's Spark
+# side (which collects the bounded id list) and its DuckDB oracle's
+# live-set CTE; query ids (vec_id < 10) are never deleted.
+_IVF_MAINT_DELETE_WHERE = "(vec_id % 11 = 4) AND (vec_id >= 10)"
+
+
+def _crash_next_rename(pred, nth: int = 2):
+    """Driver-side fault injection for the maintenance arm: a context
+    manager that makes the ``nth`` os.rename call satisfying ``pred``
+    raise. The package under test carries no test hooks — the crash
+    lands inside the REAL swap protocol, exactly where a process kill
+    would."""
+    import contextlib
+
+    @contextlib.contextmanager
+    def _cm():
+        real = os.rename
+        state = {"matched": 0, "fired": False}
+
+        def boom(src, dst, *a, **k):
+            if not state["fired"] and pred(str(src), str(dst)):
+                state["matched"] += 1
+                if state["matched"] >= nth:
+                    state["fired"] = True
+                    raise RuntimeError("injected maintenance crash")
+            return real(src, dst, *a, **k)
+
+        os.rename = boom
+        try:
+            yield state
+        finally:
+            os.rename = real
+
+    return _cm()
+
+
+@_q("ivf_maint_topk",
+    _ivf_oracle(live_where=f"NOT ({_IVF_MAINT_DELETE_WHERE})"))
+def ivf_maint_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full store-maintenance lifecycle under the hash oracle (r12
+    VERDICT #1: rebalance/compact/recover are the silent-data-loss
+    components, and pytest alone was their only witness): build the IVF
+    store from 90% of the corpus -> cell-aligned append of the rest ->
+    tombstone delete -> compact_vector_store -> rebalance_ivf_store
+    crash-injected MID MOVE-ASIDE (recover_store must roll BACK to the
+    compacted store, byte-complete) -> rebalance retried and
+    crash-injected MID STAGED-MOVE-IN (recover_store must roll FORWARD
+    to the completed rebalance, replaying quantizer promotion) -> score.
+    The final top-k must hash-match the IVF replay SQL over the LIVE
+    corpus with centroids re-derived from the live id population —
+    exactly what the retrained quantizer does (vecstore.py:
+    rebalance_ivf_store, recover_store, compact_vector_store). The
+    store dir is wiped at the START of each call (the scored plan reads
+    it lazily, so it must outlive the return)."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    path = os.path.join(tempfile.gettempdir(), f"pps_ivfmaint_{key}")
+    for p in (path, vecstore._tomb_path(path), path + ".centroids",
+              path + ".centroids.next", path + ".preswap",
+              path + ".rebalance.tmp", path + ".compact.tmp",
+              path + ".reshard.tmp"):
+        shutil.rmtree(p, ignore_errors=True)
+
+    vecstore.write_ivf_store(
+        emb.where(F.col("vec_id") % 10 != 0), path, "vec_id", "embedding",
+        num_centroids=16,
+    )
+    vecstore.append_ivf_store(
+        emb.where(F.col("vec_id") % 10 == 0), path, "vec_id", "embedding"
+    )
+    del_ids = [
+        r[0]
+        for r in emb.where(F.expr(_IVF_MAINT_DELETE_WHERE))
+        .select("vec_id").collect()
+    ]
+    vecstore.delete_from_vector_store(spark, path, del_ids, "vec_id")
+    vecstore.compact_vector_store(spark, path, "vec_id")
+
+    def _crashed_rebalance(pred):
+        with _crash_next_rename(pred) as state:
+            try:
+                vecstore.rebalance_ivf_store(spark, path, "vec_id")
+            except RuntimeError as exc:
+                if "injected" not in str(exc):
+                    raise
+        if not state["fired"]:
+            raise AssertionError("maintenance crash injection did not fire")
+
+    # crash #1: while the OLD layout moves aside (before _MOVED) — the
+    # manifest rename is excluded so the crash lands on a data dir move
+    _crashed_rebalance(
+        lambda s, d: ".preswap" in d and "_MANIFEST" not in d
+        and "_MOVED" not in d
+    )
+    if vecstore.recover_store(path) != "rolled_back":
+        raise AssertionError("mid-aside crash must roll back")
+    # crash #2: while STAGED dirs move in (after _MOVED)
+    _crashed_rebalance(lambda s, d: ".rebalance.tmp" in s)
+    if vecstore.recover_store(path) != "rolled_forward":
+        raise AssertionError("mid-move-in crash must roll forward")
+
+    queries = emb.where(F.col("vec_id") < 10)
+    return vecstore.ivf_topk_from_store(
+        spark, path, queries, "vec_id", "embedding", k=5, nprobe=4
+    )
+
+
 _bfn, _bsql = _compose_union(
     [
         ("inflight", "ivf_topk"),
         ("store", "ivf_store_topk"),
+        ("maint", "ivf_maint_topk"),
     ]
 )
-_bfn.__doc__ = """IVF-flat ANN, in-flight and FROM the cell-partitioned
-store: the same deterministic coarse quantizer, nprobe probing, and
-exact cosine re-rank — the store arm additionally proves the layout-as-
-index read path (probe cells -> literal PartitionFilters) end to end
-against the same SQL replay."""
+_bfn.__doc__ = """IVF-flat ANN, in-flight, FROM the cell-partitioned
+store, and THROUGH the full maintenance lifecycle: the same
+deterministic coarse quantizer, nprobe probing, and exact cosine
+re-rank — the store arm proves the layout-as-index read path (probe
+cells -> literal PartitionFilters) end to end against the same SQL
+replay, and the maint arm drives append/delete/compact plus two
+crash-injected rebalances (one rolled back, one rolled forward by
+recover_store) before scoring against a live-corpus replay with
+retrained centroids."""
 _q("ivf_topk", _bsql)(_bfn)
-_retire("ivf_store_topk")
+_retire("ivf_store_topk", "ivf_maint_topk")
 
 
 def _lsh_topk_oracle(

@@ -1,0 +1,54 @@
+"""Round-13 surface: driver-armed store-maintenance lifecycle (r12
+VERDICT #1) — the compact/rebalance/recover cycle now sits under the
+hash oracle via ivf_topk's ``maint`` arm; here the same lifecycle is
+pinned Spark-side against a FRESH store built from the surviving
+corpus (the maintenance theorem: lifecycle result == rebuild result).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+import __spark_entry__ as em  # noqa: E402
+from parallel_pandas_spark.operators import vecstore  # noqa: E402
+from parallel_pandas_spark.sources import load_table  # noqa: E402
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_maint_lifecycle_bit_equals_fresh_build(spark, tmp_path):
+    """build(90%) -> append(10%) -> delete -> compact -> crash-injected
+    rebalance (rolled back) -> crash-injected rebalance (rolled forward)
+    must score bit-identically to a store freshly BUILT from the live
+    corpus — same retrained centroids, same cells, same top-k."""
+    got = sorted(
+        map(tuple, em.ivf_maint_topk_query(spark, SF).collect())
+    )
+    emb = load_table(spark, SF, "embeddings")
+    live = emb.where(~F.expr(em._IVF_MAINT_DELETE_WHERE))
+    ref = str(tmp_path / "ref_store")
+    vecstore.write_ivf_store(live, ref, "vec_id", "embedding",
+                             num_centroids=16)
+    want = sorted(
+        map(
+            tuple,
+            vecstore.ivf_topk_from_store(
+                spark, ref, emb.where(F.col("vec_id") < 10),
+                "vec_id", "embedding", k=5, nprobe=4,
+            ).collect(),
+        )
+    )
+    assert got == want and len(got) > 0
+
+
+def test_maint_arm_registered_not_new_entry():
+    qs = em.queries()
+    assert len(qs) == 50
+    assert "ivf_maint_topk" not in qs  # fused as an arm, not a 51st entry
+    assert [t for t, _ in qs["ivf_topk"].__arms__] == [
+        "inflight", "store", "maint"]
