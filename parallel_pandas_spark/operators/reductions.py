@@ -40,6 +40,7 @@ from pyspark.sql import types as T
 # canonical mask helpers live in masks.py (consolidated r7 after the r6
 # drift bug); re-exported here because half the package and the entry
 # file import them under these names.
+from . import orderstats  # noqa: E402
 from .masks import is_floating as _floating  # noqa: E402
 from .masks import nan_safe  # noqa: E402,F401
 
@@ -223,52 +224,61 @@ def quantile(
         )
     if not exact and interpolation != "linear":
         raise ValueError("approx quantile sketches support interpolation='linear' only")
-    fn = F.percentile if exact else F.percentile_approx
-    qarr = F.array(*[F.lit(float(q)) for q in qs])
-    # ONE scan: percentile(col, array(qs)) computes every quantile of every
-    # column in a single aggregation (the sort/sketch per column is shared
-    # across qs) — the previous per-q agg+union re-scanned the input once
-    # per output row, an 8x IO bug at the 100 TB target. nan_safe: pandas
-    # quantile skips NaN; Spark's percentile sorts NaN above every value.
+    if not exact:
+        # ONE scan: percentile_approx(col, array(qs)) computes every
+        # quantile of every column in a single sketch aggregation
+        # (mergeable, bounded state — the 100 TB default path)
+        qarr = F.array(*[F.lit(float(q)) for q in qs])
+        wide = df.agg(
+            *[F.percentile_approx(nan_safe(df, c), qarr).alias(c) for c in cols]
+        )
+        zipped = F.arrays_zip(
+            F.array(*[F.lit(float(q)) for q in qs]).alias("q"),
+            *[F.col(c) for c in cols],
+        )
+        return wide.select(F.explode(zipped).alias("z")).select(
+            F.col("z.q").alias("q"), *[F.col(f"z.{c}").alias(c) for c in cols]
+        )
+    # EXACT path (r13): bounded-memory histogram refinement instead of
+    # Spark's percentile aggregate, whose on-heap value→count map is
+    # invisible to the memory manager and was the engine's one measured
+    # OOM at constrained heaps (SCALE.md r12). orderstats computes the
+    # exact order statistics with state = bins, and the interpolation
+    # reproduces percentile's double arithmetic bit-for-bit.
     if interpolation == "linear":
-        wide = df.agg(*[fn(nan_safe(df, c), qarr).alias(c) for c in cols])
+        _, vals = orderstats.exact_quantile_values(df, cols, qs)
+        rows = [
+            tuple([float(q)] + [vals[c][i] for c in cols])
+            for i, q in enumerate(qs)
+        ]
     else:
-        counts = df.agg(
-            *[F.count(nan_safe(df, c)).alias(c) for c in cols]
-        ).first()
-        sel_exprs = []
-        for c in cols:
-            n = counts[c]
-            if n == 0:
-                sel_exprs.append(
-                    F.array(*[F.lit(None).cast("double") for _ in qs]).alias(c)
-                )
-                continue
-            probs: list[float] = []  # flat; midpoint uses two per q
+        def _ranks(n: int):
+            out = set()
             for q in qs:
+                out.update(_mode_indices(interpolation, (n - 1) * float(q)))
+            return out
+
+        counts, values = orderstats.order_stats(df, {c: _ranks for c in cols})
+        rows = []
+        for q in qs:
+            cells = []
+            for c in cols:
+                n = counts[c]
+                if n == 0:
+                    cells.append(None)
+                    continue
                 idxs = _mode_indices(interpolation, (n - 1) * float(q))
-                probs += [(k / (n - 1)) if n > 1 else 0.0 for k in idxs]
-            parr = F.array(*[F.lit(p) for p in probs])
-            picked = F.percentile(nan_safe(df, c), parr)
-            if interpolation == "midpoint":
-                pairs = F.array(
-                    *[
-                        (F.element_at(picked, 2 * i + 1) + F.element_at(picked, 2 * i + 2))
-                        / F.lit(2.0)
-                        for i in range(len(qs))
-                    ]
+                picked = [values[c][k] for k in idxs]
+                cells.append(
+                    (picked[0] + picked[1]) / 2.0
+                    if interpolation == "midpoint" else picked[0]
                 )
-                sel_exprs.append(pairs.alias(c))
-            else:
-                sel_exprs.append(picked.alias(c))
-        wide = df.agg(*sel_exprs)
-    zipped = F.arrays_zip(
-        F.array(*[F.lit(float(q)) for q in qs]).alias("q"),
-        *[F.col(c) for c in cols],
+            rows.append(tuple([float(q)] + cells))
+    schema = T.StructType(
+        [T.StructField("q", T.DoubleType())]
+        + [T.StructField(c, T.DoubleType()) for c in cols]
     )
-    return wide.select(F.explode(zipped).alias("z")).select(
-        F.col("z.q").alias("q"), *[F.col(f"z.{c}").alias(c) for c in cols]
-    )
+    return df.sparkSession.createDataFrame(rows, schema)
 
 
 #: dtype-category tokens accepted by describe_exact include=/exclude=
@@ -282,63 +292,49 @@ def quantile_interp_multi(
     qs: Sequence[float],
     modes: Sequence[str],
 ) -> DataFrame:
-    """Every non-linear interpolation mode in ONE count scan + ONE
-    percentile scan (r9 — the interp battery arm previously called
-    :func:`quantile` once per mode: 4 count aggs + 4 exact-percentile
-    sorts of the same columns, the single engine-heavy outlier in the
-    sf1 sweep's wall split). All modes pick data points (or a midpoint)
-    from the SAME sorted order, so their index-derived probabilities
-    concatenate into one ``percentile(col, array(...))`` aggregate;
-    values are bit-identical to the per-mode calls (same expressions,
-    same literals). Output: (mode, q, *cols), one row per mode × q."""
+    """Every non-linear interpolation mode from ONE shared set of
+    bounded-memory refinement scans (r13; r9 had fused the per-mode
+    calls into one count scan + one percentile aggregate — that
+    aggregate's unmanaged on-heap map is now gone, see orderstats). All
+    modes pick data points (or a midpoint) from the SAME sorted order,
+    so their target indices union into one :func:`orderstats.
+    order_stats` call; the values are the exact data points the
+    DuckDB index oracle selects. Output: (mode, q, *cols), one row per
+    mode × q."""
     for m in modes:
         if m not in _QUANTILE_INTERP or m == "linear":
             raise ValueError(f"quantile_interp_multi: non-linear modes only, got {m!r}")
-    counts = df.agg(*[F.count(nan_safe(df, c)).alias(c) for c in cols]).first()
-    # slot layout depends only on (modes, qs): per mode, per q, one slot —
-    # except midpoint which takes two
-    sel_exprs = []
-    for c in cols:
-        n = counts[c]
-        if n == 0:
-            sel_exprs.append(
-                F.array(
-                    *[F.lit(None).cast("double") for m in modes for _ in qs]
-                ).alias(c)
-            )
-            continue
-        probs: list[float] = []
+
+    def _ranks(n: int):
+        out = set()
         for m in modes:
             for q in qs:
+                out.update(_mode_indices(m, (n - 1) * float(q)))
+        return out
+
+    counts, values = orderstats.order_stats(df, {c: _ranks for c in cols})
+    rows = []
+    for m in modes:
+        for q in qs:
+            cells = []
+            for c in cols:
+                n = counts[c]
+                if n == 0:
+                    cells.append(None)
+                    continue
                 idxs = _mode_indices(m, (n - 1) * float(q))
-                probs += [(k / (n - 1)) if n > 1 else 0.0 for k in idxs]
-        parr = F.array(*[F.lit(p) for p in probs])
-        picked = F.percentile(nan_safe(df, c), parr)
-        vals = []
-        pos = 1  # element_at is 1-based
-        for m in modes:
-            for _ in qs:
-                if m == "midpoint":
-                    vals.append(
-                        (F.element_at(picked, pos) + F.element_at(picked, pos + 1))
-                        / F.lit(2.0)
-                    )
-                    pos += 2
-                else:
-                    vals.append(F.element_at(picked, pos))
-                    pos += 1
-        sel_exprs.append(F.array(*vals).alias(c))
-    wide = df.agg(*sel_exprs)
-    zipped = F.arrays_zip(
-        F.array(*[F.lit(m) for m in modes for _ in qs]).alias("mode"),
-        F.array(*[F.lit(float(q)) for _ in modes for q in qs]).alias("q"),
-        *[F.col(c) for c in cols],
+                picked = [values[c][k] for k in idxs]
+                cells.append(
+                    (picked[0] + picked[1]) / 2.0 if m == "midpoint"
+                    else picked[0]
+                )
+            rows.append(tuple([m, float(q)] + cells))
+    schema = T.StructType(
+        [T.StructField("mode", T.StringType()),
+         T.StructField("q", T.DoubleType())]
+        + [T.StructField(c, T.DoubleType()) for c in cols]
     )
-    return wide.select(F.explode(zipped).alias("z")).select(
-        F.col("z.mode").alias("mode"),
-        F.col("z.q").alias("q"),
-        *[F.col(f"z.{c}").alias(c) for c in cols],
-    )
+    return df.sparkSession.createDataFrame(rows, schema)
 
 
 def _describe_category(dtype: str) -> str:
@@ -433,17 +429,25 @@ def describe_exact(
         if any(p < 0 or p > 1 for p in ps):
             raise ValueError("percentiles must all be in [0, 1]")
 
+    # exact percentiles via bounded-memory refinement (r13): they enter
+    # the wide row as literals — Spark's percentile aggregate held an
+    # unmanaged on-heap map that was the engine's one measured OOM
+    pct_vals = (
+        orderstats.exact_quantile_values(df, num_cols, ps)[1]
+        if num_cols else {}
+    )
     aggs = []
     for c in num_cols:
         src = nan_safe(df, c)
-        parr = F.array(*[F.lit(float(p)) for p in ps])
         aggs += [
             F.count(src).cast("double").alias(f"__cnt_{c}"),
             F.avg(src).alias(f"__mean_{c}"),
             F.stddev_samp(src).alias(f"__std_{c}"),
             F.min(src).cast("double").alias(f"__min_{c}"),
             F.max(src).cast("double").alias(f"__max_{c}"),
-            F.percentile(src, parr).alias(f"__pcts_{c}"),
+            F.array(
+                *[F.lit(v).cast("double") for v in pct_vals[c]]
+            ).alias(f"__pcts_{c}"),
         ]
     for c in obj_cols:
         aggs += [
