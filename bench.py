@@ -295,6 +295,19 @@ def main() -> None:
         shutil.rmtree(lc_dir, ignore_errors=True)
         shutil.rmtree(_vs._tomb_path(lc_dir), ignore_errors=True)
 
+        # r13 (r12 verdict #3): measured recall@k of the ANN paths vs
+        # the exact brute-force arm on the same queries — the gauge
+        # nprobe/pool tuning needs; without it probe counts are blind
+        from parallel_pandas_spark.operators.similarity import recall_at_k
+
+        exact_df = entrymod.cosine_topk_query(spark, SF_DIR)
+        vec_metrics["recall_ivf_at5"] = round(recall_at_k(
+            entrymod.ivf_store_topk_query(spark, SF_DIR), exact_df), 4)
+        vec_metrics["recall_ivfpq_at5"] = round(recall_at_k(
+            entrymod.cosine_ivfpq_topk_query(spark, SF_DIR), exact_df), 4)
+        vec_metrics["recall_lsh_at5"] = round(recall_at_k(
+            entrymod.lsh_topk_query(spark, SF_DIR), exact_df), 4)
+
     # r10 (r9 VERDICT #2): stamp the measured tree so a bench artifact can
     # never silently claim numbers for code it did not run
     import subprocess

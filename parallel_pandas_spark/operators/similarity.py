@@ -92,6 +92,35 @@ def cosine_topk(
     )
 
 
+def recall_at_k(approx: DataFrame, exact: DataFrame,
+                query_col: str = "query_id",
+                id_col: str = "neighbor_id") -> float:
+    """Measured recall@k of an ANN result against the exact top-k on the
+    same queries: mean over queries of |approx ∩ exact| / |exact|. Both
+    inputs are (query_col, id_col[, ...]) top-k frames whose ties broke
+    identically (both paths order by score DESC, id ASC), so the set
+    comparison is fair. The gauge nprobe tuning needs at 100 TB — an
+    aggregate over two k-row-per-query frames, returned as one scalar
+    (r12 VERDICT #3: without it, probe counts are tuned blind)."""
+    hits = (
+        approx.select(query_col, id_col)
+        .join(exact.select(query_col, id_col), [query_col, id_col],
+              "left_semi")
+        .groupBy(query_col)
+        .agg(F.count("*").alias("__h"))
+    )
+    per = (
+        exact.groupBy(query_col)
+        .agg(F.count("*").alias("__n"))
+        .join(hits, query_col, "left")
+        .select(
+            (F.coalesce(F.col("__h"), F.lit(0)) / F.col("__n")).alias("__r")
+        )
+    )
+    row = per.agg(F.avg("__r")).first()
+    return float(row[0]) if row[0] is not None else float("nan")
+
+
 def _bucket_expr(vec: Column, planes) -> Column:
     bits = []
     for p, plane in enumerate(planes):
