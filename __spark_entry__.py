@@ -710,6 +710,83 @@ def corr_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
 # bit-for-bit. Key = (l_orderkey, l_linenumber): integer→VARCHAR casts
 # render identically in Spark and DuckDB (doubles would not).
 _KENDALL_SAMPLE_MOD = 16
+
+
+def _kendall_bucketed_tail(P: int, B: int) -> str:
+    """CTE tail computing exact (n, d, tau) from a CTE ``t(x, y)`` the
+    caller prepends — shared by the sampled and full-pair kendall
+    oracles. D = #{pairs: x_a<x_b AND y_a>y_b}, split into (1) same
+    x-bucket and (2) same y-bucket / different x-bucket (tie-collapsed
+    quadratic joins over CELLS, not rows) plus (3) different x- AND
+    y-bucket via prefix sums over the dense P×B grid. Equi-width
+    buckets are a pure function of the VALUE, so equal values share a
+    bucket and every comparison stays strict; bucket placement affects
+    oracle cost only, never the statistic. Cost: O(n²/P + n²/B + P·B)."""
+    return f"""
+s AS (SELECT MIN(x) AS mnx, MAX(x) AS mxx, MIN(y) AS mny, MAX(y) AS mxy,
+             COUNT(*) AS n FROM t),
+b AS (
+  SELECT x, y,
+    CASE WHEN s.mxx = s.mnx THEN 0
+         ELSE LEAST(CAST(FLOOR((x - s.mnx) / ((s.mxx - s.mnx) / {P})) AS INT), {P - 1})
+    END AS bx,
+    CASE WHEN s.mxy = s.mny THEN 0
+         ELSE LEAST(CAST(FLOOR((y - s.mny) / ((s.mxy - s.mny) / {B})) AS INT), {B - 1})
+    END AS byk
+  FROM t, s
+),
+cells AS (SELECT bx, byk, x, y, COUNT(*) AS c FROM b GROUP BY ALL),
+p1 AS (  -- same x-bucket: tie-collapsed quadratic within bucket
+  SELECT COALESCE(SUM(a.c * o.c), 0) AS v FROM cells a JOIN cells o
+  ON a.bx = o.bx AND a.x < o.x AND a.y > o.y
+),
+-- same y-bucket / different x-bucket needs only (y-bucket, x-bucket,
+-- y): dropping x collapses a heavy-tie y column to P × distinct-y
+-- cells, not row count
+cells2 AS (SELECT byk, bx, y, SUM(c) AS c FROM cells GROUP BY ALL),
+p2 AS (
+  SELECT COALESCE(SUM(a.c * o.c), 0) AS v FROM cells2 a JOIN cells2 o
+  ON a.byk = o.byk AND a.bx < o.bx AND a.y > o.y
+),
+g AS (SELECT bx, byk, SUM(c) AS c FROM cells GROUP BY 1, 2),
+dense AS (
+  SELECT gx.bx, gy.byk, COALESCE(g.c, 0) AS c
+  FROM range(0, {P}) gx(bx) CROSS JOIN range(0, {B}) gy(byk)
+  LEFT JOIN g ON g.bx = gx.bx AND g.byk = gy.byk
+),
+colcum AS (  -- per x-bucket: counts in strictly LOWER y-buckets
+  SELECT bx, byk, c,
+         COALESCE(SUM(c) OVER (PARTITION BY bx ORDER BY byk
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+  FROM dense
+),
+p3 AS (  -- different x- and y-bucket: grid prefix sums
+  SELECT COALESCE(SUM(c * later), 0) AS v FROM (
+    SELECT c,
+           COALESCE(SUM(below) OVER (PARTITION BY byk ORDER BY bx
+                     ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING), 0) AS later
+    FROM colcum
+  )
+),
+nn AS (SELECT n FROM s),
+tx AS (SELECT COALESCE(SUM(c*(c-1)),0)//2 AS n1 FROM (SELECT COUNT(*) AS c FROM t GROUP BY x)),
+ty AS (SELECT COALESCE(SUM(c*(c-1)),0)//2 AS n2 FROM (SELECT COUNT(*) AS c FROM t GROUP BY y)),
+txy AS (SELECT COALESCE(SUM(c*(c-1)),0)//2 AS n3 FROM (SELECT COUNT(*) AS c FROM t GROUP BY x, y)),
+dd AS (SELECT p1.v + p2.v + p3.v AS d FROM p1, p2, p3)
+SELECT nn.n AS n, dd.d AS d,
+       CASE WHEN nn.n*(nn.n-1)//2 > tx.n1 AND nn.n*(nn.n-1)//2 > ty.n2 THEN
+         CAST(nn.n*(nn.n-1)//2 - tx.n1 - ty.n2 + txy.n3 - 2*dd.d AS DOUBLE)
+           / SQRT(CAST(nn.n*(nn.n-1)//2 - tx.n1 AS DOUBLE)
+                  * CAST(nn.n*(nn.n-1)//2 - ty.n2 AS DOUBLE))
+       ELSE CAST('nan' AS DOUBLE) END AS tau
+FROM nn, tx, ty, txy, dd
+"""
+
+
+# r13: the sample oracle shares the bucketed decomposition — its pair
+# join was 466 s of the sf1 sweep; the (conc-disc)/2 and
+# (n0-n1-n2+n3-2d) tau forms are the same integers, so the division
+# operands (and hashes) are unchanged.
 _KENDALL_SAMPLE_ORACLE = f"""
 WITH src AS (
   SELECT CAST(l_quantity AS DOUBLE) AS x, CAST(l_discount AS DOUBLE) AS y,
@@ -723,21 +800,7 @@ t AS (
   WHERE (({_hexfold_sql('h')}) % {_KENDALL_SAMPLE_MOD}) = 0
     AND x IS NOT NULL AND y IS NOT NULL
 ),
-pairs AS (
-  SELECT SUM(CASE WHEN (a.x<b.x AND a.y<b.y) OR (a.x>b.x AND a.y>b.y) THEN 1 ELSE 0 END) AS conc2,
-         SUM(CASE WHEN (a.x<b.x AND a.y>b.y) OR (a.x>b.x AND a.y<b.y) THEN 1 ELSE 0 END) AS disc2
-  FROM t a, t b
-),
-nn AS (SELECT COUNT(*) AS n FROM t),
-tx AS (SELECT COALESCE(SUM(c*(c-1)),0)//2 AS n1 FROM (SELECT COUNT(*) AS c FROM t GROUP BY x)),
-ty AS (SELECT COALESCE(SUM(c*(c-1)),0)//2 AS n2 FROM (SELECT COUNT(*) AS c FROM t GROUP BY y))
-SELECT nn.n AS n,
-       CAST(disc2//2 AS BIGINT) AS d,
-       CAST((conc2 - disc2)//2 AS DOUBLE)
-         / SQRT(CAST(nn.n*(nn.n-1)//2 - tx.n1 AS DOUBLE)
-                * CAST(nn.n*(nn.n-1)//2 - ty.n2 AS DOUBLE)) AS tau
-FROM pairs, nn, tx, ty
-"""
+{_kendall_bucketed_tail(256, 64)}"""
 
 
 @_q("kendall_tau_sample", _KENDALL_SAMPLE_ORACLE)
@@ -758,43 +821,45 @@ def kendall_tau_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# DuckDB has no kendall aggregate, but τ-b IS oracle-checkable on a subset
-# small enough for the O(n²) pair join — the distributed algorithm's exact
-# integer counts (n, discordant pairs d) and the closed-form tau must
-# hash-match the quadratic reference bit-for-bit.
-_KENDALL_EXACT_ORACLE = """
+# DuckDB has no kendall aggregate; r4-r12 oracled τ-b with an O(n²) pair
+# join gated to a subset (the 1-URGENT filter existed for the ORACLE's
+# sake — the Spark kernel was always full-scale). r13 (r12 verdict #5):
+# the oracle now uses the same exact bucketed decomposition as the
+# engine — D = #{pairs: x_a<x_b AND y_a>y_b} split into (1) same
+# x-bucket, (2) same y-bucket / different x-bucket (both tie-collapsed
+# quadratic joins over CELLS, not rows), and (3) different x- AND
+# y-bucket via prefix sums over the dense P×B grid. Equi-width buckets
+# are a pure function of the VALUE, so equal values share a bucket and
+# every comparison stays strict; bucket placement affects oracle cost
+# only, never the statistic. Cost: O(n²/P + n²/B + P·B) — the sweep
+# runs the FULL column pair at sf1 where the pair join took 575 s on a
+# fifth of the data. (The tail is _kendall_bucketed_tail above, shared
+# with the sampled oracle.)
+def _kendall_exact_oracle(P: int = 2048, B: int = 64) -> str:
+    return f"""
 WITH t AS (
   SELECT CAST(o_totalprice AS DOUBLE) AS x,
          CAST(EXTRACT(year FROM o_orderdate) AS DOUBLE) AS y
-  FROM orders WHERE o_orderpriority = '1-URGENT'
+  FROM orders
+  WHERE o_totalprice IS NOT NULL AND o_orderdate IS NOT NULL
 ),
-pairs AS (
-  SELECT SUM(CASE WHEN (a.x<b.x AND a.y<b.y) OR (a.x>b.x AND a.y>b.y) THEN 1 ELSE 0 END) AS conc2,
-         SUM(CASE WHEN (a.x<b.x AND a.y>b.y) OR (a.x>b.x AND a.y<b.y) THEN 1 ELSE 0 END) AS disc2
-  FROM t a, t b
-),
-nn AS (SELECT COUNT(*) AS n FROM t),
-tx AS (SELECT COALESCE(SUM(c*(c-1)),0)//2 AS n1 FROM (SELECT COUNT(*) AS c FROM t GROUP BY x)),
-ty AS (SELECT COALESCE(SUM(c*(c-1)),0)//2 AS n2 FROM (SELECT COUNT(*) AS c FROM t GROUP BY y))
-SELECT nn.n AS n,
-       CAST(disc2//2 AS BIGINT) AS d,
-       CAST((conc2 - disc2)//2 AS DOUBLE)
-         / SQRT(CAST(nn.n*(nn.n-1)//2 - tx.n1 AS DOUBLE)
-                * CAST(nn.n*(nn.n-1)//2 - ty.n2 AS DOUBLE)) AS tau
-FROM pairs, nn, tx, ty
-"""
+{_kendall_bucketed_tail(P, B)}"""
 
 
-@_q("kendall_tau_exact", _KENDALL_EXACT_ORACLE)
+@_q("kendall_tau_exact", _kendall_exact_oracle())
 def kendall_tau_exact_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXACT distributed Kendall τ-b (operators/kendall.py): tie counts from
-    one groupBy pass; discordant pairs = strict y-inversions of the
-    (x,y)-sorted sequence, decomposed into per-partition merge-counts,
-    a P×B histogram-grid window pass, and per-bucket weighted multiset
-    counts — no O(n²) anywhere, no driver collect. The reference computes
-    the same statistic with a single-machine numba kernel
-    (/root/reference/parallel_pandas/_numba.py:7-158)."""
-    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderpriority") == "1-URGENT")
+    """EXACT distributed Kendall τ-b (operators/kendall.py) over the FULL
+    (o_totalprice, order-year) pair — no subset gate, no sampling (r12
+    verdict #5): tie counts from one groupBy pass; discordant pairs =
+    strict y-inversions of the (x,y)-sorted sequence, decomposed into
+    per-partition merge-counts, a P×B histogram-grid window pass, and
+    per-bucket weighted multiset counts — no O(n²) anywhere, no driver
+    collect. The reference computes the same statistic with a
+    single-machine O(n²) numba kernel
+    (/root/reference/parallel_pandas/_numba.py:7-158); the oracle
+    re-derives the identical integer counts with its own bucketed
+    decomposition."""
+    o = load_table(spark, sf_dir, "orders")
     d = o.select(
         F.col("o_totalprice").cast("double").alias("x"),
         F.year("o_orderdate").cast("double").alias("y"),

@@ -47,6 +47,40 @@ def test_maint_lifecycle_bit_equals_fresh_build(spark, tmp_path):
     assert got == want and len(got) > 0
 
 
+def test_kendall_bucketed_oracle_equals_pair_join():
+    """r12 verdict #5: the kendall oracle is now an exact BUCKETED
+    decomposition (O(n²/P + n²/B + P·B)) instead of the O(n²) pair join
+    that forced a subset gate. Pin the decomposition itself against the
+    brute-force join on data small enough to brute-force — including
+    heavy y ties (years) and duplicated x values."""
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW orders AS SELECT * FROM "
+        "'/root/testdata/sf0.001/orders.parquet'"
+    )
+    brute = """
+WITH t AS (
+  SELECT CAST(o_totalprice AS DOUBLE) AS x,
+         CAST(EXTRACT(year FROM o_orderdate) AS DOUBLE) AS y
+  FROM orders WHERE o_totalprice IS NOT NULL AND o_orderdate IS NOT NULL
+),
+pairs AS (
+  SELECT SUM(CASE WHEN a.x < b.x AND a.y > b.y THEN 1 ELSE 0 END) AS d
+  FROM t a, t b
+)
+SELECT (SELECT COUNT(*) FROM t) AS n, d FROM pairs
+"""
+    bn, bd = con.execute(brute).fetchone()
+    # the bucketed oracle at several (P, B) — the statistic must be
+    # invariant to bucket placement
+    for P, B in ((7, 3), (64, 8), (2048, 64)):
+        row = con.execute(em._kendall_exact_oracle(P, B)).fetchone()
+        assert (row[0], row[1]) == (bn, bd), (P, B, row, bn, bd)
+    con.close()
+
+
 def test_recall_at_k_measured_and_bounded(spark):
     """r12 VERDICT #3: recall@k of the ANN arms vs the exact arm is a
     MEASURED number with a pinned floor (bench.py reports it per round
