@@ -2413,13 +2413,15 @@ SELECT query_id, neighbor_id, cosine, rank FROM r WHERE rank <= {k}
 def _ivfpq_oracle(
     m: int = 8, dsub: int = 8, ks: int = 16, pool: int = 50, k: int = 5,
     dim: int = 64, num_centroids: int = 16, nprobe: int = 4,
+    corpus: str = "embeddings", prelude: str = "",
 ) -> str:
     """The IVF-PQ composition replayed end to end: the _pq_oracle
     pipeline (md5-sampled codebooks, argmin encode, ordered ADC folds,
     raw-ADC pool, exact re-rank) with the _ivf_oracle's cell assignment
     and per-query probe CTEs restricting which neighbors each query may
     pool — exactly the probe mask ivfpq_topk_from_store applies inside
-    the Arrow kernel BEFORE pooling."""
+    the Arrow kernel BEFORE pooling. ``corpus``/``prelude`` let the OPQ
+    arm run the identical pipeline over a rotated-embeddings CTE."""
     sub_dot = (
         "list_sum(list_transform(range(1, {n}), "
         "i -> CAST({e}[{s}*{d} + i] AS DOUBLE) * CAST(c.cs[i] AS DOUBLE)))"
@@ -2429,17 +2431,17 @@ def _ivfpq_oracle(
     dot_ec = _DOT_SQL.format(d=dim, a="e.embedding", b="cv.cvec")
     dot_qc = _DOT_SQL.format(d=dim, a="q.embedding", b="cv.cvec")
     return f"""
-WITH icents AS (
+WITH {prelude}icents AS (
   SELECT vec_id AS icid, embedding AS cvec,
          {_DOT_SQL.format(d=dim, a="embedding", b="embedding")} AS icc
-  FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT {num_centroids}
+  FROM {corpus} ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT {num_centroids}
 ),
 cl AS (
   SELECT vec_id, icid AS cell FROM (
     SELECT e.vec_id, cv.icid,
            ROW_NUMBER() OVER (PARTITION BY e.vec_id
                               ORDER BY -2.0 * ({dot_ec}) + cv.icc, cv.icid) AS rn
-    FROM embeddings e CROSS JOIN icents cv
+    FROM {corpus} e CROSS JOIN icents cv
   ) WHERE rn = 1
 ),
 qprobe AS (
@@ -2447,7 +2449,7 @@ qprobe AS (
     SELECT q.vec_id AS query_id, cv.icid,
            ROW_NUMBER() OVER (PARTITION BY q.vec_id
                               ORDER BY -2.0 * ({dot_qc}) + cv.icc, cv.icid) AS rn
-    FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10) q
+    FROM (SELECT vec_id, embedding FROM {corpus} WHERE vec_id < 10) q
          CROSS JOIN icents cv
   ) WHERE rn <= {nprobe}
 ),
@@ -2455,7 +2457,7 @@ cents AS (
   SELECT cid, cv FROM (
     SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS cid,
            embedding AS cv
-    FROM embeddings
+    FROM {corpus}
   ) WHERE cid < {ks}
 ),
 csub AS (
@@ -2470,12 +2472,12 @@ codes AS (
     SELECT e.vec_id, c.s, c.cid, c.cc,
       ROW_NUMBER() OVER (PARTITION BY e.vec_id, c.s
         ORDER BY -2.0 * ({enc_dot}) + c.cc, c.cid) AS rn
-    FROM embeddings e CROSS JOIN csub c
+    FROM {corpus} e CROSS JOIN csub c
   ) WHERE rn = 1
 ),
 ql AS (
   SELECT q.vec_id AS query_id, c.s, c.cid, {q_dot} AS lv
-  FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10) q
+  FROM (SELECT vec_id, embedding FROM {corpus} WHERE vec_id < 10) q
        CROSS JOIN csub c
 ),
 adcs AS (
@@ -2502,8 +2504,8 @@ s2 AS (
       / (SQRT({_DOT_SQL.format(d=dim, a="qv.embedding", b="qv.embedding")})
          * SQRT({_DOT_SQL.format(d=dim, a="cv.embedding", b="cv.embedding")})), 6) AS cosine
   FROM pool p
-  JOIN embeddings cv ON cv.vec_id = p.neighbor_id
-  JOIN embeddings qv ON qv.vec_id = p.query_id
+  JOIN {corpus} cv ON cv.vec_id = p.neighbor_id
+  JOIN {corpus} qv ON qv.vec_id = p.query_id
 ),
 r AS (SELECT query_id, neighbor_id, cosine,
         ROW_NUMBER() OVER (PARTITION BY query_id
@@ -2511,6 +2513,40 @@ r AS (SELECT query_id, neighbor_id, cosine,
       FROM s2)
 SELECT query_id, neighbor_id, cosine, rank FROM r WHERE rank <= {k}
 """
+
+
+#: seeded orthogonal rotation for the driver's OPQ arm — a LITERAL in
+#: both pipelines (fixed at import, so one static oracle string serves
+#: every sf_dir); similarity.opq_train's learned matrix slots into the
+#: same .rotation sidecar unchanged. On this corpus the embeddings are
+#: isotropic Gaussian (rotation-invariant), so recall gain is ~zero BY
+#: CONSTRUCTION — the arm proves the plumbing end to end; the learned-
+#: rotation gain is pinned in tests on a correlated corpus where it
+#: exists (tests/test_new_surface_r13.py).
+_OPQ_R = similarity.seeded_rotation(64, 13).tolist()
+
+
+def _opq_prelude() -> str:
+    """Rotated-embeddings CTE: each output component is the UNROLLED
+    left-to-right sum 0.0 + e[1]*r1 + e[2]*r2 + ... — bitwise the same
+    grouping as similarity.rotate_vectors' JVM fold (aggregate starts
+    at 0.0 and adds terms in index order), but flat arithmetic DuckDB
+    codegens directly: a list_transform over a literal-list index
+    rebuilt the 64-element list per lambda element (measured 20+ s on
+    500 rows)."""
+    comps = []
+    for j in range(64):
+        terms = " + ".join(
+            f"CAST(embedding[{i + 1}] AS DOUBLE) * {float(_OPQ_R[i][j])!r}"
+            for i in range(64)
+        )
+        comps.append(f"(0.0 + {terms})")
+    # MATERIALIZED: seven consumers reference remb — inlined, DuckDB
+    # would re-evaluate the 4096-term rotation inside every cross join
+    return (
+        "remb AS MATERIALIZED (SELECT vec_id, [" + ",\n ".join(comps)
+        + "] AS embedding FROM embeddings),\n"
+    )
 
 
 def _ensure_ivfpq_store(spark: SparkSession, sf_dir: str) -> str:
@@ -2544,6 +2580,44 @@ def cosine_ivfpq_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ensure_opq_store(spark: SparkSession, sf_dir: str) -> str:
+    """Build-if-stale cache for the OPQ-rotated IVF-PQ store: identical
+    layout to _ensure_ivfpq_store plus the ``.rotation`` sidecar — the
+    corpus is rotated by the import-time literal _OPQ_R before fitting
+    and encoding (vecstore.write_ivfpq_store rotation=)."""
+    return _ensure_store(
+        spark, sf_dir, "opqstore", "opq m=8 ks=16 ncent=16 seed=13",
+        (".centroids", ".rotation"),
+        lambda emb, path: vecstore.write_ivfpq_store(
+            emb, path, "vec_id", "embedding", m=8, ks=16, dim=64,
+            iters=0, num_centroids=16, rotation=_OPQ_R,
+        ),
+    )
+
+
+@_q("cosine_opq_topk", _ivfpq_oracle(corpus="remb", prelude=_opq_prelude()))
+def cosine_opq_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPQ-rotated IVF-PQ top-k (r13, r12 verdict #6 — Ge et al., CVPR
+    2013): the corpus is rotated by an orthogonal matrix persisted as a
+    store sidecar (``.rotation``) before PQ fitting/encoding, and
+    queries + re-rank vectors enter the same rotated space at score
+    time (vecstore.ivfpq_topk_from_store reads the sidecar). The
+    rotation here is the seeded import-time literal _OPQ_R so ONE
+    static oracle string replays it at every sf (the rotated-embeddings
+    CTE folds the literal columns through the same _DOT_SQL arithmetic
+    as the JVM fold); similarity.opq_train's LEARNED rotation slots
+    into the identical sidecar — its gain is pinned in tests on a
+    correlated corpus (this fixture's embeddings are isotropic, where
+    any rotation is recall-neutral by symmetry)."""
+    path = _ensure_opq_store(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    return vecstore.ivfpq_topk_from_store(
+        spark, path, emb, queries, "vec_id", "embedding",
+        k=5, pool=50, nprobe=4,
+    )
+
+
 @_q("cosine_pq_topk", _pq_oracle())
 def cosine_pq_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN with ADC scoring + exact re-rank
@@ -2568,6 +2642,7 @@ _bfn, _bsql = _compose_union(
         ("quantstore", "cosine_quantstore_topk"),
         ("pq", "cosine_pq_topk"),
         ("ivfpq", "cosine_ivfpq_topk"),
+        ("opq", "cosine_opq_topk"),
     ]
 )
 _bfn.__doc__ = """Brute-force cosine top-k: exact float path, (r7) the
@@ -2578,11 +2653,13 @@ from 64 packed code bytes per row), (r9) the product-quantization
 ADC path (32x smaller store) with exact re-rank of its candidate pool,
 and (r12) the unified IVF-PQ store — PQ codes partitioned by IVF cell,
 probe pruning and 32x compression multiplying — scored end to end from
-its persisted sidecars. All broadcast the query side over one corpus
-scan (the ivfpq arm scans only probed cells)."""
+its persisted sidecars, and (r13) the OPQ arm — the same IVF-PQ store
+behind a persisted orthogonal rotation sidecar, queries rotated at
+score time. All broadcast the query side over one corpus scan (the
+ivfpq/opq arms scan only probed cells)."""
 _q("cosine_topk", _bsql)(_bfn)
 _retire("cosine_quant_topk", "cosine_quantstore_topk", "cosine_pq_topk",
-        "cosine_ivfpq_topk")
+        "cosine_ivfpq_topk", "cosine_opq_topk")
 
 
 def _neardup_oracle(num_planes: int = 4, threshold: float = 0.35, dim: int = 64) -> str:

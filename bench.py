@@ -305,6 +305,8 @@ def main() -> None:
             entrymod.ivf_store_topk_query(spark, SF_DIR), exact_df), 4)
         vec_metrics["recall_ivfpq_at5"] = round(recall_at_k(
             entrymod.cosine_ivfpq_topk_query(spark, SF_DIR), exact_df), 4)
+        vec_metrics["recall_opq_at5"] = round(recall_at_k(
+            entrymod.cosine_opq_topk_query(spark, SF_DIR), exact_df), 4)
         vec_metrics["recall_lsh_at5"] = round(recall_at_k(
             entrymod.lsh_topk_query(spark, SF_DIR), exact_df), 4)
 

@@ -92,6 +92,77 @@ def cosine_topk(
     )
 
 
+def rotate_vectors(vec: Column, R) -> Column:
+    """``v @ R`` as a JVM expression: one :func:`dot` fold per output
+    component against a literal column of ``R`` — the SAME sequential
+    double arithmetic as the ``_DOT_SQL`` oracle twin, so rotated values
+    are bit-identical in Spark and DuckDB (an np.dot rotation would
+    round differently and could flip encode argmins)."""
+    d = len(R)
+    return F.array(
+        *[
+            dot(vec, F.array(*[F.lit(float(R[i][j])) for i in range(d)]))
+            for j in range(d)
+        ]
+    )
+
+
+def seeded_rotation(dim: int, seed: int):
+    """Deterministic random orthogonal matrix (QR of a seeded Gaussian,
+    columns sign-canonicalized) — the data-independent stand-in the
+    driver arm uses so its SQL oracle can embed the rotation as
+    LITERALS fixed at import time; :func:`opq_train`'s learned rotation
+    slots into the same sidecar unchanged (the established seeded-
+    stand-in idiom: md5-sampled quantizers vs trained k-means)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    q, r = np.linalg.qr(rng.standard_normal((dim, dim)))
+    return q * np.sign(np.diag(r))
+
+
+def opq_train(X, m: int, ks: int, iters: int = 8):
+    """OPQ rotation (public: Ge et al., "Optimized Product
+    Quantization", CVPR 2013) by alternating optimization on a BOUNDED
+    driver-side sample (the same class as PQ codebook fitting): fix R,
+    fit per-subspace codebooks on X·R and encode; fix codes, solve the
+    orthogonal Procrustes problem R = U·Vᵀ from SVD(Xᵀ·Y) where Y is
+    the reconstruction. Returns (R, per-iteration reconstruction MSE) —
+    the error sequence is non-increasing, pinned in tests. On an
+    isotropic corpus the gain is ~zero by symmetry (rotation-invariant
+    distribution); the win appears when subspace variances are
+    unbalanced."""
+    import numpy as np
+
+    X = np.asarray(X, dtype=np.float64)
+    n, dim = X.shape
+    dsub = dim // m
+    R = np.eye(dim)
+    Z = X @ R
+    # persistent codebooks (init: first ks sample rows per subspace) —
+    # re-initializing per iteration would break the alternating-
+    # minimization monotonicity the test pins
+    cb = [Z[:ks, s * dsub:(s + 1) * dsub].copy() for s in range(m)]
+    errs = []
+    for _ in range(max(1, iters)):
+        Z = X @ R
+        Y = np.empty_like(Z)
+        err = 0.0
+        for s in range(m):
+            sub = Z[:, s * dsub:(s + 1) * dsub]
+            d2 = ((sub[:, None, :] - cb[s][None, :, :]) ** 2).sum(axis=2)
+            code = d2.argmin(axis=1)
+            # Lloyd mean update (empty codes keep their centroid)
+            for j in np.unique(code):
+                cb[s][j] = sub[code == j].mean(axis=0)
+            Y[:, s * dsub:(s + 1) * dsub] = cb[s][code]
+            err += float(((sub - cb[s][code]) ** 2).sum())
+        errs.append(err / n)
+        u, _, vt = np.linalg.svd(X.T @ Y)
+        R = u @ vt
+    return R, errs
+
+
 def recall_at_k(approx: DataFrame, exact: DataFrame,
                 query_col: str = "query_id",
                 id_col: str = "neighbor_id") -> float:

@@ -1270,6 +1270,59 @@ def pq_topk_from_store(
 # quantizers as sidecars: a query reads nprobe cells' directories of
 # 8-byte codes — partition pruning AND 32x byte reduction multiply.
 
+def _write_rotation(path: str, R) -> None:
+    """Persist the OPQ rotation sidecar at ``<path>.rotation`` (one row
+    per output component: its literal column of R). Static once
+    written: compaction/rebalance rewrite data files, never the
+    rotation — codes stay valid because they encode ROTATED vectors."""
+    import os
+    import shutil
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rpath = path.rstrip("/") + ".rotation"
+    shutil.rmtree(rpath, ignore_errors=True)
+    os.makedirs(rpath)
+    cols = [[float(R[i][j]) for i in range(len(R))] for j in range(len(R))]
+    pq.write_table(
+        pa.table({
+            "j": pa.array(range(len(cols)), type=pa.int32()),
+            "col": pa.array(cols, type=pa.list_(pa.float64())),
+        }),
+        os.path.join(rpath, f"rot-{uuid.uuid4().hex}.parquet"),
+    )
+
+
+def read_rotation(path: str):
+    """The persisted OPQ rotation as a column-major list of lists
+    (``R[i][j]`` = weight of input i in output j), or None."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    files = sorted(glob.glob(os.path.join(path.rstrip("/") + ".rotation",
+                                          "*.parquet")))
+    if not files:
+        return None
+    cols: dict = {}
+    for f in files:
+        t = pq.read_table(f)
+        cols.update(zip(t.column("j").to_pylist(), t.column("col").to_pylist()))
+    d = len(cols)
+    return [[float(cols[j][i]) for j in range(d)] for i in range(d)]
+
+
+def _rotated(df: DataFrame, id_col: str, vec_col: str, R) -> DataFrame:
+    from parallel_pandas_spark.operators.similarity import rotate_vectors
+
+    return df.select(
+        id_col, rotate_vectors(F.col(vec_col), R).alias(vec_col)
+    )
+
+
 def write_ivfpq_store(
     corpus: DataFrame,
     path: str,
@@ -1280,6 +1333,7 @@ def write_ivfpq_store(
     dim: int = 64,
     iters: int = 0,
     num_centroids: int = 16,
+    rotation=None,
 ) -> None:
     """Materialize the IVF-PQ store: fit the coarse quantizer
     (``similarity.ivf_centroids``) and the PQ codebooks
@@ -1288,11 +1342,22 @@ def write_ivfpq_store(
     by cell; books persist at ``<path>/_books`` and the coarse quantizer
     at ``<path>.centroids``. Bit-parity contract (pinned in tests):
     scoring from the store equals ``similarity.pq_topk`` with the SAME
-    books restricted to each query's probed cells."""
+    books restricted to each query's probed cells.
+
+    ``rotation`` (r13, OPQ — Ge et al. CVPR 2013 via
+    ``similarity.opq_train`` or a seeded orthogonal stand-in): the
+    corpus is rotated BEFORE fitting/encoding with the bit-replayable
+    JVM fold (``similarity.rotate_vectors``) and the matrix persists at
+    ``<path>.rotation`` so scoring sessions rotate queries identically
+    — rotation is a pure pre-transform, every downstream stage is
+    unchanged."""
     from parallel_pandas_spark.operators.similarity import ivf_centroids
 
     if ks > 256:
         raise ValueError(f"ks={ks}: uint8-packed codes need ks <= 256")
+    if rotation is not None:
+        corpus = _rotated(corpus, id_col, vec_col, rotation)
+        _write_rotation(path, rotation)
     cents = ivf_centroids(corpus, id_col, vec_col, num_centroids)
     books = similarity.pq_codebooks(
         corpus, id_col, vec_col, m=m, ks=ks, dim=dim, iters=iters
@@ -1316,6 +1381,9 @@ def append_ivfpq_store(
     stores (tombstones live at ``<path>/codes.tombstones`` and
     delete_from_vector_store detects the cell partition layout)."""
     spark = new_vectors.sparkSession
+    R = read_rotation(path)
+    if R is not None:
+        new_vectors = _rotated(new_vectors, id_col, vec_col, R)
     books = read_pq_books(spark, path)
     cents = read_ivf_centroids(path)
     dim = len(books) * books[0].shape[1]
@@ -1356,6 +1424,13 @@ def ivfpq_topk_from_store(
 
     books = read_pq_books(spark, store_path)
     cents = read_ivf_centroids(store_path)
+    # OPQ sidecar: queries and the re-rank corpus enter the SAME rotated
+    # space the codes were fit in (rotation preserves cosine; the
+    # re-rank uses rotated values so the SQL replay stays bit-twinned)
+    R = read_rotation(store_path)
+    if R is not None:
+        queries = _rotated(queries, id_col, vec_col, R)
+        corpus = _rotated(corpus, id_col, vec_col, R)
     m = len(books)
     dim = m * books[0].shape[1]
     qids, luts = _pq_luts(queries, books, id_col, vec_col, dim)
