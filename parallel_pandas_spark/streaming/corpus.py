@@ -37,9 +37,14 @@ micro-batches and there is no event-time aggregation state to bound; a
 snapshot is scanned but never shuffled (broadcast merge decomposition,
 feed-sized intermediates; plan fence in tests/test_incremental_r11.py).
 Snapshot versioning here rewrites the full artifact per batch for
-byte-level simplicity; a production deployment swaps that single writer
-for a format with native snapshot isolation (Iceberg/Delta) without
-touching the maintenance logic. Loop state is BOUNDED by
+byte-level simplicity; visibility is SNAPSHOT-ISOLATED by a single-file
+JSON manifest (r13): the atomic ``_MANIFEST.json`` rename is the commit
+point for batch writes AND compactions, readers resolve versions from
+it without directory listings or per-version ``_SUCCESS`` scans, and a
+crash anywhere before the rename leaves orphan directories no reader
+sees. A production deployment swaps this single-writer manifest for a
+format with native snapshot isolation (Iceberg/Delta) without touching
+the maintenance logic. Loop state is BOUNDED by
 :func:`compact_corpus_artifacts` (changelog compaction): outstanding
 rollup deltas fold into an exact state snapshot and superseded artifact
 versions are vacuumed, so neither the read-out's merge set nor the
@@ -93,12 +98,13 @@ def _version_id(d: str) -> int:
 
 
 def _versions(art_dir: str) -> list:
-    """COMMITTED version directories, ascending by batch id. Committed
-    means Spark's ``_SUCCESS`` marker is present: a write killed partway
-    leaves a partial ``b<j>`` without it, and treating that as a real
-    version would serve truncated data (for compaction snapshots it
-    would be permanent — the fold would never re-run and the folded
-    deltas would be vacuumed; see compact_corpus_artifacts)."""
+    """COMMITTED version directories, ascending by batch id — the
+    LEGACY (manifest-less) resolution path. Committed means Spark's
+    ``_SUCCESS`` marker is present: a write killed partway leaves a
+    partial ``b<j>`` without it, and treating that as a real version
+    would serve truncated data (for compaction snapshots it would be
+    permanent — the fold would never re-run and the folded deltas would
+    be vacuumed; see compact_corpus_artifacts)."""
     out = []
     for d in glob.glob(os.path.join(art_dir, "b*")):
         try:
@@ -110,10 +116,90 @@ def _versions(art_dir: str) -> list:
     return sorted(out, key=_version_id)
 
 
-def _latest_version(art_dir: str, below: int) -> str | None:
-    """Greatest committed version directory ``b<j>`` with j < below."""
-    vs = [d for d in _versions(art_dir) if _version_id(d) < below]
-    return vs[-1] if vs else None
+# --- snapshot-isolation manifest (r13, r12 verdict #7) ------------------
+# One JSON file at <work_dir>/_MANIFEST.json is the COMMIT POINT for the
+# whole loop: {"txn", "docindex": [ids], "corpus": [ids], "deltas":
+# [ids], "state": id|null}. It is written via temp-file + os.rename
+# (atomic on one filesystem), so readers see either the old or the new
+# snapshot — never a torn one — and resolve versions WITHOUT directory
+# listings or per-version _SUCCESS scans. Artifact directories become
+# visible only when a manifest transaction references them: a crash
+# anywhere between the Spark writes and the manifest rename leaves
+# orphan directories that no reader resolves and the next vacuum
+# removes. This is the hand-rolled step toward the Iceberg/Delta seam
+# SCALE.md names — the maintenance logic reads through the same two
+# helpers either way. A manifest-less work_dir (pre-r13 layout, or
+# hand-built test fixtures) falls back to the legacy directory scan and
+# is migrated to a manifest by its next write.
+
+
+def _manifest_path(work_dir: str) -> str:
+    return os.path.join(work_dir, "_MANIFEST.json")
+
+
+def _read_manifest(work_dir: str) -> "dict | None":
+    import json
+
+    try:
+        with open(_manifest_path(work_dir)) as fh:
+            return json.load(fh)
+    except FileNotFoundError:
+        return None
+
+
+def _init_manifest(work_dir: str) -> dict:
+    """The current view as a manifest: read the committed one, or derive
+    it from the legacy directory scan (migration; empty for a fresh
+    work_dir)."""
+    man = _read_manifest(work_dir)
+    if man is not None:
+        return man
+    scan = {
+        art: [_version_id(d) for d in _versions(os.path.join(work_dir, art))]
+        for art in ("docindex", "corpus", "delta", "state")
+    }
+    return {
+        "txn": 0,
+        "docindex": scan["docindex"],
+        "corpus": scan["corpus"],
+        "deltas": scan["delta"],
+        "state": scan["state"][-1] if scan["state"] else None,
+    }
+
+
+def _commit_manifest(work_dir: str, man: dict) -> None:
+    import json
+
+    os.makedirs(work_dir, exist_ok=True)
+    tmp = _manifest_path(work_dir) + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(man, fh)
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.rename(tmp, _manifest_path(work_dir))
+
+
+def _live_ids(work_dir: str, art: str) -> list:
+    """Committed version ids of an artifact, ascending — from the
+    manifest when one exists (no directory listing, no _SUCCESS scan),
+    else the legacy scan."""
+    man = _read_manifest(work_dir)
+    if man is not None:
+        if art == "state":
+            return [man["state"]] if man.get("state") is not None else []
+        key = "deltas" if art == "delta" else art
+        return sorted(man.get(key, []))
+    return [_version_id(d) for d in _versions(os.path.join(work_dir, art))]
+
+
+def _art_dir(work_dir: str, art: str, vid: int) -> str:
+    return os.path.join(work_dir, art, f"b{vid:05d}")
+
+
+def _latest_dir(work_dir: str, art: str, below: int) -> "str | None":
+    """Directory of the greatest committed version with id < below."""
+    ids = [v for v in _live_ids(work_dir, art) if v < below]
+    return _art_dir(work_dir, art, ids[-1]) if ids else None
 
 
 def run_corpus_refresh_stream(
@@ -140,13 +226,10 @@ def run_corpus_refresh_stream(
     point — pinned in tests with a mid-stream stop)."""
     keys = list(keys)
     cols = list(spec)
-    di_dir = os.path.join(work_dir, "docindex")
-    co_dir = os.path.join(work_dir, "corpus")
-    de_dir = os.path.join(work_dir, "delta")
 
     def write_batch(batch_df, batch_id: int) -> None:
-        snap_di = _latest_version(di_dir, batch_id) or base_docindex
-        snap_co = _latest_version(co_dir, batch_id) or base_corpus
+        snap_di = _latest_dir(work_dir, "docindex", batch_id) or base_docindex
+        snap_co = _latest_dir(work_dir, "corpus", batch_id) or base_corpus
         di = spark.read.parquet(snap_di)
         co = spark.read.parquet(snap_co)
         changes = cdc.cdc_compact(
@@ -160,10 +243,25 @@ def run_corpus_refresh_stream(
                 rollup.agg_state(removed, keys, spec), cols, keys=keys
             )
         )
-        tag = f"b{batch_id:05d}"
-        di2.write.mode("overwrite").parquet(os.path.join(di_dir, tag))
-        co2.write.mode("overwrite").parquet(os.path.join(co_dir, tag))
-        delta.write.mode("overwrite").parquet(os.path.join(de_dir, tag))
+        di2.write.mode("overwrite").parquet(
+            _art_dir(work_dir, "docindex", batch_id))
+        co2.write.mode("overwrite").parquet(
+            _art_dir(work_dir, "corpus", batch_id))
+        delta.write.mode("overwrite").parquet(
+            _art_dir(work_dir, "delta", batch_id))
+        # the manifest rename is the batch's COMMIT POINT: a crash
+        # anywhere above leaves orphan directories no reader resolves;
+        # the foreachBatch replay rewrites them and commits then. A
+        # replay of an ALREADY-committed batch (crash between manifest
+        # and checkpoint) re-reads the greatest id < batch_id — its own
+        # entry never shadows its input (keep_last >= 2 retains the
+        # predecessor).
+        man = _init_manifest(work_dir)
+        for k in ("docindex", "corpus", "deltas"):
+            if batch_id not in man[k]:
+                man[k] = sorted(man[k] + [batch_id])
+        man["txn"] += 1
+        _commit_manifest(work_dir, man)
 
     return run_foreach_batch(
         spark, make_stream, write_batch, checkpoint_dir,
@@ -186,13 +284,13 @@ def _fold_state(
     those deltas touched against ``corpus``. One implementation serves
     both the read-out and compaction's fold so the two can never drift.
     Returns ``(state, snap_id, folded_delta_dirs)``."""
-    snap = _latest_version(os.path.join(work_dir, "state"), 1 << 60)
+    snap = _latest_dir(work_dir, "state", 1 << 60)
     snap_id = _version_id(snap) if snap else -1
     base = spark.read.parquet(snap) if snap else base_state
     fold = [
-        d
-        for d in _versions(os.path.join(work_dir, "delta"))
-        if snap_id < _version_id(d) <= upto
+        _art_dir(work_dir, "delta", v)
+        for v in _live_ids(work_dir, "delta")
+        if snap_id < v <= upto
     ]
     if not fold:
         # every delta is folded into the snapshot, whose extrema the
@@ -257,25 +355,31 @@ def compact_corpus_artifacts(
         )
     keys = list(keys)
     cols = list(spec)
-    de_dir = os.path.join(work_dir, "delta")
     st_dir = os.path.join(work_dir, "state")
-    # purge snapshots a crashed fold left uncommitted (no _SUCCESS) so
-    # the fold below re-runs from the still-present deltas
+    # purge snapshots a crashed fold left UNCOMMITTED — unreferenced by
+    # the manifest (legacy: no _SUCCESS) — so the fold below re-runs
+    # from the still-present deltas
+    committed_state = set(_live_ids(work_dir, "state"))
     for d in glob.glob(os.path.join(st_dir, "b*")):
-        if not os.path.isfile(os.path.join(d, "_SUCCESS")):
+        try:
+            vid = _version_id(d)
+        except ValueError:
+            continue
+        if vid not in committed_state or not os.path.isfile(
+            os.path.join(d, "_SUCCESS")
+        ):
             shutil.rmtree(d)
-    de_dirs = _versions(de_dir)
-    # anchor the fold to the newest DELTA, not the newest corpus: a
-    # batch writes docindex -> corpus -> delta, so a mid-batch crash can
-    # leave the corpus one version ahead — folding "up to" that corpus
-    # would stamp a snapshot id whose delta was never merged, and the
-    # replayed delta would then be ignored forever (silent loss). The
-    # corpus AT the delta horizon always exists (written before it).
-    horizon = _version_id(de_dirs[-1]) if de_dirs else -1
+    de_ids = _live_ids(work_dir, "delta")
+    # anchor the fold to the newest DELTA, not the newest corpus: under
+    # the manifest the two commit atomically, but a LEGACY (manifest-
+    # less) layout's mid-batch crash can leave the corpus one version
+    # ahead — folding "up to" that corpus would stamp a snapshot id
+    # whose delta was never merged, and the replayed delta would then
+    # be ignored forever (silent loss). The corpus AT the delta horizon
+    # always exists (written before it).
+    horizon = de_ids[-1] if de_ids else -1
     co = (
-        spark.read.parquet(
-            os.path.join(work_dir, "corpus", f"b{horizon:05d}")
-        )
+        spark.read.parquet(_art_dir(work_dir, "corpus", horizon))
         if horizon >= 0
         else None
     )
@@ -284,21 +388,37 @@ def compact_corpus_artifacts(
     )
     if fold:
         folded.write.mode("overwrite").parquet(
-            os.path.join(st_dir, f"b{horizon:05d}")
+            _art_dir(work_dir, "state", horizon)
         )
-    deleted = 0
-    for art in ("docindex", "corpus", "state"):
-        vs = _versions(os.path.join(work_dir, art))
-        for d in vs[:-keep_last]:
-            shutil.rmtree(d)
-            deleted += 1
-    # folded deltas are superseded by the snapshot (read-outs ignore
-    # ids <= snapshot id), so all of them can go
     new_snap_id = horizon if fold else snap_id
-    for d in _versions(de_dir):
-        if _version_id(d) <= new_snap_id:
-            shutil.rmtree(d)
-            deleted += 1
+    # COMMIT the compaction as one manifest transaction: the new state
+    # snapshot becomes visible, folded deltas and vacuumed versions
+    # stop being visible — then physical deletion is mere garbage
+    # collection (a crash between commit and deletion leaves orphans no
+    # reader resolves; the next compaction's sweep removes them).
+    man = _init_manifest(work_dir)
+    man["state"] = new_snap_id if new_snap_id >= 0 else None
+    man["deltas"] = [v for v in man["deltas"] if v > new_snap_id]
+    for k in ("docindex", "corpus"):
+        man[k] = sorted(man[k])[-keep_last:]
+    man["txn"] += 1
+    _commit_manifest(work_dir, man)
+    deleted = 0
+    live = {
+        "docindex": set(man["docindex"]),
+        "corpus": set(man["corpus"]),
+        "delta": set(man["deltas"]),
+        "state": {man["state"]} if man["state"] is not None else set(),
+    }
+    for art, keep in live.items():
+        for d in glob.glob(os.path.join(work_dir, art, "b*")):
+            try:
+                vid = _version_id(d)
+            except ValueError:
+                continue
+            if vid not in keep:
+                shutil.rmtree(d)
+                deleted += 1
     return {
         "folded_to": new_snap_id if new_snap_id >= 0 else None,
         "deltas_folded": len(fold),
@@ -324,12 +444,8 @@ def corpus_stream_readout(
     restart and across compaction points."""
     keys = list(keys)
     cols = list(spec)
-    di = spark.read.parquet(
-        _latest_version(os.path.join(work_dir, "docindex"), 1 << 60)
-    )
-    co = spark.read.parquet(
-        _latest_version(os.path.join(work_dir, "corpus"), 1 << 60)
-    )
+    di = spark.read.parquet(_latest_dir(work_dir, "docindex", 1 << 60))
+    co = spark.read.parquet(_latest_dir(work_dir, "corpus", 1 << 60))
     state, _, _ = _fold_state(
         spark, base_state, work_dir, keys, cols, co, 1 << 60
     )

@@ -182,6 +182,69 @@ def test_opq_store_roundtrip_and_recall_gain(spark, tmp_path):
     assert r_opq > r_plain, (r_opq, r_plain)
 
 
+# ------------------------------------------- corpus-loop manifest (r13)
+
+
+def test_manifest_is_the_commit_point(spark, tmp_path):
+    """r12 verdict #7: readers resolve the single-file manifest, not
+    directory listings — artifact directories written but not yet
+    referenced by a manifest transaction (a crash before the atomic
+    rename) are INVISIBLE to read-outs and compaction, and the next
+    compaction's sweep garbage-collects them."""
+    import glob as g
+    import shutil
+
+    from parallel_pandas_spark.operators import incremental, rollup
+    from parallel_pandas_spark.streaming import corpus as sc
+
+    spec = {"n_chars": (0, 0)}
+    rows = [(i, "en" if i % 2 else "fr", 100 + i, f"f{i}")
+            for i in range(1, 30)]
+    base_di = spark.createDataFrame(
+        rows, "doc_id long, lang string, n_chars long, fp string")
+    base_co = incremental.keepers(base_di)
+    di_p, co_p = str(tmp_path / "di"), str(tmp_path / "co")
+    base_di.write.parquet(di_p)
+    base_co.write.parquet(co_p)
+    base_state = rollup.agg_state(spark.read.parquet(co_p), ["lang"], spec)
+    feed_dir = str(tmp_path / "changes")
+    spark.createDataFrame(
+        [(40, "de", 7, "f40", 10, "U")], sc.DOC_CHANGES_SCHEMA
+    ).coalesce(1).write.parquet(feed_dir)
+    work, ckpt = str(tmp_path / "work"), str(tmp_path / "ckpt")
+    sc.run_corpus_refresh_stream(
+        spark, lambda: sc.stream_doc_changes(spark, feed_dir, max_files=1),
+        di_p, co_p, work, ckpt, spec)
+    assert os.path.isfile(os.path.join(work, "_MANIFEST.json"))
+    before = {
+        r["lang"]: tuple(r)[1:]
+        for r in sc.corpus_stream_readout(
+            spark, base_state, work, spec)[2].collect()
+    }
+    assert "de" in before
+
+    # fabricate a crash-before-commit: a NEWER batch's dirs exist (full
+    # Spark writes, _SUCCESS and all) but no manifest references them
+    for art in ("docindex", "corpus", "delta"):
+        src = sorted(g.glob(os.path.join(work, art, "b*")))[-1]
+        shutil.copytree(src, os.path.join(work, art, "b99999"))
+    got = {
+        r["lang"]: tuple(r)[1:]
+        for r in sc.corpus_stream_readout(
+            spark, base_state, work, spec)[2].collect()
+    }
+    assert got == before  # orphans invisible
+    sc.compact_corpus_artifacts(spark, base_state, work, spec)
+    for art in ("docindex", "corpus", "delta"):
+        assert not os.path.isdir(os.path.join(work, art, "b99999")), art
+    got = {
+        r["lang"]: tuple(r)[1:]
+        for r in sc.corpus_stream_readout(
+            spark, base_state, work, spec)[2].collect()
+    }
+    assert got == before
+
+
 def test_identity_rotation_bit_equals_no_rotation(spark, tmp_path):
     """rotation=I must be a pure no-op in VALUES (the fold multiplies
     by literal 1.0/0.0), proving rotation is a pre-transform and the

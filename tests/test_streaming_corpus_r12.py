@@ -211,17 +211,22 @@ def test_compaction_mid_stream_then_restart_bit_equals_rebuild(
 def test_compaction_anchors_to_delta_horizon_on_midbatch_crash(
     spark, tmp_path
 ):
-    """A batch writes docindex -> corpus -> delta; simulate a crash
-    between the corpus and delta writes of the LAST batch. Compaction
-    must fold only up to the newest DELTA (refreshing against the
-    corpus at that same version), so the replayed batch's delta is not
-    silently discarded as already-folded."""
+    """LEGACY (manifest-less) layout: a batch writes docindex -> corpus
+    -> delta with no atomic commit, so a crash between the corpus and
+    delta writes of the LAST batch leaves the corpus one version ahead.
+    Compaction must fold only up to the newest DELTA (refreshing
+    against the corpus at that same version), so the replayed batch's
+    delta is not silently discarded as already-folded. (Under the r13
+    manifest this window cannot exist — the manifest rename commits all
+    three together — but pre-manifest work dirs migrate through this
+    exact path.)"""
     import shutil
 
     base_di, base_state, work, run = _setup_loop(spark, tmp_path)
     run()
     import glob as g
 
+    os.remove(os.path.join(work, "_MANIFEST.json"))  # pre-r13 layout
     last_delta = sorted(g.glob(work + "/delta/b*"))[-1]
     shutil.rmtree(last_delta)  # the crash window: corpus ahead of delta
     res = sc.compact_corpus_artifacts(spark, base_state, work, _SPEC)
@@ -248,6 +253,13 @@ def test_compaction_anchors_to_delta_horizon_on_midbatch_crash(
             rollup.agg_state(removed, ["lang"], _SPEC),
             ["n_chars"], keys=["lang"]))
     delta4.write.mode("overwrite").parquet(last_delta)
+    # ...and commits it, as write_batch's manifest transaction does
+    # (compaction migrated the dir to a manifest)
+    man = sc._init_manifest(work)
+    b4 = int(os.path.basename(last_delta)[1:])
+    man["deltas"] = sorted(set(man["deltas"]) | {b4})
+    man["txn"] += 1
+    sc._commit_manifest(work, man)
 
     eff, keep = _rebuild(spark, base_di)
     got = _final_map(spark, base_state, work)
