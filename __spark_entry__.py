@@ -772,7 +772,7 @@ nn AS (SELECT n FROM s),
 tx AS (SELECT COALESCE(SUM(c*(c-1)),0)//2 AS n1 FROM (SELECT COUNT(*) AS c FROM t GROUP BY x)),
 ty AS (SELECT COALESCE(SUM(c*(c-1)),0)//2 AS n2 FROM (SELECT COUNT(*) AS c FROM t GROUP BY y)),
 txy AS (SELECT COALESCE(SUM(c*(c-1)),0)//2 AS n3 FROM (SELECT COUNT(*) AS c FROM t GROUP BY x, y)),
-dd AS (SELECT p1.v + p2.v + p3.v AS d FROM p1, p2, p3)
+dd AS (SELECT CAST(p1.v + p2.v + p3.v AS BIGINT) AS d FROM p1, p2, p3)
 SELECT nn.n AS n, dd.d AS d,
        CASE WHEN nn.n*(nn.n-1)//2 > tx.n1 AND nn.n*(nn.n-1)//2 > ty.n2 THEN
          CAST(nn.n*(nn.n-1)//2 - tx.n1 - ty.n2 + txy.n3 - 2*dd.d AS DOUBLE)

@@ -177,7 +177,7 @@ def main() -> None:
     # silently inflated the "comparable" series by ~3.9 s.
     post_r6_arms = {
         "text_doc_battery": ["repetition", "pii", "chunks"],
-        "cosine_topk": ["quant", "quantstore", "pq", "ivfpq"],
+        "cosine_topk": ["quant", "quantstore", "pq", "ivfpq", "opq"],
         "minhash_dedup_pairs": ["incremental"],
     }
     new_arm_cost = sum(
@@ -186,7 +186,7 @@ def main() -> None:
     r6_comparable = round(total - new_arm_cost, 4) if arms else None
     # r11-comparable: total minus only the arms added AFTER round 11
     post_r11_arms = {
-        "cosine_topk": ["ivfpq"],
+        "cosine_topk": ["ivfpq", "opq"],
         "minhash_dedup_pairs": ["incremental"],
     }
     post_r11_cost = sum(
@@ -345,7 +345,7 @@ def main() -> None:
         "r6_comparable": r6_comparable,
         "r6_comparable_note": (
             "total minus post-r6 arms (text repetition/pii/chunks, "
-            "cosine quant+quantstore+pq+ivfpq, minhash incremental); "
+            "cosine quant+quantstore+pq+ivfpq+opq, minhash incremental); "
             "corpus_build_pipeline's fused gopher stage is not a "
             "separable arm and remains included; arm times are "
             "median-of-" + str(reps) + " (r9)"

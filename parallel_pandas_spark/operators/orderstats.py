@@ -68,36 +68,45 @@ def spark_interp(v_lo: float, v_hi: float, pos: float) -> float:
 
 
 class _Bracket:
-    __slots__ = ("col", "preds", "lo", "hi", "count", "targets")
+    __slots__ = ("col", "preds", "hlo", "hhi", "count", "targets")
 
-    def __init__(self, col, preds, lo, hi, count, targets):
+    def __init__(self, col, preds, hlo, hhi, count, targets):
         self.col = col
-        self.preds = preds      # [(lo, w, b)] floor-constraint chain
-        self.lo = lo            # nominal (padded) bounds for binning
-        self.hi = hi
+        self.preds = preds      # [(hlo, hw, b)] floor-constraint chain
+        # bounds in HALF-space (v*0.5): hhi - hlo <= DBL_MAX for ANY
+        # finite bounds, so a full-double-range column cannot overflow
+        # the bucket width to inf (which would have skipped refinement
+        # and value-pass-collected every distinct value)
+        self.hlo = hlo
+        self.hhi = hhi
         self.count = count
         self.targets = targets  # {global_rank: rank_within_bracket}
 
 
+def _bucket_expr(vd: Column, hlo: float, hw: float) -> Column:
+    # *0.5 is exact in IEEE (power of two) except subnormal underflow,
+    # where two adjacent tiny values may collide into one bucket — they
+    # then refine to width degeneracy and the value pass resolves them
+    # on the ORIGINAL values, so correctness is unaffected
+    return F.greatest(
+        F.lit(0),
+        F.least(F.lit(BINS - 1),
+                F.floor((vd * F.lit(0.5) - F.lit(hlo)) / F.lit(hw))),
+    )
+
+
 def _member(vd: Column, br: _Bracket) -> Column:
     cond = vd.isNotNull() & (vd > F.lit(_NEG_INF)) & (vd < F.lit(_POS_INF))
-    for clo, cw, cb in br.preds:
-        cond = cond & (
-            F.greatest(
-                F.lit(0),
-                F.least(F.lit(BINS - 1),
-                        F.floor((vd - F.lit(clo)) / F.lit(cw))),
-            )
-            == F.lit(cb)
-        )
+    for chlo, chw, cb in br.preds:
+        cond = cond & (_bucket_expr(vd, chlo, chw) == F.lit(cb))
     return cond
 
 
 def _degenerate(br: _Bracket) -> bool:
-    if not (br.hi > br.lo):
+    if not (br.hhi > br.hlo):
         return True
-    w = (br.hi - br.lo) / BINS
-    return br.lo + w <= br.lo or not math.isfinite(w)
+    hw = (br.hhi - br.hlo) / BINS
+    return br.hlo + hw <= br.hlo or not math.isfinite(hw)
 
 
 def order_stats(
@@ -156,8 +165,8 @@ def order_stats(
             if m <= 0:
                 raise AssertionError("finite rank with no finite values")
             brackets.append(
-                _Bracket(c, [], float(stats[f"mn__{c}"]),
-                         float(stats[f"mx__{c}"]), m, finite_targets)
+                _Bracket(c, [], float(stats[f"mn__{c}"]) * 0.5,
+                         float(stats[f"mx__{c}"]) * 0.5, m, finite_targets)
             )
 
     for _pass in range(64):
@@ -167,33 +176,41 @@ def order_stats(
         entries = []
         for i, br in enumerate(refine):
             vd = vds[br.col]
-            w = (br.hi - br.lo) / bins
-            bucket = F.greatest(
-                F.lit(0),
-                F.least(F.lit(bins - 1),
-                        F.floor((vd - F.lit(br.lo)) / F.lit(w))),
-            )
+            # width always over the module BINS: _member replays the
+            # recorded (hlo, hw, b) constraints with the BINS clamp, so
+            # the split geometry and the replay must agree even when a
+            # caller passes a custom value-pass threshold via ``bins``
+            hw = (br.hhi - br.hlo) / BINS
             entries.append(
                 F.struct(
                     F.lit(i).alias("k"),
-                    F.when(_member(vd, br), bucket).cast("long").alias("b"),
+                    F.when(_member(vd, br), _bucket_expr(vd, br.hlo, hw))
+                    .cast("long").alias("b"),
+                    vd.alias("v"),
                 )
             )
+        # per-bucket min/max ride along: children SNAP to their members'
+        # true range, so a duplicate-heavy bucket (all rows at one tiny
+        # value inside a huge bracket) resolves in one extra pass
+        # instead of crawling the width down 1024x per pass — without
+        # snapping, dupes + far outliers needed ~190 passes
         hist = (
             df.select(F.explode(F.array(*entries)).alias("e"))
             .where(F.col("e.b").isNotNull())
             .groupBy(F.col("e.k").alias("k"), F.col("e.b").alias("b"))
-            .count()
+            .agg(F.count("*").alias("count"),
+                 F.min("e.v").alias("vmin"), F.max("e.v").alias("vmax"))
             .collect()
         )
-        per: dict[int, dict[int, int]] = {}
+        per: dict[int, dict[int, tuple]] = {}
         for row in hist:
-            per.setdefault(row["k"], {})[row["b"]] = row["count"]
+            per.setdefault(row["k"], {})[row["b"]] = (
+                row["count"], float(row["vmin"]), float(row["vmax"]))
         next_brackets = [b for b in brackets if b not in refine]
         for i, br in enumerate(refine):
-            bcounts = per.get(i, {})
-            w = (br.hi - br.lo) / bins
-            order = sorted(bcounts)
+            bstats = per.get(i, {})
+            hw = (br.hhi - br.hlo) / BINS
+            order = sorted(bstats)
             cum = 0
             # walk targets (sorted by in-bracket rank) along the
             # cumulative bucket counts; group children by bucket
@@ -201,7 +218,7 @@ def order_stats(
             ti = sorted(br.targets.items(), key=lambda kv: kv[1])
             pos = 0
             for b in order:
-                c_here = bcounts[b]
+                c_here = bstats[b][0]
                 while pos < len(ti) and ti[pos][1] < cum + c_here:
                     g, local = ti[pos]
                     children.setdefault(b, {})[g] = local - cum
@@ -213,14 +230,10 @@ def order_stats(
                     f"past the histogram of {br.col!r}"
                 )
             for b, targets in children.items():
-                # nominal child bounds, padded half a parent bucket each
-                # side (fp division can round a member across a nominal
-                # edge; membership itself is the exact predicate chain)
-                lo = max(br.lo, br.lo + (b - 0.5) * w)
-                hi = min(br.hi, br.lo + (b + 1.5) * w)
+                cnt, vmin, vmax = bstats[b]
                 next_brackets.append(
-                    _Bracket(br.col, br.preds + [(br.lo, w, b)],
-                             lo, hi, bcounts[b], targets)
+                    _Bracket(br.col, br.preds + [(br.hlo, hw, b)],
+                             vmin * 0.5, vmax * 0.5, cnt, targets)
                 )
         brackets = next_brackets
     else:

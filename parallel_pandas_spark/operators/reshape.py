@@ -261,22 +261,24 @@ def qcut(
 ) -> DataFrame:
     """pandas ``qcut`` — equal-frequency binning by exact quantile edges.
 
-    Pass 1: ONE aggregation computes every edge exactly
-    (``percentile(col, array(...))`` — linear interpolation, the pandas
-    definition). The q+1 edge doubles are collected (metadata-sized: they
+    Pass 1: the edges come from the bounded-memory exact order
+    statistics (``orderstats.exact_quantile_values`` — linear
+    interpolation bit-equal to ``percentile``, the pandas definition;
+    r13: the percentile aggregate's unmanaged on-heap value→count map
+    was the engine's one measured OOM and qcut was its last caller).
+    The q+1 edge doubles are driver-held (metadata-sized: they
     parameterize the projection, same contract as similarity.py's
     centroid fetch). Pass 2: :func:`cut` with ``right=True,
     include_lowest=True`` — pandas' qcut bin topology. ``duplicates``:
     'raise' (pandas default) or 'drop' to merge equal edges.
     """
+    from .orderstats import exact_quantile_values
+
     if isinstance(q, int):
         probs = [i / q for i in range(q + 1)]
     else:
         probs = [float(p) for p in q]
-    src = nan_safe(df, col)
-    arr = F.array(*[F.lit(p) for p in probs])
-    row = df.agg(F.percentile(src, arr).alias("edges")).collect()[0]
-    edges = list(row["edges"])
+    edges = exact_quantile_values(df, [col], probs)[1][col]
     if len(set(edges)) != len(edges):
         if duplicates == "raise":
             raise ValueError(f"bin edges are not unique: {edges}; pass duplicates='drop'")

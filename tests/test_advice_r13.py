@@ -116,6 +116,12 @@ def test_err_tail_follows_evidence_stream():
         "some stdout noise", "java.lang.OutOfMemoryError: GC overhead"
     )
     assert status == "oom" and "OutOfMemoryError" in tail
+    # evidence buried in stderr's scan window but outside a last-600
+    # slice: the tail is cut AROUND the marker, never evidence-free
+    status, tail = classify_failure(
+        "", "java.lang.OutOfMemoryError: heap" + "\nshutdown noise" * 100
+    )
+    assert status == "oom" and "OutOfMemoryError" in tail
     # plain failure with empty stderr falls back to stdout
     status, tail = classify_failure("Traceback: ValueError boom", "")
     assert status == "failed" and "ValueError" in tail

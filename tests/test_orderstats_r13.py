@@ -104,6 +104,42 @@ def test_interp_multi_picks_exact_data_points(spark):
     assert v["v"] == [1.0, 2.0]
 
 
+def test_full_double_range_refines_not_collects(spark):
+    """(hi - lo) overflowing to inf must not skip refinement: half-space
+    bucket arithmetic keeps the width finite for ANY finite bounds, so
+    a full-double-range column still resolves through histograms (a
+    degenerate-width shortcut here would value-pass-collect every
+    distinct value — the exact OOM class this module exists to kill)."""
+    vals = [-1.7e308, 1.7e308] + [float(i) * 1.000001 for i in range(3000)]
+    df = spark.createDataFrame([(v,) for v in vals], "x double").repartition(8)
+    qs = [0.0, 0.25, 0.5, 0.9, 1.0]
+    _, got = orderstats.exact_quantile_values(df, ["x"], qs)
+    exp = df.agg(
+        F.percentile("x", F.array(*[F.lit(q) for q in qs]))
+    ).first()[0]
+    assert [_bits(g) for g in got["x"]] == [_bits(e) for e in exp]
+
+
+def test_duplicate_heap_with_far_outliers_converges(spark):
+    """> BINS duplicates of a tiny value beside huge outliers: range
+    snapping (children take their members' true min/max) resolves in a
+    couple of passes — the unsnapped crawl needed ~190 width-halvings
+    and tripped the 64-pass guard."""
+    vals = [1e-300] * 1100 + [1e200, -1e200]
+    df = spark.createDataFrame([(v,) for v in vals], "x double").repartition(4)
+    _, got = orderstats.exact_quantile_values(df, ["x"], [0.5])
+    exp = df.agg(F.percentile("x", F.lit(0.5))).first()[0]
+    assert _bits(got["x"][0]) == _bits(exp)
+    # subnormal collisions in half-space resolve via the value pass
+    sub = [5e-324 * i for i in range(1, 2000)] + [1e308]
+    df2 = spark.createDataFrame([(v,) for v in sub], "x double")
+    _, got2 = orderstats.exact_quantile_values(df2, ["x"], [0.1, 0.5, 0.99])
+    exp2 = df2.agg(
+        F.percentile("x", F.array(F.lit(0.1), F.lit(0.5), F.lit(0.99)))
+    ).first()[0]
+    assert [_bits(g) for g in got2["x"]] == [_bits(e) for e in exp2]
+
+
 def test_order_stats_rejects_out_of_range_rank(spark):
     df = spark.createDataFrame([(1.0,), (2.0,)], "v double")
     with pytest.raises(ValueError, match="out of range"):

@@ -178,10 +178,16 @@ def classify_failure(stdout: str, stderr: str) -> tuple:
 
     status = ("oom" if _has_evidence(stderr[-4000:]) or
               _has_evidence(stdout[-4000:]) else "failed")
+    if status == "oom":
+        # slice the tail AROUND the matched marker (last occurrence in
+        # whichever stream carries it): evidence deep in stderr's scan
+        # window would otherwise fall outside a plain last-600 slice
+        src = stderr if _has_evidence(stderr[-4000:]) else stdout
+        idx = max(src.rfind("OutOfMemoryError"),
+                  src.rfind("insufficient memory"))
+        return status, src[max(0, idx - 200):idx + 400]
     err_tail = stderr[-600:]
-    if status == "oom" and not _has_evidence(stderr[-4000:]):
-        err_tail = stdout[-600:]
-    elif not err_tail.strip():
+    if not err_tail.strip():
         err_tail = stdout[-600:]
     return status, err_tail
 
