@@ -93,18 +93,31 @@ def cosine_topk(
 
 
 def rotate_vectors(vec: Column, R) -> Column:
-    """``v @ R`` as a JVM expression: one :func:`dot` fold per output
-    component against a literal column of ``R`` — the SAME sequential
+    """``v @ R`` as a JVM expression: a :func:`dot` fold per output
+    component against the literal columns of ``R`` — the SAME sequential
     double arithmetic as the ``_DOT_SQL`` oracle twin, so rotated values
     are bit-identical in Spark and DuckDB (an np.dot rotation would
-    round differently and could flip encode argmins)."""
+    round differently and could flip encode argmins). Shaped as ONE
+    ``transform`` over a single 2-D literal rather than 64 independent
+    fold expressions: the naive form is a ~500k-node expression tree
+    that costs Catalyst seconds of DRIVER time per job regardless of
+    row count (measured: the opq arm at ~10 s with either corpus- or
+    candidate-sized rotation — analysis-bound, not data-bound)."""
     d = len(R)
-    return F.array(
-        *[
-            dot(vec, F.array(*[F.lit(float(R[i][j])) for i in range(d)]))
-            for j in range(d)
-        ]
-    )
+    # ONE Literal node of array<array<double>>, MEMOIZED by content:
+    # building it from d*d F.lit scalars costs Catalyst seconds per job
+    # (4096 expression nodes), and even the single nested F.lit costs
+    # ~2 s of py4j list conversion per call on a 64-dim matrix — the
+    # literal is plan-agnostic, so one JVM object serves every query
+    key = hash(tuple(tuple(float(x) for x in row) for row in R))
+    cols = _ROTATION_LIT_CACHE.get(key)
+    if cols is None:
+        cols = F.lit([[float(R[i][j]) for i in range(d)] for j in range(d)])
+        _ROTATION_LIT_CACHE[key] = cols
+    return F.transform(cols, lambda c: dot(vec, c))
+
+
+_ROTATION_LIT_CACHE: dict = {}
 
 
 def seeded_rotation(dim: int, seed: int):

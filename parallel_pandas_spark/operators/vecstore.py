@@ -1424,13 +1424,25 @@ def ivfpq_topk_from_store(
 
     books = read_pq_books(spark, store_path)
     cents = read_ivf_centroids(store_path)
-    # OPQ sidecar: queries and the re-rank corpus enter the SAME rotated
-    # space the codes were fit in (rotation preserves cosine; the
-    # re-rank uses rotated values so the SQL replay stays bit-twinned)
+    # OPQ sidecar: queries and the re-rank vectors enter the SAME
+    # rotated space the codes were fit in (rotation preserves cosine;
+    # the re-rank uses rotated values so the SQL replay stays
+    # bit-twinned). Queries rotate here (query-sized); the CORPUS side
+    # rotates AFTER the candidate join below — the JVM fold is an
+    # interpreted higher-order expression, and rotating the full corpus
+    # instead of the ~queries×pool candidate set measured 10.1 s vs
+    # ~2 s for the whole arm at sf0.1
     R = read_rotation(store_path)
     if R is not None:
-        queries = _rotated(queries, id_col, vec_col, R)
-        corpus = _rotated(corpus, id_col, vec_col, R)
+        # localCheckpoint truncates the rotation out of the lineage:
+        # left inline, CollapseProject substitutes the 4k-literal fold
+        # into every downstream consumer (16 probe distances, the LUT
+        # collect, qn) — seconds of Catalyst driver time per job.
+        # Queries are small by the ANN contract, so materializing them
+        # is the cheap side of that trade.
+        queries = _rotated(queries, id_col, vec_col, R).localCheckpoint(
+            eager=True
+        )
     m = len(books)
     dim = m * books[0].shape[1]
     qids, luts = _pq_luts(queries, books, id_col, vec_col, dim)
@@ -1490,18 +1502,47 @@ def ivfpq_topk_from_store(
         .where(F.col("prank") <= pool)
         .select("query_id", "neighbor_id")
     )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("cv"),
-        l2_norm(F.col(vec_col)).alias("cn"),
-    )
+    if R is None:
+        matched = F.broadcast(cand).join(
+            corpus.select(
+                F.col(id_col).alias("neighbor_id"),
+                F.col(vec_col).alias("cv"),
+                l2_norm(F.col(vec_col)).alias("cn"),
+            ),
+            "neighbor_id",
+        )
+    else:
+        # rotate ONLY the candidate rows: the projection sits above the
+        # broadcast join, so the interpreted fold runs on ~queries*pool
+        # rows, never the corpus scan
+        from parallel_pandas_spark.operators.similarity import (
+            rotate_vectors,
+        )
+
+        matched = (
+            F.broadcast(cand)
+            .join(
+                corpus.select(
+                    F.col(id_col).alias("neighbor_id"),
+                    F.col(vec_col).alias("__cv0"),
+                ),
+                "neighbor_id",
+            )
+            .select(
+                "query_id",
+                "neighbor_id",
+                rotate_vectors(F.col("__cv0"), R).alias("cv"),
+            )
+            .select("query_id", "neighbor_id", "cv",
+                    l2_norm(F.col("cv")).alias("cn"))
+        )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
         l2_norm(F.col(vec_col)).alias("qn"),
     )
     scored = (
-        F.broadcast(cand).join(c, "neighbor_id")
+        matched
         .join(F.broadcast(q), "query_id")
         .select(
             "query_id",
