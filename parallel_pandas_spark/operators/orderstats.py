@@ -169,7 +169,13 @@ def order_stats(
                          float(stats[f"mx__{c}"]) * 0.5, m, finite_targets)
             )
 
-    for _pass in range(64):
+    # pass cap sized to the worst VALID case, not typical data: each
+    # pass narrows a bracket ~BINS (2^10) in linear width, and the full
+    # double range (subnormal ~1e-308 to ~1.8e308) spans ~2^2046, so
+    # adversarial values dense at every scale need ~205 passes before
+    # the min/max snapping or the <=bins value pass can finish; 256
+    # clears that bound with slack while normal data exits in <6
+    for _pass in range(256):
         refine = [b for b in brackets if b.count > bins and not _degenerate(b)]
         if not refine:
             break
@@ -237,7 +243,7 @@ def order_stats(
                 )
         brackets = next_brackets
     else:
-        raise RuntimeError("order_stats did not converge in 64 passes")
+        raise RuntimeError("order_stats did not converge in 256 passes")
 
     if brackets:
         entries = []

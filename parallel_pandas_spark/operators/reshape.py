@@ -278,7 +278,13 @@ def qcut(
         probs = [i / q for i in range(q + 1)]
     else:
         probs = [float(p) for p in q]
-    edges = exact_quantile_values(df, [col], probs)[1][col]
+    counts, vals = exact_quantile_values(df, [col], probs)
+    edges = vals[col]
+    if counts[col] == 0 or any(e is None for e in edges):
+        raise ValueError(
+            f"qcut: column {col!r} has no non-NaN values — quantile "
+            "edges are undefined"
+        )
     if len(set(edges)) != len(edges):
         if duplicates == "raise":
             raise ValueError(f"bin edges are not unique: {edges}; pass duplicates='drop'")

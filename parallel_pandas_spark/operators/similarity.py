@@ -109,9 +109,19 @@ def rotate_vectors(vec: Column, R) -> Column:
     # (4096 expression nodes), and even the single nested F.lit costs
     # ~2 s of py4j list conversion per call on a 64-dim matrix — the
     # literal is plan-agnostic, so one JVM object serves every query
-    key = hash(tuple(tuple(float(x) for x in row) for row in R))
+    # keyed by the VALUE tuple (a hash() key could collide and silently
+    # serve another rotation) plus the active session id — the cached
+    # Column is bound to the creating JVM gateway and would go stale
+    # across a full Spark restart in a long-lived process
+    from pyspark.sql import SparkSession
+
+    sess = SparkSession.getActiveSession()
+    key = (id(sess) if sess is not None else None,
+           tuple(tuple(float(x) for x in row) for row in R))
     cols = _ROTATION_LIT_CACHE.get(key)
     if cols is None:
+        for k in [k for k in _ROTATION_LIT_CACHE if k[0] != key[0]]:
+            del _ROTATION_LIT_CACHE[k]  # drop Columns bound to dead gateways
         cols = F.lit([[float(R[i][j]) for i in range(d)] for j in range(d)])
         _ROTATION_LIT_CACHE[key] = cols
     return F.transform(cols, lambda c: dot(vec, c))
@@ -149,6 +159,12 @@ def opq_train(X, m: int, ks: int, iters: int = 8):
 
     X = np.asarray(X, dtype=np.float64)
     n, dim = X.shape
+    if dim % m != 0:
+        raise ValueError(
+            f"opq_train: dim={dim} not divisible by m={m} — trailing "
+            "dims would be unquantized and the Procrustes target "
+            "undefined for them"
+        )
     dsub = dim // m
     R = np.eye(dim)
     Z = X @ R

@@ -1358,6 +1358,13 @@ def write_ivfpq_store(
     if rotation is not None:
         corpus = _rotated(corpus, id_col, vec_col, rotation)
         _write_rotation(path, rotation)
+    else:
+        # an unrotated rebuild over a previously OPQ-rotated path must
+        # drop the stale sidecar — readers apply it unconditionally, so
+        # leaving it would rotate queries against unrotated codes
+        import shutil
+
+        shutil.rmtree(path.rstrip("/") + ".rotation", ignore_errors=True)
     cents = ivf_centroids(corpus, id_col, vec_col, num_centroids)
     books = similarity.pq_codebooks(
         corpus, id_col, vec_col, m=m, ks=ks, dim=dim, iters=iters
