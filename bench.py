@@ -310,6 +310,60 @@ def main() -> None:
         vec_metrics["recall_lsh_at5"] = round(recall_at_k(
             entrymod.lsh_topk_query(spark, SF_DIR), exact_df), 4)
 
+        # r14 (r13 verdict #1): the same gauges on the STRUCTURED
+        # fixture (clustered + anisotropic, similarity.structured_
+        # embeddings) where recall actually discriminates — on the
+        # isotropic driver vectors every ANN arm is intrinsically
+        # marginal, so these are the numbers probe counts tune against.
+        # Floors pinned in tests/test_new_surface_r14.py.
+        import numpy as _np
+
+        from parallel_pandas_spark.operators import vecstore as _vs2
+        from parallel_pandas_spark.operators.similarity import (
+            cosine_topk as _s_cosine,
+            ivf_topk as _s_ivf,
+            lsh_topk as _s_lsh,
+            opq_train as _s_opq_train,
+            structured_embeddings as _s_struct,
+        )
+
+        s_emb = _s_struct(emb).select(
+            "vec_id", _F.col("embedding_s").alias("embedding"), "label"
+        ).localCheckpoint(eager=True)
+        s_queries = s_emb.where(_F.col("vec_id") < 50)
+        s_exact = _s_cosine(s_emb, s_queries, "vec_id", "embedding", k=5)
+        vec_metrics["recall_s_ivf_at5"] = round(recall_at_k(
+            _s_ivf(s_emb, s_queries, "vec_id", "embedding", k=5,
+                   num_centroids=16, nprobe=4), s_exact), 4)
+        vec_metrics["recall_s_lsh_at5"] = round(recall_at_k(
+            _s_lsh(s_emb, s_queries, "vec_id", "embedding", k=5,
+                   num_planes=6, probe_hamming=2, dim=64), s_exact), 4)
+        X_s = _np.array(
+            s_emb.select("embedding").toPandas()["embedding"].tolist())
+        R_s, _ = _s_opq_train(X_s, m=8, ks=16, iters=6)
+        s_plain = os.path.join(tempfile.gettempdir(), "pps_bench_s_pq")
+        s_opq = os.path.join(tempfile.gettempdir(), "pps_bench_s_opq")
+        for p in (s_plain, s_opq):
+            shutil.rmtree(p, ignore_errors=True)
+            shutil.rmtree(p + ".rotation", ignore_errors=True)
+        _vs2.write_ivfpq_store(
+            s_emb, s_plain, "vec_id", "embedding", m=8, ks=16, dim=64,
+            num_centroids=16)
+        _vs2.write_ivfpq_store(
+            s_emb, s_opq, "vec_id", "embedding", m=8, ks=16, dim=64,
+            num_centroids=16, rotation=R_s.tolist())
+        vec_metrics["recall_s_pq_at5"] = round(recall_at_k(
+            _vs2.ivfpq_topk_from_store(
+                spark, s_plain, s_emb, s_queries, k=5, pool=50, nprobe=4),
+            s_exact), 4)
+        vec_metrics["recall_s_opq_at5"] = round(recall_at_k(
+            _vs2.ivfpq_topk_from_store(
+                spark, s_opq, s_emb, s_queries, k=5, pool=50, nprobe=4),
+            s_exact), 4)
+        for p in (s_plain, s_opq):
+            shutil.rmtree(p, ignore_errors=True)
+            shutil.rmtree(p + ".rotation", ignore_errors=True)
+
     # r10 (r9 VERDICT #2): stamp the measured tree so a bench artifact can
     # never silently claim numbers for code it did not run
     import subprocess

@@ -192,6 +192,113 @@ def opq_train(X, m: int, ks: int, iters: int = 8):
     return R, errs
 
 
+def structured_embeddings(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    out_col: str = "embedding_s",
+    n_clusters: int = 10,
+    dim: int = 64,
+    alpha: float = 1.0,
+    decay: float = 0.92,
+    seed: int = 24,
+) -> DataFrame:
+    """Deterministic clustered + anisotropic embedding column DERIVED
+    from an isotropic one — the structured ANN fixture (r13 verdict #1:
+    on the driver's uniform vectors every ANN arm's recall is
+    intrinsically marginal, so probe counts can't be tuned against it).
+
+    ``out = mu[label % n_clusters] + alpha * (vec ⊙ decay^d)``: the
+    seeded unit centroids give CLUSTER structure (10 centroids in
+    64-dim are near-orthogonal, so same-label rows are true neighbors),
+    and the geometric per-dimension decay gives ANISOTROPY — subspace
+    variance falls ~decay^(2·dsub) per PQ subspace, the regime where
+    OPQ's balanced rotation beats identity-PQ (Ge et al. 2013 §4). The
+    result is intentionally NOT re-normalized: every consumer is
+    cosine- or rank-equivalent-L2-based, both invariant to the ~±5%
+    norm spread, and a normalize would either re-evaluate the row norm
+    per element inside ``transform`` or need an extra shuffle-visible
+    projection.
+
+    Pure JVM expressions over one literal centroid matrix — a
+    projection, no Python workers, no extra storage at any scale; works
+    unchanged on the read-only driver fixtures."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    mu = rng.standard_normal((n_clusters, dim))
+    mu /= np.linalg.norm(mu, axis=1, keepdims=True)
+    mu_lit = F.lit([[float(x) for x in row] for row in mu])
+    # decay powers by ITERATIVE multiply, not pow(): libm pow is not
+    # correctly rounded and Python/numpy disagree in the last ulp on 25
+    # of 64 dims — cumulative products are bit-identical everywhere
+    powers, p = [], 1.0
+    for _ in range(dim):
+        powers.append(float(alpha * p))
+        p *= decay
+    scale = F.lit(powers)
+    base = F.element_at(
+        mu_lit, (F.col(label_col) % n_clusters).cast("int") + F.lit(1)
+    )
+    noise = F.zip_with(
+        F.col(vec_col).cast("array<double>"), scale, lambda v, s: v * s
+    )
+    return df.withColumn(
+        out_col, F.zip_with(base, noise, lambda a, b: a + b)
+    )
+
+
+def tune_lsh_probes(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    num_planes: int = 6,
+    target_recall: float = 0.9,
+    seed: int = 42,
+    dim: int | None = None,
+) -> dict:
+    """Recall-targeted multi-probe depth for :func:`lsh_topk` (r13
+    verdict #2): evaluate ``probe_hamming`` in {0, 1, 2} ascending
+    against the exact top-k on the SAME queries and return the first
+    depth whose sampled recall clears ``target_recall`` — with the
+    probed bucket fraction it costs, so the caller sees the
+    recall/scan-cost trade explicitly. Each depth probes
+    1 / 1+P / 1+P+C(P,2) of the 2^P buckets; recall evaluation is two
+    k-row-per-query frames joined, metadata-sized at any corpus
+    scale (queries are the small side by the ANN contract)."""
+    exact = cosine_topk(corpus, queries, id_col, vec_col, k=k)
+    evaluated = []
+    best = None
+    n_buckets = float(2**num_planes)
+    for depth in (0, 1, 2):
+        probes = 1.0
+        if depth >= 1:
+            probes += num_planes
+        if depth >= 2:
+            probes += num_planes * (num_planes - 1) / 2
+        approx = lsh_topk(
+            corpus, queries, id_col, vec_col, k=k,
+            num_planes=num_planes, probe_hamming=depth, seed=seed, dim=dim,
+        )
+        r = recall_at_k(approx, exact)
+        frac = min(1.0, probes / n_buckets)
+        evaluated.append(
+            {"probe_hamming": depth, "recall": r, "probed_fraction": frac}
+        )
+        if r >= target_recall:
+            best = evaluated[-1]
+            break
+    return {
+        "probe_hamming": (best or evaluated[-1])["probe_hamming"],
+        "recall": (best or evaluated[-1])["recall"],
+        "probed_fraction": (best or evaluated[-1])["probed_fraction"],
+        "hit_target": best is not None,
+        "evaluated": evaluated,
+    }
+
+
 def recall_at_k(approx: DataFrame, exact: DataFrame,
                 query_col: str = "query_id",
                 id_col: str = "neighbor_id") -> float:

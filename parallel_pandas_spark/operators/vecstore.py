@@ -1568,3 +1568,103 @@ def ivfpq_topk_from_store(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def tune_probes(
+    spark: SparkSession,
+    store_path: str,
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    pool: int = 50,
+    target_recall: float = 0.9,
+    max_nprobe: int | None = None,
+) -> dict:
+    """Recall-targeted nprobe for an IVF or IVF-PQ store (r13 verdict
+    #2): evaluate nprobe ascending against the exact top-k on the SAME
+    queries and return the first value whose measured recall clears
+    ``target_recall`` — with the probed ROW fraction it costs (mean over
+    queries of probed-cell live rows / total live rows), so the caller
+    sees the recall/scan-cost trade in the unit that matters at 100 TB.
+
+    Probe sets are nested in nprobe, so the ascending scan returns the
+    MINIMAL hitting value; IVF-flat recall is monotone in nprobe
+    (superset candidates, exact re-rank). Each evaluation is one probe-
+    pruned scoring job over a bounded query sample — the tuner's cost is
+    nprobe_hit small jobs, not a grid. The store kind is detected from
+    the ``_books`` sidecar; both kinds share the persisted coarse
+    quantizer, so cell sizes come from ONE groupBy over live rows."""
+    import os
+
+    from parallel_pandas_spark.operators.similarity import (
+        _cent_dist, cosine_topk, recall_at_k,
+    )
+
+    is_pq = os.path.isdir(os.path.join(store_path, "_books"))
+    codes_path = f"{store_path}/codes" if is_pq else store_path
+    cents = read_ivf_centroids(store_path)
+    n_cells = len(cents)
+    if max_nprobe is None:
+        max_nprobe = n_cells
+
+    # live rows per cell — ONE aggregate over the tombstone-shadowed
+    # store; drives the probed-fraction report for every candidate
+    sizes = {
+        r["cell"]: r["n"]
+        for r in load_vector_store(spark, codes_path, id_col)
+        .groupBy("cell").agg(F.count("*").alias("n")).collect()
+    }
+    total = float(sum(sizes.values())) or 1.0
+
+    # each query's full centroid ordering, ONCE — nprobe=j probes the
+    # first j entries, so per-candidate probe sets need no new jobs
+    probe_structs = F.array(*[
+        F.struct(_cent_dist(F.col(vec_col), cvec).alias("d"),
+                 F.lit(cid).alias("cid"))
+        for cid, cvec in cents
+    ])
+    order_rows = queries.select(
+        F.col(id_col).alias("qid"),
+        F.transform(F.array_sort(probe_structs),
+                    lambda s: s.getField("cid")).alias("cells"),
+    ).collect()
+    cell_order = {r["qid"]: list(r["cells"]) for r in order_rows}
+
+    exact = cosine_topk(corpus, queries, id_col, vec_col, k=k)
+    evaluated = []
+    best = None
+    nprobe = 1
+    while nprobe <= max_nprobe:
+        if is_pq:
+            approx = ivfpq_topk_from_store(
+                spark, store_path, corpus, queries, id_col, vec_col,
+                k=k, pool=pool, nprobe=nprobe)
+        else:
+            approx = ivf_topk_from_store(
+                spark, store_path, queries, id_col, vec_col,
+                k=k, nprobe=nprobe)
+        r = recall_at_k(approx, exact)
+        frac = (
+            sum(
+                sum(sizes.get(c, 0) for c in order[:nprobe])
+                for order in cell_order.values()
+            )
+            / (total * max(1, len(cell_order)))
+        )
+        evaluated.append(
+            {"nprobe": nprobe, "recall": r, "probed_fraction": round(frac, 4)}
+        )
+        if r >= target_recall:
+            best = evaluated[-1]
+            break
+        nprobe += 1
+    chosen = best or evaluated[-1]
+    return {
+        "nprobe": chosen["nprobe"],
+        "recall": chosen["recall"],
+        "probed_fraction": chosen["probed_fraction"],
+        "hit_target": best is not None,
+        "evaluated": evaluated,
+    }

@@ -176,10 +176,23 @@ def generate(sf: float, out_dir: str) -> None:
 
     vecs = rng.standard_normal((n_emb, 64)).astype(np.float32)
     vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    labels = rng.integers(0, 10, n_emb).astype(np.int32)
+    # r14: the structured ANN fixture (clustered + anisotropic) — the
+    # NUMPY TWIN of similarity.structured_embeddings (same float64 ops
+    # in the same order, bit-parity pinned in tests); materialized here
+    # so sweeps can read it, derived on the fly everywhere else
+    mu_rng = np.random.default_rng(24)
+    mu = mu_rng.standard_normal((10, 64))
+    mu /= np.linalg.norm(mu, axis=1, keepdims=True)
+    # iterative multiply, not pow() — bit-twins the Spark derivation
+    # (libm pow is not correctly rounded; cumprod is left-to-right)
+    scale = np.cumprod(np.concatenate([[1.0], np.full(63, 0.92)]))
+    emb_s = mu[labels % 10] + vecs.astype(np.float64) * scale
     _write(out_dir, "embeddings", pa.table({
         "vec_id": pa.array(np.arange(n_emb, dtype=np.int64)),
         "embedding": pa.array(list(vecs), type=pa.list_(pa.float32())),
-        "label": pa.array(rng.integers(0, 10, n_emb).astype(np.int32)),
+        "label": pa.array(labels),
+        "embedding_s": pa.array(list(emb_s), type=pa.list_(pa.float64())),
     }))
 
     with open(os.path.join(out_dir, "MANIFEST.json"), "w") as f:
