@@ -5479,22 +5479,143 @@ def rollup_merge_arm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _streampost_oracle() -> str:
+    """det-twin recompute of the streamed rollup post-state: the
+    finalize() closed forms over exact integer power sums, directly
+    from the raw events rows — what the written b*/ states MUST merge
+    to by the rollup merge theorem."""
+    c, s, s2, xm = "value", 6, 4, 1000.0
+    nan_safe = (
+        f"CASE WHEN NOT isnan(CAST({c} AS DOUBLE)) "
+        f"THEN CAST({c} AS DOUBLE) END"
+    )
+    return f"""
+SELECT user_id,
+       {det._nobs_sql(c)} AS count_{c},
+       {det.dsum_sql(c, s)} AS sum_{c},
+       {det.dmean_sql(c, s)} AS mean_{c},
+       MIN({nan_safe}) AS min_{c},
+       MAX({nan_safe}) AS max_{c},
+       {det.dvar_sql(c, s, s2, xmax=xm)} AS var_{c},
+       {det.dstd_sql(c, s, s2, xmax=xm)} AS std_{c}
+FROM events GROUP BY user_id
+"""
+
+
+@_q("stream_rollup_poststate", _streampost_oracle())
+def stream_rollup_poststate_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r14 (r13 verdict #5): the streaming WRITTEN POST-STATE under the
+    hash oracle — the one live-loop surface that previously had only
+    in-Spark self-checks. The events table is cut into six micro-batch
+    files; the checkpointed foreachBatch runner (streaming/events.py
+    run_stateful_to_parquet) streams them through rollup.agg_state per
+    batch, is STOPPED after two committed batches (simulated crash) and
+    RESUMED from the checkpoint to the offset-proven drain. The arm
+    returns finalize(merge_state(<the b*/ directories ON DISK>)) — so
+    the DuckDB det-twin recompute from raw events hash-verifies, in an
+    independent engine, the entire path: file-source streaming,
+    checkpoint restart idempotence, per-batch state writes, and the
+    rollup merge theorem. Genuinely-streaming behavior that depends on
+    engine timing (watermarks in flight, append-mode finalization)
+    stays self-verified in stream_tumbling_live."""
+    import shutil
+    import tempfile
+
+    _utc(spark)
+    base = tempfile.mkdtemp(prefix="pps_streampost_")
+    parts, outd, ck = f"{base}/parts", f"{base}/state", f"{base}/ckpt"
+    ev = load_table(spark, sf_dir, "events")
+    ev.withColumn("__b", F.pmod(F.col("event_id"), F.lit(6))).repartition(
+        6, "__b"
+    ).drop("__b").write.mode("overwrite").parquet(parts)
+    spec = {"value": (6, 4)}
+
+    def _mk():
+        return streaming_events.stream_events(spark, parts, max_files=1)
+
+    def _to_state(bdf):
+        return rollup.agg_state(bdf, ["user_id"], spec)
+
+    streaming_events.run_stateful_to_parquet(
+        spark, _mk, outd, ck, stop_after_batches=2,
+        batch_transform=_to_state,
+    )
+    streaming_events.run_stateful_to_parquet(
+        spark, _mk, outd, ck, batch_transform=_to_state
+    )
+    fin = rollup.finalize(
+        rollup.merge_state(
+            spark.read.parquet(f"{outd}/b*"), ["user_id"], ["value"]
+        ),
+        ["user_id"], spec,
+    ).localCheckpoint(eager=True)  # detach from the scratch tree
+    shutil.rmtree(base, ignore_errors=True)
+    return fin
+
+
+@_q(
+    "whale_key_groupby",
+    """
+SELECT whale_key,
+  SUM(l_quantity) AS l_quantity_sum,
+  CAST(COUNT(l_quantity) AS BIGINT) AS l_quantity_count,
+  MIN(l_quantity) AS l_quantity_min,
+  MAX(l_quantity) AS l_quantity_max,
+  SUM(l_quantity) / COUNT(l_quantity) AS l_quantity_mean
+FROM (SELECT CASE WHEN l_orderkey % 100 < 95 THEN -1
+                  ELSE CAST(l_orderkey % 1000 AS BIGINT) END AS whale_key,
+             l_quantity
+      FROM lineitem)
+GROUP BY whale_key
+""",
+)
+def whale_key_groupby_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r14 (r13 verdict #6): ADVERSARIAL whale-key aggregation under the
+    hash oracle — ~95% of all lineitem rows share ONE synthetic key
+    (`l_orderkey % 100 < 95 → -1`), the regime where a plain groupBy
+    funnels nearly the whole table through a single reducer. The salted
+    two-stage plan (grouped.salted_groupby_agg) spreads the whale over
+    salt_buckets reducers first; tests pin the partition-size bound
+    (max salted partial-group size ~ whale/16 vs the unsalted whale).
+    Decomposable integer-valued stats, so the salted result is exact
+    and engine-independent."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.when(F.col("l_orderkey") % 100 < 95, F.lit(-1).cast("long"))
+        .otherwise((F.col("l_orderkey") % 1000).cast("long"))
+        .alias("whale_key"),
+        "l_quantity",
+    )
+    return grouped.salted_groupby_agg(
+        li,
+        ["whale_key"],
+        {"l_quantity": ["sum", "count", "min", "max"]},
+        salt_buckets=16,
+        mean_cols=["l_quantity"],
+    )
+
+
 _bfn, _bsql = _compose_union(
     [
         ("salted", "salted_groupby_agg"),
         ("dropna", "groupby_dropna_keys"),
         ("vcounts", "value_counts_arms"),
         ("rollup", "rollup_merge_arm"),
+        ("whale", "whale_key_groupby"),
+        ("streampost", "stream_rollup_poststate"),
     ]
 )
 _bfn.__doc__ = """Grouped-aggregation edge cases: skew-safe two-stage salted
 plan (equal to the unsalted result by construction), pandas dropna=True
-NULL-key semantics, (r6) value_counts with normalize/ascending, and (r10)
+NULL-key semantics, (r6) value_counts with normalize/ascending, (r10)
 incremental rollup maintenance — chained merges of persisted det-style
-aggregate state equal a from-raw recompute bit-for-bit."""
+aggregate state equal a from-raw recompute bit-for-bit, (r14) an
+adversarial whale-key aggregation (95% of rows on one key) through the
+salted plan, and (r14) the streamed rollup POST-STATE: a checkpointed
+foreachBatch run with a mid-stream restart whose written state, merged
+and finalized, is hash-verified against a DuckDB det-twin recompute."""
 _q("groupby_edge_battery", _bsql)(_bfn)
 _retire("salted_groupby_agg", "groupby_dropna_keys", "value_counts_arms",
-        "rollup_merge_arm")
+        "rollup_merge_arm", "whale_key_groupby", "stream_rollup_poststate")
 
 _VERBS_ORACLE = """
 WITH ag AS (

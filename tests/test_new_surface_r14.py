@@ -162,3 +162,58 @@ def test_tune_lsh_probes_picks_min_depth(spark, structured):
     assert res["probe_hamming"] == 1, res  # depth 0 misses, 1 clears
     assert res["evaluated"][0]["recall"] < 0.8
     assert res["probed_fraction"] < 0.2, res  # 7 of 64 buckets
+
+
+# ------------------------------------------- r14 battery arms (verdict #5/#6)
+
+
+def test_r14_arms_registered_not_new_entries():
+    import __spark_entry__ as em
+
+    qs = em.queries()
+    assert len(qs) == 50
+    assert "whale_key_groupby" not in qs
+    assert "stream_rollup_poststate" not in qs
+    assert [t for t, _ in qs["groupby_edge_battery"].__arms__] == [
+        "salted", "dropna", "vcounts", "rollup", "whale", "streampost"]
+
+
+def test_whale_key_salted_partition_bound(spark, sf_med):
+    """The point of the salted plan under a whale key: no reducer ever
+    holds the whale. ~95% of rows share key -1; the salted first stage
+    groups on (key, salt), so its largest group is ~whale/16 — pinned
+    here against the unsalted whale size with 2x slack. The driver's
+    whale arm hash-checks the VALUES; this pins the SHAPE."""
+    from parallel_pandas_spark.operators import grouped
+    from parallel_pandas_spark.sources import load_table
+
+    li = load_table(spark, sf_med, "lineitem").select(
+        F.when(F.col("l_orderkey") % 100 < 95, F.lit(-1).cast("long"))
+        .otherwise((F.col("l_orderkey") % 1000).cast("long"))
+        .alias("whale_key"),
+        "l_quantity",
+    )
+    total = li.count()
+    whale = li.where(F.col("whale_key") == -1).count()
+    assert whale >= 0.9 * total  # the fixture really is adversarial
+
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in li.columns]), F.lit(16))
+    salted_sizes = (
+        li.withColumn("__salt", salt)
+        .groupBy("whale_key", "__salt").count()
+        .agg(F.max("count").alias("mx")).first()["mx"]
+    )
+    assert salted_sizes <= whale / 16 * 2, (salted_sizes, whale)
+
+    # and the salted result equals the plain groupBy, exactly
+    got = grouped.salted_groupby_agg(
+        li, ["whale_key"], {"l_quantity": ["sum", "count"]},
+        salt_buckets=16, mean_cols=["l_quantity"],
+    )
+    want = li.groupBy("whale_key").agg(
+        F.sum("l_quantity").alias("l_quantity_sum"),
+        F.count("l_quantity").alias("l_quantity_count"),
+        (F.sum("l_quantity") / F.count("l_quantity")).alias("l_quantity_mean"),
+    )
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
