@@ -2919,10 +2919,9 @@ def ivf_maint_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
     path = os.path.join(tempfile.gettempdir(), f"pps_ivfmaint_{key}")
-    for p in (path, vecstore._tomb_path(path), path + ".centroids",
-              path + ".centroids.next", path + ".preswap",
-              path + ".rebalance.tmp", path + ".compact.tmp",
-              path + ".reshard.tmp"):
+    # versioned artifacts and the manifest live INSIDE path (r14); only
+    # the legacy sibling sidecars need separate wipes
+    for p in (path, vecstore._tomb_path(path), path + ".centroids"):
         shutil.rmtree(p, ignore_errors=True)
 
     vecstore.write_ivf_store(
@@ -2940,8 +2939,8 @@ def ivf_maint_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecstore.delete_from_vector_store(spark, path, del_ids, "vec_id")
     vecstore.compact_vector_store(spark, path, "vec_id")
 
-    def _crashed_rebalance(pred):
-        with _crash_next_rename(pred) as state:
+    def _crashed_rebalance(pred, nth=2):
+        with _crash_next_rename(pred, nth) as state:
             try:
                 vecstore.rebalance_ivf_store(spark, path, "vec_id")
             except RuntimeError as exc:
@@ -2950,18 +2949,34 @@ def ivf_maint_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         if not state["fired"]:
             raise AssertionError("maintenance crash injection did not fire")
 
-    # crash #1: while the OLD layout moves aside (before _MOVED) — the
-    # manifest rename is excluded so the crash lands on a data dir move
+    # crash #1: ON the manifest commit rename — the staged data + staged
+    # quantizer versions are complete but never published; recovery must
+    # discard them and the live snapshot (the compacted store) must be
+    # byte-untouched
     _crashed_rebalance(
-        lambda s, d: ".preswap" in d and "_MANIFEST" not in d
-        and "_MOVED" not in d
+        lambda s, d: d.endswith("_MANIFEST.json"), nth=1
     )
     if vecstore.recover_store(path) != "rolled_back":
-        raise AssertionError("mid-aside crash must roll back")
-    # crash #2: while STAGED dirs move in (after _MOVED)
-    _crashed_rebalance(lambda s, d: ".rebalance.tmp" in s)
+        raise AssertionError("pre-commit crash must roll back")
+    # crash #2: AFTER the commit, before the sweep — the new snapshot is
+    # fully published (data + quantizer flipped together in the one
+    # rename); recovery only garbage-collects the superseded versions
+    real_sweep = vecstore._sweep_store
+
+    def _boom_sweep(p):
+        raise RuntimeError("injected maintenance crash")
+
+    vecstore._sweep_store = _boom_sweep
+    try:
+        try:
+            vecstore.rebalance_ivf_store(spark, path, "vec_id")
+        except RuntimeError as exc:
+            if "injected" not in str(exc):
+                raise
+    finally:
+        vecstore._sweep_store = real_sweep
     if vecstore.recover_store(path) != "rolled_forward":
-        raise AssertionError("mid-move-in crash must roll forward")
+        raise AssertionError("post-commit crash must roll forward")
 
     queries = emb.where(F.col("vec_id") < 10)
     return vecstore.ivf_topk_from_store(

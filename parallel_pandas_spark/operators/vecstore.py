@@ -155,30 +155,197 @@ def _tomb_path(path: str) -> str:
     return path.rstrip("/") + _TOMBSTONES
 
 
+# --- snapshot-isolation manifest (r14, r13 verdict #4) --------------------
+# ONE ``_MANIFEST.json`` inside the store, committed by atomic temp-file
+# + rename, is THE commit point for every rewrite — the same protocol
+# the streaming corpus loop adopted in r13 (streaming/corpus.py:120).
+# It records which artifact versions are live:
+#
+#   {"txn": N, "data": "." | "_data-v<N>",
+#    "tombs": null | ".tombstones" | "_tombs-v<N>",
+#    "cents": null | ".centroids" | "_cents-v<N>"}
+#
+# ``"."`` / ``".tombstones"`` / ``".centroids"`` denote the LEGACY
+# in-place layout (data at the store root, sidecars as siblings) — a
+# fresh write produces it and needs no manifest; the first REWRITE
+# (compact / re-shard / rebalance) stages a complete ``_data-v<txn+1>``
+# (plus ``_cents-v`` for a rebalance) INSIDE the store — the leading
+# underscore makes staged versions invisible to any legacy root scan —
+# and flips the manifest in one rename. Readers resolve the live
+# version from the manifest with ZERO directory listings and never see
+# a torn state: a crash before the rename leaves the old snapshot
+# fully live (staging is an invisible orphan), a crash after it leaves
+# the new snapshot fully live (superseded dirs are invisible garbage).
+# recover_store / _sweep_store classify every directory purely from
+# manifest-vs-version-id arithmetic — no `.preswap` aside trees, no
+# `_MOVED` marker archaeology, no multi-step teardown ordering proofs.
+
+import re as _re
+
+_VERSIONED = _re.compile(r"^_(data|tombs|cents)-v(\d+)$")
+
+
+def _store_manifest_path(path: str) -> str:
+    import os
+
+    return os.path.join(path.rstrip("/"), "_MANIFEST.json")
+
+
+def _read_store_manifest(path: str) -> "dict | None":
+    import json
+
+    try:
+        with open(_store_manifest_path(path)) as fh:
+            return json.load(fh)
+    except FileNotFoundError:
+        return None
+    except (json.JSONDecodeError, ValueError) as exc:
+        # store manifests have been write-then-rename from birth, so a
+        # torn one cannot come from this protocol — refuse to guess
+        raise ValueError(
+            f"unreadable store manifest {_store_manifest_path(path)!r}: "
+            f"{exc} — not produced by this protocol; restore it or remove "
+            "the store"
+        )
+
+
+def _init_store_manifest(path: str) -> dict:
+    """The current view as a manifest: the committed one, or the legacy
+    in-place layout derived WITHOUT moving anything (migration is a
+    pure bookkeeping step — the first rewrite commits it)."""
+    import os
+
+    man = _read_store_manifest(path)
+    if man is not None:
+        return dict(man)
+    base = path.rstrip("/")
+    return {
+        "txn": 0,
+        "data": ".",
+        "tombs": ".tombstones" if os.path.isdir(_tomb_path(base)) else None,
+        "cents": ".centroids" if os.path.isdir(base + ".centroids") else None,
+    }
+
+
+def _commit_store_manifest(path: str, man: dict) -> None:
+    import json
+    import os
+
+    mp = _store_manifest_path(path)
+    tmp = mp + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(man, fh)
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.rename(tmp, mp)
+
+
+def _data_dir(path: str) -> str:
+    """The live data directory — the store root for the legacy layout,
+    the manifest's versioned directory otherwise."""
+    import os
+
+    man = _read_store_manifest(path)
+    base = path.rstrip("/")
+    if man is None or man["data"] == ".":
+        return base
+    return os.path.join(base, man["data"])
+
+
+def _tombs_dir(path: str) -> "str | None":
+    """The live tombstone directory, or None when the manifest records
+    no tombstones. Legacy stores (no manifest) use the sibling."""
+    import os
+
+    man = _read_store_manifest(path)
+    base = path.rstrip("/")
+    if man is None:
+        return _tomb_path(base)
+    t = man.get("tombs")
+    if t is None:
+        return None
+    if t == ".tombstones":
+        return _tomb_path(base)
+    return os.path.join(base, t)
+
+
+def _sweep_store(path: str) -> tuple:
+    """Garbage-collect everything the manifest does not reference:
+    staged-but-uncommitted versions (id > txn — a rewrite crashed
+    before its commit), superseded versions and legacy root data /
+    sibling sidecars (a rewrite crashed after its commit, or simply
+    has not been swept), and a torn ``_MANIFEST.json.tmp``. Purely
+    manifest-driven and idempotent. Returns (uncommitted_dropped,
+    garbage_dropped) booleans. No-op on a manifest-less store."""
+    import os
+    import shutil
+
+    man = _read_store_manifest(path)
+    base = path.rstrip("/")
+    uncommitted = garbage = False
+    tmp_man = _store_manifest_path(base) + ".tmp"
+    if os.path.isfile(tmp_man):
+        os.remove(tmp_man)
+        uncommitted = True
+    if man is None:
+        # legacy store: versioned dirs can only be pre-commit staging
+        for d in list(os.listdir(base)) if os.path.isdir(base) else []:
+            if _VERSIONED.match(d):
+                shutil.rmtree(os.path.join(base, d))
+                uncommitted = True
+        return uncommitted, garbage
+    keep = {man["data"], man.get("tombs"), man.get("cents")}
+    for d in os.listdir(base):
+        m = _VERSIONED.match(d)
+        if m and d not in keep:
+            shutil.rmtree(os.path.join(base, d))
+            if int(m.group(2)) > int(man["txn"]):
+                uncommitted = True
+            else:
+                garbage = True
+    if man["data"] != ".":
+        for d in os.listdir(base):
+            if d.startswith(("shard=", "cell=")):
+                shutil.rmtree(os.path.join(base, d))
+                garbage = True
+    if man.get("tombs") != ".tombstones" and os.path.isdir(_tomb_path(base)):
+        shutil.rmtree(_tomb_path(base))
+        garbage = True
+    if (
+        man.get("cents") is not None
+        and man["cents"] != ".centroids"
+        and os.path.isdir(base + ".centroids")
+    ):
+        shutil.rmtree(base + ".centroids")
+        garbage = True
+    return uncommitted, garbage
+
+
 def _part_col(path: str) -> str:
-    """The store's hive partition column, detected from its directory
-    names: ``shard`` for the hash-sharded int8/PQ layouts, ``cell`` for
-    the IVF layout. Lifecycle verbs that work on any store (delete,
-    compact) must use this instead of assuming ``shard`` — an IVF store
-    has no ``shard=*`` directories, so a shard-assuming footer scan would
-    silently see an empty store (epoch 0) and record tombstones that
-    never shadow appended rows (r11 ADVICE, high)."""
+    """The store's hive partition column, detected from the LIVE data
+    directory's names: ``shard`` for the hash-sharded int8/PQ layouts,
+    ``cell`` for the IVF layout. Lifecycle verbs that work on any store
+    (delete, compact) must use this instead of assuming ``shard`` — an
+    IVF store has no ``shard=*`` directories, so a shard-assuming footer
+    scan would silently see an empty store (epoch 0) and record
+    tombstones that never shadow appended rows (r11 ADVICE, high)."""
     import glob
     import os
 
+    d = _data_dir(path)
     for part in ("shard", "cell"):
-        if glob.glob(os.path.join(path, f"{part}=*")):
+        if glob.glob(os.path.join(d, f"{part}=*")):
             return part
-    raise ValueError(f"no shard=*/cell=* partition directories under {path!r}")
+    raise ValueError(f"no shard=*/cell=* partition directories under {d!r}")
 
 
 def store_shard_count(path: str) -> int:
-    """Shard count of an existing store, from its hive directory names
-    (plan-time cheap: a directory listing, no data read)."""
+    """Shard count of an existing store, from its live hive directory
+    names (plan-time cheap: a directory listing, no data read)."""
     import glob
     import os
 
-    dirs = glob.glob(os.path.join(path, "shard=*"))
+    dirs = glob.glob(os.path.join(_data_dir(path), "shard=*"))
     if not dirs:
         raise ValueError(f"no shard=* directories under {path!r}")
     return max(int(d.rsplit("=", 1)[1]) for d in dirs) + 1
@@ -193,7 +360,7 @@ def _store_rows(path: str, part: str = "shard") -> int:
 
     return sum(
         pq.ParquetFile(f).metadata.num_rows
-        for f in glob.glob(os.path.join(path, f"{part}=*", "*.parquet"))
+        for f in glob.glob(os.path.join(_data_dir(path), f"{part}=*", "*.parquet"))
     )
 
 
@@ -208,7 +375,7 @@ def _max_seq(path: str, part: str = "shard") -> int:
     import pyarrow.parquet as pq
 
     best = 0
-    for f in glob.glob(os.path.join(path, f"{part}=*", "*.parquet")):
+    for f in glob.glob(os.path.join(_data_dir(path), f"{part}=*", "*.parquet")):
         md = pq.ParquetFile(f).metadata
         idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
         if "seq" not in idx:
@@ -224,233 +391,82 @@ def _with_seq(df: DataFrame, seq: int) -> DataFrame:
     return df.withColumn("seq", F.lit(int(seq)).cast("long"))
 
 
-def _swap_partition_dirs(path: str, tmp: str, part: str = "shard") -> None:
-    """Publish ``tmp``'s partition directories into ``path`` with a
-    crash-RECOVERABLE swap (r11 ADVICE, low; hardened r12): the live
-    directories are first RENAMED aside into ``<path>.preswap`` —
-    same-filesystem renames are atomic per directory — then the new
-    directories move in and the staging tree is removed; the aside
-    tree outlives this call (see below / :func:`_clear_preswap`).
-
-    Every crash point is machine-decidable for :func:`recover_store`:
-    a ``_MANIFEST.json`` written into the aside dir BEFORE any rename
-    records the partition column and staging dir, and a ``_MOVED``
-    marker written AFTER the last live directory moves aside separates
-    the rollback-able prefix (old data still complete across
-    path+aside) from the roll-forward-able suffix (every partition dir
-    in ``path`` is new; the rest are intact in ``tmp``, which is only
-    deleted after all of them moved). Old and new layouts share
-    directory names (``shard=0`` exists in both), so without the
-    marker a dir in ``path`` mid-crash would be undecidable.
-    Non-partition sidecars (tombstones, centroids, codebooks) stay in
-    place."""
-    import json
-    import os
-    import shutil
-
-    aside = path.rstrip("/") + ".preswap"
-    if os.path.isdir(aside):
-        raise ValueError(
-            f"{aside!r} exists: a previous store rewrite did not complete —"
-            " run recover_store(path) to roll it back or forward before"
-            " rewriting again"
-        )
-    os.makedirs(aside)
-    # write-then-rename so a crash mid-write can never leave a
-    # present-but-truncated manifest: recover_store must be able to
-    # classify every crash state without manual repair, and a partial
-    # JSON file would make it raise instead of deciding
-    man_tmp = os.path.join(aside, "_MANIFEST.json.tmp")
-    with open(man_tmp, "w") as fh:
-        json.dump({"part": part, "tmp": os.path.basename(tmp.rstrip("/"))}, fh)
-        fh.flush()
-        os.fsync(fh.fileno())
-    os.rename(man_tmp, os.path.join(aside, "_MANIFEST.json"))
-    for d in os.listdir(path):
-        if d.startswith(f"{part}="):
-            os.rename(os.path.join(path, d), os.path.join(aside, d))
-    # past this marker the old layout is fully aside: recovery rolls
-    # FORWARD (before it, the swap rolls back — old data is complete)
-    with open(os.path.join(aside, "_MOVED"), "w") as fh:
-        fh.write("1")
-    for d in os.listdir(tmp):
-        if d.startswith(f"{part}="):
-            os.rename(os.path.join(tmp, d), os.path.join(path, d))
-    shutil.rmtree(tmp)
-    # the aside dir (and its manifest) survives until the caller's
-    # post-swap sidecar steps (tombstone drop, quantizer promotion)
-    # finish — callers end with _clear_preswap(path), and a crash
-    # before it leaves the manifest for recover_store to replay them
-
-
-def _clear_preswap(path: str) -> None:
-    """Final step of a store rewrite: remove the aside tree in a FIXED
-    order — old partition dirs, then ``_MOVED``, then the manifest —
-    so any crash during teardown still leaves a decidable state. The
-    order matters: deleting ``_MOVED`` before the old dirs could leave
-    manifest + old dirs + no marker, which recover_store would read as
-    a rollback state and try to rename old dirs onto the NEW layout
-    (ENOTEMPTY, unrecoverable). With this order (and the staging-gone
-    disambiguation in recover_store) every teardown crash reads as
-    roll-forward."""
-    import os
-    import shutil
-
-    aside = path.rstrip("/") + ".preswap"
-    if not os.path.isdir(aside):
-        return
-    for d in os.listdir(aside):
-        if d in ("_MANIFEST.json", "_MOVED"):
-            continue
-        p = os.path.join(aside, d)
-        shutil.rmtree(p) if os.path.isdir(p) else os.remove(p)
-    moved = os.path.join(aside, "_MOVED")
-    if os.path.isfile(moved):
-        os.remove(moved)
-    man = os.path.join(aside, "_MANIFEST.json")
-    if os.path.isfile(man):
-        os.remove(man)
-    os.rmdir(aside)
-
-
 def recover_store(path: str) -> str:
     """Recover a store whose rewrite (re-shard / compact / IVF
-    rebalance) crashed mid-swap, restoring a consistent layout without
-    data loss. Returns the action taken:
+    rebalance) crashed at ANY point, purely from manifest state — the
+    r14 protocol has exactly two crash classes and both are decided by
+    version-id arithmetic against the committed ``txn``:
 
-    - ``"clean"`` — no interrupted rewrite found (leftover staging with
-      no swap started is discarded: the store was never touched).
-    - ``"rolled_back"`` — the crash hit before the old layout had fully
-      moved aside (no ``_MOVED`` marker): every aside directory moves
-      back in, staging is dropped, and the store is byte-identical to
-      its pre-rewrite state. Re-run the rewrite to retry.
-    - ``"rolled_forward"`` — the old layout was fully aside: any
-      partition directory still in staging moves in (directories
-      already in ``path`` came from staging and are kept), then
-      staging and aside are removed — the store equals a completed
-      rewrite. A staged ``.centroids.next`` quantizer (IVF rebalance)
-      is promoted; tombstones are dropped only for compact/rebalance
-      recoveries (those rewrites resolve shadowing into the staged
-      data) — a re-shard keeps every row AND its tombstones, so they
-      must survive its recovery.
+    - ``"rolled_back"`` — staged-but-uncommitted version directories
+      (id > txn, or any versioned dir on a manifest-less legacy store,
+      or a torn ``_MANIFEST.json.tmp``) were discarded: the rewrite
+      never committed, the live snapshot was never touched, and the
+      store is byte-identical to its pre-rewrite state. Re-run the
+      rewrite to retry.
+    - ``"rolled_forward"`` — the manifest committed but superseded
+      directories were still present (the crash hit between the commit
+      rename and the sweep): they are swept and the store equals a
+      completed rewrite. Nothing is replayed — the commit ALREADY
+      flipped data, tombstones, and quantizer together, which is the
+      entire point of the single-manifest protocol.
+    - ``"clean"`` — nothing to do (a dangling legacy
+      ``.centroids.next`` from the pre-r14 protocol is discarded as
+      pre-commit staging, preserving the old semantics).
 
-    Decidability argument: ``tmp`` is deleted only after ALL its
-    partition dirs moved, so with ``_MOVED`` present any dir remaining
-    in staging is intact-and-unmoved; without ``_MOVED``, nothing from
-    staging has moved in, so every partition dir in ``path`` or aside
-    is old data. The one undecidable-by-name case (old and new layouts
-    share ``part=N`` names) is exactly what the marker disambiguates.
+    A store interrupted under the PRE-r14 rename-swap protocol (a
+    ``.preswap`` aside tree exists) is refused loudly rather than
+    guessed at — that protocol's states cannot arise from this code.
     """
-    import json
     import os
     import shutil
 
     base = path.rstrip("/")
-    aside = base + ".preswap"
-    cnext = base + ".centroids.next"
-
-    def _promote_quantizer() -> None:
-        # a staged quantizer with the swap complete: finish promotion
-        # (rebalance_ivf_store crashes inside this window are the same)
-        if os.path.isdir(cnext):
-            cpath = base + ".centroids"
-            shutil.rmtree(cpath, ignore_errors=True)
-            os.rename(cnext, cpath)
-
-    def _drop_staging() -> bool:
-        any_dropped = False
-        for suffix in (".reshard.tmp", ".compact.tmp", ".rebalance.tmp"):
-            if os.path.isdir(base + suffix):
-                shutil.rmtree(base + suffix)
-                any_dropped = True
-        return any_dropped
-
-    if not os.path.isdir(aside):
-        # no swap in flight; drop any fully-staged-but-never-applied
-        # rewrite (the store itself was never touched). A dangling
-        # ``.centroids.next`` here is always PRE-swap staging (every
-        # post-swap crash leaves the aside dir, handled below, and a
-        # completed promotion renames it away) — promoting it would
-        # pair NEW centroids with the OLD cell layout and silently
-        # mis-probe every query, so it is discarded, never promoted.
-        _drop_staging()
-        if os.path.isdir(cnext):
-            shutil.rmtree(cnext)
-        return "clean"
-
-    man_path = os.path.join(aside, "_MANIFEST.json")
-    man = None
-    if os.path.isfile(man_path):
-        # the manifest is written via write-then-rename, but stores
-        # created by older versions may hold a truncated one from a
-        # crash mid-write; renames only begin after the manifest write
-        # completes, so an unreadable manifest means staging is still
-        # intact and the missing-manifest rollback logic applies
-        try:
-            with open(man_path) as fh:
-                man = json.load(fh)
-        except (json.JSONDecodeError, ValueError):
-            man = None
-    if man is None:
-        if _drop_staging():
-            # crashed between makedirs(aside) and the manifest write:
-            # staging still present, no rename has happened — the
-            # store is intact, discard the empty aside + staging
-            if os.path.isdir(cnext):
-                shutil.rmtree(cnext)
-            shutil.rmtree(aside)
-            return "rolled_back"
-        # no staging: _clear_preswap crashed between removing the
-        # manifest and the final rmdir — every sidecar step already
-        # ran, only the empty aside remains
-        shutil.rmtree(aside)
-        return "rolled_forward"
-
-    part = man["part"]
-    tmp = os.path.join(os.path.dirname(base) or ".", man["tmp"])
-
-    if not os.path.isfile(os.path.join(aside, "_MOVED")) and not os.path.isdir(
-        tmp
-    ):
-        # manifest present, no _MOVED, no staging: staging is only
-        # deleted AFTER _MOVED was written, so this can only be a
-        # teardown crash (e.g. an older teardown that removed _MOVED
-        # early) — the swap and sidecar steps completed; finish the
-        # teardown instead of misreading it as a rollback (renaming
-        # aside's old dirs onto the new layout would ENOTEMPTY)
-        shutil.rmtree(aside)
-        return "rolled_forward"
-
-    if not os.path.isfile(os.path.join(aside, "_MOVED")):
-        # ROLLBACK: old data is complete across path + aside
-        for d in os.listdir(aside):
-            if d.startswith(f"{part}="):
-                os.rename(os.path.join(aside, d), os.path.join(base, d))
-        if os.path.isdir(tmp):
-            shutil.rmtree(tmp)
-        if os.path.isdir(cnext):
-            shutil.rmtree(cnext)
-        shutil.rmtree(aside)
+    if os.path.isdir(base + ".preswap"):
+        raise ValueError(
+            f"{base + '.preswap'!r} exists: this store was interrupted "
+            "under the pre-r14 rename-swap protocol, which this version "
+            "no longer replays — restore it manually"
+        )
+    uncommitted, garbage = _sweep_store(base)
+    # legacy pre-r14 staging: a quantizer staged beside a store with no
+    # in-flight rewrite would pair new centroids with the old layout —
+    # discard, never promote
+    for sfx in (".centroids.next", ".reshard.tmp", ".compact.tmp",
+                ".rebalance.tmp"):
+        if os.path.isdir(base + sfx):
+            shutil.rmtree(base + sfx)
+    if uncommitted:
         return "rolled_back"
+    if garbage:
+        return "rolled_forward"
+    return "clean"
 
-    # ROLL FORWARD: everything in path is new; finish moving staging
-    # in, then replay the rewrite's post-swap sidecar steps (they are
-    # idempotent), then tear the aside down manifest-last
-    if os.path.isdir(tmp):
-        for d in os.listdir(tmp):
-            if d.startswith(f"{part}="):
-                os.rename(os.path.join(tmp, d), os.path.join(base, d))
-        shutil.rmtree(tmp)
-    # compact/rebalance drop tombstones AFTER the swap (shadowing was
-    # resolved into the staged data) — but a re-shard rewrites
-    # shadowed rows as-is, so its tombstones must stay
-    if man["tmp"].endswith((".compact.tmp", ".rebalance.tmp")):
-        tpath = _tomb_path(base)
-        if os.path.isdir(tpath):
-            shutil.rmtree(tpath)
-    _promote_quantizer()
-    _clear_preswap(base)
-    return "rolled_forward"
+
+def _rewrite_store(path: str, stage, *, part: str, clear_tombs: bool,
+                   new_cents=None) -> None:
+    """Shared commit path for every store rewrite: derive the next txn,
+    let ``stage(data_dir)`` write the complete new data version (and
+    write the staged quantizer when ``new_cents`` is given), then flip
+    the manifest in ONE atomic rename and sweep. A crash before the
+    rename leaves the old snapshot fully live; after it, fully the new
+    one — there is no intermediate state for readers at any point."""
+    import os
+
+    man = _init_store_manifest(path)
+    txn = int(man["txn"]) + 1
+    base = path.rstrip("/")
+    data_name = f"_data-v{txn:05d}"
+    stage(os.path.join(base, data_name))
+    man["txn"] = txn
+    man["data"] = data_name
+    if clear_tombs:
+        man["tombs"] = None
+    if new_cents is not None:
+        cents_name = f"_cents-v{txn:05d}"
+        _write_centroids_dir(os.path.join(base, cents_name), new_cents)
+        man["cents"] = cents_name
+    _commit_store_manifest(base, man)
+    _sweep_store(base)
 
 
 def append_vector_store(
@@ -474,10 +490,10 @@ def append_vector_store(
     Re-sharding: when the MEASURED post-append rows/shard crosses
     ``rows_per_shard`` (parquet footers + a feed-sized count — the
     vecstore sizing rule), the store is rewritten from its own CODES
-    (no re-quantization) at the derived shard count. The rewrite stages
-    to a sibling directory and swaps — the local analogue of publishing
-    a new store version directory; seqs and tombstones survive it
-    unchanged. Returns the store's shard count.
+    (no re-quantization) at the derived shard count, staged as a new
+    ``_data-v<txn>`` version and published by the manifest commit;
+    seqs and tombstones survive it unchanged. Returns the store's
+    shard count.
 
     Contract: an id must not be appended while LIVE (delete first to
     upsert); appending a live id duplicates its row.
@@ -495,9 +511,9 @@ def append_vector_store(
         # seq-less schema from one footer, after which resetting every
         # row to epoch 0 would let standing tombstones (tseq >= 1)
         # permanently shadow live upserted rows through the rewrite
-        base = spark.read.option("mergeSchema", "true").parquet(path).drop(
-            "shard"
-        )
+        base = spark.read.option("mergeSchema", "true").parquet(
+            _data_dir(path)
+        ).drop("shard")
         if "seq" not in base.columns:  # pre-lifecycle store: epoch 0
             base = _with_seq(base, 0)
         base = base.withColumn(
@@ -506,11 +522,12 @@ def append_vector_store(
         merged = base.unionByName(enc).withColumn(
             "shard", F.pmod(F.xxhash64(F.col(id_col)), F.lit(new_shards))
         )
-        tmp = path.rstrip("/") + ".reshard.tmp"
-        write_partitioned(merged, tmp, "shard")
-        # crash-recoverable swap; non-shard sidecars (tombstones) stay
-        _swap_partition_dirs(path, tmp, "shard")
-        _clear_preswap(path)
+        # a re-shard keeps shadowed rows as-is, so tombstones MUST
+        # survive the commit (clear_tombs=False)
+        _rewrite_store(
+            path, lambda d: write_partitioned(merged, d, "shard"),
+            part="shard", clear_tombs=False,
+        )
         return new_shards
     out = enc.withColumn(
         "shard", F.pmod(F.xxhash64(F.col(id_col)), F.lit(shards))
@@ -518,7 +535,7 @@ def append_vector_store(
     # appending to a pre-lifecycle store would mix seq-less and seq-ful
     # files; promote the schema by rewriting nothing — readers coalesce a
     # missing seq to 0 via mergeSchema at load
-    out.write.mode("append").partitionBy("shard").parquet(path)
+    out.write.mode("append").partitionBy("shard").parquet(_data_dir(path))
     return shards
 
 
@@ -562,7 +579,21 @@ def delete_from_vector_store(
         id_col: pa.array(vals),
         "seq": pa.array([seq] * len(vals), type=pa.int64()),
     })
-    tpath = _tomb_path(path)
+    tpath = _tombs_dir(path)
+    if tpath is None:
+        # manifest store whose tombstone set was cleared (compaction /
+        # rebalance): open a fresh versioned set and commit it — the
+        # manifest stays the single source of truth for readers
+        man = _init_store_manifest(path)
+        txn = int(man["txn"]) + 1
+        name = f"_tombs-v{txn:05d}"
+        tpath = os.path.join(path.rstrip("/"), name)
+        os.makedirs(tpath, exist_ok=True)
+        pq.write_table(
+            tbl, os.path.join(tpath, f"tomb-{uuid.uuid4().hex}.parquet"))
+        man["txn"], man["tombs"] = txn, name
+        _commit_store_manifest(path, man)
+        return
     os.makedirs(tpath, exist_ok=True)
     pq.write_table(tbl, os.path.join(tpath, f"tomb-{uuid.uuid4().hex}.parquet"))
 
@@ -609,11 +640,10 @@ def write_ivf_store(
     _write_centroids(path, cents)
 
 
-def _write_centroids(path: str, cents: list, suffix: str = ".centroids") -> None:
-    """(Re)write the quantizer sidecar — cleared first, because
-    read_ivf_centroids merges every file it finds and a stale quantizer
-    beside a new one would duplicate cids. ``suffix`` lets the rebalance
-    stage a new quantizer beside the live one before its swap."""
+def _write_centroids_dir(cpath: str, cents: list) -> None:
+    """Write the quantizer into an explicit directory — cleared first,
+    because read_ivf_centroids merges every file it finds and a stale
+    quantizer beside a new one would duplicate cids."""
     import os
     import shutil
     import uuid
@@ -621,7 +651,6 @@ def _write_centroids(path: str, cents: list, suffix: str = ".centroids") -> None
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    cpath = path.rstrip("/") + suffix
     shutil.rmtree(cpath, ignore_errors=True)
     os.makedirs(cpath)
     pq.write_table(
@@ -634,17 +663,33 @@ def _write_centroids(path: str, cents: list, suffix: str = ".centroids") -> None
     )
 
 
+def _write_centroids(path: str, cents: list, suffix: str = ".centroids") -> None:
+    """Legacy-layout quantizer sidecar at ``<path><suffix>`` — initial
+    writes use it; rewrites stage a versioned ``_cents-v<txn>`` through
+    :func:`_rewrite_store` instead."""
+    _write_centroids_dir(path.rstrip("/") + suffix, cents)
+
+
 def read_ivf_centroids(path: str) -> list:
     """The persisted coarse quantizer, as similarity.ivf_centroids
     returns it (float64 roundtrips exactly, so assignments and probe
-    distances rebuilt from disk equal the fit-time ones bit-for-bit)."""
+    distances rebuilt from disk equal the fit-time ones bit-for-bit).
+    Resolved through the manifest when one exists — after a rebalance
+    the quantizer and the cell layout flip TOGETHER in its commit, so a
+    reader can never pair new centroids with old cells."""
     import glob
     import os
 
+    man = _read_store_manifest(path)
+    base = path.rstrip("/")
+    if man is None or man.get("cents") in (None, ".centroids"):
+        cdir = base + ".centroids"
+    else:
+        cdir = os.path.join(base, man["cents"])
+
     import pyarrow.parquet as pq
 
-    files = sorted(glob.glob(os.path.join(path.rstrip("/") + ".centroids",
-                                          "*.parquet")))
+    files = sorted(glob.glob(os.path.join(cdir, "*.parquet")))
     rows = []
     for f in files:
         t = pq.read_table(f)
@@ -667,7 +712,7 @@ def ivf_cell_rows(path: str) -> dict:
     import pyarrow.parquet as pq
 
     out: dict = {}
-    for d in glob.glob(os.path.join(path, "cell=*")):
+    for d in glob.glob(os.path.join(_data_dir(path), "cell=*")):
         cid = int(d.rsplit("=", 1)[1])
         out[cid] = sum(
             pq.ParquetFile(f).metadata.num_rows
@@ -721,7 +766,7 @@ def append_ivf_store(
         ),
         seq,
     )
-    enc.write.mode("append").partitionBy("cell").parquet(path)
+    enc.write.mode("append").partitionBy("cell").parquet(_data_dir(path))
     if rebalance_ratio is not None:
         if ivf_skew_ratio(ivf_cell_rows(path)) > rebalance_ratio:
             rebalance_ivf_store(new_vectors.sparkSession, path, id_col)
@@ -742,15 +787,14 @@ def rebalance_ivf_store(
     of centroids; a trained k-means slots in unchanged, exactly as at
     fit time). Semantics mirror compaction: live rows only (tombstone
     shadowing resolved once — deletes stay deleted), seqs reset to epoch
-    0, tombstones dropped, the quantizer sidecar rewritten, and the
-    directory swap is the same crash-detectable ``.preswap`` staging as
-    re-shard/compact. Scoring afterwards bit-equals a store REBUILT from
-    the surviving corpus at the same ``num_centroids`` (pinned in
-    tests), because fit, assignment, and scoring all reuse the
-    write-path expressions. Returns the post-rebalance skew ratio."""
-    import os
-    import shutil
-
+    0, tombstones dropped, and the new data version AND the new
+    quantizer flip together in the ONE manifest commit (r14) — the
+    torn-pair window (new cells with old centroids or vice versa)
+    cannot exist for any reader at any crash point. Scoring afterwards
+    bit-equals a store REBUILT from the surviving corpus at the same
+    ``num_centroids`` (pinned in tests), because fit, assignment, and
+    scoring all reuse the write-path expressions. Returns the
+    post-rebalance skew ratio."""
     from parallel_pandas_spark.operators.similarity import (
         ivf_assign, ivf_centroids,
     )
@@ -769,21 +813,10 @@ def rebalance_ivf_store(
         ),
         0,
     )
-    tmp = path.rstrip("/") + ".rebalance.tmp"
-    write_partitioned(merged, tmp, "cell")
-    # stage the new quantizer BEFORE any destructive step; after the
-    # data swap, promoting it is one rmtree+rename — and a crash inside
-    # that window is recoverable (recover_store replays the promotion
-    # from the leftover ``.centroids.next``)
-    _write_centroids(path, cents, suffix=".centroids.next")
-    _swap_partition_dirs(path, tmp, "cell")
-    tpath = _tomb_path(path)
-    if os.path.isdir(tpath):
-        shutil.rmtree(tpath)
-    cpath = path.rstrip("/") + ".centroids"
-    shutil.rmtree(cpath, ignore_errors=True)
-    os.rename(cpath + ".next", cpath)
-    _clear_preswap(path)
+    _rewrite_store(
+        path, lambda d: write_partitioned(merged, d, "cell"),
+        part="cell", clear_tombs=True, new_cents=cents,
+    )
     return ivf_skew_ratio(ivf_cell_rows(path))
 
 
@@ -861,20 +894,18 @@ def compact_vector_store(spark: SparkSession, path: str, id_col: str = "vec_id")
     """Physical reclamation for ANY store layout: rewrite the store
     keeping only LIVE rows (tombstone shadowing resolved once, seqs
     reset to epoch 0) and drop the tombstone set — the LSM compaction
-    that bounds read-side tombstone work. Same stage-to-sibling-and-
-    swap as the re-shard rewrite. Partition assignment is preserved, so
-    reader pruning is unaffected: hash-sharded layouts (int8/PQ codes)
-    re-derive each row's ``shard`` from the same id hash at the same
-    shard count; cell-partitioned layouts (IVF, and the IVF-PQ store's
-    ``<path>/codes``) keep each row's stored ``cell`` — centroids are
-    NOT retrained (that is :func:`rebalance_ivf_store`'s job), so the
-    quantizer sidecars stay valid as-is. Returns the live row count.
-    Scoring before vs after is identical by construction (pinned in
-    tests): compaction changes bytes on disk, not the live row
-    multiset."""
-    import os
-    import shutil
-
+    that bounds read-side tombstone work. The rewrite stages a complete
+    ``_data-v<txn>`` version and publishes it (tombstones cleared) in
+    the ONE manifest commit (r14). Partition assignment is preserved,
+    so reader pruning is unaffected: hash-sharded layouts (int8/PQ
+    codes) re-derive each row's ``shard`` from the same id hash at the
+    same shard count; cell-partitioned layouts (IVF, and the IVF-PQ
+    store's ``<path>/codes``) keep each row's stored ``cell`` —
+    centroids are NOT retrained (that is :func:`rebalance_ivf_store`'s
+    job), so the quantizer sidecars stay valid as-is. Returns the live
+    row count. Scoring before vs after is identical by construction
+    (pinned in tests): compaction changes bytes on disk, not the live
+    row multiset."""
     part = _part_col(path)
     live = _with_seq(load_vector_store(spark, path, id_col), 0)
     if live.limit(1).count() == 0:
@@ -890,17 +921,27 @@ def compact_vector_store(spark: SparkSession, path: str, id_col: str = "vec_id")
         )
     else:
         merged = live  # rows keep their stored cell assignment
-    tmp = path.rstrip("/") + ".compact.tmp"
-    write_partitioned(merged, tmp, part)
-    n = _store_rows(tmp, part=part)
-    # crash-detectable swap (tombstones dropped only AFTER the swap
-    # completes — a crash mid-swap leaves them valid for the recovery)
-    _swap_partition_dirs(path, tmp, part)
-    tpath = _tomb_path(path)
-    if os.path.isdir(tpath):
-        shutil.rmtree(tpath)
-    _clear_preswap(path)
-    return n
+    staged_rows = {}
+
+    def _stage(d):
+        write_partitioned(merged, d, part)
+        staged_rows["n"] = _dir_rows(d, part)
+
+    _rewrite_store(path, _stage, part=part, clear_tombs=True)
+    return staged_rows["n"]
+
+
+def _dir_rows(data_dir: str, part: str) -> int:
+    """Row count of an explicit data directory from parquet footers."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    return sum(
+        pq.ParquetFile(f).metadata.num_rows
+        for f in glob.glob(os.path.join(data_dir, f"{part}=*", "*.parquet"))
+    )
 
 
 def load_vector_store(
@@ -911,14 +952,17 @@ def load_vector_store(
     the tombstone side is id-sized). This is what the scorers should
     read after any lifecycle operation; :func:`quantized_topk_from_store`
     calls it automatically when given a path. The ``seq`` bookkeeping
-    column is dropped from the result."""
+    column is dropped from the result. Data and tombstone locations
+    resolve through the snapshot manifest when one exists (r14): a
+    reader can never observe a half-published rewrite — it sees the
+    version set of exactly one committed transaction."""
     import os
 
-    tpath = _tomb_path(path)
-    has_tombs = os.path.isdir(tpath)
+    tpath = _tombs_dir(path)
+    has_tombs = tpath is not None and os.path.isdir(tpath)
     # mergeSchema: an appended store can mix pre-lifecycle (seq-less)
     # and current files; missing seq reads as NULL -> epoch 0
-    base = spark.read.option("mergeSchema", "true").parquet(path)
+    base = spark.read.option("mergeSchema", "true").parquet(_data_dir(path))
     if "seq" not in base.columns:
         base = _with_seq(base, 0)
     base = base.withColumn("seq", F.coalesce(F.col("seq"), F.lit(0).cast("long")))
@@ -1155,7 +1199,7 @@ def append_pq_store(
     enc = _with_seq(
         _pq_encode_df(new_vectors, books, id_col, vec_col, dim), seq
     ).withColumn("shard", F.pmod(F.xxhash64(F.col(id_col)), F.lit(shards)))
-    enc.write.mode("append").partitionBy("shard").parquet(codes)
+    enc.write.mode("append").partitionBy("shard").parquet(_data_dir(codes))
 
 
 def read_pq_books(spark: SparkSession, path: str) -> list:
@@ -1400,7 +1444,7 @@ def append_ivfpq_store(
         _pq_encode_df(new_vectors, books, id_col, vec_col, dim, cents=cents),
         seq,
     )
-    enc.write.mode("append").partitionBy("cell").parquet(codes)
+    enc.write.mode("append").partitionBy("cell").parquet(_data_dir(codes))
 
 
 def ivfpq_topk_from_store(

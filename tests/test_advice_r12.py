@@ -6,9 +6,9 @@
 - medium: the re-shard rewrite must mergeSchema a store mixing
   pre-lifecycle (seq-less) and appended (seq-ful) files, or upserted
   rows silently reset to epoch 0 and stay shadowed forever (row loss).
-- low: store rewrites (re-shard / compact) stage the old layout aside in
-  a ``.preswap`` marker directory, so a crash mid-swap is detectable and
-  recoverable; a leftover marker refuses further rewrites.
+- low: store rewrites must be crash-safe (r14: the original aside-marker
+  protocol is superseded by the snapshot manifest — an interrupted
+  rewrite leaves only invisible staging and never blocks a retry).
 - low: rollup.negate_state must not silently drop a grouping key whose
   name collides with a state prefix (e.g. ``n_region``).
 """
@@ -108,18 +108,23 @@ def test_reshard_merges_mixed_seq_schema_without_row_loss(spark, tmp_path):
     assert bytes(row5[0]["codes"]) == bytes(want_codes)
 
 
-def test_leftover_preswap_marker_blocks_rewrites(spark, tmp_path):
+def test_interrupted_rewrite_never_blocks_retry(spark, tmp_path):
+    """r14 update of the r12 'leftover marker blocks rewrites' guard:
+    under the manifest protocol an interrupted rewrite leaves only
+    orphaned staging that the retry OVERWRITES — no marker, no manual
+    unblock step, and no stray staging after the retry commits. (A
+    pre-r14 ``.preswap`` aside is still refused loudly by
+    recover_store — pinned in test_recover_store_r12.)"""
     emb = _emb(spark, 20)
     store = str(tmp_path / "vs")
     vecstore.write_vector_store(emb, store, "vec_id", "embedding", dim=8, shards=2)
-    os.makedirs(store + ".preswap")
-    with pytest.raises(ValueError, match="did not complete"):
-        vecstore.compact_vector_store(spark, store, "vec_id")
-    os.rmdir(store + ".preswap")
-    # marker cleared: the rewrite proceeds and leaves no marker behind
+    os.makedirs(store + "/_data-v00001/shard=0")  # crashed staging
     assert vecstore.compact_vector_store(spark, store, "vec_id") == 20
-    assert not os.path.isdir(store + ".preswap")
-    assert not glob.glob(store + ".compact.tmp")
+    man = vecstore._read_store_manifest(store)
+    assert man["txn"] == 1 and man["data"] == "_data-v00001"
+    # no orphans left behind by the committed rewrite's sweep
+    assert [d for d in os.listdir(store) if d.startswith("_data-v")] == [
+        "_data-v00001"]
 
 
 def test_negate_state_raises_on_prefix_colliding_key(spark):

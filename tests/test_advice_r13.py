@@ -1,9 +1,9 @@
 """Round-13 ADVICE regressions (all three items from ADVICE.md r12):
 
 1. vecstore: `_MANIFEST.json` is written write-then-rename, so a crash
-   mid-write can never leave a truncated manifest; and recover_store
-   CLASSIFIES an unreadable manifest (legacy truncated writes) instead
-   of raising JSONDecodeError — no crash state needs manual repair.
+   mid-write can never leave a truncated manifest (r14: the manifest is
+   now the store's snapshot-isolation commit point; the torn-write
+   surface is the temp name only, discarded as pre-commit staging).
 2. tools/memory_rehearsal: the recorded err_tail comes from whichever
    stream actually carries the OOM evidence (py4j re-raises JVM errors
    into stdout), never an empty stderr tail next to an "oom" status.
@@ -27,7 +27,6 @@ from pyspark.sql import functions as F  # noqa: E402
 from parallel_pandas_spark.operators import incremental, rollup, vecstore  # noqa: E402
 from parallel_pandas_spark.streaming import corpus as sc  # noqa: E402
 from tests.test_recover_store_r12 import (  # noqa: E402
-    _crash_swap_after_renames,
     _store_with_tombstones,
     _topk,
 )
@@ -37,55 +36,21 @@ from tools.memory_rehearsal import classify_failure  # noqa: E402
 # ---------------------------------------------------------------- item 1
 
 
-def test_recover_classifies_truncated_legacy_manifest(
-    spark, tmp_path, monkeypatch
-):
-    """A store from an older version may hold a present-but-truncated
-    manifest (crash mid json.dump before the write-then-rename fix).
-    recover_store must treat it as missing — renames only begin after
-    the manifest write completes, so staging is intact and the state
-    rolls back — instead of raising JSONDecodeError."""
-    store, emb = _store_with_tombstones(spark, tmp_path)
-    q = emb.where(F.col("vec_id") < 3)
-    before = _topk(spark, store, q)
-    # drive the REAL protocol to a mid-aside crash, then truncate the
-    # manifest it wrote (simulating the legacy non-atomic write)...
-    _crash_swap_after_renames(monkeypatch, 1)
-    with pytest.raises(RuntimeError, match="injected"):
-        vecstore.compact_vector_store(spark, store, "vec_id")
-    monkeypatch.undo()
-    aside = store + ".preswap"
-    man = os.path.join(aside, "_MANIFEST.json")
-    with open(man, "w") as fh:
-        fh.write('{"part": "sh')  # truncated JSON
-    # ...but a mid-aside crash moved old dirs under the aside: put them
-    # back so the state matches what a legacy mid-MANIFEST-write crash
-    # actually leaves (staging complete, store intact, junk manifest)
-    for d in os.listdir(aside):
-        if d.startswith("shard="):
-            os.rename(os.path.join(aside, d), os.path.join(store, d))
-    assert vecstore.recover_store(store) == "rolled_back"
-    assert not os.path.isdir(aside)
-    assert not os.path.isdir(store + ".compact.tmp")
-    assert _topk(spark, store, q) == before
-    # the retried rewrite then completes normally
-    assert vecstore.compact_vector_store(spark, store, "vec_id") == 38
-    assert _topk(spark, store, q) == before
-
-
-def test_manifest_write_is_atomic_under_crash(spark, tmp_path, monkeypatch):
-    """Inject a crash INSIDE the manifest json.dump: the final
-    `_MANIFEST.json` must not exist (only the temp name may), and
-    recover_store rolls back to the byte-identical pre-rewrite store."""
+def test_recover_classifies_torn_manifest_tmp(spark, tmp_path, monkeypatch):
+    """r14 port of the r13 truncated-manifest regression: the only
+    torn-write surface left is `_MANIFEST.json.tmp` (the final name is
+    only ever created by an atomic rename). A crash mid json.dump
+    leaves partial bytes under the temp name; readers resolve the old
+    snapshot, recover_store discards the torn temp (rolled_back), and
+    the retried rewrite completes."""
     store, emb = _store_with_tombstones(spark, tmp_path)
     q = emb.where(F.col("vec_id") < 3)
     before = _topk(spark, store, q)
     real_dump = json.dump
 
     def boom(obj, fh, *a, **k):
-        name = getattr(fh, "name", "")
-        if str(name).endswith("_MANIFEST.json.tmp"):
-            fh.write('{"part": "sh')  # partial bytes hit the disk...
+        if str(getattr(fh, "name", "")).endswith("_MANIFEST.json.tmp"):
+            fh.write('{"txn": ')
             raise RuntimeError("injected crash: manifest write")
         return real_dump(obj, fh, *a, **k)
 
@@ -93,13 +58,26 @@ def test_manifest_write_is_atomic_under_crash(spark, tmp_path, monkeypatch):
     with pytest.raises(RuntimeError, match="injected"):
         vecstore.compact_vector_store(spark, store, "vec_id")
     monkeypatch.undo()
-    aside = store + ".preswap"
-    assert os.path.isdir(aside)
-    # ...but never under the manifest's final name
-    assert not os.path.isfile(os.path.join(aside, "_MANIFEST.json"))
-    assert vecstore.recover_store(store) == "rolled_back"
+    assert not os.path.isfile(vecstore._store_manifest_path(store))
     assert _topk(spark, store, q) == before
+    assert vecstore.recover_store(store) == "rolled_back"
+    assert not os.path.isfile(vecstore._store_manifest_path(store) + ".tmp")
     assert vecstore.compact_vector_store(spark, store, "vec_id") == 38
+    assert _topk(spark, store, q) == before
+
+
+def test_unreadable_committed_manifest_refused_loudly(spark, tmp_path):
+    """A torn file under the FINAL manifest name cannot come from this
+    protocol (commits are write-then-rename from birth) — readers must
+    refuse to guess rather than silently fall back to a stale layout."""
+    store, emb = _store_with_tombstones(spark, tmp_path)
+    vecstore.compact_vector_store(spark, store, "vec_id")
+    with open(vecstore._store_manifest_path(store), "w") as fh:
+        fh.write('{"txn": ')
+    with pytest.raises(ValueError, match="unreadable store manifest"):
+        vecstore.load_vector_store(spark, store, "vec_id")
+    with pytest.raises(ValueError, match="unreadable store manifest"):
+        vecstore.recover_store(store)
 
 
 # ---------------------------------------------------------------- item 2

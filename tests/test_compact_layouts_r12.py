@@ -38,14 +38,20 @@ def test_compact_ivf_store_reclaims_tombstones_bit_identically(
         )
     )
     cells_before = sorted(
-        os.path.basename(d) for d in glob.glob(store + "/cell=*")
+        os.path.basename(d)
+        for d in glob.glob(vecstore._data_dir(store) + "/cell=*")
     )
     n = vecstore.compact_vector_store(spark, store, "vec_id")
     assert n == emb.count() - len(dead)
     # tombstones physically gone, cell layout and centroids untouched
+    # (the live data now resolves through the manifest's version dir)
     assert not os.path.isdir(vecstore._tomb_path(store))
+    assert vecstore._tombs_dir(store) is None
     assert (
-        sorted(os.path.basename(d) for d in glob.glob(store + "/cell=*"))
+        sorted(
+            os.path.basename(d)
+            for d in glob.glob(vecstore._data_dir(store) + "/cell=*")
+        )
         == cells_before
     )
     assert vecstore._max_seq(store, part="cell") == 0  # epochs reset

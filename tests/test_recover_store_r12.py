@@ -1,29 +1,34 @@
-"""Crash-injection coverage for vector-store rewrite recovery (r12).
+"""Crash-injection coverage for vector-store rewrite recovery.
 
-The r11 ADVICE (low) made store rewrites crash-DETECTABLE (a leftover
-``.preswap`` marker refuses further rewrites); this suite pins the r12
-completion — :func:`vecstore.recover_store` makes every crash point
-AUTOMATICALLY recoverable, with no data loss and no undecidable state:
+r12 introduced automatic recovery for the rename-swap protocol; r14
+(r13 verdict #4) replaced that protocol with the corpus loop's
+snapshot-isolation manifest (streaming/corpus.py:120): every rewrite
+stages a complete ``_data-v<txn>`` version (plus ``_cents-v<txn>`` for
+a rebalance) INSIDE the store and publishes it by ONE atomic
+``_MANIFEST.json`` rename. The crash surface collapses to two classes,
+both decided by version-id arithmetic:
 
-- a crash while the old layout moves aside (before the ``_MOVED``
-  marker) rolls BACK to the byte-identical pre-rewrite store;
-- a crash after it (moving staged dirs in, dropping tombstones,
-  promoting the IVF quantizer, tearing the aside down) rolls FORWARD
-  to a store indistinguishable from a crash-free rewrite — including
-  replaying the rewrite's post-swap sidecar steps from the manifest
-  (tombstone drop for compact/rebalance but NOT re-shard, quantizer
-  promotion for rebalance);
-- leftover staging with no swap started is discarded (store untouched).
+- a crash anywhere BEFORE the manifest rename (staging, the staged
+  quantizer write, a torn ``_MANIFEST.json.tmp``) leaves the old
+  snapshot fully live — readers are untouched WITHOUT any recovery
+  step, and :func:`vecstore.recover_store` reports ``rolled_back``
+  after discarding the orphaned staging;
+- a crash anywhere AFTER it leaves the new snapshot fully live — data,
+  tombstone set, and quantizer flipped together in the one rename —
+  and recovery only sweeps the superseded directories
+  (``rolled_forward``).
 
-Crashes are injected into the REAL swap protocol (counting os.rename /
-shutil.rmtree calls inside ``_swap_partition_dirs`` and the callers'
-post-swap steps), not into hand-built directory states, so the tests
-fail if the protocol's ordering ever changes in a way that breaks
-decidability.
+Crashes are injected into the REAL protocol (os.rename on the manifest,
+json.dump into the manifest temp file, the post-commit sweep), not into
+hand-built directory states, so these tests fail if the commit ordering
+ever changes in a way that breaks decidability. The file keeps its r12
+name because the SCENARIOS are ports: every pre-r14 crash point maps to
+one of the two classes above.
 """
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 import sys
@@ -53,29 +58,27 @@ def _topk(spark, store, queries, k=5):
     )
 
 
-def _crash_swap_after_renames(monkeypatch, n):
-    """Run the REAL swap protocol but raise on the (n+1)-th os.rename
-    inside it — n=1 crashes mid 'move old aside', n=len(old)+1 crashes
-    mid 'move staged in'."""
-    real_swap = vecstore._swap_partition_dirs
+def _crash_on_manifest_commit(monkeypatch):
+    """Raise ON the manifest's atomic rename — the last instant before
+    the commit. Everything staged, nothing published."""
+    real = os.rename
 
-    def patched(path, tmp, part="shard"):
-        real_rename = os.rename
-        seen = {"n": 0}
+    def boom(src, dst, *a, **k):
+        if str(dst).endswith("_MANIFEST.json"):
+            raise RuntimeError("injected crash: manifest commit")
+        return real(src, dst, *a, **k)
 
-        def boom(src, dst):
-            if seen["n"] >= n:
-                raise RuntimeError("injected crash: rename")
-            seen["n"] += 1
-            return real_rename(src, dst)
+    monkeypatch.setattr(os, "rename", boom)
 
-        monkeypatch.setattr(os, "rename", boom)
-        try:
-            real_swap(path, tmp, part)
-        finally:
-            monkeypatch.setattr(os, "rename", real_rename)
 
-    monkeypatch.setattr(vecstore, "_swap_partition_dirs", patched)
+def _crash_on_sweep(monkeypatch):
+    """Raise INSIDE the post-commit sweep — the rewrite is published,
+    its garbage is not yet collected."""
+
+    def boom(path):
+        raise RuntimeError("injected crash: sweep")
+
+    monkeypatch.setattr(vecstore, "_sweep_store", boom)
 
 
 def _store_with_tombstones(spark, tmp_path, name="vs", shards=2):
@@ -98,146 +101,137 @@ def test_recover_clean_store_is_noop(spark, tmp_path):
 
 
 def test_recover_discards_staged_only_rewrite(spark, tmp_path):
+    """A rewrite that crashed after staging, before its commit: the
+    staged version is an orphan no reader resolves; recovery discards
+    it and the retried rewrite goes through."""
     store, emb = _store_with_tombstones(spark, tmp_path)
     q = emb.where(F.col("vec_id") < 3)
     before = _topk(spark, store, q)
-    # a rewrite that crashed after staging, before any swap started
-    os.makedirs(store + ".compact.tmp/shard=0")
-    assert vecstore.recover_store(store) == "clean"
-    assert not os.path.isdir(store + ".compact.tmp")
+    os.makedirs(store + "/_data-v00001/shard=0")
+    assert _topk(spark, store, q) == before  # orphan invisible
+    assert vecstore.recover_store(store) == "rolled_back"
+    assert not os.path.isdir(store + "/_data-v00001")
     assert _topk(spark, store, q) == before
-    # afterwards the real rewrite goes through
     assert vecstore.compact_vector_store(spark, store, "vec_id") == 38
 
 
-def test_recover_rolls_back_crash_while_moving_old_aside(
-    spark, tmp_path, monkeypatch
-):
+def test_recover_rolls_back_crash_before_commit(spark, tmp_path, monkeypatch):
+    """Crash ON the manifest rename: the store is byte-identical to its
+    pre-rewrite state (tombstones standing, scoring unchanged) and the
+    retried rewrite succeeds."""
     store, emb = _store_with_tombstones(spark, tmp_path)
     q = emb.where(F.col("vec_id") < 3)
     before = _topk(spark, store, q)
-    _crash_swap_after_renames(monkeypatch, 1)  # 2 old shards: crash mid-aside
+    _crash_on_manifest_commit(monkeypatch)
     with pytest.raises(RuntimeError, match="injected"):
         vecstore.compact_vector_store(spark, store, "vec_id")
-    assert os.path.isdir(store + ".preswap")
     monkeypatch.undo()
+    # staging exists but no manifest was published
+    assert any(d.startswith("_data-v") for d in os.listdir(store))
+    assert vecstore._read_store_manifest(store) is None
+    assert _topk(spark, store, q) == before  # reader never needed recovery
 
     assert vecstore.recover_store(store) == "rolled_back"
-    assert not os.path.isdir(store + ".preswap")
-    assert not os.path.isdir(store + ".compact.tmp")
-    # byte-identical pre-rewrite state: tombstones still standing,
-    # scoring unchanged, and the retried rewrite succeeds
+    assert not any(d.startswith("_data-v") for d in os.listdir(store))
     assert os.path.isdir(vecstore._tomb_path(store))
     assert _topk(spark, store, q) == before
     assert vecstore.compact_vector_store(spark, store, "vec_id") == 38
     assert _topk(spark, store, q) == before
 
 
-def test_recover_rolls_forward_crash_while_moving_staged_in(
+def test_recover_rolls_forward_crash_after_commit(
     spark, tmp_path, monkeypatch
 ):
+    """Crash between the commit rename and the sweep: the new snapshot
+    is already fully live (tombstones cleared IN the commit — there is
+    no stale-tombstone window to replay); recovery just collects the
+    superseded directories and the result bit-equals a crash-free
+    compact of a replica."""
     store, emb = _store_with_tombstones(spark, tmp_path)
     ref, _ = _store_with_tombstones(spark, tmp_path, name="ref")
     q = emb.where(F.col("vec_id") < 3)
-    # old layout (2 dirs) fully aside, crash on the 2nd staged move-in
-    _crash_swap_after_renames(monkeypatch, 3)
+    _crash_on_sweep(monkeypatch)
     with pytest.raises(RuntimeError, match="injected"):
         vecstore.compact_vector_store(spark, store, "vec_id")
-    assert os.path.isdir(store + ".preswap")
     monkeypatch.undo()
+    man = vecstore._read_store_manifest(store)
+    assert man["data"].startswith("_data-v") and man["tombs"] is None
+    # the reader already serves the committed snapshot, pre-recovery:
+    # the sibling tombstone dir still exists but the manifest says None
+    assert os.path.isdir(vecstore._tomb_path(store))
+    assert vecstore.load_vector_store(spark, store, "vec_id").count() == 38
 
     assert vecstore.recover_store(store) == "rolled_forward"
-    assert not os.path.isdir(store + ".preswap")
-    assert not os.path.isdir(store + ".compact.tmp")
-    # indistinguishable from a crash-free compact: tombstones dropped,
-    # same live rows, scoring bit-equals the crash-free replica
     assert not os.path.isdir(vecstore._tomb_path(store))
+    assert not any(d.startswith("shard=") for d in os.listdir(store))
     assert vecstore.compact_vector_store(spark, ref, "vec_id") == 38
-    assert vecstore.load_vector_store(spark, store, "vec_id").count() == 38
     assert _topk(spark, store, q) == _topk(spark, ref, q)
 
 
-def test_recover_replays_tombstone_drop_after_swap(
+def test_torn_manifest_tmp_never_shadows_the_commit(
     spark, tmp_path, monkeypatch
 ):
-    """Crash BETWEEN the completed swap and compact's tombstone drop:
-    recovery must replay the drop — stale tombstones over a compacted
-    store (seqs reset to 0) would shadow live rows."""
+    """Crash INSIDE the manifest json.dump: partial bytes may hit the
+    temp name but never the final one — readers resolve the OLD
+    snapshot, recovery rolls back, the retry completes."""
     store, emb = _store_with_tombstones(spark, tmp_path)
-    ref, _ = _store_with_tombstones(spark, tmp_path, name="ref")
-    q = emb.where(F.col("vec_id") < 3)
-    real_rmtree = shutil.rmtree
-    tpath = vecstore._tomb_path(store)
-
-    def boom(path, *a, **k):
-        if str(path).rstrip("/") == tpath.rstrip("/"):
-            raise RuntimeError("injected crash: tombstone drop")
-        return real_rmtree(path, *a, **k)
-
-    monkeypatch.setattr(shutil, "rmtree", boom)
-    with pytest.raises(RuntimeError, match="injected"):
-        vecstore.compact_vector_store(spark, store, "vec_id")
-    monkeypatch.undo()
-    assert os.path.isdir(store + ".preswap")  # manifest survived the crash
-    assert os.path.isdir(tpath)  # the dangerous stale tombstones
-
-    assert vecstore.recover_store(store) == "rolled_forward"
-    assert not os.path.isdir(tpath)
-    assert not os.path.isdir(store + ".preswap")
-    assert vecstore.load_vector_store(spark, store, "vec_id").count() == 38
-    assert vecstore.compact_vector_store(spark, ref, "vec_id") == 38
-    assert _topk(spark, store, q) == _topk(spark, ref, q)
-
-
-def test_recover_finishes_interrupted_teardown(spark, tmp_path):
-    """_clear_preswap crashed between removing the manifest and the
-    final rmdir: only the empty aside remains — recovery just finishes
-    the teardown (decidable because no staging dir exists)."""
-    store, emb = _store_with_tombstones(spark, tmp_path)
-    vecstore.compact_vector_store(spark, store, "vec_id")
     q = emb.where(F.col("vec_id") < 3)
     before = _topk(spark, store, q)
-    os.makedirs(store + ".preswap")  # empty: manifest already deleted
-    assert vecstore.recover_store(store) == "rolled_forward"
-    assert not os.path.isdir(store + ".preswap")
+    real_dump = json.dump
+
+    def boom(obj, fh, *a, **k):
+        if str(getattr(fh, "name", "")).endswith("_MANIFEST.json.tmp"):
+            fh.write('{"txn": ')  # partial bytes hit the disk...
+            raise RuntimeError("injected crash: manifest write")
+        return real_dump(obj, fh, *a, **k)
+
+    monkeypatch.setattr(json, "dump", boom)
+    with pytest.raises(RuntimeError, match="injected"):
+        vecstore.compact_vector_store(spark, store, "vec_id")
+    monkeypatch.undo()
+    # ...but never under the final name
+    assert not os.path.isfile(vecstore._store_manifest_path(store))
+    assert os.path.isfile(vecstore._store_manifest_path(store) + ".tmp")
+    assert _topk(spark, store, q) == before
+
+    assert vecstore.recover_store(store) == "rolled_back"
+    assert not os.path.isfile(vecstore._store_manifest_path(store) + ".tmp")
+    assert vecstore.compact_vector_store(spark, store, "vec_id") == 38
     assert _topk(spark, store, q) == before
 
 
-def test_recover_teardown_crash_with_manifest_is_roll_forward(
-    spark, tmp_path
-):
-    """Manifest present, no _MOVED, no staging: staging is only deleted
-    after _MOVED was written, so this state can only come from a crash
-    inside the aside teardown — recovery must finish the teardown, NOT
-    read it as a rollback (renaming the aside's old dirs onto the new
-    layout would ENOTEMPTY and leave the store permanently blocked)."""
-    import json
-
+def test_orphan_directories_invisible_and_swept(spark, tmp_path):
+    """The corpus-loop mirror (r13 verdict #4's 'done' clause): artifact
+    directories a manifest transaction never referenced — crashed
+    staging at a FUTURE txn, junk at a PAST name — are invisible to
+    read-outs and removed by the sweep."""
     store, emb = _store_with_tombstones(spark, tmp_path)
     q = emb.where(F.col("vec_id") < 3)
-    vecstore.compact_vector_store(spark, store, "vec_id")
-    after = _topk(spark, store, q)
-    # fabricate the teardown-crash state: an old shard dir still aside,
-    # manifest present, _MOVED already deleted, staging long gone
-    aside = store + ".preswap"
-    os.makedirs(aside + "/shard=0")
-    with open(aside + "/_MANIFEST.json", "w") as fh:
-        json.dump({"part": "shard", "tmp": os.path.basename(store) + ".compact.tmp"}, fh)
-
-    assert vecstore.recover_store(store) == "rolled_forward"
-    assert not os.path.isdir(aside)
-    assert _topk(spark, store, q) == after
-    # and the store accepts the next rewrite
-    assert vecstore.compact_vector_store(spark, store, "vec_id") == 38
+    vecstore.compact_vector_store(spark, store, "vec_id")  # -> manifest txn 1
+    before = _topk(spark, store, q)
+    man_before = vecstore._read_store_manifest(store)
+    # orphans: uncommitted future staging, superseded past garbage, and
+    # stray legacy root data
+    os.makedirs(store + "/_data-v00999/shard=0")
+    os.makedirs(store + "/_tombs-v00998")
+    os.makedirs(store + "/shard=7")
+    assert _topk(spark, store, q) == before  # all invisible
+    assert vecstore.load_vector_store(spark, store, "vec_id").count() == 38
+    assert vecstore.recover_store(store) == "rolled_back"  # future staging
+    for d in ("_data-v00999", "_tombs-v00998", "shard=7"):
+        assert not os.path.isdir(os.path.join(store, d)), d
+    assert vecstore._read_store_manifest(store) == man_before
+    assert _topk(spark, store, q) == before
 
 
 def test_recover_never_promotes_stale_staged_quantizer(
-    spark, tmp_path, sf_small
+    spark, tmp_path, monkeypatch, sf_small
 ):
-    """A dangling .centroids.next with no aside dir is PRE-swap staging
-    (every post-swap crash leaves the aside in place): promoting it
-    would pair new centroids with the old cell layout and silently
-    mis-probe every query — recovery must discard it."""
+    """A quantizer staged for a rebalance that never committed must be
+    DISCARDED — in the r14 protocol it is the ``_cents-v<txn>`` orphan
+    (and the commit flips cents+data together, so the old torn-pair
+    promotion hazard is structurally gone). A legacy pre-r14
+    ``.centroids.next`` is likewise discarded, never promoted."""
     from parallel_pandas_spark.sources import load_table
 
     emb = load_table(spark, sf_small, "embeddings")
@@ -245,35 +239,42 @@ def test_recover_never_promotes_stale_staged_quantizer(
     store = str(tmp_path / "ivf")
     vecstore.write_ivf_store(emb, store, "vec_id", "embedding", num_centroids=8)
     before_cents = vecstore.read_ivf_centroids(store)
-    before = sorted(
-        map(
-            tuple,
-            vecstore.ivf_topk_from_store(
-                spark, store, q, "vec_id", "embedding", k=5, nprobe=8
-            ).collect(),
+
+    def _ivf_topk():
+        return sorted(
+            map(
+                tuple,
+                vecstore.ivf_topk_from_store(
+                    spark, store, q, "vec_id", "embedding", k=5, nprobe=8
+                ).collect(),
+            )
         )
-    )
-    # a rebalance that crashed after staging its quantizer (and a prior
-    # recovery pass that already dropped the staging tmp)
+
+    before = _ivf_topk()
+    # a rebalance crashed ON its commit: staged data AND quantizer exist
+    _crash_on_manifest_commit(monkeypatch)
+    with pytest.raises(RuntimeError, match="injected"):
+        vecstore.rebalance_ivf_store(spark, store, "vec_id", num_centroids=4)
+    monkeypatch.undo()
+    assert any(d.startswith("_cents-v") for d in os.listdir(store))
+    assert vecstore.read_ivf_centroids(store) == before_cents  # reader: old
+
+    assert vecstore.recover_store(store) == "rolled_back"
+    assert not any(d.startswith("_cents-v") for d in os.listdir(store))
+    assert vecstore.read_ivf_centroids(store) == before_cents
+    assert _ivf_topk() == before
+    # and the legacy stray: discarded as pre-commit staging
     vecstore._write_centroids(store, [(0, [0.0] * 64)], suffix=".centroids.next")
     assert vecstore.recover_store(store) == "clean"
     assert not os.path.isdir(store + ".centroids.next")
     assert vecstore.read_ivf_centroids(store) == before_cents
-    after = sorted(
-        map(
-            tuple,
-            vecstore.ivf_topk_from_store(
-                spark, store, q, "vec_id", "embedding", k=5, nprobe=8
-            ).collect(),
-        )
-    )
-    assert after == before
 
 
 def test_recover_reshard_preserves_tombstones(spark, tmp_path, monkeypatch):
     """Roll-forward of a RE-SHARD must keep the tombstone set — the
-    rewrite carries shadowed rows as-is, so dropping tombstones (as a
-    compact/rebalance recovery does) would resurrect deleted rows."""
+    rewrite carries shadowed rows as-is, and its manifest commit leaves
+    ``tombs`` pointing at the standing set (unlike compact/rebalance,
+    which clear it in theirs)."""
     emb = _emb(spark, 40)
     store = str(tmp_path / "vs")
     vecstore.write_vector_store(
@@ -284,7 +285,7 @@ def test_recover_reshard_preserves_tombstones(spark, tmp_path, monkeypatch):
         [(100 + i, [float(i)] * 8) for i in range(5)],
         "vec_id long, embedding array<double>",
     )
-    _crash_swap_after_renames(monkeypatch, 3)  # mid move-in of 5 shards
+    _crash_on_sweep(monkeypatch)  # reshard committed, sweep pending
     with pytest.raises(RuntimeError, match="injected"):
         vecstore.append_vector_store(
             feed, store, "vec_id", "embedding", dim=8, rows_per_shard=10
@@ -292,7 +293,9 @@ def test_recover_reshard_preserves_tombstones(spark, tmp_path, monkeypatch):
     monkeypatch.undo()
 
     assert vecstore.recover_store(store) == "rolled_forward"
-    assert os.path.isdir(vecstore._tomb_path(store))  # NOT dropped
+    man = vecstore._read_store_manifest(store)
+    assert man["tombs"] == ".tombstones"  # NOT dropped
+    assert os.path.isdir(vecstore._tomb_path(store))
     live = vecstore.load_vector_store(spark, store, "vec_id")
     assert live.count() == 43  # 40 - 2 deleted + 5 appended
     assert live.where(F.col("vec_id").isin([3, 17])).count() == 0
@@ -320,15 +323,12 @@ def test_recover_rebalance_rollback_keeps_old_quantizer(
             ).collect(),
         )
     )
-    _crash_swap_after_renames(monkeypatch, 1)
+    _crash_on_manifest_commit(monkeypatch)
     with pytest.raises(RuntimeError, match="injected"):
         vecstore.rebalance_ivf_store(spark, store, "vec_id", num_centroids=8)
     monkeypatch.undo()
-    assert os.path.isdir(store + ".centroids.next")  # staged quantizer
 
     assert vecstore.recover_store(store) == "rolled_back"
-    # staged quantizer discarded, old one intact, scoring unchanged
-    assert not os.path.isdir(store + ".centroids.next")
     assert vecstore.read_ivf_centroids(store) == before_cents
     after = sorted(
         map(
@@ -341,12 +341,14 @@ def test_recover_rebalance_rollback_keeps_old_quantizer(
     assert after == before
 
 
-def test_recover_rebalance_forward_promotes_quantizer(
+def test_recover_rebalance_forward_has_new_quantizer_and_cells(
     spark, tmp_path, monkeypatch, sf_small
 ):
-    """Crash after the cell swap but before the quantizer promotion:
-    recovery must promote ``.centroids.next`` — the new cell layout
-    with the OLD centroids would mis-prune every probe."""
+    """Crash after the rebalance COMMIT: the new cell layout and the new
+    quantizer are both already live (they flipped in the same rename —
+    the pre-r14 'new cells with old centroids' window cannot exist);
+    recovery sweeps and the store bit-equals a crash-free rebalance of
+    an identical replica."""
     from parallel_pandas_spark.sources import load_table
 
     emb = load_table(spark, sf_small, "embeddings")
@@ -357,24 +359,14 @@ def test_recover_rebalance_forward_promotes_quantizer(
         vecstore.write_ivf_store(
             emb, p, "vec_id", "embedding", num_centroids=8
         )
-    real_rmtree = shutil.rmtree
-    cpath = store + ".centroids"
-
-    def boom(path, *a, **k):
-        if str(path).rstrip("/") == cpath:
-            raise RuntimeError("injected crash: quantizer promotion")
-        return real_rmtree(path, *a, **k)
-
-    monkeypatch.setattr(shutil, "rmtree", boom)
+    _crash_on_sweep(monkeypatch)
     with pytest.raises(RuntimeError, match="injected"):
         vecstore.rebalance_ivf_store(spark, store, "vec_id", num_centroids=4)
     monkeypatch.undo()
-    assert os.path.isdir(store + ".centroids.next")
+    # pre-recovery, the reader already pairs new cells with new cents
+    assert len(vecstore.read_ivf_centroids(store)) == 4
 
     assert vecstore.recover_store(store) == "rolled_forward"
-    assert not os.path.isdir(store + ".centroids.next")
-    assert not os.path.isdir(store + ".preswap")
-    # bit-equals a crash-free rebalance of an identical replica
     vecstore.rebalance_ivf_store(spark, ref, "vec_id", num_centroids=4)
     assert vecstore.read_ivf_centroids(store) == vecstore.read_ivf_centroids(
         ref
@@ -396,3 +388,14 @@ def test_recover_rebalance_forward_promotes_quantizer(
         )
     )
     assert got == want
+
+
+def test_legacy_preswap_is_refused_loudly(spark, tmp_path):
+    """A store interrupted under the pre-r14 rename-swap protocol is not
+    silently guessed at — recover_store raises with instructions."""
+    store, emb = _store_with_tombstones(spark, tmp_path)
+    os.makedirs(store + ".preswap")
+    with pytest.raises(ValueError, match="pre-r14"):
+        vecstore.recover_store(store)
+    shutil.rmtree(store + ".preswap")
+    assert vecstore.recover_store(store) == "clean"

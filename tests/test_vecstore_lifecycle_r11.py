@@ -106,7 +106,8 @@ def test_append_crossing_bound_reshards_from_codes(spark, tmp_path):
         emb.where(F.col("vec_id") >= 40), store, "vec_id", "embedding",
         dim=8, rows_per_shard=25)   # 60 rows / 25 -> 3 shards
     assert shards == 3
-    assert len(glob.glob(os.path.join(store, "shard=*"))) == 3
+    # the re-shard published a new manifest-resolved data version (r14)
+    assert len(glob.glob(os.path.join(vecstore._data_dir(store), "shard=*"))) == 3
     assert vecstore._store_rows(store) == 60
     queries = emb.where(F.col("vec_id") < 3)
     got = _topk(spark, store, queries)
