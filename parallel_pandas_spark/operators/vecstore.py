@@ -179,6 +179,9 @@ def _tomb_path(path: str) -> str:
 # recover_store / _sweep_store classify every directory purely from
 # manifest-vs-version-id arithmetic — no `.preswap` aside trees, no
 # `_MOVED` marker archaeology, no multi-step teardown ordering proofs.
+# Writer contract: ONE writer at a time (same as the corpus loop and
+# every LSM store without a lock service) — readers need no
+# coordination at any point.
 
 import re as _re
 
@@ -240,24 +243,33 @@ def _commit_store_manifest(path: str, man: dict) -> None:
     os.rename(tmp, mp)
 
 
-def _data_dir(path: str) -> str:
+_UNREAD = object()
+
+
+def _data_dir(path: str, man=_UNREAD) -> str:
     """The live data directory — the store root for the legacy layout,
-    the manifest's versioned directory otherwise."""
+    the manifest's versioned directory otherwise. Pass ``man`` when the
+    caller already read the manifest (a reader resolving data AND
+    tombstones must use ONE read, or a commit landing between two reads
+    hands it a torn pair)."""
     import os
 
-    man = _read_store_manifest(path)
+    if man is _UNREAD:
+        man = _read_store_manifest(path)
     base = path.rstrip("/")
     if man is None or man["data"] == ".":
         return base
     return os.path.join(base, man["data"])
 
 
-def _tombs_dir(path: str) -> "str | None":
+def _tombs_dir(path: str, man=_UNREAD) -> "str | None":
     """The live tombstone directory, or None when the manifest records
-    no tombstones. Legacy stores (no manifest) use the sibling."""
+    no tombstones. Legacy stores (no manifest) use the sibling. See
+    :func:`_data_dir` on passing ``man``."""
     import os
 
-    man = _read_store_manifest(path)
+    if man is _UNREAD:
+        man = _read_store_manifest(path)
     base = path.rstrip("/")
     if man is None:
         return _tomb_path(base)
@@ -958,11 +970,13 @@ def load_vector_store(
     version set of exactly one committed transaction."""
     import os
 
-    tpath = _tombs_dir(path)
+    man = _read_store_manifest(path)  # ONE read: data+tombs of one txn
+    tpath = _tombs_dir(path, man)
     has_tombs = tpath is not None and os.path.isdir(tpath)
     # mergeSchema: an appended store can mix pre-lifecycle (seq-less)
     # and current files; missing seq reads as NULL -> epoch 0
-    base = spark.read.option("mergeSchema", "true").parquet(_data_dir(path))
+    base = spark.read.option("mergeSchema", "true").parquet(
+        _data_dir(path, man))
     if "seq" not in base.columns:
         base = _with_seq(base, 0)
     base = base.withColumn("seq", F.coalesce(F.col("seq"), F.lit(0).cast("long")))
