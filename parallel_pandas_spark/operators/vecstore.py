@@ -595,7 +595,10 @@ def delete_from_vector_store(
     if tpath is None:
         # manifest store whose tombstone set was cleared (compaction /
         # rebalance): open a fresh versioned set and commit it — the
-        # manifest stays the single source of truth for readers
+        # manifest stays the single source of truth for readers. Crash
+        # semantics: a crash before the commit leaves an orphan dir the
+        # sweep discards (the delete simply never happened — retry);
+        # there is no partial-delete state a reader can observe
         man = _init_store_manifest(path)
         txn = int(man["txn"]) + 1
         name = f"_tombs-v{txn:05d}"
