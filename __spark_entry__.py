@@ -2919,9 +2919,14 @@ def ivf_maint_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
     path = os.path.join(tempfile.gettempdir(), f"pps_ivfmaint_{key}")
-    # versioned artifacts and the manifest live INSIDE path (r14); only
-    # the legacy sibling sidecars need separate wipes
-    for p in (path, vecstore._tomb_path(path), path + ".centroids"):
+    # versioned artifacts and the manifest live INSIDE path (r14); the
+    # legacy sibling sidecars — including any pre-upgrade crash debris
+    # at this fixed tempdir path, which _rewrite_store refuses loudly —
+    # need separate wipes so the arm stays self-healing
+    for p in (path, vecstore._tomb_path(path), path + ".centroids",
+              path + ".centroids.next", path + ".preswap",
+              path + ".rebalance.tmp", path + ".compact.tmp",
+              path + ".reshard.tmp"):
         shutil.rmtree(p, ignore_errors=True)
 
     vecstore.write_ivf_store(

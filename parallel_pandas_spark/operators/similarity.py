@@ -110,20 +110,22 @@ def rotate_vectors(vec: Column, R) -> Column:
     # ~2 s of py4j list conversion per call on a 64-dim matrix — the
     # literal is plan-agnostic, so one JVM object serves every query
     # keyed by the VALUE tuple (a hash() key could collide and silently
-    # serve another rotation) plus the active session id — the cached
-    # Column is bound to the creating JVM gateway and would go stale
-    # across a full Spark restart in a long-lived process
+    # serve another rotation) and ATTACHED to the live SparkSession —
+    # the cached Column is bound to the creating JVM gateway, and a
+    # session-held dict dies with its session (an id()-keyed global
+    # could be revived by CPython reusing the freed address)
     from pyspark.sql import SparkSession
 
     sess = SparkSession.getActiveSession()
-    key = (id(sess) if sess is not None else None,
-           tuple(tuple(float(x) for x in row) for row in R))
-    cols = _ROTATION_LIT_CACHE.get(key)
+    cache = (
+        _ROTATION_LIT_CACHE if sess is None
+        else sess.__dict__.setdefault("_pps_rotation_lit_cache", {})
+    )
+    key = tuple(tuple(float(x) for x in row) for row in R)
+    cols = cache.get(key)
     if cols is None:
-        for k in [k for k in _ROTATION_LIT_CACHE if k[0] != key[0]]:
-            del _ROTATION_LIT_CACHE[k]  # drop Columns bound to dead gateways
         cols = F.lit([[float(R[i][j]) for i in range(d)] for j in range(d)])
-        _ROTATION_LIT_CACHE[key] = cols
+        cache[key] = cols
     return F.transform(cols, lambda c: dot(vec, c))
 
 
@@ -237,8 +239,12 @@ def structured_embeddings(
         powers.append(float(alpha * p))
         p *= decay
     scale = F.lit(powers)
+    # pmod, not %: Spark's % keeps the dividend's sign (numpy's doesn't),
+    # so a negative label would error (index 0) or silently diverge from
+    # the gen_sf numpy twin
     base = F.element_at(
-        mu_lit, (F.col(label_col) % n_clusters).cast("int") + F.lit(1)
+        mu_lit, F.pmod(F.col(label_col), F.lit(n_clusters)).cast("int")
+        + F.lit(1)
     )
     noise = F.zip_with(
         F.col(vec_col).cast("array<double>"), scale, lambda v, s: v * s

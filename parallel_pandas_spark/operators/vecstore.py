@@ -365,15 +365,7 @@ def store_shard_count(path: str) -> int:
 
 def _store_rows(path: str, part: str = "shard") -> int:
     """Measured row count from parquet footers (no Spark job)."""
-    import glob
-    import os
-
-    import pyarrow.parquet as pq
-
-    return sum(
-        pq.ParquetFile(f).metadata.num_rows
-        for f in glob.glob(os.path.join(_data_dir(path), f"{part}=*", "*.parquet"))
-    )
+    return _dir_rows(_data_dir(path), part)
 
 
 def _max_seq(path: str, part: str = "shard") -> int:
@@ -464,6 +456,15 @@ def _rewrite_store(path: str, stage, *, part: str, clear_tombs: bool,
     one — there is no intermediate state for readers at any point."""
     import os
 
+    if os.path.isdir(path.rstrip("/") + ".preswap"):
+        # a pre-r14 rename-swap crash left part of the old layout aside:
+        # the root is INCOMPLETE, and committing a manifest over it would
+        # make the loss permanent — same refusal as recover_store
+        raise ValueError(
+            f"{path.rstrip('/') + '.preswap'!r} exists: this store was "
+            "interrupted under the pre-r14 rename-swap protocol; restore "
+            "it manually before rewriting"
+        )
     man = _init_store_manifest(path)
     txn = int(man["txn"]) + 1
     base = path.rstrip("/")
@@ -603,7 +604,14 @@ def delete_from_vector_store(
         txn = int(man["txn"]) + 1
         name = f"_tombs-v{txn:05d}"
         tpath = os.path.join(path.rstrip("/"), name)
-        os.makedirs(tpath, exist_ok=True)
+        # a directory already at this name can only be a CRASHED earlier
+        # delete's uncommitted orphan (same derived txn) — clear it, or
+        # its never-committed tombstones would ride this commit into
+        # liveness and shadow rows nobody asked to delete
+        import shutil
+
+        shutil.rmtree(tpath, ignore_errors=True)
+        os.makedirs(tpath)
         pq.write_table(
             tbl, os.path.join(tpath, f"tomb-{uuid.uuid4().hex}.parquet"))
         man["txn"], man["tombs"] = txn, name
@@ -1669,6 +1677,11 @@ def tune_probes(
     n_cells = len(cents)
     if max_nprobe is None:
         max_nprobe = n_cells
+    if n_cells == 0 or max_nprobe < 1:
+        raise ValueError(
+            f"tune_probes: nothing to evaluate — {n_cells} centroids "
+            f"under {store_path!r}, max_nprobe={max_nprobe}"
+        )
 
     # live rows per cell — ONE aggregate over the tombstone-shadowed
     # store; drives the probed-fraction report for every candidate

@@ -76,8 +76,9 @@ def test_opq_train_rejects_indivisible_dim():
 def test_rotation_literal_cache_keys_by_value_not_hash(spark):
     """Two rotations get two distinct cached Columns; re-requesting the
     first must NOT be served the second's literal (the old hash() key
-    could collide; the value key cannot)."""
-    similarity._ROTATION_LIT_CACHE.clear()
+    could collide; the value key cannot). The cache is ATTACHED to the
+    live session, so it dies with the gateway it is bound to."""
+    spark.__dict__.pop("_pps_rotation_lit_cache", None)
     R1 = [[1.0, 0.0], [0.0, 1.0]]
     R2 = [[0.0, 1.0], [1.0, 0.0]]
     df = spark.createDataFrame([([3.0, 4.0],)], "v array<double>")
@@ -86,10 +87,9 @@ def test_rotation_literal_cache_keys_by_value_not_hash(spark):
     r2 = df.select(
         similarity.rotate_vectors(F.col("v"), R2).alias("o")).first()["o"]
     assert r1 == [3.0, 4.0] and r2 == [4.0, 3.0]
-    assert len(similarity._ROTATION_LIT_CACHE) == 2
-    keys = list(similarity._ROTATION_LIT_CACHE)
+    cache = spark.__dict__["_pps_rotation_lit_cache"]
     # keys carry the actual value tuples — collision-proof by content
-    assert {k[1] for k in keys} == {
+    assert set(cache) == {
         ((1.0, 0.0), (0.0, 1.0)), ((0.0, 1.0), (1.0, 0.0))}
     again = df.select(
         similarity.rotate_vectors(F.col("v"), R1).alias("o")).first()["o"]

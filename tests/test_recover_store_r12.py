@@ -399,3 +399,39 @@ def test_legacy_preswap_is_refused_loudly(spark, tmp_path):
         vecstore.recover_store(store)
     shutil.rmtree(store + ".preswap")
     assert vecstore.recover_store(store) == "clean"
+
+
+def test_rewrite_refuses_legacy_preswap(spark, tmp_path):
+    """A leftover pre-r14 aside means the root is INCOMPLETE — a rewrite
+    committing a manifest over it would make the loss permanent, so it
+    must refuse exactly like recover_store does."""
+    store, emb = _store_with_tombstones(spark, tmp_path)
+    os.makedirs(store + ".preswap")
+    with pytest.raises(ValueError, match="pre-r14"):
+        vecstore.compact_vector_store(spark, store, "vec_id")
+    shutil.rmtree(store + ".preswap")
+    assert vecstore.compact_vector_store(spark, store, "vec_id") == 38
+
+
+def test_crashed_delete_orphan_never_rides_next_commit(
+    spark, tmp_path, monkeypatch
+):
+    """A delete that crashed between its tombstone write and its commit
+    must stay 'never happened': the NEXT delete derives the same txn
+    and must CLEAR the orphan dir, not commit the crashed delete's
+    tombstones alongside its own."""
+    store, emb = _store_with_tombstones(spark, tmp_path)
+    vecstore.compact_vector_store(spark, store, "vec_id")  # tombs -> None
+    q = emb.where(F.col("vec_id") < 3)
+    _crash_on_manifest_commit(monkeypatch)
+    with pytest.raises(RuntimeError, match="injected"):
+        vecstore.delete_from_vector_store(spark, store, [7, 9], "vec_id")
+    monkeypatch.undo()
+    # the crashed delete is invisible
+    assert vecstore.load_vector_store(spark, store, "vec_id").count() == 38
+    # a DIFFERENT delete commits without resurrecting ids 7/9's tombstones
+    vecstore.delete_from_vector_store(spark, store, [11], "vec_id")
+    live = vecstore.load_vector_store(spark, store, "vec_id")
+    assert live.count() == 37
+    assert live.where(F.col("vec_id").isin([7, 9])).count() == 2  # NOT deleted
+    assert live.where(F.col("vec_id") == 11).count() == 0
