@@ -5799,6 +5799,8 @@ UNION ALL BY NAME
 SELECT 'upsert' AS cdckind, * FROM merged
 UNION ALL BY NAME
 SELECT 'scd2' AS cdckind, * FROM scd
+UNION ALL BY NAME
+SELECT 'scd2inc' AS cdckind, * FROM scd
 """
 
 
@@ -5820,6 +5822,15 @@ def cdc_arm(spark: SparkSession, sf_dir: str) -> DataFrame:
       day's feed is small against the corpus).
     - ``scd2``: cdc.scd2_build — validity intervals with lead() in the
       SAME window pass as the version row_number (no self-join).
+    - ``scd2inc`` (r15, r14 verdict #1): cdc.scd2_apply — INCREMENTAL
+      SCD-2 maintenance under the hash oracle. The log is split
+      (even/odd event_id), the even half builds a standing dimension,
+      and the odd half is applied incrementally (broadcast semi/anti
+      key split — the standing dimension is never shuffled; only the
+      affected keys' history re-enters the rebuild window). The oracle
+      is the SAME full-rebuild SQL as ``scd2``: scd2_apply(scd2_build(
+      even), odd) == scd2_build(even ∪ odd) is the operator's defining
+      identity, now value-checked by an independent engine.
     """
     ev = load_table(spark, sf_dir, "events")
     log = ev.select(
@@ -5850,9 +5861,77 @@ def cdc_arm(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("user_id", "value", "valid_from", "valid_to", "version",
              "is_current")
 
+    scd_cols = ["user_id", "value", "valid_from", "valid_to", "version",
+                "is_current"]
+    dim = cdc.scd2_build(
+        log.where(F.pmod(F.col("event_id"), F.lit(2)) == 0),
+        ["user_id"], "ts", order=["ts", "event_id"],
+    )
+    scd_inc = cdc.scd2_apply(
+        dim,
+        log.where(F.pmod(F.col("event_id"), F.lit(2)) == 1),
+        ["user_id"], "ts", order=["ts", "event_id"],
+    ).select(*scd_cols)
+
     return _pad_union([
         ("compact", comp), ("upsert", merged), ("scd2", scd),
+        ("scd2inc", scd_inc),
     ], tag_col="cdckind")
+
+
+@_q(
+    "skew_join_arm",
+    """
+WITH lft AS (
+  SELECT CASE WHEN l_orderkey % 100 < 95 THEN CAST(1 AS BIGINT)
+              ELSE CAST(1 + (l_orderkey % 97) AS BIGINT) END AS sk,
+         l_quantity
+  FROM lineitem),
+dim AS (SELECT CAST(p_partkey AS BIGINT) AS sk, p_type
+        FROM part WHERE p_partkey <= 97)
+SELECT l.sk AS sk, d.p_type AS sk_type,
+       CAST(COUNT(*) AS BIGINT) AS sk_rows,
+       SUM(l_quantity) AS sk_sum,
+       MIN(l_quantity) AS sk_min,
+       MAX(l_quantity) AS sk_max
+FROM lft l JOIN dim d ON l.sk = d.sk
+GROUP BY l.sk, d.p_type
+""",
+)
+def skew_join_arm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r15 (r14 verdict #4): ADVERSARIAL whale-key JOIN under the hash
+    oracle — the join half of the skew story beside
+    ``groupby_edge_battery``:whale. ~95% of lineitem rows land on ONE
+    synthetic foreign key (`l_orderkey % 100 < 95 → 1`), the regime
+    where a plain shuffle join funnels nearly the whole fact table
+    through the single reducer owning that key. ``joins.salted_join``
+    salts the fact side deterministically (xxhash64 over the
+    (l_orderkey, l_linenumber) tiebreaker) and replicates the
+    97-row dim side per salt, so the exchange hashes on (key, salt)
+    and the whale spreads over 16 reducers; the post-join aggregate
+    (decomposable integer-valued stats) makes the result exact and
+    engine-independent. Tests pin salted == plain row-identity and the
+    partition-size bound; the broadcast alternative (dim fits memory)
+    and AQE's runtime skew split are documented in the operator."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.when(F.col("l_orderkey") % 100 < 95, F.lit(1).cast("long"))
+        .otherwise((F.lit(1) + F.col("l_orderkey") % 97).cast("long"))
+        .alias("sk"),
+        "l_quantity", "l_orderkey", "l_linenumber",
+    )
+    dim = load_table(spark, sf_dir, "part").where(
+        F.col("p_partkey") <= 97
+    ).select(F.col("p_partkey").cast("long").alias("sk"), "p_type")
+    joined = joins.salted_join(
+        li, dim, ["sk"], how="inner", salt_buckets=16,
+        salt_cols=["l_orderkey", "l_linenumber"],
+    )
+    return joined.groupBy("sk", F.col("p_type").alias("sk_type")).agg(
+        F.count("*").cast("long").alias("sk_rows"),
+        F.sum("l_quantity").alias("sk_sum"),
+        F.min("l_quantity").alias("sk_min"),
+        F.max("l_quantity").alias("sk_max"),
+    )
 
 
 _bfn, _bsql = _compose_union(
@@ -5862,17 +5941,21 @@ _bfn, _bsql = _compose_union(
         ("semi_anti", "semi_anti_customers"),
         ("verbs", "pandas_verbs_arm"),
         ("cdc", "cdc_arm"),
+        ("skewjoin", "skew_join_arm"),
     ]
 )
 _bfn.__doc__ = """pandas merge surface (op #25): how='inner' broadcast join,
 how='outer' with suffixes + indicator, and semi/anti joins — plus the
 (r6d) pandas-verbs arm (non-agg pivot, duplicated marker, idxmax(axis=1),
-combine_first, query() expression compiler) and the (r10) CDC arm
-(log compaction, MERGE-style upsert, SCD-2 intervals — operators/cdc.py).
+combine_first, query() expression compiler), the (r10) CDC arm
+(log compaction, MERGE-style upsert, SCD-2 intervals, and the r15
+incremental scd2_apply — operators/cdc.py), and the (r15) whale-key
+skew JOIN through joins.salted_join (95% of fact rows on one key,
+spread over 16 reducers by a deterministic salt).
 One tagged union, every row value-checked."""
 _q("merge_battery", _bsql)(_bfn)
 _retire("merge_inner", "merge_outer_suffix_indicator", "semi_anti_customers",
-        "pandas_verbs_arm", "cdc_arm")
+        "pandas_verbs_arm", "cdc_arm", "skew_join_arm")
 
 @_q(
     "pct_change_fill",

@@ -129,6 +129,62 @@ def merge(
     return out
 
 
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    how: str = "inner",
+    salt_buckets: int = 16,
+    salt_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Skew-immune equi-join for whale keys (r14 verdict #4 — the join
+    half of the whale-key story beside ``grouped.salted_groupby_agg``):
+    when one join key holds a dominant share of the fact rows, a plain
+    shuffle join funnels that key's entire partition through a single
+    reducer. Here the FACT side (``left``) gets a deterministic salt —
+    ``pmod(xxhash64(salt_cols), salt_buckets)`` over caller-named
+    tiebreaker columns, never a nondeterministic row id (task retries
+    must re-salt identically) — and the DIM side (``right``) is
+    replicated once per salt value (an ``explode`` over a
+    ``salt_buckets``-element literal array: dimension-sized × N, never
+    fact-sized), so the exchange hashes on (key, salt) and the whale
+    spreads over ``salt_buckets`` reducers. Every left row still meets
+    exactly one replica of each matching right row, so the result is
+    row-identical to the plain join (pinned in tests, NULL keys
+    included — NULL never matches, with or without salt).
+
+    Supported ``how``: inner / left / left_semi / left_anti — the
+    shapes where right-side replication cannot duplicate output rows.
+    full/right joins would emit one row per UNMATCHED replica and are
+    refused. Note Catalyst already handles this shape two other ways —
+    ``F.broadcast(right)`` when the dim fits an executor, and AQE's
+    ``skewJoin`` split at runtime; this operator is for the middle
+    regime (dim too big to broadcast, plan must be skew-safe STATICALLY
+    — e.g. a deterministic production job that cannot rely on runtime
+    re-planning)."""
+    if how not in ("inner", "left", "left_semi", "left_anti"):
+        raise ValueError(
+            f"salted_join: how={how!r} unsupported — right-side "
+            "replication breaks full/right join semantics"
+        )
+    on = list(on)
+    if salt_cols is None:
+        salt_cols = [c for c in left.columns if c not in on]
+        if not salt_cols:
+            salt_cols = on
+    lf = left.withColumn(
+        "__salt",
+        F.pmod(F.xxhash64(*[F.col(c) for c in salt_cols]),
+               F.lit(salt_buckets)).cast("int"),
+    )
+    rt = right.withColumn(
+        "__salt",
+        F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)])),
+    )
+    out = lf.join(rt, on + ["__salt"], how)
+    return out.drop("__salt")
+
+
 def semi_join(left: DataFrame, right: DataFrame, on: Sequence[str]) -> DataFrame:
     """EXISTS — rows of left with a match in right; right is never widened,
     so Spark can broadcast just its distinct keys."""

@@ -179,9 +179,42 @@ def _tomb_path(path: str) -> str:
 # recover_store / _sweep_store classify every directory purely from
 # manifest-vs-version-id arithmetic — no `.preswap` aside trees, no
 # `_MOVED` marker archaeology, no multi-step teardown ordering proofs.
+#
 # Writer contract: ONE writer at a time (same as the corpus loop and
-# every LSM store without a lock service) — readers need no
-# coordination at any point.
+# every LSM store without a lock service). The contract is ENFORCED
+# loudly, not assumed (r14 verdict #3): every commit re-reads the
+# manifest immediately before its rename and refuses when ``txn`` moved
+# since the rewrite began — a second concurrent writer gets a
+# ConcurrentStoreWriteError instead of silently last-write-winning the
+# rename. This is a loud-failure guard, not a lock service: the
+# read-check-rename window is not atomic, so two writers racing inside
+# it can still both commit — deployments with genuinely concurrent
+# writers need an external lock or a CAS-capable metastore.
+#
+# Reader contract (r14 ADVICE, medium): snapshot isolation holds for
+# RESOLUTION — a reader resolves the complete version set of exactly
+# one committed transaction in a single manifest read and can never see
+# a torn pair. It does NOT, by default, hold for the lifetime of a lazy
+# plan: Spark lists files at read-creation but opens them at job
+# execution, and the post-commit sweep rmtree's superseded versions
+# immediately, so an in-flight scan resolved against the PREVIOUS
+# manifest can fail with FileNotFound if a rewrite lands mid-scan. For
+# single-writer batch harnesses (this repo's driver), "finish scans
+# before rewriting" is the documented contract; deployments with
+# long-lived concurrent readers pass ``retain_versions=N`` to the
+# rewrite verbs — superseded snapshots then stay on disk (recorded in
+# the manifest's ``retain`` list, exactly Delta's vacuum-window model)
+# until :func:`vacuum_store` or a later rewrite ages them out.
+#
+# Durability scope (r14 ADVICE, low): the protocol is PROCESS-crash
+# safe by construction and POWER-LOSS safe on fsync-honoring local
+# filesystems: staged version directories are fsynced file-by-file
+# (and their directories) before the commit rename, the manifest temp
+# file is fsynced before its rename, and the store directory is fsynced
+# after it. The previous committed manifest is kept at
+# ``_MANIFEST.json.bak`` so recover_store can restore the last good
+# snapshot if the final rename itself tears (non-atomic-rename network
+# mounts).
 
 import re as _re
 
@@ -204,11 +237,14 @@ def _read_store_manifest(path: str) -> "dict | None":
         return None
     except (json.JSONDecodeError, ValueError) as exc:
         # store manifests have been write-then-rename from birth, so a
-        # torn one cannot come from this protocol — refuse to guess
+        # torn one can only come from a filesystem whose rename is not
+        # atomic (or foreign tampering) — refuse to guess, but point at
+        # the automated remedy: recover_store restores the last
+        # committed snapshot from _MANIFEST.json.bak (r14 ADVICE)
         raise ValueError(
             f"unreadable store manifest {_store_manifest_path(path)!r}: "
-            f"{exc} — not produced by this protocol; restore it or remove "
-            "the store"
+            f"{exc} — run recover_store() to restore the last committed "
+            "manifest from its .bak, or restore/remove the store manually"
         )
 
 
@@ -230,20 +266,108 @@ def _init_store_manifest(path: str) -> dict:
     }
 
 
-def _commit_store_manifest(path: str, man: dict) -> None:
+_UNREAD = object()
+
+
+class ConcurrentStoreWriteError(RuntimeError):
+    """A second writer committed to the store while this rewrite was
+    staging: the manifest ``txn`` moved between the rewrite's snapshot
+    read and its commit. The losing rewrite's staged version is left for
+    the sweep; nothing was published. Single-writer fencing (r14 verdict
+    #3) — a loud-failure guard, not a lock service (see module notes)."""
+
+
+def _fsync_tree(root: str) -> None:
+    """fsync every regular file under ``root`` (then each directory,
+    deepest-first, then ``root`` itself): staged version contents written
+    by Spark/pyarrow are otherwise only in the page cache when the
+    manifest rename publishes them, so a power loss could leave a
+    durable manifest referencing torn parquet (r14 ADVICE, low). Cost is
+    one open+fsync per file — file counts per version are partition-
+    sized, not row-sized."""
+    import os
+
+    if not os.path.isdir(root):
+        return
+    dirs = []
+    for d, _subdirs, files in os.walk(root):
+        dirs.append(d)
+        for f in files:
+            fd = os.open(os.path.join(d, f), os.O_RDONLY)
+            try:
+                os.fsync(fd)
+            finally:
+                os.close(fd)
+    for d in sorted(dirs, key=len, reverse=True):
+        fd = os.open(d, os.O_RDONLY)
+        try:
+            os.fsync(fd)
+        finally:
+            os.close(fd)
+
+
+def _fsync_path(p: str) -> None:
+    """fsync a single file or directory path (best-effort on platforms
+    whose directory fds reject fsync)."""
+    import os
+
+    try:
+        fd = os.open(p, os.O_RDONLY)
+    except OSError:
+        return
+    try:
+        os.fsync(fd)
+    except OSError:
+        pass
+    finally:
+        os.close(fd)
+
+
+def _commit_store_manifest(path: str, man: dict, expect_txn=_UNREAD) -> None:
+    """Publish ``man`` as the store's committed snapshot: temp-file +
+    fsync + atomic rename, with the store directory fsynced after the
+    rename (the rename itself must be durable) and the PREVIOUS
+    committed manifest preserved at ``_MANIFEST.json.bak`` first (the
+    recovery source for a torn final rename — r14 ADVICE, low).
+
+    ``expect_txn`` is the single-writer fence (r14 verdict #3): the txn
+    the writer observed when it began (None = no manifest existed; the
+    default sentinel skips the fence for unguarded callers). The
+    manifest is re-read immediately before the rename and the commit
+    refuses with :class:`ConcurrentStoreWriteError` when it moved."""
     import json
     import os
 
+    if expect_txn is not _UNREAD:
+        cur = _read_store_manifest(path)
+        cur_txn = None if cur is None else int(cur["txn"])
+        if cur_txn != expect_txn:
+            raise ConcurrentStoreWriteError(
+                f"store manifest at {path!r} advanced to txn={cur_txn} "
+                f"(writer {cur.get('writer') if cur else None!r}) while "
+                f"this rewrite (begun at txn={expect_txn}) was staging — "
+                "single-writer contract violated; re-run the rewrite "
+                "against the new snapshot"
+            )
     mp = _store_manifest_path(path)
+    if os.path.isfile(mp):
+        bak_tmp = mp + ".bak.tmp"
+        with open(mp, "rb") as src, open(bak_tmp, "wb") as dst:
+            dst.write(src.read())
+            dst.flush()
+            os.fsync(dst.fileno())
+        os.rename(bak_tmp, mp + ".bak")
+    import socket
+
+    man = dict(man)
+    man["writer"] = f"{socket.gethostname()}:{os.getpid()}"
     tmp = mp + ".tmp"
     with open(tmp, "w") as fh:
         json.dump(man, fh)
         fh.flush()
         os.fsync(fh.fileno())
     os.rename(tmp, mp)
-
-
-_UNREAD = object()
+    _fsync_path(path.rstrip("/"))
 
 
 def _data_dir(path: str, man=_UNREAD) -> str:
@@ -281,14 +405,30 @@ def _tombs_dir(path: str, man=_UNREAD) -> "str | None":
     return os.path.join(base, t)
 
 
+def _retained_dirs(man: dict) -> set:
+    """Versioned directory names held by the manifest's ``retain`` list
+    (superseded snapshots kept for in-flight readers — r14 ADVICE): the
+    sweep must not touch them."""
+    out = set()
+    for snap in man.get("retain") or []:
+        for key in ("data", "tombs", "cents"):
+            d = snap.get(key)
+            if d and _VERSIONED.match(d):
+                out.add(d)
+    return out
+
+
 def _sweep_store(path: str) -> tuple:
     """Garbage-collect everything the manifest does not reference:
     staged-but-uncommitted versions (id > txn — a rewrite crashed
     before its commit), superseded versions and legacy root data /
     sibling sidecars (a rewrite crashed after its commit, or simply
-    has not been swept), and a torn ``_MANIFEST.json.tmp``. Purely
-    manifest-driven and idempotent. Returns (uncommitted_dropped,
-    garbage_dropped) booleans. No-op on a manifest-less store."""
+    has not been swept), and a torn ``_MANIFEST.json.tmp``. Versions in
+    the manifest's ``retain`` list are NOT garbage — they are kept for
+    in-flight readers until :func:`vacuum_store` or a later rewrite
+    ages them out. Purely manifest-driven and idempotent. Returns
+    (uncommitted_dropped, garbage_dropped) booleans. No-op on a
+    manifest-less store."""
     import os
     import shutil
 
@@ -307,6 +447,7 @@ def _sweep_store(path: str) -> tuple:
                 uncommitted = True
         return uncommitted, garbage
     keep = {man["data"], man.get("tombs"), man.get("cents")}
+    keep |= _retained_dirs(man)
     for d in os.listdir(base):
         m = _VERSIONED.match(d)
         if m and d not in keep:
@@ -417,10 +558,18 @@ def recover_store(path: str) -> str:
       ``.centroids.next`` from the pre-r14 protocol is discarded as
       pre-commit staging, preserving the old semantics).
 
+    A torn FINAL ``_MANIFEST.json`` (possible only on filesystems whose
+    rename is not atomic — e.g. some network mounts losing power mid-
+    rename) is restored from the previous committed snapshot kept at
+    ``_MANIFEST.json.bak`` (r14 ADVICE, low) and classified
+    ``"rolled_back"``: the interrupted commit never happened. With no
+    readable ``.bak`` the original refusal stands.
+
     A store interrupted under the PRE-r14 rename-swap protocol (a
     ``.preswap`` aside tree exists) is refused loudly rather than
     guessed at — that protocol's states cannot arise from this code.
     """
+    import json
     import os
     import shutil
 
@@ -431,6 +580,28 @@ def recover_store(path: str) -> str:
             "under the pre-r14 rename-swap protocol, which this version "
             "no longer replays — restore it manually"
         )
+    restored = False
+    try:
+        _read_store_manifest(base)
+    except ValueError as torn:
+        mp = _store_manifest_path(base)
+        try:
+            with open(mp + ".bak") as fh:
+                bak = json.load(fh)
+        except (FileNotFoundError, json.JSONDecodeError, ValueError):
+            raise torn  # the original refusal: no good .bak to restore
+        # restore the last committed snapshot atomically WITHOUT routing
+        # through _commit_store_manifest — that would first back the torn
+        # final up over the good .bak, and a crash mid-restore would then
+        # have destroyed both copies
+        tmp = mp + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(bak, fh)
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.rename(tmp, mp)
+        _fsync_path(base)
+        restored = True
     uncommitted, garbage = _sweep_store(base)
     # legacy pre-r14 staging: a quantizer staged beside a store with no
     # in-flight rewrite would pair new centroids with the old layout —
@@ -439,7 +610,7 @@ def recover_store(path: str) -> str:
                 ".rebalance.tmp"):
         if os.path.isdir(base + sfx):
             shutil.rmtree(base + sfx)
-    if uncommitted:
+    if restored or uncommitted:
         return "rolled_back"
     if garbage:
         return "rolled_forward"
@@ -447,13 +618,25 @@ def recover_store(path: str) -> str:
 
 
 def _rewrite_store(path: str, stage, *, part: str, clear_tombs: bool,
-                   new_cents=None) -> None:
+                   new_cents=None, retain_versions: int = 0) -> None:
     """Shared commit path for every store rewrite: derive the next txn,
     let ``stage(data_dir)`` write the complete new data version (and
-    write the staged quantizer when ``new_cents`` is given), then flip
-    the manifest in ONE atomic rename and sweep. A crash before the
-    rename leaves the old snapshot fully live; after it, fully the new
-    one — there is no intermediate state for readers at any point."""
+    write the staged quantizer when ``new_cents`` is given), fsync the
+    staged contents (power-loss durability — the manifest must never be
+    more durable than the version it references), then flip the manifest
+    in ONE atomic FENCED rename and sweep. A crash before the rename
+    leaves the old snapshot fully live; after it, fully the new one —
+    there is no intermediate state for readers at any point.
+
+    ``retain_versions``: how many superseded snapshots to keep on disk
+    for in-flight readers (r14 ADVICE, medium — a lazy Spark plan
+    resolved against the previous manifest opens its files at job
+    execution, so the default immediate sweep requires scans to finish
+    before a rewrite). With N>0 the previous snapshot's versioned dirs
+    enter the manifest's ``retain`` list (oldest aged out beyond N and
+    swept); legacy root-layout data cannot be retained — the first
+    migrating rewrite always reclaims the root (documented one-time
+    caveat)."""
     import os
 
     if os.path.isdir(path.rstrip("/") + ".preswap"):
@@ -466,10 +649,27 @@ def _rewrite_store(path: str, stage, *, part: str, clear_tombs: bool,
             "it manually before rewriting"
         )
     man = _init_store_manifest(path)
+    expect_txn = (
+        None if _read_store_manifest(path) is None else int(man["txn"])
+    )
     txn = int(man["txn"]) + 1
     base = path.rstrip("/")
     data_name = f"_data-v{txn:05d}"
     stage(os.path.join(base, data_name))
+    _fsync_tree(os.path.join(base, data_name))
+    prev_snap = {
+        "txn": int(man["txn"]),
+        "data": man["data"],
+        "tombs": man.get("tombs"),
+        "cents": man.get("cents"),
+    }
+    retain = list(man.get("retain") or [])
+    if retain_versions > 0 and any(
+        d and _VERSIONED.match(d)
+        for d in (prev_snap["data"], prev_snap["tombs"], prev_snap["cents"])
+    ):
+        retain.insert(0, prev_snap)
+    man["retain"] = retain[:retain_versions]
     man["txn"] = txn
     man["data"] = data_name
     if clear_tombs:
@@ -477,9 +677,30 @@ def _rewrite_store(path: str, stage, *, part: str, clear_tombs: bool,
     if new_cents is not None:
         cents_name = f"_cents-v{txn:05d}"
         _write_centroids_dir(os.path.join(base, cents_name), new_cents)
+        _fsync_tree(os.path.join(base, cents_name))
         man["cents"] = cents_name
-    _commit_store_manifest(base, man)
+    _commit_store_manifest(base, man, expect_txn=expect_txn)
     _sweep_store(base)
+
+
+def vacuum_store(path: str, retain_versions: int = 0) -> bool:
+    """Age retained superseded snapshots out of the store: trim the
+    manifest's ``retain`` list to ``retain_versions`` entries (0 =
+    reclaim everything superseded) in one fenced commit, then sweep.
+    The explicit GC verb for deployments that rewrite with
+    ``retain_versions>0`` — Delta's VACUUM, without the time-based
+    window (snapshots are aged by count; callers wanting wall-clock
+    retention schedule the vacuum). Returns True when anything was
+    reclaimed. No-op (False) on a manifest-less legacy store."""
+    man = _read_store_manifest(path)
+    if man is None:
+        return False
+    retain = list(man.get("retain") or [])
+    if len(retain) > retain_versions:
+        man["retain"] = retain[:retain_versions]
+        _commit_store_manifest(path, man, expect_txn=int(man["txn"]))
+    _uncommitted, garbage = _sweep_store(path)
+    return garbage
 
 
 def append_vector_store(
@@ -599,7 +820,13 @@ def delete_from_vector_store(
         # manifest stays the single source of truth for readers. Crash
         # semantics: a crash before the commit leaves an orphan dir the
         # sweep discards (the delete simply never happened — retry);
-        # there is no partial-delete state a reader can observe
+        # there is no partial-delete state a reader can observe.
+        # Sweep FIRST (r14 ADVICE, low): a _data-v{txn+1} orphan from a
+        # rewrite that crashed pre-commit is discarded now, while its id
+        # still reads as staged (> txn) — otherwise this commit's txn
+        # bump would alias it into "superseded" and a later recover_store
+        # would misreport rolled_forward for a rewrite that rolled back
+        _sweep_store(path)
         man = _init_store_manifest(path)
         txn = int(man["txn"]) + 1
         name = f"_tombs-v{txn:05d}"
@@ -614,11 +841,16 @@ def delete_from_vector_store(
         os.makedirs(tpath)
         pq.write_table(
             tbl, os.path.join(tpath, f"tomb-{uuid.uuid4().hex}.parquet"))
+        _fsync_tree(tpath)  # durable before the manifest references it
         man["txn"], man["tombs"] = txn, name
-        _commit_store_manifest(path, man)
+        _commit_store_manifest(path, man, expect_txn=int(man["txn"]) - 1)
+        _sweep_store(path)  # mirror _rewrite_store's post-commit sweep
         return
     os.makedirs(tpath, exist_ok=True)
-    pq.write_table(tbl, os.path.join(tpath, f"tomb-{uuid.uuid4().hex}.parquet"))
+    tf = os.path.join(tpath, f"tomb-{uuid.uuid4().hex}.parquet")
+    pq.write_table(tbl, tf)
+    _fsync_path(tf)
+    _fsync_path(tpath)
 
 
 # --- IVF-partitioned store: probe-limited scanning ------------------------
@@ -802,6 +1034,7 @@ def rebalance_ivf_store(
     path: str,
     id_col: str = "vec_id",
     num_centroids: "int | None" = None,
+    retain_versions: int = 0,
 ) -> float:
     """Re-train the coarse quantizer on the store's LIVE vectors and
     re-partition the store by the new cells — the repair for append
@@ -839,6 +1072,7 @@ def rebalance_ivf_store(
     _rewrite_store(
         path, lambda d: write_partitioned(merged, d, "cell"),
         part="cell", clear_tombs=True, new_cents=cents,
+        retain_versions=retain_versions,
     )
     return ivf_skew_ratio(ivf_cell_rows(path))
 
@@ -913,7 +1147,10 @@ def ivf_topk_from_store(
     )
 
 
-def compact_vector_store(spark: SparkSession, path: str, id_col: str = "vec_id") -> int:
+def compact_vector_store(
+    spark: SparkSession, path: str, id_col: str = "vec_id",
+    retain_versions: int = 0,
+) -> int:
     """Physical reclamation for ANY store layout: rewrite the store
     keeping only LIVE rows (tombstone shadowing resolved once, seqs
     reset to epoch 0) and drop the tombstone set — the LSM compaction
@@ -950,7 +1187,8 @@ def compact_vector_store(spark: SparkSession, path: str, id_col: str = "vec_id")
         write_partitioned(merged, d, part)
         staged_rows["n"] = _dir_rows(d, part)
 
-    _rewrite_store(path, _stage, part=part, clear_tombs=True)
+    _rewrite_store(path, _stage, part=part, clear_tombs=True,
+                   retain_versions=retain_versions)
     return staged_rows["n"]
 
 
@@ -1650,6 +1888,7 @@ def tune_probes(
     pool: int = 50,
     target_recall: float = 0.9,
     max_nprobe: int | None = None,
+    sample_queries: int | None = None,
 ) -> dict:
     """Recall-targeted nprobe for an IVF or IVF-PQ store (r13 verdict
     #2): evaluate nprobe ascending against the exact top-k on the SAME
@@ -1661,10 +1900,24 @@ def tune_probes(
     Probe sets are nested in nprobe, so the ascending scan returns the
     MINIMAL hitting value; IVF-flat recall is monotone in nprobe
     (superset candidates, exact re-rank). Each evaluation is one probe-
-    pruned scoring job over a bounded query sample — the tuner's cost is
-    nprobe_hit small jobs, not a grid. The store kind is detected from
-    the ``_books`` sidecar; both kinds share the persisted coarse
-    quantizer, so cell sizes come from ONE groupBy over live rows."""
+    pruned scoring job over a bounded query sample — pass
+    ``sample_queries=N`` to cap the set deterministically (smallest N
+    ids) when the caller's query frame is not already bounded; the
+    exact baseline scores every query against the full live corpus, so
+    an unbounded query set makes the tuner itself the expensive job.
+    The store kind is detected from the ``_books`` sidecar; both kinds
+    share the persisted coarse quantizer, so cell sizes come from ONE
+    groupBy over live rows.
+
+    Exact-baseline source (r14 ADVICE, low): for the IVF-FLAT path the
+    baseline is computed from the store's own LIVE rows
+    (``load_vector_store`` — tombstone-shadowed, appends included), so
+    recall is measured against what the store can actually return and
+    a drifted ``corpus`` argument cannot silently skew it (``corpus``
+    is ignored for flat stores). The IVF-PQ path has no raw vectors in
+    the store — the exact re-rank NEEDS ``corpus``, whose contract is
+    therefore corpus == the store's live rows; violating it yields a
+    recall against the wrong reference."""
     import os
 
     from parallel_pandas_spark.operators.similarity import (
@@ -1673,6 +1926,8 @@ def tune_probes(
 
     is_pq = os.path.isdir(os.path.join(store_path, "_books"))
     codes_path = f"{store_path}/codes" if is_pq else store_path
+    if sample_queries is not None:
+        queries = queries.orderBy(F.col(id_col).asc()).limit(sample_queries)
     cents = read_ivf_centroids(store_path)
     n_cells = len(cents)
     if max_nprobe is None:
@@ -1706,7 +1961,15 @@ def tune_probes(
     ).collect()
     cell_order = {r["qid"]: list(r["cells"]) for r in order_rows}
 
-    exact = cosine_topk(corpus, queries, id_col, vec_col, k=k)
+    if is_pq:
+        exact_corpus = corpus
+    else:
+        # flat store: the raw vectors live in the store itself — derive
+        # the baseline from the SAME snapshot the approximate side scores
+        exact_corpus = load_vector_store(spark, codes_path, id_col).select(
+            id_col, F.col("v").alias(vec_col)
+        )
+    exact = cosine_topk(exact_corpus, queries, id_col, vec_col, k=k)
     evaluated = []
     best = None
     nprobe = 1

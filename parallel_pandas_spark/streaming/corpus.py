@@ -167,9 +167,28 @@ def _init_manifest(work_dir: str) -> dict:
     }
 
 
-def _commit_manifest(work_dir: str, man: dict) -> None:
+def _commit_manifest(work_dir: str, man: dict, expect_txn=None) -> None:
+    """Atomic manifest publish. ``expect_txn`` (r14 verdict #3, the same
+    fence as vecstore._commit_store_manifest): the txn the writer read
+    when it began — the commit re-reads the manifest immediately before
+    the rename and refuses when a concurrent writer moved it, instead of
+    silently last-write-winning. Loud-failure guard, not a lock."""
     import json
 
+    if expect_txn is not None:
+        cur = _read_manifest(work_dir)
+        cur_txn = 0 if cur is None else int(cur["txn"])
+        if cur_txn != int(expect_txn):
+            from parallel_pandas_spark.operators.vecstore import (
+                ConcurrentStoreWriteError,
+            )
+
+            raise ConcurrentStoreWriteError(
+                f"corpus manifest at {work_dir!r} advanced to "
+                f"txn={cur_txn} while this writer (begun at "
+                f"txn={expect_txn}) was staging — single-writer contract "
+                "violated; re-run against the new snapshot"
+            )
     os.makedirs(work_dir, exist_ok=True)
     tmp = _manifest_path(work_dir) + ".tmp"
     with open(tmp, "w") as fh:
@@ -228,6 +247,9 @@ def run_corpus_refresh_stream(
     cols = list(spec)
 
     def write_batch(batch_df, batch_id: int) -> None:
+        # fence anchor (r14 verdict #3): the txn this batch resolved its
+        # input snapshots at — the commit refuses if it moved meanwhile
+        begun_txn = int(_init_manifest(work_dir)["txn"])
         snap_di = _latest_dir(work_dir, "docindex", batch_id) or base_docindex
         snap_co = _latest_dir(work_dir, "corpus", batch_id) or base_corpus
         di = spark.read.parquet(snap_di)
@@ -261,7 +283,7 @@ def run_corpus_refresh_stream(
             if batch_id not in man[k]:
                 man[k] = sorted(man[k] + [batch_id])
         man["txn"] += 1
-        _commit_manifest(work_dir, man)
+        _commit_manifest(work_dir, man, expect_txn=begun_txn)
 
     return run_foreach_batch(
         spark, make_stream, write_batch, checkpoint_dir,
@@ -356,6 +378,9 @@ def compact_corpus_artifacts(
     keys = list(keys)
     cols = list(spec)
     st_dir = os.path.join(work_dir, "state")
+    # fence anchor (r14 verdict #3): the txn this compaction read its
+    # inputs at — the commit below refuses if a concurrent writer moved it
+    begun_txn = int(_init_manifest(work_dir)["txn"])
     # purge snapshots a crashed fold left UNCOMMITTED — unreferenced by
     # the manifest (legacy: no _SUCCESS) — so the fold below re-runs
     # from the still-present deltas
@@ -402,7 +427,7 @@ def compact_corpus_artifacts(
     for k in ("docindex", "corpus"):
         man[k] = sorted(man[k])[-keep_last:]
     man["txn"] += 1
-    _commit_manifest(work_dir, man)
+    _commit_manifest(work_dir, man, expect_txn=begun_txn)
     deleted = 0
     live = {
         "docindex": set(man["docindex"]),
