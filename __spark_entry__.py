@@ -2989,24 +2989,182 @@ def ivf_maint_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _structured_sql_cte() -> str:
+    """DuckDB twin of ``similarity.structured_embeddings``: the SAME
+    float64 centroid matrix and decay powers (one source —
+    similarity.structured_params), applied in the same op order
+    (mu[label%10] + float64(vec[i]) * power[i]), bit-identical to the
+    Spark derivation. The literals ride in as STRING casts
+    ('[..]'::DOUBLE[][]): DuckDB parses bare numeric literals as
+    DECIMAL and the DECIMAL->DOUBLE conversion double-rounds (measured:
+    139/704 of these values come back 1 ulp off), while VARCHAR->DOUBLE
+    is correctly rounded."""
+    from parallel_pandas_spark.operators.similarity import structured_params
+
+    mu, powers = structured_params()
+    mu_lit = ("'[" + ",".join(
+        "[" + ",".join(repr(x) for x in row) + "]" for row in mu
+    ) + "]'::DOUBLE[][]")
+    pw_lit = "'[" + ",".join(repr(x) for x in powers) + "]'::DOUBLE[]"
+    return f"""
+__mu AS (SELECT {mu_lit} AS m, {pw_lit} AS p),
+semb AS (
+  SELECT e.vec_id,
+         list_transform(range(1, 65), i ->
+           __mu.m[(e.label % 10) + 1][i]
+           + CAST(e.embedding[i] AS DOUBLE) * __mu.p[i]) AS emb
+  FROM embeddings e CROSS JOIN __mu)"""
+
+
+def _ivf_tuned_oracle(
+    num_centroids: int = 16, k: int = 5, target_recall: float = 0.95
+) -> str:
+    """SQL replay of the WHOLE tuner decision plus the scoring at the
+    tuned setting: derive the structured column, re-derive the same
+    centroids/cells, build every (query, corpus-row) pair ONCE with the
+    cell-rank at which the row becomes probe-visible, evaluate recall@k
+    against the exact top-k for every nprobe candidate, choose the
+    MINIMAL nprobe clearing the target (else max_nprobe) exactly as
+    tune_probes does, and emit the top-k at that setting tagged with
+    the chosen nprobe — so a divergence in EITHER the tuner's choice or
+    the scored result hash-fails. The recall threshold is decision-safe
+    across engines: attainable recalls are multiples of 1/(k·|Q|) =
+    0.02, never within float error of 0.95."""
+    dot_sc = _DOT_SQL.format(d=64, a="s.emb", b="c.cvec")
+    dot_qc = _DOT_SQL.format(d=64, a="q.emb", b="c.cvec")
+    return f"""
+WITH {_structured_sql_cte()},
+cents AS (
+  SELECT vec_id AS cid, emb AS cvec,
+         {_DOT_SQL.format(d=64, a="emb", b="emb")} AS cc
+  FROM semb ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT {num_centroids}),
+asg AS (
+  SELECT vec_id AS neighbor_id, cv, cell FROM (
+    SELECT s.vec_id, s.emb AS cv, c.cid AS cell,
+           ROW_NUMBER() OVER (PARTITION BY s.vec_id
+                              ORDER BY -2.0 * ({dot_sc}) + c.cc, c.cid) AS rn
+    FROM semb s CROSS JOIN cents c) WHERE rn = 1),
+qord AS (
+  SELECT query_id, qv, cell, crank FROM (
+    SELECT q.vec_id AS query_id, q.emb AS qv, c.cid AS cell,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                              ORDER BY -2.0 * ({dot_qc}) + c.cc, c.cid)
+               AS crank
+    FROM (SELECT vec_id, emb FROM semb WHERE vec_id < 10) q
+         CROSS JOIN cents c)),
+cand AS (
+  SELECT qo.query_id, a.neighbor_id, qo.crank,
+         ROUND({_DOT_SQL.format(d=64, a="qo.qv", b="a.cv")}
+           / (SQRT({_DOT_SQL.format(d=64, a="qo.qv", b="qo.qv")})
+              * SQRT({_DOT_SQL.format(d=64, a="a.cv", b="a.cv")})), 6)
+             AS cosine
+  FROM asg a JOIN qord qo ON a.cell = qo.cell
+  WHERE qo.query_id <> a.neighbor_id),
+ext AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, neighbor_id ASC) AS r
+    FROM cand) WHERE r <= {k}),
+lv AS (SELECT UNNEST(range(1, {num_centroids} + 1)) AS j),
+apx AS (
+  SELECT lv.j, query_id, neighbor_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY lv.j, query_id
+                            ORDER BY cosine DESC, neighbor_id ASC) AS r
+  FROM cand CROSS JOIN lv WHERE cand.crank <= lv.j),
+topj AS (SELECT * FROM apx WHERE r <= {k}),
+rec AS (
+  SELECT j, AVG(hr) AS recall FROM (
+    SELECT lv.j, en.query_id, COALESCE(h.h, 0) * 1.0 / en.n AS hr
+    FROM (SELECT query_id, COUNT(*) AS n FROM ext GROUP BY query_id) en
+    CROSS JOIN lv
+    LEFT JOIN (SELECT t.j, t.query_id, COUNT(*) AS h
+               FROM topj t JOIN ext e USING (query_id, neighbor_id)
+               GROUP BY t.j, t.query_id) h
+      ON h.j = lv.j AND h.query_id = en.query_id)
+  GROUP BY j),
+chosen AS (
+  SELECT COALESCE(MIN(j) FILTER (WHERE recall >= {target_recall}),
+                  MAX(j)) AS cj
+  FROM rec)
+SELECT t.query_id, t.neighbor_id, t.cosine, t.r AS rank,
+       CAST(c.cj AS INTEGER) AS nprobe
+FROM topj t, chosen c WHERE t.j = c.cj
+"""
+
+
+def _structured_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.structured_embeddings(emb).select(
+        "vec_id", F.col("embedding_s").alias("embedding"), "label"
+    )
+
+
+def _ensure_ivfs_store(spark: SparkSession, sf_dir: str) -> str:
+    """Build-if-stale cache for the IVF store over the STRUCTURED
+    column (similarity.structured_embeddings — clustered + anisotropic,
+    the fixture where recall actually discriminates and probe counts
+    can be tuned; same marker-file pattern as _ensure_ivf_store)."""
+    return _ensure_store(
+        spark, sf_dir, "ivfsstore", "ncent=16 structured", (".centroids",),
+        lambda emb, path: vecstore.write_ivf_store(
+            similarity.structured_embeddings(emb).select(
+                "vec_id", F.col("embedding_s").alias("embedding")
+            ),
+            path, "vec_id", "embedding", num_centroids=16,
+        ),
+    )
+
+
+@_q("ivf_tuned_topk", _ivf_tuned_oracle())
+def ivf_tuned_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r15 (r14 verdict #2): the ANN tuning loop CLOSED under the hash
+    oracle — the arm's probe count is chosen by vecstore.tune_probes
+    (recall-targeted, minimal nprobe clearing 0.95 on the structured
+    column), not hand-set, and the DuckDB oracle replays the ENTIRE
+    decision: per-nprobe recall against the exact top-k, the minimal
+    hitting value, and the scored result at that setting (the chosen
+    nprobe rides in the output as a column, so a selection divergence
+    alone hash-fails). Runs on the structured fixture
+    (similarity.structured_embeddings over the driver embeddings — the
+    clustered + anisotropic column where recall discriminates;
+    r13/r14's isotropic gauge read a flat wash and could tune
+    nothing). The tuner's exact baseline comes from the store's own
+    live rows (r14 ADVICE)."""
+    path = _ensure_ivfs_store(spark, sf_dir)
+    emb_s = _structured_corpus(spark, sf_dir)
+    queries = emb_s.where(F.col("vec_id") < 10)
+    tuned = vecstore.tune_probes(
+        spark, path, emb_s, queries, "vec_id", "embedding",
+        k=5, target_recall=0.95,
+    )
+    return vecstore.ivf_topk_from_store(
+        spark, path, queries, "vec_id", "embedding",
+        k=5, nprobe=int(tuned["nprobe"]),
+    ).withColumn("nprobe", F.lit(int(tuned["nprobe"])).cast("int"))
+
+
 _bfn, _bsql = _compose_union(
     [
         ("inflight", "ivf_topk"),
         ("store", "ivf_store_topk"),
         ("maint", "ivf_maint_topk"),
+        ("tuned", "ivf_tuned_topk"),
     ]
 )
 _bfn.__doc__ = """IVF-flat ANN, in-flight, FROM the cell-partitioned
-store, and THROUGH the full maintenance lifecycle: the same
-deterministic coarse quantizer, nprobe probing, and exact cosine
-re-rank — the store arm proves the layout-as-index read path (probe
-cells -> literal PartitionFilters) end to end against the same SQL
-replay, and the maint arm drives append/delete/compact plus two
-crash-injected rebalances (one rolled back, one rolled forward by
+store, THROUGH the full maintenance lifecycle, and at a TUNER-CHOSEN
+probe count: the same deterministic coarse quantizer, nprobe probing,
+and exact cosine re-rank — the store arm proves the layout-as-index
+read path (probe cells -> literal PartitionFilters) end to end against
+the same SQL replay, the maint arm drives append/delete/compact plus
+two crash-injected rebalances (one rolled back, one rolled forward by
 recover_store) before scoring against a live-corpus replay with
-retrained centroids."""
+retrained centroids, and the (r15) tuned arm closes the tuning loop:
+nprobe comes from tune_probes(target_recall=0.95) on the structured
+column and the oracle replays the whole recall-vs-nprobe decision."""
 _q("ivf_topk", _bsql)(_bfn)
-_retire("ivf_store_topk", "ivf_maint_topk")
+_retire("ivf_store_topk", "ivf_maint_topk", "ivf_tuned_topk")
 
 
 def _lsh_topk_oracle(
@@ -5573,6 +5731,134 @@ def stream_rollup_poststate_query(spark: SparkSession, sf_dir: str) -> DataFrame
     return fin
 
 
+_SESSIONPOST_ORACLE = """
+WITH o AS (SELECT user_id, ts,
+             LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+           FROM events),
+fl AS (SELECT user_id, ts,
+         CASE WHEN prev IS NULL OR ts - prev >= INTERVAL '30 minutes'
+              THEN 1 ELSE 0 END AS newf
+       FROM o),
+g AS (SELECT user_id, ts,
+        SUM(newf) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) AS sid
+      FROM fl)
+SELECT user_id,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(MAX(ts) + INTERVAL '30 minutes', '%Y-%m-%d %H:%M:%S')
+           AS session_end,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM g GROUP BY user_id, sid
+"""
+
+
+@_q("stream_session_poststate", _SESSIONPOST_ORACLE)
+def stream_session_poststate_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """r15 (r14 verdict #7): SESSION-WINDOW streaming under the hash
+    oracle, extending the streampost pattern — the events table is cut
+    into four ascending-time slices (file source orders by mtime, so
+    slices are written sequentially with forced ascending mtimes — the
+    session stream's arrival contract); the watermarked session stream
+    (streaming/events.py stream_session_counts) runs in APPEND mode to
+    a checkpointed PARQUET sink in TWO separate queries — the first
+    drains slices 1-2 and stops (simulated crash with open session
+    state in the checkpoint), the second adds slices 3-4 and resumes
+    from the same checkpoint to the availableNow drain. The arm returns
+    the WRITTEN finalized sessions UNIONed with the batch-computed
+    unfinalizable tail (sessions whose end is past the final
+    watermark, read from the engine's committed progress) — which must
+    equal the full gaps-and-islands session set, hash-verified by
+    DuckDB: a duplicate emission, a phantom split session, a session
+    lost across the restart, or an emission the watermark did not
+    license all corrupt the union and hash-fail. Only watermark-TIMING
+    behavior (which batch finalizes what) stays rows-only in
+    stream_tumbling_live."""
+    import pathlib
+    import shutil
+    import tempfile
+
+    _utc(spark)
+    base = tempfile.mkdtemp(prefix="pps_sesspost_")
+    src, outd, ck = f"{base}/src", f"{base}/out", f"{base}/ck"
+    ev = load_table(spark, sf_dir, "events")
+    sliced = ev.withColumn(
+        "__slice",
+        F.ntile(4).over(Window.orderBy(F.col("ts").asc(),
+                                       F.col("event_id").asc())),
+    )
+    seen: set = set()
+
+    def _add_slice(k: int) -> None:
+        (
+            sliced.where(F.col("__slice") == k).drop("__slice")
+            .coalesce(1).write.mode("append").parquet(src)
+        )
+        nonlocal seen
+        now = set(pathlib.Path(src).glob("part-*.parquet")) - seen
+        for p in now:  # exactly one (coalesce(1)); ascending mtimes
+            os.utime(p, (1700000000 + k, 1700000000 + k))
+        seen = set(pathlib.Path(src).glob("part-*.parquet"))
+
+    def _run() -> dict:
+        stream = streaming_events.stream_events(spark, src, max_files=1)
+        sess = streaming_events.stream_session_counts(
+            stream, gap="30 minutes", watermark="1 minute"
+        )
+        q = (
+            sess.writeStream.format("parquet")
+            .option("path", outd)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(180):
+            q.stop()
+            q.awaitTermination()
+            raise TimeoutError("session post-state stream did not drain")
+        return q.lastProgress
+
+    _add_slice(1)
+    _add_slice(2)
+    _run()  # run 1: open sessions live ONLY in the checkpoint now
+    _add_slice(3)
+    _add_slice(4)
+    prog = _run()  # run 2: restart recovery, drains to the end
+    swm = ((prog or {}).get("eventTime") or {}).get("watermark")
+
+    sessions = (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"), F.max("ts").alias("__last"))
+    )
+    wm_lit = (
+        F.lit("1900-01-01 00:00:00") if swm is None
+        else F.lit(swm.replace("T", " ").replace("Z", ""))
+    ).cast("timestamp")
+    # the tail filter keys on max(ts)+gap, NOT w.end — the w.end form is
+    # pushed below the session merge and splits sessions (r10 regression,
+    # tests/test_streaming.py session-pushdown)
+    tail = (
+        sessions.where(
+            F.col("__last") + F.expr("INTERVAL 30 minutes") > wm_lit
+        ).select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias(
+                "session_start"),
+            F.date_format("w.end", "yyyy-MM-dd HH:mm:ss").alias(
+                "session_end"),
+            F.col("n_events").cast("long").alias("n_events"),
+        )
+    )
+    written = spark.read.schema(tail.schema).parquet(outd).select(
+        "user_id", "session_start", "session_end", "n_events"
+    )
+    out = written.unionByName(tail).localCheckpoint(eager=True)
+    shutil.rmtree(base, ignore_errors=True)
+    return out
+
+
 @_q(
     "whale_key_groupby",
     """
@@ -5622,6 +5908,7 @@ _bfn, _bsql = _compose_union(
         ("rollup", "rollup_merge_arm"),
         ("whale", "whale_key_groupby"),
         ("streampost", "stream_rollup_poststate"),
+        ("sessionpost", "stream_session_poststate"),
     ]
 )
 _bfn.__doc__ = """Grouped-aggregation edge cases: skew-safe two-stage salted
@@ -5630,12 +5917,17 @@ NULL-key semantics, (r6) value_counts with normalize/ascending, (r10)
 incremental rollup maintenance — chained merges of persisted det-style
 aggregate state equal a from-raw recompute bit-for-bit, (r14) an
 adversarial whale-key aggregation (95% of rows on one key) through the
-salted plan, and (r14) the streamed rollup POST-STATE: a checkpointed
+salted plan, (r14) the streamed rollup POST-STATE: a checkpointed
 foreachBatch run with a mid-stream restart whose written state, merged
-and finalized, is hash-verified against a DuckDB det-twin recompute."""
+and finalized, is hash-verified against a DuckDB det-twin recompute,
+and (r15) the streamed SESSION-WINDOW post-state: an append-mode
+session stream restarted mid-run from its checkpoint, whose written
+finalized sessions (plus the batch tail past the final watermark) must
+equal the full gaps-and-islands session set under the hash oracle."""
 _q("groupby_edge_battery", _bsql)(_bfn)
 _retire("salted_groupby_agg", "groupby_dropna_keys", "value_counts_arms",
-        "rollup_merge_arm", "whale_key_groupby", "stream_rollup_poststate")
+        "rollup_merge_arm", "whale_key_groupby", "stream_rollup_poststate",
+        "stream_session_poststate")
 
 _VERBS_ORACLE = """
 WITH ag AS (

@@ -364,6 +364,20 @@ def main() -> None:
             shutil.rmtree(p, ignore_errors=True)
             shutil.rmtree(p + ".rotation", ignore_errors=True)
 
+        # r15 (r14 verdict #2): the tuner's own readout on the structured
+        # store — the SAME call the driver's ivf_topk:tuned arm makes, so
+        # the bench records which nprobe the registered query actually ran
+        # at and what row fraction it probed
+        tuned = _vs2.tune_probes(
+            spark, entrymod._ensure_ivfs_store(spark, SF_DIR),
+            s_emb, s_emb.where(_F.col("vec_id") < 10),
+            "vec_id", "embedding", k=5, target_recall=0.95,
+        )
+        vec_metrics["tuned_nprobe"] = tuned["nprobe"]
+        vec_metrics["tuned_recall"] = round(tuned["recall"], 4)
+        vec_metrics["tuned_probed_fraction"] = tuned["probed_fraction"]
+        vec_metrics["tuned_hit_target"] = tuned["hit_target"]
+
     # r10 (r9 VERDICT #2): stamp the measured tree so a bench artifact can
     # never silently claim numbers for code it did not run
     import subprocess

@@ -194,6 +194,33 @@ def opq_train(X, m: int, ks: int, iters: int = 8):
     return R, errs
 
 
+def structured_params(
+    n_clusters: int = 10,
+    dim: int = 64,
+    alpha: float = 1.0,
+    decay: float = 0.92,
+    seed: int = 24,
+) -> tuple:
+    """The structured fixture's (centroid matrix, decay powers) as plain
+    float lists — shared by :func:`structured_embeddings` (JVM literals),
+    tools/gen_sf.py's numpy twin, and the driver oracle's DuckDB twin
+    (r15): all three must use the SAME float64 values, so they come from
+    one place. Decay powers by ITERATIVE multiply, not pow(): libm pow
+    is not correctly rounded and Python/numpy disagree in the last ulp
+    on 25 of 64 dims — cumulative products are bit-identical
+    everywhere."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    mu = rng.standard_normal((n_clusters, dim))
+    mu /= np.linalg.norm(mu, axis=1, keepdims=True)
+    powers, p = [], 1.0
+    for _ in range(dim):
+        powers.append(float(alpha * p))
+        p *= decay
+    return [[float(x) for x in row] for row in mu], powers
+
+
 def structured_embeddings(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -225,19 +252,8 @@ def structured_embeddings(
     Pure JVM expressions over one literal centroid matrix — a
     projection, no Python workers, no extra storage at any scale; works
     unchanged on the read-only driver fixtures."""
-    import numpy as np
-
-    rng = np.random.default_rng(seed)
-    mu = rng.standard_normal((n_clusters, dim))
-    mu /= np.linalg.norm(mu, axis=1, keepdims=True)
-    mu_lit = F.lit([[float(x) for x in row] for row in mu])
-    # decay powers by ITERATIVE multiply, not pow(): libm pow is not
-    # correctly rounded and Python/numpy disagree in the last ulp on 25
-    # of 64 dims — cumulative products are bit-identical everywhere
-    powers, p = [], 1.0
-    for _ in range(dim):
-        powers.append(float(alpha * p))
-        p *= decay
+    mu, powers = structured_params(n_clusters, dim, alpha, decay, seed)
+    mu_lit = F.lit(mu)
     scale = F.lit(powers)
     # pmod, not %: Spark's % keeps the dividend's sign (numpy's doesn't),
     # so a negative label would error (index 0) or silently diverge from
