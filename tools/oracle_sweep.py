@@ -253,10 +253,53 @@ def main() -> None:
     all_at_head = bool(results) and all(
         r.get("git_head") == head for r in results.values()
     )
+    # Sweep-level sentinel normalization (r14 verdict #6): the shared
+    # host swings sweep-hour wall clocks 0.5-3.5x between rounds on
+    # identical code, so per-query sweep times are unusable as a perf
+    # signal without a host factor. Same scheme as bench.py's
+    # BENCH_PREV.json: SWEEP_PREV.json (committed at close-out) holds
+    # the prior round's per-query SPARK-side seconds at the same
+    # fixture; the factor is the median of this_run/prev over untouched
+    # sentinel queries — divide cross-round sweep deltas by it before
+    # reading anything as a regression.
+    SENTINELS = ["q1_pricing_summary", "stats_battery", "corr_pearson",
+                 "ewm_battery", "chunk_split_by_col", "str_battery"]
+    sentinel_factor, prev_round = None, None
+    try:
+        with open(os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "SWEEP_PREV.json",
+        )) as fh:
+            prev = json.load(fh)
+        if os.path.basename(prev.get("sf_dir", "")) == os.path.basename(
+            sf_dir.rstrip("/")
+        ):
+            prev_round = prev.get("round")
+            ratios = sorted(
+                results[s]["spark_sec"] / prev["queries"][s]
+                for s in SENTINELS
+                if results.get(s, {}).get("spark_sec")
+                and prev.get("queries", {}).get(s)
+            )
+            if ratios:
+                mid = len(ratios) // 2
+                sentinel_factor = round(
+                    ratios[mid] if len(ratios) % 2
+                    else (ratios[mid - 1] + ratios[mid]) / 2, 4)
+    except Exception:  # noqa: BLE001 — normalization is best-effort
+        pass
     summary = {
         "sf_dir": sf_dir,
         "git_head": head,
         "all_at_head": all_at_head,
+        "sentinel_factor": sentinel_factor,
+        "sentinel_factor_note": (
+            "median(this_sweep_spark_sec/prev_sweep_spark_sec) over "
+            "untouched sentinels vs SWEEP_PREV.json"
+            + (f" (round {prev_round})" if prev_round else "")
+            + "; divide cross-round sweep deltas by this host-noise "
+            "factor before reading regressions"
+        ),
         "n_queries": len(results),
         "n_pass": n_pass,
         "n_fail": sum(1 for r in results.values() if r["status"] == "FAIL"),
