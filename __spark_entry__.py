@@ -5783,18 +5783,28 @@ def stream_session_poststate_query(
     base = tempfile.mkdtemp(prefix="pps_sesspost_")
     src, outd, ck = f"{base}/src", f"{base}/out", f"{base}/ck"
     ev = load_table(spark, sf_dir, "events")
-    sliced = ev.withColumn(
-        "__slice",
-        F.ntile(4).over(Window.orderBy(F.col("ts").asc(),
-                                       F.col("event_id").asc())),
-    )
+    # ascending-time slices by DETERMINISTIC ts-range cuts (exact
+    # min/max aggregate, range quartered driver-side) — not ntile over
+    # a global sort, which funnels the table through one window task;
+    # the slice filter is a plain predicate at any scale. Each slice
+    # coalesces to ONE file: the file source orders by mtime and a
+    # slice split across files would batch out of event-time order,
+    # making later rows late beyond the watermark (the arrival
+    # contract, see stream_session_counts)
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+    cuts = [lo + (hi - lo) * k // 4 for k in (1, 2, 3)]
+    bounds = [(None, cuts[0]), (cuts[0], cuts[1]), (cuts[1], cuts[2]),
+              (cuts[2], None)]
     seen: set = set()
 
     def _add_slice(k: int) -> None:
-        (
-            sliced.where(F.col("__slice") == k).drop("__slice")
-            .coalesce(1).write.mode("append").parquet(src)
-        )
+        b_lo, b_hi = bounds[k - 1]
+        part = ev
+        if b_lo is not None:
+            part = part.where(F.col("ts") >= F.lit(b_lo))
+        if b_hi is not None:
+            part = part.where(F.col("ts") < F.lit(b_hi))
+        part.coalesce(1).write.mode("append").parquet(src)
         nonlocal seen
         now = set(pathlib.Path(src).glob("part-*.parquet")) - seen
         for p in now:  # exactly one (coalesce(1)); ascending mtimes
