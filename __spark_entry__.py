@@ -3011,7 +3011,7 @@ __mu AS (SELECT {mu_lit} AS m, {pw_lit} AS p),
 semb AS (
   SELECT e.vec_id,
          list_transform(range(1, 65), i ->
-           __mu.m[(e.label % 10) + 1][i]
+           __mu.m[((e.label % 10) + 10) % 10 + 1][i]
            + CAST(e.embedding[i] AS DOUBLE) * __mu.p[i]) AS emb
   FROM embeddings e CROSS JOIN __mu)"""
 

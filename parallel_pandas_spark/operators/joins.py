@@ -167,11 +167,25 @@ def salted_join(
             f"salted_join: how={how!r} unsupported — right-side "
             "replication breaks full/right join semantics"
         )
+    if salt_buckets < 1:
+        raise ValueError(
+            f"salted_join: salt_buckets={salt_buckets} — an empty salt "
+            "array drops every right row and pmod(x, 0) NULLs the left "
+            "salt, silently losing data; pass >= 1"
+        )
     on = list(on)
     if salt_cols is None:
         salt_cols = [c for c in left.columns if c not in on]
         if not salt_cols:
-            salt_cols = on
+            # salting BY the join key is a constant per key value: the
+            # whale key's rows all land in one (key, salt) bucket — the
+            # exact funnel this operator exists to prevent — while still
+            # paying the replication overhead. Refuse, don't degrade.
+            raise ValueError(
+                "salted_join: left side has no non-key columns to salt "
+                "on — pass salt_cols naming a tiebreaker (salting on the "
+                "join key itself cannot spread a skewed key)"
+            )
     lf = left.withColumn(
         "__salt",
         F.pmod(F.xxhash64(*[F.col(c) for c in salt_cols]),

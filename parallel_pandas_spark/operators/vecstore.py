@@ -691,14 +691,26 @@ def vacuum_store(path: str, retain_versions: int = 0) -> bool:
     ``retain_versions>0`` — Delta's VACUUM, without the time-based
     window (snapshots are aged by count; callers wanting wall-clock
     retention schedule the vacuum). Returns True when anything was
-    reclaimed. No-op (False) on a manifest-less legacy store."""
+    reclaimed. No-op (False) on a manifest-less legacy store.
+
+    The vacuum is itself a WRITER: it sweeps first (so a crashed
+    rewrite's staged orphan keeps its txn-accurate classification,
+    mirroring delete), bumps ``txn`` in its commit, and fences — so a
+    rewrite racing a scheduled vacuum fails loudly at its own commit
+    instead of publishing a manifest whose staged data the vacuum's
+    sweep just removed (self-review r15: a txn-preserving vacuum was
+    invisible to the single-writer fence)."""
     man = _read_store_manifest(path)
     if man is None:
         return False
+    _sweep_store(path)
+    man = _read_store_manifest(path)
     retain = list(man.get("retain") or [])
     if len(retain) > retain_versions:
+        begun = int(man["txn"])
         man["retain"] = retain[:retain_versions]
-        _commit_store_manifest(path, man, expect_txn=int(man["txn"]))
+        man["txn"] = begun + 1
+        _commit_store_manifest(path, man, expect_txn=begun)
     _uncommitted, garbage = _sweep_store(path)
     return garbage
 
@@ -831,13 +843,9 @@ def delete_from_vector_store(
         txn = int(man["txn"]) + 1
         name = f"_tombs-v{txn:05d}"
         tpath = os.path.join(path.rstrip("/"), name)
-        # a directory already at this name can only be a CRASHED earlier
-        # delete's uncommitted orphan (same derived txn) — clear it, or
-        # its never-committed tombstones would ride this commit into
-        # liveness and shadow rows nobody asked to delete
-        import shutil
-
-        shutil.rmtree(tpath, ignore_errors=True)
+        # a same-named dir (a crashed earlier delete's uncommitted
+        # orphan at the same derived txn) was just removed by the sweep
+        # above — id > txn reads as staged — so the name is free
         os.makedirs(tpath)
         pq.write_table(
             tbl, os.path.join(tpath, f"tomb-{uuid.uuid4().hex}.parquet"))

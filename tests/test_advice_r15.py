@@ -110,9 +110,14 @@ def test_retained_version_survives_rewrite_then_vacuums(
     # the in-flight plan executes AFTER the rewrite, against v1's files
     assert reader.count() == n_before
     assert vs.recover_store(path) == "clean"  # retained != garbage
+    txn_before = int(vs._read_store_manifest(path)["txn"])
     assert vs.vacuum_store(path) is True
     assert not os.path.isdir(os.path.join(path, retained))
-    assert vs._read_store_manifest(path)["retain"] == []
+    man_after = vs._read_store_manifest(path)
+    assert man_after["retain"] == []
+    # the vacuum is a WRITER: its commit bumps txn so a rewrite racing
+    # it trips the single-writer fence (self-review r15)
+    assert int(man_after["txn"]) == txn_before + 1
     assert vs.load_vector_store(spark, path).count() == n_before
 
 

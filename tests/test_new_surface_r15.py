@@ -117,6 +117,19 @@ def test_salted_join_refuses_replicating_hows(spark, sf_small):
             joins.salted_join(li, dim, ["sk"], how=how)
 
 
+def test_salted_join_refuses_degenerate_inputs(spark, sf_small):
+    """Self-review r15: salt_buckets<1 silently lost data (empty salt
+    array drops every right row; pmod(x,0) NULLs the left salt), and a
+    keys-only left side silently salted BY the join key — a constant
+    per key value, so the whale stayed in one bucket. Both now refuse."""
+    li = _whale_lineitem(spark, sf_small)
+    dim = _dim(spark, sf_small)
+    with pytest.raises(ValueError, match="salt_buckets"):
+        joins.salted_join(li, dim, ["sk"], salt_buckets=0)
+    with pytest.raises(ValueError, match="no non-key columns"):
+        joins.salted_join(li.select("sk"), dim, ["sk"])
+
+
 def test_scd2_apply_equals_full_rebuild_on_events(spark, sf_small):
     """The driver arm's exact identity, pinned locally: scd2_apply(
     scd2_build(even), odd) == scd2_build(even ∪ odd), on the same
