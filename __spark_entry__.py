@@ -3239,6 +3239,128 @@ def lsh_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _lsh_tuned_oracle(
+    num_planes: int = 6, k: int = 5, dim: int = 64, seed: int = 42,
+    target_recall: float = 0.95,
+) -> str:
+    """SQL replay of the LSH probe-depth DECISION plus the scoring at
+    the tuned depth — the tune_lsh_probes twin of _ivf_tuned_oracle:
+    bucket every structured row ONCE (seeded hyperplanes as
+    string-cast literals — correctly-rounded VARCHAR->DOUBLE, see
+    _structured_sql_cte), annotate each (query, corpus-row) pair with
+    its bucket Hamming distance, evaluate recall@k for depths {0,1,2}
+    against the exact top-k (candidate sets are nested in depth:
+    candidates(d) = pairs with hamming <= d), choose the minimal depth
+    clearing the target else 2 — exactly tune_lsh_probes' ascending
+    scan — and emit the top-k at that depth tagged with the chosen
+    depth. Same 0.02-granularity decision-safety argument as the IVF
+    twin."""
+    import numpy as np
+
+    planes = np.random.default_rng(seed).standard_normal((num_planes, dim))
+
+    def bucket(v: str) -> str:
+        terms = []
+        for p in range(num_planes):
+            arr = ("'[" + ",".join(repr(float(x)) for x in planes[p])
+                   + "]'::DOUBLE[]")
+            dot = (
+                f"list_sum(list_transform(range(1, {dim}+1), "
+                f"i -> CAST({v}[i] AS DOUBLE) * ({arr})[i]))"
+            )
+            terms.append(f"(CASE WHEN {dot} >= 0 THEN {1 << p} ELSE 0 END)")
+        return "(" + " + ".join(terms) + ")"
+
+    cos = (
+        f"ROUND({_DOT_SQL.format(d=dim, a='qb.qv', b='c.cv')}"
+        f" / (SQRT({_DOT_SQL.format(d=dim, a='qb.qv', b='qb.qv')})"
+        f" * SQRT({_DOT_SQL.format(d=dim, a='c.cv', b='c.cv')})), 6)"
+    )
+    return f"""
+WITH {_structured_sql_cte()},
+c AS (SELECT vec_id AS neighbor_id, emb AS cv,
+             {bucket("emb")} AS bucket
+      FROM semb),
+qb AS (SELECT vec_id AS query_id, emb AS qv,
+              {bucket("emb")} AS b0
+       FROM semb WHERE vec_id < 10),
+cand AS (
+  SELECT qb.query_id, c.neighbor_id,
+         bit_count(xor(CAST(qb.b0 AS BIGINT), CAST(c.bucket AS BIGINT)))
+             AS ham,
+         {cos} AS cosine
+  FROM c CROSS JOIN qb
+  WHERE qb.query_id <> c.neighbor_id),
+ext AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, neighbor_id ASC) AS r
+    FROM cand) WHERE r <= {k}),
+lv AS (SELECT UNNEST([0, 1, 2]) AS d),
+apx AS (
+  SELECT lv.d, query_id, neighbor_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY lv.d, query_id
+                            ORDER BY cosine DESC, neighbor_id ASC) AS r
+  FROM cand CROSS JOIN lv WHERE cand.ham <= lv.d),
+topd AS (SELECT * FROM apx WHERE r <= {k}),
+rec AS (
+  SELECT d, AVG(hr) AS recall FROM (
+    SELECT lv.d, en.query_id, COALESCE(h.h, 0) * 1.0 / en.n AS hr
+    FROM (SELECT query_id, COUNT(*) AS n FROM ext GROUP BY query_id) en
+    CROSS JOIN lv
+    LEFT JOIN (SELECT t.d, t.query_id, COUNT(*) AS h
+               FROM topd t JOIN ext e USING (query_id, neighbor_id)
+               GROUP BY t.d, t.query_id) h
+      ON h.d = lv.d AND h.query_id = en.query_id)
+  GROUP BY d),
+chosen AS (
+  SELECT COALESCE(MIN(d) FILTER (WHERE recall >= {target_recall}), 2) AS cd
+  FROM rec)
+SELECT t.query_id, t.neighbor_id, t.cosine, t.r AS rank,
+       CAST(c.cd AS INTEGER) AS probe_hamming
+FROM topd t, chosen c WHERE t.d = c.cd
+"""
+
+
+@_q("lsh_tuned_topk", _lsh_tuned_oracle())
+def lsh_tuned_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r15 (r14 verdict #2, LSH twin): multi-probe depth CHOSEN by
+    similarity.tune_lsh_probes (minimal Hamming depth clearing recall
+    0.95 on the structured column) — the oracle replays the whole
+    decision (per-depth recall vs the exact top-k over nested
+    candidate sets, minimal hitting depth, scoring at that depth,
+    chosen depth as an output column)."""
+    emb_s = _structured_corpus(spark, sf_dir)
+    queries = emb_s.where(F.col("vec_id") < 10)
+    tuned = similarity.tune_lsh_probes(
+        emb_s, queries, "vec_id", "embedding", k=5, num_planes=6,
+        target_recall=0.95, dim=64,
+    )
+    depth = int(tuned["probe_hamming"])
+    return similarity.lsh_topk(
+        emb_s, queries, "vec_id", "embedding", k=5, num_planes=6,
+        probe_hamming=depth, dim=64,
+    ).withColumn("probe_hamming", F.lit(depth).cast("int"))
+
+
+_bfn, _bsql = _compose_union(
+    [
+        ("base", "lsh_topk"),
+        ("tuned", "lsh_tuned_topk"),
+    ]
+)
+_bfn.__doc__ = """Multi-probe LSH approximate top-k — the 100 TB path
+where each query probes a few buckets instead of the corpus — plus the
+(r15) tuner-closed arm: probe depth chosen by tune_lsh_probes on the
+structured column, with the oracle replaying the recall-vs-depth
+decision (see lsh_tuned_topk_query). Both fully value-oracled: the
+seeded hyperplanes are embedded as SQL literals, so bucket codes,
+probes, and rounded-cosine ranks replay exactly."""
+_q("lsh_topk", _bsql)(_bfn)
+_retire("lsh_tuned_topk")
+
+
 _STOP_SQL = {
     "de": "['der','die','und','das','ist','nicht','ein','zu']",
     "en": "['the','and','of','to','is','in','that','it']",
