@@ -104,7 +104,7 @@ def test_maint_arm_registered_not_new_entry():
     assert len(qs) == 50
     assert "ivf_maint_topk" not in qs  # fused as an arm, not a 51st entry
     assert [t for t, _ in qs["ivf_topk"].__arms__] == [
-        "inflight", "store", "maint"]
+        "inflight", "store", "maint", "tuned"]  # tuned: r15
     assert [t for t, _ in qs["cosine_topk"].__arms__] == [
         "exact", "quant", "quantstore", "pq", "ivfpq", "opq"]
 

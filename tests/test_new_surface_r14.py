@@ -175,7 +175,8 @@ def test_r14_arms_registered_not_new_entries():
     assert "whale_key_groupby" not in qs
     assert "stream_rollup_poststate" not in qs
     assert [t for t, _ in qs["groupby_edge_battery"].__arms__] == [
-        "salted", "dropna", "vcounts", "rollup", "whale", "streampost"]
+        "salted", "dropna", "vcounts", "rollup", "whale", "streampost",
+        "sessionpost"]  # sessionpost: r15
 
 
 def test_whale_key_salted_partition_bound(spark, sf_med):

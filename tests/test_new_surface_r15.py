@@ -130,6 +130,19 @@ def test_salted_join_refuses_degenerate_inputs(spark, sf_small):
         joins.salted_join(li.select("sk"), dim, ["sk"])
 
 
+def test_r15_arms_registered_not_new_entries():
+    import __spark_entry__ as em
+
+    qs = em.queries()
+    assert len(qs) == 50
+    for retired in ("skew_join_arm", "ivf_tuned_topk", "lsh_tuned_topk",
+                    "stream_session_poststate"):
+        assert retired not in qs  # fused as arms, never 51st entries
+    assert [t for t, _ in qs["merge_battery"].__arms__] == [
+        "inner", "outer", "semi_anti", "verbs", "cdc", "skewjoin"]
+    assert [t for t, _ in qs["lsh_topk"].__arms__] == ["base", "tuned"]
+
+
 def test_scd2_apply_equals_full_rebuild_on_events(spark, sf_small):
     """The driver arm's exact identity, pinned locally: scd2_apply(
     scd2_build(even), odd) == scd2_build(even ∪ odd), on the same
