@@ -6350,6 +6350,18 @@ def skew_join_arm(spark: SparkSession, sf_dir: str) -> DataFrame:
         li, dim, ["sk"], how="inner", salt_buckets=16,
         salt_cols=["l_orderkey", "l_linenumber"],
     )
+    # r15 verdict #6: the green hash row must certify the SALTED
+    # exchange, not a broadcast fallback — assert the physical plan
+    # hashes the join exchange on (sk, __salt) before returning.
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    if "ShuffledHashJoin" not in plan or not (
+        "hashpartitioning" in plan and "__salt" in plan
+    ):
+        raise AssertionError(
+            "skew_join_arm: expected a salted shuffle exchange "
+            "(hashpartitioning on (sk, __salt)) in the physical plan; "
+            f"got:\n{plan[:2000]}"
+        )
     return joined.groupBy("sk", F.col("p_type").alias("sk_type")).agg(
         F.count("*").cast("long").alias("sk_rows"),
         F.sum("l_quantity").alias("sk_sum"),

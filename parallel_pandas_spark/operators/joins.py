@@ -174,6 +174,17 @@ def salted_join(
             "salt, silently losing data; pass >= 1"
         )
     on = list(on)
+    for side, cols in (("left", left.columns), ("right", right.columns)):
+        if "__salt" in cols:
+            # withColumn would silently REPLACE the caller's column (and
+            # the output drop would eat it) — corrupt-then-hide. Refuse,
+            # matching the operator's refuse-don't-degrade style
+            # (r15 ADVICE, low).
+            raise ValueError(
+                f"salted_join: {side} input already has a '__salt' "
+                "column — rename it first; the operator uses that name "
+                "internally and would overwrite it"
+            )
     if salt_cols is None:
         salt_cols = [c for c in left.columns if c not in on]
         if not salt_cols:
@@ -195,7 +206,14 @@ def salted_join(
         "__salt",
         F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)])),
     )
-    out = lf.join(rt, on + ["__salt"], how)
+    # The operator exists for the regime where the dim CANNOT be
+    # broadcast — but at test/small scale Catalyst would auto-broadcast
+    # the replicated dim, silently reducing the arm to the fallback the
+    # caller explicitly chose against (r15 verdict #6). The shuffle_hash
+    # hint pins the shuffled join, so the plan is the salted exchange
+    # hashpartitioning(key…, __salt) at EVERY scale (callers whose dim
+    # fits an executor should use F.broadcast(right) directly, not this).
+    out = lf.hint("shuffle_hash").join(rt, on + ["__salt"], how)
     return out.drop("__salt")
 
 

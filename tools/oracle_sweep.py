@@ -264,7 +264,7 @@ def main() -> None:
     # reading anything as a regression.
     SENTINELS = ["q1_pricing_summary", "stats_battery", "corr_pearson",
                  "ewm_battery", "chunk_split_by_col", "str_battery"]
-    sentinel_factor, prev_round = None, None
+    sentinel_factor, prev_round, sentinel_error = None, None, None
     try:
         with open(os.path.join(
             os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
@@ -286,13 +286,20 @@ def main() -> None:
                 sentinel_factor = round(
                     ratios[mid] if len(ratios) % 2
                     else (ratios[mid - 1] + ratios[mid]) / 2, 4)
-    except Exception:  # noqa: BLE001 — normalization is best-effort
-        pass
+    except FileNotFoundError:
+        pass  # no committed baseline yet — expected on a fresh clone
+    except (OSError, KeyError, TypeError, ValueError,
+            ZeroDivisionError, json.JSONDecodeError) as exc:
+        # a BROKEN normalization (renamed key, schema drift) must not
+        # masquerade as the missing-file case (r15 ADVICE, low): record
+        # the reason beside the null factor so the artifact says why.
+        sentinel_error = f"{type(exc).__name__}: {exc}"
     summary = {
         "sf_dir": sf_dir,
         "git_head": head,
         "all_at_head": all_at_head,
         "sentinel_factor": sentinel_factor,
+        **({"sentinel_error": sentinel_error} if sentinel_error else {}),
         "sentinel_factor_note": (
             "median(this_sweep_spark_sec/prev_sweep_spark_sec) over "
             "untouched sentinels vs SWEEP_PREV.json"
