@@ -280,6 +280,7 @@ def tune_lsh_probes(
     target_recall: float = 0.9,
     seed: int = 42,
     dim: int | None = None,
+    _per_candidate: bool = False,
 ) -> dict:
     """Recall-targeted multi-probe depth for :func:`lsh_topk` (r13
     verdict #2): evaluate ``probe_hamming`` in {0, 1, 2} ascending
@@ -287,27 +288,98 @@ def tune_lsh_probes(
     depth whose sampled recall clears ``target_recall`` — with the
     probed bucket fraction it costs, so the caller sees the
     recall/scan-cost trade explicitly. Each depth probes
-    1 / 1+P / 1+P+C(P,2) of the 2^P buckets; recall evaluation is two
-    k-row-per-query frames joined, metadata-sized at any corpus
-    scale (queries are the small side by the ANN contract)."""
+    1 / 1+P / 1+P+C(P,2) of the 2^P buckets.
+
+    Single-pass (r16, the tune_probes closure applied here): candidate
+    sets are nested in depth (hamming <= d) and the re-rank is exact
+    under the shared (cosine DESC, id ASC) order, so an exact-top-k
+    member is in the approximate top-k at every depth >= the Hamming
+    distance between its bucket and the query's — any candidate that
+    outranks it is itself in the exact top-k. The whole recall-vs-depth
+    curve therefore falls out of ONE job (exact top-k joined with both
+    sides' bucket codes), replacing one lsh_topk scoring job per depth.
+    ``_per_candidate=True`` runs the per-depth reference loop, pinned
+    equal in tests."""
+    import numpy as np
+
     exact = cosine_topk(corpus, queries, id_col, vec_col, k=k)
-    evaluated = []
-    best = None
+    if dim is None:
+        first = corpus.select(F.size(vec_col).alias("d")).first()
+        dim = first["d"] if first is not None else 0
+    planes = np.random.default_rng(seed).standard_normal((num_planes, dim))
     n_buckets = float(2**num_planes)
-    for depth in (0, 1, 2):
+
+    def _frac(depth: int) -> float:
         probes = 1.0
         if depth >= 1:
             probes += num_planes
         if depth >= 2:
             probes += num_planes * (num_planes - 1) / 2
+        return min(1.0, probes / n_buckets)
+
+    if not _per_candidate:
+        cb = corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            _bucket_expr(F.col(vec_col), planes).alias("__nb"),
+        )
+        qb = queries.select(
+            F.col(id_col).alias("query_id"),
+            _bucket_expr(F.col(vec_col), planes).alias("__qb"),
+        )
+        rows = (
+            exact.select("query_id", "neighbor_id")
+            .join(cb, "neighbor_id")
+            .join(F.broadcast(qb), "query_id")
+            .select(
+                "query_id",
+                F.bit_count(
+                    F.col("__qb").cast("long").bitwiseXOR(
+                        F.col("__nb").cast("long")
+                    )
+                ).alias("__ham"),
+            )
+            .collect()
+        )
+        n_exact: dict = {}
+        hams: dict = {}
+        for r in rows:
+            qid = r["query_id"]
+            n_exact[qid] = n_exact.get(qid, 0) + 1
+            hams.setdefault(qid, []).append(int(r["__ham"]))
+        evaluated, best = [], None
+        for depth in (0, 1, 2):
+            per = [
+                sum(1 for h in hams.get(qid, []) if h <= depth) / n
+                for qid, n in n_exact.items()
+            ]
+            rec = sum(per) / len(per) if per else float("nan")
+            evaluated.append({
+                "probe_hamming": depth, "recall": rec,
+                "probed_fraction": _frac(depth),
+            })
+            if rec >= target_recall:
+                best = evaluated[-1]
+                break
+        chosen = best or evaluated[-1]
+        return {
+            "probe_hamming": chosen["probe_hamming"],
+            "recall": chosen["recall"],
+            "probed_fraction": chosen["probed_fraction"],
+            "hit_target": best is not None,
+            "evaluated": evaluated,
+        }
+
+    evaluated = []
+    best = None
+    for depth in (0, 1, 2):
         approx = lsh_topk(
             corpus, queries, id_col, vec_col, k=k,
             num_planes=num_planes, probe_hamming=depth, seed=seed, dim=dim,
         )
         r = recall_at_k(approx, exact)
-        frac = min(1.0, probes / n_buckets)
         evaluated.append(
-            {"probe_hamming": depth, "recall": r, "probed_fraction": frac}
+            {"probe_hamming": depth, "recall": r,
+             "probed_fraction": _frac(depth)}
         )
         if r >= target_recall:
             best = evaluated[-1]

@@ -136,3 +136,23 @@ def test_tune_probes_single_pass_equals_per_candidate(spark, flat_store):
         assert a["nprobe"] == b["nprobe"]
         assert abs(a["recall"] - b["recall"]) < 1e-12, (a, b)
         assert a["probed_fraction"] == b["probed_fraction"]
+
+
+def test_tune_lsh_probes_single_pass_equals_per_depth(spark, flat_store):
+    """The same closure applied to LSH (r16): the one-job Hamming curve
+    equals the per-depth lsh_topk scoring loop on every evaluated
+    recall and on the chosen depth."""
+    _path, s = flat_store
+    queries = s.where(F.col("vec_id") < 20)
+    new = sim.tune_lsh_probes(s, queries, k=5, num_planes=6,
+                              target_recall=0.95, dim=64)
+    old = sim.tune_lsh_probes(s, queries, k=5, num_planes=6,
+                              target_recall=0.95, dim=64,
+                              _per_candidate=True)
+    assert new["probe_hamming"] == old["probe_hamming"]
+    assert new["hit_target"] == old["hit_target"]
+    assert len(new["evaluated"]) == len(old["evaluated"])
+    for a, b in zip(new["evaluated"], old["evaluated"]):
+        assert a["probe_hamming"] == b["probe_hamming"]
+        assert abs(a["recall"] - b["recall"]) < 1e-12, (a, b)
+        assert a["probed_fraction"] == b["probed_fraction"]
