@@ -2905,7 +2905,10 @@ def ivf_maint_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     crash-injected MID MOVE-ASIDE (recover_store must roll BACK to the
     compacted store, byte-complete) -> rebalance retried and
     crash-injected MID STAGED-MOVE-IN (recover_store must roll FORWARD
-    to the completed rebalance, replaying quantizer promotion) -> score.
+    to the completed rebalance, replaying quantizer promotion) ->
+    retention lifecycle (r15 verdict #5: a pre-rewrite reader completes
+    against the retain_versions=1 snapshot, then vacuum_store reclaims
+    it) -> score.
     The final top-k must hash-match the IVF replay SQL over the LIVE
     corpus with centroids re-derived from the live id population —
     exactly what the retrained quantizer does (vecstore.py:
@@ -2984,6 +2987,35 @@ def ivf_maint_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise AssertionError("post-commit crash must roll forward")
 
     queries = emb.where(F.col("vec_id") < 10)
+    # retention + vacuum under the driver gate (r15 verdict #5): resolve
+    # a reader against the CURRENT snapshot, rewrite with
+    # retain_versions=1 (the superseded snapshot stays on disk for that
+    # reader), complete the reader AGAINST THE RETAINED SNAPSHOT and
+    # require it row-identical to a fresh post-rewrite scan (compaction
+    # preserves the live multiset and cell assignments), then vacuum and
+    # require the snapshot reclaimed. Without retention the late reader
+    # dies on swept files — the r14 reader-lifetime gap, now exercised
+    # by the green hash row itself.
+    pre_reader = vecstore.ivf_topk_from_store(
+        spark, path, queries, "vec_id", "embedding", k=5, nprobe=4
+    )
+    vecstore.compact_vector_store(spark, path, "vec_id", retain_versions=1)
+    man = vecstore._read_store_manifest(path)
+    if len(man.get("retain") or []) != 1:
+        raise AssertionError(f"compact(retain_versions=1) kept no snapshot: {man}")
+    late = sorted(map(tuple, pre_reader.collect()))
+    fresh = sorted(map(tuple, vecstore.ivf_topk_from_store(
+        spark, path, queries, "vec_id", "embedding", k=5, nprobe=4
+    ).collect()))
+    if late != fresh:
+        raise AssertionError(
+            "reader completed against the retained snapshot but diverged "
+            "from the post-compaction scan"
+        )
+    if not vecstore.vacuum_store(path, 0):
+        raise AssertionError("vacuum_store reclaimed nothing")
+    if vecstore._read_store_manifest(path).get("retain"):
+        raise AssertionError("vacuum left the retain list populated")
     return vecstore.ivf_topk_from_store(
         spark, path, queries, "vec_id", "embedding", k=5, nprobe=4
     )
