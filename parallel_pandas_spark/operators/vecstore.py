@@ -1735,6 +1735,7 @@ def ivfpq_topk_from_store(
     pool: int = 50,
     nprobe: int = 4,
     round_to: int = 6,
+    keep_pool_rank: bool = False,
 ) -> DataFrame:
     """IVF-PQ top-k: each query's ``nprobe`` nearest cells come from the
     persisted coarse quantizer; the DISTINCT probe set becomes a LITERAL
@@ -1828,7 +1829,7 @@ def ivfpq_topk_from_store(
     cand = (
         pairs.withColumn("prank", F.row_number().over(wp))
         .where(F.col("prank") <= pool)
-        .select("query_id", "neighbor_id")
+        .select("query_id", "neighbor_id", "prank")
     )
     if R is None:
         matched = F.broadcast(cand).join(
@@ -1859,9 +1860,10 @@ def ivfpq_topk_from_store(
             .select(
                 "query_id",
                 "neighbor_id",
+                "prank",
                 rotate_vectors(F.col("__cv0"), R).alias("cv"),
             )
-            .select("query_id", "neighbor_id", "cv",
+            .select("query_id", "neighbor_id", "prank", "cv",
                     l2_norm(F.col("cv")).alias("cn"))
         )
     q = queries.select(
@@ -1875,6 +1877,7 @@ def ivfpq_topk_from_store(
         .select(
             "query_id",
             "neighbor_id",
+            "prank",
             F.round(
                 dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")),
                 round_to,
@@ -1884,11 +1887,95 @@ def ivfpq_topk_from_store(
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )
+    out_cols = ["query_id", "neighbor_id", "cosine", "rank"]
+    if keep_pool_rank:
+        out_cols.append("prank")
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cosine", "rank")
+        .select(*out_cols)
     )
+
+
+def tune_pool(
+    spark: SparkSession,
+    store_path: str,
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nprobe: int = 4,
+    target_recall: float = 0.9,
+    max_pool: int = 200,
+    sample_queries: int | None = None,
+) -> dict:
+    """Recall-targeted re-rank POOL for an IVF-PQ store at a fixed
+    ``nprobe`` (r15 verdict #7: the PQ arm's pool was a hand-set
+    constant, so its recall floor was whatever pool=50 happened to
+    give). Same single-pass closure as :func:`tune_probes`: pool
+    candidate sets are nested in the pool size and the re-rank is
+    exact, so an exact-top-k member enters the approximate top-k at
+    every pool >= its ADC rank and never leaves — any pooled candidate
+    that outranks it under the shared (cosine DESC, id ASC) order is
+    itself in the exact top-k. ONE ADC job at ``max_pool`` (with pool
+    ranks kept) + one exact-top-k job yields the entire recall-vs-pool
+    curve; the minimal pool clearing ``target_recall`` is returned with
+    ``hit_target=False`` when even ``max_pool`` misses (the nprobe cap
+    binds — raise nprobe, not pool).
+
+    Caveat for OPQ-rotated stores: the re-rank scores in rotated space,
+    whose ROUNDED cosines can order ties differently from the
+    unrotated exact baseline, so the closure is exact for plain PQ
+    stores (pinned in tests) and epsilon-approximate under a rotation.
+
+    The curve is reported at each pool size where it steps (a member's
+    ADC rank), capped to the first ``max_pool``-visible points."""
+    from parallel_pandas_spark.operators.similarity import cosine_topk
+
+    if sample_queries is not None:
+        queries = queries.orderBy(F.col(id_col).asc()).limit(sample_queries)
+    exact = cosine_topk(corpus, queries, id_col, vec_col, k=k)
+    pooled = ivfpq_topk_from_store(
+        spark, store_path, corpus, queries, id_col, vec_col,
+        k=max_pool, pool=max_pool, nprobe=nprobe, keep_pool_rank=True,
+    )
+    rows = (
+        exact.select("query_id", "neighbor_id")
+        .join(pooled.select("query_id", "neighbor_id", "prank"),
+              ["query_id", "neighbor_id"], "left")
+        .collect()
+    )
+    n_exact: dict = {}
+    pranks: dict = {}
+    for r in rows:
+        qid = r["query_id"]
+        n_exact[qid] = n_exact.get(qid, 0) + 1
+        if r["prank"] is not None:
+            pranks.setdefault(qid, []).append(int(r["prank"]))
+
+    def _recall(p: int) -> float:
+        per = [
+            sum(1 for x in pranks.get(qid, []) if x <= p) / n
+            for qid, n in n_exact.items()
+        ]
+        return sum(per) / len(per) if per else float("nan")
+
+    steps = sorted({x for v in pranks.values() for x in v} | {max_pool})
+    evaluated, best = [], None
+    for p in steps:
+        rec = _recall(p)
+        evaluated.append({"pool": p, "recall": rec})
+        if best is None and rec >= target_recall:
+            best = evaluated[-1]
+            break
+    chosen = best or evaluated[-1]
+    return {
+        "pool": chosen["pool"],
+        "recall": chosen["recall"],
+        "hit_target": best is not None,
+        "evaluated": evaluated,
+    }
 
 
 def tune_probes(

@@ -154,6 +154,33 @@ def test_tune_probes_honest_when_pool_binds(spark, structured, tmp_path):
     assert res["nprobe"] == 4  # best effort = last evaluated
 
 
+def test_tune_pool_raises_pq_floor(spark, structured, tmp_path):
+    """r16 (r15 verdict #7): the PQ re-rank pool joins the tuned
+    surface. tune_pool derives the whole recall-vs-pool curve from ONE
+    ADC job (pool sets are nested, re-rank exact — the tune_probes
+    closure), picks the minimal pool clearing the target, and the
+    END-TO-END scorer at that pool measures the SAME recall — raising
+    the structured-fixture PQ floor from whatever a hand-set pool
+    happened to give to a targeted >= 0.7."""
+    s, queries, exact = structured
+    store = str(tmp_path / "pq")
+    vs.write_ivfpq_store(s, store, "vec_id", "embedding", m=8, ks=16,
+                         dim=64, num_centroids=16)
+    res = vs.tune_pool(spark, store, s, queries, k=5, nprobe=4,
+                       target_recall=0.7, max_pool=200)
+    assert res["hit_target"], res
+    assert res["recall"] >= 0.7, res
+    # minimality: every curve step before the chosen pool missed
+    for e in res["evaluated"][:-1]:
+        assert e["recall"] < 0.7, res
+    # the closure is exact for plain-PQ stores: the end-to-end scorer
+    # at the tuned pool measures the identical recall
+    got = sim.recall_at_k(
+        vs.ivfpq_topk_from_store(spark, store, s, queries, k=5,
+                                 pool=res["pool"], nprobe=4), exact)
+    assert abs(got - res["recall"]) < 1e-12, (got, res["recall"])
+
+
 def test_tune_lsh_probes_picks_min_depth(spark, structured):
     s, queries, _ = structured
     res = sim.tune_lsh_probes(
