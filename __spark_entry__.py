@@ -1729,117 +1729,18 @@ def stream_tumbling_live_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         "window_start string, event_type string, n_events bigint, "
         "values_match boolean",
     )
-    # --- live corpus-maintenance arm (r12): the streaming CDC loop
-    # (streaming/corpus.py) run LIVE with a mid-stream restart against
-    # THIS fixture's documents table. Standing (docindex, corpus, rollup
-    # state) artifacts are built from doc_id % 3 != 0; a three-slice CDC
-    # feed (deletes of keepers, updates, inserts) streams through the
-    # checkpointed foreachBatch runner, stopped after one data batch and
-    # resumed to the drain. The read-out (corpus membership + finalized
-    # per-lang rollup INCLUDING extrema) must bit-equal a from-scratch
-    # rebuild on the effective docs, else every __corpusloop__ row drops.
-    import pathlib as _pl
-
-    from parallel_pandas_spark.operators import incremental as _inc
-    from parallel_pandas_spark.operators import rollup as _ru
-    from parallel_pandas_spark.operators.text import fingerprint_md5
-    from parallel_pandas_spark.streaming import corpus as _sc
-
-    cbase = _tf.mkdtemp(prefix="pps_stream_corpus_")
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "lang", "n_chars", fingerprint_md5("text").alias("fp")
-    )
-    standing = docs.where(F.col("doc_id") % 3 != 0)
-    base_di_p, base_co_p = f"{cbase}/di", f"{cbase}/co"
-    standing.write.parquet(base_di_p)
-    _inc.keepers(spark.read.parquet(base_di_p)).write.parquet(base_co_p)
-    cspec = {"n_chars": (0, 0)}
-    base_state = _ru.agg_state(
-        spark.read.parquet(base_co_p), ["lang"], cspec
-    ).localCheckpoint(eager=False)
-    # three ts-ordered slices, written sequentially with forced mtimes
-    # (the FILE source orders part files by MODIFICATION time)
-    moved = docs.where(F.col("doc_id") % 3 == 0)
-    slices = [
-        standing.where(F.col("doc_id") % 5 == 1).select(
-            "doc_id", "lang", "n_chars", "fp",
-            F.lit(10).cast("long").alias("ts"), F.lit("D").alias("op")),
-        standing.where(F.col("doc_id") % 5 == 2).select(
-            "doc_id", "lang", (F.col("n_chars") + F.lit(7)).alias("n_chars"),
-            "fp", F.lit(20).cast("long").alias("ts"),
-            F.lit("U").alias("op")),
-        moved.select(
-            "doc_id", "lang", "n_chars", "fp",
-            F.lit(30).cast("long").alias("ts"), F.lit("U").alias("op")),
-    ]
-    cfeed = f"{cbase}/changes"
-    seen: set = set()
-    for si, sl in enumerate(slices, start=1):
-        sl.coalesce(1).write.mode("append").parquet(cfeed)
-        now = set(_pl.Path(cfeed).glob("part-*.parquet")) - seen
-        os.utime(now.pop(), (1700000000 + si, 1700000000 + si))
-        seen = set(_pl.Path(cfeed).glob("part-*.parquet"))
-
-    def _mk_changes():
-        return _sc.stream_doc_changes(spark, cfeed, max_files=1)
-
-    cwork, cck = f"{cbase}/work", f"{cbase}/ckpt"
-    _sc.run_corpus_refresh_stream(
-        spark, _mk_changes, base_di_p, base_co_p, cwork, cck, cspec,
-        stop_after_batches=1,
-    )
-    # r12: changelog-compact at the restart point — fold the committed
-    # delta into a state snapshot and vacuum superseded versions, so the
-    # final read-out is served from snapshot + post-compaction deltas
-    # (the bounded-state path a long-running loop depends on)
-    _sc.compact_corpus_artifacts(spark, base_state, cwork, cspec)
-    _sc.run_corpus_refresh_stream(
-        spark, _mk_changes, base_di_p, base_co_p, cwork, cck, cspec
-    )
-    _, co_live, fin_live = _sc.corpus_stream_readout(
-        spark, base_state, cwork, cspec
-    )
-    # from-scratch truth on the effective docs
-    eff = standing.where(
-        (F.col("doc_id") % 5 != 1) & (F.col("doc_id") % 5 != 2)
-    ).unionByName(
-        standing.where(F.col("doc_id") % 5 == 2)
-        .withColumn("n_chars", F.col("n_chars") + F.lit(7))
-    ).unionByName(moved)
-    keep_ref = _inc.keepers(eff)
-    fin_ref = _ru.finalize(_ru.agg_state(keep_ref, ["lang"], cspec),
-                           ["lang"], cspec)
-    c_cond = None
-    for c in fin_live.columns:
-        e = F.col(f"i.{c}").eqNullSafe(F.col(f"r.{c}"))
-        c_cond = e if c_cond is None else c_cond & e
-    c_joined = fin_live.alias("i").join(fin_ref.alias("r"), c_cond, "inner")
-    m_live = co_live.select("doc_id", "fp", "n_chars")
-    m_ref = keep_ref.select("doc_id", "fp", "n_chars")
-    corpus_ok = (
-        fin_live.count() == fin_ref.count() == c_joined.count()
-        and m_live.exceptAll(m_ref).count() == 0
-        and m_ref.exceptAll(m_live).count() == 0
-    )
-    c_collected = c_joined.where(F.lit(corpus_ok)).select(
-        F.lit("__corpusloop__").alias("window_start"),
-        F.col("i.lang").cast("string").alias("event_type"),
-        F.col("i.count_n_chars").cast("long").alias("n_events"),
-        F.lit(True).alias("values_match"),
-    ).collect()
-    _sh.rmtree(cbase, ignore_errors=True)
-    corpus_rows = spark.createDataFrame(
-        c_collected,
-        "window_start string, event_type string, n_events bigint, "
-        "values_match boolean",
-    )
+    # (r16) the live corpus-maintenance post-state formerly self-checked
+    # here under '__corpusloop__' rows migrated to a HASH-ORACLED arm —
+    # corpus_build_pipeline:livepost — following the sessionpost/
+    # streampost pattern; what remains rows-only in this query is
+    # genuinely unoracle-able live behavior (watermark TIMING, memory
+    # sink states, restart mechanics).
     return (
         tumbling_rows.unionByName(stateful_rows)
         .unionByName(dedup_rows)
         .unionByName(ivjoin_rows)
         .unionByName(session_rows)
         .unionByName(rollup_rows)
-        .unionByName(corpus_rows)
     )
 
 
@@ -8465,20 +8366,158 @@ def corpus_incremental_arm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return members.join(F.broadcast(stats), "lang")
 
 
+def _livepost_oracle() -> str:
+    """DuckDB from-scratch rebuild over the livepost arm's CDC feed: the
+    effective doc set after the three slices (deletes of standing
+    doc_id%5==1, n_chars+7 updates of %5==2, inserts of the held-out
+    %3==0 docs), keeper dedup per content fingerprint, per-lang
+    membership + the full finalized rollup — the truth the checkpointed
+    STREAMING loop (mid-run restart + changelog compaction included)
+    must hash-equal."""
+    nobs = det._nobs_sql("n_chars")
+    return f"""
+WITH base AS (SELECT doc_id, lang, n_chars, md5({_NORM_SQL}) AS fp
+              FROM documents),
+standing AS (SELECT * FROM base WHERE doc_id % 3 <> 0),
+effective AS (
+  SELECT doc_id, lang, n_chars, fp FROM standing
+   WHERE doc_id % 5 <> 1 AND doc_id % 5 <> 2
+  UNION ALL
+  SELECT doc_id, lang, n_chars + 7, fp FROM standing WHERE doc_id % 5 = 2
+  UNION ALL
+  SELECT doc_id, lang, n_chars, fp FROM base WHERE doc_id % 3 = 0
+),
+keep AS (
+  SELECT doc_id, lang, n_chars FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+    FROM effective) WHERE rn = 1)
+SELECT lang, COUNT(*) AS n_docs,
+  CAST(SUM(CAST(doc_id AS DECIMAL(38,0))) AS DOUBLE) AS sum_ids,
+  {nobs} AS count_n_chars,
+  {det.dsum_sql("n_chars", 0)} AS sum_n_chars,
+  {det.dmean_sql("n_chars", 0)} AS mean_n_chars,
+  CAST(MIN(n_chars) AS DOUBLE) AS min_n_chars,
+  CAST(MAX(n_chars) AS DOUBLE) AS max_n_chars,
+  {det.dvar_sql("n_chars", 0, 0, xmax=1e5)} AS var_n_chars,
+  {det.dstd_sql("n_chars", 0, 0, xmax=1e5)} AS std_n_chars
+FROM keep GROUP BY lang
+"""
+
+
+@_q("corpus_livepost_arm", _livepost_oracle())
+def corpus_livepost_arm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LIVE corpus-maintenance loop's post-state under the hash
+    oracle (r15 verdict #4 — formerly the rows-only '__corpusloop__'
+    self-check in stream_tumbling_live). The full streaming lifecycle
+    runs here: standing (docindex, corpus, rollup-state) artifacts from
+    doc_id%3!=0, a three-slice ts-ordered CDC feed (deletes / updates /
+    inserts) through the CHECKPOINTED foreachBatch refresh stream
+    (streaming/corpus.py), stopped after ONE data batch, changelog-
+    COMPACTED at the restart point (deltas folded into a snapshot,
+    superseded versions vacuumed), restarted to the drain — then the
+    read-out (per-lang corpus membership + finalized rollup INCLUDING
+    retraction-refreshed extrema) is returned for the driver to hash
+    against a DuckDB from-scratch rebuild over the same feed. Only
+    watermark TIMING remains rows-only in stream_tumbling_live."""
+    import pathlib as _pl
+    import shutil as _sh
+    import tempfile as _tf
+
+    from parallel_pandas_spark.operators import incremental as _inc
+    from parallel_pandas_spark.operators import rollup as _ru
+    from parallel_pandas_spark.streaming import corpus as _sc
+
+    cbase = _tf.mkdtemp(prefix="pps_livepost_")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars",
+        text.fingerprint_md5("text").alias("fp"),
+    )
+    standing = docs.where(F.col("doc_id") % 3 != 0)
+    base_di_p, base_co_p = f"{cbase}/di", f"{cbase}/co"
+    standing.write.parquet(base_di_p)
+    _inc.keepers(spark.read.parquet(base_di_p)).write.parquet(base_co_p)
+    cspec = {"n_chars": (0, 0)}
+    base_state = _ru.agg_state(
+        spark.read.parquet(base_co_p), ["lang"], cspec
+    ).localCheckpoint(eager=False)
+    # three ts-ordered slices, written sequentially with forced mtimes
+    # (the FILE source orders part files by MODIFICATION time)
+    moved = docs.where(F.col("doc_id") % 3 == 0)
+    slices = [
+        standing.where(F.col("doc_id") % 5 == 1).select(
+            "doc_id", "lang", "n_chars", "fp",
+            F.lit(10).cast("long").alias("ts"), F.lit("D").alias("op")),
+        standing.where(F.col("doc_id") % 5 == 2).select(
+            "doc_id", "lang", (F.col("n_chars") + F.lit(7)).alias("n_chars"),
+            "fp", F.lit(20).cast("long").alias("ts"),
+            F.lit("U").alias("op")),
+        moved.select(
+            "doc_id", "lang", "n_chars", "fp",
+            F.lit(30).cast("long").alias("ts"), F.lit("U").alias("op")),
+    ]
+    cfeed = f"{cbase}/changes"
+    seen: set = set()
+    for si, sl in enumerate(slices, start=1):
+        sl.coalesce(1).write.mode("append").parquet(cfeed)
+        now = set(_pl.Path(cfeed).glob("part-*.parquet")) - seen
+        os.utime(now.pop(), (1700000000 + si, 1700000000 + si))
+        seen = set(_pl.Path(cfeed).glob("part-*.parquet"))
+
+    def _mk_changes():
+        return _sc.stream_doc_changes(spark, cfeed, max_files=1)
+
+    cwork, cck = f"{cbase}/work", f"{cbase}/ckpt"
+    _sc.run_corpus_refresh_stream(
+        spark, _mk_changes, base_di_p, base_co_p, cwork, cck, cspec,
+        stop_after_batches=1,
+    )
+    # changelog-compact at the restart point — fold the committed delta
+    # into a state snapshot and vacuum superseded versions, so the final
+    # read-out is served from snapshot + post-compaction deltas (the
+    # bounded-state path a long-running loop depends on)
+    _sc.compact_corpus_artifacts(spark, base_state, cwork, cspec)
+    _sc.run_corpus_refresh_stream(
+        spark, _mk_changes, base_di_p, base_co_p, cwork, cck, cspec
+    )
+    _, co_live, fin_live = _sc.corpus_stream_readout(
+        spark, base_state, cwork, cspec
+    )
+    stats = fin_live.where(F.col("count_n_chars") > 0)
+    members = co_live.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col("doc_id").cast("decimal(38,0)"))
+        .cast("double")
+        .alias("sum_ids"),
+    )
+    out = members.join(F.broadcast(stats), "lang")
+    # materialize lang-cardinality rows driver-side so the mkdtemp
+    # scratch tree (artifact versions + checkpoint) can be deleted NOW —
+    # the driver collects the returned frame after this function exits
+    collected = out.collect()
+    schema = out.schema
+    _sh.rmtree(cbase, ignore_errors=True)
+    return spark.createDataFrame(collected, schema)
+
+
 _cbfn, _cbsql = _compose_union(
     [
         ("build", "corpus_build_fullarm"),
         ("incremental", "corpus_incremental_arm"),
+        ("livepost", "corpus_livepost_arm"),
     ]
 )
 _cbfn.__doc__ = """Corpus lifecycle battery: the from-scratch five-stage
-build (quality -> gopher -> dedup -> sample/split -> pack) plus (r11) the
+build (quality -> gopher -> dedup -> sample/split -> pack), (r11) the
 INCREMENTAL maintenance path — CDC compaction, broadcast merge into the
 standing doc index, affected-fingerprint keeper recomputation, and exact
 retraction-based rollup refresh — oracled against the from-scratch
-rebuild it must equal."""
+rebuild it must equal, and (r16) the LIVE checkpointed streaming loop's
+post-state (mid-run restart + changelog compaction) hash-oracled against
+the same from-scratch truth (formerly rows-only in
+stream_tumbling_live)."""
 _q("corpus_build_pipeline", _cbsql)(_cbfn)
-_retire("corpus_build_fullarm", "corpus_incremental_arm")
+_retire("corpus_build_fullarm", "corpus_incremental_arm",
+        "corpus_livepost_arm")
 
 
 #: Registration order of the first 50 entries — the driver's correctness
