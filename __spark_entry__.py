@@ -5599,21 +5599,79 @@ def stats_quantile_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _rowq_oracle() -> str:
+    arr = (
+        "list_sort(list_filter(["
+        "CAST(l_quantity AS DOUBLE), CAST(l_extendedprice AS DOUBLE), "
+        "CAST(l_discount AS DOUBLE), "
+        "CASE WHEN l_tax = 0.02 THEN NULL ELSE CAST(l_tax AS DOUBLE) END, "
+        "CAST(l_linenumber AS DOUBLE)], "
+        "x -> x IS NOT NULL AND NOT isnan(x)))"
+    )
+
+    def interp(q: str) -> str:
+        pos = f"(CAST('{q}' AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))"
+        lo = f"CAST(FLOOR({pos}) AS INT)"
+        frac = f"({pos} - FLOOR({pos}))"
+        return (
+            f"CASE WHEN n = 0 THEN NULL ELSE "
+            f"arr[{lo} + 1] * (1.0 - {frac}) "
+            f"+ arr[LEAST({lo} + 2, CAST(n AS INT))] * {frac} END"
+        )
+
+    return f"""
+WITH s AS (SELECT l_orderkey, l_linenumber, {arr} AS arr FROM lineitem),
+p AS (SELECT l_orderkey, l_linenumber, arr, len(arr) AS n FROM s)
+SELECT l_orderkey, l_linenumber,
+  {interp('0.25')} AS q_25,
+  {interp('0.5')} AS q_50,
+  {interp('0.95')} AS q_95
+FROM p
+"""
+
+
+@_q("row_quantile_arm", _rowq_oracle())
+def row_quantile_arm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-wise quantile (pandas df.quantile(axis=1), linear
+    interpolation — the reference README's HEADLINE 1M x 100 benchmark,
+    README.md:23-40; bench.py's baseline-twin tier measures the exact
+    published shape). reductions.quantile_axis1: per-row filtered
+    array_sort + closed-form interpolation, one projection, zero
+    shuffle. A NULL is injected (l_tax = 0.02 voided) so the per-row
+    NaN-skip path is value-checked too."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
+        "l_discount",
+        F.when(F.col("l_tax") == 0.02, F.lit(None).cast("double"))
+        .otherwise(F.col("l_tax")).alias("t4"),
+        F.col("l_linenumber").cast("double").alias("ln_d"),
+    )
+    return reductions.quantile_axis1(
+        li,
+        ["l_quantity", "l_extendedprice", "l_discount", "t4", "ln_d"],
+        [0.25, 0.5, 0.95],
+        keep=("l_orderkey", "l_linenumber"),
+    )
+
+
 _bfn, _bsql = _compose_union(
     [
         ("describe", "stats_describe"),
         ("quantile", "stats_quantile"),
         ("custom", "stats_describe_custom"),
         ("interp", "stats_quantile_interp"),
+        ("rowq", "row_quantile_arm"),
     ]
 )
 _bfn.__doc__ = """describe() (8 labeled rows, exact single-scan percentiles)
 padded-union with the arbitrary-quantile-list surface (ops #12-#13),
-(r6) the percentiles=/include=/exclude= mixed-dtype describe, and (r6b)
-the non-linear quantile interpolation modes."""
+(r6) the percentiles=/include=/exclude= mixed-dtype describe, (r6b)
+the non-linear quantile interpolation modes, and (r16) the ROW-WISE
+quantile (pandas axis=1, the reference README's headline benchmark
+shape) with per-row NaN skipping."""
 _q("stats_quantile_describe", _bsql)(_bfn)
 _retire("stats_describe", "stats_quantile", "stats_describe_custom",
-        "stats_quantile_interp")
+        "stats_quantile_interp", "row_quantile_arm")
 
 @_q(
     "value_counts_arms",
@@ -6829,11 +6887,53 @@ def rolling_time_closed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_GLOBALROLL_ORACLE = """
+WITH s AS (
+  SELECT event_id,
+         CAST(FLOOR(CAST(value AS DOUBLE) * 1e6 + CAST('0.5' AS DOUBLE))
+              AS BIGINT) AS v6
+  FROM events
+)
+SELECT event_id,
+  CASE WHEN COUNT(*) OVER w >= 10
+       THEN CAST(SUM(v6) OVER w AS DOUBLE) / 1e6 END AS roll_sum,
+  CASE WHEN COUNT(*) OVER w >= 10
+       THEN COUNT(v6) OVER w END AS roll_n
+FROM s
+WINDOW w AS (ORDER BY event_id ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+"""
+
+
+@_q("global_rolling_arm", _GLOBALROLL_ORACLE)
+def global_rolling_arm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global (unpartitioned) rolling over the events table's dense
+    event_id order through windows.rolling_global — the bucketed
+    context-replication plan, NOT a single-reducer Window.orderBy; the
+    exchange hashes on the bucket id and every bucket windows in
+    parallel. Values are integerized at 1e-6 (the rolling_moments
+    technique) so the windowed sums are exact in both engines, and the
+    pandas min_periods=window NULL head rides through the guard."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.floor(F.col("value").cast("double") * F.lit(1e6) + F.lit(0.5))
+        .cast("long").alias("v6"),
+    )
+    g = windows.rolling_global(
+        ev, ["v6"], 10, "event_id", funcs=("sum", "count"), buckets=32
+    )
+    return g.select(
+        "event_id",
+        (F.col("v6_roll_sum").cast("double") / F.lit(1e6)).alias("roll_sum"),
+        F.col("v6_roll_count").cast("long").alias("roll_n"),
+    )
+
+
 _bfn, _bsql = _compose_union(
     [
         ("time", "rolling_time_events"),
         ("rankskewcov", "rolling_rank_skew_cov"),
         ("apply", "rolling_apply_udf"),
+        ("globalroll", "global_rolling_arm"),
     ]
 )
 _bfn.__doc__ = """Rolling shape variants (op #26 + §2.10): time-based
@@ -6841,14 +6941,17 @@ rangeBetween windows — the '1h' arm plus all four pandas ``closed``
 variants stacked on one (user_id, epoch-μs) pipeline; rolling
 rank/skew/sem + pairwise rolling cov/corr + the five (r6) pandas
 ``center=``/``closed=`` count-window frames fused onto one
-(l_suppkey, 4-col-order) pipeline; and rolling.apply with an arbitrary
-Python UDF through Arrow applyInPandas. Three parts, three scans — the
-pre-fusion r6 shape ran five."""
+(l_suppkey, 4-col-order) pipeline; rolling.apply with an arbitrary
+Python UDF through Arrow applyInPandas; and (r16) the GLOBAL
+unpartitioned rolling through windows.rolling_global — bucketed
+context replication instead of the single-reducer Window.orderBy, the
+scale path for pandas' whole-frame df.rolling(w) (reference README
+1M x 1000 benchmark)."""
 _q("rolling_shapes_battery", _bsql)(_bfn)
 _retire(
     "rolling_time_events", "rolling_rank_skew", "rolling_apply_udf",
     "rolling_cov_corr", "rolling_rank_skew_cov", "rolling_center_closed",
-    "rolling_time_closed",
+    "rolling_time_closed", "global_rolling_arm",
 )
 
 _BM25_TERMS = ["hash", "join", "vectorized", "filter"]

@@ -934,6 +934,42 @@ def kendall_tau(
     return kendall_tau_exact(d, col_a, col_b, num_buckets=num_buckets)
 
 
+def quantile_axis1(
+    df: DataFrame,
+    cols: Sequence[str],
+    qs: Sequence[float],
+    keep: Sequence[str] = (),
+) -> DataFrame:
+    """Row-wise quantiles — pandas ``df.quantile(q, axis=1)`` with the
+    default linear interpolation, the reference README's HEADLINE
+    benchmark shape (1M x 100, README.md:23-40; registered via
+    ``p_quantile`` main.py). Per row: filter the value array to non-null
+    non-NaN (pandas skips NaN per row), one ``array_sort``, then each q
+    interpolates ``arr[lo]*(1-frac) + arr[lo+1]*frac`` at
+    ``pos = q*(n-1)`` — all JVM array expressions inside one projection,
+    zero shuffle, embarrassingly parallel at any scale. Output: ``keep``
+    columns plus one ``q_<pct>`` double per requested quantile."""
+    vals = F.filter(
+        F.array(*[F.col(c).cast("double") for c in cols]),
+        lambda x: x.isNotNull() & ~F.isnan(x),
+    )
+    out = df.select(*keep, F.array_sort(vals).alias("__arr"))
+    n = F.size(F.col("__arr"))
+    exprs = []
+    for q in qs:
+        pos = F.lit(float(q)) * (n.cast("double") - F.lit(1.0))
+        lo = F.floor(pos).cast("int")
+        frac = pos - F.floor(pos)
+        lov = F.element_at(F.col("__arr"), lo + F.lit(1))
+        hiv = F.element_at(F.col("__arr"), F.least(lo + F.lit(2), n))
+        exprs.append(
+            F.when(n == 0, F.lit(None).cast("double"))
+            .otherwise(lov * (F.lit(1.0) - frac) + hiv * frac)
+            .alias(f"q_{int(round(float(q) * 100))}")
+        )
+    return out.select(*keep, *exprs)
+
+
 def zscore_normalize(df: DataFrame, cols: Sequence[str], ddof: int = 1) -> DataFrame:
     """(x - mean)/std per column — the reference README's headline benchmark
     (README.md:137-169). One aggregation pass for the moments, broadcast
@@ -944,10 +980,20 @@ def zscore_normalize(df: DataFrame, cols: Sequence[str], ddof: int = 1) -> DataF
         *[F.avg(nan_safe(df, c)).alias(f"__mean_{c}") for c in cols],
         *[stdfn(nan_safe(df, c)).alias(f"__std_{c}") for c in cols],
     )
-    out = df.crossJoin(F.broadcast(moments))
-    for c in cols:
-        out = out.withColumn(c, (F.col(c) - F.col(f"__mean_{c}")) / F.col(f"__std_{c}"))
-    return out.drop(*[f"__mean_{c}" for c in cols], *[f"__std_{c}" for c in cols])
+    # ONE select, not a withColumn per column: at the reference's own
+    # benchmark shape (1M x 1000) a chained-Project tower makes Catalyst
+    # analysis itself the bottleneck (r16; see the expression-size notes
+    # in SCALE.md) — the single projection is the same plan, minus the
+    # O(n_cols) analyzer passes.
+    colset = set(cols)
+    out = df.crossJoin(F.broadcast(moments)).select(
+        *[
+            ((F.col(c) - F.col(f"__mean_{c}")) / F.col(f"__std_{c}")).alias(c)
+            if c in colset else F.col(c)
+            for c in df.columns
+        ]
+    )
+    return out
 
 
 def replace_values(

@@ -178,6 +178,87 @@ def rolling(
     return out if keep_obs else out.drop(*temps)
 
 
+def rolling_global(
+    df: DataFrame,
+    cols: Sequence[str],
+    window: int,
+    order_col: str,
+    funcs: Sequence[str] = ("mean",),
+    buckets: int | None = None,
+) -> DataFrame:
+    """Exact UNPARTITIONED rolling over a global row order WITHOUT a
+    single-reducer sort — the scale path for pandas'
+    ``df.rolling(w).mean()`` over the whole frame (the reference
+    README's 1M x 1000 benchmark, README.md:183-193): a plain
+    ``Window.orderBy`` with no partitionBy collapses the entire frame
+    into ONE task, which at 100 TB is not slow, it is impossible.
+
+    Contract: ``order_col`` is a DENSE integer row index (pandas'
+    RangeIndex twin — exactly the order the reference benchmark rolls
+    over), verified with the same single aggregate that sizes the
+    buckets (count == max-min+1; refused loudly otherwise). Rows are
+    range-bucketed into contiguous index spans, each bucket's last
+    ``window-1`` rows are REPLICATED into the next bucket as
+    context-only rows, the per-bucket window runs fully parallel, and
+    context rows drop from the output. Every frame therefore sees
+    exactly the rows the single-partition window would — results are
+    bit-equal (pinned in tests), including pandas' min_periods=window
+    NULL head. Cost: one tiny agg job + a hash exchange on the bucket
+    id; replication is (window-1) * n_buckets rows, metadata-sized."""
+    stats = df.agg(
+        F.min(order_col).alias("mn"), F.max(order_col).alias("mx"),
+        F.count("*").alias("n"),
+    ).first()
+    if stats["n"] == 0:
+        out = df
+        for c in cols:
+            for fn in funcs:
+                out = out.withColumn(
+                    f"{c}_roll_{fn}", F.lit(None).cast("double"))
+        return out
+    mn, mx, n = int(stats["mn"]), int(stats["mx"]), int(stats["n"])
+    if mx - mn + 1 != n:
+        raise ValueError(
+            f"rolling_global: {order_col!r} is not a dense integer index "
+            f"(span {mx - mn + 1} != rows {n}) — bucket-context "
+            "replication needs row-count-exact spans; use rolling() with "
+            "an explicit partition, or densify the index first"
+        )
+    if buckets is None:
+        buckets = max(1, df.sparkSession.sparkContext.defaultParallelism)
+    width = max((n + buckets - 1) // buckets, window)
+    bucket = F.floor((F.col(order_col) - F.lit(mn)) / F.lit(width))
+    base = df.withColumn("__bkt", bucket).withColumn("__ctx", F.lit(0))
+    ctx = (
+        df.where(
+            ((F.col(order_col) - F.lit(mn)) % F.lit(width))
+            >= F.lit(width - (window - 1))
+        )
+        .withColumn("__bkt", bucket + F.lit(1))
+        .withColumn("__ctx", F.lit(1))
+    )
+    both = base.unionByName(ctx)
+    w = (
+        Window.partitionBy("__bkt")
+        .orderBy(F.col(order_col).asc())
+        .rowsBetween(-(window - 1), 0)
+    )
+    out, fin, nn, temps = _window_obs(both, cols)
+    for c in cols:
+        guard = F.count(fin[c]).over(w) >= window
+        rows_guard = F.count(F.lit(1)).over(w) >= window
+        for fn in funcs:
+            g = rows_guard if fn == "count" else guard
+            src = nn[c] if fn == "count" else fin[c]
+            out = out.withColumn(
+                f"{c}_roll_{fn}", F.when(g, _ROLL_FNS[fn](src, w))
+            )
+    return (
+        out.where(F.col("__ctx") == 0)
+        .drop("__bkt", "__ctx", *temps)
+    )
+
+
 def rolling_cov_corr(
     df: DataFrame,
     col_a: str,
