@@ -908,21 +908,34 @@ def _pq_luts(queries: DataFrame, books: list, id_col: str, vec_col: str, dim: in
     (null / wrong-dimension / null-element) are DROPPED, matching the
     corpus-side policy — never a TypeError at plan-construction time.
     Returns (qids, luts)."""
+    qrows = [
+        (r[id_col], r[vec_col])
+        for r in queries.select(id_col, vec_col).collect()  # query-sized
+    ]
+    return _pq_luts_from_rows(qrows, books, dim)
+
+
+def _pq_luts_from_rows(qrows: list, books: list, dim: int):
+    """:func:`_pq_luts` over ALREADY-collected ``(qid, vec)`` rows —
+    callers that also need the query vectors for probe assignment /
+    rotation collect ONCE and share (r16: the extra query-sized Spark
+    jobs were pure fixed overhead). Same drop policy, same strict
+    left-to-right sums."""
     import numpy as np
 
     m = len(books)
     dsub = books[0].shape[1]
     qrows = [
-        r
-        for r in queries.select(id_col, vec_col).collect()  # query-sized
-        if r[vec_col] is not None
-        and len(r[vec_col]) == dim
-        and not any(x is None for x in r[vec_col])
+        (qid, v)
+        for qid, v in qrows
+        if v is not None
+        and len(v) == dim
+        and not any(x is None for x in v)
     ]
-    qids = [r[id_col] for r in qrows]
+    qids = [qid for qid, _ in qrows]
     luts = []
-    for r in qrows:
-        qv = [float(x) for x in r[vec_col]]
+    for _, v in qrows:
+        qv = [float(x) for x in v]
         lut = np.zeros((m, max(len(b) for b in books)))
         for s in range(m):
             for cid in range(len(books[s])):

@@ -1482,15 +1482,27 @@ def append_pq_store(
 def read_pq_books(spark: SparkSession, path: str) -> list:
     """Reconstruct the codebooks list from ``<path>/_books`` (float64
     parquet doubles roundtrip exactly, so cn2/LUTs rebuilt from the
-    stored books equal the fit-time ones bit-for-bit)."""
-    import numpy as np
+    stored books equal the fit-time ones bit-for-bit). Read driver-side
+    with pyarrow (r16): the sidecar is m·ks tiny rows, and the
+    spark.read job this used to launch was ~0.15 s of fixed overhead on
+    every scoring call; the parquet bytes decode to the same doubles
+    either way."""
+    import glob as _glob
+    import os
 
-    rows = spark.read.parquet(f"{path}/_books").collect()  # m·ks tiny rows
-    m = max(r["s"] for r in rows) + 1
+    import numpy as np
+    import pyarrow.parquet as _pq
+
+    files = sorted(_glob.glob(os.path.join(path, "_books", "*.parquet")))
+    rows: list = []
+    for f in files:
+        t = _pq.read_table(f, columns=["s", "cid", "centroid"]).to_pydict()
+        rows.extend(zip(t["s"], t["cid"], t["centroid"]))
+    m = max(r[0] for r in rows) + 1
     books = []
     for s in range(m):
-        sub = sorted((r for r in rows if r["s"] == s), key=lambda r: r["cid"])
-        books.append(np.array([[float(x) for x in r["centroid"]] for r in sub]))
+        sub = sorted((r for r in rows if r[0] == s), key=lambda r: r[1])
+        books.append(np.array([[float(x) for x in r[2]] for r in sub]))
     return books
 
 
@@ -1749,49 +1761,84 @@ def ivfpq_topk_from_store(
     sub-corpus (pinned in tests)."""
     import numpy as np
 
-    from parallel_pandas_spark.operators.similarity import _cent_dist
-
     books = read_pq_books(spark, store_path)
     cents = read_ivf_centroids(store_path)
     # OPQ sidecar: queries and the re-rank vectors enter the SAME
     # rotated space the codes were fit in (rotation preserves cosine;
     # the re-rank uses rotated values so the SQL replay stays
-    # bit-twinned). Queries rotate here (query-sized); the CORPUS side
-    # rotates AFTER the candidate join below — the JVM fold is an
-    # interpreted higher-order expression, and rotating the full corpus
-    # instead of the ~queries×pool candidate set measured 10.1 s vs
-    # ~2 s for the whole arm at sf0.1
+    # bit-twinned). The CORPUS side rotates AFTER the candidate join
+    # below — the JVM fold is an interpreted higher-order expression,
+    # and rotating the full corpus instead of the ~queries×pool
+    # candidate set measured 10.1 s vs ~2 s for the whole arm at sf0.1.
+    #
+    # The QUERY side is collected ONCE (query-sized by the ANN
+    # contract) and rotation, probe assignment and the ADC LUTs are all
+    # derived driver-side from that one collect (r16): the previous
+    # shape — rotation localCheckpoint job + probe-assign collect job +
+    # LUT collect job — was three Spark jobs of pure fixed overhead per
+    # call. Every double is reproduced bit-exactly: the rotation fold,
+    # the −2·q·c+‖c‖² probe distance and the (d, cid) tiebreak below
+    # accumulate strictly left-to-right exactly like the JVM
+    # expressions they replace (rotate_vectors / _cent_dist /
+    # array_sort on (d, cid) structs), so probe sets, LUTs and the
+    # re-rank inputs are unchanged.
     R = read_rotation(store_path)
-    if R is not None:
-        # localCheckpoint truncates the rotation out of the lineage:
-        # left inline, CollapseProject substitutes the 4k-literal fold
-        # into every downstream consumer (16 probe distances, the LUT
-        # collect, qn) — seconds of Catalyst driver time per job.
-        # Queries are small by the ANN contract, so materializing them
-        # is the cheap side of that trade.
-        queries = _rotated(queries, id_col, vec_col, R).localCheckpoint(
-            eager=True
-        )
     m = len(books)
     dim = m * books[0].shape[1]
-    qids, luts = _pq_luts(queries, books, id_col, vec_col, dim)
-    probe_structs = F.array(
-        *[
-            F.struct(
-                _cent_dist(F.col(vec_col), cvec).alias("d"),
-                F.lit(cid).alias("cid"),
-            )
-            for cid, cvec in cents
+    qraw = [
+        (r[id_col], r[vec_col])
+        for r in queries.select(id_col, vec_col).collect()
+    ]
+
+    def _ok(v) -> bool:
+        return (
+            v is not None and len(v) == dim
+            and not any(x is None for x in v)
+        )
+
+    if R is not None:
+        # v @ R with rotate_vectors' exact fold: out[j] starts at 0.0
+        # and adds v[i]*R[i][j] in index order (binary64 throughout —
+        # Python floats and JVM doubles round identically)
+        rcols = [[float(R[i][j]) for i in range(dim)] for j in range(dim)]
+
+        def _rot(v):
+            if not _ok(v):
+                # the JVM fold nulls every component of an undecodable
+                # vector; the drop decision below is the same either way
+                return None
+            out = []
+            for col in rcols:
+                acc = 0.0
+                for x, rj in zip(v, col):
+                    acc = acc + float(x) * rj
+                out.append(acc)
+            return out
+
+        qrows = [(qid, _rot(v)) for qid, v in qraw]
+    else:
+        qrows = [
+            (qid, [float(x) for x in v] if _ok(v) else None)
+            for qid, v in qraw
         ]
-    )
-    qp = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.explode(F.slice(F.array_sort(probe_structs), 1, nprobe)).alias("p"),
-    ).select("query_id", F.col("p.cid").alias("cell")).collect()
+    qvalid = [(qid, v) for qid, v in qrows if v is not None]
+    qids, luts = similarity._pq_luts_from_rows(qvalid, books, dim)
+    # per-query probe cells: sort centroids by (−2·q·c+‖c‖², cid) — the
+    # same rank expression and tiebreak as _cent_dist + array_sort;
+    # NaN distances order last, as Spark sorts NaN greatest
+    import math
+
     probe_map: dict = {}
-    for r in qp:
-        probe_map.setdefault(r["query_id"], []).append(r["cell"])
-    probe_map = {q: np.array(sorted(v)) for q, v in probe_map.items()}
+    for qid, v in qvalid:
+        ds = []
+        for cid, cvec in cents:
+            acc = 0.0
+            for x, c in zip(v, cvec):
+                acc = acc + float(x) * float(c)
+            d = -2.0 * acc + float(sum(c * c for c in cvec))
+            ds.append((d, cid))
+        ds.sort(key=lambda t: (isinstance(t[0], float) and math.isnan(t[0]), t[0], t[1]))
+        probe_map[qid] = np.array(sorted(cid for _, cid in ds[:nprobe]))
     probes = sorted({int(c) for v in probe_map.values() for c in v})
     store = (
         load_vector_store(spark, f"{store_path}/codes", id_col)
@@ -1866,11 +1913,21 @@ def ivfpq_topk_from_store(
             .select("query_id", "neighbor_id", "prank", "cv",
                     l2_norm(F.col("cv")).alias("cn"))
         )
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("qv"),
-        l2_norm(F.col(vec_col)).alias("qn"),
+    # the re-rank's query side comes from the SAME collected (and, for
+    # OPQ, driver-rotated) rows — a LocalTableScan instead of a second
+    # scan/checkpoint of the query frame; values are the bit-identical
+    # doubles the JVM projection produced before, so qn/cosine are
+    # unchanged
+    from pyspark.sql import types as _T
+
+    qdf = spark.createDataFrame(
+        qvalid,
+        _T.StructType([
+            _T.StructField("query_id", queries.schema[id_col].dataType),
+            _T.StructField("qv", _T.ArrayType(_T.DoubleType())),
+        ]),
     )
+    q = qdf.select("query_id", "qv", l2_norm(F.col("qv")).alias("qn"))
     scored = (
         matched
         .join(F.broadcast(q), "query_id")

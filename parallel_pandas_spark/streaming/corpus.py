@@ -265,12 +265,25 @@ def run_corpus_refresh_stream(
                 rollup.agg_state(removed, keys, spec), cols, keys=keys
             )
         )
-        di2.write.mode("overwrite").parquet(
-            _art_dir(work_dir, "docindex", batch_id))
-        co2.write.mode("overwrite").parquet(
-            _art_dir(work_dir, "corpus", batch_id))
-        delta.write.mode("overwrite").parquet(
-            _art_dir(work_dir, "delta", batch_id))
+        # the three artifact writes are independent actions (the commit
+        # point is the manifest rename below, so write ORDER carries no
+        # recovery semantics) — overlap them on driver threads so each
+        # job's tail back-fills the others' idle cores (guide §2.6).
+        # Shared lineage (aff_fps' lazy localCheckpoint) is cached on
+        # first materialization; a concurrent first-touch at worst
+        # duplicates one feed-sized job, never diverges (deterministic
+        # transforms).
+        from concurrent.futures import ThreadPoolExecutor
+
+        writes = [
+            (di2, _art_dir(work_dir, "docindex", batch_id)),
+            (co2, _art_dir(work_dir, "corpus", batch_id)),
+            (delta, _art_dir(work_dir, "delta", batch_id)),
+        ]
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            list(pool.map(
+                lambda t: t[0].write.mode("overwrite").parquet(t[1]), writes
+            ))
         # the manifest rename is the batch's COMMIT POINT: a crash
         # anywhere above leaves orphan directories no reader resolves;
         # the foreachBatch replay rewrites them and commits then. A

@@ -443,12 +443,18 @@ def run_foreach_batch(
     Returns the number of data batches committed in THIS run."""
     import time
 
+    # crash-simulation mode keeps the 1 s cadence so the stop lands
+    # BETWEEN batches deterministically; drain mode has no pacing
+    # contract — trigger back-to-back so the final empty trigger (the
+    # drain proof) fires immediately after the last data batch instead
+    # of up to 1 s later (r16, guide §1: fixed wall-clock overhead)
+    interval = "1 second" if stop_after_batches is not None else "0 seconds"
     q = (
         make_stream()
         .writeStream.foreachBatch(write_batch)
         .outputMode("update")
         .option("checkpointLocation", checkpoint_dir)
-        .trigger(processingTime="1 second")
+        .trigger(processingTime=interval)
         .start()
     )
     deadline = time.time() + timeout_secs
