@@ -54,10 +54,17 @@ LANG_STOPWORDS = {
 }
 
 
-def _stopword_hits(col: Column, words: list[str]) -> Column:
-    toks = tokens(F.lower(col))
+def _stopword_hits_toks(ltoks: Column, words: list[str]) -> Column:
+    """Stopword hits over an ALREADY lowercase-tokenized array — callers
+    that score several languages share one tokenization (r16: the
+    higher-order filter is CodegenFallback, so an inline ``split`` child
+    re-evaluates per filter per row)."""
     arr = F.array(*[F.lit(w) for w in words])
-    return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+    return F.size(F.filter(ltoks, lambda t: F.array_contains(arr, t)))
+
+
+def _stopword_hits(col: Column, words: list[str]) -> Column:
+    return _stopword_hits_toks(tokens(F.lower(col)), words)
 
 
 def lang_scores(col: Column | str) -> dict[str, Column]:
@@ -466,18 +473,74 @@ def pii_redact(col: Column | str, patterns: dict[str, str] | None = None) -> Col
 
 def text_profile(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """One row per document: token stats + quality + language guess +
-    fingerprint. Single scan."""
-    feats = quality_features(text_col)
-    return df.select(
+    fingerprint. Single scan.
+
+    Shaped as staged projections sharing the expensive per-row
+    intermediates (r16): the lowered token array feeds SIX interpreted
+    higher-order filters (five language scores + the en stopword
+    ratio), and the token/regex counts feed several ratios — inlined,
+    each consumer re-evaluated its own ``split``/``regexp_replace``
+    per row because higher-order functions are CodegenFallback (no
+    codegen subexpression elimination across that boundary). Multi-
+    referenced non-cheap aliases survive CollapseProject, so each
+    intermediate computes once per row. Every output expression is the
+    same arithmetic over the same values as the single-projection form
+    — results are bit-identical (oracle hash unchanged)."""
+    c = F.col(text_col)
+    base = df.select(
         F.col(id_col),
-        feats["n_chars"].cast("long").alias("n_chars"),
-        feats["n_tokens"].cast("long").alias("n_tokens"),
-        F.round(feats["mean_word_len"], 6).alias("mean_word_len"),
-        F.round(feats["punct_ratio"], 6).alias("punct_ratio"),
-        F.round(feats["stopword_ratio"], 6).alias("stopword_ratio"),
-        F.round(quality_score(text_col), 6).alias("quality_score"),
-        lang_id(text_col).alias("lang_guess"),
-        fingerprint_md5(text_col).alias("fingerprint"),
+        tokens(F.lower(c)).alias("__ltoks"),
+        F.length(c).cast("double").alias("__nc"),
+        token_count(c).cast("double").alias("__nt"),
+        F.length(F.regexp_replace(c, r"[^.,;:!?'\"()\-]", ""))
+        .cast("double").alias("__punct"),
+        F.length(F.regexp_replace(c, r"[^0-9]", ""))
+        .cast("double").alias("__digits"),
+        fingerprint_md5(c).alias("fingerprint"),
+    )
+    stage = base.select(
+        F.col(id_col),
+        "__nc", "__nt", "__punct", "__digits", "fingerprint",
+        *[
+            _stopword_hits_toks(F.col("__ltoks"), words).alias(f"__sc_{lang}")
+            for lang, words in LANG_STOPWORDS.items()
+        ],
+    )
+    safe = F.when(F.col("__nc") > 0, F.col("__nc")).otherwise(F.lit(1.0))
+    safe_t = F.when(F.col("__nt") > 0, F.col("__nt")).otherwise(F.lit(1.0))
+    punct_ratio = F.col("__punct") / safe
+    digit_ratio = F.col("__digits") / safe
+    stop_ratio = F.col("__sc_en").cast("double") / safe_t
+    len_term = F.least(F.col("__nt") / F.lit(64.0), F.lit(1.0))
+    punct_pen = F.greatest(F.lit(0.0), F.lit(1.0) - punct_ratio * 4)
+    digit_pen = F.greatest(F.lit(0.0), F.lit(1.0) - digit_ratio * 4)
+    stop_term = F.least(stop_ratio * 4, F.lit(1.0))
+    score = (
+        len_term * F.lit(0.4)
+        + punct_pen * F.lit(0.2)
+        + digit_pen * F.lit(0.2)
+        + stop_term * F.lit(0.2)
+    )
+    structs = [
+        F.struct(
+            F.col(f"__sc_{lang}").alias("score"),
+            F.lit("".join(chr(255 - ord(ch)) for ch in lang)).alias("revname"),
+            F.lit(lang).alias("lang"),
+        )
+        for lang in LANG_STOPWORDS
+    ]
+    best = F.greatest(*structs)
+    return stage.select(
+        F.col(id_col),
+        F.col("__nc").cast("long").alias("n_chars"),
+        F.col("__nt").cast("long").alias("n_tokens"),
+        F.round(F.col("__nc") / safe_t, 6).alias("mean_word_len"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(score, 6).alias("quality_score"),
+        F.when(best.getField("score") > 0, best.getField("lang"))
+        .otherwise(F.lit("unknown")).alias("lang_guess"),
+        F.col("fingerprint"),
     )
 
 
