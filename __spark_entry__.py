@@ -8537,12 +8537,7 @@ def corpus_livepost_arm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     standing = docs.where(F.col("doc_id") % 3 != 0)
     base_di_p, base_co_p = f"{cbase}/di", f"{cbase}/co"
-    standing.write.parquet(base_di_p)
-    _inc.keepers(spark.read.parquet(base_di_p)).write.parquet(base_co_p)
     cspec = {"n_chars": (0, 0)}
-    base_state = _ru.agg_state(
-        spark.read.parquet(base_co_p), ["lang"], cspec
-    ).localCheckpoint(eager=False)
     # three ts-ordered slices, written sequentially with forced mtimes
     # (the FILE source orders part files by MODIFICATION time)
     moved = docs.where(F.col("doc_id") % 3 == 0)
@@ -8559,19 +8554,49 @@ def corpus_livepost_arm(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(30).cast("long").alias("ts"), F.lit("U").alias("op")),
     ]
     cfeed = f"{cbase}/changes"
-    seen: set = set()
-    for si, sl in enumerate(slices, start=1):
-        sl.coalesce(1).write.mode("append").parquet(cfeed)
-        now = set(_pl.Path(cfeed).glob("part-*.parquet")) - seen
-        os.utime(now.pop(), (1700000000 + si, 1700000000 + si))
-        seen = set(_pl.Path(cfeed).glob("part-*.parquet"))
 
-    def _mk_changes():
+    def _write_base() -> None:
+        # co depends on di's files; the pair is one sequential chain
+        standing.write.parquet(base_di_p)
+        _inc.keepers(spark.read.parquet(base_di_p)).write.parquet(base_co_p)
+
+    def _write_slices() -> None:
+        # sequential WITHIN this thread — the mtime order is the feed's
+        # arrival contract
+        seen: set = set()
+        for si, sl in enumerate(slices, start=1):
+            sl.coalesce(1).write.mode("append").parquet(cfeed)
+            now = set(_pl.Path(cfeed).glob("part-*.parquet")) - seen
+            os.utime(now.pop(), (1700000000 + si, 1700000000 + si))
+            seen = set(_pl.Path(cfeed).glob("part-*.parquet"))
+
+    # the standing-artifact chain and the slice feed are independent
+    # fixture writes — overlap them (guide §2.6); contents identical to
+    # the former sequential form
+    from concurrent.futures import ThreadPoolExecutor as _TPE
+
+    with _TPE(max_workers=2) as _pool:
+        futs = [_pool.submit(_write_base), _pool.submit(_write_slices)]
+        for f in futs:
+            f.result()
+    base_state = _ru.agg_state(
+        spark.read.parquet(base_co_p), ["lang"], cspec
+    ).localCheckpoint(eager=False)
+
+    def _mk_changes_crash():
         return _sc.stream_doc_changes(spark, cfeed, max_files=1)
+
+    def _mk_changes_drain():
+        # the restarted drain run admits the remaining slices in one
+        # micro-batch: cdc_compact resolves ops by ts within the batch
+        # and the slice key sets are disjoint, so the applied change set
+        # — and the hash-oracled final read-out — is identical to the
+        # one-file-per-batch form; only the per-batch fixed cost halves
+        return _sc.stream_doc_changes(spark, cfeed, max_files=len(slices))
 
     cwork, cck = f"{cbase}/work", f"{cbase}/ckpt"
     _sc.run_corpus_refresh_stream(
-        spark, _mk_changes, base_di_p, base_co_p, cwork, cck, cspec,
+        spark, _mk_changes_crash, base_di_p, base_co_p, cwork, cck, cspec,
         stop_after_batches=1,
     )
     # changelog-compact at the restart point — fold the committed delta
@@ -8580,7 +8605,7 @@ def corpus_livepost_arm(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bounded-state path a long-running loop depends on)
     _sc.compact_corpus_artifacts(spark, base_state, cwork, cspec)
     _sc.run_corpus_refresh_stream(
-        spark, _mk_changes, base_di_p, base_co_p, cwork, cck, cspec
+        spark, _mk_changes_drain, base_di_p, base_co_p, cwork, cck, cspec
     )
     _, co_live, fin_live = _sc.corpus_stream_readout(
         spark, base_state, cwork, cspec
