@@ -8245,10 +8245,23 @@ def corpus_build_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     then run only on quality-surviving rows. Filter intersection is
     order-independent, so the result (and the oracle) is unchanged."""
     docs = load_table(spark, sf_dir, "documents")
-    q0 = docs.select(
-        "doc_id", "lang", "n_chars", "text",
-        text.quality_score(F.col("text")).alias("qs"),
-    ).where(F.col("qs") >= 0.45)
+    # fence the quality cut exactly like gopher_filter fences its flag
+    # (r16): un-fenced, PushDownPredicate substitutes the WHOLE
+    # quality_score expression tree into a pre-projection Filter — the
+    # interpreted higher-order stopword filter then runs TWICE per
+    # surviving row (plan showed the full expression in both Filter(3)
+    # and Project(4)). Same predicate semantics, same rows, oracle
+    # unchanged; no later stage pushes a scan predicate past this point
+    # (the gopher fence already sits directly downstream).
+    q0 = (
+        docs.select(
+            "doc_id", "lang", "n_chars", "text",
+            text.quality_score(F.col("text")).alias("qs"),
+        )
+        .withColumn("__fence", F.monotonically_increasing_id())
+        .where((F.col("qs") >= 0.45) & (F.col("__fence") >= 0))
+        .drop("__fence")
+    )
     rep = text.gopher_filter(
         q0, "doc_id", "text", keep_cols=("lang", "n_chars", "text")
     )
