@@ -1803,7 +1803,7 @@ def minhash_dedup_pairs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signatures → LSH banding → exact-Jaccard verification
     (dedup.py:89-186). md5-derived hashes exist precisely so the oracle
     can replay every signature, band bucket, and candidate pair in SQL."""
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents", spread="doc_id")
     return dedup.minhash_dedup_pairs(
         d, "doc_id", "text", n=3, num_hashes=8, bands=4, threshold=0.3
     )
@@ -1825,7 +1825,7 @@ def minhash_incremental_pairs_query(spark: SparkSession, sf_dir: str) -> DataFra
     the oracle: the full minhash SQL replay filtered to pairs with a
     feed member (r11 VERDICT #2: the operator had tests but no driver
     CORRECTNESS row)."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = load_table(spark, sf_dir, "documents", spread="doc_id").select("doc_id", "text")
     standing = docs.where(F.col("doc_id") % 4 != 0)
     feed = docs.where(F.col("doc_id") % 4 == 0)
     return dedup.minhash_neardup_against_standing(
@@ -1959,7 +1959,7 @@ def exact_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
       skew-free groupBy with per-doc distinct spans computed inside the
       row.
     """
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents", spread="doc_id")
     exact = dedup.exact_dedup(d, "doc_id", "text")
     pairs = dedup.minhash_dedup_pairs(
         d, "doc_id", "text", n=3, num_hashes=8, bands=4, threshold=0.3
@@ -2006,7 +2006,7 @@ def ngram_jaccard_pairs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     at scale, so the REGISTERED form is the banded one; a plan-shape test
     asserts no registered plan joins on raw shingles. The oracle replays
     the identical banding + exact-Jaccard verification in SQL."""
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents", spread="doc_id")
     return dedup.minhash_dedup_pairs(
         d, "doc_id", "text", n=3, num_hashes=8, bands=4, threshold=0.1
     )
@@ -2041,7 +2041,7 @@ def simhash_pairs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     pigeonhole banding (no cross join); the oracle MAY cross-join at
     sf0.01 because banding with bands > max_hamming is recall-lossless —
     the two computations provably produce the same pair set."""
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents", spread="doc_id")
     return dedup.simhash_pairs(d, "doc_id", "text", max_hamming=3, bits=60, bands=4)
 
 
@@ -3356,7 +3356,7 @@ def text_profile_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality features + composite score, stopword language-ID with
     deterministic alphabetical tiebreak, md5 fingerprint. The oracle
     replays the argmax via integer encoding (score*5 + rank)."""
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents", spread="doc_id")
     return text.text_profile(d, "doc_id", "text")
 
 
@@ -3375,7 +3375,7 @@ FROM documents
 def doc_fingerprints_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content fingerprints: md5 of normalized text + polynomial rolling
     hash folded JVM-side (text.py:136-153) — both engine-replayable."""
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents", spread="doc_id")
     return d.select(
         "doc_id",
         text.fingerprint_md5("text").alias("fp_md5"),
@@ -3407,7 +3407,7 @@ def corpus_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (per-task k-row heap, no global sort). The (tf DESC, token ASC)
     order is a total order — the 50 rows are deterministic in any
     engine."""
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents", spread="doc_id")
     return text.vocab_topk(d, "doc_id", "text", k=50)
 
 
@@ -3448,7 +3448,7 @@ def multimodal_decode_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     byte arithmetic is replayed in SQL, so the Arrow binary round-trip is
     value-checked end to end (payloads here are utf-8 text bytes; the
     feature array is flattened to scalar columns for the hash compare)."""
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents", spread="doc_id")
     blobs = multimodal.text_as_blob(d, "doc_id", "text")
     m = multimodal.decode_images(blobs, "doc_id", "blob")
     return m.select(
@@ -3476,7 +3476,7 @@ FROM idx
 def video_frame_sample_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-sampling shape: one row in → many rows out per payload window
     (multimodal.py:98-122), 256-byte 'frames' with digest checksums."""
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents", spread="doc_id")
     blobs = multimodal.text_as_blob(d, "doc_id", "text")
     return multimodal.sample_video_frames(blobs, "doc_id", "blob", every_n_bytes=256)
 
@@ -3564,7 +3564,7 @@ FROM documents
 def map_batches_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whole-chunk UDF (reference chunk_apply) — mapInPandas over Arrow
     batches computing pandas string stats per chunk."""
-    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    d = load_table(spark, sf_dir, "documents", spread="doc_id").select("doc_id", "text")
 
     def stats(pdf):
         import pandas as pd
@@ -6986,7 +6986,7 @@ def bm25_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     query-term-filtered immediately so every aggregate is query-sized;
     N/avgdl recombine as a 1-row broadcast cross; top-k orders by the
     ROUNDED score + id tiebreak (deterministic across engines)."""
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents", spread="doc_id")
     return text.bm25_topk(d, "doc_id", "text", _BM25_TERMS, k=10)
 
 
@@ -7048,7 +7048,7 @@ def repetition_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     an array_sort+fold INSIDE the row (zero shuffles, one scan); the
     oracle computes the same mode the relational way (unnest → group →
     row_number) — two genuinely different algorithms, one answer."""
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents", spread="doc_id")
     return text.repetition_profile(d, "doc_id", "text")
 
 
@@ -7171,7 +7171,7 @@ def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunk text so the oracle value-checks every chunk's exact content and
     boundaries. Narrow plan: tokenize -> in-row start sequence ->
     posexplode, zero shuffles."""
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents", spread="doc_id")
     ch = text.chunk_tokens(d, "doc_id", "text", max_tokens=16, overlap=4)
     return ch.select(
         "doc_id", "chunk_id", "n_chunk_tokens",
@@ -8244,7 +8244,7 @@ def corpus_build_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     predicate can cross toward the scan, and the expensive gram folds
     then run only on quality-surviving rows. Filter intersection is
     order-independent, so the result (and the oracle) is unchanged."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", spread="doc_id")
     # fence the quality cut exactly like gopher_filter fences its flag
     # (r16): un-fenced, PushDownPredicate substitutes the WHOLE
     # quality_score expression tree into a pre-projection Filter — the
@@ -8432,7 +8432,7 @@ def corpus_incremental_arm(spark: SparkSession, sf_dir: str) -> DataFrame:
     incremental-maintenance theorem, value-checked: membership (count +
     id checksum per lang) and count/sum/mean/var/std of n_chars all
     bit-match a rebuild."""
-    base = load_table(spark, sf_dir, "documents").select(
+    base = load_table(spark, sf_dir, "documents", spread="doc_id").select(
         "doc_id", "text", "lang", "n_chars"
     )
     docindex, corpus, state = _inc_standing(base)
@@ -8544,7 +8544,7 @@ def corpus_livepost_arm(spark: SparkSession, sf_dir: str) -> DataFrame:
     from parallel_pandas_spark.streaming import corpus as _sc
 
     cbase = _tf.mkdtemp(prefix="pps_livepost_")
-    docs = load_table(spark, sf_dir, "documents").select(
+    docs = load_table(spark, sf_dir, "documents", spread="doc_id").select(
         "doc_id", "lang", "n_chars",
         text.fingerprint_md5("text").alias("fp"),
     )

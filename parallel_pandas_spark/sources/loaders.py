@@ -29,7 +29,9 @@ TABLES = (
 )
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, spread: str | None = None
+) -> DataFrame:
     """Read one testdata table. A table written with parquet
     TIMESTAMP(NANOS) is rejected by Spark's default reader — fall back to
     long nanos (legacy conf) and truncate to microsecond timestamps,
@@ -37,7 +39,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     fires ONLY for that specific error (the shipped sf* events files are
     already µs — verified — so it is normally dormant): any other read
     failure (missing path, corrupt file) re-raises untouched instead of
-    permanently flipping a session-wide legacy conf on the caller."""
+    permanently flipping a session-wide legacy conf on the caller.
+
+    ``spread=<key column>`` applies :func:`spread_scan` after the read —
+    opt-in per call site because a handful of operators give partition
+    contents semantics (pandas chunk batteries) and must see the raw
+    scan layout."""
     path = os.path.join(sf_dir, f"{name}.parquet")
     try:
         df = spark.read.parquet(path)
@@ -51,7 +58,33 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         from pyspark.sql import functions as F
 
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    if spread is not None:
+        df = spread_scan(df, spread)
     return df
+
+
+def spread_scan(df: DataFrame, *key_cols: str, parallelism: int | None = None) -> DataFrame:
+    """Engage every core behind an unsplittable small-file scan.
+
+    The shipped testdata tables are single-file, SINGLE-ROW-GROUP parquet
+    — Spark cannot split below a row group, so every scan is one task and
+    all map-side work (expression eval, Arrow kernels) serializes on one
+    core (guide §2.5 input skew: "one huge unsplittable file … otherwise
+    repartition immediately after the read"). This hash-repartitions on a
+    DETERMINISTIC key (safe under task retries, unlike round-robin over
+    nondeterministic input) to the session's default parallelism.
+
+    Scale-adaptive by construction: a real many-file 100 TB layout scans
+    with >= cores partitions and this is a NO-OP (no exchange added) —
+    it fires exactly when file count < core count. Results are unchanged
+    either way: every downstream operator that uses it is partitioning-
+    independent (the det.* fixed-point sums are exact integers in any
+    order; rankings/joins key on values, not partitions)."""
+    sc = df.sparkSession.sparkContext
+    target = parallelism or sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target, *key_cols) if key_cols else df.repartition(target)
 
 
 def load_tables(
