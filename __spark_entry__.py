@@ -8570,8 +8570,18 @@ def corpus_livepost_arm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def _write_base() -> None:
         # co depends on di's files; the pair is one sequential chain
-        standing.write.parquet(base_di_p)
-        _inc.keepers(spark.read.parquet(base_di_p)).write.parquet(base_co_p)
+        # size the standing artifacts to their bytes (guide §6): the
+        # spread scan leaves `standing` at 32 partitions, and writing
+        # the ~400 KB docindex as 32 part-files made EVERY later
+        # snapshot read (3 per refresh batch + compact + readout) list
+        # and open 32 files — and every per-batch docindex version
+        # inherited the count. One file is the honest size here; a
+        # production refresh loop sizes artifact files the same way
+        # (128 MB-1 GB targets), it just reaches them with more rows.
+        standing.coalesce(1).write.parquet(base_di_p)
+        _inc.keepers(spark.read.parquet(base_di_p)).coalesce(1).write.parquet(
+            base_co_p
+        )
 
     def _write_slices() -> None:
         # sequential WITHIN this thread — the mtime order is the feed's
