@@ -8432,9 +8432,17 @@ def corpus_incremental_arm(spark: SparkSession, sf_dir: str) -> DataFrame:
     incremental-maintenance theorem, value-checked: membership (count +
     id checksum per lang) and count/sum/mean/var/std of n_chars all
     bit-match a rebuild."""
+    # one materialization of the fixture's document snapshot (r16): the
+    # standing legs + the six CDC-feed legs all derive from `base`, and
+    # without a barrier each consumer re-ran the parquet scan of the
+    # heavy text column plus the spread exchange (8 rescans measured;
+    # arm median 3.97 s -> 3.41 s standalone at sf0.1). A production
+    # incremental pipeline reads the standing artifacts from storage —
+    # this is the local analogue of that parquet boundary, same as the
+    # checkpoints inside _inc_standing.
     base = load_table(spark, sf_dir, "documents", spread="doc_id").select(
         "doc_id", "text", "lang", "n_chars"
-    )
+    ).localCheckpoint(eager=False)
     docindex, corpus, state = _inc_standing(base)
     compacted = cdc.cdc_compact(
         _inc_feed(base), ["doc_id"], ["ts"], drop_deleted=False
