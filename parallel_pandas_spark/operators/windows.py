@@ -61,6 +61,79 @@ _ROLL_FNS = {
     "sem": _w_sem,
 }
 
+#: stat -> base window aggregate(s) it derives from. The rolling kernels
+#: project each distinct base aggregate ONCE per (column, frame) and
+#: derive the stat from the projected attribute (r16): every textual
+#: ``agg(x).over(w)`` reference becomes its OWN frame processor inside
+#: WindowExec — a sliding frame re-aggregates the whole frame per row per
+#: processor, so the min_periods guard's count plus a compound like skew
+#: (which mentions n three times) paid 4x the count and the moment twice
+#: (measured: rolling_cov_corr 19 frame processors where 6 suffice).
+#: Values are unchanged — same aggregates over the same frame, the
+#: derivation arithmetic is untouched.
+_ROLL_BASE = {
+    "mean": F.avg,
+    "sum": F.sum,
+    "min": F.min,
+    "max": F.max,
+    "std": F.stddev_samp,
+    "var": F.var_samp,
+    "median": lambda c: F.expr(f"percentile(`{c}`, 0.5)"),
+    "count": F.count,
+    "skew": F.skewness,
+    "kurt": F.kurtosis,
+    "sem": F.stddev_samp,
+}
+
+
+def _roll_multi(
+    out: DataFrame,
+    cols: Sequence[str],
+    funcs: Sequence[str],
+    w: WindowSpec,
+    mp: int,
+    fin: dict,
+    nn: dict,
+    suffix: str,
+) -> DataFrame:
+    """Shared body of rolling / rolling_time / expanding: one projection
+    of deduplicated raw window aggregates, then a plain derive projection
+    (identical arithmetic to the former inline ``_ROLL_FNS`` compounds,
+    so outputs are bit-identical)."""
+    raw: dict[str, F.Column] = {}
+
+    def _base(key: str, expr: F.Column) -> F.Column:
+        alias = f"__rwagg_{key}"
+        if alias not in raw:
+            raw[alias] = expr.over(w)
+        return F.col(alias)
+
+    derived: list[tuple[str, F.Column]] = []
+    for c in cols:
+        cnt_fin = lambda: _base(f"cnt_{fin[c]}", F.count(fin[c]))  # noqa: B023
+        for fn in funcs:
+            if fn == "count":
+                g = _base("cntall", F.count(F.lit(1))) >= mp
+                e = _base(f"count_{nn[c]}", F.count(nn[c]))
+            else:
+                g = cnt_fin() >= mp
+                b = _base(f"{fn}_{fin[c]}", _ROLL_BASE[fn](fin[c]))
+                if fn == "skew":
+                    n = cnt_fin().cast("double")
+                    e = b * F.sqrt(n * (n - 1)) / (n - 2)
+                elif fn == "kurt":
+                    n = cnt_fin().cast("double")
+                    e = ((n + 1) * b + 6) * (n - 1) / ((n - 2) * (n - 3))
+                elif fn == "sem":
+                    e = b / F.sqrt(cnt_fin() - F.lit(1))
+                else:
+                    e = b
+            derived.append((f"{c}{suffix}{fn}", F.when(g, e)))
+    staged = out.select("*", *[e.alias(n) for n, e in raw.items()])
+    return staged.select(
+        *out.columns, *[e.alias(n) for n, e in derived]
+    )
+
 
 def _ordered_window(order_by, partition_by) -> WindowSpec:
     w = Window.partitionBy(*(partition_by or []))
@@ -163,18 +236,10 @@ def rolling(
         return out
     w = _ordered_window(order_by, partition_by).rowsBetween(start, end)
     out, fin, nn, temps = _window_obs(df, cols)
-    for c in cols:
-        guard = F.count(fin[c]).over(w) >= mp
-        # pandas asymmetry (verified 2.2): .count() applies min_periods to
-        # the frame ROW count, NaN rows included — every other agg counts
-        # valid (finite) observations
-        rows_guard = F.count(F.lit(1)).over(w) >= mp
-        for fn in funcs:
-            g = rows_guard if fn == "count" else guard
-            src = nn[c] if fn == "count" else fin[c]
-            out = out.withColumn(
-                f"{c}_roll_{fn}", F.when(g, _ROLL_FNS[fn](src, w))
-            )
+    # pandas asymmetry (verified 2.2): .count() applies min_periods to
+    # the frame ROW count, NaN rows included — every other agg counts
+    # valid (finite) observations; both guards live in _roll_multi
+    out = _roll_multi(out, cols, funcs, w, mp, fin, nn, "_roll_")
     return out if keep_obs else out.drop(*temps)
 
 
@@ -318,27 +383,48 @@ def rolling_cov_corr(
         "ab": (a * b, max(min(scale_a, scale_b) - 1, 0)),
     }
     if compact_sums:
+        # r16: project the count and the five window sums ONCE and derive
+        # cov/corr from the projected attributes — inline references made
+        # every mention of a sum its own frame processor (19 where 6
+        # suffice; a sliding frame re-aggregates per row per processor)
+        # and split cov/corr into two Window nodes. Same aggregates, same
+        # frame, same derivation arithmetic -> bit-identical doubles.
         for k, (x, s) in scales.items():
             df = df.withColumn(
                 f"__rcc_{k}", F.floor(x * F.lit(float(10**s)) + F.lit(0.5)).cast("long")
             )
+        staged = df.select(
+            "*",
+            n.alias("__rcc_n"),
+            *[F.sum(f"__rcc_{k}").over(w).alias(f"__rcc_s_{k}") for k in scales],
+        )
+        n = F.col("__rcc_n")
         sums = {
-            k: F.sum(f"__rcc_{k}").over(w).cast("double") / F.lit(float(10**s))
+            k: F.col(f"__rcc_s_{k}").cast("double") / F.lit(float(10**s))
             for k, (_, s) in scales.items()
         }
-    else:
-        sums = {k: det.wqsum(x, w, s) for k, (x, s) in scales.items()}
+        sa, sb = sums["a"], sums["b"]
+        saa, sbb, sab = sums["aa"], sums["bb"], sums["ab"]
+        guard = n >= mp
+        cov = (sab - sa * sb / n) / (n - ddof)
+        corr = (n * sab - sa * sb) / F.sqrt(
+            (n * saa - sa * sa) * (n * sbb - sb * sb)
+        )
+        return (
+            staged.withColumn(f"{pre}_roll_cov", F.when(guard, cov))
+            .withColumn(f"{pre}_roll_corr", F.when(guard, corr))
+            .drop("__rcc_n", *[f"__rcc_s_{k}" for k in scales],
+                  *[f"__rcc_{k}" for k in scales])
+        )
+    sums = {k: det.wqsum(x, w, s) for k, (x, s) in scales.items()}
     sa, sb = sums["a"], sums["b"]
     saa, sbb, sab = sums["aa"], sums["bb"], sums["ab"]
     guard = n >= mp
     cov = (sab - sa * sb / n) / (n - ddof)
     corr = (n * sab - sa * sb) / F.sqrt((n * saa - sa * sa) * (n * sbb - sb * sb))
-    out = df.withColumn(f"{pre}_roll_cov", F.when(guard, cov)).withColumn(
+    return df.withColumn(f"{pre}_roll_cov", F.when(guard, cov)).withColumn(
         f"{pre}_roll_corr", F.when(guard, corr)
     )
-    if compact_sums:
-        out = out.drop(*[f"__rcc_{k}" for k in scales])
-    return out
 
 
 def rolling_cov_corr_sql(
@@ -448,15 +534,7 @@ def rolling_time(
         .rangeBetween(start, end)
     )
     out, fin, nn, temps = _window_obs(df, cols)
-    for c in cols:
-        guard = F.count(fin[c]).over(w) >= min_periods
-        rows_guard = F.count(F.lit(1)).over(w) >= min_periods  # see rolling()
-        for fn in funcs:
-            g = rows_guard if fn == "count" else guard
-            src = nn[c] if fn == "count" else fin[c]
-            out = out.withColumn(
-                f"{c}_roll_{fn}", F.when(g, _ROLL_FNS[fn](src, w))
-            )
+    out = _roll_multi(out, cols, funcs, w, min_periods, fin, nn, "_roll_")
     return out.drop(*temps)
 
 
@@ -603,15 +681,21 @@ def rolling_rank(
         return df.withColumn(out_col, F.lit(None).cast("double"))
     w = _ordered_window(order_by, partition_by).rowsBetween(start, end)
     src = _finite(F.col(col)) if _is_floating(df, col) else F.col(col)
-    vals = F.collect_list(src).over(w)  # frame-ordered, non-finite dropped
-    if end == 0:
-        cur = src
-    else:
+    # r16: project the frame list (and frame-end value) ONCE — the rank
+    # expression references the list 3-4 times (two filters, the size
+    # guard, the pct denominator) and each inline reference was its own
+    # collect_list frame processor building the same array per row.
+    vals_a, cur_a = f"__rr_vals_{col}", f"__rr_cur_{col}"
+    raws = [F.collect_list(src).over(w).alias(vals_a)]  # frame-ordered, non-finite dropped
+    if end != 0:
         # the frame-end ROW's value: last() over the SAME frame keeps the
         # partition-edge clipping pandas applies (a lead() would overshoot
         # past the partition tail and return NULL where pandas ranks the
         # clipped frame's own last row)
-        cur = F.last(src, ignorenulls=False).over(w)
+        raws.append(F.last(src, ignorenulls=False).over(w).alias(cur_a))
+    df = df.select("*", *raws)
+    vals = F.col(vals_a)
+    cur = src if end == 0 else F.col(cur_a)
     less = F.size(F.filter(vals, lambda v: v < cur))
     eq = F.size(F.filter(vals, lambda v: v == cur))
     if method == "average":
@@ -625,7 +709,9 @@ def rolling_rank(
     if pct:
         rank = rank / F.size(vals).cast("double")
     guard = F.size(vals) >= mp
-    return df.withColumn(out_col, F.when(guard & cur.isNotNull(), rank))
+    return df.withColumn(out_col, F.when(guard & cur.isNotNull(), rank)).drop(
+        vals_a, *([cur_a] if end != 0 else [])
+    )
 
 
 def expanding(
@@ -645,15 +731,7 @@ def expanding(
         Window.unboundedPreceding, Window.currentRow
     )
     out, fin, nn, temps = _window_obs(df, cols)
-    for c in cols:
-        guard = F.count(fin[c]).over(w) >= min_periods
-        rows_guard = F.count(F.lit(1)).over(w) >= min_periods  # see rolling()
-        for fn in funcs:
-            g = rows_guard if fn == "count" else guard
-            src = nn[c] if fn == "count" else fin[c]
-            out = out.withColumn(
-                f"{c}_exp_{fn}", F.when(g, _ROLL_FNS[fn](src, w))
-            )
+    out = _roll_multi(out, cols, funcs, w, min_periods, fin, nn, "_exp_")
     return out if keep_obs else out.drop(*temps)
 
 
