@@ -142,7 +142,33 @@ def map_batches_split_by(
         if held is not None and len(held):
             yield func(held)
 
-    d = df.repartition(key_col).sortWithinPartitions(key_col)
+    # Python-boundary partition sizing (r16, guide §4): AQE prices
+    # post-shuffle partitions by bytes, and the session's
+    # parallelism-first floor (64k, session.py) keeps JVM compute-dense
+    # shuffles on every core — but an Arrow/pandas chunk stage amortizes
+    # per-task fixed cost (worker pickup, Arrow setup, per-chunk pandas
+    # overhead) over its rows and wants ~1 MB+ chunks (measured at
+    # sf0.1: 32 micro-chunks 1.3 s vs 6 chunky tasks 0.78 s). An
+    # EXPLICIT partition count pins what AQE's default 1m floor would
+    # choose — min(shuffle parallelism, est_bytes/1m), never below 1 —
+    # and is inert at scale, where est_bytes/1m exceeds the configured
+    # shuffle parallelism and the count equals it unchanged. Chunk
+    # BOUNDARIES never affect results beyond the documented contract
+    # (whole groups per chunk) — the count only sizes the chunks.
+    spark = df.sparkSession
+    try:
+        est_bytes = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:  # stats unavailable -> fall back to AQE sizing
+        est_bytes = None
+    if est_bytes is not None:
+        parallelism = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        # plan-stat sizes are column-pruned COMPRESSED scan bytes, ~2x
+        # under the row-format shuffle bytes AQE prices — 512k of
+        # estimate per chunk lands near AQE's 1m-of-shuffle sizing
+        n = max(1, min(parallelism, est_bytes // (1 << 19) or 1))
+        d = df.repartition(n, key_col).sortWithinPartitions(key_col)
+    else:
+        d = df.repartition(key_col).sortWithinPartitions(key_col)
     return d.mapInPandas(it_func, schema=schema)
 
 
