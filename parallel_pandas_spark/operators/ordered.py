@@ -265,6 +265,7 @@ def rank_multi(
     ascending: bool = True,
     partition_by: Sequence[str] | None = None,
     tie_break: Sequence[str] | None = None,
+    bucketed: "bool | str" = False,
 ) -> DataFrame:
     """Several pandas ``rank`` variants of ONE column in one fused plan.
 
@@ -280,6 +281,20 @@ def rank_multi(
     Exchange + ONE Sort, and the derived methods (average/max/pct and
     the na_option='top' shift identities) are arithmetic on row_number /
     per-value-group aggregates, not extra orderings.
+
+    ``bucketed=True`` (r16, guide §2.5): the one-sort plan serializes
+    into ``n_groups`` tasks — the canonical skew killer when the key has
+    few values (or none: a GLOBAL rank is ONE task). The bucketed path
+    splits every key group into value-range buckets (the
+    :func:`global_avg_rank` technique, generalized to all five methods ×
+    na_option × pct): a per-(keys, bucket) parallel sort yields local
+    row_number/rank/dense/cume, a metadata-sized per-bucket count frame
+    rolls into offsets (broadcast back), and every output derives from
+    offset + local — THE SAME integers the fused sort produces, through
+    THE SAME derivation arithmetic (shared ``_apply_rank_specs``), so
+    outputs are bit-identical under any bucket boundaries. Numeric value
+    columns only (bucket boundaries come from an approxQuantile sketch);
+    non-numeric input falls back to the fused single-sort path.
     """
     keys = list(partition_by or [])
     src = col
@@ -288,6 +303,11 @@ def rank_multi(
         df = df.withColumn("__rkm_src", nan_safe_col(F.col(col)))
         src = "__rkm_src"
         temps = ["__rkm_src"]
+    if bucketed and isinstance(df.schema[src].dataType, T.NumericType):
+        return _rank_multi_bucketed(
+            df, src, specs, ascending, keys, tie_break, temps,
+            skip_probe=(bucketed == "value"),
+        )
     vorder = F.col(src).asc_nulls_last() if ascending else F.col(src).desc_nulls_last()
     first_w = Window.partitionBy(*keys).orderBy(
         vorder, *[F.col(t) for t in (tie_break or [])]
@@ -311,31 +331,50 @@ def rank_multi(
     df = df.withColumn("__rkm_rn", F.row_number().over(first_w))
     temps.append("__rkm_rn")
     rn = F.col("__rkm_rn")
-    out = df
+    prim = {
+        "rn": rn,
+        "rank": F.rank().over(base),
+        "cume": cume,
+        "dense": F.dense_rank().over(base),
+        "k": F.count(src).over(whole),
+        "nrows": F.count(F.lit(1)).over(whole),
+        "dense_max": lambda na_option, tmp: F.max(tmp).over(whole),
+    }
+    return _apply_rank_specs(df, specs, src, tie_break, prim, temps)
+
+
+def _apply_rank_specs(out, specs, src, tie_break, prim, temps):
+    """Derive every spec's output column from the rank PRIMITIVES — the
+    fused single-sort path and the bucketed two-phase path both feed this
+    same arithmetic, so their outputs are bit-identical by construction.
+    ``prim``: rn (row_number incl. tie_break), rank (min-of-peers), cume
+    (max-of-peers), dense, k (non-null count per key group), nrows (row
+    count per key group), dense_max(na_option, tmp_col) (the pct-dense
+    denominator: max of the adjusted dense rank over the key group)."""
     for spec in specs:
         method = spec.get("method", "average")
         na_option = spec.get("na_option", "keep")
         pct = spec.get("pct", False)
         out_col = spec["out_col"]
         if method == "average":
-            expr = (F.rank().over(base) + cume) / F.lit(2.0)
+            expr = (prim["rank"] + prim["cume"]) / F.lit(2.0)
         elif method == "min":
-            expr = F.rank().over(base).cast("double")
+            expr = prim["rank"].cast("double")
         elif method == "max":
-            expr = cume.cast("double")
+            expr = prim["cume"].cast("double")
         elif method == "first":
             if not tie_break:
                 raise ValueError("method='first' needs tie_break for determinism")
-            expr = rn.cast("double")
+            expr = prim["rn"].cast("double")
         elif method == "dense":
-            expr = F.dense_rank().over(base).cast("double")
+            expr = prim["dense"].cast("double")
         else:
             raise ValueError(f"unknown rank method {method!r}")
         if na_option == "keep":
             expr = F.when(F.col(src).isNotNull(), expr)
         elif na_option == "top":
-            k = F.count(src).over(whole).cast("double")
-            nn = F.count(F.lit(1)).over(whole).cast("double") - k
+            k = prim["k"].cast("double")
+            nn = prim["nrows"].cast("double") - k
             isnull = F.col(src).isNull()
             if method == "dense":
                 expr = F.when(isnull, F.lit(1.0)).otherwise(
@@ -350,13 +389,230 @@ def rank_multi(
                 tmp = f"__{out_col}_dense"
                 out = out.withColumn(tmp, expr)
                 out = out.withColumn(
-                    out_col, F.col(tmp) / F.max(tmp).over(whole)
+                    out_col, F.col(tmp) / prim["dense_max"](na_option, tmp)
                 ).drop(tmp)
                 continue
-            denom = F.count(src) if na_option == "keep" else F.count(F.lit(1))
-            expr = expr / denom.over(whole)
+            denom = prim["k"] if na_option == "keep" else prim["nrows"]
+            expr = expr / denom
         out = out.withColumn(out_col, expr)
     return out.drop(*temps)
+
+
+def _dense_max_closed(k_l, n_l, dd):
+    """pct-dense denominator — max over the key group of the na-adjusted
+    dense rank — in closed form from the per-key aggregates (k non-null
+    rows, n rows, dd distinct non-null values). The guards reproduce the
+    fused path's NULL-on-empty window aggregates."""
+
+    def dense_max(na_option, tmp):
+        nnd = n_l.cast("double") - k_l.cast("double")
+        ddd = dd.cast("double")
+        if na_option == "keep":
+            return F.when(k_l > 0, ddd)
+        if na_option == "top":
+            return F.when(k_l > 0, ddd + F.least(nnd, F.lit(1.0))).when(
+                n_l > k_l, F.lit(1.0)
+            )
+        # bottom: nulls extend the dense chain by one peer group
+        return F.when(n_l > k_l, ddd + F.lit(1.0)).when(k_l > 0, ddd)
+
+    return dense_max
+
+
+def _rank_multi_bucketed(
+    df: DataFrame,
+    src: str,
+    specs: Sequence[dict],
+    ascending: bool,
+    keys: list,
+    tie_break: Sequence[str] | None,
+    temps: list,
+    max_value_groups: int = 200_000,
+    skip_probe: bool = False,
+) -> DataFrame:
+    """Two-phase parallel body of :func:`rank_multi` (bucketed=True) —
+    guide §2.5/§8: decide with small rows, move big rows at most once.
+
+    A cardinality probe (one HLL job; it only picks the ALGORITHM — both
+    branches produce identical values) selects:
+
+    **Value-aggregate path** (distinct values ≤ ``max_value_groups``):
+    rank over repeated values needs NO data sort at all. A map-side
+    per-(keys, value) count reduces the data to a metadata-sized frame
+    whose running sums ARE the rank table — rank = rows before the value
+    group + 1, max-of-peers = rows through it, dense = distinct values
+    before + 1, per-key totals ride along — broadcast back onto the
+    scan. Only ``method='first'`` touches row order, and its
+    row_number-within-value-peers window hash-partitions by
+    (keys, value): parallel regardless of key cardinality.
+
+    **Quantile-bucket path** (near-unique values): the
+    :func:`global_avg_rank` technique generalized to the full method ×
+    na_option × pct surface — value-range buckets from an approxQuantile
+    sketch (a pure function of the value, so ties never span buckets and
+    the result is independent of the boundaries), one parallel sort per
+    (keys, bucket), per-bucket counts reduced map-side and rolled into
+    broadcast offsets; each global primitive = offset + local window.
+
+    Both paths feed the SAME spec-derivation arithmetic
+    (``_apply_rank_specs``) with integers equal to the fused sort's, so
+    outputs are bit-identical. Offset joins are NULL-SAFE on the keys —
+    window partitioning groups NULL keys, so the join must too."""
+    c = F.col(src)
+    methods = {s.get("method", "average") for s in specs}
+    out_cols = [s["out_col"] for s in specs]
+    want = [x for x in df.columns if x not in temps] + out_cols
+
+    def _nullsafe_bjoin(left, offs, left_on, offs_on):
+        """left ⋈ broadcast(offs) with NULL groups kept; returns the
+        joined frame and the aliased right-side key temps to drop."""
+        jcols = [f"__rkm_j{i}" for i in range(len(offs_on))]
+        offs = offs.select(
+            *[F.col(k).alias(a) for k, a in zip(offs_on, jcols)],
+            *[x for x in offs.columns if x not in offs_on],
+        )
+        cond = None
+        for k, a in zip(left_on, jcols):
+            e = F.col(k).eqNullSafe(F.col(a))
+            cond = e if cond is None else (cond & e)
+        return left.join(F.broadcast(offs), cond), jcols
+
+    # bucketed="value" asserts low value cardinality (caller knowledge)
+    # and skips the probe job — the algorithm choice is the only thing
+    # the probe decides, values are identical on every branch
+    if skip_probe:
+        n_values = 0
+    else:
+        n_values = df.select(F.approx_count_distinct(src).alias("n")).first()["n"]
+    if n_values <= max_value_groups:
+        gv = df.groupBy(*keys, c.alias("__rkm_bv")).agg(
+            F.count(F.lit(1)).alias("__rkm_cnt")
+        )
+        nn_flag = F.col("__rkm_bv").isNotNull()
+        bvorder = (
+            F.col("__rkm_bv").asc_nulls_last()
+            if ascending
+            else F.col("__rkm_bv").desc_nulls_last()
+        )
+        woff = Window.partitionBy(*keys).orderBy(bvorder).rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        wkey = Window.partitionBy(*keys)
+        offs = gv.select(
+            *keys,
+            "__rkm_bv",
+            "__rkm_cnt",
+            F.coalesce(F.sum("__rkm_cnt").over(woff), F.lit(0)).alias("__rkm_off"),
+            F.coalesce(F.sum(nn_flag.cast("long")).over(woff), F.lit(0)).alias(
+                "__rkm_doff"
+            ),
+            F.sum(F.when(nn_flag, F.col("__rkm_cnt")).otherwise(F.lit(0)))
+            .over(wkey)
+            .alias("__rkm_k"),
+            F.sum("__rkm_cnt").over(wkey).alias("__rkm_n"),
+            F.sum(nn_flag.cast("long")).over(wkey).alias("__rkm_dd"),
+        )
+        data, jtemps = _nullsafe_bjoin(df, offs, [*keys, src], [*keys, "__rkm_bv"])
+        vtemps = ["__rkm_cnt", "__rkm_off", "__rkm_doff", "__rkm_k", "__rkm_n",
+                  "__rkm_dd", *jtemps]
+        prim = {
+            "rank": F.col("__rkm_off") + F.lit(1),
+            "cume": F.col("__rkm_off") + F.col("__rkm_cnt"),
+            "dense": F.col("__rkm_doff") + F.lit(1),
+            "k": F.col("__rkm_k"),
+            "nrows": F.col("__rkm_n"),
+            "dense_max": _dense_max_closed(
+                F.col("__rkm_k"), F.col("__rkm_n"), F.col("__rkm_dd")
+            ),
+        }
+        if "first" in methods:
+            vw = Window.partitionBy(*keys, c).orderBy(
+                *[F.col(t) for t in (tie_break or [])]
+            )
+            data = data.withColumn("__rkm_lrn", F.row_number().over(vw))
+            vtemps.append("__rkm_lrn")
+            prim["rn"] = F.col("__rkm_off") + F.col("__rkm_lrn")
+        out = _apply_rank_specs(data, specs, src, tie_break, prim, [*temps, *vtemps])
+        return out.select(*want)
+
+    spark = df.sparkSession
+    p = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    probs = [i / p for i in range(1, p)]
+    bounds = sorted(
+        {b for b in df.stat.approxQuantile(src, probs, 0.001) if b is not None}
+    )
+    if not ascending:
+        bounds = bounds[::-1]
+    bexpr = F.lit(0)
+    for b in bounds:
+        bexpr = bexpr + (c > F.lit(b) if ascending else c < F.lit(b)).cast("int")
+    nullb = len(bounds) + 1  # nulls sort LAST in every na_option's base order
+    dfb = df.withColumn(
+        "__rkm_b", F.when(c.isNotNull(), bexpr).otherwise(F.lit(nullb))
+    )
+
+    # per-bucket counts BEFORE the data shuffle: a map-side partial
+    # aggregation over the scan reduces to ≤ keys×(p+1) rows; broadcast
+    # the rolled offsets onto the scan so the heavy rows see exactly ONE
+    # exchange — the (keys, bucket) shuffle the parallel sort needs.
+    g = dfb.groupBy(*keys, "__rkm_b").agg(
+        F.count(F.lit(1)).alias("__rkm_cnt"),
+        F.count(src).alias("__rkm_cnn"),
+        F.countDistinct(src).alias("__rkm_dct"),
+    )
+    woff = Window.partitionBy(*keys).orderBy("__rkm_b").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    wkey = Window.partitionBy(*keys)
+    offs = g.select(
+        *keys,
+        "__rkm_b",
+        F.coalesce(F.sum("__rkm_cnt").over(woff), F.lit(0)).alias("__rkm_off"),
+        F.coalesce(F.sum("__rkm_dct").over(woff), F.lit(0)).alias("__rkm_doff"),
+        F.sum("__rkm_cnn").over(wkey).alias("__rkm_k"),
+        F.sum("__rkm_cnt").over(wkey).alias("__rkm_n"),
+        F.sum("__rkm_dct").over(wkey).alias("__rkm_dd"),
+    )
+    data, jtemps = _nullsafe_bjoin(
+        dfb, offs, [*keys, "__rkm_b"], [*keys, "__rkm_b"]
+    )
+    rep = data.repartition(*[F.col(k) for k in keys], F.col("__rkm_b"))
+
+    vorder = c.asc_nulls_last() if ascending else c.desc_nulls_last()
+    lw_first = Window.partitionBy(*keys, "__rkm_b").orderBy(
+        vorder, *[F.col(t) for t in (tie_break or [])]
+    )
+    lw_base = Window.partitionBy(*keys, "__rkm_b").orderBy(vorder)
+    joined = (
+        rep.withColumn("__rkm_lrn", F.row_number().over(lw_first))
+        .withColumn("__rkm_lrank", F.rank().over(lw_base))
+        .withColumn("__rkm_ldense", F.dense_rank().over(lw_base))
+        .withColumn(
+            "__rkm_lcume",
+            F.count(F.lit(1)).over(
+                lw_base.rangeBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+    )
+    prim = {
+        "rn": F.col("__rkm_off") + F.col("__rkm_lrn"),
+        "rank": F.col("__rkm_off") + F.col("__rkm_lrank"),
+        "cume": F.col("__rkm_off") + F.col("__rkm_lcume"),
+        "dense": F.col("__rkm_doff") + F.col("__rkm_ldense"),
+        "k": F.col("__rkm_k"),
+        "nrows": F.col("__rkm_n"),
+        "dense_max": _dense_max_closed(
+            F.col("__rkm_k"), F.col("__rkm_n"), F.col("__rkm_dd")
+        ),
+    }
+    bucket_temps = [
+        "__rkm_b", "__rkm_lrn", "__rkm_lrank", "__rkm_ldense", "__rkm_lcume",
+        "__rkm_off", "__rkm_doff", "__rkm_k", "__rkm_n", "__rkm_dd", *jtemps,
+    ]
+    out = _apply_rank_specs(
+        joined, specs, src, tie_break, prim, [*temps, *bucket_temps]
+    )
+    return out.select(*want)
 
 
 def global_avg_rank(
