@@ -156,19 +156,50 @@ def _pad_union(parts: list[tuple[str, DataFrame]], tag_col: str = "src") -> Data
     return out
 
 
-def _compose_union(parts: list[tuple[str, str]]):
+def _compose_union(parts: list[tuple[str, str]], overlap_eager: bool = False):
     """Merge registered queries into one tagged pad-union battery.
 
     ``parts`` is [(tag, registered_name)]; the component functions and
     oracle SQL are captured NOW so the components can be retired after.
-    Returns (query_fn, oracle_sql)."""
+    Returns (query_fn, oracle_sql).
+
+    ``overlap_eager`` (r16, guide §2.6 "overlap independent jobs"): a
+    battery whose arms include a long DRIVER-FED protocol (a streaming
+    lifecycle with per-micro-batch fixed costs, a store build chain)
+    serializes that protocol's mostly-idle-executor wall time in front
+    of the other arms' compute. The arms are independent by
+    construction (each was a standalone registered query), so the
+    composed builder runs each arm on its own driver thread and
+    materializes it (``localCheckpoint(eager=True)``) there — battery
+    wall becomes max(arm) instead of sum(arm), the exact back-fill the
+    guide's ThreadPoolExecutor example describes. Everything is still
+    recomputed from the parquet inputs on EVERY invocation (the
+    checkpoint lives and dies inside one builder call — no cross-run
+    reuse), the per-arm rows are bit-identical, and the union keeps
+    the arm order, so the oracle hash is unchanged. Opt-in per battery:
+    NOT safe when any arm mutates process-global state (ivf_topk's
+    maint arm patches os.rename for crash injection, and its pred
+    would see a concurrent arm's manifest commit), and pointless when
+    every arm is a lazy plan (AQE already materializes independent
+    union subtrees concurrently at force time)."""
     fns = [(tag, _QUERIES[name]) for tag, name in parts]
     sql = "\nUNION ALL BY NAME\n".join(
         f"SELECT '{tag}' AS src, * FROM ({_ORACLES[name]})" for tag, name in parts
     )
 
-    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
-        return _pad_union([(tag, f(spark, sf_dir)) for tag, f in fns])
+    if overlap_eager:
+        def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+            from concurrent.futures import ThreadPoolExecutor
+
+            def build(f):
+                return f(spark, sf_dir).localCheckpoint(eager=True)
+
+            with ThreadPoolExecutor(max_workers=len(fns)) as pool:
+                futs = [(tag, pool.submit(build, f)) for tag, f in fns]
+                return _pad_union([(tag, fu.result()) for tag, fu in futs])
+    else:
+        def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+            return _pad_union([(tag, f(spark, sf_dir)) for tag, f in fns])
 
     # per-arm attribution hook for bench.py: the battery headline time is
     # unauditable at arm granularity otherwise (a regression can hide
@@ -6049,7 +6080,14 @@ _bfn, _bsql = _compose_union(
         ("whale", "whale_key_groupby"),
         ("streampost", "stream_rollup_poststate"),
         ("sessionpost", "stream_session_poststate"),
-    ]
+    ],
+    # two checkpointed streaming post-state protocols (sessionpost ~6 s,
+    # streampost ~1.6 s at sf0.01) ran back to back with idle executors;
+    # the five batch arms' compute back-fills them. No arm here touches
+    # process-global state (the os.rename crash injector lives in
+    # ivf_topk's maint arm, which stays sequential for exactly that
+    # reason).
+    overlap_eager=True,
 )
 _bfn.__doc__ = """Grouped-aggregation edge cases: skew-safe two-stage salted
 plan (equal to the unsalted result by construction), pandas dropna=True
@@ -8680,7 +8718,12 @@ _cbfn, _cbsql = _compose_union(
         ("build", "corpus_build_fullarm"),
         ("incremental", "corpus_incremental_arm"),
         ("livepost", "corpus_livepost_arm"),
-    ]
+    ],
+    # livepost is ~8 s of checkpointed-streaming protocol whose
+    # executors sit mostly idle (micro-batch commits, fsyncs, stream
+    # start/stop) — the build and incremental arms' real compute
+    # back-fills those cores instead of queuing behind them
+    overlap_eager=True,
 )
 _cbfn.__doc__ = """Corpus lifecycle battery: the from-scratch five-stage
 build (quality -> gopher -> dedup -> sample/split -> pack), (r11) the

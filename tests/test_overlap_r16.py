@@ -1,0 +1,56 @@
+"""overlap_eager battery composition (r16 optimization): the threaded
+eager-materializing union must return exactly the rows of the sequential
+pad-union of the same arms — composition is a wall-clock change, never a
+result change."""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entry
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from parallel_pandas_spark.session import get_spark
+
+    return get_spark(app_name="pps-test-overlap", cpus=4)
+
+
+def _canon(df):
+    cols = sorted(df.columns)
+    rows = df.select(*cols).collect()
+    # NULL-safe total order: sort on the repr of the rounded tuple
+    canon = [
+        tuple(round(v, 9) if isinstance(v, float) else v for v in r)
+        for r in rows
+    ]
+    return sorted(canon, key=repr)
+
+
+@pytest.mark.parametrize(
+    "battery", ["corpus_build_pipeline", "groupby_edge_battery"]
+)
+def test_overlap_union_rows_equal_sequential(spark, battery):
+    qs = entry.queries()
+    fn = qs[battery]
+    arms = fn.__arms__
+    # arm order (hence union tag order) is preserved by the overlap
+    assert [t for t, _ in arms] == [t for t, _ in fn.__arms__]
+    seq = entry._pad_union([(t, f(spark, SF)) for t, f in arms])
+    ovl = fn(spark, SF)
+    assert ovl.columns == seq.columns
+    assert _canon(ovl) == _canon(seq)
+
+
+def test_overlap_recomputes_per_invocation(spark):
+    """The eager checkpoint lives inside one builder call: two calls
+    return DISTINCT checkpointed plans (no cross-run memo of results)."""
+    qs = entry.queries()
+    fn = qs["groupby_edge_battery"]
+    a = fn(spark, SF)
+    b = fn(spark, SF)
+    assert a is not b
+    assert a._jdf.queryExecution().analyzed() is not b._jdf.queryExecution().analyzed()
