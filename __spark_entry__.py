@@ -2575,7 +2575,14 @@ _bfn, _bsql = _compose_union(
         ("pq", "cosine_pq_topk"),
         ("ivfpq", "cosine_ivfpq_topk"),
         ("opq", "cosine_opq_topk"),
-    ]
+    ],
+    # the PQ-family arms are driver-fed chains (train -> encode -> LUT ->
+    # score -> re-rank, ~8 small sequential jobs each on a fixture-sized
+    # corpus) whose per-job fixed cost idles the executors; the six arms
+    # build/score independent stores (distinct _ensure_store paths; the
+    # rotation-literal cache is value-keyed), so their chains interleave
+    # (4.21 -> 2.45 s interleaved medians at sf0.1)
+    overlap_eager=True,
 )
 _bfn.__doc__ = """Brute-force cosine top-k: exact float path, (r7) the
 int8 scalar-quantized path (4x smaller store; scales cancel, so the

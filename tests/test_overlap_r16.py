@@ -31,7 +31,8 @@ def _canon(df):
 
 
 @pytest.mark.parametrize(
-    "battery", ["corpus_build_pipeline", "groupby_edge_battery"]
+    "battery",
+    ["corpus_build_pipeline", "groupby_edge_battery", "cosine_topk"],
 )
 def test_overlap_union_rows_equal_sequential(spark, battery):
     qs = entry.queries()
