@@ -2899,9 +2899,13 @@ def ivf_maint_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     # crash #1: ON the manifest commit rename — the staged data + staged
     # quantizer versions are complete but never published; recovery must
     # discard them and the live snapshot (the compacted store) must be
-    # byte-untouched
+    # byte-untouched. The pred is scoped to THIS store's manifest: the
+    # injector patches the process-global os.rename, and an unscoped
+    # endswith would fire on a concurrently-building sibling store's
+    # commit once the battery's arms overlap (guide §2.6).
     _crashed_rebalance(
-        lambda s, d: d.endswith("_MANIFEST.json"), nth=1
+        lambda s, d: d.endswith("_MANIFEST.json") and d.startswith(path),
+        nth=1,
     )
     if vecstore.recover_store(path) != "rolled_back":
         raise AssertionError("pre-commit crash must roll back")
@@ -2911,7 +2915,11 @@ def ivf_maint_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     real_sweep = vecstore._sweep_store
 
     def _boom_sweep(p):
-        raise RuntimeError("injected maintenance crash")
+        # scoped like the rename pred: only THIS store's sweep crashes;
+        # a concurrent arm's store build sweeps normally
+        if str(p).startswith(path):
+            raise RuntimeError("injected maintenance crash")
+        return real_sweep(p)
 
     vecstore._sweep_store = _boom_sweep
     try:
@@ -3121,7 +3129,13 @@ _bfn, _bsql = _compose_union(
         ("store", "ivf_store_topk"),
         ("maint", "ivf_maint_topk"),
         ("tuned", "ivf_tuned_topk"),
-    ]
+    ],
+    # the maint arm is a ~18 s (sf0.01) sequential lifecycle of small
+    # fsync-durable maintenance ops — the other three arms' store builds
+    # and scoring back-fill its idle cores. Safe to overlap because both
+    # of maint's crash injectors are scoped to its own store path (the
+    # rename pred and _boom_sweep delegate for every other store).
+    overlap_eager=True,
 )
 _bfn.__doc__ = """IVF-flat ANN, in-flight, FROM the cell-partitioned
 store, THROUGH the full maintenance lifecycle, and at a TUNER-CHOSEN

@@ -32,7 +32,12 @@ def _canon(df):
 
 @pytest.mark.parametrize(
     "battery",
-    ["corpus_build_pipeline", "groupby_edge_battery", "cosine_topk"],
+    [
+        "corpus_build_pipeline",
+        "groupby_edge_battery",
+        "cosine_topk",
+        "ivf_topk",
+    ],
 )
 def test_overlap_union_rows_equal_sequential(spark, battery):
     qs = entry.queries()
@@ -40,10 +45,16 @@ def test_overlap_union_rows_equal_sequential(spark, battery):
     arms = fn.__arms__
     # arm order (hence union tag order) is preserved by the overlap
     assert [t for t, _ in arms] == [t for t, _ in fn.__arms__]
+    # collect the sequential composition BEFORE building the overlapped
+    # one: arms with fixed scratch paths (ivf maint) wipe them at call
+    # start, so a lazily-returned seq plan would read deleted files. The
+    # overlapped composition is immune — it checkpoints each arm eagerly
+    # inside the builder call.
     seq = entry._pad_union([(t, f(spark, SF)) for t, f in arms])
+    seq_cols, seq_rows = seq.columns, _canon(seq)
     ovl = fn(spark, SF)
-    assert ovl.columns == seq.columns
-    assert _canon(ovl) == _canon(seq)
+    assert ovl.columns == seq_cols
+    assert _canon(ovl) == seq_rows
 
 
 def test_overlap_recomputes_per_invocation(spark):
