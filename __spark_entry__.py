@@ -5375,7 +5375,9 @@ _STATS_PARTS = [
 _, _bsql = _compose_cross(_STATS_PARTS)  # oracle: the 8 parts' SQL, crossed
 
 
-def _stats_battery_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _stats_battery_fused(
+    spark: SparkSession, sf_dir: str, overlap: bool = True
+) -> DataFrame:
     """All single-row full-frame reductions (SURVEY §2.3 ops #7-#15) in
     FIVE lineitem passes instead of the former eight independent sub-plans:
 
@@ -5450,21 +5452,29 @@ def _stats_battery_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("l_returnflag").alias("l_returnflag_nunique"),
         F.countDistinct("l_quantity").alias("l_quantity_nunique"),
     )
-    mad = (
-        li.crossJoin(F.broadcast(core.select("l_quantity_mean", "l_discount_mean")))
-        .agg(
-            (
-                det.qsum(F.abs(F.col("l_quantity") - F.col("l_quantity_mean")), 6,
-                         xmax=200.0, nmax=nb)
-                / F.count("l_quantity")
-            ).alias("l_quantity_mad"),
-            (
-                det.qsum(F.abs(F.col("l_discount") - F.col("l_discount_mean")), 9,
-                         xmax=2.0, nmax=nb)
-                / F.count("l_discount")
-            ).alias("l_discount_mad"),
+    def _mad_from(core_df: DataFrame) -> DataFrame:
+        # two-pass by definition: |x − mean| needs pass 1's means. Built
+        # against whichever core frame the caller has (lazy plan, or the
+        # materialized 1-row checkpoint in the overlapped path — same
+        # values, and the checkpoint saves re-deriving the core subtree
+        # inside this plan's broadcast).
+        return (
+            li.crossJoin(
+                F.broadcast(core_df.select("l_quantity_mean", "l_discount_mean"))
+            )
+            .agg(
+                (
+                    det.qsum(F.abs(F.col("l_quantity") - F.col("l_quantity_mean")), 6,
+                             xmax=200.0, nmax=nb)
+                    / F.count("l_quantity")
+                ).alias("l_quantity_mad"),
+                (
+                    det.qsum(F.abs(F.col("l_discount") - F.col("l_discount_mean")), 9,
+                             xmax=2.0, nmax=nb)
+                    / F.count("l_discount")
+                ).alias("l_discount_mad"),
+            )
         )
-    )
     prods = (
         li.groupBy("l_orderkey")
         .agg(reductions.prod_min_count("l_linenumber").alias("p"))
@@ -5498,6 +5508,30 @@ def _stats_battery_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_totalprice_idxmin"
         ),
     )
+    if overlap:
+        # §2.6 overlap: the five lineitem/orders passes are independent
+        # scans (the 5-pass design already shares nothing between them),
+        # so materialize them on driver threads — Catalyst analysis of
+        # the deep det.* fixed-point expression trees (~1.6 s of driver
+        # time on the sequential chain) and the pass jobs both
+        # parallelize; mad starts as soon as ITS dependency (core) is
+        # materialized. The recombine then cross-joins six 1-row local
+        # relations. Same values, same columns, same single output row.
+        from concurrent.futures import ThreadPoolExecutor
+
+        def mat(df: DataFrame) -> DataFrame:
+            return df.localCheckpoint(eager=True)
+
+        with ThreadPoolExecutor(max_workers=5) as pool:
+            f_core = pool.submit(mat, core)
+            f_ind = [pool.submit(mat, d) for d in (nun, prods, modes, idx)]
+            core = f_core.result()
+            mad = _mad_from(core)
+            f_mad = pool.submit(mat, mad)
+            nun, prods, modes, idx = [f.result() for f in f_ind]
+            mad = f_mad.result()
+    else:
+        mad = _mad_from(core)
     out = core
     for part in (nun, prods, modes, idx, mad):
         out = out.crossJoin(F.broadcast(part))

@@ -57,6 +57,14 @@ def test_overlap_union_rows_equal_sequential(spark, battery):
     assert _canon(ovl) == seq_rows
 
 
+def test_stats_battery_overlap_equals_sequential(spark):
+    """The threaded 5-pass stats battery (overlap=True, the registered
+    path) returns the exact row of the sequential chain."""
+    a = entry._stats_battery_fused(spark, SF, overlap=False).collect()
+    b = entry._stats_battery_fused(spark, SF, overlap=True).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
 def test_overlap_recomputes_per_invocation(spark):
     """The eager checkpoint lives inside one builder call: two calls
     return DISTINCT checkpointed plans (no cross-run memo of results)."""
