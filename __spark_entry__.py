@@ -4995,49 +4995,62 @@ def csv_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     n = load_table(spark, sf_dir, "nation")
     base = "/root/repo/.tmp_io"
-    csv_p, json_p, orc_p = (
-        base + "/nation_csv", base + "/nation_json", base + "/nation_orc"
-    )
-    n.write.mode("overwrite").option("header", True).csv(csv_p)
-    n.write.mode("overwrite").json(json_p)
-    n.write.mode("overwrite").orc(orc_p)
-    back = (
-        read_csv(spark, csv_p, schema=n.schema)
-        .unionByName(read_json(spark, json_p, schema=n.schema))
-        .unionByName(read_orc(spark, orc_p, schema=n.schema))
-    )
-    f_agg = back.groupBy("n_regionkey").agg(
-        F.count("*").alias("n"),
-        det.idsum("n_nationkey").alias("key_sum"),
-        F.min("n_name").alias("first_name"),
-        F.max("n_name").alias("last_name"),
-    )
 
-    pdf = pd.DataFrame({"k": range(200)})
-    pdf["g"] = pdf["k"] % 5
-    pdf["v"] = (pdf["k"] * pdf["k"]) % 97
-    m_agg = from_pandas(spark, pdf).groupBy("g").agg(
-        F.count("*").alias("n"), F.sum("v").cast("long").alias("vsum")
-    )
+    # the seven sections are independent sink+readback pipelines over
+    # disjoint output paths (and one metastore table only its own
+    # section touches) — each is a write job followed by a read-back
+    # aggregate, i.e. mostly commit-protocol and small-file I/O latency
+    # with idle executors. Overlap them on driver threads (guide §2.6);
+    # each section's aggregate rows are unchanged, and the final tagged
+    # union keeps the section order.
 
-    sup = load_table(spark, sf_dir, "supplier")
-    joins.bucket_write(
-        sup.select("s_suppkey", "s_nationkey"), "pps_supplier_bucketed",
-        ["s_nationkey"], 8,
-    )
-    b_agg = spark.table("pps_supplier_bucketed").groupBy("s_nationkey").agg(
-        F.count("*").alias("n"),
-        det.idsum("s_suppkey").alias("key_sum"),
-    )
+    def sec_files() -> DataFrame:
+        csv_p, json_p, orc_p = (
+            base + "/nation_csv", base + "/nation_json", base + "/nation_orc"
+        )
+        n.write.mode("overwrite").option("header", True).csv(csv_p)
+        n.write.mode("overwrite").json(json_p)
+        n.write.mode("overwrite").orc(orc_p)
+        back = (
+            read_csv(spark, csv_p, schema=n.schema)
+            .unionByName(read_json(spark, json_p, schema=n.schema))
+            .unionByName(read_orc(spark, orc_p, schema=n.schema))
+        )
+        return back.groupBy("n_regionkey").agg(
+            F.count("*").alias("n"),
+            det.idsum("n_nationkey").alias("key_sum"),
+            F.min("n_name").alias("first_name"),
+            F.max("n_name").alias("last_name"),
+        )
 
-    from parallel_pandas_spark.progress import ProgressTracker, count_rows
+    def sec_inmem() -> DataFrame:
+        pdf = pd.DataFrame({"k": range(200)})
+        pdf["g"] = pdf["k"] % 5
+        pdf["v"] = (pdf["k"] * pdf["k"]) % 97
+        return from_pandas(spark, pdf).groupBy("g").agg(
+            F.count("*").alias("n"), F.sum("v").cast("long").alias("vsum")
+        )
 
-    acc = spark.sparkContext.accumulator(0)
-    with ProgressTracker(spark):
-        n_rows = count_rows(n.select("n_nationkey"), acc).count()
-    p_row = spark.createDataFrame(
-        [(int(n_rows), float(acc.value))], "n long, key_sum double"
-    )
+    def sec_bucketed() -> DataFrame:
+        sup = load_table(spark, sf_dir, "supplier")
+        joins.bucket_write(
+            sup.select("s_suppkey", "s_nationkey"), "pps_supplier_bucketed",
+            ["s_nationkey"], 8,
+        )
+        return spark.table("pps_supplier_bucketed").groupBy("s_nationkey").agg(
+            F.count("*").alias("n"),
+            det.idsum("s_suppkey").alias("key_sum"),
+        )
+
+    def sec_progress() -> DataFrame:
+        from parallel_pandas_spark.progress import ProgressTracker, count_rows
+
+        acc = spark.sparkContext.accumulator(0)
+        with ProgressTracker(spark):
+            n_rows = count_rows(n.select("n_nationkey"), acc).count()
+        return spark.createDataFrame(
+            [(int(n_rows), float(acc.value))], "n long, key_sum double"
+        )
 
     from parallel_pandas_spark.sources import (
         read_partitioned,
@@ -5046,68 +5059,81 @@ def csv_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         write_shards,
     )
 
-    # hive-layout partitioned sink + PRUNED read-back (r8): the filter on
-    # the partition column becomes PartitionFilters (plan-test-asserted in
-    # test_plan_shapes) — non-matching directories are never opened; the
-    # oracle recomputes the same aggregate from the base table, proving
-    # the layout lost nothing and the pruned read sees exactly the
-    # partition's rows
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_linestatus", "l_returnflag"
-    )
-    hive_path = base + "/li_hive"
-    write_partitioned(li, hive_path, "l_returnflag")
-    h_agg = (
-        read_partitioned(spark, hive_path)
-        .where(F.col("l_returnflag") == "A")
-        .groupBy("l_linestatus")
-        .agg(F.count("*").alias("n"), det.idsum("l_orderkey").alias("key_sum"))
-    )
-
-    docs = load_table(spark, sf_dir, "documents")
-    shard_path = base + "/doc_shards"
-    write_shards(
-        docs, shard_path, "doc_id", n_shards=8, max_records_per_file=40,
-        order_within=["doc_id"],
-    )
-    s_agg = shard_manifest(spark, shard_path, "doc_id").select(
-        F.col("shard").cast("long").alias("shard"),
-        F.col("n_rows").alias("n"),
-        F.col("id_sum").alias("key_sum"),
-        "id_min", "id_max", "n_files",
-    )
-
-    # z-order clustered sink (r10, operators/layout.py): Morton-curve
-    # layout over (l_partkey, l_quantity), read back through the 2-d box
-    # predicate the layout exists to serve — parquet row-group min/max
-    # stats prune on BOTH dimensions (measured in tests/test_layout_r10);
-    # the oracle recomputes the aggregate from the raw table, proving the
-    # re-layout lost nothing and the pruned read sees exactly the box
-    from parallel_pandas_spark.operators import layout as _layout
-
-    liz = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_partkey", "l_quantity", "l_returnflag"
-    )
-    z_path = base + "/li_zorder"
-    # num_files derives from the MEASURED input bytes (r11,
-    # layout.derived_file_count): fixture-sized input lands in few files,
-    # a grown table splits at the 128 MB target — no static count
-    _layout.zorder_write(liz, z_path, ["l_partkey", "l_quantity"], bits=16)
-    z_agg = (
-        spark.read.parquet(z_path)
-        .where(
-            (F.col("l_partkey") <= 1000)
-            & F.col("l_quantity").between(10, 20)
+    def sec_hive() -> DataFrame:
+        # hive-layout partitioned sink + PRUNED read-back (r8): the
+        # filter on the partition column becomes PartitionFilters
+        # (plan-test-asserted in test_plan_shapes) — non-matching
+        # directories are never opened; the oracle recomputes the same
+        # aggregate from the base table, proving the layout lost nothing
+        # and the pruned read sees exactly the partition's rows
+        li = load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_linestatus", "l_returnflag"
         )
-        .groupBy("l_returnflag")
-        .agg(F.count("*").alias("n"), det.idsum("l_orderkey").alias("key_sum"))
-    )
+        hive_path = base + "/li_hive"
+        write_partitioned(li, hive_path, "l_returnflag")
+        return (
+            read_partitioned(spark, hive_path)
+            .where(F.col("l_returnflag") == "A")
+            .groupBy("l_linestatus")
+            .agg(F.count("*").alias("n"), det.idsum("l_orderkey").alias("key_sum"))
+        )
 
-    return _pad_union(
-        [("files", f_agg), ("inmem", m_agg), ("bucketed", b_agg),
-         ("progress", p_row), ("hive", h_agg), ("shards", s_agg),
-         ("zorder", z_agg)]
-    )
+    def sec_shards() -> DataFrame:
+        docs = load_table(spark, sf_dir, "documents")
+        shard_path = base + "/doc_shards"
+        write_shards(
+            docs, shard_path, "doc_id", n_shards=8, max_records_per_file=40,
+            order_within=["doc_id"],
+        )
+        return shard_manifest(spark, shard_path, "doc_id").select(
+            F.col("shard").cast("long").alias("shard"),
+            F.col("n_rows").alias("n"),
+            F.col("id_sum").alias("key_sum"),
+            "id_min", "id_max", "n_files",
+        )
+
+    def sec_zorder() -> DataFrame:
+        # z-order clustered sink (r10, operators/layout.py): Morton-curve
+        # layout over (l_partkey, l_quantity), read back through the 2-d
+        # box predicate the layout exists to serve — parquet row-group
+        # min/max stats prune on BOTH dimensions (measured in
+        # tests/test_layout_r10); the oracle recomputes the aggregate
+        # from the raw table, proving the re-layout lost nothing and the
+        # pruned read sees exactly the box
+        from parallel_pandas_spark.operators import layout as _layout
+
+        liz = load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_partkey", "l_quantity", "l_returnflag"
+        )
+        z_path = base + "/li_zorder"
+        # num_files derives from the MEASURED input bytes (r11,
+        # layout.derived_file_count): fixture-sized input lands in few
+        # files, a grown table splits at the 128 MB target — no static
+        # count
+        _layout.zorder_write(liz, z_path, ["l_partkey", "l_quantity"], bits=16)
+        return (
+            spark.read.parquet(z_path)
+            .where(
+                (F.col("l_partkey") <= 1000)
+                & F.col("l_quantity").between(10, 20)
+            )
+            .groupBy("l_returnflag")
+            .agg(F.count("*").alias("n"), det.idsum("l_orderkey").alias("key_sum"))
+        )
+
+    sections = [
+        ("files", sec_files), ("inmem", sec_inmem), ("bucketed", sec_bucketed),
+        ("progress", sec_progress), ("hive", sec_hive), ("shards", sec_shards),
+        ("zorder", sec_zorder),
+    ]
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(sections)) as pool:
+        futs = [
+            (tag, pool.submit(lambda f=f: f().localCheckpoint(eager=True)))
+            for tag, f in sections
+        ]
+        return _pad_union([(tag, fu.result()) for tag, fu in futs])
 
 
 # =========================================================================
