@@ -1995,7 +1995,18 @@ def exact_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dedup.minhash_dedup_pairs(
         d, "doc_id", "text", n=3, num_hashes=8, bands=4, threshold=0.3
     )
-    cc = dedup.cluster_pairs(pairs, "id_a", "id_b")
+    # cluster_pairs is an EAGER min-label fixpoint (checkpoint + count
+    # per round) that previously ran its whole driver-fed loop before
+    # the five lazy parts' compute could start — build it on a thread so
+    # the others back-fill its idle cores (guide §2.6); joined before
+    # the union below, rows unchanged
+    from concurrent.futures import ThreadPoolExecutor
+
+    _cc_pool = ThreadPoolExecutor(max_workers=1)
+    _cc_fut = _cc_pool.submit(
+        lambda: dedup.cluster_pairs(pairs, "id_a", "id_b")
+        .localCheckpoint(eager=True)
+    )
     kf = dedup.drop_duplicates(
         d.select("lang", "source", "doc_id"), ["lang", "source"],
         order_by=["doc_id"], keep="first",
@@ -2021,9 +2032,24 @@ def exact_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     # signal): 6-token windows occurring in >= 2 documents — digest-keyed
     # skew-free groupBy, per-doc distinct spans inside the row
     spans = dedup.repeated_spans(d, "doc_id", "text", span_tokens=6, min_docs=2)
+    # materialize the five lazy parts concurrently with the fixpoint
+    # thread above; the tagged union keeps the part order and every
+    # part's rows are bit-identical to the sequential composition
+    with ThreadPoolExecutor(max_workers=5) as pool:
+        futs = [
+            (tag, pool.submit(lambda p=p: p.localCheckpoint(eager=True)))
+            for tag, p in (
+                ("exact", exact), ("keepfirst", kf), ("contam", contam),
+                ("bloom", bl), ("spans", spans),
+            )
+        ]
+        parts = dict((tag, fu.result()) for tag, fu in futs)
+    cc = _cc_fut.result()
+    _cc_pool.shutdown()
     return _pad_union(
-        [("exact", exact), ("minhash_cc", cc), ("keepfirst", kf),
-         ("contam", contam), ("bloom", bl), ("spans", spans)]
+        [("exact", parts["exact"]), ("minhash_cc", cc),
+         ("keepfirst", parts["keepfirst"]), ("contam", parts["contam"]),
+         ("bloom", parts["bloom"]), ("spans", parts["spans"])]
     )
 
 
@@ -5784,7 +5810,11 @@ _bfn, _bsql = _compose_union(
         ("custom", "stats_describe_custom"),
         ("interp", "stats_quantile_interp"),
         ("rowq", "row_quantile_arm"),
-    ]
+    ],
+    # the exact-quantile arms run bounded-memory orderstats with
+    # driver-fed bin-refinement passes (collect per pass) — sequential
+    # eager builder work the other arms' compute now back-fills
+    overlap_eager=True,
 )
 _bfn.__doc__ = """describe() (8 labeled rows, exact single-scan percentiles)
 padded-union with the arbitrary-quantile-list surface (ops #12-#13),
