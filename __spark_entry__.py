@@ -1444,30 +1444,7 @@ def session_window_agg_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaming_events.session_window_agg(ev, "30 minutes")
 
 
-@_q("stream_tumbling_live")  # rows-only: true streaming execution path
-def stream_tumbling_live_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TRUE Structured Streaming run of the tumbling aggregation, made
-    SELF-VERIFYING: file source → watermark → windowed agg → memory sink
-    (streaming/events.py:85-113), then a full-outer join against the
-    oracle-green batch equivalent (``tumbling_window_agg``, the same
-    ``F.window`` expressions on the static frame) on
-    (window_start, event_type), keeping only rows where BOTH sides are
-    present and the aggregate values agree.  The driver records this row
-    rows-only (no SQL oracle can run a stream), but any live/batch value
-    divergence now drops rows from the result, so the recorded row count
-    itself carries value evidence — closing the hole the round-3 ts-schema
-    bug slipped through.
-
-    r6: a second, STATEFUL arm (``applyInPandasWithState`` per-user
-    running totals, streaming/events.py:116-147) is unioned in under
-    window_start='__stateful__' rows, self-verified the same way against
-    the batch per-user totals — the custom-stateful-operator path now has
-    driver-visible value evidence too; and a third STREAMING-DEDUP arm
-    (``dropDuplicatesWithinWatermark``, streaming/events.py stream_dedup)
-    under window_start='__dedup__', whose rows survive only if the live
-    emitted key set equals the batch distinct key set exactly (no
-    extras, no missing, no double emissions)."""
-    _utc(spark)
+def _live_arm_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = streaming_events.stream_events(spark, f"{sf_dir}/events.parquet")
     agg = streaming_events.stream_tumbling_counts(stream, "1 day", "2 days")
     out = streaming_events.run_stream_to_memory(
@@ -1499,19 +1476,21 @@ def stream_tumbling_live_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("live_n_events") == F.col("batch_n_events"))
         & (F.abs(F.col("live_sum_value") - F.col("batch_sum_value")) <= tol)
     )
-    tumbling_rows = joined.filter(values_match).select(
+    return joined.filter(values_match).select(
         "window_start",
         "event_type",
         F.col("live_n_events").alias("n_events"),
         F.lit(True).alias("values_match"),
     )
 
-    # --- stateful arm (r6): applyInPandasWithState driver-visible value
-    # evidence. The per-user running-totals stream runs to a memory sink;
-    # the LAST update per user (max n_events — the count is monotone) is
-    # its final state, full-outer-joined against the batch-computed
-    # totals. Only value-agreeing users survive, so these rows' count is
-    # value evidence for the custom stateful path too.
+
+def _live_arm_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # applyInPandasWithState driver-visible value evidence (r6). The
+    # per-user running-totals stream runs to a memory sink; the LAST
+    # update per user (max n_events — the count is monotone) is its
+    # final state, full-outer-joined against the batch-computed totals.
+    # Only value-agreeing users survive, so these rows' count is value
+    # evidence for the custom stateful path too.
     sstream = streaming_events.stream_events(spark, f"{sf_dir}/events.parquet")
     stot = streaming_events.user_running_totals_stateful(sstream)
     sout = streaming_events.run_stream_to_memory(
@@ -1544,19 +1523,21 @@ def stream_tumbling_live_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("live_n") == F.col("batch_n"))
         & (F.abs(F.col("live_tot") - F.col("batch_tot")) <= tol_u)
     )
-    stateful_rows = ju.filter(stateful_match).select(
+    return ju.filter(stateful_match).select(
         F.lit("__stateful__").alias("window_start"),
         F.col("user_id").cast("string").alias("event_type"),
         F.col("live_n").alias("n_events"),
         F.lit(True).alias("values_match"),
     )
 
-    # --- streaming-dedup arm (r6): dropDuplicatesWithinWatermark
-    # (streaming/events.py stream_dedup) run live to a memory sink; the
-    # emitted key set is inner-joined against the batch distinct key set
-    # and both directions are checked (left_anti counts must be 0 on
-    # BOTH sides for any row to survive) — a missing or spurious key
-    # changes the row count, so the count is value evidence.
+
+def _live_arm_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # dropDuplicatesWithinWatermark (r6; streaming/events.py
+    # stream_dedup) run live to a memory sink; the emitted key set is
+    # inner-joined against the batch distinct key set and both
+    # directions are checked (left_anti counts must be 0 on BOTH sides
+    # for any row to survive) — a missing or spurious key changes the
+    # row count, so the count is value evidence.
     dstream = streaming_events.stream_events(spark, f"{sf_dir}/events.parquet")
     dd = streaming_events.stream_dedup(dstream, ["user_id", "event_type"])
     dout = streaming_events.run_stream_to_memory(
@@ -1571,7 +1552,7 @@ def stream_tumbling_live_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     missing = batch_keys.join(dout, ["user_id", "event_type"], "left_anti").count()
     dup_emitted = dout.count() - dout.distinct().count()
     dedup_ok = extra == 0 and missing == 0 and dup_emitted == 0
-    dedup_rows = (
+    return (
         dout.join(batch_keys, ["user_id", "event_type"], "inner")
         .where(F.lit(dedup_ok))
         .select(
@@ -1583,8 +1564,11 @@ def stream_tumbling_live_query(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(True).alias("values_match"),
         )
     )
-    # --- stream-stream interval-join arm (r9): two watermarked streams
-    # of the same events, inner-joined on user_id with r.ts within
+
+
+def _live_arm_ivjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # stream-stream interval join (r9): two watermarked streams of the
+    # same events, inner-joined on user_id with r.ts within
     # [l.ts, l.ts + 2h] (streaming/events.py interval_self_join — the
     # time-range predicate is what lets Spark EVICT buffered join state,
     # the 100 TB requirement). Self-verified: the live append-mode pair
@@ -1611,7 +1595,7 @@ def stream_tumbling_live_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).count()
     j_dups = jlive.count() - jlive.distinct().count()
     ivjoin_ok = j_extra == 0 and j_missing == 0 and j_dups == 0
-    ivjoin_rows = (
+    return (
         jlive.join(jbatch, ["user_id", "l_event_id", "r_event_id"], "inner")
         .where(F.lit(ivjoin_ok))
         .select(
@@ -1626,13 +1610,16 @@ def stream_tumbling_live_query(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(True).alias("values_match"),
         )
     )
-    # --- session-window arm (r10): watermarked session windows run LIVE
-    # in append mode (streaming/events.py stream_session_counts) — append
-    # emits a session only once the watermark proves no future event can
-    # extend it, so the self-check compares the emitted set against the
-    # batch sessions whose end <= the query's FINAL watermark (read from
-    # the engine's committed progress): exact equality on the
-    # finalizable set, no duplicates, else all __session__ rows drop.
+
+
+def _live_arm_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # session windows run LIVE in append mode (r10; streaming/events.py
+    # stream_session_counts) — append emits a session only once the
+    # watermark proves no future event can extend it, so the self-check
+    # compares the emitted set against the batch sessions whose end <=
+    # the query's FINAL watermark (read from the engine's committed
+    # progress): exact equality on the finalizable set, no duplicates,
+    # else all __session__ rows drop.
     ss = streaming_events.stream_events(spark, f"{sf_dir}/events.parquet")
     sess_live, sprog = streaming_events.run_stream_to_memory(
         spark,
@@ -1680,7 +1667,7 @@ def stream_tumbling_live_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         s_missing = finalizable.join(live_sess, sess_keys, "left_anti").count()
         s_dups = sess_live.count() - live_sess.distinct().count()
         session_ok = s_extra == 0 and s_missing == 0 and s_dups == 0
-    session_rows = (
+    return (
         live_sess.join(finalizable, sess_keys, "inner")
         .where(F.lit(session_ok))
         .select(
@@ -1692,7 +1679,10 @@ def stream_tumbling_live_query(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(True).alias("values_match"),
         )
     )
-    # --- streaming rollup-state arm (r11): the streaming -> warehouse
+
+
+def _live_arm_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # streaming rollup-state arm (r11): the streaming -> warehouse
     # integration run LIVE with a mid-stream restart. The event table is
     # cut into six micro-batch files; a checkpointed foreachBatch query
     # writes a MERGEABLE rollup state (rollup.agg_state) per batch to
@@ -1755,24 +1745,63 @@ def stream_tumbling_live_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(True).alias("values_match"),
     ).collect()
     _sh.rmtree(rbase, ignore_errors=True)
-    rollup_rows = spark.createDataFrame(
+    return spark.createDataFrame(
         r_collected,
         "window_start string, event_type string, n_events bigint, "
         "values_match boolean",
     )
-    # (r16) the live corpus-maintenance post-state formerly self-checked
-    # here under '__corpusloop__' rows migrated to a HASH-ORACLED arm —
-    # corpus_build_pipeline:livepost — following the sessionpost/
-    # streampost pattern; what remains rows-only in this query is
-    # genuinely unoracle-able live behavior (watermark TIMING, memory
-    # sink states, restart mechanics).
-    return (
-        tumbling_rows.unionByName(stateful_rows)
-        .unionByName(dedup_rows)
-        .unionByName(ivjoin_rows)
-        .unionByName(session_rows)
-        .unionByName(rollup_rows)
-    )
+
+
+@_q("stream_tumbling_live")  # rows-only: true streaming execution path
+def stream_tumbling_live_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE Structured Streaming run of the tumbling aggregation, made
+    SELF-VERIFYING: file source → watermark → windowed agg → memory sink
+    (streaming/events.py:85-113), then a full-outer join against the
+    oracle-green batch equivalent (``tumbling_window_agg``, the same
+    ``F.window`` expressions on the static frame) on
+    (window_start, event_type), keeping only rows where BOTH sides are
+    present and the aggregate values agree.  The driver records this row
+    rows-only (no SQL oracle can run a stream), but any live/batch value
+    divergence now drops rows from the result, so the recorded row count
+    itself carries value evidence — closing the hole the round-3 ts-schema
+    bug slipped through.
+
+    r6: a second, STATEFUL arm (``applyInPandasWithState`` per-user
+    running totals, streaming/events.py:116-147) is unioned in under
+    window_start='__stateful__' rows, self-verified the same way against
+    the batch per-user totals — the custom-stateful-operator path now has
+    driver-visible value evidence too; and a third STREAMING-DEDUP arm
+    (``dropDuplicatesWithinWatermark``, streaming/events.py stream_dedup)
+    under window_start='__dedup__', whose rows survive only if the live
+    emitted key set equals the batch distinct key set exactly (no
+    extras, no missing, no double emissions).
+
+    (r16) the live corpus-maintenance post-state formerly self-checked
+    here under '__corpusloop__' rows migrated to a HASH-ORACLED arm —
+    corpus_build_pipeline:livepost; what remains rows-only here is
+    genuinely unoracle-able live behavior (watermark TIMING, memory
+    sink states, restart mechanics). The six live lifecycles are
+    independent queries against distinct memory sinks / scratch dirs,
+    so they run CONCURRENTLY on driver threads (guide §2.6) — each was
+    a blocking run-to-drain whose commit/progress waits idled the
+    executors; rows per arm and the union order are unchanged."""
+    _utc(spark)
+    arms = [
+        _live_arm_tumbling, _live_arm_stateful, _live_arm_dedup,
+        _live_arm_ivjoin, _live_arm_session, _live_arm_rollup,
+    ]
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(arms)) as pool:
+        futs = [
+            pool.submit(lambda a=a: a(spark, sf_dir).localCheckpoint(eager=True))
+            for a in arms
+        ]
+        parts = [f.result() for f in futs]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 # =========================================================================
