@@ -1898,7 +1898,13 @@ _bfn, _bsql = _compose_union(
     [
         ("full", "minhash_dedup_pairs"),
         ("incremental", "minhash_incremental_pairs"),
-    ]
+    ],
+    # each arm's chain of lazy checkpoints (signatures -> bands ->
+    # candidates) materializes as sequential AQE stages when forced;
+    # two threads run the two chains concurrently, and the outputs are
+    # pair-sized (32 rows at sf0.01) so the eager checkpoint is free
+    # (3.14 -> 2.18 s interleaved medians at sf0.1)
+    overlap_eager=True,
 )
 _bfn.__doc__ = """MinHash near-dup pairs, batch and INCREMENTAL: the
 full signatures → LSH banding → exact-Jaccard pipeline over the whole
@@ -8117,7 +8123,12 @@ _bfn, _bsql = _compose_union(
         ("aggfuncs", "pivot_aggfunc_battery"),
         ("dictcall", "pivot_dict_callable"),
         ("reshape", "reshape_arm"),
-    ]
+    ],
+    # the dictcall arm is many small sequential aggregations (the
+    # driver-value-checked aggfunc-dict surface); the arms' outputs are
+    # pivot-cell-sized (51 rows at sf0.01), so eager overlap is free of
+    # payload-copy cost (1.89 -> 0.94 s interleaved medians at sf0.1)
+    overlap_eager=True,
 )
 _bfn.__doc__ = """pivot_table surface (op #24): single-stat mean pivot, the
 aggfunc list/margins/fill form, (r4) the aggfunc dict + callable
@@ -8211,7 +8222,10 @@ _bfn, _bsql = _compose_union(
         ("sliding", "sliding_window_counts"),
         ("session", "session_window_agg"),
         ("json", "json_props_arm"),
-    ]
+    ],
+    # window-count outputs (time-bucket cardinality, not event rows);
+    # 0.90 -> 0.62 s interleaved medians at sf0.1
+    overlap_eager=True,
 )
 _bfn.__doc__ = """Event-time windows (§2.9 batch equivalents): tumbling,
 sliding, and session windows over the events stream table; the true

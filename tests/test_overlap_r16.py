@@ -37,6 +37,10 @@ def _canon(df):
         "groupby_edge_battery",
         "cosine_topk",
         "ivf_topk",
+        "pivot_battery",
+        "minhash_dedup_pairs",
+        "event_windows_battery",
+        "stats_quantile_describe",
     ],
 )
 def test_overlap_union_rows_equal_sequential(spark, battery):
