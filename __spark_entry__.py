@@ -156,7 +156,11 @@ def _pad_union(parts: list[tuple[str, DataFrame]], tag_col: str = "src") -> Data
     return out
 
 
-def _compose_union(parts: list[tuple[str, str]], overlap_eager: bool = False):
+def _compose_union(
+    parts: list[tuple[str, str]],
+    overlap_eager: bool = False,
+    lazy_arms: "frozenset[str] | set[str]" = frozenset(),
+):
     """Merge registered queries into one tagged pad-union battery.
 
     ``parts`` is [(tag, registered_name)]; the component functions and
@@ -189,13 +193,50 @@ def _compose_union(parts: list[tuple[str, str]], overlap_eager: bool = False):
 
     if overlap_eager:
         def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+            # SPARK_GRAFT_OVERLAP (r17, r16 verdict #8): cluster profiles
+            # pick the materialization tier. ``eager`` (default) =
+            # localCheckpoint — fastest, but lineage-truncated blocks are
+            # unreplicated (an executor loss mid-battery fails the job
+            # instead of recomputing). ``reliable`` = checkpoint() against
+            # $SPARK_GRAFT_CHECKPOINT_DIR (set it to replicated storage on
+            # a cluster) — survives executor loss, costs a write+read.
+            # ``lazy`` = the plain lazy union (full lineage, AQE
+            # materializes independent subtrees concurrently at force
+            # time) — the zero-risk fallback. Rows are bit-identical in
+            # every mode; only failure-recovery semantics differ.
+            mode = os.environ.get("SPARK_GRAFT_OVERLAP", "eager")
+            if mode == "lazy":
+                return _pad_union([(tag, f(spark, sf_dir)) for tag, f in fns])
             from concurrent.futures import ThreadPoolExecutor
 
-            def build(f):
-                return f(spark, sf_dir).localCheckpoint(eager=True)
+            if mode == "reliable":
+                import tempfile
+
+                ck = os.environ.get("SPARK_GRAFT_CHECKPOINT_DIR")
+                if ck:
+                    spark.sparkContext.setCheckpointDir(ck)
+                elif spark.sparkContext.getCheckpointDir() is None:
+                    spark.sparkContext.setCheckpointDir(
+                        os.path.join(tempfile.gettempdir(), "pps_reliable_ck")
+                    )
+
+                def _mat(df):
+                    return df.checkpoint(eager=True)
+            else:
+                def _mat(df):
+                    return df.localCheckpoint(eager=True)
+
+            # lazy_arms (r17, r16 verdict #7): arms whose output is
+            # ROW-SCALED (proportional to the input table) must never be
+            # checkpointed — the copy through the block manager grows
+            # with data. They stay lazy subtrees of the union; only the
+            # aggregate-sized / driver-fed-protocol arms overlap eagerly.
+            def build(tag, f):
+                df = f(spark, sf_dir)
+                return df if tag in lazy_arms else _mat(df)
 
             with ThreadPoolExecutor(max_workers=len(fns)) as pool:
-                futs = [(tag, pool.submit(build, f)) for tag, f in fns]
+                futs = [(tag, pool.submit(build, tag, f)) for tag, f in fns]
                 return _pad_union([(tag, fu.result()) for tag, fu in futs])
     else:
         def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -205,6 +246,13 @@ def _compose_union(parts: list[tuple[str, str]], overlap_eager: bool = False):
     # unauditable at arm granularity otherwise (a regression can hide
     # behind a newly-added arm — r6 verdict #1)
     fn.__arms__ = list(fns)
+    # exclusion-principle discovery hook (r17, r16 verdict #7): eager
+    # overlap copies each arm's OUTPUT through the block manager, which
+    # is only scale-safe while every overlapped arm's output stays
+    # aggregate-sized; tests/test_overlap_guard_r17.py pins that bound
+    # for every battery carrying this flag
+    fn.__overlap_eager__ = overlap_eager
+    fn.__lazy_arms__ = frozenset(lazy_arms)
     return fn, sql
 
 
@@ -2069,18 +2117,23 @@ def exact_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     spans = dedup.repeated_spans(d, "doc_id", "text", span_tokens=6, min_docs=2)
     # materialize the five lazy parts concurrently with the fixpoint
     # thread above; the tagged union keeps the part order and every
-    # part's rows are bit-identical to the sequential composition
-    with ThreadPoolExecutor(max_workers=5) as pool:
-        futs = [
-            (tag, pool.submit(lambda p=p: p.localCheckpoint(eager=True)))
-            for tag, p in (
-                ("exact", exact), ("keepfirst", kf), ("contam", contam),
-                ("bloom", bl), ("spans", spans),
-            )
-        ]
-        parts = dict((tag, fu.result()) for tag, fu in futs)
-    cc = _cc_fut.result()
-    _cc_pool.shutdown()
+    # part's rows are bit-identical to the sequential composition.
+    # try/finally (r17, r16 ADVICE): if any part raises, the fixpoint
+    # thread must not keep driving eager checkpoint+count jobs in the
+    # background of whatever runs next — shut the pool down either way.
+    try:
+        with ThreadPoolExecutor(max_workers=5) as pool:
+            futs = [
+                (tag, pool.submit(lambda p=p: p.localCheckpoint(eager=True)))
+                for tag, p in (
+                    ("exact", exact), ("keepfirst", kf), ("contam", contam),
+                    ("bloom", bl), ("spans", spans),
+                )
+            ]
+            parts = dict((tag, fu.result()) for tag, fu in futs)
+        cc = _cc_fut.result()
+    finally:
+        _cc_pool.shutdown(wait=False, cancel_futures=True)
     return _pad_union(
         [("exact", parts["exact"]), ("minhash_cc", cc),
          ("keepfirst", parts["keepfirst"]), ("contam", parts["contam"]),
@@ -2964,8 +3017,16 @@ def ivf_maint_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     # injector patches the process-global os.rename, and an unscoped
     # endswith would fire on a concurrently-building sibling store's
     # commit once the battery's arms overlap (guide §2.6).
+    # separator-aware scope (r17, r16 ADVICE): bare startswith(path)
+    # would also match a sibling store whose tempdir name merely EXTENDS
+    # this prefix (pps_ivfmaint_<key>extra); only this store's own tree
+    # (path + os.sep) and its dot-suffixed sidecars (path + '.') count.
+    def _own(p: str) -> bool:
+        p = str(p)
+        return p == path or p.startswith(path + os.sep) or p.startswith(path + ".")
+
     _crashed_rebalance(
-        lambda s, d: d.endswith("_MANIFEST.json") and d.startswith(path),
+        lambda s, d: d.endswith("_MANIFEST.json") and _own(d),
         nth=1,
     )
     if vecstore.recover_store(path) != "rolled_back":
@@ -2978,7 +3039,7 @@ def ivf_maint_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     def _boom_sweep(p):
         # scoped like the rename pred: only THIS store's sweep crashes;
         # a concurrent arm's store build sweeps normally
-        if str(p).startswith(path):
+        if _own(p):
             raise RuntimeError("injected maintenance crash")
         return real_sweep(p)
 
@@ -5848,8 +5909,15 @@ _bfn, _bsql = _compose_union(
     ],
     # the exact-quantile arms run bounded-memory orderstats with
     # driver-fed bin-refinement passes (collect per pass) — sequential
-    # eager builder work the other arms' compute now back-fills
+    # eager builder work the other arms' compute now back-fills. The
+    # rowq arm's output is ROW-SCALED (one row per lineitem row, 60k at
+    # sf0.01 — caught by tests/test_overlap_guard_r17.py), so it is
+    # excluded from the eager checkpoint and stays a lazy subtree: its
+    # single-pass Arrow kernel has no driver-fed protocol to overlap,
+    # and checkpointing it would copy input-sized rows through the
+    # block manager at scale.
     overlap_eager=True,
+    lazy_arms={"rowq"},
 )
 _bfn.__doc__ = """describe() (8 labeled rows, exact single-scan percentiles)
 padded-union with the arbitrary-quantile-list surface (ops #12-#13),

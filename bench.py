@@ -21,7 +21,10 @@ RATIOS within a run, and rerun before concluding a cross-round delta.
 MEDIANS (r8, verdict #1): every headline query now runs
 SPARK_GRAFT_REPS times (default 3) and reports the per-query MEDIAN;
 the headline total is the sum of medians, and the raw runs are emitted
-under "queries_runs" so spread is auditable without rerunning. Single-run
+under "queries_runs" in localdata/bench_last.json (r17: the stdout line
+is SLIM — the driver's capture truncated the r12/r15 full payloads —
+while the file keeps everything) so spread is auditable without
+rerunning. Single-run
 numbers were +/-20% noise two rounds running — medians are the instrument
 the 2x-of-baseline criterion needs. The JSON also carries
 "r6_comparable": the total minus the arms added after round 6
@@ -458,9 +461,11 @@ def main() -> None:
         "git_dirty": git_dirty,
         "sf": sf,
     }
-    # the full artifact goes to a FILE first (the driver's stdout
-    # capture truncates long tails — see BENCH_r12.json), the
-    # machine-parsable single line still goes to stdout for the driver
+    # the full artifact goes to a FILE (the driver's stdout capture
+    # truncates long tails — BENCH_r12/r15 both lost their lines that
+    # way); stdout carries a SLIM line (<2 KB) with just the fields the
+    # driver's round-over-round comparison reads (r16 verdict #1):
+    # queries_runs/arms/vecstore/notes live only in the file artifact.
     try:
         os.makedirs(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                  "localdata"), exist_ok=True)
@@ -469,7 +474,13 @@ def main() -> None:
             json.dump(payload, fh)
     except OSError:
         pass
-    print(json.dumps(payload))
+    slim = {
+        k: payload[k]
+        for k in ("metric", "value", "unit", "reps", "queries",
+                  "r6_comparable", "r11_comparable", "sentinel_factor",
+                  "git_head", "git_dirty", "sf")
+    }
+    print(json.dumps(slim))
 
 
 if __name__ == "__main__":

@@ -47,8 +47,10 @@ def test_overlap_union_rows_equal_sequential(spark, battery):
     qs = entry.queries()
     fn = qs[battery]
     arms = fn.__arms__
-    # arm order (hence union tag order) is preserved by the overlap
-    assert [t for t, _ in arms] == [t for t, _ in fn.__arms__]
+    # snapshot the tag order BEFORE calling fn (r17, r16 ADVICE: the old
+    # assertion compared fn.__arms__ to itself and could never fail) —
+    # building the overlapped battery must not reorder the arm registry
+    tags_before = [t for t, _ in arms]
     # collect the sequential composition BEFORE building the overlapped
     # one: arms with fixed scratch paths (ivf maint) wipe them at call
     # start, so a lazily-returned seq plan would read deleted files. The
@@ -57,6 +59,7 @@ def test_overlap_union_rows_equal_sequential(spark, battery):
     seq = entry._pad_union([(t, f(spark, SF)) for t, f in arms])
     seq_cols, seq_rows = seq.columns, _canon(seq)
     ovl = fn(spark, SF)
+    assert [t for t, _ in fn.__arms__] == tags_before
     assert ovl.columns == seq_cols
     assert _canon(ovl) == seq_rows
 
