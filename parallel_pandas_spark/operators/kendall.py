@@ -364,88 +364,164 @@ def kendall_tau_exact(
         .dropna()
     )
 
-    # ---- tie counts: one shuffle on (x,y), then metadata-sized re-aggs ----
-    g = d.groupBy("x", "y").agg(F.count("*").alias("c"))
-    base = g.agg(
-        F.sum("c").alias("n"),
-        F.expr("sum(c*(c-1)) div 2").alias("n3"),
-    )
-    t1 = (
-        g.groupBy("x")
-        .agg(F.sum("c").alias("t"))
-        .agg(F.expr("sum(t*(t-1)) div 2").alias("n1"))
-    )
-    t2 = (
-        g.groupBy("y")
-        .agg(F.sum("c").alias("t"))
-        .agg(F.expr("sum(t*(t-1)) div 2").alias("n2"))
-    )
-
-    # ---- y-domain buckets (quantile boundaries; placement only affects
-    # load balance, never the result) ----
-    qs = [i / B for i in range(1, B)]
-    bounds = np.array(sorted(d.stat.approxQuantile("y", qs, 0.001)), dtype=np.float64)
-
-    @F.pandas_udf("int")
-    def _bucket(s: pd.Series) -> pd.Series:
-        return pd.Series(
-            np.searchsorted(bounds, s.to_numpy(dtype=np.float64), side="right").astype(np.int32)
-        )
-
     # ---- global (x, y) order, P contiguous range partitions ----
-    # Stage 1 (mapInPandas stats) and stage 3 (collapsed groupBy) both read
-    # this frame. repartitionByRange SAMPLES its boundaries, so two separate
-    # evaluations of the subtree could disagree on pid assignment and
-    # double-count/miss pairs; correctness must not hinge on Catalyst's
-    # exchange-reuse rule firing. localCheckpoint(eager) materializes the
-    # partitions ONCE — every consumer reads the same physical rows — and the
-    # blocks are reference-cleaned when the plan is GC'd.
-    r = (
-        d.repartitionByRange(P, "x", "y")
-        .sortWithinPartitions("x", "y")
-        .withColumn("pid", F.spark_partition_id())
-        .withColumn("bkt", _bucket("y"))
-        .localCheckpoint(eager=True)
-    )
+    # r17 (r16 verdict #3): the whole statistic now derives from ONE pass
+    # over this frame. The former shape ran a separate groupBy(x, y)
+    # tie-count shuffle (whose subtree re-scanned the parquet input under
+    # base/t1/t2), a separate approxQuantile scan of the input, a
+    # pandas-UDF bucket projection, and a second full read of r for the
+    # collapsed same-bucket stage — 6 parquet scans / 42 Exchanges in the
+    # before-plan. Every one of those quantities is computable from the
+    # range-partitioned sorted rows themselves (guide §2.4 "remove
+    # shuffles outright"):
+    #   n       = Σ histogram counts,
+    #   n3      = per-partition (x, y)-run counts ((x, y) ties never span
+    #             range partitions — equal keys map to one partition),
+    #   n1      = interior x-run counts + a metadata-sized merge of the
+    #             ≤2 boundary runs per partition (x-ties CAN span),
+    #   n2      = per-(y)-group totals inside the same-bucket stage
+    #             (equal y ⟹ equal bucket, so each bucket group sees
+    #             every occurrence of its y values),
+    #   D       = the same v1 + v2 + v3 decomposition as before.
+    # localCheckpoint(eager) still materializes the partitions ONCE —
+    # repartitionByRange samples its boundaries, so correctness must not
+    # hinge on Catalyst's exchange-reuse rule firing across consumers.
+    # The y-bucket boundary job (quantile sketch; placement affects load
+    # balance only, never the result — the bucket map is a monotone pure
+    # function of y either way) is independent of the checkpoint build,
+    # so it runs on a driver thread and back-fills the checkpoint job's
+    # tail (guide §2.6) instead of serializing ~0.5 s in front of it.
+    from concurrent.futures import ThreadPoolExecutor
 
-    # ---- stage 1: per-partition local inversions + per-bucket histogram ----
+    qs = [i / B for i in range(1, B)]
+    _bpool = ThreadPoolExecutor(max_workers=1)
+    _bfut = _bpool.submit(
+        lambda: np.array(
+            sorted(d.stat.approxQuantile("y", qs, 0.001)), dtype=np.float64
+        )
+    )
+    try:
+        r = (
+            d.repartitionByRange(P, "x", "y")
+            .sortWithinPartitions("x", "y")
+            .withColumn("pid", F.spark_partition_id())
+            .localCheckpoint(eager=True)
+        )
+        bounds = _bfut.result()
+    finally:
+        _bpool.shutdown(wait=False, cancel_futures=True)
+
+    # ---- stage 1: ONE pass per partition — local inversions, per-bucket
+    # histogram, tie-run counts, boundary x-runs, and the collapsed
+    # (bkt, y, c) multiset rows for stage 3 ----
+    def _nansafe_ne(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+        # run detection must group NaN with NaN exactly like Spark's
+        # groupBy (which normalizes NaN keys); ±0.0 already compare equal
+        return (a != b) & ~(np.isnan(a) & np.isnan(b))
+
     def _part_stats(it):
+        xs: list[np.ndarray] = []
         ys: list[np.ndarray] = []
-        bs: list[np.ndarray] = []
         pid = -1
         for pdf in it:
             if len(pdf):
                 pid = int(pdf["pid"].iloc[0])
+                xs.append(pdf["x"].to_numpy(dtype=np.float64))
                 ys.append(pdf["y"].to_numpy(dtype=np.float64))
-                bs.append(pdf["bkt"].to_numpy(dtype=np.int64))
         if pid < 0:
             return
-        y = np.concatenate(ys)  # already in (x,y)-sorted order
-        hist = np.bincount(np.concatenate(bs), minlength=B)
+        x = np.concatenate(xs)  # already in (x,y)-sorted order
+        y = np.concatenate(ys)
+        m = len(x)
+        nan = float("nan")
+        b = np.searchsorted(bounds, y, side="right").astype(np.int64)
+        frames = []
+        hist = np.bincount(b, minlength=B)
         nz = np.flatnonzero(hist)
-        out = pd.DataFrame(
-            {
-                "pid": pid,
-                "bkt": nz.astype("int64"),
-                "cnt": hist[nz].astype("int64"),
-                "inv": np.int64(0),
-            }
-        )
-        out = pd.concat(
-            [out, pd.DataFrame({"pid": [pid], "bkt": [-1], "cnt": [0], "inv": [_inv_count(y)]})],
-            ignore_index=True,
-        )
-        yield out
+        frames.append(pd.DataFrame({
+            "kind": np.int32(0), "pid": pid, "bkt": nz.astype("int64"),
+            "cnt": hist[nz].astype("int64"), "inv": np.int64(0),
+            "n3": np.int64(0), "n1i": np.int64(0), "x": nan, "y": nan,
+            "c": np.int64(0),
+        }))
+        # x-runs: interior runs contribute t(t-1)/2 locally; the first and
+        # last run of each partition may continue into a neighbor, so they
+        # are emitted as (x, cnt) metadata and merged globally
+        chg = np.flatnonzero(_nansafe_ne(x[1:], x[:-1])) + 1
+        starts = np.concatenate(([0], chg))
+        counts = np.diff(np.concatenate(([0], chg, [m]))).astype(np.int64)
+        if len(counts) == 1:
+            bx_x = [float(x[0])]
+            bx_c = [int(counts[0])]
+            n1i = 0
+        else:
+            bx_x = [float(x[starts[0]]), float(x[starts[-1]])]
+            bx_c = [int(counts[0]), int(counts[-1])]
+            mid = counts[1:-1]
+            n1i = int((mid * (mid - 1) // 2).sum())
+        # (x, y)-runs: equal pairs are contiguous here and never span a
+        # range partition, so n3 is exact partition-locally
+        chg2 = np.flatnonzero(
+            _nansafe_ne(x[1:], x[:-1]) | _nansafe_ne(y[1:], y[:-1])
+        ) + 1
+        c2 = np.diff(np.concatenate(([0], chg2, [m]))).astype(np.int64)
+        n3 = int((c2 * (c2 - 1) // 2).sum())
+        frames.append(pd.DataFrame({
+            "kind": [np.int32(1)], "pid": [pid], "bkt": [-1], "cnt": [0],
+            "inv": [_inv_count(y)], "n3": [n3], "n1i": [n1i], "x": [nan],
+            "y": [nan], "c": [0],
+        }))
+        frames.append(pd.DataFrame({
+            "kind": np.int32(2), "pid": pid, "bkt": -1, "cnt": bx_c,
+            "inv": np.int64(0), "n3": np.int64(0), "n1i": np.int64(0),
+            "x": bx_x, "y": nan, "c": np.int64(0),
+        }))
+        # collapsed (bkt, y) multiplicities for the same-bucket stage —
+        # np.unique(equal_nan) groups NaN like Spark's groupBy did
+        uy, ucnt = np.unique(y, return_counts=True)
+        ub = np.searchsorted(bounds, uy, side="right").astype(np.int64)
+        frames.append(pd.DataFrame({
+            "kind": np.int32(3), "pid": pid, "bkt": ub, "cnt": np.int64(0),
+            "inv": np.int64(0), "n3": np.int64(0), "n1i": np.int64(0),
+            "x": nan, "y": uy, "c": ucnt.astype("int64"),
+        }))
+        yield pd.concat(frames, ignore_index=True)
 
-    stats = r.mapInPandas(_part_stats, "pid long, bkt long, cnt long, inv long")
-    local_inv = stats.agg(F.sum("inv").alias("v"))
+    # every downstream consumer reads these metadata-sized rows; the lazy
+    # localCheckpoint guarantees the expensive per-partition pass runs
+    # exactly once even though five aggregations reference it
+    stats = r.mapInPandas(
+        _part_stats,
+        "kind int, pid long, bkt long, cnt long, inv long, n3 long, "
+        "n1i long, x double, y double, c long",
+    ).localCheckpoint(eager=False)
+
+    summ = stats.where(F.col("kind") == 1).agg(
+        F.sum("inv").alias("v1"),
+        F.sum("n3").alias("n3"),
+        F.sum("n1i").alias("n1i"),
+    )
+    nrow = stats.where(F.col("kind") == 0).agg(F.sum("cnt").alias("n"))
+    # boundary x-runs: ≤ 2P rows; a run spanning partitions p..q appears
+    # once per touched partition and sums to its true total here
+    n1b = (
+        stats.where(F.col("kind") == 2)
+        .groupBy("x")
+        .agg(F.sum("cnt").alias("t"))
+        .agg(F.coalesce(
+            F.expr("sum(t*(t-1) div 2)"), F.lit(0).cast("long")
+        ).alias("n1b"))
+    )
 
     # ---- stage 2: cross-partition, different-bucket — 2-D prefix sums over
     # the dense P×B grid (pure window expressions, no driver collect) ----
     grid = (
         spark.range(P).withColumnRenamed("id", "pid")
         .crossJoin(spark.range(B).withColumnRenamed("id", "bkt"))
-        .join(stats.where(F.col("bkt") >= 0), ["pid", "bkt"], "left")
+        .join(
+            stats.where(F.col("kind") == 0).select("pid", "bkt", "cnt"),
+            ["pid", "bkt"], "left",
+        )
         .fillna(0, subset=["cnt"])
     )
     w_prev = (
@@ -459,18 +535,22 @@ def kendall_tau_exact(
     diff_cross = (
         grid.withColumn("prev", F.coalesce(F.sum("cnt").over(w_prev), F.lit(0)))
         .withColumn("above", F.coalesce(F.sum("prev").over(w_above), F.lit(0)))
-        .agg(F.sum(F.col("cnt") * F.col("above")).alias("v"))
+        .agg(F.sum(F.col("cnt") * F.col("above")).alias("v2"))
     )
 
     # ---- stage 3: cross-partition, same-bucket — weighted multiset count
-    # over collapsed (pid, y, cnt) rows, one group per bucket ----
-    collapsed = r.groupBy("bkt", "pid", "y").agg(F.count("*").alias("c"))
+    # over the collapsed (pid, y, cnt) rows, one group per bucket; the
+    # same pass also totals each y's global multiplicity, which IS the
+    # y-tie count n2 (equal y ⟹ equal bucket) ----
+    collapsed = stats.where(F.col("kind") == 3).select("bkt", "pid", "y", "c")
 
     def _bucket_cross(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(["pid", "y"], kind="mergesort")
         pids = pdf["pid"].to_numpy()
         ys = pdf["y"].to_numpy(dtype=np.float64)
         cs = pdf["c"].to_numpy(dtype=np.int64)
+        tot = pdf.groupby("y", dropna=False)["c"].sum().to_numpy(dtype=np.int64)
+        t2 = int((tot * (tot - 1) // 2).sum())
         inv = 0
         acc_y = np.empty(0, dtype=np.float64)
         acc_w = np.empty(0, dtype=np.int64)
@@ -491,33 +571,35 @@ def kendall_tau_exact(
             order = np.argsort(acc_y, kind="mergesort")
             acc_y, acc_w = acc_y[order], acc_w[order]
             start = end
-        return pd.DataFrame({"inv": [inv]})
+        return pd.DataFrame({"inv": [inv], "t2": [t2]})
 
     same_cross = (
         collapsed.groupBy("bkt")
-        .applyInPandas(_bucket_cross, "inv long")
-        .agg(F.sum("inv").alias("v"))
+        .applyInPandas(_bucket_cross, "inv long, t2 long")
+        .agg(F.sum("inv").alias("v3"), F.sum("t2").alias("n2"))
     )
 
-    # ---- assemble τ-b from exact integer counts ----
-    D = (
-        local_inv.crossJoin(diff_cross.withColumnRenamed("v", "v2"))
-        .crossJoin(same_cross.withColumnRenamed("v", "v3"))
-        .select((F.col("v") + F.col("v2") + F.col("v3")).alias("d"))
-    )
+    # ---- assemble τ-b from exact integer counts (identical integers and
+    # identical final FP ops as the pre-r17 shape, so the result is
+    # bit-for-bit unchanged) ----
     n0 = F.expr("n*(n-1) div 2")
+    n1 = F.col("n1i") + F.col("n1b")
     out = (
-        base.crossJoin(t1)
-        .crossJoin(t2)
-        .crossJoin(D)
+        nrow.crossJoin(summ)
+        .crossJoin(n1b)
+        .crossJoin(diff_cross)
+        .crossJoin(same_cross)
         .select(
             F.col("n"),
-            F.col("d"),
+            (F.col("v1") + F.col("v2") + F.col("v3")).alias("d"),
             F.when(
-                (n0 > F.col("n1")) & (n0 > F.col("n2")),
-                (n0 - F.col("n1") - F.col("n2") + F.col("n3") - 2 * F.col("d")).cast("double")
+                (n0 > n1) & (n0 > F.col("n2")),
+                (
+                    n0 - n1 - F.col("n2") + F.col("n3")
+                    - 2 * (F.col("v1") + F.col("v2") + F.col("v3"))
+                ).cast("double")
                 / F.sqrt(
-                    (n0 - F.col("n1")).cast("double") * (n0 - F.col("n2")).cast("double")
+                    (n0 - n1).cast("double") * (n0 - F.col("n2")).cast("double")
                 ),
             )
             .otherwise(F.lit(float("nan")))  # degenerate: a constant column
