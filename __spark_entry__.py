@@ -4307,39 +4307,40 @@ def rank_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
     # variants on one (flag, qty-nulls-last, tiebreak) ordering, two vq
     # na_option variants on one (flag, vq-nulls-last, tiebreak) ordering.
     # Independent rank() calls each planned their own sort (12 total).
-    r = ordered.rank_multi(
-        r, "l_quantity",
+    # bucketed="value" semantics (r16, guide §2.5): 3 returnflag groups
+    # serialized the sort+window into 3 tasks; the value-aggregate
+    # two-phase form reduces lineitem map-side to a (flag, quantity)
+    # count frame whose running sums ARE the rank table, broadcast
+    # back — no serialized sort anywhere, every output the SAME
+    # integers (oracle hash unchanged). l_quantity is 1..50 by
+    # construction; vq = quantity-under-40 is the same ≤50-value domain.
+    # r17 (r16 verdict #4): the two families are FUSED —
+    # ordered.rank_multi_families derives both count frames from ONE
+    # grouping-sets pass over the scan; the chained second rank_multi
+    # call used to re-derive the first family's broadcast join inside
+    # its own value aggregation (a full extra scan + join replay).
+    # Outputs are bit-identical (equality pinned in
+    # tests/test_rank_families_r17.py).
+    r = ordered.rank_multi_families(
+        r,
         [
-            {"method": "average", "out_col": "rank_avg"},
-            {"method": "min", "out_col": "rank_min"},
-            {"method": "max", "out_col": "rank_max"},
-            {"method": "first", "out_col": "rank_first"},
-            {"method": "dense", "out_col": "rank_dense"},
-            {"method": "average", "pct": True, "out_col": "rank_pct"},
+            {"col": "l_quantity", "specs": [
+                {"method": "average", "out_col": "rank_avg"},
+                {"method": "min", "out_col": "rank_min"},
+                {"method": "max", "out_col": "rank_max"},
+                {"method": "first", "out_col": "rank_first"},
+                {"method": "dense", "out_col": "rank_dense"},
+                {"method": "average", "pct": True, "out_col": "rank_pct"},
+            ]},
+            {"col": "vq", "specs": [
+                {"method": "min", "na_option": "top",
+                 "out_col": "rank_na_top"},
+                {"method": "average", "na_option": "bottom", "pct": True,
+                 "out_col": "rank_na_bottom"},
+            ]},
         ],
         partition_by=["l_returnflag"],
         tie_break=["l_orderkey", "l_linenumber"],
-        # bucketed="value" (r16, guide §2.5): 3 returnflag groups
-        # serialized the sort+window into 3 tasks; the value-aggregate
-        # two-phase form reduces lineitem map-side to a (flag, quantity)
-        # count frame whose running sums ARE the rank table, broadcast
-        # back — no serialized sort anywhere, every output the SAME
-        # integers (oracle hash unchanged). "value" (vs True) skips the
-        # cardinality probe: l_quantity is 1..50 by construction.
-        # Measured sf0.1 interleaved medians: battery 3.52 s vs 3.55 s
-        # classic — local parity; at scale the 3-task sort is gone.
-        bucketed="value",
-    )
-    r = ordered.rank_multi(
-        r, "vq",
-        [
-            {"method": "min", "na_option": "top", "out_col": "rank_na_top"},
-            {"method": "average", "na_option": "bottom", "pct": True,
-             "out_col": "rank_na_bottom"},
-        ],
-        partition_by=["l_returnflag"],
-        tie_break=["l_orderkey", "l_linenumber"],
-        bucketed="value",  # vq = quantity-under-40: same ≤50-value domain
     )
     return r.select(
         "l_orderkey",

@@ -343,6 +343,130 @@ def rank_multi(
     return _apply_rank_specs(df, specs, src, tie_break, prim, temps)
 
 
+def rank_multi_families(
+    df: DataFrame,
+    families: Sequence[dict],
+    ascending: bool = True,
+    partition_by: Sequence[str] | None = None,
+    tie_break: Sequence[str] | None = None,
+) -> DataFrame:
+    """INTERNAL multi-family value-aggregate rank (r17, r16 verdict #4):
+    several ``rank_multi(bucketed="value")`` calls over DIFFERENT source
+    columns, fused onto one scan.
+
+    Chained ``rank_multi`` calls re-derive every earlier family's
+    broadcast join inside each later family's value aggregation — the
+    later count subtree hangs below the earlier join, so the input is
+    scanned (and the join replayed) once per family. Here every
+    family's (keys, value) count frame comes out of ONE grouping-sets
+    aggregate over the base scan (guide §2.4: two aggregations keyed
+    over the same scan share one pass), and the metadata-sized offset
+    tables broadcast-join above it.
+
+    Outputs are bit-identical to the chained calls by construction:
+    each family's offsets are THE SAME integers (same per-(keys, value)
+    counts, same running-sum windows), fed through the same
+    ``_apply_rank_specs`` arithmetic. ``families`` is
+    ``[{"col": ..., "specs": [...]}]`` with shared
+    ascending/partition_by/tie_break; the caller asserts low value
+    cardinality per family (the ``bucketed="value"`` contract)."""
+    keys = list(partition_by or [])
+    work = df
+    fam: list[tuple[str, Sequence[dict]]] = []
+    temps: list[str] = []
+    for i, f in enumerate(families):
+        col, src = f["col"], f["col"]
+        if is_floating(work, col):
+            src = f"__rkmf_src{i}"
+            work = work.withColumn(src, nan_safe_col(F.col(col)))
+            temps.append(src)
+        fam.append((src, f["specs"]))
+    out_cols = [s["out_col"] for _, specs in fam for s in specs]
+    want = list(df.columns) + out_cols
+
+    def _nullsafe_bjoin(left, offs, left_on, offs_on, sfx):
+        jcols = [f"__rkmf_j{sfx}_{i}" for i in range(len(offs_on))]
+        offs = offs.select(
+            *[F.col(k).alias(a) for k, a in zip(offs_on, jcols)],
+            *[x for x in offs.columns if x not in offs_on],
+        )
+        cond = None
+        for k, a in zip(left_on, jcols):
+            e = F.col(k).eqNullSafe(F.col(a))
+            cond = e if cond is None else (cond & e)
+        return left.join(F.broadcast(offs), cond)
+
+    srcs = [src for src, _ in fam]
+    # lazily checkpointed: each family's offset table filters this frame,
+    # and per-branch column pruning makes the two aggregate subtrees
+    # non-canonical — without materialization Catalyst re-runs the scan +
+    # grouping-sets pass once per family (measured: 2 Expand / 2 scans),
+    # which is exactly the duplication this function exists to remove.
+    # The frame is metadata-sized (Σ per-family value-group counts).
+    gv_all = work.groupingSets(
+        [[*keys, s] for s in srcs], *[F.col(c) for c in (*keys, *srcs)]
+    ).agg(
+        F.count(F.lit(1)).alias("__rkmf_cnt"),
+        *[F.grouping(s).alias(f"__rkmf_g{i}") for i, s in enumerate(srcs)],
+    ).localCheckpoint(eager=False)
+
+    data = work
+    plans = []
+    for i, (src, specs) in enumerate(fam):
+        cond = F.lit(True)
+        for j in range(len(srcs)):
+            cond = cond & (F.col(f"__rkmf_g{j}") == (0 if j == i else 1))
+        bv, cnt = f"__rkmf_bv{i}", f"__rkmf_cnt{i}"
+        gv = gv_all.where(cond).select(
+            *keys,
+            F.col(src).alias(bv),
+            F.col("__rkmf_cnt").alias(cnt),
+        )
+        nn_flag = F.col(bv).isNotNull()
+        bvorder = (
+            F.col(bv).asc_nulls_last() if ascending
+            else F.col(bv).desc_nulls_last()
+        )
+        woff = Window.partitionBy(*keys).orderBy(bvorder).rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        wkey = Window.partitionBy(*keys)
+        off, doff = f"__rkmf_off{i}", f"__rkmf_doff{i}"
+        kc, nc, ddc = f"__rkmf_k{i}", f"__rkmf_n{i}", f"__rkmf_dd{i}"
+        offs = gv.select(
+            *keys,
+            bv,
+            cnt,
+            F.coalesce(F.sum(cnt).over(woff), F.lit(0)).alias(off),
+            F.coalesce(F.sum(nn_flag.cast("long")).over(woff), F.lit(0)).alias(doff),
+            F.sum(F.when(nn_flag, F.col(cnt)).otherwise(F.lit(0)))
+            .over(wkey)
+            .alias(kc),
+            F.sum(cnt).over(wkey).alias(nc),
+            F.sum(nn_flag.cast("long")).over(wkey).alias(ddc),
+        )
+        data = _nullsafe_bjoin(data, offs, [*keys, src], [*keys, bv], sfx=i)
+        prim = {
+            "rank": F.col(off) + F.lit(1),
+            "cume": F.col(off) + F.col(cnt),
+            "dense": F.col(doff) + F.lit(1),
+            "k": F.col(kc),
+            "nrows": F.col(nc),
+            "dense_max": _dense_max_closed(F.col(kc), F.col(nc), F.col(ddc)),
+        }
+        plans.append((src, specs, prim))
+    for i, (src, specs, prim) in enumerate(plans):
+        if any(s.get("method") == "first" for s in specs):
+            vw = Window.partitionBy(*keys, F.col(src)).orderBy(
+                *[F.col(t) for t in (tie_break or [])]
+            )
+            lrn = f"__rkmf_lrn{i}"
+            data = data.withColumn(lrn, F.row_number().over(vw))
+            prim["rn"] = F.col(f"__rkmf_off{i}") + F.col(lrn)
+        data = _apply_rank_specs(data, specs, src, tie_break, prim, [])
+    return data.select(*want)
+
+
 def _apply_rank_specs(out, specs, src, tie_break, prim, temps):
     """Derive every spec's output column from the rank PRIMITIVES — the
     fused single-sort path and the bucketed two-phase path both feed this
