@@ -1748,6 +1748,7 @@ def ivfpq_topk_from_store(
     nprobe: int = 4,
     round_to: int = 6,
     keep_pool_rank: bool = False,
+    store_df: "DataFrame | None" = None,
 ) -> DataFrame:
     """IVF-PQ top-k: each query's ``nprobe`` nearest cells come from the
     persisted coarse quantizer; the DISTINCT probe set becomes a LITERAL
@@ -1840,8 +1841,21 @@ def ivfpq_topk_from_store(
         ds.sort(key=lambda t: (isinstance(t[0], float) and math.isnan(t[0]), t[0], t[1]))
         probe_map[qid] = np.array(sorted(cid for _, cid in ds[:nprobe]))
     probes = sorted({int(c) for v in probe_map.values() for c in v})
+    # ``store_df`` (r17, r16 verdict #5): a resident session holds the
+    # loaded store DataFrame (its file index and merged schema) across
+    # scoring calls instead of re-running load_vector_store's
+    # mergeSchema footer job (~0.15 s of fixed overhead per call).
+    # Passing a DataFrame makes lifecycle visibility the caller's
+    # responsibility, exactly like quantized_topk_from_store's
+    # DataFrame form; the probe-set partition predicate is still
+    # applied per call, so pruning stays query-specific.
+    base = (
+        store_df
+        if store_df is not None
+        else load_vector_store(spark, f"{store_path}/codes", id_col)
+    )
     store = (
-        load_vector_store(spark, f"{store_path}/codes", id_col)
+        base
         .where(F.col("cell").isin(probes))
         .select(id_col, "codes", "rn2", "cell")
     )
@@ -1889,10 +1903,53 @@ def ivfpq_topk_from_store(
         )
     else:
         # rotate ONLY the candidate rows: the projection sits above the
-        # broadcast join, so the interpreted fold runs on ~queries*pool
-        # rows, never the corpus scan
-        from parallel_pandas_spark.operators.similarity import (
-            rotate_vectors,
+        # broadcast join, so it runs on ~queries*pool rows, never the
+        # corpus scan. r17 (r16 verdict #5): the rotation is a
+        # vectorized Arrow kernel instead of the interpreted
+        # transform/aggregate fold (a CodegenFallback expression doing
+        # dim² interpreted MACs per row — measured ~0.4 s of the opq
+        # arm). Bit-exactness is preserved: acc starts at the 0.0 the
+        # JVM fold starts at and adds v[i]*R[i][j] in strict i order
+        # (one binary64 multiply-add per step, vectorized over rows and
+        # j, sequential over i), the identical IEEE op sequence.
+        import pandas as pd
+
+        Rm = np.array([[float(x) for x in row] for row in R],
+                      dtype=np.float64)
+
+        # NOTE: annotations are attached as live objects, not hints —
+        # this module uses ``from __future__ import annotations``, so
+        # inline hints stringify to 'pd.Series' which pyspark cannot
+        # resolve against module globals (pandas is imported locally)
+        def _rot_fn(s):
+            out: list = []
+            vals, idx = [], []
+            for i, v in enumerate(s):
+                if v is None or len(v) != dim:
+                    # the JVM fold nulls every component of a NULL or
+                    # wrong-length vector (zip_with pads with null and
+                    # the fold absorbs it); null ELEMENTS are handled
+                    # by the JVM-side __dirty guard below — Arrow
+                    # flattens them to NaN, which the fold would NOT do
+                    out.append([None] * dim)
+                else:
+                    out.append(None)
+                    vals.append(np.asarray(v, dtype=np.float64))
+                    idx.append(i)
+            if vals:
+                mat = np.vstack(vals)
+                acc = np.zeros((len(vals), dim), dtype=np.float64)
+                for i in range(dim):
+                    acc += mat[:, i : i + 1] * Rm[i, :]
+                for j, i in enumerate(idx):
+                    out[i] = acc[j].tolist()
+            return pd.Series(out)
+
+        _rot_fn.__annotations__ = {"s": pd.Series, "return": pd.Series}
+        _rot_arrow = F.pandas_udf(_rot_fn, "array<double>")
+
+        _all_null = F.array(
+            *[F.lit(None).cast("double") for _ in range(dim)]
         )
 
         matched = (
@@ -1908,7 +1965,18 @@ def ivfpq_topk_from_store(
                 "query_id",
                 "neighbor_id",
                 "prank",
-                rotate_vectors(F.col("__cv0"), R).alias("cv"),
+                # null-element guard: the JVM fold turns a vector with
+                # ANY null element into dim null components (acc + null
+                # = null per output). Arrow cannot see element nulls
+                # (they flatten to NaN), so the dirty predicate stays
+                # JVM-side — candidate rows are clean by construction,
+                # making this a never-taken branch kept for parity
+                F.when(
+                    F.exists(F.col("__cv0"), lambda x: x.isNull()),
+                    _all_null,
+                )
+                .otherwise(_rot_arrow(F.col("__cv0")))
+                .alias("cv"),
             )
             .select("query_id", "neighbor_id", "prank", "cv",
                     l2_norm(F.col("cv")).alias("cn"))
@@ -2103,11 +2171,16 @@ def tune_probes(
         )
 
     # live rows per cell — ONE aggregate over the tombstone-shadowed
-    # store; drives the probed-fraction report for every candidate
+    # store; drives the probed-fraction report for every candidate.
+    # The loaded store DataFrame (manifest resolution + mergeSchema
+    # footer job + file index) is held in ``live`` and reused by every
+    # consumer below — the per-nprobe loop previously re-ran
+    # load_vector_store once per candidate, a fixed-cost job per
+    # iteration that reads the same snapshot (r16 verdict #5)
+    live = load_vector_store(spark, codes_path, id_col)
     sizes = {
         r["cell"]: r["n"]
-        for r in load_vector_store(spark, codes_path, id_col)
-        .groupBy("cell").agg(F.count("*").alias("n")).collect()
+        for r in live.groupBy("cell").agg(F.count("*").alias("n")).collect()
     }
     total = float(sum(sizes.values())) or 1.0
 
@@ -2130,9 +2203,7 @@ def tune_probes(
     else:
         # flat store: the raw vectors live in the store itself — derive
         # the baseline from the SAME snapshot the approximate side scores
-        exact_corpus = load_vector_store(spark, codes_path, id_col).select(
-            id_col, F.col("v").alias(vec_col)
-        )
+        exact_corpus = live.select(id_col, F.col("v").alias(vec_col))
     exact = cosine_topk(exact_corpus, queries, id_col, vec_col, k=k)
 
     def _frac(nprobe: int) -> float:
@@ -2161,9 +2232,7 @@ def tune_probes(
         # closure argument only holds for exact re-rank — and (b) the
         # reference shape behind ``_per_candidate=True``, pinned equal
         # to this curve in tests.
-        cellmap = load_vector_store(spark, codes_path, id_col).select(
-            F.col(id_col).alias("neighbor_id"), "cell"
-        )
+        cellmap = live.select(F.col(id_col).alias("neighbor_id"), "cell")
         ex_rows = (
             exact.select("query_id", "neighbor_id")
             .join(cellmap, "neighbor_id")
@@ -2211,7 +2280,7 @@ def tune_probes(
         if is_pq:
             approx = ivfpq_topk_from_store(
                 spark, store_path, corpus, queries, id_col, vec_col,
-                k=k, pool=pool, nprobe=nprobe)
+                k=k, pool=pool, nprobe=nprobe, store_df=live)
         else:
             approx = ivf_topk_from_store(
                 spark, store_path, queries, id_col, vec_col,

@@ -29,6 +29,18 @@ TABLES = (
 )
 
 
+# Resident-session table handles (r17, r16 verdict #5 generalized): a
+# DataFrame's creation runs a schema/footer-read Spark job, so every
+# query builder re-reading the same immutable table paid one fixed-cost
+# job per load (measured: ~0.1-0.15 s/job locally; it was 1 of the 3
+# build jobs in EVERY ANN arm). A resident engine holds catalog table
+# handles instead — this cache is that, keyed by (path, file mtime) and
+# bound to the creating session. It holds a LAZY plan handle only (file
+# index + schema); all data is still computed from parquet on every
+# action. SPARK_GRAFT_TABLE_CACHE=0 disables it.
+_TABLE_DFS: dict[tuple, tuple[float, DataFrame]] = {}
+
+
 def load_table(
     spark: SparkSession, sf_dir: str, name: str, spread: str | None = None
 ) -> DataFrame:
@@ -44,8 +56,27 @@ def load_table(
     ``spread=<key column>`` applies :func:`spread_scan` after the read —
     opt-in per call site because a handful of operators give partition
     contents semantics (pandas chunk batteries) and must see the raw
-    scan layout."""
+    scan layout. (The cached base handle is pre-spread; spread is
+    re-applied per call.)"""
     path = os.path.join(sf_dir, f"{name}.parquet")
+    use_cache = os.environ.get("SPARK_GRAFT_TABLE_CACHE", "1") not in (
+        "", "0",
+    )
+    key = os.path.abspath(path)
+    if use_cache:
+        try:
+            stamp = os.path.getmtime(path)
+        except OSError:
+            stamp = None
+        hit = _TABLE_DFS.get(key)
+        if (
+            hit is not None
+            and stamp is not None
+            and hit[0] == stamp
+            and hit[1].sparkSession is spark
+        ):
+            df = hit[1]
+            return spread_scan(df, spread) if spread is not None else df
     try:
         df = spark.read.parquet(path)
     except Exception as e:
@@ -58,6 +89,8 @@ def load_table(
         from pyspark.sql import functions as F
 
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    if use_cache and stamp is not None:
+        _TABLE_DFS[key] = (stamp, df)
     if spread is not None:
         df = spread_scan(df, spread)
     return df
