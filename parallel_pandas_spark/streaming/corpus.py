@@ -245,15 +245,26 @@ def run_corpus_refresh_stream(
     point — pinned in tests with a mid-stream stop)."""
     keys = list(keys)
     cols = list(spec)
+    # artifact schemas are stable across versions (docindex2/corpus2
+    # carry the base columns forward), so pin them ONCE per stream run:
+    # every per-batch spark.read.parquet otherwise runs a footer
+    # schema-inference job — two fixed-cost Spark jobs per micro-batch
+    # (r16 verdict #6, measured ~0.2 s/batch locally)
+    di_schema = spark.read.parquet(base_docindex).schema
+    co_schema = spark.read.parquet(base_corpus).schema
 
     def write_batch(batch_df, batch_id: int) -> None:
+        import time as _time
+
+        _prof = os.environ.get("SPARK_GRAFT_BATCH_PROF", "") not in ("", "0")
+        _t0 = _time.perf_counter()
         # fence anchor (r14 verdict #3): the txn this batch resolved its
         # input snapshots at — the commit refuses if it moved meanwhile
         begun_txn = int(_init_manifest(work_dir)["txn"])
         snap_di = _latest_dir(work_dir, "docindex", batch_id) or base_docindex
         snap_co = _latest_dir(work_dir, "corpus", batch_id) or base_corpus
-        di = spark.read.parquet(snap_di)
-        co = spark.read.parquet(snap_co)
+        di = spark.read.schema(di_schema).parquet(snap_di)
+        co = spark.read.schema(co_schema).parquet(snap_co)
         changes = cdc.cdc_compact(
             batch_df, [id_col], [ts_col], drop_deleted=False
         ).drop(ts_col)
@@ -265,25 +276,85 @@ def run_corpus_refresh_stream(
                 rollup.agg_state(removed, keys, spec), cols, keys=keys
             )
         )
-        # the three artifact writes are independent actions (the commit
-        # point is the manifest rename below, so write ORDER carries no
-        # recovery semantics) — overlap them on driver threads so each
-        # job's tail back-fills the others' idle cores (guide §2.6).
-        # Shared lineage (aff_fps' lazy localCheckpoint) is cached on
-        # first materialization; a concurrent first-touch at worst
-        # duplicates one feed-sized job, never diverges (deterministic
-        # transforms).
+        # artifact writes (r16 verdict #6): docindex and corpus share a
+        # schema (corpus rows ARE docindex keeper rows), so the pair is
+        # written as ONE partitioned job into a staging dir whose
+        # partition directories are renamed into the standard layout —
+        # readers see byte-identical per-artifact directories (plus the
+        # _SUCCESS marker the legacy manifest-less resolution expects,
+        # created after the completed staging write). delta has its own
+        # schema and overlaps on a second driver thread (guide §2.6).
+        # The commit point is still ONLY the manifest rename below: a
+        # crash between renames leaves orphan directories no reader
+        # resolves, exactly as before. Shared lineage (aff_fps' lazy
+        # localCheckpoint) is cached on first materialization; fusing
+        # di+co also evaluates that shared subtree once per batch
+        # instead of once per artifact job.
+        import shutil as _sh
         from concurrent.futures import ThreadPoolExecutor
 
-        writes = [
-            (di2, _art_dir(work_dir, "docindex", batch_id)),
-            (co2, _art_dir(work_dir, "corpus", batch_id)),
-            (delta, _art_dir(work_dir, "delta", batch_id)),
-        ]
-        with ThreadPoolExecutor(max_workers=3) as pool:
-            list(pool.map(
-                lambda t: t[0].write.mode("overwrite").parquet(t[1]), writes
-            ))
+        _t1 = _time.perf_counter()
+        if os.environ.get("SPARK_GRAFT_FUSED_ARTIFACTS", "1") in ("", "0"):
+            # 3-independent-writes form (the r16 shape): kept as the
+            # comparison arm and as a profile fallback — identical
+            # on-disk artifacts either way
+            writes = [
+                (di2, _art_dir(work_dir, "docindex", batch_id)),
+                (co2, _art_dir(work_dir, "corpus", batch_id)),
+                (delta, _art_dir(work_dir, "delta", batch_id)),
+            ]
+            with ThreadPoolExecutor(max_workers=3) as pool:
+                list(pool.map(
+                    lambda t: t[0].write.mode("overwrite").parquet(t[1]),
+                    writes,
+                ))
+        else:
+            staging = os.path.join(work_dir, f".staging_b{batch_id:05d}")
+            _sh.rmtree(staging, ignore_errors=True)
+            # structural: corpus rows are keeper rows OF the docindex,
+            # so the column sets always match; the assert guards a
+            # future refactor that would silently break the fused layout
+            assert set(co2.columns) == set(di2.columns), (
+                di2.columns, co2.columns,
+            )
+            fused = di2.withColumn("__art", F.lit("di")).unionByName(
+                co2.select(*di2.columns).withColumn("__art", F.lit("co"))
+            )
+            with ThreadPoolExecutor(max_workers=2) as pool:
+                futs = [
+                    pool.submit(
+                        lambda: fused.write.mode("overwrite")
+                        .partitionBy("__art").parquet(staging)
+                    ),
+                    pool.submit(
+                        lambda: delta.write.mode("overwrite").parquet(
+                            _art_dir(work_dir, "delta", batch_id))
+                    ),
+                ]
+                for f in futs:
+                    f.result()
+            for part, art, frame in (
+                ("di", "docindex", di2), ("co", "corpus", co2),
+            ):
+                src = os.path.join(staging, f"__art={part}")
+                dst = _art_dir(work_dir, art, batch_id)
+                _sh.rmtree(dst, ignore_errors=True)
+                if os.path.isdir(src):
+                    os.makedirs(os.path.dirname(dst), exist_ok=True)
+                    os.rename(src, dst)
+                    # staging write completed above => data is
+                    # complete; the marker keeps the legacy commit
+                    # invariant
+                    open(os.path.join(dst, "_SUCCESS"), "w").close()
+                else:
+                    # dynamic partitioning emits no directory for an
+                    # EMPTY artifact — fall back to the direct write
+                    # (rare; a feed that deletes every doc), which
+                    # produces the empty-but-readable parquet dir the
+                    # old form did
+                    frame.write.mode("overwrite").parquet(dst)
+            _sh.rmtree(staging, ignore_errors=True)
+        _t2 = _time.perf_counter()
         # the manifest rename is the batch's COMMIT POINT: a crash
         # anywhere above leaves orphan directories no reader resolves;
         # the foreachBatch replay rewrites them and commits then. A
@@ -297,6 +368,15 @@ def run_corpus_refresh_stream(
                 man[k] = sorted(man[k] + [batch_id])
         man["txn"] += 1
         _commit_manifest(work_dir, man, expect_txn=begun_txn)
+        if _prof:
+            import sys as _sys
+
+            print(
+                f"BATCH_PROF b{batch_id}: plan={_t1 - _t0:.3f}s "
+                f"writes={_t2 - _t1:.3f}s "
+                f"commit={_time.perf_counter() - _t2:.3f}s",
+                file=_sys.stderr, flush=True,
+            )
 
     return run_foreach_batch(
         spark, make_stream, write_batch, checkpoint_dir,
@@ -457,6 +537,10 @@ def compact_corpus_artifacts(
             if vid not in keep:
                 shutil.rmtree(d)
                 deleted += 1
+    # a crash between the fused staging write and its renames leaves a
+    # .staging_b* orphan no reader resolves — garbage-collect it here
+    for d in glob.glob(os.path.join(work_dir, ".staging_b*")):
+        shutil.rmtree(d, ignore_errors=True)
     return {
         "folded_to": new_snap_id if new_snap_id >= 0 else None,
         "deltas_folded": len(fold),

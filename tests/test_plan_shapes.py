@@ -96,7 +96,10 @@ def test_rank_methods_bucketed_never_serializes_on_the_group_key(spark, qs):
     # row_number) must partition by the value column too, so parallelism
     # is #distinct-values x #groups rather than #groups
     for spec in re.findall(r"row_number\(\) windowspecdefinition\(([^)]*)\)", txt):
-        assert "__rkm_src" in spec, spec
+        # single-call path names the source __rkm_src; the fused
+        # multi-family path (r17, ordered.rank_multi_families) names it
+        # __rkmf_src<i> per family — both partition by (group, value)
+        assert "__rkm_src" in spec or "__rkmf_src" in spec, spec
 
 
 @pytest.mark.parametrize(
