@@ -432,6 +432,40 @@ def main() -> None:
             f"commit {git_head}",
             file=sys.stderr,
         )
+    # r17 (r15/r16 verdict #2): literal baseline-shape twins — OPT-IN via
+    # env so the driver's bench contract (headline loop, slim stdout) is
+    # untouched; the block lands in the FILE artifact only
+    baseline_twins = None
+    if os.environ.get("SPARK_GRAFT_BASELINE_TWINS", "") not in ("", "0"):
+        sys.path.insert(0, os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "tools"))
+        from baseline_twins import run_twins
+
+        baseline_twins = run_twins(spark, reps)
+
+    # r17 (r16 verdict #9): carry the committed sf0.01->sf1 slope study
+    # (tools/scaling_slope.py, BENCH_SCALING.json) in the FILE artifact
+    # so every round's bench ships per-query scale evidence — the 8-core
+    # sf0.1 ratio pair is fixed-cost-dominated and cannot read plan
+    # parallelism (r16 verdict scaling note)
+    scaling_slopes = None
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_SCALING.json")) as fh:
+            _sc = json.load(fh)
+        scaling_slopes = {
+            "slopes": _sc.get("slopes"),
+            "cpus": _sc.get("cpus"),
+            "git_head": _sc.get("git_head"),
+            "note": (
+                "d log(t)/d log(sf) fit over sf0.01/0.1/1 headline "
+                "medians; ~1.0 = linear, <1 = fixed overhead still "
+                "amortizing (tools/scaling_slope.py)"
+            ),
+        }
+    except Exception:
+        pass
+
     payload = {
         "metric": "headline_queries_total_runtime",
         "value": total,
@@ -457,6 +491,8 @@ def main() -> None:
             "host-noise factor before reading deltas"
         ),
         "vecstore": vec_metrics,
+        "baseline_twins": baseline_twins,
+        "scaling_slopes": scaling_slopes,
         "git_head": git_head,
         "git_dirty": git_dirty,
         "sf": sf,

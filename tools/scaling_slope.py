@@ -82,8 +82,19 @@ def main() -> None:
     totals = {str(sf): runs[str(sf)]["value"] for sf in sfs}
     slopes["__total__"] = round(fit_slope(sfs, [totals[str(s)] for s in sfs]), 3)
 
+    try:
+        head = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, cwd=REPO,
+        ).stdout.strip()
+    except OSError:
+        head = None
     with open(out_path, "w") as f:
-        json.dump({"runs": runs, "slopes": slopes, "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32")}, f, indent=1)
+        json.dump({
+            "runs": runs, "slopes": slopes,
+            "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
+            "git_head": head,
+        }, f, indent=1)
 
     hdr = "| query | " + " | ".join(f"sf{s} (s)" for s in sfs) + " | slope |"
     print(hdr)
